@@ -1,0 +1,185 @@
+package graft.functions
+
+import graft.transforms.Murmur3
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-static helpers invoked from generated code (kept tiny + branch-free
+  * so calls inline under WholeStageCodegen). */
+object BucketUtil {
+  def bucketLong(v: Long, n: Int): Int = (Murmur3.hashLong(v) & Int.MaxValue) % n
+  def bucketString(s: UTF8String, n: Int): Int =
+    (Murmur3.hashBytes(s.getBytes) & Int.MaxValue) % n
+  def bucketBytes(b: Array[Byte], n: Int): Int =
+    (Murmur3.hashBytes(b) & Int.MaxValue) % n
+  def bucketDecimal(d: Decimal, n: Int): Int =
+    (Murmur3.hashBytes(d.toJavaBigDecimal.unscaledValue.toByteArray) & Int.MaxValue) % n
+
+  def truncateLong(v: Long, w: Int): Long = v - (((v % w) + w) % w)
+  def truncateInt(v: Int, w: Int): Int = v - (((v % w) + w) % w)
+  def truncateString(s: UTF8String, w: Int): UTF8String =
+    if (s.numChars <= w) s else s.substring(0, w)
+  def truncateBytes(b: Array[Byte], w: Int): Array[Byte] =
+    if (b.length <= w) b else java.util.Arrays.copyOf(b, w)
+  def truncateDecimal(d: Decimal, w: Int): Decimal = {
+    val bd = d.toJavaBigDecimal
+    val m = bd.unscaledValue.mod(java.math.BigInteger.valueOf(w.toLong))
+    Decimal(new java.math.BigDecimal(bd.unscaledValue.subtract(m), bd.scale))
+  }
+
+  /** Cosine similarity of two float vectors (ArrayData of FloatType). */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Dot product of two float vectors. */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** L2 norm of a float vector. */
+  def normFloat(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/**
+ * Spec-exact Iceberg bucket transform as a native Catalyst expression with
+ * codegen (SURVEY.md §2.5: Spark's `hash()` is seed-42 Murmur3 with
+ * different byte-encoding rules, so a custom expression is required for
+ * cross-writer-compatible partition values).
+ */
+case class IcebergBucket(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "iceberg_bucket"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
+           StringType | BinaryType | _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"iceberg_bucket does not support type $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case IntegerType | DateType => BucketUtil.bucketLong(v.asInstanceOf[Int].toLong, n)
+    case LongType | TimestampType | TimestampNTZType =>
+      BucketUtil.bucketLong(v.asInstanceOf[Long], n)
+    case StringType => BucketUtil.bucketString(v.asInstanceOf[UTF8String], n)
+    case BinaryType => BucketUtil.bucketBytes(v.asInstanceOf[Array[Byte]], n)
+    case _: DecimalType => BucketUtil.bucketDecimal(v.asInstanceOf[Decimal], n)
+    case other => throw new IllegalArgumentException(s"cannot bucket $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = "graft.functions.BucketUtil"
+    val fn: String => String = child.dataType match {
+      case IntegerType | DateType => c => s"$u.bucketLong((long)$c, $n)"
+      case LongType | TimestampType | TimestampNTZType => c => s"$u.bucketLong($c, $n)"
+      case StringType => c => s"$u.bucketString($c, $n)"
+      case BinaryType => c => s"$u.bucketBytes($c, $n)"
+      case _: DecimalType => c => s"$u.bucketDecimal($c, $n)"
+      case other => throw new IllegalArgumentException(s"cannot bucket $other")
+    }
+    defineCodeGen(ctx, ev, fn)
+  }
+
+  override protected def withNewChildInternal(c: Expression): IcebergBucket = copy(child = c)
+}
+
+/** Spec Iceberg truncate[W] transform (int/long/decimal/string/binary). */
+case class IcebergTruncate(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "iceberg_truncate"
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case IntegerType => BucketUtil.truncateInt(v.asInstanceOf[Int], width)
+    case LongType => BucketUtil.truncateLong(v.asInstanceOf[Long], width)
+    case StringType => BucketUtil.truncateString(v.asInstanceOf[UTF8String], width)
+    case BinaryType => BucketUtil.truncateBytes(v.asInstanceOf[Array[Byte]], width)
+    case _: DecimalType => BucketUtil.truncateDecimal(v.asInstanceOf[Decimal], width)
+    case other => throw new IllegalArgumentException(s"cannot truncate $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = "graft.functions.BucketUtil"
+    val fn: String => String = child.dataType match {
+      case IntegerType => c => s"$u.truncateInt($c, $width)"
+      case LongType => c => s"$u.truncateLong($c, $width)"
+      case StringType => c => s"$u.truncateString($c, $width)"
+      case BinaryType => c => s"$u.truncateBytes($c, $width)"
+      case _: DecimalType => c => s"$u.truncateDecimal($c, $width)"
+      case other => throw new IllegalArgumentException(s"cannot truncate $other")
+    }
+    defineCodeGen(ctx, ev, fn)
+  }
+
+  override protected def withNewChildInternal(c: Expression): IcebergTruncate = copy(child = c)
+}
+
+/** Cosine similarity between two `array<float>` columns — native expression
+  * (codegen'd) so the ANN brute-force path stays inside WholeStageCodegen. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BucketUtil.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BucketUtil.cosineFloat($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points + SQL registration. */
+object GraftFunctions {
+  def iceberg_bucket(n: Int, c: Column): Column =
+    ColumnBridge.column(IcebergBucket(expression(c), n))
+  def iceberg_truncate(w: Int, c: Column): Column =
+    ColumnBridge.column(IcebergTruncate(expression(c), w))
+  def cosine_similarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(expression(a), expression(b)))
+
+  private def expression(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Register as SQL functions: `SELECT iceberg_bucket(16, id)` — matching
+    * how Spark-Iceberg exposes `system.bucket` (SURVEY.md §2.9). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("iceberg_bucket", exprs =>
+      IcebergBucket(exprs(1), exprs.head.eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("iceberg_truncate", exprs =>
+      IcebergTruncate(exprs(1), exprs.head.eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("cosine_similarity", exprs =>
+      CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,252 @@
+package graft.table
+
+import graft._
+import graft.functions.GraftFunctions
+import graft.meta.{PartitionSpec, SortOrder}
+import graft.types._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Write-path helpers: schema alignment (name-based binding + casts, ref
+  * `table.rs:343-384`), partition-transform columns, the Parquet write
+  * itself, and row-hash → DataFrame coercion (ref `batch.rs:60-174`). */
+object AppendUtil {
+
+  /** Bind df columns to the table schema by NAME (column order independent —
+    * ref `test/polars_test.rb:58-63`), cast to the table types, null-fill
+    * missing optional columns, reject extras and missing required ones. */
+  def align(df: DataFrame, schema: Schema): DataFrame = {
+    val dfCols = df.columns.toSet
+    val schemaCols = schema.fields.map(_.name).toSet
+    val extra = dfCols -- schemaCols
+    if (extra.nonEmpty)
+      throw new InvalidDataError(s"unknown columns: ${extra.mkString(", ")}")
+    val projected = schema.fields.map { f =>
+      val target = SparkSchemaConverter.toSparkType(f.fieldType)
+      if (dfCols.contains(f.name)) col(f.name).cast(target).as(f.name)
+      else if (f.required) throw new InvalidDataError(s"missing required column: ${f.name}")
+      else f.writeDefault match {
+        case Some(v) => lit(v).cast(target).as(f.name)
+        case None => lit(null).cast(target).as(f.name)
+      }
+    }
+    df.select(projected: _*)
+  }
+
+  /** Spark Column computing a partition transform over its source column.
+    * Uses our codegen'd expressions for bucket/truncate; built-in functions
+    * for the time transforms (all stay inside WholeStageCodegen). */
+  def transformColumn(transformStr: String, source: Column, sourceType: IType): Column = {
+    import graft.transforms._
+    Transform.parse(transformStr) match {
+      case IdentityTransform => source
+      case BucketTransform(n) => GraftFunctions.iceberg_bucket(n, source)
+      case TruncateTransform(w) => GraftFunctions.iceberg_truncate(w, source)
+      case YearTransform => (year(source) - lit(1970)).cast("int")
+      case MonthTransform => ((year(source) - lit(1970)) * 12 + month(source) - lit(1)).cast("int")
+      case DayTransform => datediff(source.cast("date"), to_date(lit("1970-01-01"))).cast("int")
+      case HourTransform => floor(source.cast("long") / 3600L).cast("int")
+      case VoidTransform => lit(null).cast("int")
+      case UnknownTransform(_) => source.cast("string")
+    }
+  }
+
+  private val PartColPrefix = "_p_"
+
+  /**
+   * Write the aligned DataFrame as Parquet data files and return manifest
+   * entries with footer-derived stats.
+   *
+   * Scale notes: partitioned writes repartition on the transform columns so
+   * every partition tuple is produced by exactly one task (no
+   * tiny-file explosion at 1000 executors); sort order applies within
+   * partitions only (no global sort / range shuffle); files stay where they
+   * are written (no rename pass — object-store friendly), the manifest is
+   * the source of truth for file paths.
+   */
+  def writeData(aligned: DataFrame, schema: Schema, spec: PartitionSpec,
+                sortOrder: SortOrder, dataDir: Path, conf: Configuration,
+                targetFileRows: Long = 5000000L): Seq[graft.manifest.DataFile] = {
+    val fieldById = schema.fields.map(f => f.id -> f).toMap
+    val partCols = spec.fields.map { pf =>
+      val src = fieldById.getOrElse(pf.sourceId,
+        throw new InvalidDataError(s"partition source id ${pf.sourceId} not in schema"))
+      (pf, transformColumn(pf.transform, col(src.name), src.fieldType).as(PartColPrefix + pf.fieldId))
+    }
+
+    val sortCols: Seq[Column] = sortOrder.fields.flatMap { sf =>
+      fieldById.get(sf.sourceId).map { src =>
+        val base = transformColumn(sf.transform, col(src.name), src.fieldType)
+        (sf.direction, sf.nullOrder) match {
+          case ("asc", "nulls-first") => base.asc_nulls_first
+          case ("asc", _) => base.asc_nulls_last
+          case (_, "nulls-first") => base.desc_nulls_first
+          case _ => base.desc_nulls_last
+        }
+      }
+    }
+
+    val writer =
+      if (spec.isUnpartitioned) {
+        val sorted = if (sortCols.nonEmpty) aligned.sortWithinPartitions(sortCols: _*) else aligned
+        sorted.write.option("maxRecordsPerFile", targetFileRows)
+      } else {
+        val withParts = partCols.foldLeft(aligned) { case (d, (pf, c)) =>
+          d.withColumn(PartColPrefix + pf.fieldId, c)
+        }
+        val partNames = partCols.map { case (pf, _) => PartColPrefix + pf.fieldId }
+        val shuffled = withParts.repartition(partNames.map(col): _*)
+        val sorted = if (sortCols.nonEmpty) shuffled.sortWithinPartitions(sortCols: _*) else shuffled
+        sorted.write.partitionBy(partNames: _*).option("maxRecordsPerFile", targetFileRows)
+      }
+    writer.parquet(dataDir.toString)
+
+    // Inventory what was written; parse partition tuples back from the
+    // Hive-style directory names.
+    val fs = dataDir.getFileSystem(conf)
+    val nameByFieldId = spec.fields.map(pf => (PartColPrefix + pf.fieldId) -> pf.name).toMap
+    val it = fs.listFiles(dataDir, true)
+    val out = scala.collection.mutable.ArrayBuffer[graft.manifest.DataFile]()
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (st.isFile && p.getName.endsWith(".parquet")) {
+        val partition = p.toString.split('/').flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i > 0) {
+            val k = seg.substring(0, i)
+            nameByFieldId.get(k).map { humanName =>
+              val raw = unescapePathName(seg.substring(i + 1))
+              humanName -> (if (raw == "__HIVE_DEFAULT_PARTITION__") "" else raw)
+            }
+          } else None
+        }.toMap
+        val stats = ParquetStats.read(conf, p)
+        out += graft.manifest.DataFile(
+          filePath = p.toString,
+          fileFormat = "PARQUET",
+          partition = partition,
+          recordCount = stats.recordCount,
+          fileSizeInBytes = st.getLen,
+          lowerBounds = stats.lowerBounds,
+          upperBounds = stats.upperBounds,
+          nullCounts = stats.nullCounts)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Inverse of Hive's escapePathName (%xx sequences). */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------- row-hash append path
+
+  /** Convert row hashes to a DataFrame with the reference's coercion rules
+    * (`batch.rs:60-174`): missing column → null; decimals accept
+    * Integer/Float/String; wrong types raise InvalidDataError. */
+  def rowsToDF(spark: SparkSession, rows: Seq[Map[String, Any]], schema: Schema): DataFrame = {
+    val sparkSchema = SparkSchemaConverter.toSpark(schema)
+    val sparkRows: Seq[Row] = rows.map { m =>
+      val unknown = m.keySet -- schema.fields.map(_.name).toSet
+      if (unknown.nonEmpty)
+        throw new InvalidDataError(s"unknown columns: ${unknown.mkString(", ")}")
+      Row.fromSeq(schema.fields.map { f =>
+        coerce(m.getOrElse(f.name, null), f.fieldType, f.name)
+      })
+    }
+    spark.createDataFrame(sparkRows.asJava, sparkSchema)
+  }
+
+  def coerce(v: Any, t: IType, field: String): Any = {
+    if (v == null) return null
+    def bad(): Nothing =
+      throw new InvalidDataError(s"can't convert $v (${v.getClass.getSimpleName}) to $t for column $field")
+    t match {
+      case IBoolean => v match { case b: Boolean => b; case _ => bad() }
+      case IInt => v match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case _ => bad()
+      }
+      case ILong => v match { case l: Long => l; case i: Int => i.toLong; case _ => bad() }
+      case IFloat => v match { case f: Float => f; case d: Double => d.toFloat; case i: Int => i.toFloat; case _ => bad() }
+      case IDouble => v match { case d: Double => d; case f: Float => f.toDouble; case i: Int => i.toDouble; case l: Long => l.toDouble; case _ => bad() }
+      case IDecimal(p, s) =>
+        val bd = v match {
+          case d: java.math.BigDecimal => d
+          case d: BigDecimal => d.bigDecimal
+          case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+          case l: Long => java.math.BigDecimal.valueOf(l)
+          case d: Double => java.math.BigDecimal.valueOf(d)
+          case str: String =>
+            try new java.math.BigDecimal(str)
+            catch { case _: NumberFormatException => bad() }
+          case _ => bad()
+        }
+        bd.setScale(s, java.math.RoundingMode.UNNECESSARY)
+      case IDate => v match {
+        case d: java.sql.Date => d
+        case d: java.time.LocalDate => d
+        case _ => bad()
+      }
+      case ITime => v match {
+        case l: Long => l
+        case t: java.time.LocalTime => t.toNanoOfDay / 1000L
+        case _ => bad()
+      }
+      case ITimestamp | ITimestampNano => v match {
+        case t: java.time.LocalDateTime => t
+        case ts: java.sql.Timestamp => ts.toLocalDateTime
+        case i: java.time.Instant => java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        case _ => bad()
+      }
+      case ITimestampTz | ITimestampTzNano => v match {
+        case i: java.time.Instant => i
+        case ts: java.sql.Timestamp => ts.toInstant
+        case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC)
+        case _ => bad()
+      }
+      case IString | IUuid => v match { case s: String => s; case _ => bad() }
+      case IBinary | IFixed(_) => v match {
+        case b: Array[Byte] => b
+        case s: String => s.getBytes("UTF-8")
+        case _ => bad()
+      }
+      case IStruct(fields) => v match {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          Row.fromSeq(fields.map(f => coerce(mm.getOrElse(f.name, null), f.fieldType, s"$field.${f.name}")))
+        case r: Row => r
+        case _ => bad()
+      }
+      case IList(_, e, _) => v match {
+        case s: Seq[_] => s.map(x => coerce(x, e, field))
+        case _ => bad()
+      }
+      case IMap(_, k, _, vt, _) => v match {
+        case m: Map[_, _] => m.map { case (kk, vv) =>
+          coerce(kk, k, field) -> coerce(vv, vt, field)
+        }
+        case _ => bad()
+      }
+    }
+  }
+}
