@@ -143,6 +143,30 @@ case class IcebergTruncate(child: Expression, width: Int)
   override protected def withNewChildInternal(c: Expression): IcebergTruncate = copy(child = c)
 }
 
+/** Raw epoch-micros of a timestamp column. Spark stores both TimestampType
+  * and TimestampNTZType as a long of microseconds since epoch, but rejects
+  * `CAST(TIMESTAMP_NTZ AS BIGINT)` — this expression exposes the physical
+  * value directly (identity codegen), independent of session timezone.
+  * Used by the hour partition transform's write path. */
+case class EpochMicros(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "epoch_micros"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case TimestampType | TimestampNTZType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"epoch_micros does not support type $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = v.asInstanceOf[Long]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression): EpochMicros = copy(child = c)
+}
+
 /** Cosine similarity between two `array<float>` columns — native expression
   * (codegen'd) so the ANN brute-force path stays inside WholeStageCodegen. */
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -168,6 +192,8 @@ object GraftFunctions {
     ColumnBridge.column(IcebergTruncate(expression(c), w))
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(expression(a), expression(b)))
+  def epoch_micros(c: Column): Column =
+    ColumnBridge.column(EpochMicros(expression(c)))
 
   private def expression(c: Column): Expression = ColumnBridge.expression(c)
 

@@ -49,9 +49,12 @@ object AppendUtil {
       case YearTransform => (year(source) - lit(1970)).cast("int")
       case MonthTransform => ((year(source) - lit(1970)) * 12 + month(source) - lit(1)).cast("int")
       case DayTransform => datediff(source.cast("date"), to_date(lit("1970-01-01"))).cast("int")
-      case HourTransform => floor(source.cast("long") / 3600L).cast("int")
+      case HourTransform =>
+        // NTZ timestamps reject CAST(... AS BIGINT); EpochMicros reads the
+        // physical micros directly (timezone-independent, stays in codegen)
+        floor(GraftFunctions.epoch_micros(source) / lit(3600000000L)).cast("int")
       case VoidTransform => lit(null).cast("int")
-      case UnknownTransform(_) => source.cast("string")
+      case UnknownTransform(_) => lit(null).cast("string")
     }
   }
 
@@ -61,16 +64,20 @@ object AppendUtil {
    * Write the aligned DataFrame as Parquet data files and return manifest
    * entries with footer-derived stats.
    *
-   * Scale notes: partitioned writes repartition on the transform columns so
-   * every partition tuple is produced by exactly one task (no
-   * tiny-file explosion at 1000 executors); sort order applies within
+   * Scale notes: partitioned writes shuffle on (transform columns, salt) so
+   * a hot partition tuple (one day, one bucket) is produced by up to
+   * `saltBuckets` tasks instead of one straggler/OOM task, while small
+   * partitions still collapse to few files; sort order applies within
    * partitions only (no global sort / range shuffle); files stay where they
    * are written (no rename pass — object-store friendly), the manifest is
-   * the source of truth for file paths.
+   * the source of truth for file paths. The caller passes a fresh
+   * per-commit directory so inventorying new files lists only this job's
+   * output, never the whole table (O(commit), not O(table)).
    */
   def writeData(aligned: DataFrame, schema: Schema, spec: PartitionSpec,
                 sortOrder: SortOrder, dataDir: Path, conf: Configuration,
-                targetFileRows: Long = 5000000L): Seq[graft.manifest.DataFile] = {
+                targetFileRows: Long = 5000000L,
+                saltBuckets: Int = 4): Seq[graft.manifest.DataFile] = {
     val fieldById = schema.fields.map(f => f.id -> f).toMap
     val partCols = spec.fields.map { pf =>
       val src = fieldById.getOrElse(pf.sourceId,
@@ -99,7 +106,10 @@ object AppendUtil {
           d.withColumn(PartColPrefix + pf.fieldId, c)
         }
         val partNames = partCols.map { case (pf, _) => PartColPrefix + pf.fieldId }
-        val shuffled = withParts.repartition(partNames.map(col): _*)
+        // deterministic salt: spreads a skewed partition tuple over up to
+        // saltBuckets tasks; maxRecordsPerFile still bounds file size
+        val salt = pmod(xxhash64(aligned.columns.map(col).toSeq: _*), lit(saltBuckets.toLong))
+        val shuffled = withParts.repartition(partNames.map(col) :+ salt: _*)
         val sorted = if (sortCols.nonEmpty) shuffled.sortWithinPartitions(sortCols: _*) else shuffled
         sorted.write.partitionBy(partNames: _*).option("maxRecordsPerFile", targetFileRows)
       }
@@ -172,7 +182,10 @@ object AppendUtil {
         coerce(m.getOrElse(f.name, null), f.fieldType, f.name)
       })
     }
-    spark.createDataFrame(sparkRows.asJava, sparkSchema)
+    // row-hash appends are driver-built small batches: one task → one data
+    // file, matching the reference's single rolling writer (1 append ⇒ 1
+    // file, `test/table_scan_test.rb:4-7`); df appends keep their partitioning
+    spark.createDataFrame(sparkRows.asJava, sparkSchema).coalesce(1)
   }
 
   def coerce(v: Any, t: IType, field: String): Any = {

@@ -1,0 +1,216 @@
+package graft.table
+
+import graft._
+import graft.catalog.{Catalog, TableIdent}
+import graft.manifest.{ManifestEntry, ManifestFile, Manifests}
+import graft.meta._
+import graft.types.Schema
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The central table object (ref `lib/iceberg/table.rb:2-182`,
+ * `ext/iceberg/src/table.rs:38-341`): metadata accessors, snapshot-pinned
+ * scans, and append-only writes committed through the catalog's optimistic
+ * (CAS) protocol. A table without a catalog is read-only (StaticTable,
+ * ref `lib/iceberg/table.rb:179-181`).
+ */
+final class Table(
+    private[graft] val catalog: Option[Catalog],
+    val ident: TableIdent,
+    @volatile private var meta: TableMetadata,
+    val hadoopConf: Configuration = new Configuration()) {
+
+  def metadata: TableMetadata = meta
+
+  /** Reload current metadata from the catalog (ref `table.rb:8-10`). */
+  def refresh(): Table = {
+    catalog.foreach(c => meta = c.currentMetadata(ident))
+    this
+  }
+
+  // ------------------------------------------------ metadata accessors §2.4
+  def formatVersion: Int = meta.formatVersion
+  def uuid: String = meta.tableUuid
+  def location: String = meta.location
+  def lastSequenceNumber: Long = meta.lastSequenceNumber
+  def nextSequenceNumber: Long = meta.nextSequenceNumber
+  def lastColumnId: Int = meta.lastColumnId
+  def lastPartitionId: Int = meta.lastPartitionId
+  def lastUpdatedMs: Long = meta.lastUpdatedMs
+  def lastUpdatedAt: java.time.Instant = java.time.Instant.ofEpochMilli(meta.lastUpdatedMs)
+  def schemas: Seq[Schema] = meta.schemas
+  def schemaById(id: Int): Option[Schema] = meta.schemaById(id)
+  def currentSchema: Schema = meta.currentSchema
+  def schema: Schema = currentSchema
+  def currentSchemaId: Int = meta.currentSchemaId
+  def partitionSpecs: Seq[PartitionSpec] = meta.partitionSpecs
+  def partitionSpecById(id: Int): Option[PartitionSpec] = meta.partitionSpecById(id)
+  def defaultPartitionSpec: PartitionSpec = meta.defaultPartitionSpec
+  def defaultPartitionSpecId: Int = meta.defaultSpecId
+  def snapshots: Seq[Snapshot] = meta.snapshots
+  def snapshotById(id: Long): Option[Snapshot] = meta.snapshotById(id)
+  def snapshotForRef(ref: String): Option[Snapshot] = meta.snapshotForRef(ref)
+  def currentSnapshot: Option[Snapshot] = meta.currentSnapshot
+  def currentSnapshotId: Option[Long] = meta.currentSnapshotId
+  def history: Seq[SnapshotLogEntry] = meta.history
+  def metadataLog: Seq[MetadataLogEntry] = meta.metadataLog
+  def sortOrders: Seq[SortOrder] = meta.sortOrders
+  def sortOrderById(id: Int): Option[SortOrder] = meta.sortOrderById(id)
+  def defaultSortOrder: SortOrder = meta.defaultSortOrder
+  def defaultSortOrderId: Int = meta.defaultSortOrderId
+  def properties: Map[String, String] = meta.properties
+  def statistics: Seq[StatisticsFile] = meta.statistics
+  def partitionStatistics: Seq[PartitionStatisticsFile] = meta.partitionStatistics
+  def statisticsForSnapshot(id: Long): Seq[StatisticsFile] = meta.statisticsForSnapshot(id)
+  def partitionStatisticsForSnapshot(id: Long): Seq[PartitionStatisticsFile] =
+    meta.partitionStatisticsForSnapshot(id)
+  def encryptionKeys: Seq[EncryptedKey] = meta.encryptionKeys
+  def encryptionKey(id: String): Option[EncryptedKey] = meta.encryptionKeys.find(_.keyId == id)
+  def nextRowId: Long = meta.nextRowId
+
+  // ------------------------------------------------------------- read path
+
+  /** Snapshot-pinned scan (time travel via `snapshotId`). */
+  def scan(snapshotId: Option[Long] = None,
+           predicates: Seq[ScanPredicate] = Nil): TableScan = {
+    val snap = snapshotId match {
+      case Some(id) => Some(meta.snapshotById(id).getOrElse(
+        throw new InvalidDataError(s"no snapshot with id $id")))
+      case None => meta.currentSnapshot
+    }
+    new TableScan(this, snap, predicates)
+  }
+
+  def toDF(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame =
+    scan(snapshotId).toDF(spark)
+
+  /** `table.to_a` — all rows as column→value maps. */
+  def toA(spark: SparkSession): Seq[Map[String, Any]] =
+    scan().collect(spark).toA
+
+  // ------------------------------------------------------------ write path
+
+  /** Append a DataFrame (ref `table.rb:161-166` / `table.rs:62-125`):
+    * name-bind + cast to the table schema, write Parquet data files under a
+    * fresh per-commit directory, then fast-append commit with retry. */
+  def append(df: DataFrame): Unit = {
+    val cat = catalog.getOrElse(
+      throw new GraftError("this table is read-only"))
+    val schema = meta.currentSchema
+    val aligned = AppendUtil.align(df, schema)
+    val commitUuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(meta.location, s"data/$commitUuid")
+    val files = AppendUtil.writeData(aligned, schema, meta.defaultPartitionSpec,
+      meta.defaultSortOrder, dataDir, hadoopConf,
+      targetFileRows = meta.properties.get("write.target-file-rows").map(_.toLong).getOrElse(5000000L))
+    if (files.isEmpty) return
+    commitAppend(cat, files, commitUuid)
+  }
+
+  /** Append row hashes with the reference's per-type coercion rules. */
+  def append(rows: Seq[Map[String, Any]], spark: SparkSession): Unit =
+    append(AppendUtil.rowsToDF(spark, rows, meta.currentSchema))
+
+  /** Fast-append commit: new manifest + manifest-list + metadata, CAS'd
+    * through the catalog; on conflict, refresh and rebuild (the data files
+    * are already safely on disk — only metadata is retried). */
+  private def commitAppend(cat: Catalog, files: Seq[graft.manifest.DataFile],
+                           commitUuid: String, maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val base = if (attempt == 0) meta else cat.currentMetadata(ident)
+      try {
+        val updated = buildAppendMetadata(base, files, s"$commitUuid-$attempt")
+        meta = cat.commitTable(ident, base, updated)
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  private def buildAppendMetadata(base: TableMetadata,
+                                  files: Seq[graft.manifest.DataFile],
+                                  attemptId: String): TableMetadata = {
+    val metadataDir = new Path(base.location, "metadata")
+    val fs = metadataDir.getFileSystem(hadoopConf)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val seq = base.lastSequenceNumber + 1
+    val now = System.currentTimeMillis()
+
+    // new manifest with the added files
+    val manifestPath = new Path(metadataDir, s"$attemptId-m0.avro")
+    val entries = files.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f))
+    val manifestLen = Manifests.writeManifest(fs, manifestPath, entries)
+    val newManifest = ManifestFile(
+      manifestPath = manifestPath.toString,
+      manifestLength = manifestLen,
+      partitionSpecId = base.defaultSpecId,
+      addedSnapshotId = snapshotId,
+      addedFilesCount = files.size,
+      addedRowsCount = files.map(_.recordCount).sum,
+      schemaId = base.currentSchemaId,
+      content = 0)
+
+    // manifest list = parent's manifests + the new one (fast append: no
+    // rewrite of existing manifests)
+    val parentManifests: Seq[ManifestFile] = base.currentSnapshot match {
+      case Some(parent) =>
+        Manifests.readManifestList(fs, new Path(parent.manifestList))
+      case None => Nil
+    }
+    val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
+    Manifests.writeManifestList(fs, listPath, parentManifests :+ newManifest)
+
+    val addedRecords = files.map(_.recordCount).sum
+    val prevTotal = base.currentSnapshot
+      .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
+    val prevFiles = base.currentSnapshot
+      .flatMap(_.summary.get("total-data-files")).map(_.toLong).getOrElse(0L)
+    val snap = Snapshot(
+      snapshotId = snapshotId,
+      parentSnapshotId = base.currentSnapshotId,
+      sequenceNumber = seq,
+      timestampMs = now,
+      manifestList = listPath.toString,
+      summary = Map(
+        "operation" -> "append",
+        "added-data-files" -> files.size.toString,
+        "added-records" -> addedRecords.toString,
+        "added-files-size" -> files.map(_.fileSizeInBytes).sum.toString,
+        "total-records" -> (prevTotal + addedRecords).toString,
+        "total-data-files" -> (prevFiles + files.size).toString),
+      schemaId = Some(base.currentSchemaId))
+
+    base.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = base.snapshots :+ snap,
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
+      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+  }
+
+  override def toString: String = s"Table($ident)"
+}
+
+/** Read-only table loaded directly from a metadata.json path, no catalog
+  * (ref `lib/iceberg/static_table.rb:3-7`, `ext/iceberg/src/table.rs:133-146`). */
+object StaticTable {
+  def load(metadataLocation: String,
+           conf: Configuration = new Configuration()): Table = {
+    val p = new Path(metadataLocation)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val meta = MetadataJson.read(new String(buf, "UTF-8"))
+    new Table(None, TableIdent(Seq("static"), p.getName), meta, conf)
+  }
+}

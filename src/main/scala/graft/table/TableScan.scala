@@ -20,8 +20,11 @@ final case class GePred(column: String, value: Any) extends ScanPredicate
 final case class InPred(column: String, values: Seq[Any]) extends ScanPredicate
 
 /** One unit of scan work: a data file + the delete files that apply to it
-  * (ref `scan.rs:82-109`). */
-final case class FileScanTask(file: DataFile, schemaId: Int, deleteFiles: Seq[DataFile]) {
+  * (ref `scan.rs:82-109`). Spec scoping: an equality delete applies only to
+  * data files with STRICTLY smaller data sequence number (rows re-inserted
+  * after the delete survive); a position delete applies at equal-or-smaller. */
+final case class FileScanTask(file: DataFile, schemaId: Int,
+                              sequenceNumber: Long, deleteFiles: Seq[DataFile]) {
   def filePath: String = file.filePath
   def recordCount: Long = file.recordCount
 }
@@ -48,17 +51,23 @@ final class TableScan(
     val manifests = Manifests.readManifestList(fs, listPath)
     val meta = table.metadata
     val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
-    val deleteFiles: Seq[DataFile] = deleteManifests.flatMap { mf =>
-      Manifests.readManifest(fs, new Path(mf.manifestPath)).filter(_.isLive).map(_.dataFile)
+    // (delete file, its data sequence number)
+    val deleteEntries: Seq[(DataFile, Long)] = deleteManifests.flatMap { mf =>
+      Manifests.readManifest(fs, new Path(mf.manifestPath)).filter(_.isLive)
+        .map(e => (e.dataFile, e.sequenceNumber))
+    }
+    def applicableDeletes(dataSeq: Long): Seq[DataFile] = deleteEntries.collect {
+      case (d, delSeq) if d.content == 2 && delSeq > dataSeq => d // equality: strictly newer
+      case (d, delSeq) if d.content == 1 && delSeq >= dataSeq => d // position: same commit counts
     }
     dataManifests.flatMap { mf =>
       val spec = meta.partitionSpecById(mf.partitionSpecId).getOrElse(PartitionSpec.Unpartitioned)
       val writeSchema = meta.schemaById(mf.schemaId).getOrElse(meta.currentSchema)
       Manifests.readManifest(fs, new Path(mf.manifestPath))
         .filter(_.isLive)
-        .map(_.dataFile)
-        .filter(df => keepFile(df, spec, writeSchema))
-        .map(df => FileScanTask(df, mf.schemaId, deleteFiles))
+        .filter(e => keepFile(e.dataFile, spec, writeSchema))
+        .map(e => FileScanTask(e.dataFile, mf.schemaId, e.sequenceNumber,
+          applicableDeletes(e.sequenceNumber)))
     }
   }
 
@@ -215,9 +224,10 @@ final class TableScan(
 
   // ------------------------------------------------------- materialization
 
-  /** Materialize as a DataFrame: group files by writer schema, project each
-    * group to the current schema by field id, union, apply predicates (for
-    * in-file parquet pushdown) and merge-on-read deletes. */
+  /** Materialize as a DataFrame: group files by (writer schema, applicable
+    * delete set), project each group to the current schema by field id,
+    * apply that group's merge-on-read deletes, union, and re-apply
+    * predicates (for in-file parquet row-group pushdown). */
   def toDF(spark: SparkSession): DataFrame = {
     val meta = table.metadata
     val current = meta.currentSchema
@@ -226,27 +236,30 @@ final class TableScan(
     if (tasks.isEmpty) {
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), currentSpark)
     }
-    val bySchema = tasks.groupBy(_.schemaId)
-    val parts: Seq[DataFrame] = bySchema.toSeq.map { case (schemaId, group) =>
-      val writeSchema = meta.schemaById(schemaId).getOrElse(current)
-      val writeSpark = SparkSchemaConverter.toSpark(writeSchema)
-      val paths = group.map(_.filePath)
-      val raw = spark.read.schema(writeSpark).parquet(paths: _*)
-      // field-id projection: current field -> column name at write time
-      val byId = writeSchema.fields.map(f => f.id -> f).toMap
-      val projection = current.fields.map { cf =>
-        byId.get(cf.id) match {
-          case Some(wf) =>
-            col(wf.name).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
-          case None =>
-            lit(null).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
+    // delete scoping is per data file; group by the applicable delete set so
+    // each group gets exactly its own anti-joins
+    val byDeletes = tasks.groupBy(_.deleteFiles.map(_.filePath).toSet)
+    val deleteGroups: Seq[DataFrame] = byDeletes.toSeq.map { case (_, delGroup) =>
+      val parts: Seq[DataFrame] = delGroup.groupBy(_.schemaId).toSeq.map { case (schemaId, group) =>
+        val writeSchema = meta.schemaById(schemaId).getOrElse(current)
+        val writeSpark = SparkSchemaConverter.toSpark(writeSchema)
+        val raw = spark.read.schema(writeSpark).parquet(group.map(_.filePath): _*)
+        // field-id projection: current field -> column name at write time
+        val byId = writeSchema.fields.map(f => f.id -> f).toMap
+        val projection = current.fields.map { cf =>
+          byId.get(cf.id) match {
+            case Some(wf) =>
+              col(wf.name).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
+            case None =>
+              lit(null).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
+          }
         }
+        raw.select(projection: _*)
       }
-      raw.select(projection: _*)
+      applyDeletes(spark, parts.reduce(_ unionAll _), delGroup.head.deleteFiles)
     }
-    val unioned = parts.reduce(_ unionAll _)
-    val filtered = predicates.foldLeft(unioned)((d, p) => d.filter(predicateToColumn(p)))
-    applyDeletes(spark, filtered, tasks)
+    val unioned = deleteGroups.reduce(_ unionAll _)
+    predicates.foldLeft(unioned)((d, p) => d.filter(predicateToColumn(p)))
   }
 
   private def predicateToColumn(p: ScanPredicate): Column = p match {
@@ -258,22 +271,26 @@ final class TableScan(
     case InPred(c, vs) => col(c).isin(vs.map(lit(_)): _*)
   }
 
-  /** Merge-on-read: equality deletes anti-join on their identifier columns;
-    * position deletes anti-join on (file, row ordinal) via metadata columns.
-    * The reference reads (but never writes) delete files — same here. */
+  /** Merge-on-read: equality deletes anti-join on their identifier columns
+    * (grouped by equality-ID set — two delete files keyed on different
+    * columns each get their own anti-join); position deletes anti-join on
+    * (file, row ordinal) via metadata columns. Small delete sets broadcast;
+    * large ones fall back to a shuffled anti-join so a big delete set never
+    * OOMs the driver. The reference reads (but never writes) delete files. */
+  private val BroadcastDeleteBytes = 32L * 1024 * 1024
+
   private def applyDeletes(spark: SparkSession, data: DataFrame,
-                           tasks: Seq[FileScanTask]): DataFrame = {
-    val deletes = tasks.headOption.map(_.deleteFiles).getOrElse(Nil).distinct
+                           deletes: Seq[DataFile]): DataFrame = {
     if (deletes.isEmpty) return data
-    val meta = table.metadata
-    val current = meta.currentSchema
+    val current = table.metadata.currentSchema
+    def maybeBroadcast(df: DataFrame, files: Seq[DataFile]): DataFrame =
+      if (files.map(_.fileSizeInBytes).sum <= BroadcastDeleteBytes) broadcast(df) else df
     var out = data
-    val eqDeletes = deletes.filter(_.content == 2)
-    if (eqDeletes.nonEmpty) {
-      val idCols = eqDeletes.head.equalityIds.flatMap(id => current.fieldById(id)).map(_.name)
+    for ((ids, group) <- deletes.filter(_.content == 2).groupBy(_.equalityIds.toSet)) {
+      val idCols = ids.toSeq.sorted.flatMap(id => current.fieldById(id)).map(_.name)
       if (idCols.nonEmpty) {
-        val delDf = spark.read.parquet(eqDeletes.map(_.filePath): _*).select(idCols.map(col): _*)
-        out = out.join(broadcast(delDf), idCols, "left_anti")
+        val delDf = spark.read.parquet(group.map(_.filePath): _*).select(idCols.map(col): _*)
+        out = out.join(maybeBroadcast(delDf, group), idCols, "left_anti")
       }
     }
     val posDeletes = deletes.filter(_.content == 1)
@@ -284,7 +301,7 @@ final class TableScan(
       val withMeta = out
         .withColumn("__file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
-      out = withMeta.join(broadcast(delDf),
+      out = withMeta.join(maybeBroadcast(delDf, posDeletes),
           withMeta("__file") === delDf("file_path") && withMeta("__pos") === delDf("pos"),
           "left_anti")
         .drop("__file", "__pos")

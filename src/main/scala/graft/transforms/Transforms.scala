@@ -197,8 +197,10 @@ case object HourTransform extends TimeTransform("hour") {
   }
   protected def fromLocalDate(d: java.time.LocalDate) =
     throw new IllegalArgumentException("hour transform is not valid on date")
+  // floorDiv so pre-epoch values agree with the floor()-based write-path
+  // column expression (truncating division would disagree and mis-prune)
   protected def fromLocalDateTime(d: java.time.LocalDateTime) =
-    (d.toEpochSecond(java.time.ZoneOffset.UTC) / 3600L).toInt
+    Math.floorDiv(d.toEpochSecond(java.time.ZoneOffset.UTC), 3600L).toInt
 }
 
 case object VoidTransform extends Transform {
@@ -208,12 +210,14 @@ case object VoidTransform extends Transform {
   def apply(v: Any, t: IType) = null
 }
 
-/** Forward-compat placeholder: parse-preserving no-op. */
+/** Forward-compat placeholder: parse-preserving, value-opaque — the spec
+  * treats unknown transforms as producing null on read, so pruning never
+  * trusts them. */
 final case class UnknownTransform(raw: String) extends Transform {
   val name = raw
   def canTransform(t: IType) = true
   def resultType(t: IType) = IString
-  def apply(v: Any, t: IType) = if (v == null) null else v.toString
+  def apply(v: Any, t: IType) = null
 }
 
 object Transform {
