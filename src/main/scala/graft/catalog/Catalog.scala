@@ -75,6 +75,13 @@ trait Catalog {
   def renameTable(oldName: String, newName: String): Unit
   def registerTable(name: String, metadataLocation: String): graft.table.Table
 
+  // -- SQL surface (§2.7) ----------------------------------------------------
+  /** `catalog.sql(query, params)` parity (ref `lib/iceberg/catalog.rb:103-108`):
+    * Spark SQL over this catalog's tables, positional `$1..$n` params. */
+  def sql(spark: org.apache.spark.sql.SparkSession, query: String,
+          params: Seq[Any] = Nil): graft.table.Result =
+    graft.sql.GraftSql.sql(this, spark, query, params)
+
   // -- commit protocol (used by Table.append) --------------------------------
   /** Atomically replace the table's metadata; `base` is the version the
     * writer started from (optimistic concurrency — throws

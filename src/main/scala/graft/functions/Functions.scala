@@ -63,6 +63,37 @@ object BucketUtil {
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  /** 64-bit FNV-1a over UTF-8 bytes — a one-pass rolling document
+    * fingerprint (public-domain algorithm, Fowler–Noll–Vo). */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Random-hyperplane LSH signature of a float vector: bit j is the sign
+    * of dot(vec, planes(j)). One pass, no allocation. */
+  def hyperplaneSig(vec: ArrayData, planes: Array[Array[Float]]): Int = {
+    var sig = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(vec.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot > 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
 }
 
 /**
@@ -184,6 +215,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 64-bit FNV-1a text fingerprint (codegen'd). */
+case class TextFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_fingerprint"
+  override def nullSafeEval(v: Any): Any = BucketUtil.fnv64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BucketUtil.fnv64($c)")
+  override protected def withNewChildInternal(c: Expression): TextFingerprint = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature over an `array<float>` embedding: an
+  * nbits-bit bucket id where bit j = sign(dot(vec, plane_j)). The planes are
+  * generated once (seeded) on the driver and shipped as a reference object —
+  * each row is a single codegen'd pass, so bucketing 100 TB of embeddings is
+  * a map-only scan. */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_sig"
+  override def nullSafeEval(v: Any): Any =
+    BucketUtil.hyperplaneSig(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BucketUtil.hyperplaneSig($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   def iceberg_bucket(n: Int, c: Column): Column =
@@ -194,6 +253,22 @@ object GraftFunctions {
     ColumnBridge.column(CosineSimilarity(expression(a), expression(b)))
   def epoch_micros(c: Column): Column =
     ColumnBridge.column(EpochMicros(expression(c)))
+  def text_fingerprint(c: Column): Column =
+    ColumnBridge.column(TextFingerprint(expression(c)))
+  def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =
+    ColumnBridge.column(HyperplaneSig(expression(c), planes))
+
+  /** Deterministic seeded hyperplanes for [[HyperplaneSig]] (xorshift64,
+    * no RNG state shared with anything else). */
+  def makePlanes(nbits: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    var x = seed
+    def next(): Float = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      // uniform in [-1, 1)
+      ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+    }
+    Array.fill(nbits)(Array.fill(dim)(next()))
+  }
 
   private def expression(c: Column): Expression = ColumnBridge.expression(c)
 

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality signals, language ID, content hashing. All are pure
+ * column expressions (codegen'd, no UDFs) so they run inside
+ * WholeStageCodegen and scale linearly with input — no shuffle, no state.
+ *
+ * Integer-exact semantics on purpose: every function here is replicated
+ * in the DuckDB oracle SQL (SparkEntry.oracleSql), so outputs avoid
+ * float arithmetic that could differ across engines.
+ */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count (empty → 0). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: whitespace tokens plus an extra unit per 4
+    * characters of long tokens (approximates byte-pair splitting of rare
+    * long words without a vocab). Integer-exact. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(4)).cast("int")))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of punctuation characters [!?.,;:]. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!?.,;:]", ""))
+
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+
+  /** How many tokens appear in `words` (case-insensitive). */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => lower(t).isin(words.map(lit(_)): _*)))
+
+  // Small per-language stopword profiles. The score of a language is its
+  // stopword hit count; argmax with a fixed priority order breaks ties
+  // identically in Spark and DuckDB.
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  val FrStop = Seq("le", "la", "les", "de", "et", "un", "est")
+  val DeStop = Seq("der", "die", "das", "und", "ein", "ist")
+  val EsStop = Seq("el", "los", "las", "de", "y", "un", "es")
+
+  /** Heuristic language ID over stopword profiles ("und" if nothing hits).
+    * Deterministic tie-break: en > fr > de > es. */
+  def langId(text: Column): Column = {
+    val en = wordHits(text, EnStop)
+    val fr = wordHits(text, FrStop)
+    val de = wordHits(text, DeStop)
+    val es = wordHits(text, EsStop)
+    when(en >= fr && en >= de && en >= es && en > 0, "en")
+      .when(fr >= de && fr >= es && fr > 0, "fr")
+      .when(de >= es && de > 0, "de")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Integer quality score 0..4 from length / punctuation / stopword /
+    * word-shape signals (all comparisons in integer arithmetic so the
+    * oracle replicates exactly):
+    *  +1  10 ≤ tokens ≤ 10000
+    *  +1  punct*1000 ≤ 80*chars      (≤8% punctuation)
+    *  +1  stopwords*1000 ≥ 10*tokens (≥1% stopwords)
+    *  +1  3*tokens ≤ letters ≤ 12*tokens (mean word length 3..12)
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val chars = charCount(text)
+    val punct = punctCount(text)
+    val stops = wordHits(text, EnStop)
+    val letters = length(regexp_replace(text, "\\s", ""))
+    val s1 = when(toks >= 10 && toks <= 10000, 1).otherwise(0)
+    val s2 = when(punct * 1000 <= chars * 80, 1).otherwise(0)
+    val s3 = when(stops * 1000 >= toks * 10, 1).otherwise(0)
+    val s4 = when(letters >= toks * 3 && letters <= toks * 12, 1).otherwise(0)
+    s1 + s2 + s3 + s4
+  }
+
+  /** Stable content hash for exact dedup (md5 hex — cheap, engine-portable). */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+
+  /** 64-bit FNV-1a rolling fingerprint (codegen'd custom expression) —
+    * faster than md5 for fingerprint-only pipelines; not oracle-portable. */
+  def fingerprint(text: Column): Column =
+    graft.functions.GraftFunctions.text_fingerprint(text)
+}

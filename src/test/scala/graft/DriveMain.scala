@@ -48,5 +48,19 @@ println(s"PRUNED SCAN CORRECT: got=$got want=$want")
 try { cat.createTable("events", schema) } catch { case e: TableAlreadyExistsError => println("DUP CREATE: " + e.getMessage) }
 try { cat.loadTable("nope") } catch { case e: NoSuchTableError => println("MISSING LOAD: " + e.getMessage) }
 try { cat.createTable("bad.ns.deep.t", schema) } catch { case e: NoSuchNamespaceError => println("BAD NS: " + e.getMessage) }
+// ---- 7. SQL surface through catalog.sql
+val mem = new MemoryCatalog()
+mem.sql(spark, "CREATE TABLE ev (a int, b string)")
+mem.sql(spark, "INSERT INTO ev VALUES (1, 'one'), (2, 'two'), (3, 'three')")
+val res = mem.sql(spark, "SELECT * FROM ev WHERE a >= $1 ORDER BY a", Seq(2))
+println("SQL SURFACE OK: cols=" + res.columns.mkString(",") + " rows=" + res.rows.map(_.mkString(":")).mkString("|"))
+
+// ---- 8. LLM ops over real testdata through public API
+val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+val nd = graft.ops.DedupOps.minhashLshPairs(docs.unionAll(docs.selectExpr("doc_id + 100000 as doc_id","text","lang","source","n_chars")), "doc_id", "text", threshold = 0.9)
+println("MINHASH PAIRS (self-dup corpus): " + nd.count() + " pairs (expect >= " + docs.count() + ")")
+val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+val topk = graft.ops.SimilarityOps.topKBruteForce(emb, "vec_id", "embedding", emb.limit(2).selectExpr("vec_id as qid","embedding as qvec"), "qid", "qvec", 3)
+println("ANN TOPK: " + topk.count() + " rows (expect 6)")
 println("ALL DRIVE STEPS DONE")
 }}

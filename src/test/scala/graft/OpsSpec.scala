@@ -1,0 +1,165 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operators: text analysis, dedup (exact/minhash/simhash/
+  * embedding), ANN search — verified against constructed ground truth and
+  * the driver's real testdata. */
+class OpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("text ops: token/punct/quality/lang on knowns") {
+    val df = Seq(
+      (1L, "The quick brown fox, and the lazy dog. It is a test of the system."),
+      (2L, ""),
+      (3L, "le chat est sur la table et le chien est la"),
+      (4L, "der hund ist ein guter hund und die katze ist da"),
+      (5L, "!!! ??? ...")).toDF("id", "text")
+    val r = df.select($"id",
+      TextOps.tokenCount($"text").as("toks"),
+      TextOps.punctCount($"text").as("punct"),
+      TextOps.langId($"text").as("lang"),
+      TextOps.qualityScore($"text").as("q"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) == 15)
+    assert(r(1L).getInt(2) == 3)
+    assert(r(1L).getString(3) == "en")
+    assert(r(2L).getInt(1) == 0)
+    assert(r(2L).getString(3) == "und")
+    assert(r(3L).getString(3) == "fr")
+    assert(r(4L).getString(3) == "de")
+    assert(r(1L).getInt(4) >= 3) // clean english sentence scores high
+    assert(r(5L).getInt(4) <= 1) // punctuation soup scores low
+  }
+
+  test("fingerprint: deterministic, content-sensitive") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello worle")).toDF("id", "text")
+    val fps = df.select(TextOps.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("exact dedup keeps min-id winner per duplicate group") {
+    val df = Seq((10L, "aaa"), (3L, "aaa"), (7L, "bbb"), (1L, "ccc"), (9L, "ccc"))
+      .toDF("doc_id", "text")
+    val winners = DedupOps.exactDedupRows(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(winners == Seq(1L, 3L, 7L))
+    val counts = DedupOps.exactDedup(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(counts(3L) == 2 && counts(7L) == 1 && counts(1L) == 2)
+  }
+
+  test("minhash LSH finds near-dups, skips unrelated; recall vs brute force") {
+    val base = "spark shuffle partition join aggregate filter scan hash sort merge " +
+      "broadcast exchange codegen stage task executor memory spill row column"
+    val nearDup = base.replace("memory", "ram") // tiny edit
+    val unrelated = "completely different words about cooking pasta tomatoes basil " +
+      "garlic olive oil parmesan salt pepper onions recipe dinner kitchen stove pan"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+
+    // recall check on real documents + synthesized dups
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(40)
+    val dups = real.select(($"doc_id" + 100000).as("doc_id"),
+      // drop the last 2 tokens: still ≳90% shingle overlap for 150+ char docs
+      concat_ws(" ", slice(split($"text", " "), lit(1),
+        greatest(size(split($"text", " ")) - 2, lit(1)))).as("text"))
+    val corpus = real.unionAll(dups)
+    val truth = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+        spark.range(40).select(col("id").as("id_a"), (col("id") + 100000).as("id_b")))
+      .where($"jaccard" >= 0.7).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = DedupOps.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${truth.size} true pairs")
+    // verification stage guarantees precision: every reported pair really has j>=0.7
+    assert(found.subsetOf(
+      DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+        found.toSeq.toDF("id_a", "id_b")).where($"jaccard" >= 0.7)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet))
+  }
+
+  test("simhash: identical == ; near-dup within small hamming; pairs found") {
+    val base = "spark shuffle partition join aggregate filter scan hash sort merge " +
+      "broadcast exchange codegen stage task executor memory spill row column " +
+      "driver cluster node rack disk network serializer buffer page batch"
+    val df = Seq((1L, base), (2L, base), (3L, base + " extra"), (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val sims = df.select($"doc_id", DedupOps.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 6)
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(4L)) > 10)
+    val pairs = DedupOps.simhashPairs(df, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val v = Array.tabulate(8)(i => 1.0f / (i + 1))
+    val near = v.clone(); near(7) = near(7) * 1.01f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val df = Seq((1L, v.toSeq), (2L, near.toSeq), (3L, far.toSeq)).toDF("id", "vec")
+    val pairs = DedupOps.embeddingNearDupPairs(df, "id", "vec", dim = 8, nbits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k: self is rank 1; scores ordered") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val top = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+    val byQ = top.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 3)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.head.getAs[Long]("vec_id") == q) // self first (cosine 1)
+      assert(sorted.head.getAs[Double]("cosine") > 0.9999)
+      val sims = sorted.map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityOps.topKLsh(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, nbits = 6, probeBits = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall") // multiprobe-2 on 8 bits
+  }
+
+  test("multimodal: stub decode is deterministic, batch-shaped; frame sampling") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val media = MultimodalOps.syntheticCorpus(docs, "doc_id", "text")
+    assert(media.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      MultimodalOps.mediaSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    val f1 = MultimodalOps.decodeFeatures(media).orderBy("media_id").collect()
+    val f2 = MultimodalOps.decodeFeatures(media).orderBy("media_id").collect()
+    assert(f1.length == 20)
+    assert(f1.map(_.getSeq[Float](2)).toSeq == f2.map(_.getSeq[Float](2)).toSeq)
+    assert(f1.forall(_.getSeq[Float](2).length == 8))
+    assert(f1.exists(_.getSeq[Float](2).exists(_ != 0f)))
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 32, stride = 2)
+    val perDoc = frames.groupBy("media_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) >= 1))
+    assert(frames.columns.toSeq == Seq("media_id", "kind", "frame_no", "frame"))
+  }
+}
