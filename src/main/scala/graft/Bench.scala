@@ -1,24 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline queries at SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. Queries are the scale-relevant subset of
+  * [[SparkEntry.queries]] — joins/aggs, window, dedup, LSH, ANN, and the
+  * table-format append+scan round-trip. */
 object Bench {
+  /** Scale-relevant headline queries (must all exist in SparkEntry.queries). */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_join_agg", "q05_multi_join",
+    "q06_selective_filter", "q08_window_topn", "q17_events_daily",
+    "q18_sessionize", "d30_exact_dedup", "d33_lang_quality",
+    "d34_minhash_pairs", "e37_knn_bruteforce", "e38_knn_lsh",
+    "g26_append_roundtrip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM + Spark warm-up (codegen, parquet footer caches) outside timing
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch {
+        case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

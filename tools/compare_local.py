@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local driver-mimic: compare Verify output parquet against DuckDB oracle.
+
+Usage: python3 tools/compare_local.py <sfdir> <verify_out_dir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows):
+    out = []
+    for r in rows:
+        row = []
+        for v in r:
+            if isinstance(v, float):
+                row.append(round(v, 9))
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return out
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    import glob
+    qdirs = sorted(d.split("/")[-1] for d in glob.glob(f"{outdir}/*")
+                   if not d.endswith(".json"))
+    n_ok = n_bad = 0
+    for q in qdirs:
+        try:
+            res = con.execute(
+                f"SELECT * FROM '{outdir}/{q}/*.parquet'")
+            cols = [d[0] for d in res.description]
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            rows = [tuple(r[i] for i in order) for r in res.fetchall()]
+        except Exception as e:
+            print(f"FAIL {q}: cannot read result: {e}")
+            n_bad += 1
+            continue
+        if q not in oracle:
+            print(f"ROWS-ONLY {q}: {len(rows)} rows "
+                  f"{'OK' if len(rows) > 0 else 'EMPTY!'}")
+            continue
+        try:
+            ores = con.execute(oracle[q])
+            ocols = [d[0] for d in ores.description]
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            orows = [tuple(r[i] for i in oorder) for r in ores.fetchall()]
+        except Exception as e:
+            print(f"FAIL {q}: oracle error: {e}")
+            n_bad += 1
+            continue
+        scols = sorted(cols)
+        socols = sorted(ocols)
+        if scols != socols:
+            print(f"FAIL {q}: column mismatch spark={scols} oracle={socols}")
+            n_bad += 1
+            continue
+        a, b = norm(rows), norm(orows)
+        if a == b:
+            print(f"OK   {q}: {len(rows)} rows")
+            n_ok += 1
+        else:
+            print(f"FAIL {q}: spark {len(a)} rows vs oracle {len(b)} rows")
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y:
+                    print(f"  first diff at row {i}:\n   spark : {x}\n   oracle: {y}")
+                    break
+            else:
+                if len(a) != len(b):
+                    print(f"  extra rows, e.g. spark[-1]={a[-1] if a else None} "
+                          f"oracle[-1]={b[-1] if b else None}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} failed, "
+          f"{len(qdirs) - n_ok - n_bad} rows-only")
+
+
+if __name__ == "__main__":
+    main()
