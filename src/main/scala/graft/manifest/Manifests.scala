@@ -59,6 +59,14 @@ final case class ManifestFile(
  * files). Avro (not JSON) so a 100 TB table's million-file metadata stays
  * compact and splittable; maps are encoded as JSON strings inside the
  * records for schema simplicity.
+ *
+ * INTEROP NOTE: this is graft's OWN manifest schema, not the Iceberg spec's
+ * manifest/manifest-list Avro layout (field-id-keyed binary bounds,
+ * partition structs). Tables written here are fully self-consistent — and
+ * the metadata.json layer IS spec-shaped — but spec-compliant Iceberg
+ * readers cannot consume these manifests, nor vice versa. Adopting the spec
+ * schemas is a contained change (this file only): both sides already carry
+ * the same information.
  */
 object Manifests {
 

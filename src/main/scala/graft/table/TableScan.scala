@@ -44,6 +44,7 @@ final class TableScan(
     predicates: Seq[ScanPredicate] = Nil) {
 
   def planFiles(): Seq[FileScanTask] = {
+    import scala.collection.parallel.CollectionConverters._
     val snap = snapshot.getOrElse(return Nil)
     val conf = table.hadoopConf
     val listPath = new Path(snap.manifestList)
@@ -51,16 +52,19 @@ final class TableScan(
     val manifests = Manifests.readManifestList(fs, listPath)
     val meta = table.metadata
     val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    // Manifests are read in parallel: planning a snapshot with thousands of
+    // manifests (one per commit at minimum) must not serialize on the
+    // driver's metadata round-trips — the per-manifest work is independent.
     // (delete file, its data sequence number)
-    val deleteEntries: Seq[(DataFile, Long)] = deleteManifests.flatMap { mf =>
+    val deleteEntries: Seq[(DataFile, Long)] = deleteManifests.par.flatMap { mf =>
       Manifests.readManifest(fs, new Path(mf.manifestPath)).filter(_.isLive)
         .map(e => (e.dataFile, e.sequenceNumber))
-    }
+    }.seq
     def applicableDeletes(dataSeq: Long): Seq[DataFile] = deleteEntries.collect {
       case (d, delSeq) if d.content == 2 && delSeq > dataSeq => d // equality: strictly newer
       case (d, delSeq) if d.content == 1 && delSeq >= dataSeq => d // position: same commit counts
     }
-    dataManifests.flatMap { mf =>
+    dataManifests.par.flatMap { mf =>
       val spec = meta.partitionSpecById(mf.partitionSpecId).getOrElse(PartitionSpec.Unpartitioned)
       val writeSchema = meta.schemaById(mf.schemaId).getOrElse(meta.currentSchema)
       Manifests.readManifest(fs, new Path(mf.manifestPath))
@@ -68,7 +72,7 @@ final class TableScan(
         .filter(e => keepFile(e.dataFile, spec, writeSchema))
         .map(e => FileScanTask(e.dataFile, mf.schemaId, e.sequenceNumber,
           applicableDeletes(e.sequenceNumber)))
-    }
+    }.seq
   }
 
   // ----------------------------------------------------------- pruning
