@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.table.Table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Structured-Streaming operators (SURVEY.md §2.8 — the reference is
+ * batch-only; streams are the Spark-native extension of its append-only
+ * model). Two layers:
+ *
+ *  1. Event-stream transforms ([[windowedCounts]], [[sessionWindows]]):
+ *     plain `DataFrame → DataFrame` functions that work identically on a
+ *     batch frame and a `readStream` frame — Spark's unified model means
+ *     the same watermark + window plan runs both ways. State is bounded by
+ *     the watermark, so a 100 TB/day stream holds only the open windows.
+ *
+ *  2. Table-commit consumption ([[newSnapshotsSince]], [[incrementalDiff]]):
+ *     every graft commit is an atomic snapshot, which makes the snapshot id
+ *     a natural micro-batch offset — a consumer remembers the last snapshot
+ *     it processed and reads exactly the files added after it (fast appends
+ *     never rewrite files, so the diff IS the new data; no dedup pass).
+ */
+object StreamingOps {
+
+  /** Tumbling-window event counts with late-data handling: rows later than
+    * `watermark` past the max seen `tsCol` are dropped and their windows
+    * finalized (state bounded). Works on batch and streaming frames. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Session windows per key: a session closes after `gap` of inactivity
+    * (the streaming analogue of SparkEntry's q18_sessionize). Uses Spark's
+    * native session_window state store — no custom state management. */
+  def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
+                     gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  /** Snapshot ids committed strictly after `fromSnapshotId` (None = from
+    * the beginning), oldest first — the offset sequence for a consumer. */
+  def newSnapshotsSince(table: Table, fromSnapshotId: Option[Long]): Seq[Long] = {
+    val all = table.metadata.snapshots.sortBy(_.sequenceNumber)
+    fromSnapshotId match {
+      case None => all.map(_.snapshotId)
+      case Some(id) =>
+        val fromSeq = table.snapshotById(id)
+          .getOrElse(throw new graft.InvalidDataError(s"no snapshot with id $id"))
+          .sequenceNumber
+        all.filter(_.sequenceNumber > fromSeq).map(_.snapshotId)
+    }
+  }
+
+  /** Rows added after `fromSnapshotId` (exclusive) up to the current
+    * snapshot: the micro-batch between two offsets. Fast-append tables
+    * only ever add files, so this is the set difference of the two
+    * snapshots' file lists — planned from manifests, no data re-read. */
+  def incrementalDiff(spark: SparkSession, table: Table,
+                      fromSnapshotId: Option[Long]): DataFrame = {
+    import graft.types.SparkSchemaConverter
+    val currentFiles = table.scan().planFiles().map(t => t.filePath -> t).toMap
+    val baseFiles: Set[String] = fromSnapshotId match {
+      case None => Set.empty
+      case Some(id) => table.scan(Some(id)).planFiles().map(_.filePath).toSet
+    }
+    val added = (currentFiles.keySet -- baseFiles).toSeq.sorted
+    val schema = SparkSchemaConverter.toSpark(table.currentSchema)
+    if (added.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(added: _*)
+  }
+
+  /** Drive a consumer over every commit made since `fromSnapshotId`,
+    * invoking `process(batchDf, snapshotId)` once per snapshot in commit
+    * order (the `Trigger.AvailableNow` pattern over table commits).
+    * Returns the last processed snapshot id to checkpoint. */
+  def processAvailableCommits(spark: SparkSession, table: Table,
+                              fromSnapshotId: Option[Long])(
+                              process: (DataFrame, Long) => Unit): Option[Long] = {
+    var last = fromSnapshotId
+    newSnapshotsSince(table, fromSnapshotId).foreach { sid =>
+      val prev = last
+      val batch = {
+        import graft.types.SparkSchemaConverter
+        val nowFiles = table.scan(Some(sid)).planFiles().map(_.filePath).toSet
+        val prevFiles = prev match {
+          case None => Set.empty[String]
+          case Some(p) => table.scan(Some(p)).planFiles().map(_.filePath).toSet
+        }
+        val added = (nowFiles -- prevFiles).toSeq.sorted
+        val schema = SparkSchemaConverter.toSpark(table.currentSchema)
+        if (added.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(added: _*)
+      }
+      process(batch, sid)
+      last = Some(sid)
+    }
+    last
+  }
+}

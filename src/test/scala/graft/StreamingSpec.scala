@@ -1,0 +1,79 @@
+package graft
+
+import graft.catalog.MemoryCatalog
+import graft.streaming.StreamingOps
+import graft.types.{ILong, IString, NestedField, Schema}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("windowedCounts over a real stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.windowedCounts(events, "ts", "event_type",
+      windowLen = "1 hour", watermark = "5 minutes")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0),
+      (ts(11, 10), "view", 5.0))
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("win_counts")
+      .select("event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("sessionWindows closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val out = StreamingOps.sessionWindows(events, "ts", "user_id",
+      gap = "10 minutes", watermark = "1 minute")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two events 5 min apart (one session), then one 40 min later
+    mem.addData((ts(9, 0), 1L), (ts(9, 5), 1L), (ts(9, 45), 1L), (ts(9, 0), 2L))
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byUser = spark.table("sessions").collect()
+      .groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    assert(byUser == Map(1L -> 2, 2L -> 1))
+  }
+
+  test("table commits consumed as micro-batches via snapshot offsets") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false)))
+    val tbl = cat.createTable("events_t", schema)
+    tbl.append(Seq(1L -> "a", 2L -> "b").toDF("id", "v"))
+    val s1 = tbl.currentSnapshotId.get
+    tbl.append(Seq(3L -> "c").toDF("id", "v"))
+    tbl.append(Seq(4L -> "d", 5L -> "e").toDF("id", "v"))
+
+    assert(StreamingOps.newSnapshotsSince(tbl, None).size == 3)
+    assert(StreamingOps.newSnapshotsSince(tbl, Some(s1)).size == 2)
+
+    // incremental diff after snapshot 1 sees exactly rows 3..5
+    val diff = StreamingOps.incrementalDiff(spark, tbl, Some(s1))
+    assert(diff.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+
+    // full drive from the beginning: 3 batches, in commit order, no overlap
+    var batches = Vector.empty[(Long, Seq[Long])]
+    val last = StreamingOps.processAvailableCommits(spark, tbl, None) { (df, sid) =>
+      batches :+= (sid, df.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    }
+    assert(batches.map(_._2) == Vector(Seq(1L, 2L), Seq(3L), Seq(4L, 5L)))
+    assert(last == tbl.currentSnapshotId)
+    // checkpoint-resume: nothing new after the last offset
+    assert(StreamingOps.processAvailableCommits(spark, tbl, last)((_, _) => fail()) == last)
+  }
+}
