@@ -215,6 +215,131 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Word n-gram shingles of a text column in ONE pass per row (codegen'd).
+  * Semantics match the composed `split`+`transform`+`slice` column form
+  * exactly (incl. edge cases: fewer than n tokens → one shingle of all
+  * tokens; blank text → one empty-string shingle), but evaluation is
+  * linear — the higher-order-function form re-evaluates the tokenization
+  * per gram position, which is O(tokens²) per document. */
+object ShingleUtil {
+  def shingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val trimmed = s.toString.trim
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+    val out = new java.util.LinkedHashSet[UTF8String]
+    if (toks.length <= n) {
+      out.add(UTF8String.fromString(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** One-pass text statistics for quality scoring / language ID at corpus
+  * scale. Field semantics replicate the composed column form exactly (and
+  * therefore the DuckDB oracle SQL): whitespace-regex tokens of trimmed
+  * text; `\s` is Java's ASCII whitespace class; subwords = per-token
+  * ceil(len/4) with a floor of 1; stopword hits compare lowercased tokens
+  * against each profile list. */
+object TextProfileUtil {
+  /** (ntok, nsub, nchar, npunct, ndigit, nletter, hits per stop list) */
+  def profile(s: UTF8String,
+              stops: Array[java.util.HashSet[String]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val nchar = str.codePointCount(0, str.length)
+    var npunct = 0; var ndigit = 0; var nws = 0
+    var ci = 0
+    while (ci < str.length) {
+      val c = str.charAt(ci)
+      c match {
+        case '!' | '?' | '.' | ',' | ';' | ':' => npunct += 1
+        case d if d >= '0' && d <= '9' => ndigit += 1
+        case _ => ()
+      }
+      // Java regex \s: [ \t\n\x0B\f\r]
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r')
+        nws += 1
+      ci += 1
+    }
+    val trimmed = str.trim
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+    var nsub = 0
+    val hits = new Array[Int](stops.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      nsub += Math.max(1, (t.length + 3) / 4)
+      val lower = t.toLowerCase(java.util.Locale.ROOT)
+      var j = 0
+      while (j < stops.length) {
+        if (stops(j).contains(lower)) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](6 + stops.length)
+    out(0) = toks.length; out(1) = nsub; out(2) = nchar
+    out(3) = npunct; out(4) = ndigit; out(5) = nchar - nws
+    var j = 0
+    while (j < stops.length) { out(6 + j) = hits(j); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  def toSets(lists: Seq[Seq[String]]): Array[java.util.HashSet[String]] =
+    lists.map { l =>
+      val s = new java.util.HashSet[String]()
+      l.foreach(w => s.add(w))
+      s
+    }.toArray
+}
+
+case class TextProfile(child: Expression, stopLists: Seq[Seq[String]])
+    extends UnaryExpression {
+  private val hitFields = stopLists.indices.map(i =>
+    StructField(s"hits$i", IntegerType, nullable = false))
+  override def dataType: DataType = StructType(Seq(
+    StructField("ntok", IntegerType, nullable = false),
+    StructField("nsub", IntegerType, nullable = false),
+    StructField("nchar", IntegerType, nullable = false),
+    StructField("npunct", IntegerType, nullable = false),
+    StructField("ndigit", IntegerType, nullable = false),
+    StructField("nletter", IntegerType, nullable = false)) ++ hitFields)
+  override def prettyName: String = "text_profile"
+  @transient private lazy val sets = TextProfileUtil.toSets(stopLists)
+  override def nullSafeEval(v: Any): Any =
+    TextProfileUtil.profile(v.asInstanceOf[UTF8String], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextProfileUtil.profile($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): TextProfile = copy(child = c)
+}
+
+case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "text_shingles"
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): TextShingles = copy(child = c)
+}
+
 /** 64-bit FNV-1a text fingerprint (codegen'd). */
 case class TextFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -255,6 +380,10 @@ object GraftFunctions {
     ColumnBridge.column(EpochMicros(expression(c)))
   def text_fingerprint(c: Column): Column =
     ColumnBridge.column(TextFingerprint(expression(c)))
+  def text_shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(TextShingles(expression(c), n))
+  def text_profile(c: Column, stopLists: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TextProfile(expression(c), stopLists))
   def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =
     ColumnBridge.column(HyperplaneSig(expression(c), planes))
 

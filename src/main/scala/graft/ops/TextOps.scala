@@ -20,24 +20,28 @@ object TextOps {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** One-pass native profile (see [[graft.functions.TextProfileUtil]]):
+    * all counters below read fields of this struct, and whole-stage
+    * codegen's subexpression elimination collapses the repeated calls to a
+    * single pass per row — the composed split/regexp column forms
+    * re-tokenized the text once per counter. */
+  private def profile(text: Column): Column =
+    graft.functions.GraftFunctions.text_profile(text, Seq(EnStop, FrStop, DeStop, EsStop))
+
   /** Whitespace token count (empty → 0). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = profile(text).getField("ntok")
 
   /** A BPE-ish subword proxy: whitespace tokens plus an extra unit per 4
     * characters of long tokens (approximates byte-pair splitting of rare
     * long words without a vocab). Integer-exact. */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0),
-      (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(4)).cast("int")))
+  def subwordCount(text: Column): Column = profile(text).getField("nsub")
 
   def charCount(text: Column): Column = length(text)
 
   /** Count of punctuation characters [!?.,;:]. */
-  def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[!?.,;:]", ""))
+  def punctCount(text: Column): Column = profile(text).getField("npunct")
 
-  def digitCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def digitCount(text: Column): Column = profile(text).getField("ndigit")
 
   /** How many tokens appear in `words` (case-insensitive). */
   def wordHits(text: Column, words: Seq[String]): Column =
@@ -54,10 +58,11 @@ object TextOps {
   /** Heuristic language ID over stopword profiles ("und" if nothing hits).
     * Deterministic tie-break: en > fr > de > es. */
   def langId(text: Column): Column = {
-    val en = wordHits(text, EnStop)
-    val fr = wordHits(text, FrStop)
-    val de = wordHits(text, DeStop)
-    val es = wordHits(text, EsStop)
+    val p = profile(text)
+    val en = p.getField("hits0")
+    val fr = p.getField("hits1")
+    val de = p.getField("hits2")
+    val es = p.getField("hits3")
     when(en >= fr && en >= de && en >= es && en > 0, "en")
       .when(fr >= de && fr >= es && fr > 0, "fr")
       .when(de >= es && de > 0, "de")
@@ -74,11 +79,12 @@ object TextOps {
     *  +1  3*tokens ≤ letters ≤ 12*tokens (mean word length 3..12)
     */
   def qualityScore(text: Column): Column = {
-    val toks = tokenCount(text)
-    val chars = charCount(text)
-    val punct = punctCount(text)
-    val stops = wordHits(text, EnStop)
-    val letters = length(regexp_replace(text, "\\s", ""))
+    val p = profile(text)
+    val toks = p.getField("ntok")
+    val chars = p.getField("nchar")
+    val punct = p.getField("npunct")
+    val stops = p.getField("hits0") // EnStop
+    val letters = p.getField("nletter")
     val s1 = when(toks >= 10 && toks <= 10000, 1).otherwise(0)
     val s2 = when(punct * 1000 <= chars * 80, 1).otherwise(0)
     val s3 = when(stops * 1000 >= toks * 10, 1).otherwise(0)
