@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session-extension injector: `--conf spark.sql.extensions=
+ * graft.functions.GraftSparkExtensions` makes the graft SQL functions
+ * (`iceberg_bucket`, `iceberg_truncate`, `cosine_similarity`,
+ * `text_fingerprint`) available in every session of the cluster without any
+ * driver-side registration call — the deployment path for a shared Spark
+ * service (SURVEY.md §2.9: matching how Spark-Iceberg exposes
+ * `system.bucket`). In-process users can keep calling
+ * [[GraftFunctions.register]].
+ */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("iceberg_bucket"),
+      info("iceberg_bucket", "iceberg_bucket(n, col) - spec murmur3 bucket of col into n"),
+      (exprs: Seq[Expression]) =>
+        IcebergBucket(exprs(1), exprs.head.eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("iceberg_truncate"),
+      info("iceberg_truncate", "iceberg_truncate(w, col) - spec truncate of col to width w"),
+      (exprs: Seq[Expression]) =>
+        IcebergTruncate(exprs(1), exprs.head.eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float vectors"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("text_fingerprint"),
+      info("text_fingerprint", "text_fingerprint(s) - 64-bit FNV-1a fingerprint"),
+      (exprs: Seq[Expression]) => TextFingerprint(exprs.head)))
+  }
+}

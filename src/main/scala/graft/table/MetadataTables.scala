@@ -1,0 +1,103 @@
+package graft.table
+
+import graft.manifest.Manifests
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * SQL-queryable metadata tables over a graft [[Table]] — the Spark-idiomatic
+ * exposure of the §2.4 metadata accessors (like Spark-Iceberg's
+ * `t.snapshots` / `t.files` / `t.history`): small driver-built DataFrames,
+ * so `spark.sql` can join table data against its own lineage.
+ */
+object MetadataTables {
+
+  private def df(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  def snapshots(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("manifest_list", StringType, nullable = false),
+      StructField("summary", MapType(StringType, StringType), nullable = false)))
+    df(spark, schema, table.snapshots.map { s =>
+      Row(new java.sql.Timestamp(s.timestampMs), s.snapshotId,
+        s.parentSnapshotId.orNull, s.sequenceNumber,
+        s.summary.getOrElse("operation", null), s.manifestList, s.summary)
+    })
+  }
+
+  def history(spark: SparkSession, table: Table): DataFrame = {
+    val currentAncestors: Set[Long] = {
+      // walk parent links from the current snapshot
+      val byId = table.snapshots.map(s => s.snapshotId -> s).toMap
+      Iterator.iterate(table.currentSnapshot)(s =>
+        s.flatMap(_.parentSnapshotId).flatMap(byId.get))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    }
+    val schema = StructType(Seq(
+      StructField("made_current_at", TimestampType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("is_current_ancestor", BooleanType, nullable = false)))
+    df(spark, schema, table.history.map { e =>
+      Row(new java.sql.Timestamp(e.timestampMs), e.snapshotId,
+        currentAncestors.contains(e.snapshotId))
+    })
+  }
+
+  def manifests(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_data_files_count", IntegerType, nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false)))
+    val rows = table.currentSnapshot.toSeq.flatMap { s =>
+      val listPath = new Path(s.manifestList)
+      val fs = listPath.getFileSystem(table.hadoopConf)
+      Manifests.readManifestList(fs, listPath).map { m =>
+        Row(m.manifestPath, m.manifestLength, m.partitionSpecId,
+          m.addedSnapshotId, m.addedFilesCount, m.addedRowsCount, m.content)
+      }
+    }
+    df(spark, schema, rows)
+  }
+
+  def files(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("null_counts", MapType(StringType, LongType), nullable = false),
+      StructField("lower_bounds", MapType(StringType, StringType), nullable = false),
+      StructField("upper_bounds", MapType(StringType, StringType), nullable = false)))
+    val rows = table.scan().planFiles().map { t =>
+      val f = t.file
+      Row(f.content, f.filePath, f.fileFormat, f.partition, f.recordCount,
+        f.fileSizeInBytes, f.nullCounts, f.lowerBounds, f.upperBounds)
+    }
+    df(spark, schema, rows)
+  }
+
+  def refs(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)))
+    df(spark, schema, table.metadata.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      Row(n, r.refType, r.snapshotId)
+    })
+  }
+}

@@ -90,6 +90,13 @@ final class Table(
   def toA(spark: SparkSession): Seq[Map[String, Any]] =
     scan().collect(spark).toA
 
+  // ------------------------------------- metadata tables (SQL-queryable)
+  def snapshotsDF(spark: SparkSession): DataFrame = MetadataTables.snapshots(spark, this)
+  def historyDF(spark: SparkSession): DataFrame = MetadataTables.history(spark, this)
+  def manifestsDF(spark: SparkSession): DataFrame = MetadataTables.manifests(spark, this)
+  def filesDF(spark: SparkSession): DataFrame = MetadataTables.files(spark, this)
+  def refsDF(spark: SparkSession): DataFrame = MetadataTables.refs(spark, this)
+
   // ------------------------------------------------------------ write path
 
   /** Append a DataFrame (ref `table.rb:161-166` / `table.rs:62-125`):

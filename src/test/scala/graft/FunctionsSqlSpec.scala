@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.{GraftFunctions, GraftSparkExtensions}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-registered graft functions + the session-extensions injector. */
+class FunctionsSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("functions usable from SQL after register()") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT iceberg_bucket(16, CAST(34 AS BIGINT)) AS b, " +
+        "iceberg_truncate(3, 'iceberg') AS t, " +
+        "cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .collect().head
+    assert(r.getInt(0) == (2017239379 & Int.MaxValue) % 16)
+    assert(r.getString(1) == "ice")
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("extensions injector builds in a fresh session") {
+    val fresh = spark.newSession()
+    // apply the same builders the extension injects, through its code path
+    new GraftSparkExtensions().apply(new SparkSessionExtensions)
+    // and prove per-session registration works on the new session too
+    GraftFunctions.register(fresh)
+    assert(fresh.sql("SELECT iceberg_bucket(4, CAST(34 AS BIGINT))")
+      .collect().head.getInt(0) == (2017239379 & Int.MaxValue) % 4)
+  }
+}
