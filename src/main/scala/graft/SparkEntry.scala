@@ -337,6 +337,28 @@ object SparkEntry {
       GraftSql.sqlDF(cat, s, "SELECT a, b FROM kv WHERE a >= $1 ORDER BY a", Seq(2))
     }),
 
+    "g30_metadata_tables" -> ((s, dir) => {
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val tbl = cat.createTable("li_meta", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li.where("l_orderkey % 10 = 3"))
+      tbl.append(li.where("l_orderkey % 10 = 4"))
+      tbl.snapshotsDF(s)
+        .select(col("sequence_number"), col("operation"))
+        .orderBy("sequence_number")
+    }),
+
+    "g31_incremental_stream" -> ((s, dir) => {
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val tbl = cat.createTable("li_stream", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li.where("l_orderkey % 10 = 3"))
+      val snap1 = tbl.currentSnapshotId
+      tbl.append(li.where("l_orderkey % 10 = 4"))
+      graft.streaming.StreamingOps.incrementalDiff(s, tbl, snap1)
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+    }),
+
     // ------------------------------------------------- LLM-pipeline ops
     "d30_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -610,6 +632,16 @@ object SparkEntry {
     "g29_sql_surface" ->
       """SELECT a, b FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) t(a, b)
         |WHERE a >= 2 ORDER BY a""".stripMargin,
+
+    "g30_metadata_tables" ->
+      """SELECT CAST(sequence_number AS BIGINT) AS sequence_number, operation
+        |FROM (VALUES (1, 'append'), (2, 'append')) t(sequence_number, operation)
+        |ORDER BY sequence_number""".stripMargin,
+
+    "g31_incremental_stream" ->
+      """SELECT COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 4""".stripMargin,
 
     "d30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
