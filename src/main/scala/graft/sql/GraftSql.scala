@@ -117,15 +117,21 @@ object GraftSql {
 
   /** Register every catalog table as a temp view over its CURRENT snapshot.
     * Default-namespace tables get their bare name (the reference sets the
-    * session's default catalog+schema the same way, `catalog.rs:449-455`). */
+    * session's default catalog+schema the same way, `catalog.rs:449-455`).
+    * Metadata views `<name>_snapshots` / `<name>_history` / `<name>_refs`
+    * ride along (driver-memory only — no manifest IO at registration). */
   private def refreshTableViews(catalog: Catalog, spark: SparkSession): Unit = {
     val views = userViews.getOrElse(key(catalog, spark), mutable.Set.empty)
     val ns = catalog.defaultNamespace
     catalog.listTables(Some(ns)).foreach { parts =>
       val tableName = parts.last
-      if (!views.contains(tableName))
-        catalog.loadTable((ns :+ tableName).mkString(".")).toDF(spark)
-          .createOrReplaceTempView(tableName)
+      if (!views.contains(tableName)) {
+        val t = catalog.loadTable((ns :+ tableName).mkString("."))
+        t.toDF(spark).createOrReplaceTempView(tableName)
+        t.snapshotsDF(spark).createOrReplaceTempView(s"${tableName}_snapshots")
+        t.historyDF(spark).createOrReplaceTempView(s"${tableName}_history")
+        t.refsDF(spark).createOrReplaceTempView(s"${tableName}_refs")
+      }
     }
   }
 

@@ -97,4 +97,17 @@ class SqlSpec extends AnyFunSuite {
     t.append(Seq(Map("a" -> 6)), spark)
     assert(cat.sql(spark, "SELECT count(*) AS n FROM mix").rows == Seq(Seq(2L)))
   }
+
+  test("metadata views queryable from SQL") {
+    val cat = freshCatalog()
+    cat.sql(spark, "CREATE TABLE mv (a int, b string)")
+    cat.sql(spark, "INSERT INTO mv VALUES (1, 'one')")
+    cat.sql(spark, "INSERT INTO mv VALUES (2, 'two')")
+    val snaps = cat.sql(spark,
+      "SELECT sequence_number, operation FROM mv_snapshots ORDER BY 1")
+    assert(snaps.rows == Seq(Seq(1L, "append"), Seq(2L, "append")))
+    val refs = cat.sql(spark, "SELECT name, type FROM mv_refs")
+    assert(refs.rows == Seq(Seq("main", "branch")))
+    assert(cat.sql(spark, "SELECT count(*) AS n FROM mv_history").rows.head.head == 2L)
+  }
 }
