@@ -299,11 +299,16 @@ final class TableScan(
     }
     val posDeletes = deletes.filter(_.content == 1)
     if (posDeletes.nonEmpty) {
-      // position delete files carry (file_path, pos)
+      // position delete files carry (file_path, pos). URI scheme-slash
+      // variance must not break the match: Spark's _metadata.file_path
+      // renders local paths as "file:///x" while Hadoop Path.toString (the
+      // manifest form a spec-correct delete writer records) is "file:/x" —
+      // normalize both sides or deletes silently stop applying.
+      val norm: Column => Column = c => regexp_replace(c, "^file:/+", "file:/")
       val delDf = spark.read.parquet(posDeletes.map(_.filePath): _*)
-        .select(col("file_path"), col("pos"))
+        .select(norm(col("file_path")).as("file_path"), col("pos"))
       val withMeta = out
-        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__file", norm(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
       out = withMeta.join(maybeBroadcast(delDf, posDeletes),
           withMeta("__file") === delDf("file_path") && withMeta("__pos") === delDf("pos"),

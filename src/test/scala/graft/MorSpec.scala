@@ -95,19 +95,23 @@ class MorSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("b2"))
   }
 
-  test("position deletes remove (file, ordinal) rows") {
+  test("position deletes remove (file, ordinal) rows, manifest-form paths") {
     import spark.implicits._
     val cat = new MemoryCatalog()
     val tbl = cat.createTable("mor_pos", schema)
-    tbl.append(Seq(10L -> "x", 11L -> "y", 12L -> "z").toDF("id", "name")) // seq 1
+    // single input partition → one data file, row order = insert order
+    tbl.append(Seq(10L -> "x", 11L -> "y", 12L -> "z")
+      .toDF("id", "name").coalesce(1)) // seq 1
 
-    // find the physical file + the ordinal of id=11 as Spark sees them
-    val withMeta = tbl.toDF(spark)
-      .select($"id", org.apache.spark.sql.functions.col("_metadata.file_path").as("fp"),
-        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"))
-      .where($"id" === 11L).collect().head
+    // reference the file the way a spec-correct delete writer would: by the
+    // path recorded in the MANIFEST ("file:/x"), not Spark's rendered
+    // "_metadata.file_path" ("file:///x") — the scan must normalize
+    val files = tbl.scan().planFiles()
+    assert(files.size == 1)
+    val manifestPath = files.head.filePath
+    assert(manifestPath.startsWith("file:/") && !manifestPath.startsWith("file:///"))
     val posDel = writeDeleteParquet(tbl, "pos",
-      Seq((withMeta.getString(1), withMeta.getLong(2))).toDF("file_path", "pos"),
+      Seq((manifestPath, 1L)).toDF("file_path", "pos"), // ordinal 1 = id 11
       content = 1, eqIds = Nil)
     commitDeletes(cat, tbl, Seq(posDel))
 
