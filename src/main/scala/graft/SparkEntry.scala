@@ -337,6 +337,18 @@ object SparkEntry {
       GraftSql.sqlDF(cat, s, "SELECT a, b FROM kv WHERE a >= $1 ORDER BY a", Seq(2))
     }),
 
+    "g32_cow_delete" -> ((s, dir) => {
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 10 = 5")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_cow", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li)
+      tbl.delete(s, Seq(EqPred("l_returnflag", "A")))
+      tbl.toDF(s).groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g30_metadata_tables" -> ((s, dir) => {
       val cat = new MemoryCatalog()
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -632,6 +644,12 @@ object SparkEntry {
     "g29_sql_surface" ->
       """SELECT a, b FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) t(a, b)
         |WHERE a >= 2 ORDER BY a""".stripMargin,
+
+    "g32_cow_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 5 AND l_returnflag <> 'A'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g30_metadata_tables" ->
       """SELECT CAST(sequence_number AS BIGINT) AS sequence_number, operation

@@ -120,6 +120,148 @@ final class Table(
   def append(rows: Seq[Map[String, Any]], spark: SparkSession): Unit =
     append(AppendUtil.rowsToDF(spark, rows, meta.currentSchema))
 
+  /**
+   * Copy-on-write DELETE (beyond the reference, which errors on SQL
+   * DELETE — `GraftSql` keeps that parity; this is the programmatic path):
+   * rows matching ALL `predicates` are removed by rewriting only the data
+   * files that may contain them. Partition-transform + column-bounds
+   * pruning bound the rewrite set, so a `day=`-scoped delete on a 100 TB
+   * table rewrites one day, not the table. Untouched files are carried
+   * into the new snapshot with their original sequence numbers (existing
+   * MOR delete files keep applying to them); old snapshots still reference
+   * the old files — time travel is unaffected.
+   */
+  def delete(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit = {
+    require(predicates.nonEmpty, "delete requires predicates; use overwrite to replace all")
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      if (attempt > 0) refresh()
+      val affectedScan = scan(None, predicates)
+      val affected = affectedScan.planFiles()
+      if (affected.isEmpty) return // nothing can match — no new snapshot
+      val affectedPaths = affected.map(_.filePath).toSet
+      val kept = scan().planFiles().filterNot(t => affectedPaths.contains(t.filePath))
+      // rewrite affected files WITHOUT the matching rows (MOR deletes and
+      // schema projection applied by the scan materialization)
+      val matchAll = predicates.map(affectedScan.predicateToColumn)
+        .reduce(_ && _)
+      val rewritten = affectedScan.materializeTasks(spark, affected)
+        .filter(!matchAll)
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(meta.location, s"data/$commitUuid")
+      val newFiles = AppendUtil.writeData(rewritten, meta.currentSchema,
+        meta.defaultPartitionSpec, meta.defaultSortOrder, dataDir, hadoopConf,
+        targetFileRows = meta.properties.get("write.target-file-rows")
+          .map(_.toLong).getOrElse(5000000L))
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
+            keepParentDeleteManifests = true))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+  }
+
+  /** Copy-on-write overwrite: atomically replace the table's entire
+    * contents with `df` (one snapshot; old snapshots keep their files). */
+  def overwrite(df: DataFrame): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val aligned = AppendUtil.align(df, meta.currentSchema)
+    val commitUuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(meta.location, s"data/$commitUuid")
+    val newFiles = AppendUtil.writeData(aligned, meta.currentSchema,
+      meta.defaultPartitionSpec, meta.defaultSortOrder, dataDir, hadoopConf,
+      targetFileRows = meta.properties.get("write.target-file-rows")
+        .map(_.toLong).getOrElse(5000000L))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val base = if (attempt == 0) meta else cat.currentMetadata(ident)
+      val affected = new TableScan(this, base.currentSnapshot, Nil).planFiles()
+      try {
+        meta = cat.commitTable(ident, base,
+          buildRewriteMetadata(base, Nil, affected, newFiles, s"$commitUuid-$attempt",
+            keepParentDeleteManifests = false))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+  }
+
+  /** Snapshot for a rewrite: ONE data manifest holding kept (original
+    * sequence numbers) + added entries; parent delete manifests carried
+    * when the kept set still needs them. */
+  private def buildRewriteMetadata(base: TableMetadata, kept: Seq[FileScanTask],
+                                   removed: Seq[FileScanTask],
+                                   added: Seq[graft.manifest.DataFile],
+                                   attemptId: String,
+                                   keepParentDeleteManifests: Boolean): TableMetadata = {
+    val metadataDir = new Path(base.location, "metadata")
+    val fs = metadataDir.getFileSystem(hadoopConf)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val seq = base.lastSequenceNumber + 1
+    val now = System.currentTimeMillis()
+
+    val entries =
+      kept.map(t => ManifestEntry(ManifestEntry.StatusExisting, snapshotId,
+        t.sequenceNumber, t.file)) ++
+        added.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f))
+    val manifestPath = new Path(metadataDir, s"$attemptId-rw-m0.avro")
+    val manifestLen = Manifests.writeManifest(fs, manifestPath, entries)
+    val newManifest = ManifestFile(
+      manifestPath = manifestPath.toString,
+      manifestLength = manifestLen,
+      partitionSpecId = base.defaultSpecId,
+      addedSnapshotId = snapshotId,
+      addedFilesCount = added.size,
+      addedRowsCount = added.map(_.recordCount).sum,
+      schemaId = base.currentSchemaId,
+      content = 0)
+    val parentDeleteManifests: Seq[ManifestFile] =
+      if (!keepParentDeleteManifests) Nil
+      else base.currentSnapshot.toSeq.flatMap(p =>
+        Manifests.readManifestList(fs, new Path(p.manifestList)).filter(_.content == 1))
+    val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
+    Manifests.writeManifestList(fs, listPath, newManifest +: parentDeleteManifests)
+
+    val prevTotal = base.currentSnapshot
+      .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
+    val removedRecords = removed.map(_.recordCount).sum
+    val addedRecords = added.map(_.recordCount).sum
+    val snap = Snapshot(
+      snapshotId = snapshotId,
+      parentSnapshotId = base.currentSnapshotId,
+      sequenceNumber = seq,
+      timestampMs = now,
+      manifestList = listPath.toString,
+      summary = Map(
+        "operation" -> "overwrite",
+        "added-data-files" -> added.size.toString,
+        "added-records" -> addedRecords.toString,
+        "deleted-data-files" -> removed.size.toString,
+        "deleted-records" -> removedRecords.toString,
+        "total-records" -> (prevTotal - removedRecords + addedRecords).toString,
+        "total-data-files" -> (kept.size + added.size).toString),
+      schemaId = Some(base.currentSchemaId))
+
+    base.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = base.snapshots :+ snap,
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
+      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+  }
+
   /** Fast-append commit: new manifest + manifest-list + metadata, CAS'd
     * through the catalog; on conflict, refresh and rebuild (the data files
     * are already safely on disk — only metadata is retried). */

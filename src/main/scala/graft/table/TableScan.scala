@@ -232,11 +232,18 @@ final class TableScan(
     * delete set), project each group to the current schema by field id,
     * apply that group's merge-on-read deletes, union, and re-apply
     * predicates (for in-file parquet row-group pushdown). */
-  def toDF(spark: SparkSession): DataFrame = {
+  def toDF(spark: SparkSession): DataFrame =
+    predicates.foldLeft(materializeTasks(spark, planFiles()))(
+      (d, p) => d.filter(predicateToColumn(p)))
+
+  /** Materialize an explicit task list to the current schema WITHOUT the
+    * scan predicates (used by copy-on-write rewrites, which need every row
+    * of the affected files, not just matching ones). */
+  private[graft] def materializeTasks(spark: SparkSession,
+                                      tasks: Seq[FileScanTask]): DataFrame = {
     val meta = table.metadata
     val current = meta.currentSchema
     val currentSpark = SparkSchemaConverter.toSpark(current)
-    val tasks = planFiles()
     if (tasks.isEmpty) {
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), currentSpark)
     }
@@ -262,11 +269,10 @@ final class TableScan(
       }
       applyDeletes(spark, parts.reduce(_ unionAll _), delGroup.head.deleteFiles)
     }
-    val unioned = deleteGroups.reduce(_ unionAll _)
-    predicates.foldLeft(unioned)((d, p) => d.filter(predicateToColumn(p)))
+    deleteGroups.reduce(_ unionAll _)
   }
 
-  private def predicateToColumn(p: ScanPredicate): Column = p match {
+  private[graft] def predicateToColumn(p: ScanPredicate): Column = p match {
     case EqPred(c, v) => col(c) === lit(v)
     case LtPred(c, v) => col(c) < lit(v)
     case LePred(c, v) => col(c) <= lit(v)
