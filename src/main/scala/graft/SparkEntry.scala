@@ -349,6 +349,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g33_cow_update" -> ((s, dir) => {
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 10 = 6")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_upd", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li)
+      tbl.update(s, Seq(EqPred("l_returnflag", "N")),
+        Map("l_quantity" -> "l_quantity + 100"))
+      tbl.toDF(s).groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g30_metadata_tables" -> ((s, dir) => {
       val cat = new MemoryCatalog()
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -649,6 +662,13 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 5 AND l_returnflag <> 'A'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g33_cow_update" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity + 100
+        |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 6
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g30_metadata_tables" ->

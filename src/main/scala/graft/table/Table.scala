@@ -168,6 +168,133 @@ final class Table(
     }
   }
 
+  /**
+   * Copy-on-write UPDATE: rows matching ALL `predicates` get `assignments`
+   * applied (column name → SQL expression string over the current row);
+   * non-matching rows in affected files are rewritten verbatim, and files
+   * that cannot contain matches are never touched (same pruning as
+   * [[delete]]).
+   */
+  def update(spark: SparkSession, predicates: Seq[ScanPredicate],
+             assignments: Map[String, String]): Unit = {
+    require(predicates.nonEmpty, "update requires predicates")
+    require(assignments.nonEmpty, "update requires assignments")
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val schemaCols = meta.currentSchema.fields.map(_.name).toSet
+    val unknown = assignments.keySet -- schemaCols
+    if (unknown.nonEmpty)
+      throw new InvalidDataError(s"unknown columns in UPDATE: ${unknown.mkString(", ")}")
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      if (attempt > 0) refresh()
+      val affectedScan = scan(None, predicates)
+      val affected = affectedScan.planFiles()
+      if (affected.isEmpty) return
+      val affectedPaths = affected.map(_.filePath).toSet
+      val kept = scan().planFiles().filterNot(t => affectedPaths.contains(t.filePath))
+      val matchAll = predicates.map(affectedScan.predicateToColumn).reduce(_ && _)
+      val base = affectedScan.materializeTasks(spark, affected)
+      val rewritten = meta.currentSchema.fields.foldLeft(base) { (d, f) =>
+        assignments.get(f.name) match {
+          case Some(exprStr) =>
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.when(matchAll,
+                org.apache.spark.sql.functions.expr(exprStr)
+                  .cast(graft.types.SparkSchemaConverter.toSparkType(f.fieldType)))
+                .otherwise(org.apache.spark.sql.functions.col(f.name)))
+          case None => d
+        }
+      }
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(meta.location, s"data/$commitUuid")
+      val newFiles = AppendUtil.writeData(rewritten, meta.currentSchema,
+        meta.defaultPartitionSpec, meta.defaultSortOrder, dataDir, hadoopConf,
+        targetFileRows = meta.properties.get("write.target-file-rows")
+          .map(_.toLong).getOrElse(5000000L))
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
+            keepParentDeleteManifests = true))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+  }
+
+  /**
+   * Compaction (`rewrite_data_files`): bin-pack data files smaller than
+   * `smallFileBytes` into full-size files. Pure maintenance — row set is
+   * unchanged; one new snapshot; old snapshots keep the small files.
+   * Skips if fewer than `minInputFiles` files qualify (not worth a
+   * snapshot). At scale this is what keeps scan task counts bounded after
+   * many streaming micro-appends.
+   */
+  def compact(spark: SparkSession, smallFileBytes: Long = 64L * 1024 * 1024,
+              minInputFiles: Int = 2): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      if (attempt > 0) refresh()
+      val all = scan().planFiles()
+      val small = all.filter(_.file.fileSizeInBytes < smallFileBytes)
+      if (small.size < minInputFiles) return
+      val kept = all.filterNot(t => small.map(_.filePath).toSet.contains(t.filePath))
+      // bin-pack: target as few output files as the combined bytes allow
+      // (for partitioned specs writeData re-shuffles by partition anyway)
+      val nOut = math.max(1, math.ceil(
+        small.map(_.file.fileSizeInBytes).sum.toDouble / smallFileBytes).toInt)
+      val rewritten = scan().materializeTasks(spark, small).repartition(nOut)
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(meta.location, s"data/$commitUuid")
+      val newFiles = AppendUtil.writeData(rewritten, meta.currentSchema,
+        meta.defaultPartitionSpec, meta.defaultSortOrder, dataDir, hadoopConf,
+        targetFileRows = meta.properties.get("write.target-file-rows")
+          .map(_.toLong).getOrElse(5000000L))
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, kept, small, newFiles, commitUuid,
+            keepParentDeleteManifests = true))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+  }
+
+  // --------------------------------------------------------- refs (tags)
+
+  /** Tag the current (or given) snapshot with a name. */
+  def createTag(name: String, snapshotId: Option[Long] = None): Unit =
+    addRef(name, "tag", snapshotId)
+
+  /** Create a named branch at the current (or given) snapshot. */
+  def createBranch(name: String, snapshotId: Option[Long] = None): Unit =
+    addRef(name, "branch", snapshotId)
+
+  private def addRef(name: String, refType: String, snapshotId: Option[Long]): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val sid = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
+      throw new InvalidDataError("table has no snapshot to reference"))
+    if (meta.snapshotById(sid).isEmpty)
+      throw new InvalidDataError(s"no snapshot with id $sid")
+    meta = cat.commitTable(ident, meta,
+      meta.copy(refs = meta.refs.updated(name, SnapshotRef(sid, refType))))
+  }
+
+  /** Scan pinned to a named ref (tag or branch). */
+  def scanRef(name: String, predicates: Seq[ScanPredicate] = Nil): TableScan = {
+    val snap = meta.snapshotForRef(name).getOrElse(
+      throw new InvalidDataError(s"no ref named $name"))
+    new TableScan(this, Some(snap), predicates)
+  }
+
   /** Copy-on-write overwrite: atomically replace the table's entire
     * contents with `df` (one snapshot; old snapshots keep their files). */
   def overwrite(df: DataFrame): Unit = {

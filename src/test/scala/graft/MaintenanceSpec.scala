@@ -1,0 +1,77 @@
+package graft
+
+import graft.catalog.MemoryCatalog
+import graft.table.{EqPred, GePred}
+import graft.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COW UPDATE, compaction, and named refs (tags/branches). */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = Schema(0, Seq(
+    NestedField(1, "id", ILong, required = false),
+    NestedField(2, "qty", IInt, required = false),
+    NestedField(3, "k", IString, required = false)))
+
+  test("update rewrites matching rows in place, others verbatim") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("upd", schema)
+    tbl.append((1L to 6L).map(i => (i, i.toInt * 10, if (i <= 3) "a" else "b"))
+      .toDF("id", "qty", "k"))
+    tbl.update(spark, Seq(EqPred("k", "a"), GePred("id", 2L)),
+      Map("qty" -> "qty + 1000", "k" -> "'bumped'"))
+    val rows = tbl.toDF(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      (1L, 10, "a"), (2L, 1020, "bumped"), (3L, 1030, "bumped"),
+      (4L, 40, "b"), (5L, 50, "b"), (6L, 60, "b")))
+    assert(tbl.currentSnapshot.get.summary("operation") == "overwrite")
+    assertThrows[InvalidDataError](
+      tbl.update(spark, Seq(EqPred("k", "b")), Map("nope" -> "1")))
+  }
+
+  test("compaction merges small files without changing rows") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("compact_t", schema)
+    // many micro-appends → many small files
+    for (i <- 1 to 5)
+      tbl.append(Seq((i.toLong, i, s"v$i")).toDF("id", "qty", "k").coalesce(1))
+    val before = tbl.scan().planFiles()
+    assert(before.size == 5)
+    val pre = tbl.currentSnapshotId.get
+
+    tbl.compact(spark)
+
+    val after = tbl.scan().planFiles()
+    assert(after.size == 1)
+    assert(tbl.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 5L))
+    assert(tbl.currentSnapshot.get.summary("total-records") == "5")
+    // old snapshot still readable with the small files
+    assert(tbl.toDF(spark, Some(pre)).count() == 5)
+    // idempotent: nothing left to compact
+    val snapCount = tbl.snapshots.size
+    tbl.compact(spark)
+    assert(tbl.refresh().snapshots.size == snapCount)
+  }
+
+  test("tags and branches pin scans to snapshots") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("refs_t", schema)
+    tbl.append(Seq((1L, 1, "a")).toDF("id", "qty", "k"))
+    tbl.createTag("v1")
+    tbl.append(Seq((2L, 2, "b")).toDF("id", "qty", "k"))
+    tbl.createBranch("dev")
+
+    assert(tbl.scanRef("v1").toDF(spark).count() == 1)
+    assert(tbl.scanRef("dev").toDF(spark).count() == 2)
+    assert(tbl.refsDF(spark).collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("dev", "main", "v1"))
+    assertThrows[InvalidDataError](tbl.scanRef("nope"))
+    assertThrows[InvalidDataError](tbl.createTag("bad", Some(12345L)))
+  }
+}
