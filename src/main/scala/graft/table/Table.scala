@@ -268,6 +268,66 @@ final class Table(
     }
   }
 
+  /** Roll the table back to an earlier snapshot (metadata-only; the
+    * abandoned snapshots stay until [[expireSnapshots]]). */
+  def rollback(snapshotId: Long): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    if (meta.snapshotById(snapshotId).isEmpty)
+      throw new InvalidDataError(s"no snapshot with id $snapshotId")
+    val now = System.currentTimeMillis()
+    meta = cat.commitTable(ident, meta, meta.copy(
+      currentSnapshotId = Some(snapshotId),
+      lastUpdatedMs = now,
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
+      refs = meta.refs.updated("main", SnapshotRef(snapshotId, "branch"))))
+  }
+
+  /**
+   * Expire snapshots older than `olderThanMs`, always retaining the last
+   * `retainLast` and every ref target, then physically delete files (data,
+   * manifests, manifest lists) referenced ONLY by expired snapshots. This
+   * is the reclamation half of copy-on-write: rewrites/compactions leave
+   * old files on disk for time travel until expiration collects them.
+   */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val fs = new Path(meta.location).getFileSystem(hadoopConf)
+    val byTime = meta.snapshots.sortBy(_.timestampMs)
+    val protectedIds: Set[Long] =
+      byTime.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
+        meta.refs.values.map(_.snapshotId) ++ meta.currentSnapshotId
+    val (expired, remaining) = meta.snapshots.partition(s =>
+      s.timestampMs < olderThanMs && !protectedIds.contains(s.snapshotId))
+    if (expired.isEmpty) return
+
+    def filesOf(snaps: Seq[Snapshot]): (Set[String], Set[String]) = {
+      val manifestPaths = scala.collection.mutable.Set[String]()
+      val dataPaths = scala.collection.mutable.Set[String]()
+      snaps.foreach { s =>
+        val mfs = Manifests.readManifestList(fs, new Path(s.manifestList))
+        mfs.foreach { mf =>
+          manifestPaths += mf.manifestPath
+          Manifests.readManifest(fs, new Path(mf.manifestPath))
+            .filter(_.isLive).foreach(e => dataPaths += e.dataFile.filePath)
+        }
+      }
+      (manifestPaths.toSet, dataPaths.toSet)
+    }
+    val (liveManifests, liveData) = filesOf(remaining)
+    val (deadManifests, deadData) = filesOf(expired)
+
+    meta = cat.commitTable(ident, meta, meta.copy(
+      snapshots = remaining,
+      snapshotLog = meta.snapshotLog.filter(e =>
+        remaining.exists(_.snapshotId == e.snapshotId)),
+      lastUpdatedMs = System.currentTimeMillis()))
+
+    // physical cleanup AFTER the metadata commit succeeds
+    (deadData -- liveData).foreach(p => fs.delete(new Path(p), false))
+    (deadManifests -- liveManifests).foreach(p => fs.delete(new Path(p), false))
+    expired.foreach(s => fs.delete(new Path(s.manifestList), false))
+  }
+
   // --------------------------------------------------------- refs (tags)
 
   /** Tag the current (or given) snapshot with a name. */
