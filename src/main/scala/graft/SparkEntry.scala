@@ -384,6 +384,14 @@ object SparkEntry {
         .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
     }),
 
+    "g34_sql_params_ordinal" -> ((s, dir) => {
+      val cat = new MemoryCatalog()
+      cat.sql(s, "CREATE TABLE kv2 (a int, b string)")
+      cat.sql(s, "INSERT INTO kv2 VALUES (1, 'one'), (2, 'two'), (3, 'three')")
+      GraftSql.sqlDF(cat, s,
+        "SELECT b, a FROM kv2 WHERE a <> $1 ORDER BY 2 DESC LIMIT 2", Seq(2))
+    }),
+
     // ------------------------------------------------- LLM-pipeline ops
     "d30_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -680,6 +688,10 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 4""".stripMargin,
+
+    "g34_sql_params_ordinal" ->
+      """SELECT b, a FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) t(a, b)
+        |WHERE a <> 2 ORDER BY 2 DESC LIMIT 2""".stripMargin,
 
     "d30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
