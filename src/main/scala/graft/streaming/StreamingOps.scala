@@ -51,6 +51,35 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /**
+   * Streaming INGESTION into a graft table: start `stream.writeStream`
+   * appending each micro-batch as one atomic commit. The micro-batch id is
+   * recorded in the snapshot summary (`streaming-batch-id`), so after a
+   * restart a consumer (or [[lastCommittedBatchId]]) can detect replayed
+   * batches — foreachBatch is at-least-once; combined with the recorded id
+   * the sink is effectively exactly-once per batch.
+   */
+  def appendStream(stream: DataFrame, table: Table,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val committed = lastCommittedBatchId(table)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!committed.exists(_ >= batchId)) {
+          table.append(batch,
+            extraSummary = Map("streaming-batch-id" -> batchId.toString))
+        }
+      }
+      .start()
+  }
+
+  /** Highest `streaming-batch-id` recorded by [[appendStream]] commits. */
+  def lastCommittedBatchId(table: Table): Option[Long] = {
+    val ids = table.snapshots.flatMap(_.summary.get("streaming-batch-id"))
+      .map(_.toLong)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   /** Snapshot ids committed strictly after `fromSnapshotId` (None = from
     * the beginning), oldest first — the offset sequence for a consumer. */
   def newSnapshotsSince(table: Table, fromSnapshotId: Option[Long]): Seq[Long] = {

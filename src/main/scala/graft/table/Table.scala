@@ -102,7 +102,11 @@ final class Table(
   /** Append a DataFrame (ref `table.rb:161-166` / `table.rs:62-125`):
     * name-bind + cast to the table schema, write Parquet data files under a
     * fresh per-commit directory, then fast-append commit with retry. */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = append(df, Map.empty[String, String])
+
+  /** Append with extra snapshot-summary entries (e.g. a streaming batch id
+    * for exactly-once sink bookkeeping). */
+  def append(df: DataFrame, extraSummary: Map[String, String]): Unit = {
     val cat = catalog.getOrElse(
       throw new GraftError("this table is read-only"))
     val schema = meta.currentSchema
@@ -113,7 +117,7 @@ final class Table(
       meta.defaultSortOrder, dataDir, hadoopConf,
       targetFileRows = meta.properties.get("write.target-file-rows").map(_.toLong).getOrElse(5000000L))
     if (files.isEmpty) return
-    commitAppend(cat, files, commitUuid)
+    commitAppend(cat, files, commitUuid, extraSummary)
   }
 
   /** Append row hashes with the reference's per-type coercion rules. */
@@ -453,13 +457,15 @@ final class Table(
     * through the catalog; on conflict, refresh and rebuild (the data files
     * are already safely on disk — only metadata is retried). */
   private def commitAppend(cat: Catalog, files: Seq[graft.manifest.DataFile],
-                           commitUuid: String, maxRetries: Int = 5): Unit = {
+                           commitUuid: String,
+                           extraSummary: Map[String, String] = Map.empty,
+                           maxRetries: Int = 5): Unit = {
     var attempt = 0
     var committed = false
     while (!committed) {
       val base = if (attempt == 0) meta else cat.currentMetadata(ident)
       try {
-        val updated = buildAppendMetadata(base, files, s"$commitUuid-$attempt")
+        val updated = buildAppendMetadata(base, files, s"$commitUuid-$attempt", extraSummary)
         meta = cat.commitTable(ident, base, updated)
         committed = true
       } catch {
@@ -472,7 +478,8 @@ final class Table(
 
   private def buildAppendMetadata(base: TableMetadata,
                                   files: Seq[graft.manifest.DataFile],
-                                  attemptId: String): TableMetadata = {
+                                  attemptId: String,
+                                  extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
@@ -520,7 +527,7 @@ final class Table(
         "added-records" -> addedRecords.toString,
         "added-files-size" -> files.map(_.fileSizeInBytes).sum.toString,
         "total-records" -> (prevTotal + addedRecords).toString,
-        "total-data-files" -> (prevFiles + files.size).toString),
+        "total-data-files" -> (prevFiles + files.size).toString) ++ extraSummary,
       schemaId = Some(base.currentSchemaId))
 
     base.copy(

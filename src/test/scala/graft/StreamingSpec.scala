@@ -47,6 +47,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser == Map(1L -> 2, 2L -> 1))
   }
 
+  test("streaming ingestion: writeStream appends micro-batches as commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false)))
+    val tbl = cat.createTable("sink_t", schema)
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = StreamingOps.appendStream(mem.toDF().toDF("id", "v"), tbl, ckpt)
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(tbl.refresh().toDF(spark).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(StreamingOps.lastCommittedBatchId(tbl).contains(1L))
+    assert(tbl.snapshots.forall(_.summary.contains("streaming-batch-id")))
+  }
+
   test("table commits consumed as micro-batches via snapshot offsets") {
     import spark.implicits._
     val cat = new MemoryCatalog()
