@@ -463,6 +463,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e40_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKIvf(
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e39_embedding_neardup" -> ((s, dir) => {
       DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, nbits = 4, threshold = 0.3)

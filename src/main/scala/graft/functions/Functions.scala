@@ -78,6 +78,58 @@ object BucketUtil {
     h
   }
 
+  /** Index of the centroid with highest cosine similarity to vec. */
+  def nearestCentroid(vec: ArrayData, centers: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < centers.length) {
+      val sim = cosineToCenter(vec, centers(j))
+      if (sim > bestSim) { bestSim = sim; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Indices of the `nprobe` centroids with highest cosine to vec,
+    * best first (selection by repeated max — nprobe is tiny). */
+  def nearestCentroids(vec: ArrayData, centers: Array[Array[Float]],
+                       nprobe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val sims = new Array[Double](centers.length)
+    var j = 0
+    while (j < centers.length) { sims(j) = cosineToCenter(vec, centers(j)); j += 1 }
+    val n = math.min(nprobe, centers.length)
+    val out = new Array[Any](n)
+    val taken = new Array[Boolean](centers.length)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < centers.length) {
+        if (!taken(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def cosineToCenter(vec: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(vec.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      val y = c(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Random-hyperplane LSH signature of a float vector: bit j is the sign
     * of dot(vec, planes(j)). One pass, no allocation. */
   def hyperplaneSig(vec: ArrayData, planes: Array[Array[Float]]): Int = {
@@ -368,6 +420,35 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
 }
 
+/** IVF cell assignment: nearest centroid by cosine (codegen'd map pass). */
+case class NearestCentroid(child: Expression, centers: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override def nullSafeEval(v: Any): Any =
+    BucketUtil.nearestCentroid(v.asInstanceOf[ArrayData], centers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BucketUtil.nearestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
+/** IVF multi-probe: the nprobe nearest centroids, best first. */
+case class NearestCentroids(child: Expression, centers: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override def nullSafeEval(v: Any): Any =
+    BucketUtil.nearestCentroids(v.asInstanceOf[ArrayData], centers, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BucketUtil.nearestCentroids($c, $ref, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   def iceberg_bucket(n: Int, c: Column): Column =
@@ -386,6 +467,10 @@ object GraftFunctions {
     ColumnBridge.column(TextProfile(expression(c), stopLists))
   def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =
     ColumnBridge.column(HyperplaneSig(expression(c), planes))
+  def nearest_centroid(c: Column, centers: Array[Array[Float]]): Column =
+    ColumnBridge.column(NearestCentroid(expression(c), centers))
+  def nearest_centroids(c: Column, centers: Array[Array[Float]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCentroids(expression(c), centers, nprobe))
 
   /** Deterministic seeded hyperplanes for [[HyperplaneSig]] (xorshift64,
     * no RNG state shared with anything else). */

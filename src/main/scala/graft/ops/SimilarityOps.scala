@@ -39,6 +39,90 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k — the classic ANN scale path the
+   * LSH variant complements:
+   *
+   *  1. TRAIN: spherical k-means on a bounded driver-side sample (IVF
+   *     training is always sample-based; the sample size, not the corpus,
+   *     bounds driver memory).
+   *  2. ASSIGN: every corpus vector gets its nearest-centroid cell id via a
+   *     codegen'd expression — one map-only pass, reusable across query
+   *     batches.
+   *  3. PROBE: each query explodes into its `nprobe` nearest cells; only
+   *     those cells' vectors are scored (|corpus|·nprobe/nlist comparisons).
+   *
+   * Same output shape as [[topKBruteForce]]; recall grows with nprobe.
+   */
+  def topKIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    val sample: Array[Array[Float]] = corpus.select(col(corpusVec))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centers = trainKmeans(sample, nlist, iters = 10, seed)
+    val cells = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"),
+      GraftFunctions.nearest_centroid(col(corpusVec), centers).as("cell"))
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic spherical k-means on a driver-side sample: seeded
+    * distinct-point init, cosine assignment, mean re-centering. */
+  private[ops] def trainKmeans(sample: Array[Array[Float]], kCenters: Int,
+                               iters: Int, seed: Long): Array[Array[Float]] = {
+    require(sample.nonEmpty, "IVF training requires a non-empty sample")
+    val dim = sample.head.length
+    var x = seed
+    def nextIdx(bound: Int): Int = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (((x >>> 1) % bound).toInt + bound) % bound
+    }
+    val n = math.min(kCenters, sample.length)
+    val centers = Array.tabulate(n)(_ => new Array[Float](dim))
+    val picked = scala.collection.mutable.Set[Int]()
+    for (c <- 0 until n) {
+      var i = nextIdx(sample.length)
+      while (picked.contains(i)) i = (i + 1) % sample.length
+      picked += i
+      System.arraycopy(sample(i), 0, centers(c), 0, dim)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(n)(new Array[Double](dim))
+      val counts = new Array[Int](n)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < n) {
+          val s = cos(v, centers(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      for (c <- 0 until n if counts(c) > 0; i <- 0 until dim)
+        centers(c)(i) = (sums(c)(i) / counts(c)).toFloat
+    }
+    centers
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe. Same output shape as
     * the brute-force path; recall depends on nbits/probeBits. */
   def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,

@@ -146,6 +146,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall") // multiprobe-2 on 8 bits
   }
 
+  test("IVF top-k recall vs brute force; full probe = exact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // these embeddings are near-uniform (IVF's worst case — no cluster
+    // structure), so probe a generous fraction of the cells
+    val ivf = SimilarityOps.topKIvf(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+    // probing every cell must reproduce the exact result
+    val full = SimilarityOps.topKIvf(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("multimodal: stub decode is deterministic, batch-shaped; frame sampling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val media = MultimodalOps.syntheticCorpus(docs, "doc_id", "text")
