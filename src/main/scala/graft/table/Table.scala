@@ -141,7 +141,10 @@ final class Table(
     var attempt = 0
     var committed = false
     while (!committed) {
-      if (attempt > 0) refresh()
+      // always plan against the catalog's CURRENT metadata — a stale handle
+      // must see concurrent commits (and the empty-plan short-circuit below
+      // would otherwise silently no-op before ever reaching the CAS)
+      refresh()
       val affectedScan = scan(None, predicates)
       val affected = affectedScan.planFiles()
       if (affected.isEmpty) return // nothing can match — no new snapshot
@@ -191,7 +194,10 @@ final class Table(
     var attempt = 0
     var committed = false
     while (!committed) {
-      if (attempt > 0) refresh()
+      // always plan against the catalog's CURRENT metadata — a stale handle
+      // must see concurrent commits (and the empty-plan short-circuit below
+      // would otherwise silently no-op before ever reaching the CAS)
+      refresh()
       val affectedScan = scan(None, predicates)
       val affected = affectedScan.planFiles()
       if (affected.isEmpty) return
@@ -243,7 +249,10 @@ final class Table(
     var attempt = 0
     var committed = false
     while (!committed) {
-      if (attempt > 0) refresh()
+      // always plan against the catalog's CURRENT metadata — a stale handle
+      // must see concurrent commits (and the empty-plan short-circuit below
+      // would otherwise silently no-op before ever reaching the CAS)
+      refresh()
       val all = scan().planFiles()
       val small = all.filter(_.file.fileSizeInBytes < smallFileBytes)
       if (small.size < minInputFiles) return
