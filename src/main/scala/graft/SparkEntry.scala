@@ -392,6 +392,30 @@ object SparkEntry {
         "SELECT b, a FROM kv2 WHERE a <> $1 ORDER BY 2 DESC LIMIT 2", Seq(2))
     }),
 
+    "s42_stream_windowed" -> ((s, dir) => {
+      // REAL Structured Streaming over the events data (AvailableNow):
+      // hourly windowed counts with watermark, landed in a memory sink and
+      // verified against the batch oracle — the unified-model guarantee.
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev =
+        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val out = graft.streaming.StreamingOps
+        .windowedCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
+      val sink = s"stream_win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ------------------------------------------------- LLM-pipeline ops
     "d30_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -702,6 +726,11 @@ object SparkEntry {
     "g34_sql_params_ordinal" ->
       """SELECT b, a FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) t(a, b)
         |WHERE a <> 2 ORDER BY 2 DESC LIMIT 2""".stripMargin,
+
+    "s42_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
