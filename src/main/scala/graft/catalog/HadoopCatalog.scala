@@ -54,7 +54,27 @@ final class HadoopCatalog(
     try in.readFully(0, buf) finally in.close()
     new String(buf, "UTF-8")
   }
-  private def readVersion(ident: TableIdent): Int = readFile(hintPath(ident)).trim.toInt
+  /** Table presence on disk, tolerant of a lost hint file. */
+  private def tableOnDisk(ident: TableIdent): Boolean =
+    fs.exists(hintPath(ident)) || fs.exists(versionPath(ident, 1))
+
+  /** Current version with crash recovery: the hint file is a HINT, not the
+    * authority — a writer that died after creating `v{N+1}.metadata.json`
+    * but before updating the hint has COMMITTED (the create-if-absent
+    * succeeded). Without roll-forward, every later commit would retry
+    * create(v+1), hit the orphan, and livelock on CommitConflictError.
+    * Scan forward from the hint, adopt the highest existing version, and
+    * repair the hint. */
+  private def readVersion(ident: TableIdent): Int = {
+    var v =
+      if (fs.exists(hintPath(ident))) readFile(hintPath(ident)).trim.toInt
+      else if (fs.exists(versionPath(ident, 1))) 1 // hint lost entirely
+      else throw new NoSuchTableError(s"Table does not exist: $ident")
+    var advanced = false
+    while (fs.exists(versionPath(ident, v + 1))) { v += 1; advanced = true }
+    if (advanced) writeFile(hintPath(ident), v.toString, overwrite = true)
+    v
+  }
 
   // ---------------------------------------------------------- namespaces
   def listNamespaces(parent: Option[Seq[String]] = None): Seq[Seq[String]] = {
@@ -112,7 +132,9 @@ final class HadoopCatalog(
     if (!namespaceExists(target))
       throw new NoSuchNamespaceError(s"Namespace does not exist: ${target.mkString(".")}")
     fs.listStatus(nsPath(target)).toSeq
-      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "metadata/version-hint.text")))
+      .filter(st => st.isDirectory &&
+        (fs.exists(new Path(st.getPath, "metadata/version-hint.text")) ||
+          fs.exists(new Path(st.getPath, "metadata/v1.metadata.json"))))
       .map(st => target :+ st.getPath.getName)
       .sortBy(_.mkString("."))
   }
@@ -143,7 +165,7 @@ final class HadoopCatalog(
 
   def dropTable(name: String, ifExists: Boolean = false): Unit = {
     val ident = resolveIdent(name)
-    if (!fs.exists(hintPath(ident))) {
+    if (!tableOnDisk(ident)) {
       if (!ifExists) throw new NoSuchTableError(s"Table does not exist: $ident")
       return
     }
@@ -153,7 +175,7 @@ final class HadoopCatalog(
 
   def purgeTable(name: String): Unit = {
     val ident = resolveIdent(name)
-    if (!fs.exists(hintPath(ident)))
+    if (!tableOnDisk(ident))
       throw new NoSuchTableError(s"Table does not exist: $ident")
     val loc = new Path(currentMetadata(ident).location)
     fs.delete(metadataDir(ident), true)
@@ -163,13 +185,13 @@ final class HadoopCatalog(
 
   def tableExists(name: String): Boolean = {
     val ident = resolveIdent(name)
-    namespaceExists(ident.namespace) && fs.exists(hintPath(ident))
+    namespaceExists(ident.namespace) && tableOnDisk(ident)
   }
 
   def renameTable(oldName: String, newName: String): Unit = lock.synchronized {
     val oldIdent = resolveIdent(oldName)
     val newIdent = resolveIdent(newName)
-    if (!fs.exists(hintPath(oldIdent)))
+    if (!tableOnDisk(oldIdent))
       throw new NoSuchTableError(s"Table does not exist: $oldIdent")
     if (!namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceError(s"Namespace does not exist: ${newIdent.namespace.mkString(".")}")
@@ -209,7 +231,7 @@ final class HadoopCatalog(
   }
 
   private[graft] def currentMetadata(ident: TableIdent): TableMetadata = {
-    if (!fs.exists(hintPath(ident)))
+    if (!fs.exists(hintPath(ident)) && !fs.exists(versionPath(ident, 1)))
       throw new NoSuchTableError(s"Table does not exist: $ident")
     CatalogUtil.readMetadataFile(versionPath(ident, readVersion(ident)).toString, hadoopConf)
   }
