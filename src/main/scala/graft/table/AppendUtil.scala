@@ -116,38 +116,42 @@ object AppendUtil {
     writer.parquet(dataDir.toString)
 
     // Inventory what was written; parse partition tuples back from the
-    // Hive-style directory names.
+    // Hive-style directory names. Listing is scoped to THIS commit's
+    // directory (O(files written), not O(table)); footer-stat reads are
+    // independent per file and run in parallel — a 10k-file append must
+    // not serialize 10k footer round-trips on the driver.
+    import scala.collection.parallel.CollectionConverters._
     val fs = dataDir.getFileSystem(conf)
     val nameByFieldId = spec.fields.map(pf => (PartColPrefix + pf.fieldId) -> pf.name).toMap
     val it = fs.listFiles(dataDir, true)
-    val out = scala.collection.mutable.ArrayBuffer[graft.manifest.DataFile]()
+    val listed = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
     while (it.hasNext) {
       val st = it.next()
-      val p = st.getPath
-      if (st.isFile && p.getName.endsWith(".parquet")) {
-        val partition = p.toString.split('/').flatMap { seg =>
-          val i = seg.indexOf('=')
-          if (i > 0) {
-            val k = seg.substring(0, i)
-            nameByFieldId.get(k).map { humanName =>
-              val raw = unescapePathName(seg.substring(i + 1))
-              humanName -> (if (raw == "__HIVE_DEFAULT_PARTITION__") "" else raw)
-            }
-          } else None
-        }.toMap
-        val stats = ParquetStats.read(conf, p)
-        out += graft.manifest.DataFile(
-          filePath = p.toString,
-          fileFormat = "PARQUET",
-          partition = partition,
-          recordCount = stats.recordCount,
-          fileSizeInBytes = st.getLen,
-          lowerBounds = stats.lowerBounds,
-          upperBounds = stats.upperBounds,
-          nullCounts = stats.nullCounts)
-      }
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        listed += ((st.getPath, st.getLen))
     }
-    out.toSeq
+    listed.toSeq.par.map { case (p, len) =>
+      val partition = p.toString.split('/').flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) {
+          val k = seg.substring(0, i)
+          nameByFieldId.get(k).map { humanName =>
+            val raw = unescapePathName(seg.substring(i + 1))
+            humanName -> (if (raw == "__HIVE_DEFAULT_PARTITION__") "" else raw)
+          }
+        } else None
+      }.toMap
+      val stats = ParquetStats.read(conf, p)
+      graft.manifest.DataFile(
+        filePath = p.toString,
+        fileFormat = "PARQUET",
+        partition = partition,
+        recordCount = stats.recordCount,
+        fileSizeInBytes = len,
+        lowerBounds = stats.lowerBounds,
+        upperBounds = stats.upperBounds,
+        nullCounts = stats.nullCounts)
+    }.seq
   }
 
   /** Inverse of Hive's escapePathName (%xx sequences). */
