@@ -36,6 +36,13 @@ class SqlSpec extends AnyFunSuite {
     val types = cat.sql(spark, "SELECT $1 AS l, $2 AS d, $3 AS s, $4 AS dt",
       Seq(7L, 2.5, "x", java.time.LocalDate.of(2024, 1, 2))).rows.head
     assert(types == Seq(7L, 2.5, "x", java.sql.Date.valueOf("2024-01-02")))
+    // reference param-type table (catalog.rs:467-495): nil, bool, timestamp
+    val more = cat.sql(spark, "SELECT $1 AS n, $2 AS b, $3 AS ts, $4 AS dec",
+      Seq(null, true, java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5),
+        BigDecimal("12.34"))).rows.head
+    assert(more(0) == null && more(1) == true)
+    assert(more(2) == java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5))
+    assert(more(3) == new java.math.BigDecimal("12.34"))
     assertThrows[InvalidDataError](cat.sql(spark, "SELECT $3", Seq(1)))
   }
 
