@@ -28,27 +28,34 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM + Spark warm-up (codegen, parquet footer caches) outside timing
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    def runOnce(name: String): Unit = {
-      val fn = SparkEntry.queries(name)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        case _: Throwable =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
-    }
-    val results = headline.map { name =>
+    def runOnce(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // A failing headline query must be LOUD in the bench JSON — swallowing
+    // it would report a near-zero time as if the query were fast.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = headline.flatMap { name =>
       // steady-state timing: first execution compiles the plan (codegen,
       // broadcast build) — that one-time cost is not the per-query rate a
       // cluster sees, so time the second run
-      runOnce(name)
-      val t0 = System.nanoTime()
-      runOnce(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        runOnce(name)
+        val t0 = System.nanoTime()
+        runOnce(name)
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
+            .replaceAll("[\"\\n\\r\\\\]", " ").take(200)
+          None
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

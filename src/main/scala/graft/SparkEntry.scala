@@ -396,6 +396,11 @@ object SparkEntry {
       // REAL Structured Streaming over the events data (AvailableNow):
       // hourly windowed counts with watermark, landed in a memory sink and
       // verified against the batch oracle — the unified-model guarantee.
+      // APPEND mode: only watermark-finalized windows are emitted, so the
+      // state store provably holds just the open windows (complete mode
+      // ignores the watermark for eviction — correct output, unbounded
+      // state). The oracle applies the same cutoff: window_end <= final
+      // watermark (= ms-floored max event time - 10 min).
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val raw = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -407,7 +412,7 @@ object SparkEntry {
         .windowedCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
       val sink = s"stream_win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink)
@@ -728,9 +733,13 @@ object SparkEntry {
         |WHERE a <> 2 ORDER BY 2 DESC LIMIT 2""".stripMargin,
 
     "s42_stream_windowed" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        | COUNT(*) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS wm
+        |            FROM events)
+        |SELECT window_start, event_type, n_events FROM (
+        | SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events
+        | FROM events GROUP BY 1, 2) w, mx
+        |WHERE window_start + INTERVAL 1 HOUR <= wm
+        |ORDER BY 1, 2""".stripMargin,
 
     "d30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

@@ -175,10 +175,24 @@ final class MemoryCatalog(
 }
 
 private[graft] object CatalogUtil {
-  /** Cheap identity for optimistic concurrency: two metadata objects with the
-    * same fingerprint describe the same committed version. */
-  def versionFingerprint(m: TableMetadata): (Long, Option[Long], Int, Int) =
-    (m.lastSequenceNumber, m.currentSnapshotId, m.schemas.size, m.currentSchemaId)
+  /** Identity for optimistic concurrency: two metadata objects with the same
+    * fingerprint describe the same committed version. Covers the FULL
+    * committed state (canonicalized JSON with sorted object keys, so a
+    * round-trip through MetadataJson can't reorder map entries) — a commit
+    * that only changes refs (tags/branches) or only the snapshot list
+    * (expiration) must conflict with a concurrent writer holding a
+    * pre-commit handle, or tags are silently lost and expired snapshots
+    * resurrected. */
+  def versionFingerprint(m: TableMetadata): String = {
+    import org.json4s._
+    def canon(j: JValue): JValue = j match {
+      case JObject(fields) => JObject(fields.map { case (k, v) => (k, canon(v)) }.sortBy(_._1))
+      case JArray(xs) => JArray(xs.map(canon))
+      case other => other
+    }
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(canon(MetadataJson.toJson(m))))
+  }
 
   def validateSpec(schema: Schema, spec: PartitionSpec): Unit = {
     import graft.transforms.Transform

@@ -223,39 +223,60 @@ object MetadataJson {
 
   // -------------------------------------------------------------- metadata
 
-  def toJson(m: TableMetadata): JValue = JObject(
-    "format-version" -> JInt(m.formatVersion),
-    "table-uuid" -> JString(m.tableUuid),
-    "location" -> JString(m.location),
-    "last-sequence-number" -> JInt(BigInt(m.lastSequenceNumber)),
-    "last-updated-ms" -> JInt(BigInt(m.lastUpdatedMs)),
-    "last-column-id" -> JInt(m.lastColumnId),
-    "current-schema-id" -> JInt(m.currentSchemaId),
-    "schemas" -> JArray(m.schemas.toList.map(schemaToJson)),
-    "default-spec-id" -> JInt(m.defaultSpecId),
-    "partition-specs" -> JArray(m.partitionSpecs.toList.map(specToJson)),
-    "last-partition-id" -> JInt(m.lastPartitionId),
-    "default-sort-order-id" -> JInt(m.defaultSortOrderId),
-    "sort-orders" -> JArray(m.sortOrders.toList.map(sortOrderToJson)),
-    "properties" -> JObject(m.properties.toList.map { case (k, v) => k -> JString(v) }),
-    "current-snapshot-id" -> m.currentSnapshotId.map(i => JInt(BigInt(i)): JValue).getOrElse(JInt(-1)),
-    "snapshots" -> JArray(m.snapshots.toList.map(snapshotToJson)),
-    "snapshot-log" -> JArray(m.snapshotLog.toList.map(e => JObject(
-      "timestamp-ms" -> JInt(BigInt(e.timestampMs)), "snapshot-id" -> JInt(BigInt(e.snapshotId))))),
-    "metadata-log" -> JArray(m.metadataLog.toList.map(e => JObject(
-      "timestamp-ms" -> JInt(BigInt(e.timestampMs)), "metadata-file" -> JString(e.metadataFile)))),
-    "refs" -> JObject(m.refs.toList.map { case (k, r) => k -> (JObject(
-      "snapshot-id" -> JInt(BigInt(r.snapshotId)), "type" -> JString(r.refType)): JValue) }),
-    "statistics" -> JArray(m.statistics.toList.map(s => JObject(
-      "snapshot-id" -> JInt(BigInt(s.snapshotId)),
-      "statistics-path" -> JString(s.statisticsPath),
-      "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)),
-      "file-footer-size-in-bytes" -> JInt(BigInt(s.fileFooterSizeInBytes))))),
-    "partition-statistics" -> JArray(m.partitionStatistics.toList.map(s => JObject(
-      "snapshot-id" -> JInt(BigInt(s.snapshotId)),
-      "statistics-path" -> JString(s.statisticsPath),
-      "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes))))),
-    "next-row-id" -> JInt(BigInt(m.nextRowId)))
+  def toJson(m: TableMetadata): JValue = {
+    // version-correct field sets: last-sequence-number is v2+; next-row-id
+    // (row lineage) is v3; v1 additionally carries the legacy singular
+    // "schema"/"partition-spec" fields required by v1 readers
+    val head = List[JField](
+      "format-version" -> JInt(m.formatVersion),
+      "table-uuid" -> JString(m.tableUuid),
+      "location" -> JString(m.location)) ++
+      (if (m.formatVersion >= 2)
+        List[JField]("last-sequence-number" -> JInt(BigInt(m.lastSequenceNumber)))
+      else Nil)
+    val v1Legacy: List[JField] =
+      if (m.formatVersion == 1)
+        List(
+          "schema" -> schemaToJson(m.currentSchema),
+          "partition-spec" -> JArray(m.defaultPartitionSpec.fields.toList.map(f => JObject(
+            "source-id" -> JInt(f.sourceId),
+            "field-id" -> JInt(f.fieldId),
+            "name" -> JString(f.name),
+            "transform" -> JString(f.transform)))))
+      else Nil
+    val tail = List[JField](
+      "last-updated-ms" -> JInt(BigInt(m.lastUpdatedMs)),
+      "last-column-id" -> JInt(m.lastColumnId),
+      "current-schema-id" -> JInt(m.currentSchemaId),
+      "schemas" -> JArray(m.schemas.toList.map(schemaToJson)),
+      "default-spec-id" -> JInt(m.defaultSpecId),
+      "partition-specs" -> JArray(m.partitionSpecs.toList.map(specToJson)),
+      "last-partition-id" -> JInt(m.lastPartitionId),
+      "default-sort-order-id" -> JInt(m.defaultSortOrderId),
+      "sort-orders" -> JArray(m.sortOrders.toList.map(sortOrderToJson)),
+      "properties" -> JObject(m.properties.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "current-snapshot-id" -> m.currentSnapshotId.map(i => JInt(BigInt(i)): JValue).getOrElse(JInt(-1)),
+      "snapshots" -> JArray(m.snapshots.toList.map(snapshotToJson)),
+      "snapshot-log" -> JArray(m.snapshotLog.toList.map(e => JObject(
+        "timestamp-ms" -> JInt(BigInt(e.timestampMs)), "snapshot-id" -> JInt(BigInt(e.snapshotId))))),
+      "metadata-log" -> JArray(m.metadataLog.toList.map(e => JObject(
+        "timestamp-ms" -> JInt(BigInt(e.timestampMs)), "metadata-file" -> JString(e.metadataFile)))),
+      "refs" -> JObject(m.refs.toList.map { case (k, r) => k -> (JObject(
+        "snapshot-id" -> JInt(BigInt(r.snapshotId)), "type" -> JString(r.refType)): JValue) }),
+      "statistics" -> JArray(m.statistics.toList.map(s => JObject(
+        "snapshot-id" -> JInt(BigInt(s.snapshotId)),
+        "statistics-path" -> JString(s.statisticsPath),
+        "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)),
+        "file-footer-size-in-bytes" -> JInt(BigInt(s.fileFooterSizeInBytes))))),
+      "partition-statistics" -> JArray(m.partitionStatistics.toList.map(s => JObject(
+        "snapshot-id" -> JInt(BigInt(s.snapshotId)),
+        "statistics-path" -> JString(s.statisticsPath),
+        "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)))))) ++
+      (if (m.formatVersion >= 3)
+        List[JField]("next-row-id" -> JInt(BigInt(m.nextRowId)))
+      else Nil)
+    JObject(head ++ v1Legacy ++ tail)
+  }
 
   def fromJson(j: JValue): TableMetadata = {
     val schemasJ = (j \ "schemas") match {

@@ -113,16 +113,30 @@ final case class SnapshotRef(snapshotId: Long, refType: String, // "branch" | "t
 object TableMetadata {
   val DefaultFormatVersion = 2
 
-  /** Fresh metadata for a newly created table (no snapshots yet). */
+  /** Fresh metadata for a newly created table (no snapshots yet). The
+    * reserved `format-version` table property is a creation directive (ref
+    * `ext/iceberg/src/catalog.rs:320-334` honors it the same way): it picks
+    * the metadata version and is stripped from the stored properties. */
   def create(location: String, schema: Schema, spec: PartitionSpec,
              sortOrder: SortOrder, properties: Map[String, String],
              formatVersion: Int = DefaultFormatVersion): TableMetadata = {
+    val fv = properties.get("format-version") match {
+      case Some(v) =>
+        val n = try v.trim.toInt catch {
+          case _: NumberFormatException =>
+            throw new graft.InvalidDataError(s"invalid format-version: $v")
+        }
+        if (n < 1 || n > 3)
+          throw new graft.InvalidDataError(s"unsupported format-version: $n")
+        n
+      case None => formatVersion
+    }
     val s0 = if (schema.schemaId == 0) schema else schema.copy(schemaId = 0)
     val lastPartId =
       if (spec.fields.isEmpty) PartitionSpec.FirstFieldId - 1
       else spec.fields.map(_.fieldId).max
     TableMetadata(
-      formatVersion = formatVersion,
+      formatVersion = fv,
       tableUuid = java.util.UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,
@@ -135,7 +149,7 @@ object TableMetadata {
       lastPartitionId = lastPartId,
       defaultSortOrderId = sortOrder.orderId,
       sortOrders = Seq(sortOrder),
-      properties = properties,
+      properties = properties - "format-version",
       currentSnapshotId = None,
       snapshots = Nil,
       snapshotLog = Nil,

@@ -173,15 +173,31 @@ object GraftSql {
   }
 
   /** Positional `$1..$n` binding by literal splice, with the reference's
-    * type table (`catalog.rs:467-495`); extra params are ignored. */
+    * type table (`catalog.rs:467-495`); extra params are ignored. Quote-aware
+    * like [[splitStatements]]: a literal dollar-number INSIDE a string
+    * (`WHERE note = 'costs $1'`) is data, not a placeholder. */
   private[sql] def bindParams(stmt: String, params: Seq[Any]): String = {
     if (params.isEmpty) return stmt
-    """\$(\d+)""".r.replaceAllIn(stmt, m => {
-      val i = m.group(1).toInt
-      if (i < 1 || i > params.length)
-        throw new InvalidDataError(s"no value for placeholder $$${i}")
-      java.util.regex.Matcher.quoteReplacement(literal(params(i - 1)))
-    })
+    val sb = new StringBuilder
+    var inS = false; var inD = false
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      c match {
+        case '\'' if !inD => inS = !inS; sb += c; i += 1
+        case '"' if !inS => inD = !inD; sb += c; i += 1
+        case '$' if !inS && !inD && i + 1 < stmt.length && stmt.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < stmt.length && stmt.charAt(j).isDigit) j += 1
+          val n = stmt.substring(i + 1, j).toInt
+          if (n < 1 || n > params.length)
+            throw new InvalidDataError(s"no value for placeholder $$$n")
+          sb ++= literal(params(n - 1))
+          i = j
+        case other => sb += other; i += 1
+      }
+    }
+    sb.toString
   }
 
   private def literal(v: Any): String = v match {

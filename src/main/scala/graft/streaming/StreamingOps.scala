@@ -61,19 +61,53 @@ object StreamingOps {
    */
   def appendStream(stream: DataFrame, table: Table,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val committed = lastCommittedBatchId(table)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!committed.exists(_ >= batchId)) {
-          table.append(batch,
-            extraSummary = Map("streaming-batch-id" -> batchId.toString))
+        // Batch ids are only meaningful WITHIN one checkpoint's query: a new
+        // query on a fresh checkpoint restarts at 0, so the replay check must
+        // be scoped per query id or its first batches would be dropped as
+        // "already committed" (the txnAppId/txnVersion pattern of real
+        // Iceberg/Delta streaming sinks).
+        val scope = queryScope(batch.sparkSession, checkpointDir)
+        table.refresh()
+        if (!lastCommittedBatchId(table, scope).exists(_ >= batchId)) {
+          table.append(batch, extraSummary = Map(
+            "streaming-query-id" -> scope,
+            "streaming-batch-id" -> batchId.toString))
         }
       }
       .start()
   }
 
-  /** Highest `streaming-batch-id` recorded by [[appendStream]] commits. */
+  /** The stable id scoping a stream's batch ids: the query id Spark persists
+    * at `<checkpoint>/metadata` (stable across restarts from the same
+    * checkpoint; fresh per new checkpoint). Falls back to the checkpoint
+    * path itself, which has the same lifecycle. */
+  private def queryScope(spark: SparkSession, checkpointDir: String): String = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(checkpointDir)
+      } else checkpointDir
+    } catch { case _: java.io.IOException => checkpointDir }
+  }
+
+  /** Highest `streaming-batch-id` recorded by [[appendStream]] commits for
+    * the given query scope. */
+  def lastCommittedBatchId(table: Table, scope: String): Option[Long] = {
+    val ids = table.snapshots
+      .filter(_.summary.get("streaming-query-id").contains(scope))
+      .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Highest `streaming-batch-id` across all query scopes (monitoring view —
+    * not valid for replay dedup, which is per-scope). */
   def lastCommittedBatchId(table: Table): Option[Long] = {
     val ids = table.snapshots.flatMap(_.summary.get("streaming-batch-id"))
       .map(_.toLong)

@@ -146,10 +146,9 @@ final class Table(
       // would otherwise silently no-op before ever reaching the CAS)
       refresh()
       val affectedScan = scan(None, predicates)
-      val affected = affectedScan.planFiles()
+      // one manifest pass yields both the rewrite set and the carried set
+      val (affected, kept) = affectedScan.planFilesPartitioned()
       if (affected.isEmpty) return // nothing can match — no new snapshot
-      val affectedPaths = affected.map(_.filePath).toSet
-      val kept = scan().planFiles().filterNot(t => affectedPaths.contains(t.filePath))
       // rewrite affected files WITHOUT the matching rows (MOR deletes and
       // schema projection applied by the scan materialization)
       val matchAll = predicates.map(affectedScan.predicateToColumn)
@@ -199,10 +198,9 @@ final class Table(
       // would otherwise silently no-op before ever reaching the CAS)
       refresh()
       val affectedScan = scan(None, predicates)
-      val affected = affectedScan.planFiles()
+      // one manifest pass yields both the rewrite set and the carried set
+      val (affected, kept) = affectedScan.planFilesPartitioned()
       if (affected.isEmpty) return
-      val affectedPaths = affected.map(_.filePath).toSet
-      val kept = scan().planFiles().filterNot(t => affectedPaths.contains(t.filePath))
       val matchAll = predicates.map(affectedScan.predicateToColumn).reduce(_ && _)
       val base = affectedScan.materializeTasks(spark, affected)
       val rewritten = meta.currentSchema.fields.foldLeft(base) { (d, f) =>
@@ -281,18 +279,46 @@ final class Table(
     }
   }
 
+  /** Commit a metadata-only change with the same refresh-and-retry loop the
+    * write path uses: on [[CommitConflictError]] rebuild against the
+    * catalog's current metadata (the builder re-validates per attempt).
+    * A builder returning None aborts without committing anything. */
+  private def commitWithRetry(maxRetries: Int = 5)
+                             (build: TableMetadata => Option[TableMetadata]): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val base = if (attempt == 0) meta else cat.currentMetadata(ident)
+      try {
+        build(base) match {
+          case Some(updated) => meta = cat.commitTable(ident, base, updated)
+          case None => meta = base // nothing to commit; adopt the fresh view
+        }
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
   /** Roll the table back to an earlier snapshot (metadata-only; the
     * abandoned snapshots stay until [[expireSnapshots]]). */
   def rollback(snapshotId: Long): Unit = {
-    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     if (meta.snapshotById(snapshotId).isEmpty)
       throw new InvalidDataError(s"no snapshot with id $snapshotId")
-    val now = System.currentTimeMillis()
-    meta = cat.commitTable(ident, meta, meta.copy(
-      currentSnapshotId = Some(snapshotId),
-      lastUpdatedMs = now,
-      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
-      refs = meta.refs.updated("main", SnapshotRef(snapshotId, "branch"))))
+    commitWithRetry() { base =>
+      if (base.snapshotById(snapshotId).isEmpty)
+        throw new InvalidDataError(s"no snapshot with id $snapshotId")
+      val now = System.currentTimeMillis()
+      Some(base.copy(
+        currentSnapshotId = Some(snapshotId),
+        lastUpdatedMs = now,
+        snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
+        refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch"))))
+    }
   }
 
   /**
@@ -303,42 +329,50 @@ final class Table(
    * old files on disk for time travel until expiration collects them.
    */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = {
-    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    import scala.collection.parallel.CollectionConverters._
     val fs = new Path(meta.location).getFileSystem(hadoopConf)
-    val byTime = meta.snapshots.sortBy(_.timestampMs)
-    val protectedIds: Set[Long] =
-      byTime.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
-        meta.refs.values.map(_.snapshotId) ++ meta.currentSnapshotId
-    val (expired, remaining) = meta.snapshots.partition(s =>
-      s.timestampMs < olderThanMs && !protectedIds.contains(s.snapshotId))
+    // (expired, remaining) of the base the successful commit was built on —
+    // physical cleanup must use exactly the committed partition
+    var committedSplit: (Seq[Snapshot], Seq[Snapshot]) = (Nil, Nil)
+    commitWithRetry() { base =>
+      val byTime = base.snapshots.sortBy(_.timestampMs)
+      val protectedIds: Set[Long] =
+        byTime.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
+          base.refs.values.map(_.snapshotId) ++ base.currentSnapshotId
+      val (expired, remaining) = base.snapshots.partition(s =>
+        s.timestampMs < olderThanMs && !protectedIds.contains(s.snapshotId))
+      committedSplit = (expired, remaining)
+      if (expired.isEmpty) None
+      else Some(base.copy(
+        snapshots = remaining,
+        snapshotLog = base.snapshotLog.filter(e =>
+          remaining.exists(_.snapshotId == e.snapshotId)),
+        lastUpdatedMs = System.currentTimeMillis()))
+    }
+    val (expired, remaining) = committedSplit
     if (expired.isEmpty) return
 
+    // Reachability is read in parallel across snapshots AND across each
+    // snapshot's manifests — a long-lived table has O(history) manifest
+    // lists and serializing their reads stalls the driver.
     def filesOf(snaps: Seq[Snapshot]): (Set[String], Set[String]) = {
-      val manifestPaths = scala.collection.mutable.Set[String]()
-      val dataPaths = scala.collection.mutable.Set[String]()
-      snaps.foreach { s =>
+      val perSnap = snaps.par.map { s =>
         val mfs = Manifests.readManifestList(fs, new Path(s.manifestList))
-        mfs.foreach { mf =>
-          manifestPaths += mf.manifestPath
+        val data = mfs.par.flatMap { mf =>
           Manifests.readManifest(fs, new Path(mf.manifestPath))
-            .filter(_.isLive).foreach(e => dataPaths += e.dataFile.filePath)
-        }
-      }
-      (manifestPaths.toSet, dataPaths.toSet)
+            .filter(_.isLive).map(_.dataFile.filePath)
+        }.seq
+        (mfs.map(_.manifestPath).toSet, data.toSet)
+      }.seq
+      (perSnap.flatMap(_._1).toSet, perSnap.flatMap(_._2).toSet)
     }
     val (liveManifests, liveData) = filesOf(remaining)
     val (deadManifests, deadData) = filesOf(expired)
 
-    meta = cat.commitTable(ident, meta, meta.copy(
-      snapshots = remaining,
-      snapshotLog = meta.snapshotLog.filter(e =>
-        remaining.exists(_.snapshotId == e.snapshotId)),
-      lastUpdatedMs = System.currentTimeMillis()))
-
     // physical cleanup AFTER the metadata commit succeeds
-    (deadData -- liveData).foreach(p => fs.delete(new Path(p), false))
-    (deadManifests -- liveManifests).foreach(p => fs.delete(new Path(p), false))
-    expired.foreach(s => fs.delete(new Path(s.manifestList), false))
+    (deadData -- liveData).par.foreach(p => fs.delete(new Path(p), false))
+    (deadManifests -- liveManifests).par.foreach(p => fs.delete(new Path(p), false))
+    expired.par.foreach(s => fs.delete(new Path(s.manifestList), false))
   }
 
   // --------------------------------------------------------- refs (tags)
@@ -352,13 +386,15 @@ final class Table(
     addRef(name, "branch", snapshotId)
 
   private def addRef(name: String, refType: String, snapshotId: Option[Long]): Unit = {
-    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     val sid = snapshotId.orElse(meta.currentSnapshotId).getOrElse(
       throw new InvalidDataError("table has no snapshot to reference"))
     if (meta.snapshotById(sid).isEmpty)
       throw new InvalidDataError(s"no snapshot with id $sid")
-    meta = cat.commitTable(ident, meta,
-      meta.copy(refs = meta.refs.updated(name, SnapshotRef(sid, refType))))
+    commitWithRetry() { base =>
+      if (base.snapshotById(sid).isEmpty)
+        throw new InvalidDataError(s"no snapshot with id $sid")
+      Some(base.copy(refs = base.refs.updated(name, SnapshotRef(sid, refType))))
+    }
   }
 
   /** Scan pinned to a named ref (tag or branch). */

@@ -43,7 +43,19 @@ final class TableScan(
     val snapshot: Option[Snapshot],
     predicates: Seq[ScanPredicate] = Nil) {
 
-  def planFiles(): Seq[FileScanTask] = {
+  def planFiles(): Seq[FileScanTask] = planEntries().collect { case (t, true) => t }
+
+  /** One manifest-planning pass split by the scan predicates: `(affected,
+    * kept)` where `affected` files MAY contain matching rows and `kept`
+    * provably cannot. Copy-on-write DML needs both sets; planning them in
+    * one pass instead of two halves the manifest reads per commit attempt
+    * (at 10⁵ manifests that is the dominant commit cost). */
+  private[graft] def planFilesPartitioned(): (Seq[FileScanTask], Seq[FileScanTask]) = {
+    val all = planEntries()
+    (all.collect { case (t, true) => t }, all.collect { case (t, false) => t })
+  }
+
+  private def planEntries(): Seq[(FileScanTask, Boolean)] = {
     import scala.collection.parallel.CollectionConverters._
     val snap = snapshot.getOrElse(return Nil)
     val conf = table.hadoopConf
@@ -69,9 +81,8 @@ final class TableScan(
       val writeSchema = meta.schemaById(mf.schemaId).getOrElse(meta.currentSchema)
       Manifests.readManifest(fs, new Path(mf.manifestPath))
         .filter(_.isLive)
-        .filter(e => keepFile(e.dataFile, spec, writeSchema))
-        .map(e => FileScanTask(e.dataFile, mf.schemaId, e.sequenceNumber,
-          applicableDeletes(e.sequenceNumber)))
+        .map(e => (FileScanTask(e.dataFile, mf.schemaId, e.sequenceNumber,
+          applicableDeletes(e.sequenceNumber)), keepFile(e.dataFile, spec, writeSchema)))
     }.seq
   }
 
