@@ -1,6 +1,8 @@
 package graft.manifest
 
-import org.apache.avro.{Schema => AvroSchema, SchemaBuilder}
+import graft.meta.{PartitionField, PartitionSpec}
+import graft.types._
+import org.apache.avro.{LogicalTypes, Schema => AvroSchema}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
@@ -8,12 +10,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
+import java.nio.{ByteBuffer, ByteOrder}
 import scala.jdk.CollectionConverters._
 
 /** One data file tracked by a manifest (ref `scan.rs:82-109` FileScanTask
-  * accessors). Partition values and column bounds are carried as JSON maps
-  * (a documented simplification of the spec's binary single-value
-  * serialization — same pruning power, one writer/reader). */
+  * accessors). In memory, partition values and column bounds are carried as
+  * name-keyed string maps (the form the pruning code consumes); the Avro
+  * layer converts to/from the spec's field-id-keyed binary representation. */
 final case class DataFile(
     filePath: String,
     fileFormat: String, // "PARQUET"
@@ -41,8 +44,10 @@ object ManifestEntry {
   val StatusDeleted = 2
 }
 
-/** Manifest-list entry: one manifest file + roll-up stats used for pruning
-  * (which schema wrote it, how many rows it adds). */
+/** Manifest-list entry: one manifest file + roll-up stats (spec v2
+  * `manifest_file`, fields 500-517). `schemaId` is a graft extension field
+  * (schema-evolution projection groups files by writer schema without
+  * opening each manifest); spec readers resolve by name and skip it. */
 final case class ManifestFile(
     manifestPath: String,
     manifestLength: Long,
@@ -51,131 +56,376 @@ final case class ManifestFile(
     addedFilesCount: Int,
     addedRowsCount: Long,
     schemaId: Int,
-    content: Int = 0) // 0=data manifests, 1=delete manifests
+    content: Int = 0, // 0=data manifests, 1=delete manifests
+    sequenceNumber: Long = 0L,
+    minSequenceNumber: Long = 0L,
+    existingFilesCount: Int = 0,
+    deletedFilesCount: Int = 0,
+    existingRowsCount: Long = 0L,
+    deletedRowsCount: Long = 0L)
 
 /**
- * Avro reader/writer for manifests and manifest lists (Iceberg-style
- * two-level metadata tree: snapshot → manifest-list → manifests → data
- * files). Avro (not JSON) so a 100 TB table's million-file metadata stays
- * compact and splittable; maps are encoded as JSON strings inside the
- * records for schema simplicity.
+ * Avro reader/writer for manifests and manifest lists following the
+ * published Iceberg table-spec v2 layout (the same shape the reference
+ * consumes through the iceberg crate — `ext/iceberg/src/scan.rs:36-51`
+ * reads real manifests; its PyIceberg cross-writer test
+ * `test/sql_test.rb:109-117` depends on it):
  *
- * INTEROP NOTE: this is graft's OWN manifest schema, not the Iceberg spec's
- * manifest/manifest-list Avro layout (field-id-keyed binary bounds,
- * partition structs). Tables written here are fully self-consistent — and
- * the metadata.json layer IS spec-shaped — but spec-compliant Iceberg
- * readers cannot consume these manifests, nor vice versa. Adopting the spec
- * schemas is a contained change (this file only): both sides already carry
- * the same information.
+ *  - `manifest_entry` records with spec field ids (status=0, snapshot_id=1,
+ *    data_file=2, sequence_number=3, file_sequence_number=4) and a
+ *    `data_file` struct (r2) carrying content/134, file_path/100,
+ *    file_format/101, partition/102 (typed struct r102 with per-field
+ *    partition field ids), record_count/103, file_size_in_bytes/104,
+ *    null_value_counts/110, lower_bounds/125, upper_bounds/128,
+ *    equality_ids/135;
+ *  - bounds as field-id-keyed maps of single-value-serialized binary
+ *    (Appendix D: little-endian numerics, UTF-8 strings, big-endian
+ *    unscaled decimals), encoded as key/value arrays with
+ *    `logicalType: map` (Avro maps only key by string);
+ *  - manifest headers carry the write schema + partition spec as JSON
+ *    (`schema`, `partition-spec`, `partition-spec-id`, `format-version`,
+ *    `content`) making every manifest self-describing — the reader maps
+ *    field ids back to names without caller-provided context;
+ *  - `manifest_file` list records with spec fields 500-517.
+ *
+ * Avro (not JSON) so a 100 TB table's million-file metadata stays compact
+ * and splittable.
  */
 object Manifests {
 
-  private val entrySchema: AvroSchema = SchemaBuilder
-    .record("manifest_entry").namespace("graft")
-    .fields()
-    .requiredInt("status")
-    .requiredLong("snapshot_id")
-    .requiredLong("sequence_number")
-    .requiredInt("content")
-    .requiredString("file_path")
-    .requiredString("file_format")
-    .requiredString("partition_json")
-    .requiredLong("record_count")
-    .requiredLong("file_size_in_bytes")
-    .optionalString("lower_bounds_json")
-    .optionalString("upper_bounds_json")
-    .optionalString("null_counts_json")
-    .optionalString("equality_ids_json")
-    .endRecord()
+  // ----------------------------------------------------- avro schema build
 
-  private val manifestFileSchema: AvroSchema = SchemaBuilder
-    .record("manifest_file").namespace("graft")
-    .fields()
-    .requiredString("manifest_path")
-    .requiredLong("manifest_length")
-    .requiredInt("partition_spec_id")
-    .requiredLong("added_snapshot_id")
-    .requiredInt("added_files_count")
-    .requiredLong("added_rows_count")
-    .requiredInt("schema_id")
-    .requiredInt("content")
-    .endRecord()
+  private def nullable(s: AvroSchema): AvroSchema =
+    AvroSchema.createUnion(java.util.List.of(AvroSchema.create(AvroSchema.Type.NULL), s))
 
-  private def mapToJson(m: Map[String, String]): String =
-    JsonMethods.compact(JsonMethods.render(JObject(m.toList.map { case (k, v) => k -> (JString(v): JValue) })))
-  private def longMapToJson(m: Map[String, Long]): String =
-    JsonMethods.compact(JsonMethods.render(JObject(m.toList.map { case (k, v) => k -> (JInt(BigInt(v)): JValue) })))
-  private def jsonToMap(s: String): Map[String, String] = JsonMethods.parse(s) match {
-    case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
-    case _ => Map.empty
+  private def reqField(name: String, s: AvroSchema, fieldId: Int): AvroSchema.Field = {
+    val f = new AvroSchema.Field(name, s, null, null.asInstanceOf[Object])
+    f.addProp("field-id", fieldId)
+    f
   }
-  private def jsonToLongMap(s: String): Map[String, Long] = JsonMethods.parse(s) match {
-    case JObject(fs) => fs.collect { case (k, JInt(v)) => k -> v.toLong }.toMap
-    case _ => Map.empty
+  private def optField(name: String, s: AvroSchema, fieldId: Int): AvroSchema.Field = {
+    val f = new AvroSchema.Field(name, nullable(s), null, JsonProperties_NULL)
+    f.addProp("field-id", fieldId)
+    f
+  }
+  private val JsonProperties_NULL: Object = org.apache.avro.JsonProperties.NULL_VALUE
+
+  private def prim(t: AvroSchema.Type): AvroSchema = AvroSchema.create(t)
+
+  /** Spec map encoding for non-string keys: array of key/value records with
+    * `logicalType: map`. */
+  private def kvArray(recName: String, keyId: Int, valueSchema: AvroSchema,
+                      valueId: Int): AvroSchema = {
+    val rec = AvroSchema.createRecord(recName, null, null, false)
+    rec.setFields(java.util.List.of(
+      reqField("key", prim(AvroSchema.Type.INT), keyId),
+      reqField("value", valueSchema, valueId)))
+    val arr = AvroSchema.createArray(rec)
+    arr.addProp("logicalType", "map")
+    arr
   }
 
-  // ------------------------------------------------------------- manifests
+  /** Avro field names must be [A-Za-z_][A-Za-z0-9_]*. */
+  private def sanitize(name: String): String = {
+    val s = name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    if (s.isEmpty || s.head.isDigit) "_" + s else s
+  }
 
-  def writeManifest(fs: FileSystem, path: Path, entries: Seq[ManifestEntry]): Long = {
-    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+  /** Partition value type under a spec field's transform. */
+  private def partResultType(pf: PartitionField, schema: Schema): IType = {
+    import graft.transforms.Transform
+    schema.fieldById(pf.sourceId) match {
+      case Some(src) =>
+        try Transform.parse(pf.transform).resultType(src.fieldType)
+        catch { case _: Exception => IString }
+      case None => IString
+    }
+  }
+
+  /** Avro type for a typed partition field. Types whose directory-string
+    * form has no stable primitive encoding here fall back to string. */
+  private def partAvroType(t: IType): AvroSchema = t match {
+    case IInt => prim(AvroSchema.Type.INT)
+    case IDate => LogicalTypes.date().addToSchema(prim(AvroSchema.Type.INT))
+    case ILong => prim(AvroSchema.Type.LONG)
+    case IBoolean => prim(AvroSchema.Type.BOOLEAN)
+    case IFloat => prim(AvroSchema.Type.FLOAT)
+    case IDouble => prim(AvroSchema.Type.DOUBLE)
+    case IDecimal(p, s) =>
+      LogicalTypes.decimal(p, s).addToSchema(prim(AvroSchema.Type.BYTES))
+    case _ => prim(AvroSchema.Type.STRING)
+  }
+
+  /** The typed r102 partition struct for a (spec, write-schema) pair. */
+  private def partitionSchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
+    val rec = AvroSchema.createRecord("r102", null, null, false)
+    rec.setFields(spec.fields.map { pf =>
+      optField(sanitize(pf.name), partAvroType(partResultType(pf, schema)), pf.fieldId)
+    }.asJava)
+    rec
+  }
+
+  private def entrySchema(spec: PartitionSpec, schema: Schema): AvroSchema = {
+    val dataFile = AvroSchema.createRecord("r2", null, null, false)
+    dataFile.setFields(java.util.List.of(
+      reqField("content", prim(AvroSchema.Type.INT), 134),
+      reqField("file_path", prim(AvroSchema.Type.STRING), 100),
+      reqField("file_format", prim(AvroSchema.Type.STRING), 101),
+      reqField("partition", partitionSchema(spec, schema), 102),
+      reqField("record_count", prim(AvroSchema.Type.LONG), 103),
+      reqField("file_size_in_bytes", prim(AvroSchema.Type.LONG), 104),
+      optField("null_value_counts", kvArray("k121_v122", 121, prim(AvroSchema.Type.LONG), 122), 110),
+      optField("lower_bounds", kvArray("k126_v127", 126, prim(AvroSchema.Type.BYTES), 127), 125),
+      optField("upper_bounds", kvArray("k129_v130", 129, prim(AvroSchema.Type.BYTES), 130), 128),
+      optField("equality_ids", {
+        val arr = AvroSchema.createArray(prim(AvroSchema.Type.INT))
+        arr.addProp("element-id", 136)
+        arr
+      }, 135)))
+    val rec = AvroSchema.createRecord("manifest_entry", null, null, false)
+    rec.setFields(java.util.List.of(
+      reqField("status", prim(AvroSchema.Type.INT), 0),
+      optField("snapshot_id", prim(AvroSchema.Type.LONG), 1),
+      optField("sequence_number", prim(AvroSchema.Type.LONG), 3),
+      optField("file_sequence_number", prim(AvroSchema.Type.LONG), 4),
+      reqField("data_file", dataFile, 2)))
+    rec
+  }
+
+  private val manifestFileSchema: AvroSchema = {
+    val rec = AvroSchema.createRecord("manifest_file", null, null, false)
+    val schemaIdExt = new AvroSchema.Field("schema_id", prim(AvroSchema.Type.INT), null,
+      null.asInstanceOf[Object]) // graft extension, no spec field id
+    rec.setFields(java.util.List.of(
+      reqField("manifest_path", prim(AvroSchema.Type.STRING), 500),
+      reqField("manifest_length", prim(AvroSchema.Type.LONG), 501),
+      reqField("partition_spec_id", prim(AvroSchema.Type.INT), 502),
+      reqField("content", prim(AvroSchema.Type.INT), 517),
+      reqField("sequence_number", prim(AvroSchema.Type.LONG), 515),
+      reqField("min_sequence_number", prim(AvroSchema.Type.LONG), 516),
+      reqField("added_snapshot_id", prim(AvroSchema.Type.LONG), 503),
+      reqField("added_files_count", prim(AvroSchema.Type.INT), 504),
+      reqField("existing_files_count", prim(AvroSchema.Type.INT), 505),
+      reqField("deleted_files_count", prim(AvroSchema.Type.INT), 506),
+      reqField("added_rows_count", prim(AvroSchema.Type.LONG), 512),
+      reqField("existing_rows_count", prim(AvroSchema.Type.LONG), 513),
+      reqField("deleted_rows_count", prim(AvroSchema.Type.LONG), 514),
+      schemaIdExt))
+    rec
+  }
+
+  /** Exposed for the golden-fixture spec test. */
+  private[graft] def entryAvroSchema(spec: PartitionSpec, schema: Schema): AvroSchema =
+    entrySchema(spec, schema)
+  private[graft] def manifestFileAvroSchema: AvroSchema = manifestFileSchema
+
+  // ------------------------------------------------ partition value serde
+
+  private def encodePartValue(t: IType, raw: String): AnyRef = t match {
+    case IInt => Integer.valueOf(raw.toInt)
+    case IDate => Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+    case ILong => java.lang.Long.valueOf(raw.toLong)
+    case IBoolean => java.lang.Boolean.valueOf(raw.toBoolean)
+    case IFloat => java.lang.Float.valueOf(raw.toFloat)
+    case IDouble => java.lang.Double.valueOf(raw.toDouble)
+    case IDecimal(_, s) =>
+      ByteBuffer.wrap(new java.math.BigDecimal(raw)
+        .setScale(s, java.math.RoundingMode.UNNECESSARY).unscaledValue.toByteArray)
+    case _ => raw
+  }
+
+  private def decodePartValue(t: IType, v: AnyRef): String = t match {
+    case IDate => java.time.LocalDate.ofEpochDay(
+      v.asInstanceOf[Number].longValue()).toString
+    case IDecimal(_, s) =>
+      val bb = v.asInstanceOf[ByteBuffer].duplicate()
+      val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+      new java.math.BigDecimal(new java.math.BigInteger(arr), s).toPlainString
+    case _ => v.toString
+  }
+
+  // ----------------------------------------------------------- file write
+
+  private def schemaJson(schema: Schema): String =
+    JsonMethods.compact(JsonMethods.render(graft.meta.MetadataJson.schemaToJson(schema)))
+  private def specFieldsJson(spec: PartitionSpec): String =
+    JsonMethods.compact(JsonMethods.render(JArray(spec.fields.toList.map(f => JObject(
+      "source-id" -> JInt(f.sourceId), "field-id" -> JInt(f.fieldId),
+      "name" -> JString(f.name), "transform" -> JString(f.transform))))))
+
+  private def boundsToAvro(m: Map[String, String], schema: Schema,
+                           kvSchema: AvroSchema): java.util.List[GenericRecord] = {
+    val itemSchema = kvSchema.getElementType
+    m.toList.sortBy(_._1).flatMap { case (name, raw) =>
+      schema.fieldByName(name).flatMap { f =>
+        SingleValue.toBytes(f.fieldType, raw).map { bytes =>
+          val r = new GenericData.Record(itemSchema)
+          r.put("key", f.id)
+          r.put("value", ByteBuffer.wrap(bytes))
+          r: GenericRecord
+        }
+      }
+    }.asJava
+  }
+
+  /**
+   * Write a manifest. `schema`/`spec` describe the entries' write context:
+   * bounds names are resolved to field ids against `schema`, the partition
+   * struct is typed by `spec`'s transforms, and both are embedded in the
+   * header so the file is self-describing.
+   */
+  def writeManifest(fs: FileSystem, path: Path, entries: Seq[ManifestEntry],
+                    schema: Schema, spec: PartitionSpec): Long = {
+    val avro = entrySchema(spec, schema)
+    val dfSchema = avro.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val nullsSchema = dfSchema.getField("null_value_counts").schema().getTypes.get(1)
+    val lowerSchema = dfSchema.getField("lower_bounds").schema().getTypes.get(1)
+    val upperSchema = dfSchema.getField("upper_bounds").schema().getTypes.get(1)
+    val partTypes = spec.fields.map(pf => pf -> partResultType(pf, schema))
+
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+    writer.setMeta("schema", schemaJson(schema))
+    writer.setMeta("schema-id", schema.schemaId.toString)
+    writer.setMeta("partition-spec", specFieldsJson(spec))
+    writer.setMeta("partition-spec-id", spec.specId.toString)
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content",
+      if (entries.exists(_.dataFile.content != 0)) "deletes" else "data")
     val out = fs.create(path, true)
     try {
-      writer.create(entrySchema, out)
+      writer.create(avro, out)
       entries.foreach { e =>
-        val r = new GenericData.Record(entrySchema)
+        val part = new GenericData.Record(partSchema)
+        partTypes.foreach { case (pf, t) =>
+          val raw = e.dataFile.partition.getOrElse(pf.name, "")
+          part.put(sanitize(pf.name), if (raw.isEmpty) null else encodePartValue(t, raw))
+        }
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", e.dataFile.content)
+        df.put("file_path", e.dataFile.filePath)
+        df.put("file_format", e.dataFile.fileFormat)
+        df.put("partition", part)
+        df.put("record_count", e.dataFile.recordCount)
+        df.put("file_size_in_bytes", e.dataFile.fileSizeInBytes)
+        df.put("null_value_counts",
+          e.dataFile.nullCounts.toList.sortBy(_._1).flatMap { case (name, cnt) =>
+            schema.fieldByName(name).map { f =>
+              val r = new GenericData.Record(nullsSchema.getElementType)
+              r.put("key", f.id); r.put("value", cnt)
+              r: GenericRecord
+            }
+          }.asJava)
+        df.put("lower_bounds", boundsToAvro(e.dataFile.lowerBounds, schema, lowerSchema))
+        df.put("upper_bounds", boundsToAvro(e.dataFile.upperBounds, schema, upperSchema))
+        df.put("equality_ids",
+          if (e.dataFile.equalityIds.isEmpty) null
+          else e.dataFile.equalityIds.map(Integer.valueOf).asJava)
+        val r = new GenericData.Record(avro)
         r.put("status", e.status)
         r.put("snapshot_id", e.snapshotId)
         r.put("sequence_number", e.sequenceNumber)
-        r.put("content", e.dataFile.content)
-        r.put("file_path", e.dataFile.filePath)
-        r.put("file_format", e.dataFile.fileFormat)
-        r.put("partition_json", mapToJson(e.dataFile.partition))
-        r.put("record_count", e.dataFile.recordCount)
-        r.put("file_size_in_bytes", e.dataFile.fileSizeInBytes)
-        r.put("lower_bounds_json", mapToJson(e.dataFile.lowerBounds))
-        r.put("upper_bounds_json", mapToJson(e.dataFile.upperBounds))
-        r.put("null_counts_json", longMapToJson(e.dataFile.nullCounts))
-        r.put("equality_ids_json",
-          JsonMethods.compact(JsonMethods.render(JArray(e.dataFile.equalityIds.toList.map(i => JInt(i): JValue)))))
+        r.put("file_sequence_number", e.sequenceNumber)
+        r.put("data_file", df)
         writer.append(r)
       }
     } finally writer.close()
     fs.getFileStatus(path).getLen
   }
 
+  // ------------------------------------------------------------ file read
+
+  private def bytesOf(v: AnyRef): Array[Byte] = {
+    val bb = v.asInstanceOf[ByteBuffer].duplicate()
+    val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+  }
+
   def readManifest(fs: FileSystem, path: Path): Seq[ManifestEntry] = {
     val in = new org.apache.avro.file.SeekableByteArrayInput(readFully(fs, path))
-    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord](entrySchema))
+    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try {
+      // self-describing header: write schema + partition spec
+      val schema = graft.meta.MetadataJson.schemaFromJson(
+        JsonMethods.parse(reader.getMetaString("schema")))
+      val specFields: Seq[PartitionField] =
+        JsonMethods.parse(Option(reader.getMetaString("partition-spec")).getOrElse("[]")) match {
+          case JArray(xs) => xs.map(f => PartitionField(
+            sourceId = (f \ "source-id").asInstanceOf[JInt].num.toInt,
+            fieldId = (f \ "field-id").asInstanceOf[JInt].num.toInt,
+            name = (f \ "name").asInstanceOf[JString].s,
+            transform = (f \ "transform").asInstanceOf[JString].s))
+          case _ => Nil
+        }
+      val spec = PartitionSpec(
+        Option(reader.getMetaString("partition-spec-id")).map(_.toInt).getOrElse(0),
+        specFields)
+      val nameById = schema.fields.map(f => f.id -> f).toMap
+      val partTypes = spec.fields.map(pf => pf -> partResultType(pf, schema))
+
+      def boundsFromAvro(v: AnyRef): Map[String, String] = v match {
+        case null => Map.empty
+        case list: java.util.List[_] =>
+          list.asScala.flatMap { item =>
+            val r = item.asInstanceOf[GenericRecord]
+            val id = r.get("key").asInstanceOf[Int]
+            nameById.get(id).map(f =>
+              f.name -> SingleValue.fromBytes(f.fieldType, bytesOf(r.get("value"))))
+          }.toMap
+        case _ => Map.empty
+      }
+
       reader.iterator().asScala.map { r =>
-        def str(k: String): String = Option(r.get(k)).map(_.toString).getOrElse("")
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val partition = partTypes.map { case (pf, t) =>
+          val v = part.get(sanitize(pf.name))
+          pf.name -> (if (v == null) "" else decodePartValue(t, v))
+        }.toMap
+        val nulls = df.get("null_value_counts") match {
+          case null => Map.empty[String, Long]
+          case list: java.util.List[_] =>
+            list.asScala.flatMap { item =>
+              val kv = item.asInstanceOf[GenericRecord]
+              nameById.get(kv.get("key").asInstanceOf[Int])
+                .map(f => f.name -> kv.get("value").asInstanceOf[Long])
+            }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        val eqIds = df.get("equality_ids") match {
+          case null => Nil
+          case list: java.util.List[_] => list.asScala.toList.map(_.asInstanceOf[Int])
+          case _ => Nil
+        }
+        def longOr0(v: AnyRef): Long = if (v == null) 0L else v.asInstanceOf[Long]
         ManifestEntry(
           status = r.get("status").asInstanceOf[Int],
-          snapshotId = r.get("snapshot_id").asInstanceOf[Long],
-          sequenceNumber = r.get("sequence_number").asInstanceOf[Long],
+          snapshotId = longOr0(r.get("snapshot_id")),
+          sequenceNumber = longOr0(r.get("sequence_number")),
           dataFile = DataFile(
-            filePath = str("file_path"),
-            fileFormat = str("file_format"),
-            partition = if (str("partition_json").isEmpty) Map.empty else jsonToMap(str("partition_json")),
-            recordCount = r.get("record_count").asInstanceOf[Long],
-            fileSizeInBytes = r.get("file_size_in_bytes").asInstanceOf[Long],
-            lowerBounds = if (str("lower_bounds_json").isEmpty) Map.empty else jsonToMap(str("lower_bounds_json")),
-            upperBounds = if (str("upper_bounds_json").isEmpty) Map.empty else jsonToMap(str("upper_bounds_json")),
-            nullCounts = if (str("null_counts_json").isEmpty) Map.empty else jsonToLongMap(str("null_counts_json")),
-            content = r.get("content").asInstanceOf[Int],
-            equalityIds = if (str("equality_ids_json").isEmpty) Nil else
-              JsonMethods.parse(str("equality_ids_json")) match {
-                case JArray(xs) => xs.collect { case JInt(i) => i.toInt }
-                case _ => Nil
-              }))
+            filePath = df.get("file_path").toString,
+            fileFormat = df.get("file_format").toString,
+            partition = partition,
+            recordCount = df.get("record_count").asInstanceOf[Long],
+            fileSizeInBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+            lowerBounds = boundsFromAvro(df.get("lower_bounds")),
+            upperBounds = boundsFromAvro(df.get("upper_bounds")),
+            nullCounts = nulls,
+            content = df.get("content").asInstanceOf[Int],
+            equalityIds = eqIds))
       }.toList
     } finally reader.close()
   }
 
   // --------------------------------------------------------- manifest list
 
-  def writeManifestList(fs: FileSystem, path: Path, manifests: Seq[ManifestFile]): Long = {
+  def writeManifestList(fs: FileSystem, path: Path, manifests: Seq[ManifestFile],
+                        snapshotId: Long = -1L, parentSnapshotId: Option[Long] = None,
+                        sequenceNumber: Long = -1L): Long = {
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    if (snapshotId >= 0) writer.setMeta("snapshot-id", snapshotId.toString)
+    parentSnapshotId.foreach(p => writer.setMeta("parent-snapshot-id", p.toString))
+    if (sequenceNumber >= 0) writer.setMeta("sequence-number", sequenceNumber.toString)
+    writer.setMeta("format-version", "2")
     val out = fs.create(path, true)
     try {
       writer.create(manifestFileSchema, out)
@@ -184,11 +434,17 @@ object Manifests {
         r.put("manifest_path", m.manifestPath)
         r.put("manifest_length", m.manifestLength)
         r.put("partition_spec_id", m.partitionSpecId)
+        r.put("content", m.content)
+        r.put("sequence_number", m.sequenceNumber)
+        r.put("min_sequence_number", m.minSequenceNumber)
         r.put("added_snapshot_id", m.addedSnapshotId)
         r.put("added_files_count", m.addedFilesCount)
+        r.put("existing_files_count", m.existingFilesCount)
+        r.put("deleted_files_count", m.deletedFilesCount)
         r.put("added_rows_count", m.addedRowsCount)
+        r.put("existing_rows_count", m.existingRowsCount)
+        r.put("deleted_rows_count", m.deletedRowsCount)
         r.put("schema_id", m.schemaId)
-        r.put("content", m.content)
         writer.append(r)
       }
     } finally writer.close()
@@ -197,9 +453,13 @@ object Manifests {
 
   def readManifestList(fs: FileSystem, path: Path): Seq[ManifestFile] = {
     val in = new org.apache.avro.file.SeekableByteArrayInput(readFully(fs, path))
-    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord](manifestFileSchema))
+    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try {
       reader.iterator().asScala.map { r =>
+        def intOr0(n: String): Int =
+          Option(r.get(n)).map(_.asInstanceOf[Int]).getOrElse(0)
+        def longOr0(n: String): Long =
+          Option(r.get(n)).map(_.asInstanceOf[Long]).getOrElse(0L)
         ManifestFile(
           manifestPath = r.get("manifest_path").toString,
           manifestLength = r.get("manifest_length").asInstanceOf[Long],
@@ -207,8 +467,14 @@ object Manifests {
           addedSnapshotId = r.get("added_snapshot_id").asInstanceOf[Long],
           addedFilesCount = r.get("added_files_count").asInstanceOf[Int],
           addedRowsCount = r.get("added_rows_count").asInstanceOf[Long],
-          schemaId = r.get("schema_id").asInstanceOf[Int],
-          content = r.get("content").asInstanceOf[Int])
+          schemaId = intOr0("schema_id"),
+          content = r.get("content").asInstanceOf[Int],
+          sequenceNumber = longOr0("sequence_number"),
+          minSequenceNumber = longOr0("min_sequence_number"),
+          existingFilesCount = intOr0("existing_files_count"),
+          deletedFilesCount = intOr0("deleted_files_count"),
+          existingRowsCount = longOr0("existing_rows_count"),
+          deletedRowsCount = longOr0("deleted_rows_count"))
       }.toList
     } finally reader.close()
   }
@@ -222,4 +488,65 @@ object Manifests {
   }
 
   def newConf(): Configuration = new Configuration()
+}
+
+/**
+ * Iceberg single-value binary serialization (spec Appendix D): the encoding
+ * of bound values in manifests. Converts from/to graft's canonical bound
+ * strings (the physical forms ParquetStats records: epoch-day dates, micros
+ * timestamps, unscaled decimal integers).
+ */
+private[graft] object SingleValue {
+
+  def toBytes(t: IType, raw: String): Option[Array[Byte]] =
+    try {
+      t match {
+        case IInt | IDate =>
+          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putInt(raw.toInt).array())
+        case ILong | ITime | ITimestamp | ITimestampTz | ITimestampNano | ITimestampTzNano =>
+          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putLong(raw.toLong).array())
+        case IFloat =>
+          Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putFloat(raw.toFloat).array())
+        case IDouble =>
+          Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putDouble(raw.toDouble).array())
+        case IBoolean =>
+          Some(Array[Byte](if (raw.toBoolean) 1 else 0))
+        case IString => Some(raw.getBytes("UTF-8"))
+        case IUuid =>
+          val u = java.util.UUID.fromString(raw)
+          Some(ByteBuffer.allocate(16) // big-endian per spec
+            .putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits).array())
+        case IBinary | IFixed(_) => Some(raw.getBytes("UTF-8"))
+        case IDecimal(_, s) =>
+          // footer bounds for decimals come as the unscaled integer string
+          val unscaled =
+            if (raw.contains('.'))
+              new java.math.BigDecimal(raw).setScale(s, java.math.RoundingMode.UNNECESSARY)
+                .unscaledValue
+            else new java.math.BigInteger(raw)
+          Some(unscaled.toByteArray) // big-endian two's-complement, minimal
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  def fromBytes(t: IType, bytes: Array[Byte]): String = t match {
+    case IInt | IDate =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt.toString
+    case ILong | ITime | ITimestamp | ITimestampTz | ITimestampNano | ITimestampTzNano =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toString
+    case IFloat =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString
+    case IDouble =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble.toString
+    case IBoolean => (bytes.nonEmpty && bytes(0) != 0).toString
+    case IUuid =>
+      val bb = ByteBuffer.wrap(bytes)
+      new java.util.UUID(bb.getLong, bb.getLong).toString
+    case IDecimal(_, _) => new java.math.BigInteger(bytes).toString
+    case _ => new String(bytes, "UTF-8") // string, binary, fixed
+  }
 }

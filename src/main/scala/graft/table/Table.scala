@@ -452,7 +452,8 @@ final class Table(
         t.sequenceNumber, t.file)) ++
         added.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f))
     val manifestPath = new Path(metadataDir, s"$attemptId-rw-m0.avro")
-    val manifestLen = Manifests.writeManifest(fs, manifestPath, entries)
+    val manifestLen = Manifests.writeManifest(fs, manifestPath, entries,
+      base.currentSchema, base.defaultPartitionSpec)
     val newManifest = ManifestFile(
       manifestPath = manifestPath.toString,
       manifestLength = manifestLen,
@@ -461,13 +462,18 @@ final class Table(
       addedFilesCount = added.size,
       addedRowsCount = added.map(_.recordCount).sum,
       schemaId = base.currentSchemaId,
-      content = 0)
+      content = 0,
+      sequenceNumber = seq,
+      minSequenceNumber = (kept.map(_.sequenceNumber) :+ seq).min,
+      existingFilesCount = kept.size,
+      existingRowsCount = kept.map(_.recordCount).sum)
     val parentDeleteManifests: Seq[ManifestFile] =
       if (!keepParentDeleteManifests) Nil
       else base.currentSnapshot.toSeq.flatMap(p =>
         Manifests.readManifestList(fs, new Path(p.manifestList)).filter(_.content == 1))
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
-    Manifests.writeManifestList(fs, listPath, newManifest +: parentDeleteManifests)
+    Manifests.writeManifestList(fs, listPath, newManifest +: parentDeleteManifests,
+      snapshotId, base.currentSnapshotId, seq)
 
     val prevTotal = base.currentSnapshot
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
@@ -534,7 +540,8 @@ final class Table(
     // new manifest with the added files
     val manifestPath = new Path(metadataDir, s"$attemptId-m0.avro")
     val entries = files.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f))
-    val manifestLen = Manifests.writeManifest(fs, manifestPath, entries)
+    val manifestLen = Manifests.writeManifest(fs, manifestPath, entries,
+      base.currentSchema, base.defaultPartitionSpec)
     val newManifest = ManifestFile(
       manifestPath = manifestPath.toString,
       manifestLength = manifestLen,
@@ -543,7 +550,9 @@ final class Table(
       addedFilesCount = files.size,
       addedRowsCount = files.map(_.recordCount).sum,
       schemaId = base.currentSchemaId,
-      content = 0)
+      content = 0,
+      sequenceNumber = seq,
+      minSequenceNumber = seq)
 
     // manifest list = parent's manifests + the new one (fast append: no
     // rewrite of existing manifests)
@@ -553,7 +562,8 @@ final class Table(
       case None => Nil
     }
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
-    Manifests.writeManifestList(fs, listPath, parentManifests :+ newManifest)
+    Manifests.writeManifestList(fs, listPath, parentManifests :+ newManifest,
+      snapshotId, base.currentSnapshotId, seq)
 
     val addedRecords = files.map(_.recordCount).sum
     val prevTotal = base.currentSnapshot

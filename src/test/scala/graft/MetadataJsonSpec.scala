@@ -94,4 +94,37 @@ class MetadataJsonSpec extends AnyFunSuite {
     assert(m.currentSnapshot.isEmpty)
     assert(m.defaultPartitionSpec.fields.isEmpty)
   }
+
+  test("format-version property drives creation and version-correct JSON") {
+    val schema = Schema(0, Seq(NestedField(1, "a", IInt)))
+    def create(props: Map[String, String]) = TableMetadata.create(
+      "/tmp/wh/fv", schema, PartitionSpec.Unpartitioned, SortOrder.Unsorted, props)
+
+    // v1: legacy singular schema/partition-spec present; v2+/v3 fields absent
+    val m1 = create(Map("format-version" -> "1"))
+    assert(m1.formatVersion == 1)
+    assert(!m1.properties.contains("format-version")) // creation directive, not a property
+    val j1 = MetadataJson.write(m1)
+    assert(j1.contains("\"schema\"") && j1.contains("\"partition-spec\""))
+    assert(!j1.contains("\"last-sequence-number\"") && !j1.contains("\"next-row-id\""))
+    assert(MetadataJson.read(j1).formatVersion == 1)
+
+    // v2 (default): sequence numbers, no row lineage
+    val m2 = create(Map.empty)
+    assert(m2.formatVersion == 2)
+    val j2 = MetadataJson.write(m2)
+    assert(j2.contains("\"last-sequence-number\"") && !j2.contains("\"next-row-id\""))
+    assert(MetadataJson.read(j2) == m2)
+
+    // v3: row lineage field present and round-trips
+    val m3 = create(Map("format-version" -> "3"))
+    assert(m3.formatVersion == 3)
+    val j3 = MetadataJson.write(m3)
+    assert(j3.contains("\"next-row-id\""))
+    assert(MetadataJson.read(j3) == m3)
+
+    // invalid values rejected
+    intercept[InvalidDataError](create(Map("format-version" -> "4")))
+    intercept[InvalidDataError](create(Map("format-version" -> "x")))
+  }
 }

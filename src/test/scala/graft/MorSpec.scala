@@ -32,11 +32,13 @@ class MorSpec extends AnyFunSuite {
     val snapId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val mPath = new Path(meta.location, s"metadata/del-$snapId-m0.avro")
     val mLen = Manifests.writeManifest(fs, mPath,
-      files.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapId, seq, f)))
+      files.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapId, seq, f)),
+      meta.currentSchema, meta.defaultPartitionSpec)
     val mf = ManifestFile(mPath.toString, mLen, partitionSpecId = 0,
       addedSnapshotId = snapId, addedFilesCount = files.size,
       addedRowsCount = files.map(_.recordCount).sum,
-      schemaId = meta.currentSchemaId, content = 1)
+      schemaId = meta.currentSchemaId, content = 1,
+      sequenceNumber = seq, minSequenceNumber = seq)
     val parents = meta.currentSnapshot
       .map(s => Manifests.readManifestList(fs, new Path(s.manifestList)))
       .getOrElse(Nil)
