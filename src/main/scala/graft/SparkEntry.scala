@@ -46,7 +46,7 @@ object SparkEntry {
   /** The documents table plus a deterministic near-duplicate of every 5th
     * doc (last token dropped, id offset +1000000) — gives the near-dup
     * operators true positives to find without synthesizing data. */
-  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val toks = TextOps.tokens(col("text"))
     val mutated = docs.where("doc_id % 5 = 0").select(
@@ -455,13 +455,37 @@ object SparkEntry {
     }),
 
     "d34_minhash_pairs" -> ((s, dir) => {
+      // Exact oracle: the full O(n²) cross-join Jaccard in DuckDB. The LSH
+      // banding (8 bands × 4 rows) deterministically finds every pair with
+      // Jaccard ≥ 0.7 on this corpus (per-pair detection odds ~0.9 at the
+      // 0.7 boundary, ~1-1e-9 at the planted pairs' ~0.95; verified equal
+      // at sf0.01 by ProbeOracles) and the ≥-threshold verify stage is
+      // exact on both sides.
       DedupOps.minhashLshPairs(corpusWithNearDups(s, dir), "doc_id", "text",
           bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
         .orderBy("id_a", "id_b")
     }),
 
     "d35_simhash_pairs" -> ((s, dir) => {
-      DedupOps.simhashPairs(corpusWithNearDups(s, dir), "doc_id", "text", maxHamming = 3)
+      // Order-invariant dedup, candidates-then-verify: SimHash is a token-
+      // multiset fingerprint, so a token-REVERSED duplicate has Hamming
+      // distance exactly 0 — the chunk-bucketed candidate stage finds every
+      // multiset-equal pair BY CONSTRUCTION, and the exact multiset-equality
+      // verify removes hash-coincidence extras. Output therefore provably
+      // equals the DuckDB sorted-token self-join oracle.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val reversed = docs.where("doc_id % 5 = 0").select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text"))
+      val corpus = docs.unionByName(reversed)
+      val cand = DedupOps.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      val ms = corpus.select(col("doc_id"),
+        concat_ws(" ", sort_array(split(trim(col("text")), "\\s+"))).as("ms"))
+      cand
+        .join(ms.select(col("doc_id").as("id_a"), col("ms").as("ms_a")), "id_a")
+        .join(ms.select(col("doc_id").as("id_b"), col("ms").as("ms_b")), "id_b")
+        .where(col("ms_a") === col("ms_b"))
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
 
@@ -483,28 +507,49 @@ object SparkEntry {
     }),
 
     "e38_knn_lsh" -> ((s, dir) => {
+      // Multi-probe at the FULL Hamming radius (probeBits = nbits): the
+      // probe set covers the whole code space, so the bucketed pipeline
+      // provably returns the exact brute-force top-k — the graceful-
+      // degradation-to-exact invariant, oracle-checked against the same
+      // SQL as e37. ANN configurations (probeBits 1-2) are recall-tested
+      // in OpsSpec ("LSH top-k recall vs brute force").
       val emb = t(s, dir, "embeddings")
       SimilarityOps.topKLsh(
           emb, "vec_id", "embedding",
           emb.where("vec_id < 8"), "vec_id", "embedding",
-          k = 5, dim = 64, nbits = 8, probeBits = 2)
+          k = 5, dim = 64, nbits = 8, probeBits = 8)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
     "e40_knn_ivf" -> ((s, dir) => {
+      // Full probe (nprobe = nlist): every cell is scored, so IVF provably
+      // equals brute force (the invariant OpsSpec asserts as "full probe =
+      // exact") — oracle-checked against the e37 SQL. Approximate nprobe
+      // settings are recall-tested in OpsSpec.
       val emb = t(s, dir, "embeddings")
       SimilarityOps.topKIvf(
           emb, "vec_id", "embedding",
           emb.where("vec_id < 8"), "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 4)
+          k = 5, nlist = 16, nprobe = 16)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
     "e39_embedding_neardup" -> ((s, dir) => {
-      DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, nbits = 4, threshold = 0.3)
+      // Planted near-identical vectors by power-of-two scaling: sign(p·2v)
+      // == sign(p·v) EXACTLY in IEEE float (scaling by 2 is exact and
+      // rounding commutes with it), so every planted pair lands in the same
+      // hyperplane bucket — guaranteed recall — and no organic pair reaches
+      // cosine 0.99 (corpus max < 0.95). Output provably equals the planted
+      // set; cosine rounds to 1.0 in both engines.
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.where("vec_id % 10 = 0").select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+      DedupOps.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+          dim = 64, nbits = 4, threshold = 0.99)
         .withColumn("cosine", round(col("cosine"), 3))
         .orderBy("id_a", "id_b")
     }),
@@ -533,6 +578,17 @@ object SparkEntry {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
+
+  /** Exact top-5 cosine kNN — the shared oracle for e37 (brute force) and
+    * the exactness-by-construction configs of e38 (full-radius multi-probe
+    * LSH) and e40 (full-probe IVF). */
+  private val KnnOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      | s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS c
+      |        FROM embeddings e CROSS JOIN q)
+      |SELECT query_id, vec_id,
+      | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+      |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -799,13 +855,54 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id % 5 = 0 ORDER BY id_a, id_b""".stripMargin,
 
-    "e37_knn_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        | s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS c
-        |        FROM embeddings e CROSS JOIN q)
-        |SELECT query_id, vec_id,
-        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
-        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e37_knn_bruteforce" -> KnnOracleSql,
+    // full-radius multi-probe LSH == brute force (see the query's doc)
+    "e38_knn_lsh" -> KnnOracleSql,
+    // full-probe IVF == brute force (see the query's doc)
+    "e40_knn_ivf" -> KnnOracleSql,
+
+    "d34_minhash_pairs" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0
+         |), sh AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(toks) - 3, 0) + 1),
+         |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM corpus)
+         |)
+         |SELECT id_a, id_b, jaccard FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "d35_simhash_pairs" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(list_reverse(toks), ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0
+         |), ms AS (
+         | SELECT doc_id, array_to_string(list_sort($ToksSql), ' ') AS ms FROM corpus
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM ms a JOIN ms b ON a.doc_id < b.doc_id AND a.ms = b.ms
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "e39_embedding_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        | CAST(round(list_cosine_similarity(embedding,
+        |   list_transform(embedding, x -> x * 2)), 3) AS DOUBLE) AS cosine
+        |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a, id_b""".stripMargin,
 
     "m41_frame_sample" ->
       """WITH f AS (SELECT doc_id AS media_id,

@@ -1,0 +1,235 @@
+package graft.catalog
+
+import graft._
+import graft.meta.{MetadataJson, PartitionSpec, SortOrder, TableMetadata}
+import graft.table.Table
+import graft.types.Schema
+import org.apache.hadoop.conf.Configuration
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/**
+ * REST catalog backend (ref `ext/iceberg/src/catalog.rs:48-58` /
+ * `lib/iceberg.rb:22-27`, exercised in the reference's CI against
+ * `apache/iceberg-rest-fixture` — `.github/workflows/build.yml:5-31`).
+ * Speaks the Iceberg REST catalog spec's v1 routes: namespaces CRUD with
+ * the `%1F` multipart separator, table create/load/drop/purge/rename/
+ * register returning LoadTableResult, and optimistic commits (409 →
+ * [[CommitConflictError]], retried by the write path). Errors follow the
+ * spec model (`{"error": {message, type, code}}`) and are re-raised as the
+ * reference's exact error classes.
+ *
+ * Data and manifests are written by THIS process directly to the table
+ * location (the catalog only swaps metadata pointers) — same division of
+ * labor as every Iceberg REST deployment.
+ */
+final class RestCatalog(
+    val uri: String,
+    val name: String = "rest",
+    val defaultNamespace: Seq[String] = Seq("default"),
+    val hadoopConf: Configuration = new Configuration()) extends Catalog {
+
+  private val http = HttpClient.newHttpClient()
+  private val Sep = "\u001f"
+
+  // ensure the default namespace exists (mirrors Memory/Hadoop backends)
+  if (!namespaceExists(defaultNamespace)) createNamespace(defaultNamespace, ifNotExists = true)
+
+  // ------------------------------------------------------------- transport
+
+  private def request(method: String, path: String, body: Option[JValue] = None): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"$uri/v1/$path"))
+      .header("Content-Type", "application/json")
+    val withBody = body match {
+      case Some(j) => b.method(method,
+        HttpRequest.BodyPublishers.ofString(JsonMethods.compact(JsonMethods.render(j))))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    val resp = http.send(withBody.build(), HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    (resp.statusCode(), resp.body())
+  }
+
+  private def expect(method: String, path: String, body: Option[JValue] = None,
+                     okCodes: Set[Int] = Set(200, 204)): String = {
+    val (code, resp) = request(method, path, body)
+    if (!okCodes.contains(code)) raise(code, resp)
+    resp
+  }
+
+  private def raise(code: Int, body: String): Nothing = {
+    val (msg, typ) = try {
+      val j = JsonMethods.parse(body)
+      ((j \ "error" \ "message") match { case JString(s) => s; case _ => body },
+        (j \ "error" \ "type") match { case JString(s) => s; case _ => "" })
+    } catch { case _: Exception => (body, "") }
+    typ match {
+      case "NoSuchTableException" => throw new NoSuchTableError(msg)
+      case "NoSuchNamespaceException" => throw new NoSuchNamespaceError(msg)
+      case "TableAlreadyExistsException" => throw new TableAlreadyExistsError(msg)
+      case "NamespaceAlreadyExistsException" => throw new NamespaceAlreadyExistsError(msg)
+      case "CommitFailedException" => throw new CommitConflictError(msg)
+      case "BadRequestException" => throw new InvalidDataError(msg)
+      case _ => throw new GraftError(s"REST catalog error ($code): $msg")
+    }
+  }
+
+  private def nsPath(ns: Seq[String]): String =
+    java.net.URLEncoder.encode(ns.mkString(Sep), "UTF-8")
+
+  private def parse(s: String): JValue = JsonMethods.parse(s)
+
+  private def propsOf(j: JValue): Map[String, String] = j match {
+    case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+    case _ => Map.empty
+  }
+  private def toProps(m: Map[String, String]): JValue =
+    JObject(m.toList.map { case (k, v) => k -> (JString(v): JValue) })
+
+  // ------------------------------------------------------------ namespaces
+
+  def listNamespaces(parent: Option[Seq[String]] = None): Seq[Seq[String]] = {
+    val q = parent.map(p => s"?parent=${nsPath(p)}").getOrElse("")
+    val body = expect("GET", s"namespaces$q")
+    (parse(body) \ "namespaces") match {
+      case JArray(xs) => xs.map {
+        case JArray(parts) => parts.collect { case JString(s) => s }
+        case other => Seq(other.toString)
+      }
+      case _ => Nil
+    }
+  }
+
+  def createNamespace(ns: Seq[String], properties: Map[String, String] = Map.empty,
+                      ifNotExists: Boolean = false): Unit = {
+    val (code, body) = request("POST", "namespaces", Some(JObject(
+      "namespace" -> JArray(ns.toList.map(JString(_))),
+      "properties" -> toProps(properties))))
+    if (code == 409 && ifNotExists) return
+    if (code != 200) raise(code, body)
+  }
+
+  def namespaceExists(ns: Seq[String]): Boolean =
+    request("HEAD", s"namespaces/${nsPath(ns)}")._1 == 204
+
+  def namespaceProperties(ns: Seq[String]): Map[String, String] = {
+    val body = expect("GET", s"namespaces/${nsPath(ns)}")
+    propsOf(parse(body) \ "properties")
+  }
+
+  def updateNamespace(ns: Seq[String], properties: Map[String, String]): Unit = {
+    // replace-all semantics (backend parity) via the spec's removals+updates
+    val removals = (namespaceProperties(ns).keySet -- properties.keySet).toList
+    expect("POST", s"namespaces/${nsPath(ns)}/properties", Some(JObject(
+      "removals" -> JArray(removals.map(JString(_))),
+      "updates" -> toProps(properties))))
+  }
+
+  def dropNamespace(ns: Seq[String], ifExists: Boolean = false): Unit = {
+    val (code, body) = request("DELETE", s"namespaces/${nsPath(ns)}")
+    if (code == 404 && ifExists) return
+    if (code != 204) raise(code, body)
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  def listTables(ns: Option[Seq[String]] = None): Seq[Seq[String]] = {
+    val target = ns.getOrElse(defaultNamespace)
+    val body = expect("GET", s"namespaces/${nsPath(target)}/tables")
+    (parse(body) \ "identifiers") match {
+      case JArray(xs) => xs.map { id =>
+        val nsParts = (id \ "namespace") match {
+          case JArray(parts) => parts.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        nsParts :+ ((id \ "name") match { case JString(s) => s; case _ => "" })
+      }
+      case _ => Nil
+    }
+  }
+
+  private def loadResultMetadata(body: String): TableMetadata =
+    MetadataJson.fromJson(parse(body) \ "metadata")
+
+  def createTable(name: String, schema: Schema,
+                  location: Option[String] = None,
+                  partitionSpec: PartitionSpec = PartitionSpec.Unpartitioned,
+                  sortOrder: SortOrder = SortOrder.Unsorted,
+                  properties: Map[String, String] = Map.empty): Table = {
+    val ident = resolveIdent(name)
+    CatalogUtil.validateSpec(schema, partitionSpec)
+    val req = JObject(List(
+      "name" -> (JString(ident.name): JValue),
+      "schema" -> MetadataJson.schemaToJson(schema),
+      "partition-spec" -> MetadataJson.specToJson(partitionSpec),
+      "write-order" -> MetadataJson.sortOrderToJson(sortOrder),
+      "properties" -> toProps(properties)) ++
+      location.map(l => "location" -> (JString(l): JValue)).toList)
+    val body = expect("POST", s"namespaces/${nsPath(ident.namespace)}/tables", Some(req))
+    new Table(Some(this), ident, loadResultMetadata(body), hadoopConf)
+  }
+
+  def loadTable(name: String): Table = {
+    val ident = resolveIdent(name)
+    new Table(Some(this), ident, currentMetadata(ident), hadoopConf)
+  }
+
+  def dropTable(name: String, ifExists: Boolean = false): Unit = {
+    val ident = resolveIdent(name)
+    val (code, body) = request("DELETE",
+      s"namespaces/${nsPath(ident.namespace)}/tables/${enc(ident.name)}")
+    if (code == 404 && ifExists) return
+    if (code != 204) raise(code, body)
+  }
+
+  def purgeTable(name: String): Unit = {
+    val ident = resolveIdent(name)
+    expect("DELETE",
+      s"namespaces/${nsPath(ident.namespace)}/tables/${enc(ident.name)}?purgeRequested=true")
+  }
+
+  def tableExists(name: String): Boolean = {
+    val ident = resolveIdent(name)
+    request("HEAD", s"namespaces/${nsPath(ident.namespace)}/tables/${enc(ident.name)}")._1 == 204
+  }
+
+  def renameTable(oldName: String, newName: String): Unit = {
+    val src = resolveIdent(oldName)
+    val dst = resolveIdent(newName)
+    def identJson(i: TableIdent): JValue = JObject(
+      "namespace" -> JArray(i.namespace.toList.map(JString(_))),
+      "name" -> JString(i.name))
+    expect("POST", "tables/rename", Some(JObject(
+      "source" -> identJson(src), "destination" -> identJson(dst))))
+  }
+
+  def registerTable(name: String, metadataLocation: String): Table = {
+    val ident = resolveIdent(name)
+    val body = expect("POST", s"namespaces/${nsPath(ident.namespace)}/register", Some(JObject(
+      "name" -> JString(ident.name), "metadata-location" -> JString(metadataLocation))))
+    new Table(Some(this), ident, loadResultMetadata(body), hadoopConf)
+  }
+
+  // -------------------------------------------------------- commit protocol
+
+  private[graft] def commitTable(ident: TableIdent, base: TableMetadata,
+                                 updated: TableMetadata): TableMetadata = {
+    val body = expect("POST",
+      s"namespaces/${nsPath(ident.namespace)}/tables/${enc(ident.name)}",
+      Some(JObject(
+        "base-fingerprint" -> JString(CatalogUtil.versionFingerprint(base)),
+        "metadata" -> MetadataJson.toJson(updated))))
+    loadResultMetadata(body)
+  }
+
+  private[graft] def currentMetadata(ident: TableIdent): TableMetadata = {
+    val body = expect("GET",
+      s"namespaces/${nsPath(ident.namespace)}/tables/${enc(ident.name)}")
+    loadResultMetadata(body)
+  }
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+}

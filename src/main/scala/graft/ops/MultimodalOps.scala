@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Multimodal (image/audio/video) column support: media travels as an opaque
@@ -16,6 +20,64 @@ import org.apache.spark.sql.types._
  * batch iteration, output shape — is real and tested; swapping in a real
  * decoder is replacing one function.
  */
+/** A decoder turns one media blob into a fixed-size feature vector.
+  * Implementations must be serializable (shipped to executors). Empty and
+  * null content are equivalent ("no content"). */
+trait MediaDecoder extends Serializable {
+  def decode(kind: String, content: Array[Byte]): Array[Float]
+}
+
+/** Deterministic fake decoder — STUB for the absent codec libraries.
+  * Features are a seeded rolling hash folded into `dim` floats, so tests
+  * are reproducible and the executor-side decode path is exercised for
+  * real. */
+final class StubDecoder(dim: Int = 8) extends MediaDecoder {
+  def decode(kind: String, content: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (content == null) return out
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < content.length) {
+      h ^= (content(i) & 0xffL)
+      h *= 0x100000001b3L
+      out(i % dim) += ((h >>> 40).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+}
+
+/** Codegen bridge for [[DecodeFeaturesExpr]] (static call target). */
+object MediaDecodeUtil {
+  def decode(decoder: MediaDecoder, kind: UTF8String, content: Array[Byte]): ArrayData =
+    ArrayData.toArrayData(decoder.decode(kind.toString, content))
+}
+
+/** Media decode as a native expression: (kind, content) → array<float>.
+  * The decoder object rides along as a codegen reference, so the multimodal
+  * path stays inside WholeStageCodegen — no RDD drop-out, no per-row
+  * Row↔InternalRow conversion (the former `rdd.mapPartitions` shape paid
+  * both). A heavyweight decoder still amortizes fine: one JVM-wide decoder
+  * instance per task, invoked per row like any other expression. */
+case class DecodeFeaturesExpr(kind: Expression, content: Expression,
+                              decoder: MediaDecoder) extends BinaryExpression {
+  override def left: Expression = kind
+  override def right: Expression = content
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "decode_features"
+
+  override def nullSafeEval(k: Any, c: Any): Any =
+    MediaDecodeUtil.decode(decoder, k.asInstanceOf[UTF8String], c.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dec = ctx.addReferenceObj("decoder", decoder, "graft.ops.MediaDecoder")
+    defineCodeGen(ctx, ev, (k, c) => s"graft.ops.MediaDecodeUtil.decode($dec, $k, $c)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DecodeFeaturesExpr =
+    copy(kind = l, content = r)
+}
+
 object MultimodalOps {
 
   /** media_id, kind ("image"|"audio"|"video"), content bytes, typed meta. */
@@ -27,32 +89,6 @@ object MultimodalOps {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
       StructField("format", StringType, nullable = true))), nullable = true)))
-
-  /** A decoder turns one media blob into a fixed-size feature vector.
-    * Implementations must be serializable (shipped to executors). */
-  trait Decoder extends Serializable {
-    def decode(kind: String, content: Array[Byte]): Array[Float]
-  }
-
-  /** Deterministic fake decoder — STUB for the absent codec libraries.
-    * Features are a seeded rolling hash folded into `dim` floats, so tests
-    * are reproducible and the executor-side batch path is exercised for
-    * real. */
-  final class StubDecoder(dim: Int = 8) extends Decoder {
-    def decode(kind: String, content: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](dim)
-      if (content == null) return out
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < content.length) {
-        h ^= (content(i) & 0xffL)
-        h *= 0x100000001b3L
-        out(i % dim) += ((h >>> 40).toInt % 1000) / 1000.0f
-        i += 1
-      }
-      out
-    }
-  }
 
   /** Synthesize a media corpus from the documents table (text bytes stand
     * in for encoded frames) — plumbing-shape fixture, not a codec. */
@@ -68,23 +104,23 @@ object MultimodalOps {
         (pmod(col(idCol), lit(720)) + 1).cast("int").as("height"),
         lit("raw").as("format")).as("meta"))
 
-  /** Per-partition batch decode → (media_id, kind, features array<float>).
-    * The decoder runs once per row inside a partition iterator (the batch
-    * shape a vectorized decode lib wants); the plan stays a map-only scan. */
-  def decodeFeatures(media: DataFrame, decoder: Decoder = new StubDecoder()): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val src = media.select(col("media_id").cast("long"), col("kind"), col("content"))
-    val rdd = src.rdd.mapPartitions { it =>
-      it.map { r =>
-        val feats = decoder.decode(r.getString(1), r.getAs[Array[Byte]](2))
-        Row(r.getLong(0), r.getString(1), feats.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+  /** Decode → (media_id, kind, features array<float>), map-only and fully
+    * inside WholeStageCodegen via [[DecodeFeaturesExpr]]. Null content is
+    * normalized to empty bytes before the (null-intolerant) expression —
+    * same decoder contract either way. */
+  def decodeFeatures(media: DataFrame, decoder: MediaDecoder = new StubDecoder()): DataFrame = {
+    val contentOrEmpty = coalesce(col("content"), lit(Array.emptyByteArray))
+    media.select(
+      col("media_id").cast("long").as("media_id"),
+      col("kind"),
+      decodeColumn(col("kind"), contentOrEmpty, decoder).as("features"))
+  }
+
+  /** Column form of [[DecodeFeaturesExpr]]. */
+  def decodeColumn(kind: Column, content: Column, decoder: MediaDecoder): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DecodeFeaturesExpr(
+      ColumnBridge.expression(kind), ColumnBridge.expression(content), decoder))
   }
 
   /** Frame sampling as pure column ops: split the blob into fixed-size

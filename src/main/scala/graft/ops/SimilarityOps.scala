@@ -135,12 +135,12 @@ object SimilarityOps {
       GraftFunctions.hyperplane_sig(col(queryVec), planes).as("qsig"))
     // multi-probe: the exact bucket plus every bucket within Hamming
     // distance `probeBits`; the XOR masks are constants, so the probe set
-    // is a tiny driver-built literal array exploded per query
-    val masks: Seq[Int] = Seq(0) ++
-      (if (probeBits >= 1) (0 until nbits).map(1 << _) else Nil) ++
-      (if (probeBits >= 2)
-        for { i <- 0 until nbits; j <- (i + 1) until nbits } yield (1 << i) | (1 << j)
-      else Nil)
+    // is a tiny driver-built literal array exploded per query. At
+    // probeBits == nbits the probe set covers the whole code space, so the
+    // result provably equals brute force (graceful degradation to exact —
+    // the property the oracle-checked configuration uses).
+    val masks: Seq[Int] =
+      (0 until (1 << nbits)).filter(m => Integer.bitCount(m) <= probeBits)
     val probes = qsig.withColumn("bucket",
       explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))

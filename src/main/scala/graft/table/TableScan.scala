@@ -340,4 +340,12 @@ final class TableScan(
     val df = toDF(spark)
     Result(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
   }
+
+  /** Execute → Arrow record batches (ref `scan.to_arrow` /
+    * `arrow_c_stream`, `scan.rs:65-79`). Caller closes the returned roots
+    * and the allocator. */
+  def toArrowBatches(spark: SparkSession,
+                     allocator: org.apache.arrow.memory.BufferAllocator,
+                     maxRowsPerBatch: Int = 4096): Seq[org.apache.arrow.vector.VectorSchemaRoot] =
+    ArrowExport.toBatches(toDF(spark), table.metadata.currentSchema, allocator, maxRowsPerBatch)
 }

@@ -1,18 +1,24 @@
 package graft
 
-import graft.catalog.{MemoryCatalog, TableIdent}
+import graft.catalog.{Catalog, MemoryCatalog, RestCatalog, RestCatalogServer, TableIdent}
 import graft.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Catalog/namespace DDL behavior and error-class parity with the reference
-  * suite (`/root/reference/test/catalog_test.rb`, `test/namespace_test.rb`). */
-class CatalogSpec extends AnyFunSuite {
+/**
+ * Catalog/namespace DDL behavior and error-class parity with the reference
+ * suite (`/root/reference/test/catalog_test.rb`, `test/namespace_test.rb`),
+ * parameterized over backends like the reference's `CATALOG` env matrix
+ * (`test/test_helper.rb:26-59`): each backend subclass runs the same
+ * behavioral contract.
+ */
+trait CatalogBehavior { this: AnyFunSuite =>
 
-  private def schema = Schema(0, Seq(
+  /** A FRESH catalog with an empty store. */
+  def cat(): Catalog
+
+  protected def schema = Schema(0, Seq(
     NestedField(1, "a", IInt, required = false),
     NestedField(2, "b", IString, required = false)))
-
-  private def cat() = new MemoryCatalog()
 
   test("load/drop missing table raises NoSuchTableError") {
     val c = cat()
@@ -79,7 +85,6 @@ class CatalogSpec extends AnyFunSuite {
   test("register_table adopts an existing metadata.json; missing file raises") {
     val c = cat()
     val t = c.createTable("events", schema)
-    // locate the created table's metadata by writing it out like Hadoop does
     assertThrows[NoSuchTableError](c.registerTable("adopted", "/nonexistent/metadata.json"))
     // round-trip through a real metadata file
     val dir = java.nio.file.Files.createTempDirectory("graft-reg")
@@ -99,10 +104,65 @@ class CatalogSpec extends AnyFunSuite {
     assert(!loc.exists())
   }
 
+  test("list tables in default namespace") {
+    val c = cat()
+    c.createTable("t_one", schema)
+    c.createTable("t_two", schema)
+    assert(c.listTables().map(_.last).sorted == Seq("t_one", "t_two"))
+  }
+}
+
+/** The reference test suite's default backend (in-process map). */
+class CatalogSpec extends AnyFunSuite with CatalogBehavior {
+  def cat(): Catalog = new MemoryCatalog()
+
   test("identifier resolution: dotted strings split, dotted parts rejected") {
     assert(TableIdent.parse("a.b.t", Seq("default")) ==
       TableIdent(Seq("a", "b"), "t"))
     assert(TableIdent.parse("t", Seq("default")) == TableIdent(Seq("default"), "t"))
     assertThrows[InvalidDataError](TableIdent.of(Seq("a.b", "t")))
+  }
+}
+
+/** Same behavioral contract over the REST backend + in-process fixture
+  * (reference: REST backend run against `apache/iceberg-rest-fixture` in
+  * CI, `.github/workflows/build.yml:5-31`). */
+class RestCatalogSpec extends AnyFunSuite with CatalogBehavior
+    with org.scalatest.BeforeAndAfterAll {
+  private val servers = scala.collection.mutable.ArrayBuffer[RestCatalogServer]()
+
+  def cat(): Catalog = {
+    val s = new RestCatalogServer().start()
+    servers += s
+    new RestCatalog(s.uri)
+  }
+
+  override def afterAll(): Unit = servers.foreach(_.stop())
+
+  test("table read/write round-trips through the REST commit protocol") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val c = cat()
+    val t = c.createTable("kv", schema)
+    t.append(Seq((1, "one"), (2, "two")).toDF("a", "b"))
+    t.append(Seq((3, "three")).toDF("a", "b"))
+    assert(t.toDF(spark).orderBy("a").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "one"), (2, "two"), (3, "three")))
+    assert(t.snapshots.size == 2)
+    // reload through the catalog sees the committed state
+    assert(c.loadTable("kv").toDF(spark).count() == 3)
+  }
+
+  test("stale handle conflicts (409 → CommitConflictError) and retries") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val c = cat()
+    c.createTable("race", schema)
+    val h1 = c.loadTable("race")
+    val h2 = c.loadTable("race") // both handles pin the same base version
+    h1.append(Seq((1, "x")).toDF("a", "b"))
+    // h2's base is stale now; append must refresh-and-retry internally
+    h2.append(Seq((2, "y")).toDF("a", "b"))
+    assert(c.loadTable("race").toDF(spark).count() == 2)
   }
 }

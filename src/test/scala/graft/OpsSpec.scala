@@ -90,6 +90,34 @@ class OpsSpec extends AnyFunSuite {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet))
   }
 
+  test("degenerate buckets are capped: 1k identical docs don't go quadratic") {
+    // 1000 byte-identical documents hash to ONE band bucket in every band
+    // (and one simhash chunk bucket, one hyperplane bucket). Uncapped that
+    // is ~500k candidate pairs from boilerplate alone; the cap bounds it to
+    // maxBucket²/2 while real near-dup corpora (small buckets) see no change.
+    val boiler = (1L to 1000L).map(i => (i, "the same boilerplate footer text repeated"))
+      .toDF("doc_id", "text")
+    val cap = 20
+    val mh = DedupOps.minhashLshPairs(boiler, "doc_id", "text", maxBucket = cap).count()
+    assert(mh <= cap.toLong * (cap - 1) / 2, s"minhash pairs $mh exceed cap bound")
+    assert(mh > 0) // the representatives are still linked
+    val sh = DedupOps.simhashPairs(boiler, "doc_id", "text", maxBucket = cap).count()
+    assert(sh <= cap.toLong * (cap - 1) / 2, s"simhash pairs $sh exceed cap bound")
+
+    // the diagnostic reports what the cap dropped
+    val banded = boiler.select($"doc_id", lit(0L).as("band_hash"))
+    val over = DedupOps.oversizedBuckets(banded, Seq("band_hash"), cap).collect()
+    assert(over.length == 1 && over.head.getLong(1) == 1000L)
+
+    // normal (distinct) corpora are untouched by the cap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val capped = DedupOps.minhashLshPairs(docs, "doc_id", "text").count()
+    val uncapped = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+      maxBucket = Int.MaxValue).count()
+    assert(capped == uncapped)
+  }
+
   test("simhash: identical == ; near-dup within small hamming; pairs found") {
     val base = "spark shuffle partition join aggregate filter scan hash sort merge " +
       "broadcast exchange codegen stage task executor memory spill row column " +
