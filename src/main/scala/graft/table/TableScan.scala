@@ -4,6 +4,7 @@ import graft.manifest.{DataFile, Manifests}
 import graft.meta.{PartitionSpec, Snapshot}
 import graft.transforms._
 import graft.types._
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -37,6 +38,12 @@ final case class FileScanTask(file: DataFile, schemaId: Int,
  * Schema evolution: files are grouped by the schema that wrote them
  * (recorded per-manifest) and projected to the current schema BY FIELD ID,
  * so renamed/dropped columns resolve correctly (SURVEY.md §7.4).
+ *
+ * Planning runs on the driver with parallel manifest reads; beyond
+ * [[TableScan.DistributedPlanThreshold]] manifests, [[planFilesDistributed]]
+ * fans the manifest reads + pruning out as a Spark job so a snapshot with
+ * O(10⁵-10⁷) manifests never serializes on driver IO — only the surviving
+ * (pruned) tasks come back to the driver.
  */
 final class TableScan(
     table: Table,
@@ -86,9 +93,191 @@ final class TableScan(
     }.seq
   }
 
-  // ----------------------------------------------------------- pruning
+  /**
+   * Distributed manifest planning: ship (manifest path, spec id, schema id)
+   * triples to executors, read + prune there, collect only surviving
+   * entries. Driver cost drops from O(total file entries) IO to O(kept
+   * files); a million-manifest snapshot plans at cluster parallelism.
+   * Below [[TableScan.DistributedPlanThreshold]] data manifests this
+   * delegates to the driver-parallel [[planFiles]] (a Spark job has fixed
+   * overhead a small table shouldn't pay).
+   */
+  def planFilesDistributed(spark: SparkSession,
+                           threshold: Int = TableScan.DistributedPlanThreshold): Seq[FileScanTask] = {
+    import scala.collection.parallel.CollectionConverters._
+    val snap = snapshot.getOrElse(return Nil)
+    val conf = table.hadoopConf
+    val listPath = new Path(snap.manifestList)
+    val fs = listPath.getFileSystem(conf)
+    val manifests = Manifests.readManifestList(fs, listPath)
+    val meta = table.metadata
+    val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    if (dataManifests.size < threshold) return planFiles()
+
+    // delete manifests are few relative to data manifests; driver-parallel
+    val deleteEntries: Seq[(DataFile, Long)] = deleteManifests.par.flatMap { mf =>
+      Manifests.readManifest(fs, new Path(mf.manifestPath)).filter(_.isLive)
+        .map(e => (e.dataFile, e.sequenceNumber))
+    }.seq
+    def applicableDeletes(dataSeq: Long): Seq[DataFile] = deleteEntries.collect {
+      case (d, delSeq) if d.content == 2 && delSeq > dataSeq => d
+      case (d, delSeq) if d.content == 1 && delSeq >= dataSeq => d
+    }
+
+    // only immutable, serializable state enters the closure
+    val preds = predicates
+    val specById = meta.partitionSpecs.map(s => s.specId -> s).toMap
+    val schemaById = meta.schemas.map(s => s.schemaId -> s).toMap
+    val currentSchema = meta.currentSchema
+    val confSer = new SerializableHadoopConf(conf)
+    val work = dataManifests.map(mf => (mf.manifestPath, mf.partitionSpecId, mf.schemaId))
+    val slices = math.max(1, math.min(work.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val kept = spark.sparkContext.parallelize(work, slices)
+      .flatMap { case (path, specId, schemaId) =>
+        val p = new Path(path)
+        val f = p.getFileSystem(confSer.value)
+        val spec = specById.getOrElse(specId, PartitionSpec.Unpartitioned)
+        val writeSchema = schemaById.getOrElse(schemaId, currentSchema)
+        Manifests.readManifest(f, p)
+          .filter(_.isLive)
+          .filter(e => ScanPruning.keepFile(preds, e.dataFile, spec, writeSchema))
+          .map(e => (schemaId, e.sequenceNumber, e.dataFile))
+      }
+      .collect()
+    kept.toSeq.map { case (schemaId, seqNum, df) =>
+      FileScanTask(df, schemaId, seqNum, applicableDeletes(seqNum))
+    }
+  }
 
   private def keepFile(df: DataFile, spec: PartitionSpec, schema: Schema): Boolean =
+    ScanPruning.keepFile(predicates, df, spec, schema)
+
+  // ------------------------------------------------------- materialization
+
+  /** Materialize as a DataFrame: group files by (writer schema, applicable
+    * delete set), project each group to the current schema by field id,
+    * apply that group's merge-on-read deletes, union, and re-apply
+    * predicates (for in-file parquet row-group pushdown). */
+  def toDF(spark: SparkSession): DataFrame =
+    predicates.foldLeft(materializeTasks(spark, planFilesDistributed(spark)))(
+      (d, p) => d.filter(predicateToColumn(p)))
+
+  /** Materialize an explicit task list to the current schema WITHOUT the
+    * scan predicates (used by copy-on-write rewrites, which need every row
+    * of the affected files, not just matching ones). */
+  private[graft] def materializeTasks(spark: SparkSession,
+                                      tasks: Seq[FileScanTask]): DataFrame = {
+    val meta = table.metadata
+    val current = meta.currentSchema
+    val currentSpark = SparkSchemaConverter.toSpark(current)
+    if (tasks.isEmpty) {
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), currentSpark)
+    }
+    // delete scoping is per data file; group by the applicable delete set so
+    // each group gets exactly its own anti-joins
+    val byDeletes = tasks.groupBy(_.deleteFiles.map(_.filePath).toSet)
+    val deleteGroups: Seq[DataFrame] = byDeletes.toSeq.map { case (_, delGroup) =>
+      val parts: Seq[DataFrame] = delGroup.groupBy(_.schemaId).toSeq.map { case (schemaId, group) =>
+        val writeSchema = meta.schemaById(schemaId).getOrElse(current)
+        val writeSpark = SparkSchemaConverter.toSpark(writeSchema)
+        val raw = spark.read.schema(writeSpark).parquet(group.map(_.filePath): _*)
+        // field-id projection: current field -> column name at write time
+        val byId = writeSchema.fields.map(f => f.id -> f).toMap
+        val projection = current.fields.map { cf =>
+          byId.get(cf.id) match {
+            case Some(wf) =>
+              col(wf.name).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
+            case None =>
+              lit(null).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
+          }
+        }
+        raw.select(projection: _*)
+      }
+      applyDeletes(spark, parts.reduce(_ unionAll _), delGroup.head.deleteFiles)
+    }
+    deleteGroups.reduce(_ unionAll _)
+  }
+
+  private[graft] def predicateToColumn(p: ScanPredicate): Column = p match {
+    case EqPred(c, v) => col(c) === lit(v)
+    case LtPred(c, v) => col(c) < lit(v)
+    case LePred(c, v) => col(c) <= lit(v)
+    case GtPred(c, v) => col(c) > lit(v)
+    case GePred(c, v) => col(c) >= lit(v)
+    case InPred(c, vs) => col(c).isin(vs.map(lit(_)): _*)
+  }
+
+  /** Merge-on-read: equality deletes anti-join on their identifier columns
+    * (grouped by equality-ID set — two delete files keyed on different
+    * columns each get their own anti-join); position deletes anti-join on
+    * (file, row ordinal) via metadata columns. Small delete sets broadcast;
+    * large ones fall back to a shuffled anti-join so a big delete set never
+    * OOMs the driver. The reference reads (but never writes) delete files. */
+  private val BroadcastDeleteBytes = 32L * 1024 * 1024
+
+  private def applyDeletes(spark: SparkSession, data: DataFrame,
+                           deletes: Seq[DataFile]): DataFrame = {
+    if (deletes.isEmpty) return data
+    val current = table.metadata.currentSchema
+    def maybeBroadcast(df: DataFrame, files: Seq[DataFile]): DataFrame =
+      if (files.map(_.fileSizeInBytes).sum <= BroadcastDeleteBytes) broadcast(df) else df
+    var out = data
+    for ((ids, group) <- deletes.filter(_.content == 2).groupBy(_.equalityIds.toSet)) {
+      val idCols = ids.toSeq.sorted.flatMap(id => current.fieldById(id)).map(_.name)
+      if (idCols.nonEmpty) {
+        val delDf = spark.read.parquet(group.map(_.filePath): _*).select(idCols.map(col): _*)
+        out = out.join(maybeBroadcast(delDf, group), idCols, "left_anti")
+      }
+    }
+    val posDeletes = deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      // position delete files carry (file_path, pos). URI scheme-slash
+      // variance must not break the match: Spark's _metadata.file_path
+      // renders local paths as "file:///x" while Hadoop Path.toString (the
+      // manifest form a spec-correct delete writer records) is "file:/x" —
+      // normalize both sides or deletes silently stop applying.
+      val norm: Column => Column = c => regexp_replace(c, "^file:/+", "file:/")
+      val delDf = spark.read.parquet(posDeletes.map(_.filePath): _*)
+        .select(norm(col("file_path")).as("file_path"), col("pos"))
+      val withMeta = out
+        .withColumn("__file", norm(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      out = withMeta.join(maybeBroadcast(delDf, posDeletes),
+          withMeta("__file") === delDf("file_path") && withMeta("__pos") === delDf("pos"),
+          "left_anti")
+        .drop("__file", "__pos")
+    }
+    out
+  }
+
+  /** Execute → row-oriented Result (ref `scan.rs:57-63` + `result.rs`). */
+  def collect(spark: SparkSession): Result = {
+    val df = toDF(spark)
+    Result(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+  }
+
+  /** Execute → Arrow record batches (ref `scan.to_arrow` /
+    * `arrow_c_stream`, `scan.rs:65-79`). Caller closes the returned roots
+    * and the allocator. */
+  def toArrowBatches(spark: SparkSession,
+                     allocator: org.apache.arrow.memory.BufferAllocator,
+                     maxRowsPerBatch: Int = 4096): Seq[org.apache.arrow.vector.VectorSchemaRoot] =
+    ArrowExport.toBatches(toDF(spark), table.metadata.currentSchema, allocator, maxRowsPerBatch)
+}
+
+object TableScan {
+  /** Data-manifest count beyond which planning fans out as a Spark job. */
+  val DistributedPlanThreshold = 64
+}
+
+/** Manifest-level file pruning, separated from [[TableScan]] so the
+  * distributed planning path can evaluate it INSIDE executor tasks (the
+  * object is stateless; predicates travel with the closure). */
+private[table] object ScanPruning extends Serializable {
+
+  def keepFile(predicates: Seq[ScanPredicate], df: DataFile,
+               spec: PartitionSpec, schema: Schema): Boolean =
     predicates.forall(p => keepByPartition(p, df, spec, schema) && keepByBounds(p, df, schema))
 
   /** Partition pruning: rewrite the predicate through each partition
@@ -236,116 +425,20 @@ final class TableScan(
     case (Some(x), Some(y)) => x == y
     case _ => String.valueOf(a) == String.valueOf(b)
   }
+}
 
-  // ------------------------------------------------------- materialization
-
-  /** Materialize as a DataFrame: group files by (writer schema, applicable
-    * delete set), project each group to the current schema by field id,
-    * apply that group's merge-on-read deletes, union, and re-apply
-    * predicates (for in-file parquet row-group pushdown). */
-  def toDF(spark: SparkSession): DataFrame =
-    predicates.foldLeft(materializeTasks(spark, planFiles()))(
-      (d, p) => d.filter(predicateToColumn(p)))
-
-  /** Materialize an explicit task list to the current schema WITHOUT the
-    * scan predicates (used by copy-on-write rewrites, which need every row
-    * of the affected files, not just matching ones). */
-  private[graft] def materializeTasks(spark: SparkSession,
-                                      tasks: Seq[FileScanTask]): DataFrame = {
-    val meta = table.metadata
-    val current = meta.currentSchema
-    val currentSpark = SparkSchemaConverter.toSpark(current)
-    if (tasks.isEmpty) {
-      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), currentSpark)
-    }
-    // delete scoping is per data file; group by the applicable delete set so
-    // each group gets exactly its own anti-joins
-    val byDeletes = tasks.groupBy(_.deleteFiles.map(_.filePath).toSet)
-    val deleteGroups: Seq[DataFrame] = byDeletes.toSeq.map { case (_, delGroup) =>
-      val parts: Seq[DataFrame] = delGroup.groupBy(_.schemaId).toSeq.map { case (schemaId, group) =>
-        val writeSchema = meta.schemaById(schemaId).getOrElse(current)
-        val writeSpark = SparkSchemaConverter.toSpark(writeSchema)
-        val raw = spark.read.schema(writeSpark).parquet(group.map(_.filePath): _*)
-        // field-id projection: current field -> column name at write time
-        val byId = writeSchema.fields.map(f => f.id -> f).toMap
-        val projection = current.fields.map { cf =>
-          byId.get(cf.id) match {
-            case Some(wf) =>
-              col(wf.name).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
-            case None =>
-              lit(null).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
-          }
-        }
-        raw.select(projection: _*)
-      }
-      applyDeletes(spark, parts.reduce(_ unionAll _), delGroup.head.deleteFiles)
-    }
-    deleteGroups.reduce(_ unionAll _)
+/** Hadoop `Configuration` is not `Serializable`; this carries it through a
+  * Spark closure by writing its key/value state (the same trick Spark's own
+  * internal wrapper uses). */
+private[table] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
   }
-
-  private[graft] def predicateToColumn(p: ScanPredicate): Column = p match {
-    case EqPred(c, v) => col(c) === lit(v)
-    case LtPred(c, v) => col(c) < lit(v)
-    case LePred(c, v) => col(c) <= lit(v)
-    case GtPred(c, v) => col(c) > lit(v)
-    case GePred(c, v) => col(c) >= lit(v)
-    case InPred(c, vs) => col(c).isin(vs.map(lit(_)): _*)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
-
-  /** Merge-on-read: equality deletes anti-join on their identifier columns
-    * (grouped by equality-ID set — two delete files keyed on different
-    * columns each get their own anti-join); position deletes anti-join on
-    * (file, row ordinal) via metadata columns. Small delete sets broadcast;
-    * large ones fall back to a shuffled anti-join so a big delete set never
-    * OOMs the driver. The reference reads (but never writes) delete files. */
-  private val BroadcastDeleteBytes = 32L * 1024 * 1024
-
-  private def applyDeletes(spark: SparkSession, data: DataFrame,
-                           deletes: Seq[DataFile]): DataFrame = {
-    if (deletes.isEmpty) return data
-    val current = table.metadata.currentSchema
-    def maybeBroadcast(df: DataFrame, files: Seq[DataFile]): DataFrame =
-      if (files.map(_.fileSizeInBytes).sum <= BroadcastDeleteBytes) broadcast(df) else df
-    var out = data
-    for ((ids, group) <- deletes.filter(_.content == 2).groupBy(_.equalityIds.toSet)) {
-      val idCols = ids.toSeq.sorted.flatMap(id => current.fieldById(id)).map(_.name)
-      if (idCols.nonEmpty) {
-        val delDf = spark.read.parquet(group.map(_.filePath): _*).select(idCols.map(col): _*)
-        out = out.join(maybeBroadcast(delDf, group), idCols, "left_anti")
-      }
-    }
-    val posDeletes = deletes.filter(_.content == 1)
-    if (posDeletes.nonEmpty) {
-      // position delete files carry (file_path, pos). URI scheme-slash
-      // variance must not break the match: Spark's _metadata.file_path
-      // renders local paths as "file:///x" while Hadoop Path.toString (the
-      // manifest form a spec-correct delete writer records) is "file:/x" —
-      // normalize both sides or deletes silently stop applying.
-      val norm: Column => Column = c => regexp_replace(c, "^file:/+", "file:/")
-      val delDf = spark.read.parquet(posDeletes.map(_.filePath): _*)
-        .select(norm(col("file_path")).as("file_path"), col("pos"))
-      val withMeta = out
-        .withColumn("__file", norm(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-      out = withMeta.join(maybeBroadcast(delDf, posDeletes),
-          withMeta("__file") === delDf("file_path") && withMeta("__pos") === delDf("pos"),
-          "left_anti")
-        .drop("__file", "__pos")
-    }
-    out
-  }
-
-  /** Execute → row-oriented Result (ref `scan.rs:57-63` + `result.rs`). */
-  def collect(spark: SparkSession): Result = {
-    val df = toDF(spark)
-    Result(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
-  }
-
-  /** Execute → Arrow record batches (ref `scan.to_arrow` /
-    * `arrow_c_stream`, `scan.rs:65-79`). Caller closes the returned roots
-    * and the allocator. */
-  def toArrowBatches(spark: SparkSession,
-                     allocator: org.apache.arrow.memory.BufferAllocator,
-                     maxRowsPerBatch: Int = 4096): Seq[org.apache.arrow.vector.VectorSchemaRoot] =
-    ArrowExport.toBatches(toDF(spark), table.metadata.currentSchema, allocator, maxRowsPerBatch)
 }
