@@ -36,10 +36,26 @@ final class JdbcCatalog(
   if (!namespaceExists(defaultNamespace)) createNamespace(defaultNamespace, ifNotExists = true)
 
   private def initSchema(): Unit = lock.synchronized {
-    def createIgnoringExists(ddl: String): Unit =
+    // 'table already exists' SQLStates across engines: Derby X0Y32,
+    // Postgres 42P07, MySQL 42S01; unknown states fall back to probing the
+    // table (reconnecting to an existing catalog must not throw).
+    val duplicateStates = Set("X0Y32", "42P07", "42S01")
+    def tableExists(name: String): Boolean =
+      try {
+        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
+          found
+        } finally rs.close()
+      } catch { case _: SQLException => false }
+    def createIgnoringExists(name: String, ddl: String): Unit =
       try { val st = conn.createStatement(); try st.execute(ddl) finally st.close() }
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // already exists
-    createIgnoringExists(
+      catch {
+        case e: SQLException if duplicateStates.contains(e.getSQLState) => ()
+        case e: SQLException => if (!tableExists(name)) throw e
+      }
+    createIgnoringExists("iceberg_tables",
       """CREATE TABLE iceberg_tables (
         | catalog_name VARCHAR(255) NOT NULL,
         | table_namespace VARCHAR(255) NOT NULL,
@@ -47,7 +63,7 @@ final class JdbcCatalog(
         | metadata_location VARCHAR(5500),
         | previous_metadata_location VARCHAR(5500),
         | PRIMARY KEY (catalog_name, table_namespace, table_name))""".stripMargin)
-    createIgnoringExists(
+    createIgnoringExists("iceberg_namespace_properties",
       """CREATE TABLE iceberg_namespace_properties (
         | catalog_name VARCHAR(255) NOT NULL,
         | namespace VARCHAR(255) NOT NULL,

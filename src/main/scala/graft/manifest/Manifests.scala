@@ -221,18 +221,26 @@ object Manifests {
 
   // ------------------------------------------------ partition value serde
 
-  private def encodePartValue(t: IType, raw: String): AnyRef = t match {
-    case IInt => Integer.valueOf(raw.toInt)
-    case IDate => Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
-    case ILong => java.lang.Long.valueOf(raw.toLong)
-    case IBoolean => java.lang.Boolean.valueOf(raw.toBoolean)
-    case IFloat => java.lang.Float.valueOf(raw.toFloat)
-    case IDouble => java.lang.Double.valueOf(raw.toDouble)
-    case IDecimal(_, s) =>
-      ByteBuffer.wrap(new java.math.BigDecimal(raw)
-        .setScale(s, java.math.RoundingMode.UNNECESSARY).unscaledValue.toByteArray)
-    case _ => raw
-  }
+  /** Null (= unknown partition value; the fields are optional and pruning
+    * treats missing as keep) when the directory string fails to parse as
+    * the transform result type — e.g. a kept file re-keyed under an evolved
+    * same-named partition field of a different type. Mirrors
+    * `SingleValue.toBytes`' Option behavior rather than failing the commit. */
+  private def encodePartValue(t: IType, raw: String): AnyRef =
+    try {
+      t match {
+        case IInt => Integer.valueOf(raw.toInt)
+        case IDate => Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+        case ILong => java.lang.Long.valueOf(raw.toLong)
+        case IBoolean => java.lang.Boolean.valueOf(raw.toBoolean)
+        case IFloat => java.lang.Float.valueOf(raw.toFloat)
+        case IDouble => java.lang.Double.valueOf(raw.toDouble)
+        case IDecimal(_, s) =>
+          ByteBuffer.wrap(new java.math.BigDecimal(raw)
+            .setScale(s, java.math.RoundingMode.UNNECESSARY).unscaledValue.toByteArray)
+        case _ => raw
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   private def decodePartValue(t: IType, v: AnyRef): String = t match {
     case IDate => java.time.LocalDate.ofEpochDay(
@@ -345,8 +353,12 @@ object Manifests {
     val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try {
       // self-describing header: write schema + partition spec
+      val schemaMeta = Option(reader.getMetaString("schema")).getOrElse(
+        throw new graft.InvalidDataError(
+          s"manifest $path predates the spec-v2 Avro layout (no 'schema' " +
+            "header); rewrite the table with a current writer"))
       val schema = graft.meta.MetadataJson.schemaFromJson(
-        JsonMethods.parse(reader.getMetaString("schema")))
+        JsonMethods.parse(schemaMeta))
       val specFields: Seq[PartitionField] =
         JsonMethods.parse(Option(reader.getMetaString("partition-spec")).getOrElse("[]")) match {
           case JArray(xs) => xs.map(f => PartitionField(
@@ -455,6 +467,10 @@ object Manifests {
     val in = new org.apache.avro.file.SeekableByteArrayInput(readFully(fs, path))
     val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try {
+      if (reader.getSchema.getField("content") == null)
+        throw new graft.InvalidDataError(
+          s"manifest list $path predates the spec-v2 Avro layout (no " +
+            "'content' field); rewrite the table with a current writer")
       reader.iterator().asScala.map { r =>
         def intOr0(n: String): Int =
           Option(r.get(n)).map(_.asInstanceOf[Int]).getOrElse(0)

@@ -138,9 +138,11 @@ object SimilarityOps {
     // is a tiny driver-built literal array exploded per query. At
     // probeBits == nbits the probe set covers the whole code space, so the
     // result provably equals brute force (graceful degradation to exact —
-    // the property the oracle-checked configuration uses).
-    val masks: Seq[Int] =
-      (0 until (1 << nbits)).filter(m => Integer.bitCount(m) <= probeBits)
+    // the property the oracle-checked configuration uses). Masks are built
+    // combinatorially (choose(k) over bit positions, k <= probeBits), never
+    // by scanning 2^nbits codes — sum of C(nbits, k) terms, no Int overflow
+    // at large nbits, no exponential driver loop at small probeBits.
+    val masks: Seq[Int] = hammingMasks(nbits, probeBits)
     val probes = qsig.withColumn("bucket",
       explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))
@@ -149,5 +151,31 @@ object SimilarityOps {
       .groupBy("query_id", "vec_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** All XOR masks over `nbits` bit positions with popcount <= probeBits,
+    * generated combinatorially. Probe-set size is Σ C(nbits, k) — bounded
+    * explicitly so a mistuned (nbits, probeBits) fails fast on the driver
+    * instead of exploding the broadcast. */
+  private[graft] def hammingMasks(nbits: Int, probeBits: Int): Seq[Int] = {
+    require(nbits >= 1 && nbits <= 31, s"nbits must be in [1,31], got $nbits")
+    require(probeBits >= 0, s"probeBits must be >= 0, got $probeBits")
+    val p = math.min(probeBits, nbits)
+    val out = scala.collection.mutable.ArrayBuffer[Int](0)
+    def choose(start: Int, remaining: Int, acc: Int): Unit = {
+      if (out.size > 65536)
+        throw new graft.InvalidDataError(
+          s"multi-probe set exceeds 65536 buckets (nbits=$nbits, probeBits=$probeBits); lower probeBits")
+      if (remaining == 0) out += acc
+      else {
+        var b = start
+        while (b <= nbits - remaining) {
+          choose(b + 1, remaining - 1, acc | (1 << b))
+          b += 1
+        }
+      }
+    }
+    (1 to p).foreach(k => choose(0, k, 0))
+    out.toSeq
   }
 }

@@ -147,11 +147,18 @@ object GraftSql {
     val out = mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
     var inS = false; var inD = false
-    for (c <- q) c match {
-      case '\'' if !inD => inS = !inS; sb += c
-      case '"' if !inS => inD = !inD; sb += c
-      case ';' if !inS && !inD => out += sb.toString; sb.clear()
-      case c2 => sb += c2
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      c match {
+        case '\\' if (inS || inD) && i + 1 < q.length => // escaped char, see bindParams
+          sb += c; sb += q.charAt(i + 1); i += 1
+        case '\'' if !inD => inS = !inS; sb += c
+        case '"' if !inS => inD = !inD; sb += c
+        case ';' if !inS && !inD => out += sb.toString; sb.clear()
+        case c2 => sb += c2
+      }
+      i += 1
     }
     out += sb.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq
@@ -176,7 +183,7 @@ object GraftSql {
     * type table (`catalog.rs:467-495`); extra params are ignored. Quote-aware
     * like [[splitStatements]]: a literal dollar-number INSIDE a string
     * (`WHERE note = 'costs $1'`) is data, not a placeholder. */
-  private[sql] def bindParams(stmt: String, params: Seq[Any]): String = {
+  private[graft] def bindParams(stmt: String, params: Seq[Any]): String = {
     if (params.isEmpty) return stmt
     val sb = new StringBuilder
     var inS = false; var inD = false
@@ -184,6 +191,12 @@ object GraftSql {
     while (i < stmt.length) {
       val c = stmt.charAt(i)
       c match {
+        // Spark SQL string literals accept backslash escapes by default, so
+        // `\'` / `\"` inside a literal must not toggle the in-string state
+        // (else a `$n` inside the literal would be spliced, or a real
+        // placeholder after it treated as data). Consume the escaped char.
+        case '\\' if (inS || inD) && i + 1 < stmt.length =>
+          sb += c; sb += stmt.charAt(i + 1); i += 2
         case '\'' if !inD => inS = !inS; sb += c; i += 1
         case '"' if !inS => inD = !inD; sb += c; i += 1
         case '$' if !inS && !inD && i + 1 < stmt.length && stmt.charAt(i + 1).isDigit =>

@@ -185,4 +185,45 @@ class ManifestsSpec extends AnyFunSuite {
       parentSnapshotId = Some(41L), sequenceNumber = 5L)
     assert(Manifests.readManifestList(fs, path) == mfs)
   }
+
+  test("pre-spec-layout files raise a descriptive error, not NPE") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("graft-prespec").toString
+
+    // an Avro file with neither the 'schema' header nor spec record fields
+    val legacy = org.apache.avro.SchemaBuilder.record("legacy").fields()
+      .requiredString("manifest_path").endRecord()
+    def writeLegacy(name: String): Path = {
+      val p = new Path(dir, name)
+      val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](legacy))
+      val out = p.getFileSystem(conf).create(p, true)
+      w.create(legacy, out)
+      val r = new org.apache.avro.generic.GenericData.Record(legacy)
+      r.put("manifest_path", "x"); w.append(r); w.close()
+      p
+    }
+
+    val fs = new Path(dir).getFileSystem(conf)
+    val e1 = intercept[InvalidDataError](Manifests.readManifest(fs, writeLegacy("m-old.avro")))
+    assert(e1.getMessage.contains("spec-v2"))
+    val e2 = intercept[InvalidDataError](Manifests.readManifestList(fs, writeLegacy("l-old.avro")))
+    assert(e2.getMessage.contains("spec-v2"))
+  }
+
+  test("unparseable partition value is written as null, not a commit failure") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("graft-badpart").toString
+    val path = new Path(dir, "m-bad.avro")
+    val fs = path.getFileSystem(conf)
+    // 'id_bucket' (int-typed) carries a value that cannot parse as int —
+    // e.g. a kept file re-keyed under an evolved same-named field
+    val f = DataFile(
+      filePath = s"$dir/data/f.parquet", fileFormat = "PARQUET",
+      partition = Map("day" -> "2020-01-05", "id_bucket" -> "not-an-int"),
+      recordCount = 1, fileSizeInBytes = 10)
+    Manifests.writeManifest(fs, path, Seq(ManifestEntry(ManifestEntry.StatusAdded, 1L, 1L, f)), schema, spec)
+    val back = Manifests.readManifest(fs, path)
+    assert(back.head.dataFile.partition == Map("day" -> "2020-01-05", "id_bucket" -> ""))
+  }
 }

@@ -174,6 +174,24 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall") // multiprobe-2 on 8 bits
   }
 
+  test("multi-probe masks: combinatorial generation, safe at large nbits") {
+    // matches the brute enumeration on a small space
+    val brute = (0 until (1 << 8)).filter(m => Integer.bitCount(m) <= 2).toSet
+    assert(SimilarityOps.hammingMasks(8, 2).toSet == brute)
+    assert(SimilarityOps.hammingMasks(8, 2).size == 1 + 8 + 28)
+    // nbits where `1 << nbits` used to overflow / burn 2^nbits driver CPU
+    val wide = SimilarityOps.hammingMasks(31, 1)
+    assert(wide.size == 32 && wide.contains(0) && wide.contains(1 << 30))
+    assert(SimilarityOps.hammingMasks(24, 2).size == 1 + 24 + 24 * 23 / 2)
+    // no duplicate masks; popcounts within bound
+    val m = SimilarityOps.hammingMasks(16, 3)
+    assert(m.distinct.size == m.size)
+    assert(m.forall(x => Integer.bitCount(x) <= 3))
+    // bounded probe sets fail fast instead of exploding the broadcast
+    assertThrows[InvalidDataError](SimilarityOps.hammingMasks(31, 5))
+    assertThrows[IllegalArgumentException](SimilarityOps.hammingMasks(32, 1))
+  }
+
   test("IVF top-k recall vs brute force; full probe = exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))

@@ -46,6 +46,21 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[InvalidDataError](cat.sql(spark, "SELECT $3", Seq(1)))
   }
 
+  test("params: backslash-escaped quote inside a literal is not a boundary") {
+    import graft.sql.GraftSql.bindParams
+    // `\'` stays inside the literal: the $1 there is data, the later $1 binds
+    assert(bindParams("SELECT 'it\\'s $1 more', $1", Seq(42)) ==
+      "SELECT 'it\\'s $1 more', 42")
+    // `\\` before a closing quote does not hide the real end of the literal
+    assert(bindParams("SELECT 'path\\\\', $1", Seq(7)) == "SELECT 'path\\\\', 7")
+    // double-quoted: same rule
+    assert(bindParams("SELECT \"a\\\"b $1\", $1", Seq(1)) == "SELECT \"a\\\"b $1\", 1")
+    // end-to-end through Spark
+    val cat = freshCatalog()
+    val r = cat.sql(spark, raw"SELECT 'it\'s $$1 here' AS s, $$1 AS v", Seq(9)).rows.head
+    assert(r == Seq("it's $1 here", 9))
+  }
+
   test("ORDER BY ordinal and LIMIT 0 keeps columns") {
     val cat = freshCatalog()
     cat.sql(spark, "CREATE TABLE o (a int, b string)")
