@@ -362,6 +362,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g35_mor_delete" -> ((s, dir) => {
+      // merge-on-read DELETE: position-delete files, no data-file rewrite
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 10 = 7")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_mor", SparkSchemaConverter.fromSpark(li.schema),
+        properties = Map("write.delete.mode" -> "merge-on-read"))
+      tbl.append(li)
+      tbl.delete(s, Seq(EqPred("l_returnflag", "R")))
+      tbl.toDF(s).groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "g36_mor_update_fold" -> ((s, dir) => {
+      // merge-on-read UPDATE, then applyPendingDeletes folds the delete
+      // files back into data files — same answer before and after the fold
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 10 = 8")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_morupd", SparkSchemaConverter.fromSpark(li.schema),
+        properties = Map("write.update.mode" -> "merge-on-read"))
+      tbl.append(li)
+      tbl.update(s, Seq(EqPred("l_returnflag", "A")),
+        Map("l_quantity" -> "l_quantity + 50"))
+      tbl.applyPendingDeletes(s)
+      tbl.toDF(s).groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g30_metadata_tables" -> ((s, dir) => {
       val cat = new MemoryCatalog()
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -772,6 +803,19 @@ object SparkEntry {
         | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity + 100
         |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 6
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g35_mor_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 7 AND l_returnflag <> 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g36_mor_update_fold" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity + 50
+        |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 8
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g30_metadata_tables" ->

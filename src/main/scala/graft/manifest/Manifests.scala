@@ -265,15 +265,31 @@ object Manifests {
                            kvSchema: AvroSchema): java.util.List[GenericRecord] = {
     val itemSchema = kvSchema.getElementType
     m.toList.sortBy(_._1).flatMap { case (name, raw) =>
-      schema.fieldByName(name).flatMap { f =>
-        SingleValue.toBytes(f.fieldType, raw).map { bytes =>
+      // table columns resolve by name; a position-delete file's
+      // referenced-data-file bounds use the spec's reserved fields
+      val resolved: Option[(Int, IType)] =
+        schema.fieldByName(name).map(f => f.id -> f.fieldType)
+          .orElse(ReservedFields.byName.get(name))
+      resolved.flatMap { case (id, t) =>
+        SingleValue.toBytes(t, raw).map { bytes =>
           val r = new GenericData.Record(itemSchema)
-          r.put("key", f.id)
+          r.put("key", id)
           r.put("value", ByteBuffer.wrap(bytes))
           r: GenericRecord
         }
       }
     }.asJava
+  }
+
+  /** Spec reserved field ids (Iceberg table spec, "Reserved field IDs"):
+    * the delete-file columns of position deletes. */
+  private[graft] object ReservedFields {
+    val FilePathId = 2147483546
+    val PosId = 2147483545
+    val byName: Map[String, (Int, IType)] =
+      Map("file_path" -> (FilePathId -> IString), "pos" -> (PosId -> ILong))
+    val byId: Map[Int, (String, IType)] =
+      Map(FilePathId -> ("file_path" -> IString), PosId -> ("pos" -> ILong))
   }
 
   /**
@@ -382,6 +398,9 @@ object Manifests {
             val id = r.get("key").asInstanceOf[Int]
             nameById.get(id).map(f =>
               f.name -> SingleValue.fromBytes(f.fieldType, bytesOf(r.get("value"))))
+              .orElse(ReservedFields.byId.get(id).map { case (name, t) =>
+                name -> SingleValue.fromBytes(t, bytesOf(r.get("value")))
+              })
           }.toMap
         case _ => Map.empty
       }

@@ -154,6 +154,52 @@ object AppendUtil {
     }.seq
   }
 
+  /** Write position-delete files (spec content=1: rows of `(file_path,
+    * pos)`, sorted by file then ordinal). One shuffle on `file_path` keeps
+    * every delete file covering a contiguous run of data files, so the
+    * read-side anti-join stream-matches instead of spraying. Cost is
+    * O(matched rows) — the whole point of merge-on-read DML: a selective
+    * DELETE on a 100 TB table writes kilobytes, not rewritten gigabytes.
+    * Empty parts are dropped from the inventory (no rows ⇒ no commit). */
+  def writePositionDeletes(posDf: DataFrame, dir: Path, conf: Configuration,
+                           targetFileRows: Long = 5000000L): Seq[graft.manifest.DataFile] = {
+    import scala.collection.parallel.CollectionConverters._
+    // RANGE partitioning (not hash): each delete file then covers a
+    // lexicographically contiguous run of data-file paths, so the recorded
+    // file_path bounds are tight and plan-time delete scoping
+    // (ScanPruning.deleteApplies) attaches each delete file to only the
+    // data files it can reference — a hash shuffle would smear every
+    // file's bounds across the whole path range.
+    val shaped = posDf
+      .select(col("file_path").cast("string").as("file_path"), col("pos").cast("long").as("pos"))
+      .repartitionByRange(col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+    shaped.write.option("maxRecordsPerFile", targetFileRows).parquet(dir.toString)
+    val fs = dir.getFileSystem(conf)
+    val it = fs.listFiles(dir, true)
+    val listed = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        listed += ((st.getPath, st.getLen))
+    }
+    listed.toSeq.par.flatMap { case (p, len) =>
+      val stats = ParquetStats.read(conf, p)
+      if (stats.recordCount == 0L) None
+      else Some(graft.manifest.DataFile(
+        filePath = p.toString,
+        fileFormat = "PARQUET",
+        partition = Map.empty,
+        recordCount = stats.recordCount,
+        fileSizeInBytes = len,
+        // referenced-data-file bounds (spec reserved field 2147483546):
+        // the only bounds a position-delete file carries
+        lowerBounds = stats.lowerBounds.view.filterKeys(_ == "file_path").toMap,
+        upperBounds = stats.upperBounds.view.filterKeys(_ == "file_path").toMap,
+        content = 1))
+    }.seq
+  }
+
   /** Inverse of Hive's escapePathName (%xx sequences). */
   def unescapePathName(s: String): String = {
     if (!s.contains('%')) return s

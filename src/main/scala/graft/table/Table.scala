@@ -8,6 +8,7 @@ import graft.types.Schema
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * The central table object (ref `lib/iceberg/table.rb:2-182`,
@@ -125,17 +126,32 @@ final class Table(
     append(AppendUtil.rowsToDF(spark, rows, meta.currentSchema))
 
   /**
-   * Copy-on-write DELETE (beyond the reference, which errors on SQL
-   * DELETE — `GraftSql` keeps that parity; this is the programmatic path):
-   * rows matching ALL `predicates` are removed by rewriting only the data
-   * files that may contain them. Partition-transform + column-bounds
+   * DELETE (beyond the reference, which errors on SQL DELETE — `GraftSql`
+   * keeps that parity; this is the programmatic path): rows matching ALL
+   * `predicates` are removed. Mode comes from the `write.delete.mode`
+   * table property (Iceberg's knob): "copy-on-write" (default) rewrites
+   * affected data files; "merge-on-read" writes position-delete files —
+   * see [[deleteCopyOnWrite]] / [[deleteMergeOnRead]] for the tradeoff.
+   */
+  def delete(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit =
+    meta.properties.get("write.delete.mode") match {
+      case Some("merge-on-read") => deleteMergeOnRead(spark, predicates)
+      case Some(other) if other != "copy-on-write" =>
+        throw new InvalidDataError(s"unknown write.delete.mode: $other")
+      case _ => deleteCopyOnWrite(spark, predicates)
+    }
+
+  /**
+   * Copy-on-write DELETE: matching rows are removed by rewriting only the
+   * data files that may contain them. Partition-transform + column-bounds
    * pruning bound the rewrite set, so a `day=`-scoped delete on a 100 TB
    * table rewrites one day, not the table. Untouched files are carried
    * into the new snapshot with their original sequence numbers (existing
    * MOR delete files keep applying to them); old snapshots still reference
-   * the old files — time travel is unaffected.
+   * the old files — time travel is unaffected. Best when deletes are rare
+   * and scans are hot (scans stay anti-join-free).
    */
-  def delete(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit = {
+  def deleteCopyOnWrite(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit = {
     require(predicates.nonEmpty, "delete requires predicates; use overwrite to replace all")
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     var attempt = 0
@@ -175,21 +191,67 @@ final class Table(
   }
 
   /**
-   * Copy-on-write UPDATE: rows matching ALL `predicates` get `assignments`
-   * applied (column name → SQL expression string over the current row);
-   * non-matching rows in affected files are rewritten verbatim, and files
-   * that cannot contain matches are never touched (same pruning as
-   * [[delete]]).
+   * Merge-on-read DELETE: instead of rewriting affected data files, write
+   * position-delete files listing the matching `(file_path, pos)` pairs
+   * and commit one delete manifest. Write cost is O(matched rows) — a
+   * selective delete on a 100 TB table writes kilobytes while copy-on-write
+   * rewrites every affected gigabyte; scans pay one (usually broadcast)
+   * anti-join until [[applyPendingDeletes]] or [[compact]] folds the
+   * deletes back in. Already-deleted rows are never re-recorded (matching
+   * runs on the live view).
+   */
+  def deleteMergeOnRead(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit = {
+    require(predicates.nonEmpty, "delete requires predicates; use overwrite to replace all")
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refresh() // plan against the catalog's CURRENT metadata (stale-handle rule)
+      val affectedScan = scan(None, predicates)
+      val affected = affectedScan.planFiles()
+      if (affected.isEmpty) return // nothing can match — no new snapshot
+      val matched = affectedScan.matchedRowsWithPositions(spark, affected)
+        .select(col("__file").as("file_path"), col("__pos").as("pos"))
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val delDir = new Path(meta.location, s"data/$commitUuid-del")
+      val delFiles = AppendUtil.writePositionDeletes(matched, delDir, hadoopConf)
+      if (delFiles.isEmpty) return // pruning kept files, but no live row matched
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildMorDmlMetadata(meta, delFiles, Nil, commitUuid, "delete"))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+  }
+
+  /**
+   * UPDATE: rows matching ALL `predicates` get `assignments` applied
+   * (column name → SQL expression string over the current row). Mode from
+   * the `write.update.mode` table property, like [[delete]].
    */
   def update(spark: SparkSession, predicates: Seq[ScanPredicate],
-             assignments: Map[String, String]): Unit = {
+             assignments: Map[String, String]): Unit =
+    meta.properties.get("write.update.mode") match {
+      case Some("merge-on-read") => updateMergeOnRead(spark, predicates, assignments)
+      case Some(other) if other != "copy-on-write" =>
+        throw new InvalidDataError(s"unknown write.update.mode: $other")
+      case _ => updateCopyOnWrite(spark, predicates, assignments)
+    }
+
+  /**
+   * Copy-on-write UPDATE: non-matching rows in affected files are
+   * rewritten verbatim, and files that cannot contain matches are never
+   * touched (same pruning as [[delete]]).
+   */
+  def updateCopyOnWrite(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        assignments: Map[String, String]): Unit = {
+    validateAssignments(assignments)
     require(predicates.nonEmpty, "update requires predicates")
-    require(assignments.nonEmpty, "update requires assignments")
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
-    val schemaCols = meta.currentSchema.fields.map(_.name).toSet
-    val unknown = assignments.keySet -- schemaCols
-    if (unknown.nonEmpty)
-      throw new InvalidDataError(s"unknown columns in UPDATE: ${unknown.mkString(", ")}")
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -224,6 +286,111 @@ final class Table(
         meta = cat.commitTable(ident, meta,
           buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
             keepParentDeleteManifests = true))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+  }
+
+  /**
+   * Merge-on-read UPDATE: position-delete the matched rows and append
+   * their updated images as new data files, in ONE commit. Write cost is
+   * O(matched rows), not O(affected file bytes). The new data files carry
+   * the commit's sequence number, so the delete files (same sequence)
+   * cannot touch them — position deletes only reference the old paths.
+   */
+  def updateMergeOnRead(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        assignments: Map[String, String]): Unit = {
+    validateAssignments(assignments)
+    require(predicates.nonEmpty, "update requires predicates")
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refresh()
+      val affectedScan = scan(None, predicates)
+      val affected = affectedScan.planFiles()
+      if (affected.isEmpty) return
+      // matched rows feed two writes (positions + updated images); persist
+      // so the scan+anti-join doesn't run twice. Matched rows only — small
+      // relative to the affected files, and disk-backed if not.
+      val matched = affectedScan.matchedRowsWithPositions(spark, affected)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val commitUuid = java.util.UUID.randomUUID().toString
+        val delDir = new Path(meta.location, s"data/$commitUuid-del")
+        val delFiles = AppendUtil.writePositionDeletes(
+          matched.select(col("__file").as("file_path"), col("__pos").as("pos")),
+          delDir, hadoopConf)
+        if (delFiles.isEmpty) return
+        val base = matched.drop("__file", "__pos")
+        val updatedRows = meta.currentSchema.fields.foldLeft(base) { (d, f) =>
+          assignments.get(f.name) match {
+            case Some(exprStr) =>
+              d.withColumn(f.name, org.apache.spark.sql.functions.expr(exprStr)
+                .cast(graft.types.SparkSchemaConverter.toSparkType(f.fieldType)))
+            case None => d
+          }
+        }
+        val dataDir = new Path(meta.location, s"data/$commitUuid")
+        val newFiles = AppendUtil.writeData(updatedRows, meta.currentSchema,
+          meta.defaultPartitionSpec, meta.defaultSortOrder, dataDir, hadoopConf,
+          targetFileRows = meta.properties.get("write.target-file-rows")
+            .map(_.toLong).getOrElse(5000000L))
+        try {
+          meta = cat.commitTable(ident, meta,
+            buildMorDmlMetadata(meta, delFiles, newFiles, commitUuid, "overwrite"))
+          committed = true
+        } catch {
+          case e: CommitConflictError =>
+            attempt += 1
+            if (attempt > 5) throw e
+        }
+      } finally matched.unpersist()
+    }
+  }
+
+  private def validateAssignments(assignments: Map[String, String]): Unit = {
+    require(assignments.nonEmpty, "update requires assignments")
+    val schemaCols = meta.currentSchema.fields.map(_.name).toSet
+    val unknown = assignments.keySet -- schemaCols
+    if (unknown.nonEmpty)
+      throw new InvalidDataError(s"unknown columns in UPDATE: ${unknown.mkString(", ")}")
+  }
+
+  /**
+   * Maintenance (`rewrite_position_delete_files` + dead-delete pruning in
+   * one): rewrite every data file that still has applicable delete files
+   * (folding the deletes in), then drop ALL delete manifests — correct
+   * because files without applicable deletes are exactly the ones that
+   * don't need them. Pays down the merge-on-read anti-join debt; scans are
+   * delete-free afterwards. No-op when no deletes apply.
+   */
+  def applyPendingDeletes(spark: SparkSession): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refresh()
+      val all = scan().planFiles()
+      val affected = all.filter(_.deleteFiles.nonEmpty)
+      if (affected.isEmpty) return
+      val affectedPaths = affected.map(_.filePath).toSet
+      val kept = all.filterNot(t => affectedPaths.contains(t.filePath))
+      val rewritten = scan().materializeTasks(spark, affected) // deletes applied
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(meta.location, s"data/$commitUuid")
+      val newFiles = AppendUtil.writeData(rewritten, meta.currentSchema,
+        meta.defaultPartitionSpec, meta.defaultSortOrder, dataDir, hadoopConf,
+        targetFileRows = meta.properties.get("write.target-file-rows")
+          .map(_.toLong).getOrElse(5000000L))
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
+            keepParentDeleteManifests = false))
         committed = true
       } catch {
         case e: CommitConflictError =>
@@ -493,6 +660,72 @@ final class Table(
         "deleted-records" -> removedRecords.toString,
         "total-records" -> (prevTotal - removedRecords + addedRecords).toString,
         "total-data-files" -> (kept.size + added.size).toString),
+      schemaId = Some(base.currentSchemaId))
+
+    base.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = base.snapshots :+ snap,
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
+      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+  }
+
+  /** Snapshot for a merge-on-read DML: every parent manifest carried as-is
+    * (fast-append-style — nothing rewritten), plus one new delete manifest
+    * (content=1) and, for UPDATE, one new data manifest. Commit metadata
+    * cost is O(1) manifests regardless of table size. */
+  private def buildMorDmlMetadata(base: TableMetadata,
+                                  deleteFiles: Seq[graft.manifest.DataFile],
+                                  dataFiles: Seq[graft.manifest.DataFile],
+                                  attemptId: String,
+                                  operation: String): TableMetadata = {
+    val metadataDir = new Path(base.location, "metadata")
+    val fs = metadataDir.getFileSystem(hadoopConf)
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+    val seq = base.lastSequenceNumber + 1
+    val now = System.currentTimeMillis()
+
+    def writeOne(files: Seq[graft.manifest.DataFile], suffix: String,
+                 content: Int): ManifestFile = {
+      val mPath = new Path(metadataDir, s"$attemptId-$suffix.avro")
+      val mLen = Manifests.writeManifest(fs, mPath,
+        files.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f)),
+        base.currentSchema, base.defaultPartitionSpec)
+      ManifestFile(
+        manifestPath = mPath.toString, manifestLength = mLen,
+        partitionSpecId = base.defaultSpecId, addedSnapshotId = snapshotId,
+        addedFilesCount = files.size, addedRowsCount = files.map(_.recordCount).sum,
+        schemaId = base.currentSchemaId, content = content,
+        sequenceNumber = seq, minSequenceNumber = seq)
+    }
+    val delManifest = writeOne(deleteFiles, "del-m0", content = 1)
+    val dataManifest: Option[ManifestFile] =
+      if (dataFiles.isEmpty) None else Some(writeOne(dataFiles, "m0", content = 0))
+
+    val parents = base.currentSnapshot.toSeq.flatMap(p =>
+      Manifests.readManifestList(fs, new Path(p.manifestList)))
+    val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
+    Manifests.writeManifestList(fs, listPath,
+      parents ++ dataManifest.toSeq :+ delManifest, snapshotId, base.currentSnapshotId, seq)
+
+    val prevTotal = base.currentSnapshot
+      .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
+    val removedRecords = deleteFiles.map(_.recordCount).sum
+    val addedRecords = dataFiles.map(_.recordCount).sum
+    val snap = Snapshot(
+      snapshotId = snapshotId,
+      parentSnapshotId = base.currentSnapshotId,
+      sequenceNumber = seq,
+      timestampMs = now,
+      manifestList = listPath.toString,
+      summary = Map(
+        "operation" -> operation,
+        "added-delete-files" -> deleteFiles.size.toString,
+        "added-position-deletes" -> removedRecords.toString,
+        "added-data-files" -> dataFiles.size.toString,
+        "added-records" -> addedRecords.toString,
+        "total-records" -> (prevTotal - removedRecords + addedRecords).toString),
       schemaId = Some(base.currentSchemaId))
 
     base.copy(

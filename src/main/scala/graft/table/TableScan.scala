@@ -79,17 +79,17 @@ final class TableScan(
       Manifests.readManifest(fs, new Path(mf.manifestPath)).filter(_.isLive)
         .map(e => (e.dataFile, e.sequenceNumber))
     }.seq
-    def applicableDeletes(dataSeq: Long): Seq[DataFile] = deleteEntries.collect {
-      case (d, delSeq) if d.content == 2 && delSeq > dataSeq => d // equality: strictly newer
-      case (d, delSeq) if d.content == 1 && delSeq >= dataSeq => d // position: same commit counts
-    }
+    def applicableDeletes(dataFile: DataFile, dataSeq: Long): Seq[DataFile] =
+      deleteEntries.collect {
+        case (d, delSeq) if ScanPruning.deleteApplies(d, delSeq, dataFile, dataSeq) => d
+      }
     dataManifests.par.flatMap { mf =>
       val spec = meta.partitionSpecById(mf.partitionSpecId).getOrElse(PartitionSpec.Unpartitioned)
       val writeSchema = meta.schemaById(mf.schemaId).getOrElse(meta.currentSchema)
       Manifests.readManifest(fs, new Path(mf.manifestPath))
         .filter(_.isLive)
         .map(e => (FileScanTask(e.dataFile, mf.schemaId, e.sequenceNumber,
-          applicableDeletes(e.sequenceNumber)), keepFile(e.dataFile, spec, writeSchema)))
+          applicableDeletes(e.dataFile, e.sequenceNumber)), keepFile(e.dataFile, spec, writeSchema)))
     }.seq
   }
 
@@ -119,10 +119,10 @@ final class TableScan(
       Manifests.readManifest(fs, new Path(mf.manifestPath)).filter(_.isLive)
         .map(e => (e.dataFile, e.sequenceNumber))
     }.seq
-    def applicableDeletes(dataSeq: Long): Seq[DataFile] = deleteEntries.collect {
-      case (d, delSeq) if d.content == 2 && delSeq > dataSeq => d
-      case (d, delSeq) if d.content == 1 && delSeq >= dataSeq => d
-    }
+    def applicableDeletes(dataFile: DataFile, dataSeq: Long): Seq[DataFile] =
+      deleteEntries.collect {
+        case (d, delSeq) if ScanPruning.deleteApplies(d, delSeq, dataFile, dataSeq) => d
+      }
 
     // only immutable, serializable state enters the closure
     val preds = predicates
@@ -146,7 +146,7 @@ final class TableScan(
       }
       .collect()
     kept.toSeq.map { case (schemaId, seqNum, df) =>
-      FileScanTask(df, schemaId, seqNum, applicableDeletes(seqNum))
+      FileScanTask(df, schemaId, seqNum, applicableDeletes(df, seqNum))
     }
   }
 
@@ -165,14 +165,22 @@ final class TableScan(
 
   /** Materialize an explicit task list to the current schema WITHOUT the
     * scan predicates (used by copy-on-write rewrites, which need every row
-    * of the affected files, not just matching ones). */
+    * of the affected files, not just matching ones). With `withPositions`,
+    * two extra columns ride along: `__file` (normalized source path) and
+    * `__pos` (row ordinal in that file) — what a merge-on-read DML writer
+    * needs to emit position deletes. */
   private[graft] def materializeTasks(spark: SparkSession,
-                                      tasks: Seq[FileScanTask]): DataFrame = {
+                                      tasks: Seq[FileScanTask],
+                                      withPositions: Boolean = false): DataFrame = {
     val meta = table.metadata
     val current = meta.currentSchema
     val currentSpark = SparkSchemaConverter.toSpark(current)
     if (tasks.isEmpty) {
-      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), currentSpark)
+      val empty =
+        if (!withPositions) currentSpark
+        else currentSpark.add("__file", org.apache.spark.sql.types.StringType)
+          .add("__pos", org.apache.spark.sql.types.LongType)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), empty)
     }
     // delete scoping is per data file; group by the applicable delete set so
     // each group gets exactly its own anti-joins
@@ -192,11 +200,35 @@ final class TableScan(
               lit(null).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
           }
         }
-        raw.select(projection: _*)
+        val posCols =
+          if (!withPositions) Nil
+          else Seq(normPath(col("_metadata.file_path")).as("__file"),
+            col("_metadata.row_index").as("__pos"))
+        raw.select(projection ++ posCols: _*)
       }
-      applyDeletes(spark, parts.reduce(_ unionAll _), delGroup.head.deleteFiles)
+      val unioned = parts.reduce(_ unionAll _)
+      if (withPositions) applyDeletesPositioned(spark, unioned, delGroup.head.deleteFiles)
+      else applyDeletes(spark, unioned, delGroup.head.deleteFiles)
     }
     deleteGroups.reduce(_ unionAll _)
+  }
+
+  /** Rows of `tasks` matching the scan predicates, with live MOR deletes
+    * applied, as current-schema columns plus `__file` (the MANIFEST-form
+    * source path, not Spark's rendered form) and `__pos`. The input to a
+    * merge-on-read DELETE/UPDATE: only matched (file, pos) pairs and row
+    * content ever leave the scan — no data file is rewritten. */
+  private[graft] def matchedRowsWithPositions(spark: SparkSession,
+                                              tasks: Seq[FileScanTask]): DataFrame = {
+    val all = materializeTasks(spark, tasks, withPositions = true)
+    val filtered = predicates.foldLeft(all)((d, p) => d.filter(predicateToColumn(p)))
+    // translate the rendered path back to the manifest-form path so the
+    // recorded position deletes are spec-shaped (scheme-slash variance!)
+    import spark.implicits._
+    val mapping = tasks.map(t => (normPathStr(t.filePath), t.filePath))
+      .distinct.toDF("__file", "__mpath")
+    filtered.join(broadcast(mapping), Seq("__file"))
+      .drop("__file").withColumnRenamed("__mpath", "__file")
   }
 
   private[graft] def predicateToColumn(p: ScanPredicate): Column = p match {
@@ -219,6 +251,18 @@ final class TableScan(
   private def applyDeletes(spark: SparkSession, data: DataFrame,
                            deletes: Seq[DataFile]): DataFrame = {
     if (deletes.isEmpty) return data
+    val withMeta =
+      if (deletes.forall(_.content != 1)) data
+      else data.withColumn("__file", normPath(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+    applyDeletesPositioned(spark, withMeta, deletes).drop("__file", "__pos")
+  }
+
+  /** Delete application over data that already carries normalized `__file`
+    * / `__pos` columns (or needs none: no position deletes present). */
+  private def applyDeletesPositioned(spark: SparkSession, data: DataFrame,
+                                     deletes: Seq[DataFile]): DataFrame = {
+    if (deletes.isEmpty) return data
     val current = table.metadata.currentSchema
     def maybeBroadcast(df: DataFrame, files: Seq[DataFile]): DataFrame =
       if (files.map(_.fileSizeInBytes).sum <= BroadcastDeleteBytes) broadcast(df) else df
@@ -232,24 +276,23 @@ final class TableScan(
     }
     val posDeletes = deletes.filter(_.content == 1)
     if (posDeletes.nonEmpty) {
-      // position delete files carry (file_path, pos). URI scheme-slash
-      // variance must not break the match: Spark's _metadata.file_path
-      // renders local paths as "file:///x" while Hadoop Path.toString (the
-      // manifest form a spec-correct delete writer records) is "file:/x" —
-      // normalize both sides or deletes silently stop applying.
-      val norm: Column => Column = c => regexp_replace(c, "^file:/+", "file:/")
+      // position delete files carry (file_path, pos); renamed on the delete
+      // side so a table column named "file_path"/"pos" can never collide
       val delDf = spark.read.parquet(posDeletes.map(_.filePath): _*)
-        .select(norm(col("file_path")).as("file_path"), col("pos"))
-      val withMeta = out
-        .withColumn("__file", norm(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-      out = withMeta.join(maybeBroadcast(delDf, posDeletes),
-          withMeta("__file") === delDf("file_path") && withMeta("__pos") === delDf("pos"),
+        .select(normPath(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
+      out = out.join(maybeBroadcast(delDf, posDeletes),
+          out("__file") === delDf("__dfile") && out("__pos") === delDf("__dpos"),
           "left_anti")
-        .drop("__file", "__pos")
     }
     out
   }
+
+  /** URI scheme-slash normalization: Spark's `_metadata.file_path` renders
+    * local paths as "file:///x" while Hadoop Path.toString (the manifest
+    * form a spec-correct delete writer records) is "file:/x" — normalize
+    * both sides or position deletes silently stop applying. */
+  private def normPath(c: Column): Column = regexp_replace(c, "^file:/+", "file:/")
+  private def normPathStr(s: String): String = s.replaceFirst("^file:/+", "file:/")
 
   /** Execute → row-oriented Result (ref `scan.rs:57-63` + `result.rs`). */
   def collect(spark: SparkSession): Result = {
@@ -279,6 +322,30 @@ private[table] object ScanPruning extends Serializable {
   def keepFile(predicates: Seq[ScanPredicate], df: DataFile,
                spec: PartitionSpec, schema: Schema): Boolean =
     predicates.forall(p => keepByPartition(p, df, spec, schema) && keepByBounds(p, df, schema))
+
+  /** Plan-time delete-file scoping. Sequence rule per spec (equality:
+    * strictly newer; position: same commit counts), then two prunes that
+    * keep a delete in one partition from taxing every other partition's
+    * scan with an anti-join: (a) a delete file recording a partition tuple
+    * applies only within that partition (empty tuple = global — the form
+    * external writers commonly produce); (b) a position-delete file's
+    * referenced-data-file bounds (`file_path` min/max, spec reserved field
+    * 2147483546) exclude data files outside its path range. Both prunes
+    * are conservative: absent metadata means "applies". */
+  def deleteApplies(del: DataFile, delSeq: Long,
+                    data: DataFile, dataSeq: Long): Boolean = {
+    val seqOk = if (del.content == 2) delSeq > dataSeq else delSeq >= dataSeq
+    if (!seqOk) return false
+    if (del.partition.exists { case (_, v) => v.nonEmpty } && del.partition != data.partition)
+      return false
+    if (del.content == 1) {
+      val p = normPath(data.filePath)
+      del.lowerBounds.get("file_path").forall(lo => normPath(lo) <= p) &&
+        del.upperBounds.get("file_path").forall(hi => p <= normPath(hi))
+    } else true
+  }
+
+  private def normPath(s: String): String = s.replaceFirst("^file:/+", "file:/")
 
   /** Partition pruning: rewrite the predicate through each partition
     * transform over the predicate's source column. */
