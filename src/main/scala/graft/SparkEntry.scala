@@ -393,6 +393,45 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g37_schema_evolution" -> ((s, dir) => {
+      // interop-test shape (ref test/support/schema_changes.py): rename +
+      // drop + required-with-default, then append under the evolved schema;
+      // old files resolve by field id, defaults backfill
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 10 = 9")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_evo", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li)
+      tbl.updateSchema()
+        .renameColumn("l_quantity", "qty")
+        .deleteColumn("l_returnflag")
+        .addRequiredColumn("src", graft.types.IString, "old")
+        .commit()
+      tbl.append(t(s, dir, "lineitem").where("l_orderkey % 10 = 4")
+        .selectExpr("l_orderkey", "l_quantity AS qty", "'new' AS src"))
+      tbl.toDF(s).groupBy("src")
+        .agg(n().as("n_items"), sumd(d2(col("qty"))).as("sum_qty"))
+        .orderBy("src")
+    }),
+
+    "g38_partition_evolution" -> ((s, dir) => {
+      // metadata-only partition-layout change: era-0 files unpartitioned,
+      // era-1 identity(l_returnflag); the predicate prunes era 1 by
+      // partition and era 0 by column bounds — one scan over both eras
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 10 = 3")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_pevo", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li)
+      tbl.updateSpec().addField("l_returnflag").commit()
+      tbl.append(t(s, dir, "lineitem").where("l_orderkey % 10 = 2")
+        .select("l_orderkey", "l_quantity", "l_returnflag"))
+      tbl.scan(predicates = Seq(EqPred("l_returnflag", "A"))).toDF(s)
+        .groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g30_metadata_tables" -> ((s, dir) => {
       val cat = new MemoryCatalog()
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -816,6 +855,22 @@ object SparkEntry {
         | CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity + 50
         |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 8
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g37_schema_evolution" ->
+      """SELECT src, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM (
+        |  SELECT l_quantity, 'old' AS src FROM lineitem WHERE l_orderkey % 10 = 9
+        |  UNION ALL
+        |  SELECT l_quantity, 'new' AS src FROM lineitem WHERE l_orderkey % 10 = 4
+        |) GROUP BY src ORDER BY src""".stripMargin,
+
+    "g38_partition_evolution" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 10 IN (2, 3) AND l_returnflag = 'A'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g30_metadata_tables" ->

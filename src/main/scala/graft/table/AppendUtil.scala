@@ -28,9 +28,10 @@ object AppendUtil {
     val projected = schema.fields.map { f =>
       val target = SparkSchemaConverter.toSparkType(f.fieldType)
       if (dfCols.contains(f.name)) col(f.name).cast(target).as(f.name)
-      else if (f.required) throw new InvalidDataError(s"missing required column: ${f.name}")
       else f.writeDefault match {
-        case Some(v) => lit(v).cast(target).as(f.name)
+        case Some(v) => lit(v).cast(target).as(f.name) // required-with-default ok
+        case None if f.required =>
+          throw new InvalidDataError(s"missing required column: ${f.name}")
         case None => lit(null).cast(target).as(f.name)
       }
     }

@@ -353,6 +353,62 @@ final class Table(
     }
   }
 
+  /** Stage schema changes; see [[UpdateSchema]]. `table.updateSchema()
+    * .renameColumn("a","c").deleteColumn("b").commit()` */
+  def updateSchema(): UpdateSchema = new UpdateSchema(this)
+
+  /** Commit a schema produced by [[UpdateSchema]]: assign the next schema
+    * id (or adopt an identical existing version — Iceberg reuses ids for
+    * identical schemas so repeated no-op evolutions don't grow metadata),
+    * advance last-column-id, CAS through the catalog. Metadata-only. */
+  private[table] def commitSchemaUpdate(build: TableMetadata => (Schema, Int)): Unit =
+    commitWithRetry() { base =>
+      val (draft, lastCol) = build(base)
+      val existing = base.schemas.find(s =>
+        s.fields == draft.fields && s.identifierFieldIds == draft.identifierFieldIds)
+      val now = System.currentTimeMillis()
+      existing match {
+        case Some(same) if same.schemaId == base.currentSchemaId => None // no-op
+        case Some(same) =>
+          Some(base.copy(currentSchemaId = same.schemaId, lastUpdatedMs = now))
+        case None =>
+          val newId = base.schemas.map(_.schemaId).max + 1
+          val versioned = draft.copy(schemaId = newId)
+          Some(base.copy(
+            currentSchemaId = newId,
+            schemas = base.schemas :+ versioned,
+            lastColumnId = math.max(base.lastColumnId, lastCol),
+            lastUpdatedMs = now))
+      }
+    }
+
+  /** Stage partition-spec changes; see [[UpdateSpec]]. `table.updateSpec()
+    * .removeField("region").addField("ts", "day").commit()` */
+  def updateSpec(): UpdateSpec = new UpdateSpec(this)
+
+  /** Commit a partition layout produced by [[UpdateSpec]]: assign the next
+    * spec id (or adopt an identical existing spec), advance
+    * last-partition-id, CAS. Metadata-only — no data file moves. */
+  private[table] def commitSpecUpdate(
+      build: TableMetadata => (Seq[graft.meta.PartitionField], Int)): Unit =
+    commitWithRetry() { base =>
+      val (fields, lastPart) = build(base)
+      val existing = base.partitionSpecs.find(_.fields == fields)
+      val now = System.currentTimeMillis()
+      existing match {
+        case Some(same) if same.specId == base.defaultSpecId => None // no-op
+        case Some(same) =>
+          Some(base.copy(defaultSpecId = same.specId, lastUpdatedMs = now))
+        case None =>
+          val newId = base.partitionSpecs.map(_.specId).max + 1
+          Some(base.copy(
+            defaultSpecId = newId,
+            partitionSpecs = base.partitionSpecs :+ PartitionSpec(newId, fields),
+            lastPartitionId = math.max(base.lastPartitionId, lastPart),
+            lastUpdatedMs = now))
+      }
+    }
+
   private def validateAssignments(assignments: Map[String, String]): Unit = {
     require(assignments.nonEmpty, "update requires assignments")
     val schemaCols = meta.currentSchema.fields.map(_.name).toSet
@@ -614,32 +670,48 @@ final class Table(
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
 
-    val entries =
-      kept.map(t => ManifestEntry(ManifestEntry.StatusExisting, snapshotId,
-        t.sequenceNumber, t.file)) ++
-        added.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f))
-    val manifestPath = new Path(metadataDir, s"$attemptId-rw-m0.avro")
-    val manifestLen = Manifests.writeManifest(fs, manifestPath, entries,
-      base.currentSchema, base.defaultPartitionSpec)
-    val newManifest = ManifestFile(
-      manifestPath = manifestPath.toString,
-      manifestLength = manifestLen,
-      partitionSpecId = base.defaultSpecId,
-      addedSnapshotId = snapshotId,
-      addedFilesCount = added.size,
-      addedRowsCount = added.map(_.recordCount).sum,
-      schemaId = base.currentSchemaId,
-      content = 0,
-      sequenceNumber = seq,
-      minSequenceNumber = (kept.map(_.sequenceNumber) :+ seq).min,
-      existingFilesCount = kept.size,
-      existingRowsCount = kept.map(_.recordCount).sum)
+    // kept files keep their ORIGIN schema/spec: a file written before a
+    // schema or partition evolution must stay in a manifest stamped with
+    // its own era, or field-id projection and per-spec pruning re-key it
+    // wrongly. One manifest per surviving (schemaId, specId) era + one for
+    // the added files under the current era.
+    val keptManifests = kept.groupBy(t => (t.schemaId, t.specId)).toSeq
+      .sortBy(_._1).zipWithIndex.map { case (((schemaId, specId), group), i) =>
+        val mPath = new Path(metadataDir, s"$attemptId-rw-k$i.avro")
+        val mLen = Manifests.writeManifest(fs, mPath,
+          group.map(t => ManifestEntry(ManifestEntry.StatusExisting, snapshotId,
+            t.sequenceNumber, t.file)),
+          base.schemaById(schemaId).getOrElse(base.currentSchema),
+          base.partitionSpecById(specId).getOrElse(base.defaultPartitionSpec))
+        ManifestFile(
+          manifestPath = mPath.toString, manifestLength = mLen,
+          partitionSpecId = specId, addedSnapshotId = snapshotId,
+          addedFilesCount = 0, addedRowsCount = 0,
+          schemaId = schemaId, content = 0,
+          sequenceNumber = seq,
+          minSequenceNumber = group.map(_.sequenceNumber).min,
+          existingFilesCount = group.size,
+          existingRowsCount = group.map(_.recordCount).sum)
+      }
+    val addedManifest: Option[ManifestFile] = if (added.isEmpty && kept.nonEmpty) None else {
+      val mPath = new Path(metadataDir, s"$attemptId-rw-m0.avro")
+      val mLen = Manifests.writeManifest(fs, mPath,
+        added.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f)),
+        base.currentSchema, base.defaultPartitionSpec)
+      Some(ManifestFile(
+        manifestPath = mPath.toString, manifestLength = mLen,
+        partitionSpecId = base.defaultSpecId, addedSnapshotId = snapshotId,
+        addedFilesCount = added.size, addedRowsCount = added.map(_.recordCount).sum,
+        schemaId = base.currentSchemaId, content = 0,
+        sequenceNumber = seq, minSequenceNumber = seq))
+    }
+    val newManifests: Seq[ManifestFile] = keptManifests ++ addedManifest.toSeq
     val parentDeleteManifests: Seq[ManifestFile] =
       if (!keepParentDeleteManifests) Nil
       else base.currentSnapshot.toSeq.flatMap(p =>
         Manifests.readManifestList(fs, new Path(p.manifestList)).filter(_.content == 1))
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
-    Manifests.writeManifestList(fs, listPath, newManifest +: parentDeleteManifests,
+    Manifests.writeManifestList(fs, listPath, newManifests ++ parentDeleteManifests,
       snapshotId, base.currentSnapshotId, seq)
 
     val prevTotal = base.currentSnapshot

@@ -25,7 +25,8 @@ final case class InPred(column: String, values: Seq[Any]) extends ScanPredicate
   * data files with STRICTLY smaller data sequence number (rows re-inserted
   * after the delete survive); a position delete applies at equal-or-smaller. */
 final case class FileScanTask(file: DataFile, schemaId: Int,
-                              sequenceNumber: Long, deleteFiles: Seq[DataFile]) {
+                              sequenceNumber: Long, deleteFiles: Seq[DataFile],
+                              specId: Int = 0) {
   def filePath: String = file.filePath
   def recordCount: Long = file.recordCount
 }
@@ -89,7 +90,8 @@ final class TableScan(
       Manifests.readManifest(fs, new Path(mf.manifestPath))
         .filter(_.isLive)
         .map(e => (FileScanTask(e.dataFile, mf.schemaId, e.sequenceNumber,
-          applicableDeletes(e.dataFile, e.sequenceNumber)), keepFile(e.dataFile, spec, writeSchema)))
+          applicableDeletes(e.dataFile, e.sequenceNumber), mf.partitionSpecId),
+          ScanPruning.keepFileEvolved(predicates, e.dataFile, spec, writeSchema, meta.currentSchema)))
     }.seq
   }
 
@@ -141,17 +143,14 @@ final class TableScan(
         val writeSchema = schemaById.getOrElse(schemaId, currentSchema)
         Manifests.readManifest(f, p)
           .filter(_.isLive)
-          .filter(e => ScanPruning.keepFile(preds, e.dataFile, spec, writeSchema))
-          .map(e => (schemaId, e.sequenceNumber, e.dataFile))
+          .filter(e => ScanPruning.keepFileEvolved(preds, e.dataFile, spec, writeSchema, currentSchema))
+          .map(e => (schemaId, specId, e.sequenceNumber, e.dataFile))
       }
       .collect()
-    kept.toSeq.map { case (schemaId, seqNum, df) =>
-      FileScanTask(df, schemaId, seqNum, applicableDeletes(df, seqNum))
+    kept.toSeq.map { case (schemaId, specId, seqNum, df) =>
+      FileScanTask(df, schemaId, seqNum, applicableDeletes(df, seqNum), specId)
     }
   }
-
-  private def keepFile(df: DataFile, spec: PartitionSpec, schema: Schema): Boolean =
-    ScanPruning.keepFile(predicates, df, spec, schema)
 
   // ------------------------------------------------------- materialization
 
@@ -197,7 +196,10 @@ final class TableScan(
             case Some(wf) =>
               col(wf.name).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
             case None =>
-              lit(null).cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
+              // column added after these files were written: rows read the
+              // initial-default (spec v3 semantics), else null
+              cf.initialDefault.map(lit).getOrElse(lit(null))
+                .cast(SparkSchemaConverter.toSparkType(cf.fieldType)).as(cf.name)
           }
         }
         val posCols =
@@ -322,6 +324,60 @@ private[table] object ScanPruning extends Serializable {
   def keepFile(predicates: Seq[ScanPredicate], df: DataFile,
                spec: PartitionSpec, schema: Schema): Boolean =
     predicates.forall(p => keepByPartition(p, df, spec, schema) && keepByBounds(p, df, schema))
+
+  /** Schema-evolution-aware pruning: predicates name CURRENT-schema
+    * columns, but a file's partition values and bounds are keyed by its
+    * WRITE-TIME names. Resolve current name → field id → write-time name
+    * before pruning, so a scan on a renamed column still skips files. A
+    * predicate on a column the write schema lacks means every row of the
+    * file reads the column's initial-default (or null) — evaluate the
+    * predicate against that constant instead of keeping conservatively. */
+  def keepFileEvolved(predicates: Seq[ScanPredicate], df: DataFile, spec: PartitionSpec,
+                      writeSchema: Schema, currentSchema: Schema): Boolean = {
+    if (writeSchema.schemaId == currentSchema.schemaId)
+      return keepFile(predicates, df, spec, writeSchema)
+    predicates.forall { p =>
+      currentSchema.fieldByName(p.column) match {
+        case None => true // not a schema column; downstream filter decides
+        case Some(cf) => writeSchema.fieldById(cf.id) match {
+          case Some(wf) =>
+            val wp = withColumnName(p, wf.name)
+            keepByPartition(wp, df, spec, writeSchema) && keepByBounds(wp, df, writeSchema)
+          case None => constMatches(p, cf.initialDefault.orNull)
+        }
+      }
+    }
+  }
+
+  private def withColumnName(p: ScanPredicate, name: String): ScanPredicate = p match {
+    case EqPred(_, v) => EqPred(name, v)
+    case LtPred(_, v) => LtPred(name, v)
+    case LePred(_, v) => LePred(name, v)
+    case GtPred(_, v) => GtPred(name, v)
+    case GePred(_, v) => GePred(name, v)
+    case InPred(_, vs) => InPred(name, vs)
+  }
+
+  /** Can a row whose column is the constant `v` satisfy `p`? (SQL
+    * comparison semantics: anything vs null is false.) */
+  private def constMatches(p: ScanPredicate, v: Any): Boolean = {
+    if (v == null) return false
+    def cmp(x: Any): Option[Int] = (canonNum(v), canonNum(x)) match {
+      case (Some(a), Some(b)) => Some(a.compare(b))
+      case _ => (v, x) match {
+        case (a: String, b: String) => Some(a.compareTo(b))
+        case _ => None
+      }
+    }
+    p match {
+      case EqPred(_, x) => canonEq(v, x)
+      case InPred(_, xs) => xs.exists(canonEq(v, _))
+      case LtPred(_, x) => cmp(x).forall(_ < 0)
+      case LePred(_, x) => cmp(x).forall(_ <= 0)
+      case GtPred(_, x) => cmp(x).forall(_ > 0)
+      case GePred(_, x) => cmp(x).forall(_ >= 0)
+    }
+  }
 
   /** Plan-time delete-file scoping. Sequence rule per spec (equality:
     * strictly newer; position: same commit counts), then two prunes that
