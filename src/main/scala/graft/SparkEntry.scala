@@ -432,6 +432,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g39_merge_upsert" -> ((s, dir) => {
+      // MERGE: CDC-style upsert on the unique o_orderkey — matched rows
+      // take the source image (+100 totalprice), unmatched source rows
+      // insert; only files whose key bounds intersect the source's are
+      // ever rewritten
+      val cat = new MemoryCatalog()
+      val base = t(s, dir, "orders").where("o_orderkey % 10 = 1")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val tbl = cat.createTable("ord_merge", SparkSchemaConverter.fromSpark(base.schema))
+      tbl.append(base)
+      val src = t(s, dir, "orders").where("o_orderkey % 20 = 1")
+        .selectExpr("o_orderkey", "o_totalprice + 100 AS o_totalprice", "o_orderstatus")
+        .unionByName(t(s, dir, "orders").where("o_orderkey % 10 = 6")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+      tbl.merge(s, src, Seq("o_orderkey"))
+      tbl.toDF(s).groupBy("o_orderstatus")
+        .agg(n().as("n_items"), sumd(d2(col("o_totalprice"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "g30_metadata_tables" -> ((s, dir) => {
       val cat = new MemoryCatalog()
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -872,6 +892,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 10 IN (2, 3) AND l_returnflag = 'A'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g39_merge_upsert" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 20 = 1 THEN o_totalprice + 100
+        |              ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 6
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "g30_metadata_tables" ->
       """SELECT CAST(sequence_number AS BIGINT) AS sequence_number, operation

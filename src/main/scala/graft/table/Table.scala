@@ -7,7 +7,7 @@ import graft.meta._
 import graft.types.Schema
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /**
@@ -352,6 +352,235 @@ final class Table(
       } finally matched.unpersist()
     }
   }
+
+  /**
+   * MERGE (upsert): join `source` to this table on equality of the `on`
+   * key columns; matched target rows get `whenMatched` (update/delete/
+   * ignore), unmatched source rows get `whenNotMatched` (insert/ignore).
+   * Null join keys never match (SQL equality), and a duplicate source key
+   * is rejected — each target row may match at most one source row.
+   *
+   * Scale shape: one tiny aggregate computes the source's per-key min/max,
+   * and only target files whose key bounds intersect that range are ever
+   * planned, read, or rewritten — a CDC batch touching one day of a 100 TB
+   * table joins against that day's files, not the table. Mode from
+   * `write.merge.mode`: copy-on-write (default) rewrites affected files;
+   * merge-on-read commits position deletes + new files, O(matched rows).
+   */
+  def merge(spark: SparkSession, source: DataFrame, on: Seq[String],
+            whenMatched: WhenMatched = WhenMatched.UpdateAll,
+            whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll): Unit =
+    meta.properties.get("write.merge.mode") match {
+      case Some("merge-on-read") => mergeMergeOnRead(spark, source, on, whenMatched, whenNotMatched)
+      case Some(other) if other != "copy-on-write" =>
+        throw new InvalidDataError(s"unknown write.merge.mode: $other")
+      case _ => mergeCopyOnWrite(spark, source, on, whenMatched, whenNotMatched)
+    }
+
+  def mergeCopyOnWrite(spark: SparkSession, source: DataFrame, on: Seq[String],
+                       whenMatched: WhenMatched = WhenMatched.UpdateAll,
+                       whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    mergePrep(spark, source, on, whenMatched) match {
+      case None => // empty source: nothing can match or insert
+      case Some((srcAligned, preds)) => try {
+        var attempt = 0
+        var committed = false
+        while (!committed) {
+          refresh()
+          val sc = scan(None, preds)
+          val (affected, kept) = sc.planFilesPartitioned()
+          val commitUuid = java.util.UUID.randomUUID().toString
+          if (affected.isEmpty) {
+            // no target file intersects the source key range: pure insert
+            if (whenNotMatched == WhenNotMatched.Ignore) return
+            val newFiles = writeDataFiles(srcAligned, commitUuid)
+            if (newFiles.nonEmpty) commitAppend(cat, newFiles, commitUuid,
+              Map("operation-detail" -> "merge-insert"))
+            return
+          }
+          val targetRows = sc.materializeTasks(spark, affected)
+          val result = mergeResult(
+            mergeJoined(targetRows, srcAligned, on), whenMatched, whenNotMatched)
+          val newFiles = writeDataFiles(result, commitUuid)
+          try {
+            meta = cat.commitTable(ident, meta,
+              buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
+                keepParentDeleteManifests = true))
+            committed = true
+          } catch {
+            case e: CommitConflictError =>
+              attempt += 1
+              if (attempt > 5) throw e
+          }
+        }
+      } finally srcAligned.unpersist()
+    }
+  }
+
+  def mergeMergeOnRead(spark: SparkSession, source: DataFrame, on: Seq[String],
+                       whenMatched: WhenMatched = WhenMatched.UpdateAll,
+                       whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit, when}
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    mergePrep(spark, source, on, whenMatched) match {
+      case None =>
+      case Some((srcAligned, preds)) => try {
+        var attempt = 0
+        var committed = false
+        while (!committed) {
+          refresh()
+          val sc = scan(None, preds)
+          val affected = sc.planFiles()
+          val commitUuid = java.util.UUID.randomUUID().toString
+          if (affected.isEmpty) {
+            if (whenNotMatched == WhenNotMatched.Ignore) return
+            val newFiles = writeDataFiles(srcAligned, commitUuid)
+            if (newFiles.nonEmpty) commitAppend(cat, newFiles, commitUuid,
+              Map("operation-detail" -> "merge-insert"))
+            return
+          }
+          // live target rows in the key range, with (file, pos) riding along
+          val joined = mergeJoined(
+            sc.matchedRowsWithPositions(spark, affected), srcAligned, on)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val isM = col("__t").isNotNull && col("__s").isNotNull
+            val fields = meta.currentSchema.fields
+            def proj(d: DataFrame, value: graft.types.NestedField => Column): DataFrame =
+              d.select(fields.map(f => value(f)
+                .cast(graft.types.SparkSchemaConverter.toSparkType(f.fieldType))
+                .as(f.name)): _*)
+            val matched = joined.filter(isM)
+            val images: Option[DataFrame] = whenMatched match {
+              case WhenMatched.UpdateAll => Some(proj(matched, f => col(s"__src_${f.name}")))
+              case WhenMatched.UpdateSet(a) =>
+                Some(proj(matched, f => a.get(f.name).map(expr).getOrElse(col(f.name))))
+              case _ => None // Delete: positions only; Ignore: untouched
+            }
+            val inserts: Option[DataFrame] = whenNotMatched match {
+              case WhenNotMatched.InsertAll =>
+                Some(proj(joined.filter(col("__t").isNull), f => col(s"__src_${f.name}")))
+              case WhenNotMatched.Ignore => None
+            }
+            val delFiles =
+              if (whenMatched == WhenMatched.Ignore) Nil
+              else AppendUtil.writePositionDeletes(
+                matched.select(col("__file").as("file_path"), col("__pos").as("pos")),
+                new Path(meta.location, s"data/$commitUuid-del"), hadoopConf)
+            val newFiles = (images ++ inserts).reduceOption(_ unionAll _)
+              .map(writeDataFiles(_, commitUuid)).getOrElse(Nil)
+            if (delFiles.isEmpty && newFiles.isEmpty) return // no-op merge
+            try {
+              meta = cat.commitTable(ident, meta,
+                buildMorDmlMetadata(meta, delFiles, newFiles, commitUuid, "overwrite"))
+              committed = true
+            } catch {
+              case e: CommitConflictError =>
+                attempt += 1
+                if (attempt > 5) throw e
+            }
+          } finally joined.unpersist()
+        }
+      } finally srcAligned.unpersist()
+    }
+  }
+
+  /** Shared merge prep: validate keys/assignments, align the source to the
+    * table schema (cached — it feeds the join and possibly the insert
+    * write), reject duplicate non-null source keys, and derive the key
+    * min/max bounds predicates that scope target planning. None = empty
+    * source. */
+  private def mergePrep(spark: SparkSession, source: DataFrame, on: Seq[String],
+                        whenMatched: WhenMatched)
+      : Option[(DataFrame, Seq[ScanPredicate])] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    require(on.nonEmpty, "merge requires join key columns")
+    val schemaCols = meta.currentSchema.fields.map(_.name).toSet
+    val badT = on.filterNot(schemaCols)
+    if (badT.nonEmpty)
+      throw new InvalidDataError(s"merge keys not in table schema: ${badT.mkString(", ")}")
+    val srcCols = source.columns.toSet
+    val badS = on.filterNot(srcCols)
+    if (badS.nonEmpty)
+      throw new InvalidDataError(s"merge keys not in source: ${badS.mkString(", ")}")
+    whenMatched match {
+      case WhenMatched.UpdateSet(a) =>
+        val unknown = a.keySet -- schemaCols
+        if (unknown.nonEmpty)
+          throw new InvalidDataError(s"unknown columns in merge UPDATE SET: ${unknown.mkString(", ")}")
+        val keyed = a.keySet.intersect(on.toSet)
+        if (keyed.nonEmpty)
+          throw new InvalidDataError(s"cannot assign merge key columns: ${keyed.mkString(", ")}")
+      case _ =>
+    }
+    val srcAligned = AppendUtil.align(source, meta.currentSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass over the source: per-key min/max + duplicate-key detection
+    val keyCols = on.map(col)
+    val aggs = on.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k"))) :+
+      count(lit(1)).as("__n")
+    val grouped = srcAligned.filter(keyCols.map(_.isNotNull).reduce(_ && _))
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__dup"))
+    if (grouped.filter(col("__dup") > 1).limit(1).count() > 0) {
+      srcAligned.unpersist()
+      throw new InvalidDataError(
+        "MERGE source has duplicate join keys: each target row may match at most one source row")
+    }
+    val stats = srcAligned.agg(aggs.head, aggs.tail: _*).head()
+    if (stats.getAs[Long]("__n") == 0L) { srcAligned.unpersist(); return None }
+    val preds = on.flatMap { k =>
+      Option(stats.getAs[Any](s"__min_$k")).map(GePred(k, _)).toSeq ++
+        Option(stats.getAs[Any](s"__max_$k")).map(LePred(k, _)).toSeq
+    }
+    Some((srcAligned, preds))
+  }
+
+  /** Full-outer join of target rows and the aligned source on the merge
+    * keys; source columns arrive as `__src_<name>`, presence markers as
+    * `__t`/`__s`. Null keys never match (plain equality). */
+  private def mergeJoined(target: DataFrame, srcAligned: DataFrame,
+                          on: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val src = meta.currentSchema.fields
+      .foldLeft(srcAligned)((d, f) => d.withColumnRenamed(f.name, s"__src_${f.name}"))
+      .withColumn("__s", lit(true))
+    val tgt = target.withColumn("__t", lit(true))
+    val cond = on.map(k => tgt(k) === src(s"__src_$k")).reduce(_ && _)
+    tgt.join(src, cond, "full_outer")
+  }
+
+  /** Copy-on-write merge result over the joined frame: matched rows take
+    * the `whenMatched` image (or drop), target-only rows pass through
+    * verbatim, source-only rows insert per `whenNotMatched`. */
+  private def mergeResult(joined: DataFrame, whenMatched: WhenMatched,
+                          whenNotMatched: WhenNotMatched): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val isM = col("__t").isNotNull && col("__s").isNotNull
+    val sOnly = col("__t").isNull
+    val keep = (isM && lit(whenMatched != WhenMatched.Delete)) ||
+      col("__s").isNull ||
+      (sOnly && lit(whenNotMatched == WhenNotMatched.InsertAll))
+    val projected = meta.currentSchema.fields.map { f =>
+      val srcC = col(s"__src_${f.name}")
+      val matchedVal = whenMatched match {
+        case WhenMatched.UpdateAll => srcC
+        case WhenMatched.UpdateSet(a) => a.get(f.name).map(expr).getOrElse(col(f.name))
+        case _ => col(f.name)
+      }
+      when(isM, matchedVal).when(sOnly, srcC).otherwise(col(f.name))
+        .cast(graft.types.SparkSchemaConverter.toSparkType(f.fieldType)).as(f.name)
+    }
+    joined.filter(keep).select(projected: _*)
+  }
+
+  /** Write `df` as table data files under `data/<uuid>` with the current
+    * schema/spec/sort and the table's target file size. */
+  private def writeDataFiles(df: DataFrame, commitUuid: String): Seq[graft.manifest.DataFile] =
+    AppendUtil.writeData(df, meta.currentSchema, meta.defaultPartitionSpec,
+      meta.defaultSortOrder, new Path(meta.location, s"data/$commitUuid"), hadoopConf,
+      targetFileRows = meta.properties.get("write.target-file-rows")
+        .map(_.toLong).getOrElse(5000000L))
 
   /** Stage schema changes; see [[UpdateSchema]]. `table.updateSchema()
     * .renameColumn("a","c").deleteColumn("b").commit()` */
@@ -771,7 +1000,8 @@ final class Table(
         schemaId = base.currentSchemaId, content = content,
         sequenceNumber = seq, minSequenceNumber = seq)
     }
-    val delManifest = writeOne(deleteFiles, "del-m0", content = 1)
+    val delManifest: Option[ManifestFile] =
+      if (deleteFiles.isEmpty) None else Some(writeOne(deleteFiles, "del-m0", content = 1))
     val dataManifest: Option[ManifestFile] =
       if (dataFiles.isEmpty) None else Some(writeOne(dataFiles, "m0", content = 0))
 
@@ -779,7 +1009,7 @@ final class Table(
       Manifests.readManifestList(fs, new Path(p.manifestList)))
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
     Manifests.writeManifestList(fs, listPath,
-      parents ++ dataManifest.toSeq :+ delManifest, snapshotId, base.currentSnapshotId, seq)
+      parents ++ dataManifest.toSeq ++ delManifest.toSeq, snapshotId, base.currentSnapshotId, seq)
 
     val prevTotal = base.currentSnapshot
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
