@@ -80,6 +80,33 @@ object StreamingOps {
       .start()
   }
 
+  /**
+   * Streaming UPSERT into a graft table (CDC shape): each micro-batch
+   * commits equality-delete files on `keys` plus the batch as new data
+   * files, atomically — later batches override earlier rows with the same
+   * key, last-wins. Per-batch cost is O(batch) regardless of table size
+   * (no read, no join, no rewrite of existing data), which is the only
+   * write shape that survives a 100 TB table under a continuous stream;
+   * scans pay the equality anti-join until compaction folds it in. Same
+   * replayed-batch dedup as [[appendStream]]. Batches must carry at most
+   * one row per key (pre-reduce upstream, e.g. a keyed aggregation).
+   */
+  def upsertStream(stream: DataFrame, table: Table, keys: Seq[String],
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scope = queryScope(batch.sparkSession, checkpointDir)
+        table.refresh()
+        if (!lastCommittedBatchId(table, scope).exists(_ >= batchId)) {
+          table.upsert(batch.sparkSession, batch, keys, extraSummary = Map(
+            "streaming-query-id" -> scope,
+            "streaming-batch-id" -> batchId.toString))
+        }
+      }
+      .start()
+  }
+
   /** The stable id scoping a stream's batch ids: the query id Spark persists
     * at `<checkpoint>/metadata` (stable across restarts from the same
     * checkpoint; fresh per new checkpoint). Falls back to the checkpoint

@@ -201,6 +201,45 @@ object AppendUtil {
     }.seq
   }
 
+  /** Write equality-delete files (spec content=2): rows are the key tuples
+    * whose OLDER versions become invisible; `equalityIds` records which
+    * field ids the equality is over. The upsert primitive: a delete file
+    * at sequence N hides matching rows in data files with sequence < N,
+    * while same-commit data files (sequence N) are untouched — so one
+    * commit of (equality deletes + new rows) is an atomic last-wins
+    * upsert, O(batch) cost regardless of table size. */
+  def writeEqualityDeletes(keysDf: DataFrame, keyFields: Seq[graft.types.NestedField],
+                           dir: Path, conf: Configuration,
+                           targetFileRows: Long = 5000000L): Seq[graft.manifest.DataFile] = {
+    import scala.collection.parallel.CollectionConverters._
+    val keyNames = keyFields.map(_.name)
+    keysDf.select(keyNames.map(col): _*).distinct()
+      .write.option("maxRecordsPerFile", targetFileRows).parquet(dir.toString)
+    val fs = dir.getFileSystem(conf)
+    val it = fs.listFiles(dir, true)
+    val listed = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        listed += ((st.getPath, st.getLen))
+    }
+    val keySet = keyNames.toSet
+    listed.toSeq.par.flatMap { case (p, len) =>
+      val stats = ParquetStats.read(conf, p)
+      if (stats.recordCount == 0L) None
+      else Some(graft.manifest.DataFile(
+        filePath = p.toString,
+        fileFormat = "PARQUET",
+        partition = Map.empty,
+        recordCount = stats.recordCount,
+        fileSizeInBytes = len,
+        lowerBounds = stats.lowerBounds.view.filterKeys(keySet).toMap,
+        upperBounds = stats.upperBounds.view.filterKeys(keySet).toMap,
+        content = 2,
+        equalityIds = keyFields.map(_.id)))
+    }.seq
+  }
+
   /** Inverse of Hive's escapePathName (%xx sequences). */
   def unescapePathName(s: String): String = {
     if (!s.contains('%')) return s

@@ -582,6 +582,56 @@ final class Table(
       targetFileRows = meta.properties.get("write.target-file-rows")
         .map(_.toLong).getOrElse(5000000L))
 
+  /**
+   * UPSERT one batch (last-wins by `keys`): commit equality-delete files
+   * on the key columns plus the batch as new data files, atomically. The
+   * delete and data files share the commit's sequence number, and
+   * equality deletes apply only to STRICTLY older sequences — so the
+   * batch replaces prior versions of its keys without reading, joining,
+   * or rewriting ANY existing data. Cost is O(batch), independent of
+   * table size: the write side of a CDC/streaming upsert at 100 TB. The
+   * read side pays the equality anti-join until [[applyPendingDeletes]]
+   * or [[compact]] folds it in. `df` must carry at most one row per key.
+   */
+  def upsert(spark: SparkSession, df: DataFrame, keys: Seq[String],
+             extraSummary: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    require(keys.nonEmpty, "upsert requires key columns")
+    val keyFields = keys.map(k => meta.currentSchema.fieldByName(k).getOrElse(
+      throw new InvalidDataError(s"upsert key not in table schema: $k")))
+    val aligned = AppendUtil.align(df, meta.currentSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (aligned.isEmpty) return
+      val dup = aligned.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__dup"))
+        .filter(col("__dup") > 1).limit(1).count()
+      if (dup > 0)
+        throw new InvalidDataError(
+          "upsert batch has duplicate keys: reduce to one row per key first (last-wins is undefined within a batch)")
+      // files depend only on the batch — write once, retry only the CAS
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val delFiles = AppendUtil.writeEqualityDeletes(aligned, keyFields,
+        new Path(meta.location, s"data/$commitUuid-eqdel"), hadoopConf)
+      val dataFiles = writeDataFiles(aligned, commitUuid)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val base = if (attempt == 0) meta else cat.currentMetadata(ident)
+        try {
+          meta = cat.commitTable(ident, base,
+            buildMorDmlMetadata(base, delFiles, dataFiles, s"$commitUuid-$attempt",
+              "overwrite", extraSummary))
+          committed = true
+        } catch {
+          case e: CommitConflictError =>
+            attempt += 1
+            if (attempt > 5) throw e
+        }
+      }
+    } finally aligned.unpersist()
+  }
+
   /** Stage schema changes; see [[UpdateSchema]]. `table.updateSchema()
     * .renameColumn("a","c").deleteColumn("b").commit()` */
   def updateSchema(): UpdateSchema = new UpdateSchema(this)
@@ -980,7 +1030,8 @@ final class Table(
                                   deleteFiles: Seq[graft.manifest.DataFile],
                                   dataFiles: Seq[graft.manifest.DataFile],
                                   attemptId: String,
-                                  operation: String): TableMetadata = {
+                                  operation: String,
+                                  extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
@@ -1013,7 +1064,11 @@ final class Table(
 
     val prevTotal = base.currentSnapshot
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
-    val removedRecords = deleteFiles.map(_.recordCount).sum
+    // each position delete hides exactly one row, so total-records can net
+    // it out; an equality delete's hidden-row count is unknowable at
+    // commit time (reported separately, not subtracted — Iceberg parity)
+    val posRecords = deleteFiles.filter(_.content == 1).map(_.recordCount).sum
+    val eqRecords = deleteFiles.filter(_.content == 2).map(_.recordCount).sum
     val addedRecords = dataFiles.map(_.recordCount).sum
     val snap = Snapshot(
       snapshotId = snapshotId,
@@ -1021,13 +1076,14 @@ final class Table(
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath.toString,
-      summary = Map(
+      summary = extraSummary ++ Map(
         "operation" -> operation,
         "added-delete-files" -> deleteFiles.size.toString,
-        "added-position-deletes" -> removedRecords.toString,
+        "added-position-deletes" -> posRecords.toString,
+        "added-equality-deletes" -> eqRecords.toString,
         "added-data-files" -> dataFiles.size.toString,
         "added-records" -> addedRecords.toString,
-        "total-records" -> (prevTotal - removedRecords + addedRecords).toString),
+        "total-records" -> (prevTotal - posRecords + addedRecords).toString),
       schemaId = Some(base.currentSchemaId))
 
     base.copy(
