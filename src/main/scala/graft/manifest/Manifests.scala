@@ -262,14 +262,18 @@ object Manifests {
       "name" -> JString(f.name), "transform" -> JString(f.transform))))))
 
   private def boundsToAvro(m: Map[String, String], schema: Schema,
-                           kvSchema: AvroSchema): java.util.List[GenericRecord] = {
+                           kvSchema: AvroSchema, content: Int): java.util.List[GenericRecord] = {
     val itemSchema = kvSchema.getElementType
     m.toList.sortBy(_._1).flatMap { case (name, raw) =>
-      // table columns resolve by name; a position-delete file's
-      // referenced-data-file bounds use the spec's reserved fields
+      // Table columns resolve by name; a position-delete file's
+      // referenced-data-file bounds use the spec's reserved fields. For
+      // position deletes (content==1) the reserved names win — a table
+      // column literally named "file_path"/"pos" must not re-key (or
+      // re-type) the delete file's own bounds.
+      val fromSchema = schema.fieldByName(name).map(f => f.id -> f.fieldType)
       val resolved: Option[(Int, IType)] =
-        schema.fieldByName(name).map(f => f.id -> f.fieldType)
-          .orElse(ReservedFields.byName.get(name))
+        if (content == 1) ReservedFields.byName.get(name).orElse(fromSchema)
+        else fromSchema.orElse(ReservedFields.byName.get(name))
       resolved.flatMap { case (id, t) =>
         SingleValue.toBytes(t, raw).map { bytes =>
           val r = new GenericData.Record(itemSchema)
@@ -340,8 +344,10 @@ object Manifests {
               r: GenericRecord
             }
           }.asJava)
-        df.put("lower_bounds", boundsToAvro(e.dataFile.lowerBounds, schema, lowerSchema))
-        df.put("upper_bounds", boundsToAvro(e.dataFile.upperBounds, schema, upperSchema))
+        df.put("lower_bounds",
+          boundsToAvro(e.dataFile.lowerBounds, schema, lowerSchema, e.dataFile.content))
+        df.put("upper_bounds",
+          boundsToAvro(e.dataFile.upperBounds, schema, upperSchema, e.dataFile.content))
         df.put("equality_ids",
           if (e.dataFile.equalityIds.isEmpty) null
           else e.dataFile.equalityIds.map(Integer.valueOf).asJava)

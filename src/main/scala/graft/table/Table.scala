@@ -184,6 +184,7 @@ final class Table(
         committed = true
       } catch {
         case e: CommitConflictError =>
+          discardFiles(newFiles) // regenerated next attempt
           attempt += 1
           if (attempt > 5) throw e
       }
@@ -222,6 +223,7 @@ final class Table(
         committed = true
       } catch {
         case e: CommitConflictError =>
+          discardFiles(delFiles) // regenerated next attempt
           attempt += 1
           if (attempt > 5) throw e
       }
@@ -289,6 +291,7 @@ final class Table(
         committed = true
       } catch {
         case e: CommitConflictError =>
+          discardFiles(newFiles) // regenerated next attempt
           attempt += 1
           if (attempt > 5) throw e
       }
@@ -346,6 +349,7 @@ final class Table(
           committed = true
         } catch {
           case e: CommitConflictError =>
+            discardFiles(delFiles ++ newFiles) // regenerated next attempt
             attempt += 1
             if (attempt > 5) throw e
         }
@@ -410,6 +414,7 @@ final class Table(
             committed = true
           } catch {
             case e: CommitConflictError =>
+              discardFiles(newFiles) // regenerated next attempt
               attempt += 1
               if (attempt > 5) throw e
           }
@@ -477,6 +482,7 @@ final class Table(
               committed = true
             } catch {
               case e: CommitConflictError =>
+                discardFiles(delFiles ++ newFiles) // regenerated next attempt
                 attempt += 1
                 if (attempt > 5) throw e
             }
@@ -582,6 +588,19 @@ final class Table(
       targetFileRows = meta.properties.get("write.target-file-rows")
         .map(_.toLong).getOrElse(5000000L))
 
+  /** Best-effort removal of parquet files written for a commit attempt
+    * that was abandoned (CAS conflict re-plan, or terminal retry failure).
+    * No snapshot references them, so [[expireSnapshots]] can never reclaim
+    * them — without this they leak on every lost race. Failures are
+    * swallowed: a leaked file is benign, a failed DML is not. */
+  private def discardFiles(files: Seq[graft.manifest.DataFile]): Unit =
+    files.foreach { f =>
+      try {
+        val p = new Path(f.filePath)
+        p.getFileSystem(hadoopConf).delete(p, false)
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+
   /**
    * UPSERT one batch (last-wins by `keys`): commit equality-delete files
    * on the key columns plus the batch as new data files, atomically. The
@@ -604,12 +623,29 @@ final class Table(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (aligned.isEmpty) return
+      // Equality deletes treat NULL as a matching value (Iceberg
+      // semantics), so a null-key row would silently hide prior null-key
+      // rows — and SQL-equality intuition says it never matches anything.
+      // Rather than pick either surprise, reject nulls loudly (merge()
+      // keeps SQL semantics for callers that want null keys as inserts).
+      val nullKey = aligned.filter(keys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count()
+      if (nullKey > 0)
+        throw new InvalidDataError(
+          s"upsert key contains NULL (keys: ${keys.mkString(", ")}): filter " +
+            "null-key rows out or use merge(), which treats them as plain inserts")
       val dup = aligned.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__dup"))
         .filter(col("__dup") > 1).limit(1).count()
       if (dup > 0)
         throw new InvalidDataError(
           "upsert batch has duplicate keys: reduce to one row per key first (last-wins is undefined within a batch)")
-      // files depend only on the batch — write once, retry only the CAS
+      // files depend only on the batch — write once, retry only the CAS.
+      // Remember the era they were written under: a retry commits against
+      // refreshed metadata, and if a concurrent schema/spec evolution won
+      // the race the manifest must still be stamped with the WRITE schema,
+      // or read-side field-id projection resolves the files wrongly.
+      val writeSchemaId = meta.currentSchemaId
+      val writeSpecId = meta.defaultSpecId
       val commitUuid = java.util.UUID.randomUUID().toString
       val delFiles = AppendUtil.writeEqualityDeletes(aligned, keyFields,
         new Path(meta.location, s"data/$commitUuid-eqdel"), hadoopConf)
@@ -621,12 +657,13 @@ final class Table(
         try {
           meta = cat.commitTable(ident, base,
             buildMorDmlMetadata(base, delFiles, dataFiles, s"$commitUuid-$attempt",
-              "overwrite", extraSummary))
+              "overwrite", extraSummary,
+              writeSchemaId = Some(writeSchemaId), writeSpecId = Some(writeSpecId)))
           committed = true
         } catch {
           case e: CommitConflictError =>
             attempt += 1
-            if (attempt > 5) throw e
+            if (attempt > 5) { discardFiles(delFiles ++ dataFiles); throw e }
         }
       }
     } finally aligned.unpersist()
@@ -729,6 +766,7 @@ final class Table(
         committed = true
       } catch {
         case e: CommitConflictError =>
+          discardFiles(newFiles) // regenerated next attempt
           attempt += 1
           if (attempt > 5) throw e
       }
@@ -775,6 +813,7 @@ final class Table(
         committed = true
       } catch {
         case e: CommitConflictError =>
+          discardFiles(newFiles) // regenerated next attempt
           attempt += 1
           if (attempt > 5) throw e
       }
@@ -877,6 +916,62 @@ final class Table(
     expired.par.foreach(s => fs.delete(new Path(s.manifestList), false))
   }
 
+  /**
+   * Remove orphan files (`remove_orphan_files`): physically delete files
+   * under the table's `data/` and `metadata/` directories that no
+   * snapshot references — leftovers of crashed writers and lost commit
+   * races (the in-line discard in the DML retry loops is best-effort; a
+   * killed JVM never runs it). Only files last modified before
+   * `olderThanMs` are touched, so an in-flight commit — files written,
+   * CAS not yet won — is never swept. Returns the deleted paths.
+   *
+   * Scale shape: reachability is the same parallel manifest walk
+   * [[expireSnapshots]] uses (O(live manifests) reads, `.par` across
+   * snapshots and manifests); the directory listing streams file-by-file,
+   * holding only the referenced-path set in memory.
+   */
+  def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
+    import scala.collection.parallel.CollectionConverters._
+    refresh()
+    val fs = new Path(meta.location).getFileSystem(hadoopConf)
+    // metadata records paths in mixed forms ("/w/x", "file:/w/x",
+    // "file:///w/x") — qualify against the FS so set-membership is exact
+    def norm(s: String): String =
+      fs.makeQualified(new Path(s.replaceFirst("^file:/+", "/"))).toString
+    // Referenced = every file (live or not) of EVERY retained snapshot's
+    // manifest graph. Expired history is expireSnapshots' job, not ours.
+    val referenced: Set[String] = meta.snapshots.par.flatMap { s =>
+      val mfs = Manifests.readManifestList(fs, new Path(s.manifestList))
+      val data = mfs.par.flatMap { mf =>
+        Manifests.readManifest(fs, new Path(mf.manifestPath))
+          .map(_.dataFile.filePath)
+      }.seq
+      (data ++ mfs.map(_.manifestPath) :+ s.manifestList).map(norm)
+    }.seq.toSet
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    def sweep(dir: Path, eligible: Path => Boolean): Unit = {
+      if (!fs.exists(dir)) return
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        // skip hidden/marker files (_SUCCESS, .crc): cheap noise, and
+        // deleting a committer's in-progress markers could corrupt a write
+        if (st.isFile && eligible(st.getPath) &&
+            !name.startsWith("_") && !name.startsWith(".") &&
+            st.getModificationTime < olderThanMs &&
+            !referenced.contains(norm(st.getPath.toString))) {
+          if (fs.delete(st.getPath, false)) deleted += st.getPath.toString
+        }
+      }
+    }
+    sweep(new Path(meta.location, "data"), _ => true)
+    // metadata dir: only the snapshot graph's Avro files are ours to sweep —
+    // metadata.json history and the version hint belong to the catalog
+    sweep(new Path(meta.location, "metadata"), _.getName.endsWith(".avro"))
+    deleted.toSeq
+  }
+
   // --------------------------------------------------------- refs (tags)
 
   /** Tag the current (or given) snapshot with a name. */
@@ -930,7 +1025,7 @@ final class Table(
       } catch {
         case e: CommitConflictError =>
           attempt += 1
-          if (attempt > 5) throw e
+          if (attempt > 5) { discardFiles(newFiles); throw e } // written once
       }
     }
   }
@@ -1031,24 +1126,32 @@ final class Table(
                                   dataFiles: Seq[graft.manifest.DataFile],
                                   attemptId: String,
                                   operation: String,
-                                  extraSummary: Map[String, String] = Map.empty): TableMetadata = {
+                                  extraSummary: Map[String, String] = Map.empty,
+                                  writeSchemaId: Option[Int] = None,
+                                  writeSpecId: Option[Int] = None): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
 
+    // manifests are stamped with the era the files were WRITTEN under —
+    // normally base's current era, but a caller that wrote files once and
+    // retries the CAS against refreshed metadata pins the original era
+    val wSchema = writeSchemaId.flatMap(base.schemaById).getOrElse(base.currentSchema)
+    val wSpec = writeSpecId.flatMap(base.partitionSpecById).getOrElse(base.defaultPartitionSpec)
+
     def writeOne(files: Seq[graft.manifest.DataFile], suffix: String,
                  content: Int): ManifestFile = {
       val mPath = new Path(metadataDir, s"$attemptId-$suffix.avro")
       val mLen = Manifests.writeManifest(fs, mPath,
         files.map(f => ManifestEntry(ManifestEntry.StatusAdded, snapshotId, seq, f)),
-        base.currentSchema, base.defaultPartitionSpec)
+        wSchema, wSpec)
       ManifestFile(
         manifestPath = mPath.toString, manifestLength = mLen,
-        partitionSpecId = base.defaultSpecId, addedSnapshotId = snapshotId,
+        partitionSpecId = wSpec.specId, addedSnapshotId = snapshotId,
         addedFilesCount = files.size, addedRowsCount = files.map(_.recordCount).sum,
-        schemaId = base.currentSchemaId, content = content,
+        schemaId = wSchema.schemaId, content = content,
         sequenceNumber = seq, minSequenceNumber = seq)
     }
     val delManifest: Option[ManifestFile] =
@@ -1113,7 +1216,7 @@ final class Table(
       } catch {
         case e: CommitConflictError =>
           attempt += 1
-          if (attempt > maxRetries) throw e
+          if (attempt > maxRetries) { discardFiles(files); throw e } // written once
       }
     }
   }

@@ -272,8 +272,13 @@ final class TableScan(
     for ((ids, group) <- deletes.filter(_.content == 2).groupBy(_.equalityIds.toSet)) {
       val idCols = ids.toSeq.sorted.flatMap(id => current.fieldById(id)).map(_.name)
       if (idCols.nonEmpty) {
-        val delDf = spark.read.parquet(group.map(_.filePath): _*).select(idCols.map(col): _*)
-        out = out.join(maybeBroadcast(delDf, group), idCols, "left_anti")
+        // Iceberg equality deletes treat NULL as a value: a delete row with
+        // a null key hides null-key data rows. SQL equality would never
+        // match them, so the anti-join must be null-safe (<=>) per column.
+        val delDf = spark.read.parquet(group.map(_.filePath): _*)
+          .select(idCols.map(c => col(c).as(s"__d_$c")): _*)
+        val cond = idCols.map(c => out(c) <=> delDf(s"__d_$c")).reduce(_ && _)
+        out = out.join(maybeBroadcast(delDf, group), cond, "left_anti")
       }
     }
     val posDeletes = deletes.filter(_.content == 1)

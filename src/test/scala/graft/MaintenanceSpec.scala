@@ -58,6 +58,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.refresh().snapshots.size == snapCount)
   }
 
+  test("removeOrphanFiles deletes unreferenced files, keeps live + recent ones") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("orphans_t", schema)
+    tbl.append(Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "qty", "k"))
+    tbl.append(Seq((3L, 3, "c")).toDF("id", "qty", "k"))
+
+    // plant orphans the way a crashed writer would leave them
+    val fs = new Path(tbl.location).getFileSystem(tbl.hadoopConf)
+    val orphanData = new Path(tbl.location, "data/dead-commit/part-0.parquet")
+    val orphanManifest = new Path(tbl.location, "metadata/dead-commit-m0.avro")
+    val strayJson = new Path(tbl.location, "metadata/notes.json")
+    Seq(orphanData, orphanManifest, strayJson).foreach { p =>
+      val out = fs.create(p, true); out.write(1); out.close()
+    }
+
+    // nothing is old enough yet → nothing swept
+    assert(tbl.removeOrphanFiles(olderThanMs = 1L).isEmpty)
+
+    val swept = tbl.removeOrphanFiles(System.currentTimeMillis() + 60000)
+    assert(swept.map(new Path(_).getName).toSet ==
+      Set("part-0.parquet", "dead-commit-m0.avro"))
+    assert(!fs.exists(orphanData) && !fs.exists(orphanManifest))
+    // non-avro metadata (catalog's domain) untouched; table fully readable
+    assert(fs.exists(strayJson))
+    assert(tbl.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // idempotent
+    assert(tbl.removeOrphanFiles(System.currentTimeMillis() + 60000).isEmpty)
+  }
+
   test("tags and branches pin scans to snapshots") {
     import spark.implicits._
     val cat = new MemoryCatalog()

@@ -211,6 +211,46 @@ class ManifestsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("spec-v2"))
   }
 
+  test("position-delete bounds prefer reserved ids over same-named table columns") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("graft-resv").toString
+    val path = new Path(dir, "m-resv.avro")
+    val fs = path.getFileSystem(conf)
+    // a table that happens to have columns literally named file_path/pos —
+    // the delete file's own bounds must still key under the spec's
+    // reserved ids (2147483546/2147483545), string/long typed
+    val clashSchema = Schema(0, Seq(
+      NestedField(1, "file_path", ILong), // wrong type on purpose
+      NestedField(2, "pos", IString)))
+    val del = DataFile(
+      filePath = s"$dir/data/d.parquet", fileFormat = "PARQUET",
+      partition = Map.empty, recordCount = 2, fileSizeInBytes = 64,
+      lowerBounds = Map("file_path" -> "file:/w/data/a.parquet", "pos" -> "0"),
+      upperBounds = Map("file_path" -> "file:/w/data/a.parquet", "pos" -> "5"),
+      content = 1)
+    Manifests.writeManifest(fs, path,
+      Seq(ManifestEntry(ManifestEntry.StatusAdded, 1L, 1L, del)),
+      clashSchema, PartitionSpec(0, Nil))
+
+    // raw Avro: bound keys are the reserved ids, not table ids 1/2
+    val in = new org.apache.avro.file.SeekableByteArrayInput(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "m-resv.avro")))
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val df = reader.next().get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val keys = df.get("lower_bounds").asInstanceOf[java.util.List[_]]
+        .toArray.map(_.asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("key").asInstanceOf[Int]).toSet
+      assert(keys == Set(2147483546, 2147483545))
+    } finally reader.close()
+    // and they round-trip through our own reader with the right types
+    val back = Manifests.readManifest(fs, path)
+    assert(back.head.dataFile.lowerBounds("file_path") == "file:/w/data/a.parquet")
+    assert(back.head.dataFile.lowerBounds("pos") == "0")
+    assert(back.head.dataFile.upperBounds("pos") == "5")
+  }
+
   test("unparseable partition value is written as null, not a commit failure") {
     val conf = new Configuration()
     val dir = java.nio.file.Files.createTempDirectory("graft-badpart").toString

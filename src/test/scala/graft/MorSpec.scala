@@ -97,6 +97,24 @@ class MorSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("b2"))
   }
 
+  test("equality deletes treat NULL as a matching value (null-safe anti-join)") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("mor_eq_null", schema)
+    tbl.append(Seq(Some(1L) -> "a", None -> "nullkey", Some(3L) -> "c")
+      .toDF("id", "name")) // seq 1
+
+    // a spec-correct foreign writer may record a NULL key in an equality
+    // delete — Iceberg semantics: it hides null-key data rows (SQL
+    // equality would match nothing)
+    val delNull = writeDeleteParquet(tbl, "by-null",
+      Seq[Option[Long]](None, Some(3L)).toDF("id"), content = 2, eqIds = Seq(1))
+    commitDeletes(cat, tbl, Seq(delNull))
+
+    assert(tbl.toDF(spark).select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a"))
+  }
+
   test("position deletes remove (file, ordinal) rows, manifest-form paths") {
     import spark.implicits._
     val cat = new MemoryCatalog()

@@ -57,6 +57,21 @@ class UpsertSpec extends AnyFunSuite {
     assert(tbl.snapshots.size == snaps)
   }
 
+  test("upsert rejects NULL keys with a clear message (not 'duplicate keys')") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("u_null", schema)
+    tbl.append(Seq((1L, "a")).toDF("id", "v"))
+    // one null key, and two null keys (previously mis-reported as dups)
+    for (batch <- Seq(Seq(Some(2L) -> "b", None -> "x"),
+                      Seq[(Option[Long], String)](None -> "x", None -> "y"))) {
+      val e = intercept[InvalidDataError](
+        tbl.upsert(spark, batch.toDF("id", "v"), Seq("id")))
+      assert(e.getMessage.contains("NULL"))
+    }
+    assert(contents(tbl) == Map(1L -> "a"))
+  }
+
   test("applyPendingDeletes folds equality-delete debt; answers unchanged") {
     import spark.implicits._
     val cat = new MemoryCatalog()
