@@ -449,6 +449,59 @@ case class NearestCentroids(child: Expression, centers: Array[Array[Float]], npr
   override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
 }
 
+/** One-pass k-permutation MinHash signature (JVM helper for codegen). */
+object MinHashUtil {
+  /** Bit-exact with the composed HOF form
+    * `aggregate(sh, array_repeat(MaxValue, k), (acc, s) => zip_with(acc,
+    * transform(sequence(1, k), i => xxhash64(s, i)), least))`: Spark's
+    * multi-arg xxhash64 folds children over seed 42, so per element the
+    * per-seed hash is `XXH64.hashInt(i, XXH64.hashUTF8String(s, 42))`.
+    * Unlike the HOF interpreter (two k-element array allocations per
+    * shingle, per-element lambda dispatch), this is one tight loop. */
+  def signature(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      // a null element leaves the fold at the seed (hash funcs skip nulls)
+      val base =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var j = 1
+      while (j <= k) {
+        val h = XXH64.hashInt(j, base)
+        if (h < mins(j - 1)) mins(j - 1) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** MinHash signature of a shingle array in ONE pass per row (codegen'd);
+  * see [[MinHashUtil.signature]] for the exact semantics contract. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature does not support type $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashUtil.signature(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.signature($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   def iceberg_bucket(n: Int, c: Column): Column =
@@ -463,6 +516,8 @@ object GraftFunctions {
     ColumnBridge.column(TextFingerprint(expression(c)))
   def text_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(TextShingles(expression(c), n))
+  def minhash_signature(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(expression(c), k))
   def text_profile(c: Column, stopLists: Seq[Seq[String]]): Column =
     ColumnBridge.column(TextProfile(expression(c), stopLists))
   def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =

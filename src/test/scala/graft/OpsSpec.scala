@@ -55,6 +55,23 @@ class OpsSpec extends AnyFunSuite {
     assert(counts(3L) == 2 && counts(7L) == 1 && counts(1L) == 2)
   }
 
+  test("native minhash signature is bit-exact with the composed HOF form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select($"doc_id", DedupOps.shingles($"text", 3).as("sh"))
+    val k = 32
+    // the HOF reference form the native expression replaced
+    val hof = aggregate($"sh",
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(1), lit(k)), i => xxhash64(s, i)),
+        (a, h) => least(a, h)))
+    val diff = docs
+      .select($"doc_id", DedupOps.minhashSignature($"sh", k).as("native"), hof.as("ref"))
+      .where(not($"native" <=> $"ref".cast("array<bigint>")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("minhash LSH finds near-dups, skips unrelated; recall vs brute force") {
     val base = "spark shuffle partition join aggregate filter scan hash sort merge " +
       "broadcast exchange codegen stage task executor memory spill row column"
