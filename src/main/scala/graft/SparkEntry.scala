@@ -452,6 +452,41 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "g40_rewrite_manifests" -> ((s, dir) => {
+      // maintenance combo: chunked appends + an upsert fragment the
+      // manifest list; rewriteManifests consolidates to one manifest per
+      // (content, era) and removeOrphanFiles sweeps nothing live — the
+      // aggregate is unchanged by either.
+      val cat = new MemoryCatalog()
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val tbl = cat.createTable("ord_rwm", SparkSchemaConverter.fromSpark(ord.schema))
+      for (m <- Seq(2, 12, 22)) // three appends = three manifests
+        tbl.append(ord.where(s"o_orderkey % 30 = $m"))
+      tbl.upsert(s, ord.where("o_orderkey % 20 = 2")
+        .selectExpr("o_orderkey", "o_totalprice + 50 AS o_totalprice", "o_orderstatus"),
+        Seq("o_orderkey"))
+      tbl.rewriteManifests()
+      tbl.removeOrphanFiles(System.currentTimeMillis() + 3600000L)
+      tbl.toDF(s).groupBy("o_orderstatus")
+        .agg(n().as("n_items"), sumd(d2(col("o_totalprice"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "g41_time_travel_timestamp" -> ((s, dir) => {
+      // timestamp time travel: scanAsOf(t) resolves through the snapshot
+      // log to the snapshot a reader at time t saw
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val tbl = cat.createTable("li_asof", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li.where("l_orderkey % 10 = 5"))
+      val ts = System.currentTimeMillis()
+      Thread.sleep(10)
+      tbl.append(li.where("l_orderkey % 10 = 6"))
+      tbl.scanAsOf(ts).toDF(s)
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+    }),
+
     "g30_metadata_tables" -> ((s, dir) => {
       val cat = new MemoryCatalog()
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -904,6 +939,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 6
         |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "g40_rewrite_manifests" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CASE WHEN o_orderkey % 20 = 2 THEN o_totalprice + 50
+        |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 = 2
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "g41_time_travel_timestamp" ->
+      """SELECT COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 5""".stripMargin,
 
     "g30_metadata_tables" ->
       """SELECT CAST(sequence_number AS BIGINT) AS sequence_number, operation

@@ -480,6 +480,60 @@ object MinHashUtil {
   }
 }
 
+/** One-pass 64-bit SimHash of a token array (JVM helper for codegen). */
+object SimHashUtil {
+  /** Bit-exact with the composed HOF form: per token the hash is Spark's
+    * single-arg `xxhash64(t)` = `XXH64.hashUTF8String(t, 42)`; bit j of
+    * the hash votes +1/−1 on bit-sum j; fingerprint bit j is set iff its
+    * sum is > 0. The HOF interpreter built a 64-element vote array AND a
+    * 64-element zip per token — this is two registers and a loop. */
+  def simhash(arr: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      // null tokens: xxhash64 skips null children → hash stays at seed 42
+      val h = if (arr.isNullAt(i)) 42L
+              else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** 64-bit SimHash of a token array in ONE pass per row (codegen'd); see
+  * [[SimHashUtil.simhash]] for the exact semantics contract. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 does not support type $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashUtil.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
 /** MinHash signature of a shingle array in ONE pass per row (codegen'd);
   * see [[MinHashUtil.signature]] for the exact semantics contract. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
@@ -518,6 +572,8 @@ object GraftFunctions {
     ColumnBridge.column(TextShingles(expression(c), n))
   def minhash_signature(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(expression(c), k))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(expression(c)))
   def text_profile(c: Column, stopLists: Seq[Seq[String]]): Column =
     ColumnBridge.column(TextProfile(expression(c), stopLists))
   def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =

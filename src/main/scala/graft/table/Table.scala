@@ -87,6 +87,24 @@ final class Table(
   def toDF(spark: SparkSession, snapshotId: Option[Long] = None): DataFrame =
     scan(snapshotId).toDF(spark)
 
+  /** Snapshot in effect at `timestampMs` (latest snapshot-log entry at or
+    * before it), for timestamp time travel — the log, not the snapshot
+    * list, is authoritative: a rollback re-logs an old snapshot id, and
+    * "as of T" must see what a reader AT time T saw. */
+  def snapshotAsOf(timestampMs: Long): Option[Snapshot] =
+    meta.snapshotLog.filter(_.timestampMs <= timestampMs)
+      .sortBy(_.timestampMs).lastOption
+      .flatMap(e => meta.snapshotById(e.snapshotId))
+
+  /** Timestamp time travel: scan pinned to [[snapshotAsOf]]. */
+  def scanAsOf(timestampMs: Long,
+               predicates: Seq[ScanPredicate] = Nil): TableScan = {
+    val snap = snapshotAsOf(timestampMs).getOrElse(
+      throw new InvalidDataError(
+        s"no snapshot at or before timestamp $timestampMs"))
+    new TableScan(this, Some(snap), predicates)
+  }
+
   /** `table.to_a` — all rows as column→value maps. */
   def toA(spark: SparkSession): Seq[Map[String, Any]] =
     scan().collect(spark).toA
@@ -915,6 +933,79 @@ final class Table(
     (deadManifests -- liveManifests).par.foreach(p => fs.delete(new Path(p), false))
     expired.par.foreach(s => fs.delete(new Path(s.manifestList), false))
   }
+
+  /**
+   * Manifest compaction (`rewrite_manifests`): consolidate the current
+   * snapshot's manifests into ONE manifest per (content, schema era,
+   * partition-spec era). Metadata-only — no data or delete file moves;
+   * every entry keeps its original snapshot id and sequence number, so
+   * time travel and equality-delete sequence scoping are untouched.
+   *
+   * Why it matters at scale: fast appends and MOR DML each add O(1)
+   * manifests per commit and carry the parents forward, so after N
+   * commits every scan plans against N manifests. Periodic rewrite makes
+   * planning O(eras) again — the metadata analogue of [[compact]].
+   */
+  def rewriteManifests(minInputManifests: Int = 2): Unit =
+    commitWithRetry() { base =>
+      base.currentSnapshot.flatMap { parent =>
+        val metadataDir = new Path(base.location, "metadata")
+        val fs = metadataDir.getFileSystem(hadoopConf)
+        val mfs = Manifests.readManifestList(fs, new Path(parent.manifestList))
+        val groups = mfs.groupBy(mf => (mf.content, mf.schemaId, mf.partitionSpecId))
+        // no-op when already consolidated (one manifest per era) or tiny
+        if (mfs.size < minInputManifests || groups.size == mfs.size) None
+        else {
+          val attemptId = java.util.UUID.randomUUID().toString
+          val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
+          val seq = base.lastSequenceNumber + 1
+          val now = System.currentTimeMillis()
+          val rewritten = groups.toSeq.sortBy(_._1).zipWithIndex.map {
+            case (((content, schemaId, specId), group), i) =>
+              import scala.collection.parallel.CollectionConverters._
+              val entries = group.par.flatMap(mf =>
+                Manifests.readManifest(fs, new Path(mf.manifestPath))
+                  .filter(_.isLive)
+                  .map(e => e.copy(status = ManifestEntry.StatusExisting))).seq
+              val mPath = new Path(metadataDir, s"$attemptId-rwm-$i.avro")
+              val mLen = Manifests.writeManifest(fs, mPath, entries,
+                base.schemaById(schemaId).getOrElse(base.currentSchema),
+                base.partitionSpecById(specId).getOrElse(base.defaultPartitionSpec))
+              ManifestFile(
+                manifestPath = mPath.toString, manifestLength = mLen,
+                partitionSpecId = specId, addedSnapshotId = snapshotId,
+                addedFilesCount = 0, addedRowsCount = 0,
+                schemaId = schemaId, content = content,
+                sequenceNumber = seq,
+                minSequenceNumber =
+                  entries.map(_.sequenceNumber).minOption.getOrElse(seq),
+                existingFilesCount = entries.size,
+                existingRowsCount = entries.map(_.dataFile.recordCount).sum)
+          }
+          val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
+          Manifests.writeManifestList(fs, listPath, rewritten, snapshotId,
+            base.currentSnapshotId, seq)
+          val snap = Snapshot(
+            snapshotId = snapshotId,
+            parentSnapshotId = base.currentSnapshotId,
+            sequenceNumber = seq,
+            timestampMs = now,
+            manifestList = listPath.toString,
+            summary = parent.summary.view.filterKeys(_.startsWith("total-")).toMap ++
+              Map("operation" -> "replace",
+                "manifests-replaced" -> mfs.size.toString,
+                "manifests-created" -> rewritten.size.toString),
+            schemaId = Some(base.currentSchemaId))
+          Some(base.copy(
+            lastSequenceNumber = seq,
+            lastUpdatedMs = now,
+            currentSnapshotId = Some(snapshotId),
+            snapshots = base.snapshots :+ snap,
+            snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
+            refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch"))))
+        }
+      }
+    }
 
   /**
    * Remove orphan files (`remove_orphan_files`): physically delete files

@@ -58,6 +58,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.refresh().snapshots.size == snapCount)
   }
 
+  test("rewriteManifests consolidates to one manifest per era; answers unchanged") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.manifest.Manifests
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("rwm_t", schema)
+    // fragment the manifest list: 3 appends + 2 upserts (each upsert adds
+    // a data manifest AND an equality-delete manifest)
+    for (i <- 1 to 3)
+      tbl.append(Seq((i.toLong, i, s"v$i")).toDF("id", "qty", "k"))
+    tbl.upsert(spark, Seq((2L, 20, "V2")).toDF("id", "qty", "k"), Seq("id"))
+    tbl.upsert(spark, Seq((4L, 40, "V4")).toDF("id", "qty", "k"), Seq("id"))
+    val fs = new Path(tbl.location).getFileSystem(tbl.hadoopConf)
+    def manifests() =
+      Manifests.readManifestList(fs, new Path(tbl.currentSnapshot.get.manifestList))
+    val before = manifests()
+    assert(before.size >= 7)
+    val want = tbl.toDF(spark).orderBy("id").collect().toSeq
+    val pre = tbl.currentSnapshotId.get
+
+    tbl.rewriteManifests()
+
+    // one data manifest + one delete manifest (single schema/spec era)
+    val after = manifests()
+    assert(after.map(_.content).sorted == Seq(0, 1))
+    assert(tbl.currentSnapshot.get.summary("operation") == "replace")
+    assert(tbl.toDF(spark).orderBy("id").collect().toSeq == want)
+    // sequence scoping survives: upserted keys still show the LAST version
+    assert(tbl.toDF(spark).where("id = 2").select("k").head().getString(0) == "V2")
+    // time travel to the pre-rewrite snapshot intact
+    assert(tbl.toDF(spark, Some(pre)).orderBy("id").collect().toSeq == want)
+    // idempotent: already one manifest per era
+    val snaps = tbl.snapshots.size
+    tbl.rewriteManifests()
+    assert(tbl.refresh().snapshots.size == snaps)
+    // a post-rewrite upsert still wins over consolidated history
+    tbl.upsert(spark, Seq((2L, 200, "V2b")).toDF("id", "qty", "k"), Seq("id"))
+    assert(tbl.toDF(spark).where("id = 2").select("k").head().getString(0) == "V2b")
+    assert(tbl.toDF(spark).count() == 4)
+  }
+
   test("removeOrphanFiles deletes unreferenced files, keeps live + recent ones") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
@@ -88,6 +129,28 @@ class MaintenanceSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
     // idempotent
     assert(tbl.removeOrphanFiles(System.currentTimeMillis() + 60000).isEmpty)
+  }
+
+  test("scanAsOf: timestamp time travel follows the snapshot log") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("asof_t", schema)
+    tbl.append(Seq((1L, 1, "a")).toDF("id", "qty", "k"))
+    val snap1 = tbl.currentSnapshotId.get
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(10)
+    tbl.append(Seq((2L, 2, "b")).toDF("id", "qty", "k"))
+
+    assert(tbl.scanAsOf(t1).toDF(spark).count() == 1)
+    assert(tbl.scanAsOf(System.currentTimeMillis()).toDF(spark).count() == 2)
+    assertThrows[InvalidDataError](tbl.scanAsOf(0L))
+
+    // rollback re-logs the old snapshot id: "as of now" sees the
+    // rolled-back state, while "as of t1" still resolves through the log
+    Thread.sleep(10)
+    tbl.rollback(snap1)
+    assert(tbl.scanAsOf(System.currentTimeMillis()).toDF(spark).count() == 1)
+    assert(tbl.scanAsOf(t1).toDF(spark).count() == 1)
   }
 
   test("tags and branches pin scans to snapshots") {

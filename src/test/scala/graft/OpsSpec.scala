@@ -72,6 +72,27 @@ class OpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native simhash is bit-exact with the composed HOF form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    // the HOF reference form the native expression replaced
+    val bitsums = aggregate($"toks",
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)),
+        (x, y) => x + y))
+    val hof = aggregate(
+      zip_with(bitsums, sequence(lit(0), lit(63)),
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+    val diff = docs
+      .select(graft.functions.GraftFunctions.simhash64($"toks").as("native"), hof.as("ref"))
+      .where(not($"native" <=> $"ref")).count()
+    assert(diff == 0)
+  }
+
   test("minhash LSH finds near-dups, skips unrelated; recall vs brute force") {
     val base = "spark shuffle partition join aggregate filter scan hash sort merge " +
       "broadcast exchange codegen stage task executor memory spill row column"
