@@ -44,10 +44,23 @@ object ManifestEntry {
   val StatusDeleted = 2
 }
 
+/** Per-partition-field roll-up over one manifest's entries (spec v2
+  * `field_summary`, fields 509/510/511): lets scan planning skip reading
+  * a whole manifest when no file in it can match. Bounds are Iceberg
+  * single-value-serialized bytes of the transform RESULT type; `None`
+  * bounds = unknown (always keep). `containsNull` covers genuinely-null
+  * partition values only — an unparseable (era-re-keyed) value withholds
+  * the bounds entirely instead, so pruning stays conservative. */
+final case class FieldSummary(
+    containsNull: Boolean,
+    lowerBound: Option[Seq[Byte]] = None,
+    upperBound: Option[Seq[Byte]] = None)
+
 /** Manifest-list entry: one manifest file + roll-up stats (spec v2
-  * `manifest_file`, fields 500-517). `schemaId` is a graft extension field
-  * (schema-evolution projection groups files by writer schema without
-  * opening each manifest); spec readers resolve by name and skip it. */
+  * `manifest_file`, fields 500-517, incl. the 507 `partitions` field
+  * summaries). `schemaId` is a graft extension field (schema-evolution
+  * projection groups files by writer schema without opening each
+  * manifest); spec readers resolve by name and skip it. */
 final case class ManifestFile(
     manifestPath: String,
     manifestLength: Long,
@@ -62,7 +75,8 @@ final case class ManifestFile(
     existingFilesCount: Int = 0,
     deletedFilesCount: Int = 0,
     existingRowsCount: Long = 0L,
-    deletedRowsCount: Long = 0L)
+    deletedRowsCount: Long = 0L,
+    partitions: Seq[FieldSummary] = Nil)
 
 /**
  * Avro reader/writer for manifests and manifest lists following the
@@ -192,10 +206,22 @@ object Manifests {
     rec
   }
 
+  private val fieldSummarySchema: AvroSchema = {
+    val rec = AvroSchema.createRecord("r508", null, null, false)
+    rec.setFields(java.util.List.of(
+      reqField("contains_null", prim(AvroSchema.Type.BOOLEAN), 509),
+      optField("contains_nan", prim(AvroSchema.Type.BOOLEAN), 518),
+      optField("lower_bound", prim(AvroSchema.Type.BYTES), 510),
+      optField("upper_bound", prim(AvroSchema.Type.BYTES), 511)))
+    rec
+  }
+
   private val manifestFileSchema: AvroSchema = {
     val rec = AvroSchema.createRecord("manifest_file", null, null, false)
     val schemaIdExt = new AvroSchema.Field("schema_id", prim(AvroSchema.Type.INT), null,
       null.asInstanceOf[Object]) // graft extension, no spec field id
+    val partsArr = AvroSchema.createArray(fieldSummarySchema)
+    partsArr.addProp("element-id", 508)
     rec.setFields(java.util.List.of(
       reqField("manifest_path", prim(AvroSchema.Type.STRING), 500),
       reqField("manifest_length", prim(AvroSchema.Type.LONG), 501),
@@ -210,6 +236,7 @@ object Manifests {
       reqField("added_rows_count", prim(AvroSchema.Type.LONG), 512),
       reqField("existing_rows_count", prim(AvroSchema.Type.LONG), 513),
       reqField("deleted_rows_count", prim(AvroSchema.Type.LONG), 514),
+      optField("partitions", partsArr, 507),
       schemaIdExt))
     rec
   }
@@ -284,6 +311,55 @@ object Manifests {
       }
     }.asJava
   }
+
+  /**
+   * Spec `field_summary` roll-up (manifest-list field 507) over one
+   * manifest's files: per partition field (spec order) the null presence
+   * and min/max bounds, single-value-serialized in the transform result
+   * type. An unparseable partition value (an era-re-keyed field) makes
+   * that field's bounds unknown rather than wrong — manifest-level
+   * pruning then keeps the manifest and the per-file check decides.
+   */
+  def partitionSummaries(files: Seq[DataFile], spec: PartitionSpec,
+                         schema: Schema): Seq[FieldSummary] =
+    spec.fields.map { pf =>
+      val t = partResultType(pf, schema)
+      val raws = files.map(_.partition.getOrElse(pf.name, ""))
+      val containsNull = raws.exists(_.isEmpty)
+      val nonNull = raws.filter(_.nonEmpty)
+      val phys = nonNull.map(physicalForm(t, _))
+      if (nonNull.isEmpty || phys.exists(_.isEmpty)) FieldSummary(containsNull)
+      else {
+        val vals = phys.flatten
+        val numeric = t match {
+          case IInt | ILong | IFloat | IDouble | IDate | ITimestamp |
+               ITimestampTz | ITime | IDecimal(_, _) => true
+          case _ => false
+        }
+        val (lo, hi) =
+          if (numeric)
+            (vals.minBy(BigDecimal(_)), vals.maxBy(BigDecimal(_)))
+          else (vals.min, vals.max)
+        FieldSummary(containsNull,
+          SingleValue.toBytes(t, lo).map(_.toSeq),
+          SingleValue.toBytes(t, hi).map(_.toSeq))
+      }
+    }
+
+  /** Decoded (display) partition value → the physical string form
+    * `SingleValue.toBytes` expects (epoch-day dates, unscaled decimals). */
+  private def physicalForm(t: IType, raw: String): Option[String] =
+    try {
+      t match {
+        case IDate => Some(java.time.LocalDate.parse(raw).toEpochDay.toString)
+        case IDecimal(_, s) => Some(new java.math.BigDecimal(raw)
+          .setScale(s, java.math.RoundingMode.UNNECESSARY).unscaledValue.toString)
+        case IInt | ILong | ITime | ITimestamp | ITimestampTz =>
+          { raw.toLong; Some(raw) } // validate numeric form
+        case IFloat | IDouble => { raw.toDouble; Some(raw) }
+        case _ => Some(raw)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Spec reserved field ids (Iceberg table spec, "Reserved field IDs"):
     * the delete-file columns of position deletes. */
@@ -481,6 +557,16 @@ object Manifests {
         r.put("added_rows_count", m.addedRowsCount)
         r.put("existing_rows_count", m.existingRowsCount)
         r.put("deleted_rows_count", m.deletedRowsCount)
+        r.put("partitions",
+          if (m.partitions.isEmpty) null
+          else m.partitions.map { s =>
+            val fr = new GenericData.Record(fieldSummarySchema)
+            fr.put("contains_null", s.containsNull)
+            fr.put("contains_nan", null)
+            fr.put("lower_bound", s.lowerBound.map(b => ByteBuffer.wrap(b.toArray)).orNull)
+            fr.put("upper_bound", s.upperBound.map(b => ByteBuffer.wrap(b.toArray)).orNull)
+            fr: GenericRecord
+          }.asJava)
         r.put("schema_id", m.schemaId)
         writer.append(r)
       }
@@ -515,7 +601,17 @@ object Manifests {
           existingFilesCount = intOr0("existing_files_count"),
           deletedFilesCount = intOr0("deleted_files_count"),
           existingRowsCount = longOr0("existing_rows_count"),
-          deletedRowsCount = longOr0("deleted_rows_count"))
+          deletedRowsCount = longOr0("deleted_rows_count"),
+          partitions = r.get("partitions") match {
+            case list: java.util.List[_] => list.asScala.toList.map { item =>
+              val fr = item.asInstanceOf[GenericRecord]
+              FieldSummary(
+                containsNull = fr.get("contains_null").asInstanceOf[Boolean],
+                lowerBound = Option(fr.get("lower_bound")).map(bytesOf(_).toSeq),
+                upperBound = Option(fr.get("upper_bound")).map(bytesOf(_).toSeq))
+            }
+            case _ => Nil // absent in pre-507 lists
+          })
       }.toList
     } finally reader.close()
   }

@@ -968,9 +968,11 @@ final class Table(
                   .filter(_.isLive)
                   .map(e => e.copy(status = ManifestEntry.StatusExisting))).seq
               val mPath = new Path(metadataDir, s"$attemptId-rwm-$i.avro")
+              val eraSchema = base.schemaById(schemaId).getOrElse(base.currentSchema)
+              val eraSpec = base.partitionSpecById(specId)
+                .getOrElse(base.defaultPartitionSpec)
               val mLen = Manifests.writeManifest(fs, mPath, entries,
-                base.schemaById(schemaId).getOrElse(base.currentSchema),
-                base.partitionSpecById(specId).getOrElse(base.defaultPartitionSpec))
+                eraSchema, eraSpec)
               ManifestFile(
                 manifestPath = mPath.toString, manifestLength = mLen,
                 partitionSpecId = specId, addedSnapshotId = snapshotId,
@@ -980,7 +982,9 @@ final class Table(
                 minSequenceNumber =
                   entries.map(_.sequenceNumber).minOption.getOrElse(seq),
                 existingFilesCount = entries.size,
-                existingRowsCount = entries.map(_.dataFile.recordCount).sum)
+                existingRowsCount = entries.map(_.dataFile.recordCount).sum,
+                partitions = Manifests.partitionSummaries(
+                  entries.map(_.dataFile).toSeq, eraSpec, eraSchema))
           }
           val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
           Manifests.writeManifestList(fs, listPath, rewritten, snapshotId,
@@ -1143,11 +1147,12 @@ final class Table(
     val keptManifests = kept.groupBy(t => (t.schemaId, t.specId)).toSeq
       .sortBy(_._1).zipWithIndex.map { case (((schemaId, specId), group), i) =>
         val mPath = new Path(metadataDir, s"$attemptId-rw-k$i.avro")
+        val eraSchema = base.schemaById(schemaId).getOrElse(base.currentSchema)
+        val eraSpec = base.partitionSpecById(specId).getOrElse(base.defaultPartitionSpec)
         val mLen = Manifests.writeManifest(fs, mPath,
           group.map(t => ManifestEntry(ManifestEntry.StatusExisting, snapshotId,
             t.sequenceNumber, t.file)),
-          base.schemaById(schemaId).getOrElse(base.currentSchema),
-          base.partitionSpecById(specId).getOrElse(base.defaultPartitionSpec))
+          eraSchema, eraSpec)
         ManifestFile(
           manifestPath = mPath.toString, manifestLength = mLen,
           partitionSpecId = specId, addedSnapshotId = snapshotId,
@@ -1156,7 +1161,8 @@ final class Table(
           sequenceNumber = seq,
           minSequenceNumber = group.map(_.sequenceNumber).min,
           existingFilesCount = group.size,
-          existingRowsCount = group.map(_.recordCount).sum)
+          existingRowsCount = group.map(_.recordCount).sum,
+          partitions = Manifests.partitionSummaries(group.map(_.file), eraSpec, eraSchema))
       }
     val addedManifest: Option[ManifestFile] = if (added.isEmpty && kept.nonEmpty) None else {
       val mPath = new Path(metadataDir, s"$attemptId-rw-m0.avro")
@@ -1168,7 +1174,9 @@ final class Table(
         partitionSpecId = base.defaultSpecId, addedSnapshotId = snapshotId,
         addedFilesCount = added.size, addedRowsCount = added.map(_.recordCount).sum,
         schemaId = base.currentSchemaId, content = 0,
-        sequenceNumber = seq, minSequenceNumber = seq))
+        sequenceNumber = seq, minSequenceNumber = seq,
+        partitions = Manifests.partitionSummaries(added,
+          base.defaultPartitionSpec, base.currentSchema)))
     }
     val newManifests: Seq[ManifestFile] = keptManifests ++ addedManifest.toSeq
     val parentDeleteManifests: Seq[ManifestFile] =
@@ -1243,7 +1251,8 @@ final class Table(
         partitionSpecId = wSpec.specId, addedSnapshotId = snapshotId,
         addedFilesCount = files.size, addedRowsCount = files.map(_.recordCount).sum,
         schemaId = wSchema.schemaId, content = content,
-        sequenceNumber = seq, minSequenceNumber = seq)
+        sequenceNumber = seq, minSequenceNumber = seq,
+        partitions = Manifests.partitionSummaries(files, wSpec, wSchema))
     }
     val delManifest: Option[ManifestFile] =
       if (deleteFiles.isEmpty) None else Some(writeOne(deleteFiles, "del-m0", content = 1))
@@ -1337,7 +1346,9 @@ final class Table(
       schemaId = base.currentSchemaId,
       content = 0,
       sequenceNumber = seq,
-      minSequenceNumber = seq)
+      minSequenceNumber = seq,
+      partitions = Manifests.partitionSummaries(files,
+        base.defaultPartitionSpec, base.currentSchema))
 
     // manifest list = parent's manifests + the new one (fast append: no
     // rewrite of existing manifests)

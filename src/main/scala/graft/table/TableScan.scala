@@ -51,19 +51,24 @@ final class TableScan(
     val snapshot: Option[Snapshot],
     predicates: Seq[ScanPredicate] = Nil) {
 
-  def planFiles(): Seq[FileScanTask] = planEntries().collect { case (t, true) => t }
+  def planFiles(): Seq[FileScanTask] =
+    planEntries(skipPrunedManifests = true).collect { case (t, true) => t }
 
   /** One manifest-planning pass split by the scan predicates: `(affected,
     * kept)` where `affected` files MAY contain matching rows and `kept`
     * provably cannot. Copy-on-write DML needs both sets; planning them in
     * one pass instead of two halves the manifest reads per commit attempt
-    * (at 10⁵ manifests that is the dominant commit cost). */
+    * (at 10⁵ manifests that is the dominant commit cost).
+    *
+    * Manifest-level (507) skipping is DISABLED here: a skipped manifest's
+    * files would land in neither set, and a rewrite commit built from
+    * these sets would silently drop them from the table. */
   private[graft] def planFilesPartitioned(): (Seq[FileScanTask], Seq[FileScanTask]) = {
-    val all = planEntries()
+    val all = planEntries(skipPrunedManifests = false)
     (all.collect { case (t, true) => t }, all.collect { case (t, false) => t })
   }
 
-  private def planEntries(): Seq[(FileScanTask, Boolean)] = {
+  private def planEntries(skipPrunedManifests: Boolean): Seq[(FileScanTask, Boolean)] = {
     import scala.collection.parallel.CollectionConverters._
     val snap = snapshot.getOrElse(return Nil)
     val conf = table.hadoopConf
@@ -71,7 +76,18 @@ final class TableScan(
     val fs = listPath.getFileSystem(conf)
     val manifests = Manifests.readManifestList(fs, listPath)
     val meta = table.metadata
-    val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    val (allDataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    // pure-read planning skips whole manifests via the list's partition
+    // field summaries (spec 507) BEFORE any manifest IO: on a snapshot
+    // with one manifest per day-partition, a one-day scan reads one
+    val dataManifests =
+      if (!skipPrunedManifests) allDataManifests
+      else allDataManifests.filter { mf =>
+        val spec = meta.partitionSpecById(mf.partitionSpecId).getOrElse(PartitionSpec.Unpartitioned)
+        val writeSchema = meta.schemaById(mf.schemaId).getOrElse(meta.currentSchema)
+        ScanPruning.keepManifestEvolved(predicates, mf.partitions, spec,
+          writeSchema, meta.currentSchema)
+      }
     // Manifests are read in parallel: planning a snapshot with thousands of
     // manifests (one per commit at minimum) must not serialize on the
     // driver's metadata round-trips — the per-manifest work is independent.
@@ -113,7 +129,15 @@ final class TableScan(
     val fs = listPath.getFileSystem(conf)
     val manifests = Manifests.readManifestList(fs, listPath)
     val meta = table.metadata
-    val (dataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    val (allDataManifests, deleteManifests) = manifests.partition(_.content == 0)
+    // same manifest-level 507 skipping as planFiles — pruned BEFORE the
+    // Spark job, so skipped manifests never even ship to executors
+    val dataManifests = allDataManifests.filter { mf =>
+      val spec = meta.partitionSpecById(mf.partitionSpecId).getOrElse(PartitionSpec.Unpartitioned)
+      val writeSchema = meta.schemaById(mf.schemaId).getOrElse(meta.currentSchema)
+      ScanPruning.keepManifestEvolved(predicates, mf.partitions, spec,
+        writeSchema, meta.currentSchema)
+    }
     if (dataManifests.size < threshold) return planFiles()
 
     // delete manifests are few relative to data manifests; driver-parallel
@@ -324,7 +348,7 @@ object TableScan {
 /** Manifest-level file pruning, separated from [[TableScan]] so the
   * distributed planning path can evaluate it INSIDE executor tasks (the
   * object is stateless; predicates travel with the closure). */
-private[table] object ScanPruning extends Serializable {
+private[graft] object ScanPruning extends Serializable {
 
   def keepFile(predicates: Seq[ScanPredicate], df: DataFile,
                spec: PartitionSpec, schema: Schema): Boolean =
@@ -349,6 +373,82 @@ private[table] object ScanPruning extends Serializable {
             val wp = withColumnName(p, wf.name)
             keepByPartition(wp, df, spec, writeSchema) && keepByBounds(wp, df, writeSchema)
           case None => constMatches(p, cf.initialDefault.orNull)
+        }
+      }
+    }
+  }
+
+  /**
+   * Manifest-level pruning on the manifest list's `partitions` field
+   * summaries (spec field 507): skip READING a whole manifest when no
+   * file in it can satisfy the predicates. A range check on the transform
+   * RESULT is valid for equality under any transform (if `t(v)` is
+   * outside [lo, hi], no file holds it); inequalities additionally need
+   * an order-preserving transform, same rule as [[keepByPartition]].
+   * Conservative everywhere data could hide: absent summaries, unknown
+   * bounds, non-schema columns all keep the manifest.
+   */
+  def keepManifestEvolved(predicates: Seq[ScanPredicate],
+                          summaries: Seq[graft.manifest.FieldSummary],
+                          spec: PartitionSpec, writeSchema: Schema,
+                          currentSchema: Schema): Boolean = {
+    if (summaries.isEmpty) return true
+    predicates.forall { p =>
+      val resolved: Option[ScanPredicate] =
+        if (writeSchema.schemaId == currentSchema.schemaId) Some(p)
+        else currentSchema.fieldByName(p.column).flatMap(cf =>
+          writeSchema.fieldById(cf.id).map(wf => withColumnName(p, wf.name)))
+      resolved match {
+        // dropped/unknown column: per-file constant check decides later
+        case None => true
+        case Some(wp) => keepManifestPred(wp, summaries, spec, writeSchema)
+      }
+    }
+  }
+
+  private def keepManifestPred(p: ScanPredicate,
+                               summaries: Seq[graft.manifest.FieldSummary],
+                               spec: PartitionSpec, schema: Schema): Boolean = {
+    val field = schema.fieldByName(p.column).getOrElse(return true)
+    spec.fields.zipWithIndex.filter(_._1.sourceId == field.id).forall { case (pf, i) =>
+      val sum = summaries.lift(i).getOrElse(return true)
+      val transform = Transform.parse(pf.transform)
+      val resultType = transform.resultType(field.fieldType)
+      def bound(b: Option[Seq[Byte]]): Option[Any] = b.flatMap { bytes =>
+        parsePhysical(graft.manifest.SingleValue.fromBytes(resultType, bytes.toArray), resultType)
+      }
+      val lo = bound(sum.lowerBound)
+      val hi = bound(sum.upperBound)
+      if (lo.isEmpty && hi.isEmpty) true
+      else {
+        def within(tv: Any): Boolean =
+          (canonNum(tv), lo.flatMap(canonNum), hi.flatMap(canonNum)) match {
+            case (Some(x), l, h) => l.forall(x >= _) && h.forall(x <= _)
+            case _ => (tv, lo, hi) match {
+              case (s: String, l, h) =>
+                l.forall { case ls: String => ls <= s; case _ => true } &&
+                  h.forall { case hs: String => hs >= s; case _ => true }
+              case _ => true
+            }
+          }
+        p match {
+          case EqPred(_, v) => within(transform(v, field.fieldType))
+          case InPred(_, vs) => vs.exists(v => within(transform(v, field.fieldType)))
+          case _ if isMonotonic(transform) =>
+            val b = canonNum(transform(valueOf(p), field.fieldType))
+            p match {
+              // transforms are order-preserving but lossy → inclusive cuts
+              case _: LtPred | _: LePred => (b, lo.flatMap(canonNum)) match {
+                case (Some(bv), Some(l)) => l <= bv
+                case _ => true
+              }
+              case _: GtPred | _: GePred => (b, hi.flatMap(canonNum)) match {
+                case (Some(bv), Some(h)) => h >= bv
+                case _ => true
+              }
+              case _ => true
+            }
+          case _ => true
         }
       }
     }

@@ -186,6 +186,43 @@ class ManifestsSpec extends AnyFunSuite {
     assert(Manifests.readManifestList(fs, path) == mfs)
   }
 
+  test("507 partition summaries: computation + list round-trip") {
+    import graft.manifest.FieldSummary
+    val files = Seq(
+      DataFile(s"/w/f1.parquet", "PARQUET",
+        Map("day" -> "2020-01-05", "id_bucket" -> "7"), 10, 100),
+      DataFile(s"/w/f2.parquet", "PARQUET",
+        Map("day" -> "2020-01-02", "id_bucket" -> ""), 10, 100)) // null bucket
+    val sums = Manifests.partitionSummaries(files, spec, schema)
+    assert(sums.size == 2)
+    // day: identity(date) → date-typed single-value bounds (epoch days LE)
+    assert(!sums(0).containsNull)
+    assert(sums(0).lowerBound.isDefined && sums(0).upperBound.isDefined)
+    assert(SingleValue.fromBytes(IDate, sums(0).lowerBound.get.toArray) ==
+      java.time.LocalDate.parse("2020-01-02").toEpochDay.toString)
+    assert(SingleValue.fromBytes(IDate, sums(0).upperBound.get.toArray) ==
+      java.time.LocalDate.parse("2020-01-05").toEpochDay.toString)
+    // id_bucket: one null value → containsNull; bounds from the non-null
+    assert(sums(1).containsNull)
+    assert(SingleValue.fromBytes(IInt, sums(1).lowerBound.get.toArray) == "7")
+
+    // unparseable (era-re-keyed) value → unknown bounds, never wrong ones
+    val bad = Manifests.partitionSummaries(
+      files :+ DataFile("/w/f3.parquet", "PARQUET",
+        Map("day" -> "not-a-date", "id_bucket" -> "1"), 1, 1), spec, schema)
+    assert(bad(0) == FieldSummary(containsNull = false, None, None))
+
+    // round-trip through the manifest list
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlist507").toString
+    val path = new Path(dir, "snap-s.avro")
+    val fs = path.getFileSystem(conf)
+    val mf = ManifestFile(s"$dir/m0.avro", 10, 0, 1L, 2, 20L, 0,
+      sequenceNumber = 1, minSequenceNumber = 1, partitions = sums)
+    Manifests.writeManifestList(fs, path, Seq(mf))
+    assert(Manifests.readManifestList(fs, path) == Seq(mf))
+  }
+
   test("pre-spec-layout files raise a descriptive error, not NPE") {
     val conf = new Configuration()
     val dir = java.nio.file.Files.createTempDirectory("graft-prespec").toString
