@@ -579,6 +579,34 @@ object SparkEntry {
         .orderBy("lang_pred", "quality")
     }),
 
+    "d43_deterministic_sample" -> ((s, dir) => {
+      // stable corpus split: a document's split assignment depends only
+      // on its content hash (md5 hex prefix ⇒ 3/16 ≈ 18.75% sample) —
+      // reproducible across runs, clusters, and engines, unlike RNG
+      // sampling; map-only until the final tiny aggregate
+      t(s, dir, "documents")
+        .where(substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1", "2"))
+        .groupBy("lang")
+        .agg(n().as("n_docs"), sumd(d2(length(col("text")))).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    "d44_quality_topk" -> ((s, dir) => {
+      // per-language quality curation: keep the top-10 docs per predicted
+      // language by quality score (deterministic doc_id tie-break). One
+      // shuffle on lang_pred; the window ranks within partitions.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang_pred").orderBy(col("quality").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).cast("long").as("quality"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 10)
+        .select("lang_pred", "rk", "doc_id", "quality")
+        .orderBy("lang_pred", "rk")
+    }),
+
     "d34_minhash_pairs" -> ((s, dir) => {
       // Exact oracle: the full O(n²) cross-join Jaccard in DuckDB. The LSH
       // banding (8 bands × 4 rows) deterministically finds every pair with
@@ -1018,6 +1046,41 @@ object SparkEntry {
          |    AS BIGINT) AS quality
          | FROM h)
          |GROUP BY lang_pred, quality ORDER BY lang_pred, quality""".stripMargin,
+
+    "d43_deterministic_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST(length(text) AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+        |FROM documents WHERE substring(md5(text), 1, 1) IN ('0', '1', '2')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d44_quality_topk" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.EnStop)}))) AS en,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.FrStop)}))) AS fr,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.DeStop)}))) AS de,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.EsStop)}))) AS es,
+         |  len($ToksSql) AS ntok,
+         |  length(text) AS nchar,
+         |  length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS npunct,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS nletter
+         | FROM documents),
+         |q AS (
+         | SELECT doc_id,
+         |  CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+         |       WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+         |       WHEN de >= es AND de > 0 THEN 'de'
+         |       WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred,
+         |  CAST(CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1 ELSE 0 END
+         |     + CASE WHEN npunct * 1000 <= nchar * 80 THEN 1 ELSE 0 END
+         |     + CASE WHEN en * 1000 >= ntok * 10 THEN 1 ELSE 0 END
+         |     + CASE WHEN nletter >= ntok * 3 AND nletter <= ntok * 12 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS quality
+         | FROM h)
+         |SELECT lang_pred, rk, doc_id, quality FROM (
+         | SELECT lang_pred, doc_id, quality,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang_pred
+         |   ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+         | FROM q) WHERE rk <= 10 ORDER BY lang_pred, rk""".stripMargin,
 
     "d36_ngram_jaccard" ->
       s"""WITH sh AS (
