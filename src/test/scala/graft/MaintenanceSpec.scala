@@ -131,6 +131,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.removeOrphanFiles(System.currentTimeMillis() + 60000).isEmpty)
   }
 
+  test("expireSnapshots after rewriteManifests reclaims old manifests, keeps data") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("rwm_exp", schema)
+    for (i <- 1 to 3)
+      tbl.append(Seq((i.toLong, i, s"v$i")).toDF("id", "qty", "k"))
+    tbl.rewriteManifests()
+    val want = tbl.toDF(spark).orderBy("id").collect().toSeq
+
+    // expire everything but the rewrite snapshot: the pre-rewrite
+    // fragmented manifests are referenced only by expired snapshots
+    tbl.expireSnapshots(System.currentTimeMillis() + 60000, retainLast = 1)
+    assert(tbl.snapshots.size == 1)
+    assert(tbl.toDF(spark).orderBy("id").collect().toSeq == want)
+    // and the orphan sweep finds nothing else to delete
+    assert(tbl.removeOrphanFiles(System.currentTimeMillis() + 60000).isEmpty)
+  }
+
   test("scanAsOf: timestamp time travel follows the snapshot log") {
     import spark.implicits._
     val cat = new MemoryCatalog()

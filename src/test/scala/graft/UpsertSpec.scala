@@ -72,6 +72,38 @@ class UpsertSpec extends AnyFunSuite {
     assert(contents(tbl) == Map(1L -> "a"))
   }
 
+  test("upsert CAS retry after a concurrent schema evolution keeps the write era") {
+    import spark.implicits._
+    import graft.manifest.Manifests
+    import org.apache.hadoop.fs.Path
+    val cat = new MemoryCatalog()
+    val handleA = cat.createTable("u_race", schema)
+    handleA.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val writeEraSchemaId = handleA.metadata.currentSchemaId
+
+    // a second writer wins a schema evolution while handleA holds stale
+    // metadata: handleA's first CAS attempt conflicts, the retry commits
+    // against the evolved base
+    val handleB = cat.loadTable("u_race")
+    handleB.updateSchema().renameColumn("v", "val").commit()
+    assert(handleA.metadata.currentSchemaId == writeEraSchemaId) // stale on purpose
+
+    handleA.upsert(spark, Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+
+    // the upsert's manifests are stamped with the era its files were
+    // WRITTEN under, not the winner's evolved schema
+    val fs = new Path(handleA.location).getFileSystem(handleA.hadoopConf)
+    val mfs = Manifests.readManifestList(
+      fs, new Path(handleA.currentSnapshot.get.manifestList))
+    val upsertManifests = mfs.filter(_.addedSnapshotId == handleA.currentSnapshotId.get)
+    assert(upsertManifests.nonEmpty)
+    assert(upsertManifests.forall(_.schemaId == writeEraSchemaId))
+    // and the table reads correctly under the evolved (renamed) schema
+    assert(handleA.toDF(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    assert(handleA.toDF(spark).columns.toSeq == Seq("id", "val"))
+  }
+
   test("applyPendingDeletes folds equality-delete debt; answers unchanged") {
     import spark.implicits._
     val cat = new MemoryCatalog()
