@@ -473,6 +473,27 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "g42_changelog" -> ((s, dir) => {
+      // row-level CDC read: append → equality-delete upsert → MOR delete,
+      // then the changelog between table creation and now, aggregated per
+      // change type. The diff is computed only over each commit's
+      // affected files (see StreamingOps.changesBetween).
+      val cat = new MemoryCatalog()
+      val base = t(s, dir, "orders").where("o_orderkey % 10 = 3")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val tbl = cat.createTable("ord_cdc", SparkSchemaConverter.fromSpark(base.schema),
+        properties = Map("write.delete.mode" -> "merge-on-read"))
+      tbl.append(base)
+      tbl.upsert(s, t(s, dir, "orders").where("o_orderkey % 20 = 3")
+        .selectExpr("o_orderkey", "o_totalprice + 10 AS o_totalprice", "o_orderstatus"),
+        Seq("o_orderkey"))
+      tbl.delete(s, Seq(EqPred("o_orderstatus", "F")))
+      graft.streaming.StreamingOps.changesBetween(s, tbl, None)
+        .groupBy(col("_change_type"))
+        .agg(n().as("n_rows"), sumd(d2(col("o_totalprice"))).as("sum_price"))
+        .orderBy("_change_type")
+    }),
+
     "g41_time_travel_timestamp" -> ((s, dir) => {
       // timestamp time travel: scanAsOf(t) resolves through the snapshot
       // log to the snapshot a reader at time t saw
@@ -974,6 +995,23 @@ object SparkEntry {
         |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 = 2
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "g42_changelog" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |             FROM orders WHERE o_orderkey % 10 = 3),
+        | upd AS (SELECT o_orderkey, o_totalprice + 10 AS o_totalprice, o_orderstatus
+        |         FROM base WHERE o_orderkey % 20 = 3),
+        | cur AS (SELECT * FROM base WHERE o_orderkey % 20 <> 3
+        |         UNION ALL SELECT * FROM upd),
+        | changes AS (
+        |   SELECT 'insert' AS _change_type, o_totalprice FROM base
+        |   UNION ALL SELECT 'delete', o_totalprice FROM base WHERE o_orderkey % 20 = 3
+        |   UNION ALL SELECT 'insert', o_totalprice FROM upd
+        |   UNION ALL SELECT 'delete', o_totalprice FROM cur WHERE o_orderstatus = 'F'
+        | )
+        |SELECT _change_type, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g41_time_travel_timestamp" ->
       """SELECT COUNT(*) AS n_items,

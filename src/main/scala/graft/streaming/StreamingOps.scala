@@ -174,6 +174,93 @@ object StreamingOps {
     else spark.read.schema(schema).parquet(added: _*)
   }
 
+  /**
+   * Row-level changelog (CDC read) between two snapshots: one row per
+   * inserted or deleted row per commit in `(from, to]`, with
+   * `_change_type` ('insert' | 'delete'), `_commit_snapshot_id`, and
+   * `_commit_sequence` columns appended. Works for every commit shape —
+   * appends, equality-delete upserts, MOR position deletes, COW
+   * rewrites — because each commit's diff is the multiset difference of
+   * its live views, so a compaction (same rows, new files) correctly
+   * emits nothing.
+   *
+   * Scale shape: the diff is computed only over AFFECTED files — files
+   * added/removed by the commit plus files a new delete file applies
+   * to — never the whole table. A CDC consumer of a 100 TB table reads
+   * O(commit) bytes per commit, and the `exceptAll` shuffles only those
+   * affected rows.
+   */
+  def changesBetween(spark: SparkSession, table: Table,
+                     fromSnapshotId: Option[Long],
+                     toSnapshotId: Option[Long] = None): DataFrame = {
+    import graft.table.TableScan
+    import graft.types.SparkSchemaConverter
+    val metaCols = Seq("_change_type", "_commit_snapshot_id", "_commit_sequence")
+    val schema = SparkSchemaConverter.toSpark(table.currentSchema)
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_sequence",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def emptyOut = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+
+    val all = table.metadata.snapshots.sortBy(_.sequenceNumber)
+    def seqOf(id: Long): Long = table.snapshotById(id)
+      .getOrElse(throw new graft.InvalidDataError(s"no snapshot with id $id"))
+      .sequenceNumber
+    val fromSeq = fromSnapshotId.map(seqOf).getOrElse(Long.MinValue)
+    val toSeq = toSnapshotId.map(seqOf)
+      .orElse(table.currentSnapshot.map(_.sequenceNumber)).getOrElse(Long.MinValue)
+    val range = all.filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+    if (range.isEmpty) return emptyOut
+
+    var prevId: Option[Long] = fromSnapshotId
+    val perCommit = range.flatMap { s =>
+      val snapId = s.snapshotId
+      val result: Option[DataFrame] =
+        // metadata-only reorganizations provably change no rows
+        if (s.summary.get("operation").contains("replace")) None
+        else {
+          val scanP = prevId match {
+            case Some(id) => table.scan(Some(id))
+            case None => new TableScan(table, None, Nil)
+          }
+          val scanS = table.scan(Some(snapId))
+          val tasksP = scanP.planFiles()
+          val tasksS = scanS.planFiles()
+          val pPaths = tasksP.map(_.filePath).toSet
+          val sPaths = tasksS.map(_.filePath).toSet
+          val pByPath = tasksP.map(t => t.filePath -> t).toMap
+          val removed = tasksP.filterNot(t => sPaths(t.filePath))
+          val added = tasksS.filterNot(t => pPaths(t.filePath))
+          // carried files whose applicable delete set changed: their rows
+          // may have been hidden by this commit's new delete files
+          val moreDeleted = tasksS.filter(t => pPaths(t.filePath) &&
+            pByPath(t.filePath).deleteFiles.map(_.filePath).toSet !=
+              t.deleteFiles.map(_.filePath).toSet)
+          if (removed.isEmpty && added.isEmpty && moreDeleted.isEmpty) None
+          else {
+            val oldAffected = scanP.materializeTasks(spark,
+              removed ++ tasksP.filter(t => moreDeleted.exists(_.filePath == t.filePath)))
+            val newAffected = scanS.materializeTasks(spark, added ++ moreDeleted)
+            val del = oldAffected.exceptAll(newAffected)
+              .withColumn("_change_type", lit("delete"))
+            val ins = newAffected.exceptAll(oldAffected)
+              .withColumn("_change_type", lit("insert"))
+            Some(del.unionAll(ins)
+              .withColumn("_commit_snapshot_id", lit(snapId))
+              .withColumn("_commit_sequence", lit(s.sequenceNumber)))
+          }
+        }
+      prevId = Some(snapId)
+      result
+    }
+    perCommit.reduceOption(_ unionAll _).getOrElse(emptyOut)
+  }
+
   /** Drive a consumer over every commit made since `fromSnapshotId`,
     * invoking `process(batchDf, snapshotId)` once per snapshot in commit
     * order (the `Trigger.AvailableNow` pattern over table commits).

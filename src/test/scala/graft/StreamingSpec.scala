@@ -98,4 +98,43 @@ class StreamingSpec extends AnyFunSuite {
     // checkpoint-resume: nothing new after the last offset
     assert(StreamingOps.processAvailableCommits(spark, tbl, last)((_, _) => fail()) == last)
   }
+
+  test("changesBetween: row-level CDC across append, upsert, MOR delete, compaction") {
+    import spark.implicits._
+    import graft.table.EqPred
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false)))
+    val tbl = cat.createTable("cdc_t", schema,
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+
+    tbl.append(Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("id", "v")) // snap 1
+    val s1 = tbl.currentSnapshotId.get
+    tbl.upsert(spark, Seq(2L -> "B2", 4L -> "d").toDF("id", "v"), Seq("id")) // snap 2
+    tbl.delete(spark, Seq(EqPred("id", 1L))) // snap 3: MOR position delete
+    tbl.rewriteManifests() // snap 4: metadata-only → no changes
+    tbl.compact(spark) // snap 5: row-preserving rewrite → empty diff
+
+    def changes(from: Option[Long]) =
+      StreamingOps.changesBetween(spark, tbl, from)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+
+    // full history: 3 inserts, then (delete old 2=b + insert B2 + insert d),
+    // then delete of 1=a; nothing from rewrite/compact
+    val sids = tbl.snapshots.sortBy(_.sequenceNumber).map(_.snapshotId)
+    assert(changes(None) == Set(
+      (1L, "a", "insert", sids(0)), (2L, "b", "insert", sids(0)), (3L, "c", "insert", sids(0)),
+      (2L, "b", "delete", sids(1)), (2L, "B2", "insert", sids(1)), (4L, "d", "insert", sids(1)),
+      (1L, "a", "delete", sids(2))))
+    // incremental: only the commits after snap 1
+    assert(changes(Some(s1)) == Set(
+      (2L, "b", "delete", sids(1)), (2L, "B2", "insert", sids(1)), (4L, "d", "insert", sids(1)),
+      (1L, "a", "delete", sids(2))))
+    // replaying the changes reconstructs the live view
+    assert(tbl.toDF(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      Set(2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
 }
