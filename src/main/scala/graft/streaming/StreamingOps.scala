@@ -261,6 +261,23 @@ object StreamingOps {
     perCommit.reduceOption(_ unionAll _).getOrElse(emptyOut)
   }
 
+  /** Drive a CDC consumer over every commit made since `fromSnapshotId`:
+    * `process(changesDf, snapshotId)` once per snapshot in commit order,
+    * where `changesDf` is that commit's [[changesBetween]] slice (inserts
+    * + deletes with `_change_type`). Returns the last processed snapshot
+    * id to checkpoint — the changelog analogue of
+    * [[processAvailableCommits]]. */
+  def processAvailableChanges(spark: SparkSession, table: Table,
+                              fromSnapshotId: Option[Long])(
+                              process: (DataFrame, Long) => Unit): Option[Long] = {
+    var last = fromSnapshotId
+    newSnapshotsSince(table, fromSnapshotId).foreach { sid =>
+      process(changesBetween(spark, table, last, Some(sid)), sid)
+      last = Some(sid)
+    }
+    last
+  }
+
   /** Drive a consumer over every commit made since `fromSnapshotId`,
     * invoking `process(batchDf, snapshotId)` once per snapshot in commit
     * order (the `Trigger.AvailableNow` pattern over table commits).

@@ -136,5 +136,16 @@ class StreamingSpec extends AnyFunSuite {
     // replaying the changes reconstructs the live view
     assert(tbl.toDF(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
       Set(2L -> "B2", 3L -> "c", 4L -> "d"))
+
+    // per-commit CDC drive: same rows, sliced by commit, in order
+    var seen = Vector.empty[(Long, Set[(Long, String, String)])]
+    val last = StreamingOps.processAvailableChanges(spark, tbl, None) { (df, sid) =>
+      seen :+= (sid, df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    }
+    assert(last == tbl.currentSnapshotId)
+    assert(seen.map(_._1) == sids.toVector)
+    assert(seen.flatMap(_._2).toSet == changes(None).map(c => (c._1, c._2, c._3)))
+    assert(seen.toMap.apply(sids(3)).isEmpty && seen.toMap.apply(sids(4)).isEmpty)
   }
 }
