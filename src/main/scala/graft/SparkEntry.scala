@@ -722,8 +722,13 @@ object SparkEntry {
         (col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+      // nbits sizes the hash space: occupancy corpus/2^nbits must stay
+      // well under the bucket cap or the cap starts dropping TRUE pairs
+      // (nbits=4 → 16 buckets worked at sf0.01 but collapsed recall at
+      // sf0.1: every bucket blew past the cap). 12 bits = 4096 buckets
+      // holds through sf1; larger corpora raise nbits further.
       DedupOps.embeddingNearDupPairs(corpus, "vec_id", "embedding",
-          dim = 64, nbits = 4, threshold = 0.99)
+          dim = 64, nbits = 12, threshold = 0.99)
         .withColumn("cosine", round(col("cosine"), 3))
         .orderBy("id_a", "id_b")
     }),
