@@ -473,6 +473,26 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "g43_add_files" -> ((s, dir) => {
+      // bulk onboarding: foreign parquet published into a table by footer
+      // stats + one fast-append commit, no data copy; scans then prune on
+      // the recorded bounds like native files
+      val cat = new MemoryCatalog()
+      val ord = t(s, dir, "orders").where("o_orderkey % 10 = 4")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val ext = java.nio.file.Files.createTempDirectory("graft-addfiles").toString
+      ord.write.mode("overwrite").parquet(ext)
+      val tbl = cat.createTable("ord_add", SparkSchemaConverter.fromSpark(ord.schema))
+      val extPath = new org.apache.hadoop.fs.Path(ext)
+      val fs = extPath.getFileSystem(tbl.hadoopConf)
+      val files = fs.listStatus(extPath).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      tbl.addFiles(s, files)
+      tbl.toDF(s).groupBy("o_orderstatus")
+        .agg(n().as("n_items"), sumd(d2(col("o_totalprice"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "g42_changelog" -> ((s, dir) => {
       // row-level CDC read: append → equality-delete upsert → MOR delete,
       // then the changelog between table creation and now, aggregated per
@@ -999,6 +1019,12 @@ object SparkEntry {
         | CAST(SUM(CAST(CASE WHEN o_orderkey % 20 = 2 THEN o_totalprice + 50
         |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 = 2
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "g43_add_files" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 = 4
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "g42_changelog" ->

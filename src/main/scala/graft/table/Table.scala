@@ -144,6 +144,55 @@ final class Table(
     append(AppendUtil.rowsToDF(spark, rows, meta.currentSchema))
 
   /**
+   * Import existing Parquet files as table data WITHOUT rewriting them
+   * (`add_files`): per-file footer stats become manifest entries and one
+   * fast-append commit publishes them, so onboarding N TB of existing
+   * parquet costs O(files) parallel footer reads — never a data copy.
+   *
+   * Constraints: the table must be unpartitioned (a foreign file's
+   * partition tuple cannot be inferred safely), and columns shared with
+   * the table schema must match by name AND Spark type exactly — the
+   * scan reads foreign files (which carry no Iceberg field ids) through
+   * name binding with the declared schema, where Parquet tolerates no
+   * implicit casts. Columns the files lack read as null, like append.
+   */
+  def addFiles(spark: SparkSession, paths: Seq[String],
+               extraSummary: Map[String, String] = Map.empty): Unit = {
+    import scala.collection.parallel.CollectionConverters._
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    require(paths.nonEmpty, "addFiles requires at least one file path")
+    if (meta.defaultPartitionSpec.fields.nonEmpty)
+      throw new InvalidDataError(
+        "addFiles supports unpartitioned tables only (no safe partition tuple for foreign files)")
+    val tableSpark = graft.types.SparkSchemaConverter.toSpark(meta.currentSchema)
+    val fileSchema = spark.read.parquet(paths: _*).schema
+    val tableByName = tableSpark.fields.map(f => f.name -> f.dataType).toMap
+    for (f <- fileSchema.fields; want <- tableByName.get(f.name))
+      if (f.dataType != want)
+        throw new InvalidDataError(
+          s"addFiles type mismatch on column '${f.name}': file has ${f.dataType.simpleString}, " +
+            s"table expects ${want.simpleString} (Parquet name-binding allows no implicit cast)")
+    val files = paths.par.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(hadoopConf)
+      val stats = ParquetStats.read(hadoopConf, path)
+      if (stats.recordCount == 0L) None
+      else Some(graft.manifest.DataFile(
+        filePath = path.toString,
+        fileFormat = "PARQUET",
+        partition = Map.empty,
+        recordCount = stats.recordCount,
+        fileSizeInBytes = fs.getFileStatus(path).getLen,
+        lowerBounds = stats.lowerBounds,
+        upperBounds = stats.upperBounds,
+        nullCounts = stats.nullCounts))
+    }.seq
+    if (files.isEmpty) return
+    commitAppend(cat, files, java.util.UUID.randomUUID().toString,
+      extraSummary + ("operation-detail" -> "add-files"))
+  }
+
+  /**
    * DELETE (beyond the reference, which errors on SQL DELETE — `GraftSql`
    * keeps that parity; this is the programmatic path): rows matching ALL
    * `predicates` are removed. Mode comes from the `write.delete.mode`

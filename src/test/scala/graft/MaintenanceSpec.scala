@@ -172,6 +172,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.scanAsOf(t1).toDF(spark).count() == 1)
   }
 
+  test("addFiles imports foreign parquet without rewrite; stats prune; guards hold") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("addf_t", schema)
+    // foreign files written by plain Spark (no field ids, no graft layout)
+    val ext = java.nio.file.Files.createTempDirectory("graft-addfiles").toString
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "qty", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ext/p1")
+    Seq((100L, 1000, "z")).toDF("id", "qty", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ext/p2")
+    val fs = new Path(ext).getFileSystem(tbl.hadoopConf)
+    def parts(d: String): Seq[String] =
+      fs.listStatus(new Path(d)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+
+    tbl.addFiles(spark, parts(s"$ext/p1") ++ parts(s"$ext/p2"))
+
+    assert(tbl.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 100L))
+    assert(tbl.currentSnapshot.get.summary("operation-detail") == "add-files")
+    assert(tbl.scan().planFiles().size == 2) // no rewrite: the two foreign files
+    // footer bounds made it into the manifest → pruning skips the other file
+    assert(tbl.scan(predicates = Seq(GePred("id", 50L))).planFiles().size == 1)
+    // guards: type mismatch and partitioned target are rejected
+    Seq(("x", 1)).toDF("id", "qty").write.mode("overwrite").parquet(s"$ext/bad")
+    assertThrows[InvalidDataError](tbl.addFiles(spark, parts(s"$ext/bad")))
+    val part = cat.createTable("addf_part", schema, partitionSpec =
+      graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(3, 1000, "k", "identity"))))
+    assertThrows[InvalidDataError](part.addFiles(spark, parts(s"$ext/p1")))
+    // imported data participates in DML like native data
+    tbl.delete(spark, Seq(EqPred("k", "b")))
+    assert(tbl.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 100L))
+  }
+
   test("tags and branches pin scans to snapshots") {
     import spark.implicits._
     val cat = new MemoryCatalog()
