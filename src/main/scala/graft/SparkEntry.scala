@@ -473,6 +473,24 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "g44_wap_publish" -> ((s, dir) => {
+      // write-audit-publish: stage two appends on a branch (invisible to
+      // main), then one fastForward publishes both atomically
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_wap", SparkSchemaConverter.fromSpark(
+        li.schema))
+      tbl.append(li.where("l_orderkey % 10 = 1"))
+      tbl.appendToBranch("audit", li.where("l_orderkey % 10 = 6"))
+      tbl.appendToBranch("audit", li.where("l_orderkey % 10 = 7"))
+      val mainBefore = tbl.toDF(s).count() // audit rows must be invisible
+      tbl.fastForward("main", "audit")
+      tbl.toDF(s).groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"),
+          first(lit(mainBefore)).as("rows_before_publish"))
+        .orderBy("l_returnflag")
+    }),
+
     "g43_add_files" -> ((s, dir) => {
       // bulk onboarding: foreign parquet published into a table by footer
       // stats + one fast-append commit, no data copy; scans then prune on
@@ -1020,6 +1038,13 @@ object SparkEntry {
         |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 = 2
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "g44_wap_publish" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 10 = 1) AS rows_before_publish
+        |FROM lineitem WHERE l_orderkey % 10 IN (1, 6, 7)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g43_add_files" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,

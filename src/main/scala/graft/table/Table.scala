@@ -144,6 +144,68 @@ final class Table(
     append(AppendUtil.rowsToDF(spark, rows, meta.currentSchema))
 
   /**
+   * Write-audit-publish (WAP) write side: append onto a named BRANCH
+   * without touching `main` — the branch forks from main's head on its
+   * first write and advances independently; readers of the table see
+   * nothing until [[fastForward]] publishes the branch. Validate with
+   * `scanRef(branch)` between the two.
+   */
+  def appendToBranch(branch: String, df: DataFrame,
+                     extraSummary: Map[String, String] = Map.empty): Unit = {
+    require(branch.nonEmpty, "branch name required")
+    if (branch == "main") { append(df, extraSummary); return }
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val schema = meta.currentSchema
+    val aligned = AppendUtil.align(df, schema)
+    val commitUuid = java.util.UUID.randomUUID().toString
+    val files = AppendUtil.writeData(aligned, schema, meta.defaultPartitionSpec,
+      meta.defaultSortOrder, new Path(meta.location, s"data/$commitUuid"), hadoopConf,
+      targetFileRows = meta.properties.get("write.target-file-rows")
+        .map(_.toLong).getOrElse(5000000L))
+    if (files.isEmpty) return
+    commitAppend(cat, files, commitUuid, extraSummary, toBranch = branch)
+  }
+
+  /**
+   * Write-audit-publish publish side: move ref `name` to ref `from`'s
+   * head, only if `name`'s current head is an ancestor of it (a pure
+   * fast-forward — divergent histories are rejected, there is no merge).
+   * Fast-forwarding `main` is the atomic publish: one metadata CAS makes
+   * every audited branch commit visible to plain readers at once.
+   */
+  def fastForward(name: String, from: String): Unit = commitWithRetry() { base =>
+    val target = base.snapshotForRef(from).getOrElse(
+      throw new InvalidDataError(s"no ref named '$from'"))
+    base.refs.get(name).foreach { r =>
+      if (r.refType == "tag")
+        throw new InvalidDataError(s"cannot fast-forward tag '$name' (tags are immutable)")
+    }
+    val currentHead = base.snapshotForRef(name)
+    if (currentHead.exists(_.snapshotId == target.snapshotId)) None // no-op
+    else {
+      currentHead.foreach { h =>
+        var cur: Option[Snapshot] = Some(target)
+        var found = false
+        while (cur.isDefined && !found) {
+          if (cur.get.snapshotId == h.snapshotId) found = true
+          else cur = cur.get.parentSnapshotId.flatMap(base.snapshotById)
+        }
+        if (!found) throw new InvalidDataError(
+          s"'$name' is not an ancestor of '$from': not a fast-forward (histories diverged)")
+      }
+      val now = System.currentTimeMillis()
+      val moved = base.copy(lastUpdatedMs = now,
+        refs = base.refs.updated(name, SnapshotRef(target.snapshotId, "branch")))
+      Some(
+        if (name == "main")
+          moved.copy(
+            currentSnapshotId = Some(target.snapshotId),
+            snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, target.snapshotId))
+        else moved)
+    }
+  }
+
+  /**
    * Import existing Parquet files as table data WITHOUT rewriting them
    * (`add_files`): per-file footer stats become manifest entries and one
    * fast-append commit publishes them, so onboarding N TB of existing
@@ -1353,13 +1415,15 @@ final class Table(
   private def commitAppend(cat: Catalog, files: Seq[graft.manifest.DataFile],
                            commitUuid: String,
                            extraSummary: Map[String, String] = Map.empty,
-                           maxRetries: Int = 5): Unit = {
+                           maxRetries: Int = 5,
+                           toBranch: String = "main"): Unit = {
     var attempt = 0
     var committed = false
     while (!committed) {
       val base = if (attempt == 0) meta else cat.currentMetadata(ident)
       try {
-        val updated = buildAppendMetadata(base, files, s"$commitUuid-$attempt", extraSummary)
+        val updated = buildAppendMetadata(base, files, s"$commitUuid-$attempt",
+          extraSummary, toBranch)
         meta = cat.commitTable(ident, base, updated)
         committed = true
       } catch {
@@ -1373,12 +1437,22 @@ final class Table(
   private def buildAppendMetadata(base: TableMetadata,
                                   files: Seq[graft.manifest.DataFile],
                                   attemptId: String,
-                                  extraSummary: Map[String, String] = Map.empty): TableMetadata = {
+                                  extraSummary: Map[String, String] = Map.empty,
+                                  toBranch: String = "main"): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
+    // a branch append parents at the BRANCH head (forking from main's head
+    // on first write to a new branch); sequence numbers stay table-global
+    base.refs.get(toBranch).foreach { r =>
+      if (r.refType == "tag")
+        throw new InvalidDataError(s"cannot append to tag '$toBranch' (tags are immutable)")
+    }
+    val parentSnap: Option[Snapshot] =
+      if (toBranch == "main") base.currentSnapshot
+      else base.snapshotForRef(toBranch).orElse(base.currentSnapshot)
 
     // new manifest with the added files
     val manifestPath = new Path(metadataDir, s"$attemptId-m0.avro")
@@ -1401,23 +1475,23 @@ final class Table(
 
     // manifest list = parent's manifests + the new one (fast append: no
     // rewrite of existing manifests)
-    val parentManifests: Seq[ManifestFile] = base.currentSnapshot match {
+    val parentManifests: Seq[ManifestFile] = parentSnap match {
       case Some(parent) =>
         Manifests.readManifestList(fs, new Path(parent.manifestList))
       case None => Nil
     }
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
     Manifests.writeManifestList(fs, listPath, parentManifests :+ newManifest,
-      snapshotId, base.currentSnapshotId, seq)
+      snapshotId, parentSnap.map(_.snapshotId), seq)
 
     val addedRecords = files.map(_.recordCount).sum
-    val prevTotal = base.currentSnapshot
+    val prevTotal = parentSnap
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
-    val prevFiles = base.currentSnapshot
+    val prevFiles = parentSnap
       .flatMap(_.summary.get("total-data-files")).map(_.toLong).getOrElse(0L)
     val snap = Snapshot(
       snapshotId = snapshotId,
-      parentSnapshotId = base.currentSnapshotId,
+      parentSnapshotId = parentSnap.map(_.snapshotId),
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath.toString,
@@ -1430,13 +1504,16 @@ final class Table(
         "total-data-files" -> (prevFiles + files.size).toString) ++ extraSummary,
       schemaId = Some(base.currentSchemaId))
 
-    base.copy(
+    val advanced = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
-      currentSnapshotId = Some(snapshotId),
       snapshots = base.snapshots :+ snap,
-      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
-      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+      refs = base.refs.updated(toBranch, SnapshotRef(snapshotId, "branch")))
+    if (toBranch == "main")
+      advanced.copy(
+        currentSnapshotId = Some(snapshotId),
+        snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId))
+    else advanced // branch write: main head and its log are untouched
   }
 
   override def toString: String = s"Table($ident)"

@@ -206,6 +206,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 100L))
   }
 
+  test("write-audit-publish: branch appends stay invisible until fastForward") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("wap_t", schema)
+    tbl.append(Seq((1L, 1, "a")).toDF("id", "qty", "k"))
+
+    // audit writes land on the branch; main is untouched
+    tbl.appendToBranch("audit", Seq((2L, 2, "b")).toDF("id", "qty", "k"))
+    tbl.appendToBranch("audit", Seq((3L, 3, "c")).toDF("id", "qty", "k"))
+    assert(tbl.toDF(spark).count() == 1)
+    assert(tbl.scanRef("audit").toDF(spark).count() == 3)
+
+    // publish: one CAS makes both audited commits visible
+    tbl.fastForward("main", "audit")
+    assert(tbl.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // idempotent publish
+    val snaps = tbl.snapshots.size
+    tbl.fastForward("main", "audit")
+    assert(tbl.refresh().snapshots.size == snaps)
+
+    // diverged histories are rejected (no merge semantics)
+    tbl.append(Seq((4L, 4, "d")).toDF("id", "qty", "k")) // main moves past audit
+    tbl.appendToBranch("audit", Seq((5L, 5, "e")).toDF("id", "qty", "k"))
+    assertThrows[InvalidDataError](tbl.fastForward("main", "audit"))
+    // tags are immutable on both sides
+    tbl.createTag("v1")
+    assertThrows[InvalidDataError](tbl.fastForward("v1", "audit"))
+    assertThrows[InvalidDataError](
+      tbl.appendToBranch("v1", Seq((9L, 9, "x")).toDF("id", "qty", "k")))
+    // and an unknown source ref errors
+    assertThrows[InvalidDataError](tbl.fastForward("main", "nope"))
+  }
+
   test("tags and branches pin scans to snapshots") {
     import spark.implicits._
     val cat = new MemoryCatalog()
