@@ -60,7 +60,8 @@ object StreamingOps {
    * the sink is effectively exactly-once per batch.
    */
   def appendStream(stream: DataFrame, table: Table,
-                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                   checkpointDir: String,
+                   branch: String = "main"): org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -72,9 +73,13 @@ object StreamingOps {
         val scope = queryScope(batch.sparkSession, checkpointDir)
         table.refresh()
         if (!lastCommittedBatchId(table, scope).exists(_ >= batchId)) {
-          table.append(batch, extraSummary = Map(
+          val summary = Map(
             "streaming-query-id" -> scope,
-            "streaming-batch-id" -> batchId.toString))
+            "streaming-batch-id" -> batchId.toString)
+          // branch != main = streaming write-audit-publish: micro-batches
+          // stage on the branch, a periodic fastForward publishes them
+          if (branch == "main") table.append(batch, summary)
+          else table.appendToBranch(branch, batch, summary)
         }
       }
       .start()

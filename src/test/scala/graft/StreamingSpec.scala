@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(tbl.snapshots.forall(_.summary.contains("streaming-batch-id")))
   }
 
+  test("streaming WAP: micro-batches stage on a branch until fastForward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false)))
+    val tbl = cat.createTable("sink_wap", schema)
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wap-ckpt").toString
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = StreamingOps.appendStream(mem.toDF().toDF("id", "v"), tbl, ckpt,
+      branch = "staging")
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    tbl.refresh()
+    assert(tbl.toDF(spark).count() == 0) // nothing published yet
+    assert(tbl.scanRef("staging").toDF(spark).count() == 3)
+    tbl.fastForward("main", "staging")
+    assert(tbl.toDF(spark).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("table commits consumed as micro-batches via snapshot offsets") {
     import spark.implicits._
     val cat = new MemoryCatalog()
