@@ -71,6 +71,32 @@ class HadoopCatalogSpec extends AnyFunSuite {
     assert(cat.loadTable("hintless").toDF(spark).count() == 1)
   }
 
+  test("round-5 ops on the FS catalog: addFiles, WAP, rewriteManifests, orphan sweep") {
+    import spark.implicits._
+    val dir = wh()
+    val cat = new HadoopCatalog(dir)
+    val tbl = cat.createTable("maint", schema)
+    // foreign parquet import
+    val ext = java.nio.file.Files.createTempDirectory("graft-hext").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k").coalesce(1)
+      .write.mode("overwrite").parquet(ext)
+    val fs = new Path(ext).getFileSystem(tbl.hadoopConf)
+    tbl.addFiles(spark, fs.listStatus(new Path(ext)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq)
+    // WAP staged on the branch, published by fastForward
+    tbl.appendToBranch("stage", Seq((3L, "c")).toDF("id", "k"))
+    assert(tbl.toDF(spark).count() == 2)
+    tbl.fastForward("main", "stage")
+    // manifest compaction + orphan sweep over the same warehouse
+    tbl.rewriteManifests()
+    tbl.removeOrphanFiles(System.currentTimeMillis() + 60000)
+    assert(tbl.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // a second catalog instance sees the published state
+    val c2 = new HadoopCatalog(dir)
+    assert(c2.loadTable("maint").toDF(spark).count() == 3)
+  }
+
   test("rename moves the directory; namespace properties persist on disk") {
     val dir = wh()
     val c1 = new HadoopCatalog(dir)
