@@ -666,6 +666,17 @@ object SparkEntry {
         .orderBy("lang_pred", "rk")
     }),
 
+    "d45_neardup_clusters" -> ((s, dir) => {
+      // dedup end-to-end: exact-verified near-dup pairs → connected
+      // components (iterative min-label propagation) → (id, component);
+      // downstream keeps component == id rows as representatives
+      val pairs = DedupOps.minhashLshPairs(corpusWithNearDups(s, dir),
+          "doc_id", "text", bands = 8, rowsPerBand = 4, shingleN = 3,
+          threshold = 0.7)
+        .select("id_a", "id_b")
+      DedupOps.connectedComponents(pairs).orderBy("id")
+    }),
+
     "d34_minhash_pairs" -> ((s, dir) => {
       // Exact oracle: the full O(n²) cross-join Jaccard in DuckDB. The LSH
       // banding (8 bands × 4 rows) deterministically finds every pair with
@@ -1217,6 +1228,37 @@ object SparkEntry {
          |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "d45_neardup_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0
+         |), sh AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(toks) - 3, 0) + 1),
+         |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM corpus)
+         |), pairs AS (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         | WHERE jaccard >= 0.7
+         |), edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, comp) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+         |)
+         |SELECT id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "d35_simhash_pairs" ->
       s"""WITH corpus AS (

@@ -72,6 +72,22 @@ class OpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("connected components: chain, triangle, pair; dedup keeps representatives") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val cc = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    val docs = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 99L))
+      .toDF("doc_id") // 99 is isolated: untouched by dedup
+    val kept = DedupOps.dedupByClusters(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 10L, 20L, 99L))
+  }
+
   test("native simhash is bit-exact with the composed HOF form") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
