@@ -131,6 +131,8 @@ object GraftSql {
         t.snapshotsDF(spark).createOrReplaceTempView(s"${tableName}_snapshots")
         t.historyDF(spark).createOrReplaceTempView(s"${tableName}_history")
         t.refsDF(spark).createOrReplaceTempView(s"${tableName}_refs")
+        // partitionsDF/filesDF/manifestsDF are NOT auto-registered: they
+        // plan manifests, and registration must stay metadata-memory-only
       }
     }
   }

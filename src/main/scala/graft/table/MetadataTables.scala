@@ -91,6 +91,27 @@ object MetadataTables {
     df(spark, schema, rows)
   }
 
+  /** Per-partition roll-up of the live files (Iceberg's `t.partitions`):
+    * file/record/byte counts keyed by the partition tuple. Computed from
+    * the already-planned file list — no data read. */
+  def partitions(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("total_size_in_bytes", LongType, nullable = false)))
+    val rows = table.scan().planFiles()
+      .groupBy(t => (t.file.partition, t.specId)).toSeq
+      .sortBy(_._1._1.toSeq.sorted.mkString(","))
+      .map { case ((part, specId), group) =>
+        Row(part, specId, group.size.toLong,
+          group.map(_.recordCount).sum,
+          group.map(_.file.fileSizeInBytes).sum)
+      }
+    df(spark, schema, rows)
+  }
+
   def refs(spark: SparkSession, table: Table): DataFrame = {
     val schema = StructType(Seq(
       StructField("name", StringType, nullable = false),

@@ -115,6 +115,7 @@ final class Table(
   def manifestsDF(spark: SparkSession): DataFrame = MetadataTables.manifests(spark, this)
   def filesDF(spark: SparkSession): DataFrame = MetadataTables.files(spark, this)
   def refsDF(spark: SparkSession): DataFrame = MetadataTables.refs(spark, this)
+  def partitionsDF(spark: SparkSession): DataFrame = MetadataTables.partitions(spark, this)
 
   // ------------------------------------------------------------ write path
 

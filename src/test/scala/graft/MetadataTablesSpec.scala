@@ -50,4 +50,27 @@ class MetadataTablesSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n == 3L)
   }
+
+  test("partitions metadata table rolls up live files per partition tuple") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false)))
+    val spec = graft.meta.PartitionSpec(0,
+      Seq(graft.meta.PartitionField(2, 1000, "k", "identity")))
+    val tbl = cat.createTable("part_meta", schema, partitionSpec = spec)
+    tbl.append(Seq(1L -> "a", 2L -> "a", 3L -> "b").toDF("id", "k"))
+    tbl.append(Seq(4L -> "b").toDF("id", "k"))
+
+    val parts = tbl.partitionsDF(spark).collect()
+      .map(r => r.getMap[String, String](0)("k") ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(parts("a") == (1L, 2L)) // 1 file, 2 records
+    assert(parts("b") == (2L, 2L)) // one file per append
+    // rolls up the LIVE view: a delete shrinks the partition
+    tbl.delete(spark, Seq(graft.table.EqPred("k", "a")))
+    assert(!tbl.partitionsDF(spark).collect()
+      .exists(_.getMap[String, String](0).get("k").contains("a")))
+  }
 }
