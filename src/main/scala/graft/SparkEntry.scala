@@ -473,6 +473,22 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    "g45_zorder" -> ((s, dir) => {
+      // multi-dimensional clustering rewrite: after zorder(orderkey, qty)
+      // a predicate on EITHER column prunes files; the scan through the
+      // clustered layout must still answer exactly
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 10 = 9")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_z", SparkSchemaConverter.fromSpark(li.schema))
+      tbl.append(li)
+      tbl.zorder(s, Seq("l_orderkey", "l_quantity"), targetFileBytes = 256 * 1024)
+      tbl.scan(predicates = Seq(graft.table.GePred("l_quantity", 25.0))).toDF(s)
+        .groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g44_wap_publish" -> ((s, dir) => {
       // write-audit-publish: stage two appends on a branch (invisible to
       // main), then one fastForward publishes both atomically
@@ -1049,6 +1065,12 @@ object SparkEntry {
         |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 = 2
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "g45_zorder" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 9 AND l_quantity >= 25.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g44_wap_publish" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

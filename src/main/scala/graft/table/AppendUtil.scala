@@ -240,6 +240,32 @@ object AppendUtil {
     }.seq
   }
 
+  /**
+   * Bit-interleaved z-order value over up to 4 columns, composed from
+   * built-in (codegen'd) bit ops: each column is normalized to a 16-bit
+   * rank within its [min, max] range, then bit j of dimension i lands at
+   * position j*k+i. Rows close in z-value are close in EVERY dimension,
+   * so range-partitioning by this column gives files whose bounds are
+   * tight on all clustered columns at once — multi-dimensional pruning
+   * from one layout. NULLs rank at the minimum.
+   */
+  def zorderColumn(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(cols.nonEmpty && cols.size <= 4, "zorder takes 1-4 columns")
+    val k = cols.size
+    val norms = cols.zipWithIndex.map { case (c, i) =>
+      val range = maxs(i) - mins(i)
+      if (range <= 0 || range.isNaN) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        ((coalesce(c.cast("double"), lit(mins(i))) - mins(i)) / range * 65535.0)
+          .cast("long")))
+    }
+    val terms = for {
+      j <- 0 until 16
+      i <- 0 until k
+    } yield shiftleft(shiftright(norms(i), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Inverse of Hive's escapePathName (%xx sequences). */
   def unescapePathName(s: String): String = {
     if (!s.contains('%')) return s

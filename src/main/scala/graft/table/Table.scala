@@ -1047,6 +1047,70 @@ final class Table(
   }
 
   /**
+   * Z-order rewrite (`rewrite_data_files` with multi-dimensional
+   * clustering): rewrite ALL live data into files range-partitioned by
+   * the bit-interleaved z-value of `columns` (≤4, numeric/date/
+   * timestamp). Each output file then has TIGHT bounds on every
+   * clustered column simultaneously, so scans filtering on ANY of them
+   * prune files — a single-column sort only ever serves one predicate
+   * shape. Pending MOR deletes fold in (the rewrite materializes the
+   * live view), like [[applyPendingDeletes]]. One snapshot; old
+   * snapshots keep their files for time travel.
+   *
+   * Unpartitioned tables only: the partitioned write path re-shuffles by
+   * partition tuple, which would destroy the z-clustering it just paid
+   * for — z-order within partitions is a different (finer) layout choice.
+   */
+  def zorder(spark: SparkSession, columns: Seq[String],
+             targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    require(columns.nonEmpty && columns.size <= 4, "zorder takes 1-4 columns")
+    val missing = columns.filterNot(c => meta.currentSchema.fieldByName(c).isDefined)
+    if (missing.nonEmpty)
+      throw new InvalidDataError(s"zorder columns not in schema: ${missing.mkString(", ")}")
+    if (meta.defaultPartitionSpec.fields.nonEmpty)
+      throw new InvalidDataError("zorder supports unpartitioned tables only")
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refresh()
+      val sc = scan()
+      val all = sc.planFiles()
+      if (all.isEmpty) return
+      val rows = sc.materializeTasks(spark, all)
+      // global per-column range from ONE tiny aggregate (the normalization
+      // grid); clamping makes stale ranges safe, just less discriminating
+      val aggs = columns.flatMap(c =>
+        Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+      val mm = rows.agg(aggs.head, aggs.tail: _*).collect().head
+      val mins = columns.indices.map(i => if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i))
+      val maxs = columns.indices.map(i => if (mm.isNullAt(2 * i + 1)) 0.0 else mm.getDouble(2 * i + 1))
+      val z = AppendUtil.zorderColumn(columns.map(col), mins, maxs)
+      val nOut = math.max(1, math.ceil(
+        all.map(_.file.fileSizeInBytes).sum.toDouble / targetFileBytes).toInt)
+      val clustered = rows.repartitionByRange(nOut, z).sortWithinPartitions(z)
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val newFiles = AppendUtil.writeData(clustered, meta.currentSchema,
+        meta.defaultPartitionSpec, meta.defaultSortOrder,
+        new Path(meta.location, s"data/$commitUuid"), hadoopConf,
+        targetFileRows = meta.properties.get("write.target-file-rows")
+          .map(_.toLong).getOrElse(5000000L))
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, Nil, all, newFiles, commitUuid,
+            keepParentDeleteManifests = false))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          discardFiles(newFiles) // regenerated next attempt
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+  }
+
+  /**
    * Manifest compaction (`rewrite_manifests`): consolidate the current
    * snapshot's manifests into ONE manifest per (content, schema era,
    * partition-spec era). Metadata-only — no data or delete file moves;

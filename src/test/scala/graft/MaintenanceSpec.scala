@@ -172,6 +172,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.scanAsOf(t1).toDF(spark).count() == 1)
   }
 
+  test("zorder clusters files so BOTH dimensions prune; rows unchanged") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val zschema = Schema(0, Seq(
+      NestedField(1, "x", ILong, required = false),
+      NestedField(2, "y", ILong, required = false),
+      NestedField(3, "payload", IString, required = false)))
+    val tbl = cat.createTable("z_t", zschema)
+    // a shuffled 32x32 grid in ONE file: neither dimension prunes anything
+    val grid = scala.util.Random.shuffle(
+      for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y, s"p$x-$y"))
+    tbl.append(grid.toDF("x", "y", "payload").coalesce(1))
+    assert(tbl.scan().planFiles().size == 1)
+
+    tbl.zorder(spark, Seq("x", "y"), targetFileBytes = 1024)
+
+    val files = tbl.scan().planFiles()
+    assert(files.size >= 4, s"expected a multi-file layout, got ${files.size}")
+    // row set unchanged
+    assert(tbl.toDF(spark).count() == 1024)
+    assert(tbl.toDF(spark).agg(org.apache.spark.sql.functions.sum("x"))
+      .head().getLong(0) == 32 * (31 * 32 / 2))
+    // the z-layout prunes on EACH dimension independently
+    val px = tbl.scan(predicates = Seq(GePred("x", 24L))).planFiles().size
+    val py = tbl.scan(predicates = Seq(GePred("y", 24L))).planFiles().size
+    assert(px < files.size, s"x-pred kept all $px of ${files.size}")
+    assert(py < files.size, s"y-pred kept all $py of ${files.size}")
+    // and the pruned scans still answer correctly
+    assert(tbl.scan(predicates = Seq(GePred("x", 24L))).toDF(spark).count() == 8 * 32)
+    // guards
+    assertThrows[InvalidDataError](tbl.zorder(spark, Seq("nope")))
+    assertThrows[IllegalArgumentException](tbl.zorder(spark, Nil))
+  }
+
   test("addFiles imports foreign parquet without rewrite; stats prune; guards hold") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
