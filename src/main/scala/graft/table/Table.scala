@@ -1188,6 +1188,28 @@ final class Table(
     }
 
   /**
+   * One-call table maintenance, in dependency order: fold pending MOR
+   * delete debt back into data files ([[applyPendingDeletes]]), bin-pack
+   * small files ([[compact]]), consolidate manifests
+   * ([[rewriteManifests]]), expire old snapshots ([[expireSnapshots]]),
+   * then sweep orphans ([[removeOrphanFiles]]) — the nightly job a
+   * production table schedules. Each step is individually a no-op when
+   * there is nothing to do; `snapshotRetention`/`orphanAge` default to
+   * 7 days back from now.
+   */
+  def maintain(spark: SparkSession,
+               snapshotRetentionMs: Long = 7L * 24 * 3600 * 1000,
+               retainLast: Int = 1,
+               smallFileBytes: Long = 64L * 1024 * 1024): Seq[String] = {
+    val now = System.currentTimeMillis()
+    applyPendingDeletes(spark)
+    compact(spark, smallFileBytes)
+    rewriteManifests()
+    expireSnapshots(now - snapshotRetentionMs, retainLast)
+    removeOrphanFiles(now - snapshotRetentionMs)
+  }
+
+  /**
    * Remove orphan files (`remove_orphan_files`): physically delete files
    * under the table's `data/` and `metadata/` directories that no
    * snapshot references — leftovers of crashed writers and lost commit

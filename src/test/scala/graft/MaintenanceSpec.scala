@@ -172,6 +172,29 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.scanAsOf(t1).toDF(spark).count() == 1)
   }
 
+  test("maintain() runs the full maintenance chain; answers unchanged") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("maint_all", schema,
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    for (i <- 1 to 4)
+      tbl.append(Seq((i.toLong, i, s"v$i")).toDF("id", "qty", "k"))
+    tbl.delete(spark, Seq(EqPred("id", 2L))) // pending MOR delete debt
+    val want = tbl.toDF(spark).orderBy("id").collect().toSeq
+
+    // retention 0 → everything but the final state is reclaimable
+    tbl.maintain(spark, snapshotRetentionMs = -60000L)
+
+    assert(tbl.toDF(spark).orderBy("id").collect().toSeq == want)
+    assert(tbl.scan().planFiles().forall(_.deleteFiles.isEmpty)) // debt folded
+    assert(tbl.scan().planFiles().size == 1) // compacted
+    assert(tbl.snapshots.size == 1) // expired to the retained head
+    // steady state: a second run changes nothing
+    val snaps = tbl.currentSnapshotId
+    tbl.maintain(spark, snapshotRetentionMs = -60000L)
+    assert(tbl.refresh().currentSnapshotId == snaps)
+  }
+
   test("zorder clusters files so BOTH dimensions prune; rows unchanged") {
     import spark.implicits._
     val cat = new MemoryCatalog()
