@@ -1264,7 +1264,10 @@ object SparkEntry {
          |   range(0, greatest(len(toks) - 3, 0) + 1),
          |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
          | FROM (SELECT doc_id, $ToksSql AS toks FROM corpus)
-         |), pairs AS (
+         |), pairs AS MATERIALIZED (
+         | -- MATERIALIZED: referenced twice by edges, which the recursive
+         | -- CTE re-evaluates per iteration — without it the O(n^2)
+         | -- cross-join re-runs every round
          | SELECT id_a, id_b FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |   CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
@@ -1272,7 +1275,7 @@ object SparkEntry {
          |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          | WHERE jaccard >= 0.7
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          | SELECT id_a AS src, id_b AS dst FROM pairs
          | UNION SELECT id_b, id_a FROM pairs
          |), reach(id, comp) AS (
