@@ -88,6 +88,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 20L, 99L))
   }
 
+  test("connectedComponents releases every cache entry it creates") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def cachedCount: Int = {
+      System.gc() // let the ContextCleaner reap dropped checkpoint blocks
+      spark.sparkContext.getPersistentRDDs.size
+    }
+    val before = cachedCount
+    for (_ <- 1 to 3) DedupOps.connectedComponents(pairs).count()
+    // repeated calls must not pin cache entries for the context's lifetime
+    assert(cachedCount <= before,
+      s"cache grew from $before to $cachedCount persistent RDDs")
+  }
+
   test("native simhash is bit-exact with the composed HOF form") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
