@@ -283,8 +283,9 @@ object SparkEntry {
     }),
 
     "t25_bucket_transform" -> ((s, dir) => {
-      // spec-pinned Murmur3 — no DuckDB equivalent, rows-only check; the
-      // known-answer vectors are asserted in TransformsSpec instead
+      // spec-pinned Murmur3; oracled by a DuckDB re-implementation of
+      // murmur3_x86_32 over the 8-byte LE long serialization (see
+      // oracleSql), plus known-answer vectors in TransformsSpec
       t(s, dir, "lineitem")
         .groupBy(GraftFunctions.iceberg_bucket(16, col("l_orderkey")).cast("long").as("bucket"))
         .agg(n().as("n_items"))
@@ -799,9 +800,17 @@ object SparkEntry {
     }),
 
     "m40_media_features" -> ((s, dir) => {
-      val media = MultimodalOps.syntheticCorpus(t(s, dir, "documents"), "doc_id", "text")
+      // REAL decode: valid BMPs (deterministic pixel formula) decoded by
+      // javax.imageio; the oracle recomputes [w, h, sumR, sumG, sumB] from
+      // the same formula as pure integer SQL — codec output is hash-matched
+      val media = MultimodalOps.syntheticImageCorpus(t(s, dir, "documents"), "doc_id")
       MultimodalOps.decodeFeatures(media)
-        .select(col("media_id"), col("kind"), size(col("features")).cast("long").as("dim"))
+        .select(col("media_id"),
+          col("features")(0).cast("int").as("width"),
+          col("features")(1).cast("int").as("height"),
+          col("features")(2).cast("long").as("sum_r"),
+          col("features")(3).cast("long").as("sum_g"),
+          col("features")(4).cast("long").as("sum_b"))
         .orderBy("media_id")
     }),
 
@@ -983,6 +992,34 @@ object SparkEntry {
     "t24_hour_transform" ->
       """SELECT epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Murmur3_x86_32 (seed 0) over the Iceberg single-value serialization
+    // of a long (8 bytes little-endian = two 32-bit blocks, no tail),
+    // written out as DuckDB integer arithmetic: multiplications go through
+    // HUGEINT (they exceed 2^63) and back to BIGINT mod 2^32; rotates and
+    // xors stay in BIGINT (operands < 2^32). Verified against the spec's
+    // known-answer vector murmur3(34L) = 2017239379 → bucket[16] = 3.
+    "t25_bucket_transform" ->
+      """WITH s1 AS (SELECT l_orderkey & 4294967295 AS k1,
+        |                   (l_orderkey >> 32) & 4294967295 AS k2 FROM lineitem),
+        |s2 AS (SELECT CAST((CAST(k1 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k1, k2 FROM s1),
+        |s3 AS (SELECT ((k1 << 15) | (k1 >> 17)) & 4294967295 AS k1, k2 FROM s2),
+        |s4 AS (SELECT CAST((CAST(k1 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k1, k2 FROM s3),
+        |s6 AS (SELECT ((k1 << 13) | (k1 >> 19)) & 4294967295 AS h, k2 FROM s4),
+        |s7 AS (SELECT CAST((CAST(h AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h, k2 FROM s6),
+        |t2 AS (SELECT h, CAST((CAST(k2 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k2 FROM s7),
+        |t3 AS (SELECT h, ((k2 << 15) | (k2 >> 17)) & 4294967295 AS k2 FROM t2),
+        |t4 AS (SELECT h, CAST((CAST(k2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k2 FROM t3),
+        |t5 AS (SELECT xor(h, k2) AS h FROM t4),
+        |t6 AS (SELECT ((h << 13) | (h >> 19)) & 4294967295 AS h FROM t5),
+        |t7 AS (SELECT CAST((CAST(h AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h FROM t6),
+        |f1 AS (SELECT xor(xor(h, 8), xor(h, 8) >> 16) AS h FROM t7),
+        |f3 AS (SELECT CAST((CAST(h AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS h FROM f1),
+        |f4 AS (SELECT xor(h, h >> 13) AS h FROM f3),
+        |f5 AS (SELECT CAST((CAST(h AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS h FROM f4),
+        |f6 AS (SELECT xor(h, h >> 16) AS h FROM f5)
+        |SELECT (h & 2147483647) % 16 AS bucket, COUNT(*) AS n_items
+        |FROM f6 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g26_append_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
@@ -1305,6 +1342,23 @@ object SparkEntry {
         | CAST(round(list_cosine_similarity(embedding,
         |   list_transform(embedding, x -> x * 2)), 3) AS DOUBLE) AS cosine
         |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a, id_b""".stripMargin,
+
+    // the decoder oracle: recompute the BMP fixtures' per-channel pixel
+    // sums from the generating formula (MediaFixtures.channelValue) as
+    // pure integer SQL — no codec on the oracle side, so a decode bug
+    // (channel order, row flip, padding) breaks the hash match
+    "m40_media_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 + 3 AS w, doc_id % 4 + 2 AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, g.idx,
+        |         (d.doc_id*31 + g.idx*7) % 256 AS v
+        |       FROM d CROSS JOIN generate_series(0, 119) AS g(idx)
+        |       WHERE g.idx < d.w*d.h*3)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | SUM(CASE WHEN idx % 3 = 0 THEN v ELSE 0 END) AS sum_r,
+        | SUM(CASE WHEN idx % 3 = 1 THEN v ELSE 0 END) AS sum_g,
+        | SUM(CASE WHEN idx % 3 = 2 THEN v ELSE 0 END) AS sum_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     "m41_frame_sample" ->
       """WITH f AS (SELECT doc_id AS media_id,

@@ -11,14 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * Multimodal (image/audio/video) column support: media travels as an opaque
  * `binary` column with a typed metadata struct; decode / feature-extract /
- * frame-sample are per-partition batch operators so a real decoder (JNI
+ * frame-sample are per-partition batch operators so a heavier decoder (JNI
  * image lib, ffmpeg pipe) drops in without changing the plan shape.
  *
- * STUB NOTE: this container has no image/audio codecs, so [[StubDecoder]]
- * is a clearly-marked deterministic fake (features derived from a rolling
- * hash of the bytes). The Spark-side plumbing — schema, partitioning,
- * batch iteration, output shape — is real and tested; swapping in a real
- * decoder is replacing one function.
+ * [[JdkMediaDecoder]] decodes REAL pixels/samples with the JDK's built-in
+ * codecs: `javax.imageio` reads BMP/PNG/JPEG/GIF/WBMP and
+ * `javax.sound.sampled` reads WAV/AIFF/AU PCM — no external codec
+ * libraries needed. Video has no JDK codec; it decodes to the zero vector
+ * (honestly: the plumbing is identical, the codec is absent from the JVM).
  */
 /** A decoder turns one media blob into a fixed-size feature vector.
   * Implementations must be serializable (shipped to executors). Empty and
@@ -27,23 +27,72 @@ trait MediaDecoder extends Serializable {
   def decode(kind: String, content: Array[Byte]): Array[Float]
 }
 
-/** Deterministic fake decoder — STUB for the absent codec libraries.
-  * Features are a seeded rolling hash folded into `dim` floats, so tests
-  * are reproducible and the executor-side decode path is exercised for
-  * real. */
-final class StubDecoder(dim: Int = 8) extends MediaDecoder {
+/** Real JDK-codec decoder. The feature vector is fixed at 5 floats:
+  *  - image (ImageIO): [width, height, sumR, sumG, sumB] — per-channel
+  *    8-bit sums over all pixels (exact in a float up to ~65k pixels,
+  *    which a per-row thumbnail decode stays under; a full-size pipeline
+  *    would widen to double sums);
+  *  - audio (javax.sound, PCM): [channels, sampleRateHz, frames,
+  *    sumAbsFirstChannel, 0] — 16-bit little-endian samples;
+  *  - video / unparseable bytes: zeros (no JDK video codec exists).
+  * Decoding happens inside the expression on executors; one decoder
+  * instance rides the closure per task. */
+final class JdkMediaDecoder extends MediaDecoder {
+  private val Dim = 5
+
   def decode(kind: String, content: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](dim)
-    if (content == null) return out
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < content.length) {
-      h ^= (content(i) & 0xffL)
-      h *= 0x100000001b3L
-      out(i % dim) += ((h >>> 40).toInt % 1000) / 1000.0f
-      i += 1
-    }
+    val out = new Array[Float](Dim)
+    if (content == null || content.isEmpty) return out
+    try {
+      kind match {
+        case "image" => decodeImage(content, out)
+        case "audio" => decodeAudio(content, out)
+        case _ => // video: no JDK codec; zero vector
+      }
+    } catch { case scala.util.control.NonFatal(_) => java.util.Arrays.fill(out, 0.0f) }
     out
+  }
+
+  private def decodeImage(content: Array[Byte], out: Array[Float]): Unit = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) return // not an image ImageIO recognizes
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y) // sRGB regardless of source layout
+        sr += (argb >> 16) & 0xff; sg += (argb >> 8) & 0xff; sb += argb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    out(0) = w.toFloat; out(1) = h.toFloat
+    out(2) = sr.toFloat; out(3) = sg.toFloat; out(4) = sb.toFloat
+  }
+
+  private def decodeAudio(content: Array[Byte], out: Array[Float]): Unit = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val frames = if (frameSize > 0) bytes.length / frameSize else 0
+      var sumAbs = 0L
+      if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+        var f = 0
+        while (f < frames) { // first channel of each frame
+          val i = f * frameSize
+          val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+          sumAbs += math.abs(s.toInt)
+          f += 1
+        }
+      }
+      out(0) = fmt.getChannels.toFloat; out(1) = fmt.getSampleRate
+      out(2) = frames.toFloat; out(3) = sumAbs.toFloat
+    } finally in.close()
   }
 }
 
@@ -51,6 +100,70 @@ final class StubDecoder(dim: Int = 8) extends MediaDecoder {
 object MediaDecodeUtil {
   def decode(decoder: MediaDecoder, kind: UTF8String, content: Array[Byte]): ArrayData =
     ArrayData.toArrayData(decoder.decode(kind.toString, content))
+}
+
+/**
+ * Deterministic real-format media fixtures. `bmpForId` emits a VALID
+ * 24-bit uncompressed BMP (bottom-up rows, 4-byte row padding) whose
+ * logical pixel bytes follow a closed-form formula an SQL oracle can
+ * replicate without a codec:
+ *
+ *   width  = id % 6 + 3,  height = id % 4 + 2
+ *   value(idx) = (id*31 + idx*7) % 256  where idx = (y*width + x)*3 + c,
+ *   c = 0/1/2 for R/G/B, y = 0 at the TOP row (the encoder handles BMP's
+ *   bottom-up storage; decoders see top-down logical pixels).
+ *
+ * So `decode → [w, h, sumR, sumG, sumB]` is exactly reproducible as
+ * integer arithmetic — the decoder is oracled end-to-end, not trusted.
+ */
+object MediaFixtures {
+  def widthFor(id: Long): Int = (Math.floorMod(id, 6L) + 3L).toInt
+  def heightFor(id: Long): Int = (Math.floorMod(id, 4L) + 2L).toInt
+
+  /** Logical channel value at (x, y, c), top-down row order. */
+  def channelValue(id: Long, w: Int, x: Int, y: Int, c: Int): Int =
+    Math.floorMod(id * 31L + ((y.toLong * w + x) * 3L + c) * 7L, 256L).toInt
+
+  def bmpForId(id: Long): Array[Byte] = {
+    val w = widthFor(id); val h = heightFor(id)
+    val rowStride = (w * 3 + 3) & ~3 // each pixel row padded to 4 bytes
+    val dataSize = rowStride * h
+    val fileSize = 54 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // BITMAPFILEHEADER (14 bytes)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    // BITMAPINFOHEADER (40 bytes): positive height = bottom-up pixel rows
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1 // bottom-up: last logical row first
+    while (row >= 0) {
+      var x = 0
+      while (x < w) { // BMP stores BGR
+        buf.put(channelValue(id, w, x, row, 2).toByte)
+        buf.put(channelValue(id, w, x, row, 1).toByte)
+        buf.put(channelValue(id, w, x, row, 0).toByte)
+        x += 1
+      }
+      var pad = rowStride - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    buf.array()
+  }
+}
+
+/** `synthetic_bmp(id)` as a native codegen expression: long → BMP bytes.
+  * Fixture generation stays inside WholeStageCodegen like the decode. */
+case class SyntheticBmpExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "synthetic_bmp"
+  override def nullSafeEval(id: Any): Any = MediaFixtures.bmpForId(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.ops.MediaFixtures.bmpForId($id)")
+  override protected def withNewChildInternal(c: Expression): SyntheticBmpExpr = copy(child = c)
 }
 
 /** Media decode as a native expression: (kind, content) → array<float>.
@@ -90,6 +203,22 @@ object MultimodalOps {
       StructField("height", IntegerType, nullable = true),
       StructField("format", StringType, nullable = true))), nullable = true)))
 
+  /** Real-format image corpus: one valid BMP per row of `docs`, generated
+    * by [[MediaFixtures.bmpForId]] (deterministic pixels an SQL oracle can
+    * recompute). Map-only, fully codegen. */
+  def syntheticImageCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val id = col(idCol).cast("long")
+    docs.select(
+      id.as("media_id"),
+      lit("image").as("kind"),
+      ColumnBridge.column(SyntheticBmpExpr(ColumnBridge.expression(id))).as("content"),
+      struct(
+        (pmod(id, lit(6)) + 3).cast("int").as("width"),
+        (pmod(id, lit(4)) + 2).cast("int").as("height"),
+        lit("bmp").as("format")).as("meta"))
+  }
+
   /** Synthesize a media corpus from the documents table (text bytes stand
     * in for encoded frames) — plumbing-shape fixture, not a codec. */
   def syntheticCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -108,7 +237,7 @@ object MultimodalOps {
     * inside WholeStageCodegen via [[DecodeFeaturesExpr]]. Null content is
     * normalized to empty bytes before the (null-intolerant) expression —
     * same decoder contract either way. */
-  def decodeFeatures(media: DataFrame, decoder: MediaDecoder = new StubDecoder()): DataFrame = {
+  def decodeFeatures(media: DataFrame, decoder: MediaDecoder = new JdkMediaDecoder()): DataFrame = {
     val contentOrEmpty = coalesce(col("content"), lit(Array.emptyByteArray))
     media.select(
       col("media_id").cast("long").as("media_id"),

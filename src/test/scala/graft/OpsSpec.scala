@@ -279,17 +279,48 @@ class OpsSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
-  test("multimodal: stub decode is deterministic, batch-shaped; frame sampling") {
+  test("multimodal: ImageIO decodes real BMP pixels bit-exactly; frame sampling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    // BMP corpus: real 24-bit files, decoded by javax.imageio on executors
+    val img = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+    val feats = MultimodalOps.decodeFeatures(img).orderBy("media_id").collect()
+    assert(feats.length == 20)
+    for (r <- feats) {
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](2)
+      val (w, h) = (MediaFixtures.widthFor(id), MediaFixtures.heightFor(id))
+      // expected per-channel sums straight from the generating formula
+      val exp = Array.fill(3)(0L)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        exp(c) += MediaFixtures.channelValue(id, w, x, y, c)
+      assert(f == Seq(w.toFloat, h.toFloat, exp(0).toFloat, exp(1).toFloat, exp(2).toFloat),
+        s"decode mismatch for id=$id")
+    }
+    // WAV: synthesize a 16-bit PCM file via the JDK and decode it back
+    val sr = 8000f
+    val samples = Array.tabulate[Short](64)(i => (i * 100 - 3200).toShort)
+    val bytes = {
+      val raw = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(raw.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw.array()), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val wav = new JdkMediaDecoder().decode("audio", bytes)
+    assert(wav.toSeq == Seq(1f, sr, samples.length.toFloat,
+      samples.map(s => math.abs(s.toInt)).sum.toFloat, 0f))
+    // unparseable bytes and video decode to the zero vector, never throw
+    assert(new JdkMediaDecoder().decode("image", Array[Byte](1, 2, 3)).forall(_ == 0f))
+    assert(new JdkMediaDecoder().decode("video", bytes).forall(_ == 0f))
+
     val media = MultimodalOps.syntheticCorpus(docs, "doc_id", "text")
     assert(media.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
       MultimodalOps.mediaSchema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
-    val f1 = MultimodalOps.decodeFeatures(media).orderBy("media_id").collect()
-    val f2 = MultimodalOps.decodeFeatures(media).orderBy("media_id").collect()
-    assert(f1.length == 20)
-    assert(f1.map(_.getSeq[Float](2)).toSeq == f2.map(_.getSeq[Float](2)).toSeq)
-    assert(f1.forall(_.getSeq[Float](2).length == 8))
-    assert(f1.exists(_.getSeq[Float](2).exists(_ != 0f)))
     val frames = MultimodalOps.sampleFrames(media, frameBytes = 32, stride = 2)
     val perDoc = frames.groupBy("media_id").count().collect()
     assert(perDoc.forall(_.getLong(1) >= 1))
