@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.meta.{PartitionField, PartitionSpec}
 import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.sql.GraftSql
-import graft.table.EqPred
+import graft.table.{EqPred, LtPred}
 import graft.types.SparkSchemaConverter
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -487,6 +487,29 @@ object SparkEntry {
       tbl.scan(predicates = Seq(graft.table.GePred("l_quantity", 25.0))).toDF(s)
         .groupBy("l_returnflag")
         .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "g46_v3_deletion_vectors" -> ((s, dir) => {
+      // format-v3 substance: merge-on-read deletes write Puffin deletion
+      // vectors (one roaring-bitmap blob per affected data file; the
+      // second delete MERGES into existing DVs and supersedes them), and
+      // row lineage assigns table-global _row_ids. n_rowids == n_items in
+      // the oracle proves the ids stay unique through DV-based DML.
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").where("l_orderkey % 5 = 0")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_v3", SparkSchemaConverter.fromSpark(li.schema),
+        properties = Map("format-version" -> "3",
+          "write.delete.mode" -> "merge-on-read"))
+      tbl.append(li)
+      tbl.delete(s, Seq(LtPred("l_quantity", 10.0)))
+      tbl.delete(s, Seq(EqPred("l_returnflag", "R")))
+      tbl.scan().toDFWithRowIds(s)
+        .groupBy("l_returnflag")
+        .agg(n().as("n_items"),
+          countDistinct(col("_row_id")).as("n_rowids"),
+          sumd(d2(col("l_quantity"))).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -1107,6 +1130,13 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 9 AND l_quantity >= 25.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g46_v3_deletion_vectors" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items, COUNT(*) AS n_rowids,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 5 = 0 AND NOT (l_quantity < 10.0) AND l_returnflag <> 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g44_wap_publish" ->

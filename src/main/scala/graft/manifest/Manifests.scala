@@ -19,7 +19,7 @@ import scala.jdk.CollectionConverters._
   * layer converts to/from the spec's field-id-keyed binary representation. */
 final case class DataFile(
     filePath: String,
-    fileFormat: String, // "PARQUET"
+    fileFormat: String, // "PARQUET" | "PUFFIN" (deletion vectors, v3)
     partition: Map[String, String], // partition field name -> value string ("" = null)
     recordCount: Long,
     fileSizeInBytes: Long,
@@ -28,7 +28,19 @@ final case class DataFile(
     upperBounds: Map[String, String] = Map.empty,
     nullCounts: Map[String, Long] = Map.empty,
     content: Int = 0, // 0=data, 1=position deletes, 2=equality deletes
-    equalityIds: Seq[Int] = Nil)
+    equalityIds: Seq[Int] = Nil,
+    // ---- format-v3 fields (spec ids 142-145) ----
+    // row-lineage: the _row_id of this data file's first row (v3 writers
+    // assign it at commit; we store it explicitly rather than relying on
+    // manifest-level inheritance)
+    firstRowId: Option[Long] = None,
+    // deletion vectors: the ONE data file this DV applies to, plus the
+    // blob's byte range inside the Puffin file (ranged reads at scan time)
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None) {
+  def isDeletionVector: Boolean = content == 1 && fileFormat == "PUFFIN"
+}
 
 /** A manifest entry: a data file + its lifecycle status. */
 final case class ManifestEntry(
@@ -195,7 +207,13 @@ object Manifests {
         val arr = AvroSchema.createArray(prim(AvroSchema.Type.INT))
         arr.addProp("element-id", 136)
         arr
-      }, 135)))
+      }, 135),
+      // format-v3: row lineage + deletion-vector reference (spec 142-145);
+      // optional, so v2 entries simply carry nulls
+      optField("first_row_id", prim(AvroSchema.Type.LONG), 142),
+      optField("referenced_data_file", prim(AvroSchema.Type.STRING), 143),
+      optField("content_offset", prim(AvroSchema.Type.LONG), 144),
+      optField("content_size_in_bytes", prim(AvroSchema.Type.LONG), 145)))
     val rec = AvroSchema.createRecord("manifest_entry", null, null, false)
     rec.setFields(java.util.List.of(
       reqField("status", prim(AvroSchema.Type.INT), 0),
@@ -427,6 +445,11 @@ object Manifests {
         df.put("equality_ids",
           if (e.dataFile.equalityIds.isEmpty) null
           else e.dataFile.equalityIds.map(Integer.valueOf).asJava)
+        df.put("first_row_id", e.dataFile.firstRowId.map(java.lang.Long.valueOf).orNull)
+        df.put("referenced_data_file", e.dataFile.referencedDataFile.orNull)
+        df.put("content_offset", e.dataFile.contentOffset.map(java.lang.Long.valueOf).orNull)
+        df.put("content_size_in_bytes",
+          e.dataFile.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
         val r = new GenericData.Record(avro)
         r.put("status", e.status)
         r.put("snapshot_id", e.snapshotId)
@@ -524,10 +547,24 @@ object Manifests {
             upperBounds = boundsFromAvro(df.get("upper_bounds")),
             nullCounts = nulls,
             content = df.get("content").asInstanceOf[Int],
-            equalityIds = eqIds))
+            equalityIds = eqIds,
+            // v3 fields; absent in pre-v3 manifests (GenericDatumReader
+            // resolves a missing writer field to null only if the reader
+            // schema declares it, so probe via hasField)
+            firstRowId = optLong(df, "first_row_id"),
+            referencedDataFile = optStr(df, "referenced_data_file"),
+            contentOffset = optLong(df, "content_offset"),
+            contentSizeInBytes = optLong(df, "content_size_in_bytes")))
       }.toList
     } finally reader.close()
   }
+
+  private def optLong(r: GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.asInstanceOf[Long])
+  private def optStr(r: GenericRecord, name: String): Option[String] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.toString)
 
   // --------------------------------------------------------- manifest list
 

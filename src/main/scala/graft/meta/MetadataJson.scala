@@ -202,7 +202,8 @@ object MetadataJson {
       "summary" -> JObject(s.summary.toList.map { case (k, v) => k -> JString(v) }))
     val parent = s.parentSnapshotId.map(p => "parent-snapshot-id" -> JInt(BigInt(p))).toList
     val sid = s.schemaId.map(i => "schema-id" -> JInt(i)).toList
-    JObject(base ++ parent ++ sid)
+    val fri = s.firstRowId.map(i => "first-row-id" -> JInt(BigInt(i))).toList
+    JObject(base ++ parent ++ sid ++ fri)
   }
 
   def snapshotFromJson(j: JValue): Snapshot = Snapshot(
@@ -219,7 +220,8 @@ object MetadataJson {
       case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty
     },
-    schemaId = (j \ "schema-id") match { case JInt(i) => Some(i.toInt); case _ => None })
+    schemaId = (j \ "schema-id") match { case JInt(i) => Some(i.toInt); case _ => None },
+    firstRowId = (j \ "first-row-id") match { case JInt(i) => Some(i.toLong); case _ => None })
 
   // -------------------------------------------------------------- metadata
 

@@ -10,7 +10,11 @@ final case class Snapshot(
     timestampMs: Long,
     manifestList: String,
     summary: Map[String, String],
-    schemaId: Option[Int]) {
+    schemaId: Option[Int],
+    // format-v3 row lineage: the _row_id assigned to this snapshot's first
+    // new row; data files added by the snapshot carry explicit
+    // first_row_id values starting here
+    firstRowId: Option[Long] = None) {
   def operation: Option[String] = summary.get("operation")
 }
 

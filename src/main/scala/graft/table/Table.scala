@@ -344,12 +344,13 @@ final class Table(
       val matched = affectedScan.matchedRowsWithPositions(spark, affected)
         .select(col("__file").as("file_path"), col("__pos").as("pos"))
       val commitUuid = java.util.UUID.randomUUID().toString
-      val delDir = new Path(meta.location, s"data/$commitUuid-del")
-      val delFiles = AppendUtil.writePositionDeletes(matched, delDir, hadoopConf)
+      val (delFiles, superseded, newHidden) =
+        writeMorDeletes(matched, affected, commitUuid)
       if (delFiles.isEmpty) return // pruning kept files, but no live row matched
       try {
         meta = cat.commitTable(ident, meta,
-          buildMorDmlMetadata(meta, delFiles, Nil, commitUuid, "delete"))
+          buildMorDmlMetadata(meta, delFiles, Nil, commitUuid, "delete",
+            supersede = superseded, newPosRecords = newHidden))
         committed = true
       } catch {
         case e: CommitConflictError =>
@@ -454,10 +455,9 @@ final class Table(
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val commitUuid = java.util.UUID.randomUUID().toString
-        val delDir = new Path(meta.location, s"data/$commitUuid-del")
-        val delFiles = AppendUtil.writePositionDeletes(
+        val (delFiles, superseded, newHidden) = writeMorDeletes(
           matched.select(col("__file").as("file_path"), col("__pos").as("pos")),
-          delDir, hadoopConf)
+          affected, commitUuid)
         if (delFiles.isEmpty) return
         val base = matched.drop("__file", "__pos")
         val updatedRows = meta.currentSchema.fields.foldLeft(base) { (d, f) =>
@@ -475,7 +475,8 @@ final class Table(
             .map(_.toLong).getOrElse(5000000L))
         try {
           meta = cat.commitTable(ident, meta,
-            buildMorDmlMetadata(meta, delFiles, newFiles, commitUuid, "overwrite"))
+            buildMorDmlMetadata(meta, delFiles, newFiles, commitUuid, "overwrite",
+              supersede = superseded, newPosRecords = newHidden))
           committed = true
         } catch {
           case e: CommitConflictError =>
@@ -598,17 +599,19 @@ final class Table(
                 Some(proj(joined.filter(col("__t").isNull), f => col(s"__src_${f.name}")))
               case WhenNotMatched.Ignore => None
             }
-            val delFiles =
-              if (whenMatched == WhenMatched.Ignore) Nil
-              else AppendUtil.writePositionDeletes(
+            val (delFiles, superseded, newHidden) =
+              if (whenMatched == WhenMatched.Ignore)
+                (Nil, Set.empty[(String, Long)], None: Option[Long])
+              else writeMorDeletes(
                 matched.select(col("__file").as("file_path"), col("__pos").as("pos")),
-                new Path(meta.location, s"data/$commitUuid-del"), hadoopConf)
+                affected, commitUuid)
             val newFiles = (images ++ inserts).reduceOption(_ unionAll _)
               .map(writeDataFiles(_, commitUuid)).getOrElse(Nil)
             if (delFiles.isEmpty && newFiles.isEmpty) return // no-op merge
             try {
               meta = cat.commitTable(ident, meta,
-                buildMorDmlMetadata(meta, delFiles, newFiles, commitUuid, "overwrite"))
+                buildMorDmlMetadata(meta, delFiles, newFiles, commitUuid, "overwrite",
+                  supersede = superseded, newPosRecords = newHidden))
               committed = true
             } catch {
               case e: CommitConflictError =>
@@ -717,6 +720,111 @@ final class Table(
       meta.defaultSortOrder, new Path(meta.location, s"data/$commitUuid"), hadoopConf,
       targetFileRows = meta.properties.get("write.target-file-rows")
         .map(_.toLong).getOrElse(5000000L))
+
+  /**
+   * Format-v3 merge-on-read delete representation: instead of
+   * position-delete parquet, write ONE Puffin file for the commit holding
+   * one `deletion-vector-v1` blob (a 64-bit roaring bitmap of deleted row
+   * ordinals) per affected data file. Spec invariant: at most one DV is
+   * live per data file — if an affected file already has one, its
+   * positions are merged into the new blob and the old manifest entry is
+   * superseded (removed from the new snapshot), so scan planning stays
+   * O(one DV per file) no matter how many deletes have run.
+   *
+   * Scale shape: positions shuffle once on `file_path` (all ordinals of a
+   * data file land in one task), each task serializes one PORTABLE bitmap
+   * per file, and only the compressed bitmap bytes come back to the driver
+   * (O(affected files), not O(deleted rows)) to be framed into the blob
+   * layout and written. Merging an existing DV is one ranged blob read.
+   *
+   * Returns (DV manifest entries, superseded (path, offset) delete-entry
+   * keys, count of NEWLY hidden rows — the merged bitmaps' cardinality
+   * includes previously-deleted rows, which must not re-count in the
+   * snapshot summary).
+   */
+  private def writeDeletionVectors(matched: DataFrame,
+                                   affected: Seq[FileScanTask],
+                                   commitUuid: String)
+      : (Seq[graft.manifest.DataFile], Set[(String, Long)], Long) = {
+    import graft.puffin.{DeletionVector, Puffin}
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val perFile: Seq[(String, Array[Byte], Long)] = matched
+      .select(col("file_path").cast("string"), col("pos").cast("long"))
+      .repartition(col("file_path"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val maps = scala.collection.mutable.HashMap.empty[String, Roaring64NavigableMap]
+        it.foreach { case (f, p) =>
+          maps.getOrElseUpdate(f, new Roaring64NavigableMap()).addLong(p)
+        }
+        maps.iterator.map { case (f, m) =>
+          m.runOptimize()
+          val out = new java.io.ByteArrayOutputStream()
+          m.serializePortable(new java.io.DataOutputStream(out))
+          (f, out.toByteArray, m.getLongCardinality)
+        }
+      }.collect().toSeq
+    if (perFile.isEmpty) return (Nil, Set.empty, 0L)
+    val newlyHidden = perFile.map(_._3).sum
+    // at most one live DV per data file (invariant of this writer)
+    val liveDvByFile: Map[String, graft.manifest.DataFile] =
+      affected.flatMap(_.deleteFiles).filter(_.isDeletionVector)
+        .flatMap(d => d.referencedDataFile.map(_ -> d)).toMap
+    val fs = new Path(meta.location).getFileSystem(hadoopConf)
+    val superseded = Set.newBuilder[(String, Long)]
+    val blobs = perFile.sortBy(_._1).map { case (file, bytes, _) =>
+      val bitmap = new Roaring64NavigableMap()
+      bitmap.deserializePortable(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      liveDvByFile.get(file).foreach { old =>
+        bitmap.or(DeletionVector.deserialize(Puffin.readBlob(fs,
+          new Path(old.filePath), old.contentOffset.getOrElse(0L),
+          old.contentSizeInBytes.getOrElse(old.fileSizeInBytes))))
+        superseded += ((old.filePath, old.contentOffset.getOrElse(-1L)))
+      }
+      // snapshot-id/sequence-number are -1: DVs are written BEFORE the
+      // commit wins its CAS; the manifest entry is authoritative (and a
+      // retry against refreshed metadata would re-stamp them anyway)
+      Puffin.Blob(DeletionVector.BlobType, Nil, -1L, -1L,
+        DeletionVector.serialize(bitmap),
+        Map("referenced-data-file" -> file,
+          "cardinality" -> bitmap.getLongCardinality.toString))
+    }
+    val dvPath = new Path(meta.location, s"data/$commitUuid-dv.puffin")
+    val (fileLen, blobMetas) = Puffin.write(fs, dvPath, blobs)
+    val dvFiles = blobMetas.map { bm =>
+      graft.manifest.DataFile(
+        filePath = dvPath.toString,
+        fileFormat = "PUFFIN",
+        partition = Map.empty,
+        recordCount = bm.properties("cardinality").toLong,
+        fileSizeInBytes = fileLen,
+        content = 1,
+        referencedDataFile = Some(bm.properties("referenced-data-file")),
+        contentOffset = Some(bm.offset),
+        contentSizeInBytes = Some(bm.length))
+    }
+    (dvFiles, superseded.result(), newlyHidden)
+  }
+
+  /** Write the MOR delete half in the table's format-version
+    * representation: v3 → Puffin deletion vectors (merging + superseding
+    * any existing DV per file); v1/v2 → position-delete parquet. Returns
+    * (delete entries, superseded entry keys, Some(newly hidden count) for
+    * DVs — None means "recordCount is the newly-hidden count", the parquet
+    * case). `matched` must carry manifest-form `file_path` + `pos`. */
+  private def writeMorDeletes(matched: DataFrame, affected: Seq[FileScanTask],
+                              commitUuid: String)
+      : (Seq[graft.manifest.DataFile], Set[(String, Long)], Option[Long]) =
+    if (meta.formatVersion >= 3) {
+      val (dv, sup, n) = writeDeletionVectors(matched, affected, commitUuid)
+      (dv, sup, Some(n))
+    } else
+      (AppendUtil.writePositionDeletes(matched,
+        new Path(meta.location, s"data/$commitUuid-del"), hadoopConf),
+        Set.empty, None)
 
   /** Best-effort removal of parquet files written for a commit attempt
     * that was abandoned (CAS conflict re-plan, or terminal retry failure).
@@ -1328,7 +1436,7 @@ final class Table(
     * when the kept set still needs them. */
   private def buildRewriteMetadata(base: TableMetadata, kept: Seq[FileScanTask],
                                    removed: Seq[FileScanTask],
-                                   added: Seq[graft.manifest.DataFile],
+                                   added0: Seq[graft.manifest.DataFile],
                                    attemptId: String,
                                    keepParentDeleteManifests: Boolean): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
@@ -1336,6 +1444,8 @@ final class Table(
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
+    // v3: rewritten rows take FRESH row ids (see assignRowIds Scaladoc)
+    val (added, nextRowId) = assignRowIds(base, added0)
 
     // kept files keep their ORIGIN schema/spec: a file written before a
     // schema or partition evolution must stay in a manifest stamped with
@@ -1403,7 +1513,8 @@ final class Table(
         "deleted-records" -> removedRecords.toString,
         "total-records" -> (prevTotal - removedRecords + addedRecords).toString,
         "total-data-files" -> (kept.size + added.size).toString),
-      schemaId = Some(base.currentSchemaId))
+      schemaId = Some(base.currentSchemaId),
+      firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId) else None)
 
     base.copy(
       lastSequenceNumber = seq,
@@ -1411,7 +1522,8 @@ final class Table(
       currentSnapshotId = Some(snapshotId),
       snapshots = base.snapshots :+ snap,
       snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
-      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")),
+      nextRowId = nextRowId)
   }
 
   /** Snapshot for a merge-on-read DML: every parent manifest carried as-is
@@ -1420,17 +1532,23 @@ final class Table(
     * cost is O(1) manifests regardless of table size. */
   private def buildMorDmlMetadata(base: TableMetadata,
                                   deleteFiles: Seq[graft.manifest.DataFile],
-                                  dataFiles: Seq[graft.manifest.DataFile],
+                                  dataFiles0: Seq[graft.manifest.DataFile],
                                   attemptId: String,
                                   operation: String,
                                   extraSummary: Map[String, String] = Map.empty,
                                   writeSchemaId: Option[Int] = None,
-                                  writeSpecId: Option[Int] = None): TableMetadata = {
+                                  writeSpecId: Option[Int] = None,
+                                  supersede: Set[(String, Long)] = Set.empty,
+                                  newPosRecords: Option[Long] = None): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
+
+    // format-v3 row lineage: new data files take explicit first_row_id
+    // values from the metadata's next-row-id counter
+    val (dataFiles, nextRowId) = assignRowIds(base, dataFiles0)
 
     // manifests are stamped with the era the files were WRITTEN under —
     // normally base's current era, but a caller that wrote files once and
@@ -1457,8 +1575,45 @@ final class Table(
     val dataManifest: Option[ManifestFile] =
       if (dataFiles.isEmpty) None else Some(writeOne(dataFiles, "m0", content = 0))
 
-    val parents = base.currentSnapshot.toSeq.flatMap(p =>
+    // Parent manifests carry forward untouched (fast-append shape) EXCEPT
+    // delete manifests holding superseded deletion-vector entries — a new
+    // DV replaces the file's old one, so the old entry must leave the
+    // snapshot (scan correctness doesn't depend on it: applying both would
+    // just re-hide hidden rows; planning cost and the one-DV-per-file
+    // invariant do). Only manifests that actually contain one are
+    // rewritten; the superseded Puffin blobs stay on disk for time travel
+    // until expiration.
+    val parents0 = base.currentSnapshot.toSeq.flatMap(p =>
       Manifests.readManifestList(fs, new Path(p.manifestList)))
+    val parents = if (supersede.isEmpty) parents0 else {
+      parents0.zipWithIndex.map { case (mf, i) =>
+        if (mf.content != 1) mf
+        else {
+          val entries = Manifests.readManifest(fs, new Path(mf.manifestPath))
+          val (dropped, kept) = entries.partition(e =>
+            e.isLive && supersede.contains(
+              (e.dataFile.filePath, e.dataFile.contentOffset.getOrElse(-1L))))
+          if (dropped.isEmpty) mf
+          else {
+            val mPath = new Path(metadataDir, s"$attemptId-del-rw$i.avro")
+            val eraSchema = base.schemaById(mf.schemaId).getOrElse(base.currentSchema)
+            val eraSpec = base.partitionSpecById(mf.partitionSpecId)
+              .getOrElse(base.defaultPartitionSpec)
+            val live = kept.filter(_.isLive)
+            val mLen = Manifests.writeManifest(fs, mPath,
+              live.map(_.copy(status = ManifestEntry.StatusExisting)) ++
+                dropped.map(_.copy(status = ManifestEntry.StatusDeleted)),
+              eraSchema, eraSpec)
+            mf.copy(manifestPath = mPath.toString, manifestLength = mLen,
+              addedFilesCount = 0, addedRowsCount = 0,
+              existingFilesCount = live.size,
+              existingRowsCount = live.map(_.dataFile.recordCount).sum,
+              deletedFilesCount = dropped.size,
+              deletedRowsCount = dropped.map(_.dataFile.recordCount).sum)
+          }
+        }
+      }
+    }
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
     Manifests.writeManifestList(fs, listPath,
       parents ++ dataManifest.toSeq ++ delManifest.toSeq, snapshotId, base.currentSnapshotId, seq)
@@ -1466,9 +1621,12 @@ final class Table(
     val prevTotal = base.currentSnapshot
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
     // each position delete hides exactly one row, so total-records can net
-    // it out; an equality delete's hidden-row count is unknowable at
-    // commit time (reported separately, not subtracted — Iceberg parity)
-    val posRecords = deleteFiles.filter(_.content == 1).map(_.recordCount).sum
+    // it out (for DVs the caller passes the NEWLY hidden count — a merged
+    // bitmap's cardinality re-counts previously deleted rows); an equality
+    // delete's hidden-row count is unknowable at commit time (reported
+    // separately, not subtracted — Iceberg parity)
+    val posRecords = newPosRecords.getOrElse(
+      deleteFiles.filter(_.content == 1).map(_.recordCount).sum)
     val eqRecords = deleteFiles.filter(_.content == 2).map(_.recordCount).sum
     val addedRecords = dataFiles.map(_.recordCount).sum
     val snap = Snapshot(
@@ -1485,7 +1643,8 @@ final class Table(
         "added-data-files" -> dataFiles.size.toString,
         "added-records" -> addedRecords.toString,
         "total-records" -> (prevTotal - posRecords + addedRecords).toString),
-      schemaId = Some(base.currentSchemaId))
+      schemaId = Some(base.currentSchemaId),
+      firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId) else None)
 
     base.copy(
       lastSequenceNumber = seq,
@@ -1493,8 +1652,32 @@ final class Table(
       currentSnapshotId = Some(snapshotId),
       snapshots = base.snapshots :+ snap,
       snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
-      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")))
+      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")),
+      nextRowId = nextRowId)
   }
+
+  /** Format-v3 row lineage: stamp each new data file with an explicit
+    * `first_row_id` drawn from the metadata's `next-row-id` counter (we
+    * always write explicit values rather than relying on manifest-level
+    * inheritance). Returns the files and the advanced counter; v1/v2
+    * pass through untouched. Copy-on-write rewrites assign FRESH ids to
+    * rewritten rows — carrying ids through a rewrite requires
+    * materializing a `_row_id` column into the files, which is why v3
+    * tables pair row lineage with merge-on-read DML (DVs never rewrite
+    * surviving rows, so their ids are stable). */
+  private def assignRowIds(base: TableMetadata,
+                           files: Seq[graft.manifest.DataFile])
+      : (Seq[graft.manifest.DataFile], Long) =
+    if (base.formatVersion < 3) (files, base.nextRowId)
+    else {
+      var next = base.nextRowId
+      val assigned = files.map { f =>
+        val g = f.copy(firstRowId = Some(next))
+        next += f.recordCount
+        g
+      }
+      (assigned, next)
+    }
 
   /** Fast-append commit: new manifest + manifest-list + metadata, CAS'd
     * through the catalog; on conflict, refresh and rebuild (the data files
@@ -1522,7 +1705,7 @@ final class Table(
   }
 
   private def buildAppendMetadata(base: TableMetadata,
-                                  files: Seq[graft.manifest.DataFile],
+                                  files0: Seq[graft.manifest.DataFile],
                                   attemptId: String,
                                   extraSummary: Map[String, String] = Map.empty,
                                   toBranch: String = "main"): TableMetadata = {
@@ -1531,6 +1714,9 @@ final class Table(
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
+    // v3 row lineage (row ids are table-global, so branch appends draw
+    // from the same counter — a later fast-forward publishes stable ids)
+    val (files, nextRowId) = assignRowIds(base, files0)
     // a branch append parents at the BRANCH head (forking from main's head
     // on first write to a new branch); sequence numbers stay table-global
     base.refs.get(toBranch).foreach { r =>
@@ -1589,13 +1775,15 @@ final class Table(
         "added-files-size" -> files.map(_.fileSizeInBytes).sum.toString,
         "total-records" -> (prevTotal + addedRecords).toString,
         "total-data-files" -> (prevFiles + files.size).toString) ++ extraSummary,
-      schemaId = Some(base.currentSchemaId))
+      schemaId = Some(base.currentSchemaId),
+      firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId) else None)
 
     val advanced = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       snapshots = base.snapshots :+ snap,
-      refs = base.refs.updated(toBranch, SnapshotRef(snapshotId, "branch")))
+      refs = base.refs.updated(toBranch, SnapshotRef(snapshotId, "branch")),
+      nextRowId = nextRowId)
     if (toBranch == "main")
       advanced.copy(
         currentSnapshotId = Some(snapshotId),

@@ -206,8 +206,13 @@ final class TableScan(
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), empty)
     }
     // delete scoping is per data file; group by the applicable delete set so
-    // each group gets exactly its own anti-joins
-    val byDeletes = tasks.groupBy(_.deleteFiles.map(_.filePath).toSet)
+    // each group gets exactly its own anti-joins. The key must include the
+    // blob offset: deletion-vector entries of one commit share a single
+    // Puffin FILE path but are distinct deletes (one blob per data file) —
+    // path alone would collapse them into one group and silently apply
+    // only the first task's DV.
+    val byDeletes = tasks.groupBy(
+      _.deleteFiles.map(d => (d.filePath, d.contentOffset.getOrElse(-1L))).toSet)
     val deleteGroups: Seq[DataFrame] = byDeletes.toSeq.map { case (_, delGroup) =>
       val parts: Seq[DataFrame] = delGroup.groupBy(_.schemaId).toSeq.map { case (schemaId, group) =>
         val writeSchema = meta.schemaById(schemaId).getOrElse(current)
@@ -305,17 +310,72 @@ final class TableScan(
         out = out.join(maybeBroadcast(delDf, group), cond, "left_anti")
       }
     }
-    val posDeletes = deletes.filter(_.content == 1)
-    if (posDeletes.nonEmpty) {
+    val (dvs, posDeletes) = deletes.filter(_.content == 1).partition(_.isDeletionVector)
+    if (posDeletes.nonEmpty || dvs.nonEmpty) {
       // position delete files carry (file_path, pos); renamed on the delete
       // side so a table column named "file_path"/"pos" can never collide
-      val delDf = spark.read.parquet(posDeletes.map(_.filePath): _*)
-        .select(normPath(col("file_path")).as("__dfile"), col("pos").as("__dpos"))
-      out = out.join(maybeBroadcast(delDf, posDeletes),
+      val parquetDel =
+        if (posDeletes.isEmpty) None
+        else Some(spark.read.parquet(posDeletes.map(_.filePath): _*)
+          .select(normPath(col("file_path")).as("__dfile"), col("pos").as("__dpos")))
+      val dvDel = if (dvs.isEmpty) None else Some(dvPositions(spark, dvs))
+      val delDf = (parquetDel.toSeq ++ dvDel.toSeq).reduce(_ unionAll _)
+      // broadcast sizing: a DV blob expands ~8-30× from compressed bitmap
+      // to (string, long) rows, so its byte budget is its content size ×32
+      val weighted = posDeletes.map(_.fileSizeInBytes).sum +
+        dvs.map(d => d.contentSizeInBytes.getOrElse(d.fileSizeInBytes) * 32).sum
+      val sized = if (weighted <= BroadcastDeleteBytes) broadcast(delDf) else delDf
+      out = out.join(sized,
           out("__file") === delDf("__dfile") && out("__pos") === delDf("__dpos"),
           "left_anti")
     }
     out
+  }
+
+  /** Expand deletion-vector blobs (v3) into `(__dfile, __dpos)` rows. The
+    * blob reads happen INSIDE a Spark job — each task does one ranged read
+    * of its blob and iterates the roaring bitmap, so a scan over many
+    * DV'd files never serializes blob IO on the driver and expanded
+    * positions never materialize driver-side. */
+  private def dvPositions(spark: SparkSession, dvs: Seq[DataFile]): DataFrame = {
+    import graft.puffin.{DeletionVector, Puffin}
+    import spark.implicits._
+    val confSer = new SerializableHadoopConf(table.hadoopConf)
+    val descs = dvs.map(d => (d.filePath, d.contentOffset.getOrElse(0L),
+      d.contentSizeInBytes.getOrElse(d.fileSizeInBytes),
+      normPathStr(d.referencedDataFile.getOrElse(""))))
+    spark.createDataset(descs)
+      .repartition(math.min(descs.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (path, off, len, ref) =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(confSer.value)
+        val bitmap = DeletionVector.deserialize(Puffin.readBlob(fs, p, off, len))
+        val it = bitmap.getLongIterator
+        new Iterator[(String, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (String, Long) = (ref, it.next())
+        }
+      }.toDF("__dfile", "__dpos")
+  }
+
+  /**
+   * Format-v3 row lineage surface: the scan's rows plus a `_row_id`
+   * column (the file's explicit `first_row_id` + the row's ordinal).
+   * Stable across merge-on-read DML — deletes/updates via deletion
+   * vectors never rewrite surviving rows. Files without lineage metadata
+   * (pre-v3 history) read a null `_row_id`.
+   */
+  def toDFWithRowIds(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tasks = planFilesDistributed(spark)
+    val all = materializeTasks(spark, tasks, withPositions = true)
+    val filtered = predicates.foldLeft(all)((d, p) => d.filter(predicateToColumn(p)))
+    val mapping = tasks.map(t => (normPathStr(t.filePath),
+        t.file.firstRowId.map(java.lang.Long.valueOf).orNull))
+      .distinct.toDF("__file", "__first_row_id")
+    filtered.join(broadcast(mapping), Seq("__file"), "left")
+      .withColumn("_row_id", col("__first_row_id") + col("__pos"))
+      .drop("__file", "__pos", "__first_row_id")
   }
 
   /** URI scheme-slash normalization: Spark's `_metadata.file_path` renders
@@ -497,6 +557,12 @@ private[graft] object ScanPruning extends Serializable {
                     data: DataFile, dataSeq: Long): Boolean = {
     val seqOk = if (del.content == 2) delSeq > dataSeq else delSeq >= dataSeq
     if (!seqOk) return false
+    // a deletion vector (v3) names its ONE data file exactly — no
+    // conservative fallbacks needed
+    del.referencedDataFile match {
+      case Some(ref) => return normPath(ref) == normPath(data.filePath)
+      case None =>
+    }
     if (del.partition.exists { case (_, v) => v.nonEmpty } && del.partition != data.partition)
       return false
     if (del.content == 1) {
