@@ -513,6 +513,28 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g47_wap_fix" -> ((s, dir) => {
+      // write-audit-publish with a FIX: stage an append on "audit", then
+      // branch-scoped DML repairs it (MOR delete + COW update commit to
+      // the branch ref, main untouched — rows_before_publish proves it),
+      // and one fastForward publishes the audited state atomically
+      val cat = new MemoryCatalog()
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_wapfix", SparkSchemaConverter.fromSpark(li.schema),
+        properties = Map("write.delete.mode" -> "merge-on-read"))
+      tbl.append(li.where("l_orderkey % 10 = 1"))
+      tbl.appendToBranch("audit", li.where("l_orderkey % 10 = 6"))
+      tbl.delete(s, Seq(LtPred("l_quantity", 5.0)), branch = "audit")
+      tbl.update(s, Seq(EqPred("l_returnflag", "N")),
+        Map("l_quantity" -> "l_quantity + 100"), branch = "audit")
+      val mainBefore = tbl.toDF(s).count() // branch DML must not leak to main
+      tbl.fastForward("main", "audit")
+      tbl.toDF(s).groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"),
+          first(lit(mainBefore)).as("rows_before_publish"))
+        .orderBy("l_returnflag")
+    }),
+
     "g44_wap_publish" -> ((s, dir) => {
       // write-audit-publish: stage two appends on a branch (invisible to
       // main), then one fastForward publishes both atomically
@@ -1138,6 +1160,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 5 = 0 AND NOT (l_quantity < 10.0) AND l_returnflag <> 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g47_wap_fix" ->
+      """WITH src AS (SELECT l_quantity, l_returnflag FROM lineitem
+        |             WHERE l_orderkey % 10 IN (1, 6)),
+        |fixed AS (SELECT CASE WHEN l_returnflag = 'N' THEN l_quantity + 100
+        |                 ELSE l_quantity END AS l_quantity, l_returnflag
+        |          FROM src WHERE NOT (l_quantity < 5.0))
+        |SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 10 = 1) AS rows_before_publish
+        |FROM fixed GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g44_wap_publish" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

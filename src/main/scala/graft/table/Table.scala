@@ -263,13 +263,22 @@ final class Table(
    * affected data files; "merge-on-read" writes position-delete files —
    * see [[deleteCopyOnWrite]] / [[deleteMergeOnRead]] for the tradeoff.
    */
-  def delete(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit =
+  def delete(spark: SparkSession, predicates: Seq[ScanPredicate],
+             branch: String = "main"): Unit =
     meta.properties.get("write.delete.mode") match {
-      case Some("merge-on-read") => deleteMergeOnRead(spark, predicates)
+      case Some("merge-on-read") => deleteMergeOnRead(spark, predicates, branch)
       case Some(other) if other != "copy-on-write" =>
         throw new InvalidDataError(s"unknown write.delete.mode: $other")
-      case _ => deleteCopyOnWrite(spark, predicates)
+      case _ => deleteCopyOnWrite(spark, predicates, branch)
     }
+
+  /** Scan pinned to the head a `branch`-scoped DML plans against (the
+    * branch ref, forking from main on a branch's first write). Pair of
+    * [[branchParent]] — the same head the commit will parent at, so a
+    * branch DML sees exactly the rows a branch reader sees. */
+  private def dmlScan(branch: String, predicates: Seq[ScanPredicate]): TableScan =
+    if (branch == "main") scan(None, predicates)
+    else new TableScan(this, branchParent(meta, branch), predicates)
 
   /**
    * Copy-on-write DELETE: matching rows are removed by rewriting only the
@@ -281,7 +290,8 @@ final class Table(
    * the old files — time travel is unaffected. Best when deletes are rare
    * and scans are hot (scans stay anti-join-free).
    */
-  def deleteCopyOnWrite(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit = {
+  def deleteCopyOnWrite(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        branch: String = "main"): Unit = {
     require(predicates.nonEmpty, "delete requires predicates; use overwrite to replace all")
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     var attempt = 0
@@ -291,7 +301,7 @@ final class Table(
       // must see concurrent commits (and the empty-plan short-circuit below
       // would otherwise silently no-op before ever reaching the CAS)
       refresh()
-      val affectedScan = scan(None, predicates)
+      val affectedScan = dmlScan(branch, predicates)
       // one manifest pass yields both the rewrite set and the carried set
       val (affected, kept) = affectedScan.planFilesPartitioned()
       if (affected.isEmpty) return // nothing can match — no new snapshot
@@ -310,7 +320,7 @@ final class Table(
       try {
         meta = cat.commitTable(ident, meta,
           buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
-            keepParentDeleteManifests = true))
+            keepParentDeleteManifests = true, toBranch = branch))
         committed = true
       } catch {
         case e: CommitConflictError =>
@@ -331,14 +341,15 @@ final class Table(
    * deletes back in. Already-deleted rows are never re-recorded (matching
    * runs on the live view).
    */
-  def deleteMergeOnRead(spark: SparkSession, predicates: Seq[ScanPredicate]): Unit = {
+  def deleteMergeOnRead(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        branch: String = "main"): Unit = {
     require(predicates.nonEmpty, "delete requires predicates; use overwrite to replace all")
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     var attempt = 0
     var committed = false
     while (!committed) {
       refresh() // plan against the catalog's CURRENT metadata (stale-handle rule)
-      val affectedScan = scan(None, predicates)
+      val affectedScan = dmlScan(branch, predicates)
       val affected = affectedScan.planFiles()
       if (affected.isEmpty) return // nothing can match — no new snapshot
       val matched = affectedScan.matchedRowsWithPositions(spark, affected)
@@ -350,7 +361,7 @@ final class Table(
       try {
         meta = cat.commitTable(ident, meta,
           buildMorDmlMetadata(meta, delFiles, Nil, commitUuid, "delete",
-            supersede = superseded, newPosRecords = newHidden))
+            supersede = superseded, newPosRecords = newHidden, toBranch = branch))
         committed = true
       } catch {
         case e: CommitConflictError =>
@@ -367,12 +378,12 @@ final class Table(
    * the `write.update.mode` table property, like [[delete]].
    */
   def update(spark: SparkSession, predicates: Seq[ScanPredicate],
-             assignments: Map[String, String]): Unit =
+             assignments: Map[String, String], branch: String = "main"): Unit =
     meta.properties.get("write.update.mode") match {
-      case Some("merge-on-read") => updateMergeOnRead(spark, predicates, assignments)
+      case Some("merge-on-read") => updateMergeOnRead(spark, predicates, assignments, branch)
       case Some(other) if other != "copy-on-write" =>
         throw new InvalidDataError(s"unknown write.update.mode: $other")
-      case _ => updateCopyOnWrite(spark, predicates, assignments)
+      case _ => updateCopyOnWrite(spark, predicates, assignments, branch)
     }
 
   /**
@@ -381,7 +392,8 @@ final class Table(
    * touched (same pruning as [[delete]]).
    */
   def updateCopyOnWrite(spark: SparkSession, predicates: Seq[ScanPredicate],
-                        assignments: Map[String, String]): Unit = {
+                        assignments: Map[String, String],
+                        branch: String = "main"): Unit = {
     validateAssignments(assignments)
     require(predicates.nonEmpty, "update requires predicates")
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
@@ -392,7 +404,7 @@ final class Table(
       // must see concurrent commits (and the empty-plan short-circuit below
       // would otherwise silently no-op before ever reaching the CAS)
       refresh()
-      val affectedScan = scan(None, predicates)
+      val affectedScan = dmlScan(branch, predicates)
       // one manifest pass yields both the rewrite set and the carried set
       val (affected, kept) = affectedScan.planFilesPartitioned()
       if (affected.isEmpty) return
@@ -418,7 +430,7 @@ final class Table(
       try {
         meta = cat.commitTable(ident, meta,
           buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
-            keepParentDeleteManifests = true))
+            keepParentDeleteManifests = true, toBranch = branch))
         committed = true
       } catch {
         case e: CommitConflictError =>
@@ -437,7 +449,8 @@ final class Table(
    * cannot touch them — position deletes only reference the old paths.
    */
   def updateMergeOnRead(spark: SparkSession, predicates: Seq[ScanPredicate],
-                        assignments: Map[String, String]): Unit = {
+                        assignments: Map[String, String],
+                        branch: String = "main"): Unit = {
     validateAssignments(assignments)
     require(predicates.nonEmpty, "update requires predicates")
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
@@ -445,7 +458,7 @@ final class Table(
     var committed = false
     while (!committed) {
       refresh()
-      val affectedScan = scan(None, predicates)
+      val affectedScan = dmlScan(branch, predicates)
       val affected = affectedScan.planFiles()
       if (affected.isEmpty) return
       // matched rows feed two writes (positions + updated images); persist
@@ -476,7 +489,7 @@ final class Table(
         try {
           meta = cat.commitTable(ident, meta,
             buildMorDmlMetadata(meta, delFiles, newFiles, commitUuid, "overwrite",
-              supersede = superseded, newPosRecords = newHidden))
+              supersede = superseded, newPosRecords = newHidden, toBranch = branch))
           committed = true
         } catch {
           case e: CommitConflictError =>
@@ -851,7 +864,8 @@ final class Table(
    * or [[compact]] folds it in. `df` must carry at most one row per key.
    */
   def upsert(spark: SparkSession, df: DataFrame, keys: Seq[String],
-             extraSummary: Map[String, String] = Map.empty): Unit = {
+             extraSummary: Map[String, String] = Map.empty,
+             branch: String = "main"): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     require(keys.nonEmpty, "upsert requires key columns")
@@ -896,7 +910,8 @@ final class Table(
           meta = cat.commitTable(ident, base,
             buildMorDmlMetadata(base, delFiles, dataFiles, s"$commitUuid-$attempt",
               "overwrite", extraSummary,
-              writeSchemaId = Some(writeSchemaId), writeSpecId = Some(writeSpecId)))
+              writeSchemaId = Some(writeSchemaId), writeSpecId = Some(writeSpecId),
+              toBranch = branch))
           committed = true
         } catch {
           case e: CommitConflictError =>
@@ -1438,12 +1453,14 @@ final class Table(
                                    removed: Seq[FileScanTask],
                                    added0: Seq[graft.manifest.DataFile],
                                    attemptId: String,
-                                   keepParentDeleteManifests: Boolean): TableMetadata = {
+                                   keepParentDeleteManifests: Boolean,
+                                   toBranch: String = "main"): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
+    val parentSnap = branchParent(base, toBranch)
     // v3: rewritten rows take FRESH row ids (see assignRowIds Scaladoc)
     val (added, nextRowId) = assignRowIds(base, added0)
 
@@ -1489,19 +1506,19 @@ final class Table(
     val newManifests: Seq[ManifestFile] = keptManifests ++ addedManifest.toSeq
     val parentDeleteManifests: Seq[ManifestFile] =
       if (!keepParentDeleteManifests) Nil
-      else base.currentSnapshot.toSeq.flatMap(p =>
+      else parentSnap.toSeq.flatMap(p =>
         Manifests.readManifestList(fs, new Path(p.manifestList)).filter(_.content == 1))
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
     Manifests.writeManifestList(fs, listPath, newManifests ++ parentDeleteManifests,
-      snapshotId, base.currentSnapshotId, seq)
+      snapshotId, parentSnap.map(_.snapshotId), seq)
 
-    val prevTotal = base.currentSnapshot
+    val prevTotal = parentSnap
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
     val removedRecords = removed.map(_.recordCount).sum
     val addedRecords = added.map(_.recordCount).sum
     val snap = Snapshot(
       snapshotId = snapshotId,
-      parentSnapshotId = base.currentSnapshotId,
+      parentSnapshotId = parentSnap.map(_.snapshotId),
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath.toString,
@@ -1516,14 +1533,38 @@ final class Table(
       schemaId = Some(base.currentSchemaId),
       firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId) else None)
 
-    base.copy(
-      lastSequenceNumber = seq,
+    advanceBranch(base, snap, toBranch, now, nextRowId)
+  }
+
+  /** The parent snapshot a `toBranch`-scoped commit builds on: the branch
+    * head, or (for a branch with no head yet — first write forks it) the
+    * main head. Tags are immutable. */
+  private def branchParent(base: TableMetadata, toBranch: String): Option[Snapshot] = {
+    base.refs.get(toBranch).foreach { r =>
+      if (r.refType == "tag")
+        throw new InvalidDataError(s"cannot write to tag '$toBranch' (tags are immutable)")
+    }
+    if (toBranch == "main") base.currentSnapshot
+    else base.snapshotForRef(toBranch).orElse(base.currentSnapshot)
+  }
+
+  /** Register `snap` and move `toBranch` to it. Only a main commit
+    * advances currentSnapshotId and the snapshot log — branch commits
+    * stay invisible to plain readers until a fast-forward publishes
+    * them (the write-audit-publish contract). */
+  private def advanceBranch(base: TableMetadata, snap: Snapshot, toBranch: String,
+                            now: Long, nextRowId: Long): TableMetadata = {
+    val advanced = base.copy(
+      lastSequenceNumber = snap.sequenceNumber,
       lastUpdatedMs = now,
-      currentSnapshotId = Some(snapshotId),
       snapshots = base.snapshots :+ snap,
-      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
-      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")),
+      refs = base.refs.updated(toBranch, SnapshotRef(snap.snapshotId, "branch")),
       nextRowId = nextRowId)
+    if (toBranch == "main")
+      advanced.copy(
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snap.snapshotId))
+    else advanced
   }
 
   /** Snapshot for a merge-on-read DML: every parent manifest carried as-is
@@ -1539,12 +1580,14 @@ final class Table(
                                   writeSchemaId: Option[Int] = None,
                                   writeSpecId: Option[Int] = None,
                                   supersede: Set[(String, Long)] = Set.empty,
-                                  newPosRecords: Option[Long] = None): TableMetadata = {
+                                  newPosRecords: Option[Long] = None,
+                                  toBranch: String = "main"): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
     val seq = base.lastSequenceNumber + 1
     val now = System.currentTimeMillis()
+    val parentSnap = branchParent(base, toBranch)
 
     // format-v3 row lineage: new data files take explicit first_row_id
     // values from the metadata's next-row-id counter
@@ -1583,7 +1626,7 @@ final class Table(
     // invariant do). Only manifests that actually contain one are
     // rewritten; the superseded Puffin blobs stay on disk for time travel
     // until expiration.
-    val parents0 = base.currentSnapshot.toSeq.flatMap(p =>
+    val parents0 = parentSnap.toSeq.flatMap(p =>
       Manifests.readManifestList(fs, new Path(p.manifestList)))
     val parents = if (supersede.isEmpty) parents0 else {
       parents0.zipWithIndex.map { case (mf, i) =>
@@ -1616,9 +1659,10 @@ final class Table(
     }
     val listPath = new Path(metadataDir, s"snap-$snapshotId-$attemptId.avro")
     Manifests.writeManifestList(fs, listPath,
-      parents ++ dataManifest.toSeq ++ delManifest.toSeq, snapshotId, base.currentSnapshotId, seq)
+      parents ++ dataManifest.toSeq ++ delManifest.toSeq,
+      snapshotId, parentSnap.map(_.snapshotId), seq)
 
-    val prevTotal = base.currentSnapshot
+    val prevTotal = parentSnap
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
     // each position delete hides exactly one row, so total-records can net
     // it out (for DVs the caller passes the NEWLY hidden count — a merged
@@ -1631,7 +1675,7 @@ final class Table(
     val addedRecords = dataFiles.map(_.recordCount).sum
     val snap = Snapshot(
       snapshotId = snapshotId,
-      parentSnapshotId = base.currentSnapshotId,
+      parentSnapshotId = parentSnap.map(_.snapshotId),
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath.toString,
@@ -1646,14 +1690,7 @@ final class Table(
       schemaId = Some(base.currentSchemaId),
       firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId) else None)
 
-    base.copy(
-      lastSequenceNumber = seq,
-      lastUpdatedMs = now,
-      currentSnapshotId = Some(snapshotId),
-      snapshots = base.snapshots :+ snap,
-      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId),
-      refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")),
-      nextRowId = nextRowId)
+    advanceBranch(base, snap, toBranch, now, nextRowId)
   }
 
   /** Format-v3 row lineage: stamp each new data file with an explicit
@@ -1719,13 +1756,7 @@ final class Table(
     val (files, nextRowId) = assignRowIds(base, files0)
     // a branch append parents at the BRANCH head (forking from main's head
     // on first write to a new branch); sequence numbers stay table-global
-    base.refs.get(toBranch).foreach { r =>
-      if (r.refType == "tag")
-        throw new InvalidDataError(s"cannot append to tag '$toBranch' (tags are immutable)")
-    }
-    val parentSnap: Option[Snapshot] =
-      if (toBranch == "main") base.currentSnapshot
-      else base.snapshotForRef(toBranch).orElse(base.currentSnapshot)
+    val parentSnap: Option[Snapshot] = branchParent(base, toBranch)
 
     // new manifest with the added files
     val manifestPath = new Path(metadataDir, s"$attemptId-m0.avro")
@@ -1778,17 +1809,7 @@ final class Table(
       schemaId = Some(base.currentSchemaId),
       firstRowId = if (base.formatVersion >= 3) Some(base.nextRowId) else None)
 
-    val advanced = base.copy(
-      lastSequenceNumber = seq,
-      lastUpdatedMs = now,
-      snapshots = base.snapshots :+ snap,
-      refs = base.refs.updated(toBranch, SnapshotRef(snapshotId, "branch")),
-      nextRowId = nextRowId)
-    if (toBranch == "main")
-      advanced.copy(
-        currentSnapshotId = Some(snapshotId),
-        snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, snapshotId))
-    else advanced // branch write: main head and its log are untouched
+    advanceBranch(base, snap, toBranch, now, nextRowId)
   }
 
   override def toString: String = s"Table($ident)"

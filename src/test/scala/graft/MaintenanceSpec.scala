@@ -297,6 +297,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assertThrows[InvalidDataError](tbl.fastForward("main", "nope"))
   }
 
+  test("branch-scoped DML: delete/update/upsert fix a branch; main invisible until publish") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("wap_fix", schema,
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    tbl.append(Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "qty", "k"))
+    tbl.appendToBranch("audit", Seq((3L, 30, "bad"), (4L, 40, "d")).toDF("id", "qty", "k"))
+
+    // the audit pipeline REPAIRS the branch: MOR delete of the bad row,
+    // COW update of another, and an upsert — all committing to the
+    // branch ref with the normal CAS discipline
+    tbl.delete(spark, Seq(EqPred("k", "bad")), branch = "audit")
+    tbl.update(spark, Seq(EqPred("id", 4L)), Map("qty" -> "qty + 1"), branch = "audit")
+    tbl.upsert(spark, Seq((2L, 200, "B")).toDF("id", "qty", "k"), Seq("id"),
+      branch = "audit")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+    // main is untouched by every branch-scoped op
+    assert(rows(tbl.toDF(spark)) == Set((1L, 10, "a"), (2L, 20, "b")))
+    // the branch sees the fixed state
+    val fixed = Set((1L, 10, "a"), (2L, 200, "B"), (4L, 41, "d"))
+    assert(rows(tbl.scanRef("audit").toDF(spark)) == fixed)
+
+    // publish: one fast-forward makes the audited+fixed state main
+    tbl.fastForward("main", "audit")
+    assert(rows(tbl.toDF(spark)) == fixed)
+
+    // tags reject DML like they reject appends
+    tbl.createTag("rel")
+    assertThrows[InvalidDataError](
+      tbl.delete(spark, Seq(EqPred("id", 1L)), branch = "rel"))
+    assertThrows[InvalidDataError](
+      tbl.update(spark, Seq(EqPred("id", 1L)), Map("qty" -> "0"), branch = "rel"))
+    assertThrows[InvalidDataError](
+      tbl.upsert(spark, Seq((1L, 0, "x")).toDF("id", "qty", "k"), Seq("id"),
+        branch = "rel"))
+  }
+
   test("tags and branches pin scans to snapshots") {
     import spark.implicits._
     val cat = new MemoryCatalog()
