@@ -1123,10 +1123,53 @@ final class Table(
    * old files on disk for time travel until expiration collects them.
    */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Unit = {
-    import scala.collection.parallel.CollectionConverters._
+    val (expired, remaining) = expireSnapshotsCommit(olderThanMs, retainLast)
+    if (expired.nonEmpty) cleanupExpiredDriver(expired, remaining)
+  }
+
+  /**
+   * Cluster-scale expiration: the metadata commit is identical, but
+   * reachability — which snapshots' files are referenced ONLY by expired
+   * history — runs as a Spark job over the manifests ([[Reachability]]),
+   * and "referenced only by dead snapshots" is an `except` between two
+   * path Datasets instead of a driver-memory Set difference. Below
+   * `distributedThreshold` total manifests it delegates to the
+   * driver-parallel path (a Spark job has fixed overhead a small table
+   * shouldn't pay).
+   */
+  def expireSnapshots(spark: SparkSession, olderThanMs: Long): Unit =
+    expireSnapshots(spark, olderThanMs, 1, TableScan.DistributedPlanThreshold)
+
+  def expireSnapshots(spark: SparkSession, olderThanMs: Long, retainLast: Int,
+                      distributedThreshold: Int): Unit = {
+    import spark.implicits._
+    val (expired, remaining) = expireSnapshotsCommit(olderThanMs, retainLast)
+    if (expired.isEmpty) return
     val fs = new Path(meta.location).getFileSystem(hadoopConf)
-    // (expired, remaining) of the base the successful commit was built on —
-    // physical cleanup must use exactly the committed partition
+    val deadInv = Reachability.manifestInventory(fs, expired)
+    val liveInv = Reachability.manifestInventory(fs, remaining)
+    if (deadInv.size + liveInv.size < distributedThreshold)
+      return cleanupExpiredDriver(expired, remaining)
+    // same liveOnly=true semantics as the driver path's filesOf
+    val dead = Reachability.referenced(spark, hadoopConf, expired, deadInv, liveOnly = true)
+    val live = Reachability.referenced(spark, hadoopConf, remaining, liveInv, liveOnly = true)
+    val confSer = new SerializableHadoopConf(hadoopConf)
+    dead.except(live).foreachPartition { (it: Iterator[String]) =>
+      var f: org.apache.hadoop.fs.FileSystem = null
+      it.foreach { s =>
+        val p = new Path(s)
+        if (f == null) f = p.getFileSystem(confSer.value)
+        f.delete(p, false)
+      }
+    }
+  }
+
+  /** The expiration METADATA commit: drop expired snapshots (retaining the
+    * last `retainLast` and every ref target) through the CAS loop. Returns
+    * the (expired, remaining) split of the base the successful commit was
+    * built on — physical cleanup must use exactly that partition. */
+  private def expireSnapshotsCommit(olderThanMs: Long,
+                                    retainLast: Int): (Seq[Snapshot], Seq[Snapshot]) = {
     var committedSplit: (Seq[Snapshot], Seq[Snapshot]) = (Nil, Nil)
     commitWithRetry() { base =>
       val byTime = base.snapshots.sortBy(_.timestampMs)
@@ -1143,12 +1186,17 @@ final class Table(
           remaining.exists(_.snapshotId == e.snapshotId)),
         lastUpdatedMs = System.currentTimeMillis()))
     }
-    val (expired, remaining) = committedSplit
-    if (expired.isEmpty) return
+    committedSplit
+  }
 
-    // Reachability is read in parallel across snapshots AND across each
-    // snapshot's manifests — a long-lived table has O(history) manifest
-    // lists and serializing their reads stalls the driver.
+  /** Driver-parallel physical cleanup after expiration (small tables).
+    * Reachability is read in parallel across snapshots AND across each
+    * snapshot's manifests — a long-lived table has O(history) manifest
+    * lists and serializing their reads stalls the driver. */
+  private def cleanupExpiredDriver(expired: Seq[Snapshot],
+                                   remaining: Seq[Snapshot]): Unit = {
+    import scala.collection.parallel.CollectionConverters._
+    val fs = new Path(meta.location).getFileSystem(hadoopConf)
     def filesOf(snaps: Seq[Snapshot]): (Set[String], Set[String]) = {
       val perSnap = snaps.par.map { s =>
         val mfs = Manifests.readManifestList(fs, new Path(s.manifestList))
@@ -1246,6 +1294,22 @@ final class Table(
    * planning O(eras) again — the metadata analogue of [[compact]].
    */
   def rewriteManifests(minInputManifests: Int = 2): Unit =
+    rewriteManifestsImpl(None, minInputManifests)
+
+  /** Cluster-scale manifest compaction: entry reads fan out as a Spark job
+    * past `distributedThreshold` manifests per era group (the consolidated
+    * manifest itself is still written by the driver — one writer per
+    * output file is inherent to the format, and an era's entry list is
+    * what any Iceberg-style manifest rewrite holds in memory). */
+  def rewriteManifests(spark: SparkSession): Unit =
+    rewriteManifestsImpl(Some((spark, TableScan.DistributedPlanThreshold)), 2)
+
+  def rewriteManifests(spark: SparkSession, minInputManifests: Int,
+                       distributedThreshold: Int): Unit =
+    rewriteManifestsImpl(Some((spark, distributedThreshold)), minInputManifests)
+
+  private def rewriteManifestsImpl(distributed: Option[(SparkSession, Int)],
+                                   minInputManifests: Int): Unit =
     commitWithRetry() { base =>
       base.currentSnapshot.flatMap { parent =>
         val metadataDir = new Path(base.location, "metadata")
@@ -1259,13 +1323,31 @@ final class Table(
           val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
           val seq = base.lastSequenceNumber + 1
           val now = System.currentTimeMillis()
+          // live entries of one era group, status reset to existing;
+          // read driver-parallel, or as a Spark job past the threshold
+          def readGroup(group: Seq[ManifestFile]): Seq[ManifestEntry] =
+            distributed match {
+              case Some((spark, threshold)) if group.size >= threshold =>
+                val confSer = new SerializableHadoopConf(hadoopConf)
+                val slices = math.max(1, math.min(group.size,
+                  spark.sparkContext.defaultParallelism * 4))
+                spark.sparkContext.parallelize(group.map(_.manifestPath), slices)
+                  .flatMap { mp =>
+                    val p = new Path(mp)
+                    val f = p.getFileSystem(confSer.value)
+                    Manifests.readManifest(f, p).filter(_.isLive)
+                      .map(_.copy(status = ManifestEntry.StatusExisting))
+                  }.collect().toSeq
+              case _ =>
+                import scala.collection.parallel.CollectionConverters._
+                group.par.flatMap(mf =>
+                  Manifests.readManifest(fs, new Path(mf.manifestPath))
+                    .filter(_.isLive)
+                    .map(e => e.copy(status = ManifestEntry.StatusExisting))).seq
+            }
           val rewritten = groups.toSeq.sortBy(_._1).zipWithIndex.map {
             case (((content, schemaId, specId), group), i) =>
-              import scala.collection.parallel.CollectionConverters._
-              val entries = group.par.flatMap(mf =>
-                Manifests.readManifest(fs, new Path(mf.manifestPath))
-                  .filter(_.isLive)
-                  .map(e => e.copy(status = ManifestEntry.StatusExisting))).seq
+              val entries = readGroup(group)
               val mPath = new Path(metadataDir, s"$attemptId-rwm-$i.avro")
               val eraSchema = base.schemaById(schemaId).getOrElse(base.currentSchema)
               val eraSpec = base.partitionSpecById(specId)
@@ -1318,7 +1400,9 @@ final class Table(
    * then sweep orphans ([[removeOrphanFiles]]) — the nightly job a
    * production table schedules. Each step is individually a no-op when
    * there is nothing to do; `snapshotRetention`/`orphanAge` default to
-   * 7 days back from now.
+   * 7 days back from now. Cluster-safe: every step either rewrites
+   * through Spark jobs by construction or (manifest reads, reachability,
+   * orphan listing) fans out as one past the distributed threshold.
    */
   def maintain(spark: SparkSession,
                snapshotRetentionMs: Long = 7L * 24 * 3600 * 1000,
@@ -1327,9 +1411,10 @@ final class Table(
     val now = System.currentTimeMillis()
     applyPendingDeletes(spark)
     compact(spark, smallFileBytes)
-    rewriteManifests()
-    expireSnapshots(now - snapshotRetentionMs, retainLast)
-    removeOrphanFiles(now - snapshotRetentionMs)
+    rewriteManifests(spark)
+    expireSnapshots(spark, now - snapshotRetentionMs, retainLast,
+      TableScan.DistributedPlanThreshold)
+    removeOrphanFiles(spark, now - snapshotRetentionMs)
   }
 
   /**
@@ -1386,6 +1471,82 @@ final class Table(
     // metadata.json history and the version hint belong to the catalog
     sweep(new Path(meta.location, "metadata"), _.getName.endsWith(".avro"))
     deleted.toSeq
+  }
+
+  /**
+   * Cluster-scale orphan sweep: reachability runs as a Spark job over the
+   * manifests ([[Reachability]] — the planFilesDistributed pattern), the
+   * candidate listing fans out one task per commit directory, and
+   * membership is a LEFT ANTI join — no referenced-path Set ever
+   * materializes in driver memory (at 10⁷ live files that Set is GBs).
+   * Only the orphan list itself (normally tiny) returns to the driver.
+   * Below `distributedThreshold` manifests this delegates to the
+   * driver-parallel single-argument overload.
+   */
+  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long): Seq[String] =
+    removeOrphanFiles(spark, olderThanMs, TableScan.DistributedPlanThreshold)
+
+  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long,
+                        distributedThreshold: Int): Seq[String] = {
+    import spark.implicits._
+    refresh()
+    val fs = new Path(meta.location).getFileSystem(hadoopConf)
+    val manifests = Reachability.manifestInventory(fs, meta.snapshots)
+    if (manifests.size < distributedThreshold) return removeOrphanFiles(olderThanMs)
+    val confSer = new SerializableHadoopConf(hadoopConf)
+    // referenced paths, qualified on the executors exactly like the
+    // driver path's norm (metadata records "/w/x", "file:/w/x",
+    // "file:///w/x" interchangeably)
+    val refs = Reachability.referenced(spark, hadoopConf, meta.snapshots,
+        manifests, liveOnly = false)
+      .mapPartitions { it =>
+        var f: org.apache.hadoop.fs.FileSystem = null
+        it.map { s =>
+          val p = new Path(s.replaceFirst("^file:/+", "/"))
+          if (f == null) f = p.getFileSystem(confSer.value)
+          f.makeQualified(p).toString
+        }
+      }.toDF("ref").distinct()
+
+    // candidate files: one listing task per top-level child of data/
+    // (each a per-commit directory or a commit's Puffin file), plus the
+    // metadata dir's Avro graph — the recursive listing itself is
+    // distributed, so a 10⁷-file table never streams through one thread
+    def shard(dir: Path, avroOnly: Boolean): Seq[(String, Boolean)] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).map(s => (s.getPath.toString, avroOnly)).toSeq
+    val work = shard(new Path(meta.location, "data"), avroOnly = false) ++
+      shard(new Path(meta.location, "metadata"), avroOnly = true)
+    if (work.isEmpty) return Nil
+    val cutoff = olderThanMs
+    val cand = spark.createDataset(work)
+      .repartition(math.min(work.size, spark.sparkContext.defaultParallelism * 4))
+      .flatMap { case (root, avroOnly) =>
+        val p = new Path(root)
+        val f = p.getFileSystem(confSer.value)
+        val stats =
+          if (!f.exists(p)) Iterator.empty
+          else if (f.getFileStatus(p).isFile) Iterator(f.getFileStatus(p))
+          else {
+            val it = f.listFiles(p, true)
+            Iterator.continually(()).takeWhile(_ => it.hasNext).map(_ => it.next())
+          }
+        stats.filter { s =>
+          val name = s.getPath.getName
+          s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+            s.getModificationTime < cutoff && (!avroOnly || name.endsWith(".avro"))
+        }.map(s => (f.makeQualified(s.getPath).toString, s.getPath.toString))
+      }.toDF("norm", "orig")
+
+    val orphans = cand.join(refs, cand("norm") === refs("ref"), "left_anti")
+    orphans.select("orig").as[String].mapPartitions { it =>
+      var f: org.apache.hadoop.fs.FileSystem = null
+      it.flatMap { s =>
+        val p = new Path(s)
+        if (f == null) f = p.getFileSystem(confSer.value)
+        if (f.delete(p, false)) Some(s) else None
+      }
+    }.collect().toSeq
   }
 
   // --------------------------------------------------------- refs (tags)
