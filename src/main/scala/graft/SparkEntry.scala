@@ -513,6 +513,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g48_dsv2_sql" -> ((s, dir) => {
+      // native DSv2 TableCatalog: the ENTIRE flow below is Spark SQL routed
+      // through spark.sql.catalog.* — CREATE TABLE with a bucket transform,
+      // INSERT INTO ... SELECT, row-level DELETE, INSERT VALUES, SELECT —
+      // no temp-view registration of catalog tables anywhere
+      graft.spark.GraftSparkCatalog.register(s, "g48cat", new MemoryCatalog())
+      t(s, dir, "nation").createOrReplaceTempView("g48_nation_src")
+      s.sql("""CREATE TABLE g48cat.default.nation_t (
+              |  n_nationkey INT, n_name STRING, n_regionkey INT)
+              |PARTITIONED BY (bucket(4, n_nationkey))""".stripMargin)
+      s.sql("""INSERT INTO g48cat.default.nation_t
+              |SELECT n_nationkey, n_name, n_regionkey FROM g48_nation_src""".stripMargin)
+      s.sql("DELETE FROM g48cat.default.nation_t WHERE n_regionkey = 2")
+      s.sql("INSERT INTO g48cat.default.nation_t VALUES (990, 'ATLANTIS', 9), (991, 'LEMURIA', 9)")
+      s.sql("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+              |FROM g48cat.default.nation_t
+              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     "g47_wap_fix" -> ((s, dir) => {
       // write-audit-publish with a FIX: stage an append on "audit", then
       // branch-scoped DML repairs it (MOR delete + COW update commit to
@@ -1160,6 +1179,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 5 = 0 AND NOT (l_quantity < 10.0) AND l_returnflag <> 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g48_dsv2_sql" ->
+      """WITH final AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 2
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (990, 'ATLANTIS', 9), (991, 'LEMURIA', 9)))
+        |SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM final GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "g47_wap_fix" ->
       """WITH src AS (SELECT l_quantity, l_returnflag FROM lineitem

@@ -1,0 +1,291 @@
+package graft.spark
+
+import graft._
+import graft.catalog.{Catalog => GCatalog, HadoopCatalog}
+import graft.meta.SortOrder
+import graft.types.SparkSchemaConverter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Table => SparkTableApi, _}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/**
+ * Native DSv2 `TableCatalog` (SURVEY.md §7.3's sanctioned optional step):
+ * registers a graft catalog under a Spark catalog name so the full SQL
+ * surface routes through Spark's catalog API with no temp-view
+ * registration —
+ *
+ * {{{
+ * spark.conf.set("spark.sql.catalog.graft", classOf[GraftSparkCatalog].getName)
+ * spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+ * spark.sql("CREATE TABLE graft.ns.t (id BIGINT, ts TIMESTAMP) PARTITIONED BY (bucket(4, id), days(ts))")
+ * spark.sql("INSERT INTO graft.ns.t SELECT …")
+ * spark.sql("SELECT * FROM graft.ns.t VERSION AS OF 123")
+ * spark.sql("DELETE FROM graft.ns.t WHERE id = 5")
+ * }}}
+ *
+ * Backends: `warehouse=<dir>` opens a [[HadoopCatalog]]; `ref=<key>` binds
+ * to a catalog instance pre-registered with [[GraftSparkCatalog.bind]]
+ * (tests, or programmatic Memory/REST/JDBC catalogs). Time travel maps to
+ * `VERSION AS OF <snapshot-id>` / `TIMESTAMP AS OF` via the
+ * `loadTable(ident, version|timestamp)` hooks; metadata tables resolve as
+ * `ns.t.snapshots` etc.
+ */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var refKey: Option[String] = None
+  private var fixedBacking: GCatalog = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    refKey = Option(options.get("ref"))
+    if (refKey.isEmpty) {
+      val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires a 'warehouse' or 'ref' option"))
+      fixedBacking = new HadoopCatalog(wh, name)
+    }
+  }
+
+  /** Spark caches catalog plugin instances for the session's lifetime, so a
+    * `ref` binding resolves on every access — re-binding the key (tests,
+    * repeated benchmark runs) swaps the backing catalog without a new
+    * session. */
+  private def backing: GCatalog =
+    refKey.map(GraftSparkCatalog.resolve).getOrElse(fixedBacking)
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = backing.defaultNamespace.toArray
+
+  /** The wrapped graft catalog (programmatic access alongside SQL). */
+  def graftCatalog: GCatalog = backing
+
+  private def nameOf(ident: Identifier): String =
+    (ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  // -------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!backing.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    backing.listTables(Some(namespace.toSeq))
+      .map(parts => Identifier.of(parts.init.toArray, parts.last)).toArray
+  }
+
+  override def loadTable(ident: Identifier): SparkTableApi =
+    try new GraftSparkTable(backing.loadTable(nameOf(ident)))
+    catch {
+      case _: NoSuchTableError | _: NoSuchNamespaceError =>
+        metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
+
+  /** `VERSION AS OF <snapshot-id>`. */
+  override def loadTable(ident: Identifier, version: String): SparkTableApi = {
+    val sid =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new NoSuchTableException(ident) }
+    val t = try backing.loadTable(nameOf(ident)) catch {
+      case _: NoSuchTableError | _: NoSuchNamespaceError =>
+        throw new NoSuchTableException(ident)
+    }
+    if (t.snapshotById(sid).isEmpty)
+      throw new InvalidDataError(s"no snapshot with id $sid")
+    new GraftSparkTable(t, Some(sid))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): SparkTableApi = {
+    val t = try backing.loadTable(nameOf(ident)) catch {
+      case _: NoSuchTableError | _: NoSuchNamespaceError =>
+        throw new NoSuchTableException(ident)
+    }
+    val snap = t.snapshotAsOf(timestampMicros / 1000L).getOrElse(
+      throw new InvalidDataError(
+        s"no snapshot at or before timestamp ${timestampMicros / 1000L}"))
+    new GraftSparkTable(t, Some(snap.snapshotId))
+  }
+
+  /** `ns.t.snapshots` / `.history` / `.refs` / `.manifests` / `.files` /
+    * `.partitions` resolve as read-only metadata tables when `ns.t` exists. */
+  private def metadataTable(ident: Identifier): Option[SparkTableApi] = {
+    val ns = ident.namespace
+    if (ns.isEmpty) return None
+    // `ns.t.snapshots` → parent table is the identifier's namespace path
+    val parentName = ns.mkString(".")
+    if (!backing.tableExists(parentName)) return None
+    val t = backing.loadTable(parentName)
+    val label = s"$parentName.${ident.name}"
+    ident.name match {
+      case "snapshots" => Some(new GraftMetadataSparkTable(label, t.refresh().snapshotsDF(_)))
+      case "history" => Some(new GraftMetadataSparkTable(label, t.refresh().historyDF(_)))
+      case "refs" => Some(new GraftMetadataSparkTable(label, t.refresh().refsDF(_)))
+      case "manifests" => Some(new GraftMetadataSparkTable(label, t.refresh().manifestsDF(_)))
+      case "files" => Some(new GraftMetadataSparkTable(label, t.refresh().filesDF(_)))
+      case "partitions" => Some(new GraftMetadataSparkTable(label, t.refresh().partitionsDF(_)))
+      case _ => None
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): SparkTableApi = {
+    val props = properties.asScala.toMap
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_COLLATION,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE)
+    val tableProps = props.view
+      .filterKeys(k => !reserved.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX))
+      .toMap
+    // Spark DDL carries no field ids — fromSpark auto-assigns fresh ones
+    val gSchema = SparkSchemaConverter.fromSpark(schema)
+    val spec = TransformBridge.toGraftSpec(partitions, gSchema)
+    val t =
+      try backing.createTable(nameOf(ident), gSchema, location, spec,
+        SortOrder.Unsorted, tableProps)
+      catch {
+        case _: TableAlreadyExistsError => throw new TableAlreadyExistsException(ident)
+        case _: NoSuchNamespaceError => throw new NoSuchNamespaceException(ident.namespace)
+      }
+    new GraftSparkTable(t)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): SparkTableApi = {
+    val t = try backing.loadTable(nameOf(ident)) catch {
+      case _: NoSuchTableError | _: NoSuchNamespaceError =>
+        throw new NoSuchTableException(ident)
+    }
+    val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
+    val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
+    if (sets.nonEmpty || removes.nonEmpty)
+      t.updateProperties(sets.toMap, removes)
+    val schemaChanges = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }
+    if (schemaChanges.nonEmpty) {
+      val up = t.updateSchema()
+      schemaChanges.foreach {
+        case a: TableChange.AddColumn =>
+          if (a.fieldNames.length != 1)
+            throw new UnsupportedFeatureError("nested ADD COLUMN is not supported")
+          if (!a.isNullable)
+            throw new UnsupportedFeatureError("ADD COLUMN must be nullable (no default backfill)")
+          up.addColumn(a.fieldNames()(0),
+            SparkSchemaConverter.fromSparkType(a.dataType()), Option(a.comment()))
+        case r: TableChange.RenameColumn =>
+          if (r.fieldNames.length != 1)
+            throw new UnsupportedFeatureError("nested RENAME COLUMN is not supported")
+          up.renameColumn(r.fieldNames()(0), r.newName())
+        case d: TableChange.DeleteColumn =>
+          if (d.fieldNames.length != 1)
+            throw new UnsupportedFeatureError("nested DROP COLUMN is not supported")
+          up.deleteColumn(d.fieldNames()(0))
+        case other =>
+          throw new UnsupportedFeatureError(s"unsupported ALTER TABLE change: $other")
+      }
+      up.commit()
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    try { backing.dropTable(nameOf(ident)); true }
+    catch { case _: NoSuchTableError | _: NoSuchNamespaceError => false }
+
+  override def purgeTable(ident: Identifier): Boolean =
+    try { backing.purgeTable(nameOf(ident)); true }
+    catch { case _: NoSuchTableError | _: NoSuchNamespaceError => false }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    try backing.renameTable(nameOf(oldIdent), nameOf(newIdent))
+    catch {
+      case _: NoSuchTableError => throw new NoSuchTableException(oldIdent)
+      case _: TableAlreadyExistsError => throw new TableAlreadyExistsException(newIdent)
+    }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def tableExists(ident: Identifier): Boolean =
+    backing.tableExists(nameOf(ident))
+
+  // ---------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    backing.listNamespaces(None).map(_.toArray).toArray
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.isEmpty) return listNamespaces()
+    if (!backing.namespaceExists(parent.toSeq))
+      throw new NoSuchNamespaceException(parent)
+    backing.listNamespaces(Some(parent.toSeq)).map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    backing.namespaceExists(namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!backing.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    backing.namespaceProperties(namespace.toSeq).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    try backing.createNamespace(namespace.toSeq, metadata.asScala.toMap)
+    catch {
+      case _: NamespaceAlreadyExistsError =>
+        throw new NamespaceAlreadyExistsException(namespace)
+    }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit = {
+    if (!backing.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    val current = backing.namespaceProperties(namespace.toSeq)
+    val updated = changes.foldLeft(current) {
+      case (p, s: NamespaceChange.SetProperty) => p.updated(s.property, s.value)
+      case (p, r: NamespaceChange.RemoveProperty) => p - r.property
+      case (_, other) =>
+        throw new UnsupportedFeatureError(s"unsupported namespace change: $other")
+    }
+    backing.updateNamespace(namespace.toSeq, updated)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.toSeq
+    if (!backing.namespaceExists(ns)) return false
+    if (cascade)
+      backing.listTables(Some(ns)).foreach(parts => backing.dropTable(parts.mkString(".")))
+    backing.dropNamespace(ns)
+    true
+  }
+}
+
+object GraftSparkCatalog {
+  private val refs = TrieMap[String, GCatalog]()
+
+  /** Pre-register a catalog instance for the `ref=<key>` option (tests and
+    * programmatic Memory/REST/JDBC catalogs, which have no string-only
+    * construction). */
+  def bind(key: String, catalog: GCatalog): Unit = refs.put(key, catalog)
+  def unbind(key: String): Unit = refs.remove(key)
+  private def resolve(key: String): GCatalog =
+    refs.getOrElse(key, throw new IllegalArgumentException(
+      s"no graft catalog bound under ref '$key' — call GraftSparkCatalog.bind first"))
+
+  /** Convenience: register `catalog` on `spark` under `name` (must happen
+    * before the catalog name is first referenced in SQL). */
+  def register(spark: SparkSession, name: String, catalog: GCatalog): Unit = {
+    bind(name, catalog)
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.ref", name)
+  }
+}

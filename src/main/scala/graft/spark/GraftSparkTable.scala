@@ -1,0 +1,203 @@
+package graft.spark
+
+import graft.UnsupportedFeatureError
+import graft.table.{Table => GTable}
+import graft.types.SparkSchemaConverter
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, TableCapability, Table => SparkTable}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan => V1TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * A graft table exposed through Spark's DSv2 connector API, so
+ * `spark.sql("SELECT … FROM graft.ns.t")`, INSERT [OVERWRITE], DELETE and
+ * TRUNCATE route natively through the session catalog (SURVEY.md §7.3's
+ * sanctioned optional step; the wrapper-level [[graft.sql.GraftSql]] stays
+ * as the reference-parity surface).
+ *
+ * The read path is a [[V1Scan]] bridge: the scan's `buildScan` re-enters
+ * [[GTable.scan]], so everything the native path does — manifest-level
+ * partition-transform + column-bounds pruning from the pushed filters,
+ * distributed planning past 64 manifests, MOR delete application, deletion
+ * vectors, schema-evolution field-id projection — applies identically under
+ * SQL. Pushed filters are also re-applied as Catalyst filters inside the
+ * produced DataFrame, so parquet row-group pushdown still happens per file.
+ */
+class GraftSparkTable(
+    val graftTable: GTable,
+    pinnedSnapshotId: Option[Long] = None)
+  extends SparkTable with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = graftTable.ident.toString
+
+  override def schema(): StructType =
+    SparkSchemaConverter.toSpark(graftTable.currentSchema)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def partitioning(): Array[Transform] =
+    TransformBridge.toSparkTransforms(
+      graftTable.defaultPartitionSpec, graftTable.currentSchema)
+
+  override def properties(): java.util.Map[String, String] =
+    graftTable.properties.asJava
+
+  // ---------------------------------------------------------------- read
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = schema()
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (ok, residual) = filters.partition(f => FilterBridge.toColumn(f).isDefined)
+        pushed = ok
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required)
+    }
+
+  // --------------------------------------------------------------- write
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinnedSnapshotId.isDefined)
+      throw new UnsupportedFeatureError("cannot write to a time-travel table")
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val t = graftTable.refresh()
+              if (overwriteAll || overwrite) t.overwrite(data) else t.append(data)
+            }
+          }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- delete
+
+  /** SQL DELETE routes here only when every conjunct is expressible as a
+    * [[graft.table.ScanPredicate]] — and then it is a REAL row-level
+    * copy-on-write (or MOR, per table property) delete, not just a
+    * metadata drop: graft's delete rewrites (or position-deletes) exactly
+    * the matching rows. Inexpressible conditions (OR, functions) are
+    * rejected by Spark with a clear error. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    FilterBridge.isDeleteAll(filters) ||
+      filters.forall(f => FilterBridge.toPredicate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (FilterBridge.isDeleteAll(filters)) { truncateTable(); return }
+    val preds = filters.flatMap(FilterBridge.toPredicate).toSeq
+    graftTable.refresh().delete(SparkSession.active, preds)
+  }
+
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema())
+    graftTable.refresh().overwrite(empty)
+    true
+  }
+}
+
+/** Snapshot-pinned V1 scan bridge; one instance per (pushdown, pruning)
+  * outcome. `readSchema` is the pruned schema — Spark plans on it. */
+private[spark] class GraftV1Scan(
+    gt: GTable,
+    snapshotId: Option[Long],
+    pushed: Array[Filter],
+    required: StructType) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with V1TableScan](
+      context: SQLContext): T =
+    new GraftV1Relation(gt, snapshotId, pushed, required, context).asInstanceOf[T]
+
+  override def description(): String =
+    s"graft ${gt.ident} pushed=${pushed.mkString(",")}"
+}
+
+private[spark] class GraftV1Relation(
+    gt: GTable,
+    snapshotId: Option[Long],
+    pushed: Array[Filter],
+    required: StructType,
+    context: SQLContext) extends BaseRelation with V1TableScan {
+
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = context.sparkSession
+    // pruning predicates reach manifest planning; the same filters are
+    // re-applied on the DataFrame so results are exact per row
+    val preds = pushed.flatMap(FilterBridge.toPredicate).toSeq
+    var df = gt.scan(snapshotId, preds).toDF(spark)
+    val conds = pushed.flatMap(FilterBridge.toColumn)
+    if (conds.nonEmpty) df = df.filter(conds.reduce(_ && _))
+    val out =
+      if (required.isEmpty) df.select()
+      else df.select(required.fieldNames.toIndexedSeq.map(df(_)): _*)
+    out.rdd
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(f => FilterBridge.toColumn(f).isEmpty)
+}
+
+/** Read-only DSv2 wrapper for the metadata tables (`t.snapshots`,
+  * `t.history`, `t.refs`, `t.manifests`, `t.files`, `t.partitions`) —
+  * `SELECT * FROM graft.ns.t.snapshots` mirrors the programmatic
+  * [[GTable.snapshotsDF]] family. */
+private[spark] class GraftMetadataSparkTable(
+    tableName: String,
+    load: SparkSession => DataFrame) extends SparkTable with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = load(SparkSession.active).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with V1TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with V1TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = req
+            override def buildScan(): RDD[Row] = {
+              val df = load(context.sparkSession)
+              val out =
+                if (req.isEmpty) df.select()
+                else df.select(req.fieldNames.toIndexedSeq.map(df(_)): _*)
+              out.rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}

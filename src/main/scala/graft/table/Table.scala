@@ -1098,6 +1098,18 @@ final class Table(
     }
   }
 
+  /** Metadata-only property update (ALTER TABLE SET/UNSET TBLPROPERTIES via
+    * the DSv2 catalog; also usable programmatically). CAS-retried like every
+    * other commit; a no-op change commits nothing. */
+  def updateProperties(set: Map[String, String],
+                       remove: Seq[String] = Nil): Unit =
+    commitWithRetry() { base =>
+      val p = (base.properties -- remove) ++ set
+      if (p == base.properties) None
+      else Some(base.copy(properties = p,
+        lastUpdatedMs = System.currentTimeMillis()))
+    }
+
   /** Roll the table back to an earlier snapshot (metadata-only; the
     * abandoned snapshots stay until [[expireSnapshots]]). */
   def rollback(snapshotId: Long): Unit = {

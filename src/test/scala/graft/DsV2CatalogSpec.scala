@@ -1,0 +1,153 @@
+package graft
+
+import graft.catalog.MemoryCatalog
+import graft.spark.GraftSparkCatalog
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native DSv2 `TableCatalog` (SURVEY.md §7.3 optional step): the full
+  * SQL surface routed through Spark's catalog API — no temp-view
+  * registration anywhere in this suite. */
+class DsV2CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = new MemoryCatalog(name = "dsv2mem")
+  private val C = "gds" // spark-side catalog name
+
+  private def sql(q: String) = spark.sql(q)
+  private lazy val init: Unit = {
+    GraftSparkCatalog.register(spark, C, cat)
+    cat.createNamespace(Seq("sales"), ifNotExists = true)
+  }
+
+  test("namespace DDL routes through the catalog") {
+    init
+    sql(s"CREATE NAMESPACE IF NOT EXISTS $C.sales")
+    assert(cat.namespaceExists(Seq("sales")))
+    val spaces = sql(s"SHOW NAMESPACES IN $C").collect().map(_.getString(0))
+    assert(spaces.contains("sales"))
+    sql(s"ALTER NAMESPACE $C.sales SET PROPERTIES ('owner_team' = 'data')")
+    assert(cat.namespaceProperties(Seq("sales"))("owner_team") == "data")
+  }
+
+  test("CREATE TABLE with partition transforms, INSERT, SELECT — no views") {
+    init
+    sql(s"""CREATE TABLE $C.sales.orders (
+           |  id BIGINT NOT NULL, region STRING, amount DECIMAL(10,2), ts TIMESTAMP_NTZ)
+           |PARTITIONED BY (bucket(4, id), days(ts))
+           |TBLPROPERTIES ('write.delete.mode' = 'copy-on-write')""".stripMargin)
+    val gt = cat.loadTable("sales.orders")
+    assert(gt.defaultPartitionSpec.fields.map(_.transform) == Seq("bucket[4]", "day"))
+    assert(gt.properties("write.delete.mode") == "copy-on-write")
+
+    sql(s"""INSERT INTO $C.sales.orders VALUES
+           |  (1, 'emea', 10.50, TIMESTAMP_NTZ'2026-01-01 10:00:00'),
+           |  (2, 'apac', 20.00, TIMESTAMP_NTZ'2026-01-02 11:00:00'),
+           |  (3, 'emea', 7.25,  TIMESTAMP_NTZ'2026-01-02 12:00:00')""".stripMargin)
+    val rows = sql(s"SELECT region, sum(amount) s FROM $C.sales.orders GROUP BY region ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getDecimal(1).toPlainString))
+    assert(rows.toSeq == Seq(("apac", "20.00"), ("emea", "17.75")))
+    // and the SQL-visible rows are exactly what the programmatic scan sees
+    assert(gt.refresh().toDF(spark).count() == 3)
+  }
+
+  test("filter pushdown reaches manifest pruning (plan shows pushed filters)") {
+    init
+    val plan = sql(s"SELECT id FROM $C.sales.orders WHERE id = 2").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"),
+      s"expected pushed filters in plan:\n$plan")
+    val got = sql(s"SELECT id, region FROM $C.sales.orders WHERE id = 2").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("DELETE FROM ... WHERE is a real row-level delete") {
+    init
+    sql(s"DELETE FROM $C.sales.orders WHERE id = 2")
+    assert(sql(s"SELECT count(*) FROM $C.sales.orders").head().getLong(0) == 2)
+    // inexpressible condition → clear error, not silent wrong answer
+    val e = intercept[Exception](sql(s"DELETE FROM $C.sales.orders WHERE region LIKE '%m%'"))
+    assert(e.getMessage.toLowerCase.contains("delete"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time travel") {
+    init
+    val gt = cat.loadTable("sales.orders").refresh()
+    val firstWrite = gt.history.head.snapshotId
+    assert(sql(s"SELECT count(*) FROM $C.sales.orders VERSION AS OF $firstWrite")
+      .head().getLong(0) == 3)
+    val asOf = java.time.Instant.ofEpochMilli(gt.lastUpdatedMs + 1000)
+      .toString.replace("T", " ").stripSuffix("Z")
+    assert(sql(s"SELECT count(*) FROM $C.sales.orders TIMESTAMP AS OF '$asOf'")
+      .head().getLong(0) == 2)
+  }
+
+  test("INSERT OVERWRITE replaces contents atomically") {
+    init
+    sql(s"INSERT OVERWRITE $C.sales.orders VALUES (9, 'amer', 1.00, TIMESTAMP_NTZ'2026-02-01 00:00:00')")
+    val after = sql(s"SELECT id FROM $C.sales.orders").collect().map(_.getLong(0))
+    assert(after.toSeq == Seq(9L))
+    // old snapshot still readable (time travel unaffected by overwrite)
+    val gt = cat.loadTable("sales.orders")
+    assert(gt.refresh().snapshots.length >= 3)
+  }
+
+  test("metadata tables resolve as ns.t.snapshots / .history / .refs") {
+    init
+    val snapCount = sql(s"SELECT count(*) FROM $C.sales.orders.snapshots").head().getLong(0)
+    val gt = cat.loadTable("sales.orders")
+    assert(snapCount == gt.refresh().snapshots.length)
+    assert(sql(s"SELECT * FROM $C.sales.orders.refs").collect().nonEmpty)
+    assert(sql(s"SELECT * FROM $C.sales.orders.history").collect().nonEmpty)
+  }
+
+  test("ALTER TABLE: properties and schema evolution") {
+    init
+    sql(s"ALTER TABLE $C.sales.orders SET TBLPROPERTIES ('commit.retry.num-retries' = '7')")
+    assert(cat.loadTable("sales.orders").properties("commit.retry.num-retries") == "7")
+    sql(s"ALTER TABLE $C.sales.orders UNSET TBLPROPERTIES ('commit.retry.num-retries')")
+    assert(!cat.loadTable("sales.orders").properties.contains("commit.retry.num-retries"))
+
+    sql(s"ALTER TABLE $C.sales.orders ADD COLUMN note STRING")
+    sql(s"INSERT INTO $C.sales.orders VALUES (10, 'emea', 2.00, TIMESTAMP_NTZ'2026-02-02 00:00:00', 'hi')")
+    val notes = sql(s"SELECT note FROM $C.sales.orders ORDER BY id").collect().map(_.getString(0))
+    assert(notes.toSeq == Seq(null, "hi"))
+    sql(s"ALTER TABLE $C.sales.orders RENAME COLUMN note TO comment_text")
+    assert(sql(s"SELECT comment_text FROM $C.sales.orders WHERE id = 10").head().getString(0) == "hi")
+  }
+
+  test("CTAS, SHOW TABLES, rename, DROP TABLE") {
+    init
+    sql(s"CREATE TABLE $C.sales.ctas_src (id BIGINT, amount DECIMAL(10,2))")
+    sql(s"INSERT INTO $C.sales.ctas_src VALUES (1, 1.00), (2, 2.00)")
+    sql(s"CREATE TABLE $C.sales.big_orders AS SELECT id, amount FROM $C.sales.ctas_src WHERE amount > 1.5")
+    assert(sql(s"SELECT count(*) FROM $C.sales.big_orders").head().getLong(0) == 1)
+    val names = sql(s"SHOW TABLES IN $C.sales").collect().map(_.getString(1))
+    assert(names.contains("big_orders"))
+    sql(s"ALTER TABLE $C.sales.big_orders RENAME TO sales.big2")
+    assert(cat.tableExists("sales.big2") && !cat.tableExists("sales.big_orders"))
+    sql(s"DROP TABLE $C.sales.big2")
+    assert(!cat.tableExists("sales.big2"))
+    intercept[AnalysisException](sql(s"SELECT * FROM $C.sales.big2"))
+  }
+
+  test("TRUNCATE TABLE empties but keeps history") {
+    init
+    sql(s"CREATE TABLE $C.sales.tr (a INT)")
+    sql(s"INSERT INTO $C.sales.tr VALUES (1), (2)")
+    sql(s"TRUNCATE TABLE $C.sales.tr")
+    assert(sql(s"SELECT count(*) FROM $C.sales.tr").head().getLong(0) == 0)
+    assert(cat.loadTable("sales.tr").snapshots.length == 2)
+  }
+
+  test("writes via SQL and the programmatic API interleave consistently") {
+    init
+    sql(s"CREATE TABLE $C.sales.mix (a INT, b STRING)")
+    sql(s"INSERT INTO $C.sales.mix VALUES (1, 'sql')")
+    val gt = cat.loadTable("sales.mix")
+    import spark.implicits._
+    gt.append(Seq((2, "api")).toDF("a", "b"))
+    val all = sql(s"SELECT a, b FROM $C.sales.mix ORDER BY a").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(all.toSeq == Seq((1, "sql"), (2, "api")))
+  }
+}
