@@ -3,7 +3,7 @@ package graft
 import graft.catalog.{HadoopCatalog, MemoryCatalog}
 import graft.functions.GraftFunctions
 import graft.meta.{PartitionField, PartitionSpec}
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.sql.GraftSql
 import graft.table.{EqPred, LtPred}
 import graft.types.SparkSchemaConverter
@@ -758,6 +758,63 @@ object SparkEntry {
       DedupOps.connectedComponents(pairs).orderBy("id")
     }),
 
+    "d46_pack_sequences" -> ((s, dir) => {
+      // concat-and-chunk sequence packing for training windows: per-source
+      // running token offsets + first chunk id; only shuffle is the hash
+      // partition on source (no global sort — groups pack independently)
+      CorpusOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          "source", ctxLen = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset").cast("long").as("start_offset"),
+          col("chunk_id").cast("long").as("chunk_id"))
+        .orderBy("doc_id")
+    }),
+
+    "d47_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: training docs sharing any word 8-gram
+      // with a test/benchmark doc (here: the planted mutated variants).
+      // One shuffle join on 32-byte gram hashes; test side broadcasts.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val test = docs.where("doc_id % 5 = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      CorpusOps.ngramOverlap(docs, test, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "d48_redact_pii" -> ((s, dir) => {
+      // PII scrubbing: deterministic synthetic contact lines (so the
+      // oracle can replay them), then a codegen'd regexp_replace chain;
+      // md5 of the redacted text makes the compare bitwise
+      val pii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      pii.select(col("doc_id"),
+          md5(TextOps.redactPii(col("text")).cast("binary")).as("red_hash"),
+          TextOps.emailCount(col("text")).cast("long").as("n_emails"),
+          TextOps.phoneCount(col("text")).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    "d49_stratified_sample" -> ((s, dir) => {
+      // per-stratum deterministic rates: downsample English to 2/16,
+      // default strata keep 4/16 — membership depends only on content
+      // hash, so the sample is reproducible on any engine or cluster
+      CorpusOps.stratifiedSample(t(s, dir, "documents"), "text", "lang",
+          Map("en" -> Seq("0", "1")), Seq("0", "1", "2", "3"))
+        .groupBy("lang")
+        .agg(n().as("n_docs"), sumd(d2(length(col("text")))).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    "d50_vocab_topk" -> ((s, dir) => {
+      // corpus vocabulary: map-side partial counts, final top-k is
+      // TakeOrderedAndProject (never materializes the full vocab sorted)
+      CorpusOps.vocabTopK(t(s, dir, "documents"), "text", 20)
+    }),
+
     "d34_minhash_pairs" -> ((s, dir) => {
       // Exact oracle: the full O(n²) cross-join Jaccard in DuckDB. The LSH
       // banding (8 bands × 4 rows) deterministically finds every pair with
@@ -1377,6 +1434,64 @@ object SparkEntry {
          |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "d46_pack_sequences" ->
+      s"""WITH tc AS (SELECT doc_id, source,
+         |  CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+         |acc AS (SELECT doc_id, source, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |    AS BIGINT) AS start_offset
+         |  FROM tc)
+         |SELECT doc_id, source, n_tokens, start_offset,
+         |  CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS chunk_id
+         |FROM acc ORDER BY doc_id""".stripMargin,
+
+    "d47_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |grams AS (
+         | SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+         |     i -> md5(array_to_string(t[i:i+7], ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         | FROM toks),
+         |testg AS (
+         | SELECT DISTINCT unnest(list_distinct(
+         |   CASE WHEN len(tm) >= 8 THEN list_transform(range(1, len(tm) - 6),
+         |     i -> md5(array_to_string(tm[i:i+7], ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         | FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
+         |       FROM toks WHERE doc_id % 5 = 0))
+         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM grams g JOIN testg USING (gram)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "d48_redact_pii" ->
+      s"""WITH pii AS (SELECT doc_id,
+         |  concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+         |    '@example.com call +1-555-',
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+         | FROM documents)
+         |SELECT doc_id,
+         | md5(regexp_replace(regexp_replace(text,
+         |   '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |   '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS red_hash,
+         | CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
+         |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "d49_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST(length(text) AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN substring(md5(text), 1, 1) IN ('0', '1')
+        |      ELSE substring(md5(text), 1, 1) IN ('0', '1', '2', '3') END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d50_vocab_topk" ->
+      s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM (SELECT unnest($ToksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
 
     "d45_neardup_clusters" ->
       s"""WITH RECURSIVE corpus AS (

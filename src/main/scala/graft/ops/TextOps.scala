@@ -95,6 +95,23 @@ object TextOps {
   /** Stable content hash for exact dedup (md5 hex — cheap, engine-portable). */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
+  // ------------------------------------------------------------ redaction
+
+  /** RE2-compatible patterns (run identically under Java regex and the
+    * DuckDB oracle): keep them simple on purpose — PII scrubbing at corpus
+    * scale must stay inside whole-stage codegen, and these compile to
+    * a single regexp_replace chain per row. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Scrub emails and phone numbers from free text (map-only; composes
+    * with any downstream op since it is just a column expression). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
   /** 64-bit FNV-1a rolling fingerprint (codegen'd custom expression) —
     * faster than md5 for fingerprint-only pipelines; not oracle-portable. */
   def fingerprint(text: Column): Column =
