@@ -532,6 +532,26 @@ object SparkEntry {
               |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    "g49_sql_merge" -> ((s, dir) => {
+      // SQL UPDATE + MERGE INTO via GraftSqlExtensions (session built with
+      // spark.sql.extensions): both statements execute graft's native
+      // COW DML — CTAS, UPDATE with expression assignment, then a CDC-style
+      // MERGE upserting one change and one new row
+      graft.spark.GraftSparkCatalog.register(s, "g49cat", new MemoryCatalog())
+      t(s, dir, "nation").createOrReplaceTempView("g49_nation_src")
+      s.sql("""CREATE TABLE g49cat.default.n AS
+              |SELECT n_nationkey, n_name, n_regionkey FROM g49_nation_src""".stripMargin)
+      s.sql("UPDATE g49cat.default.n SET n_name = concat(n_name, '_EU') WHERE n_regionkey = 3")
+      s.sql("""MERGE INTO g49cat.default.n t
+              |USING (SELECT * FROM VALUES (0, 'SWAPPED_0', 9), (995, 'NEWLAND', 9)
+              |       AS src(n_nationkey, n_name, n_regionkey)) s
+              |ON t.n_nationkey = s.n_nationkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+              |FROM g49cat.default.n GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     "g47_wap_fix" -> ((s, dir) => {
       // write-audit-publish with a FIX: stage an append on "audit", then
       // branch-scoped DML repairs it (MOR delete + COW update commit to
@@ -1244,6 +1264,21 @@ object SparkEntry {
         |  SELECT * FROM (VALUES (990, 'ATLANTIS', 9), (991, 'LEMURIA', 9)))
         |SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
         |FROM final GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "g49_sql_merge" ->
+      """WITH base AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation),
+        |merged AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey = 0 THEN 'SWAPPED_0' ELSE n_name END AS n_name,
+        |    CASE WHEN n_nationkey = 0 THEN 9 ELSE n_regionkey END AS n_regionkey
+        |  FROM base
+        |  UNION ALL SELECT 995, 'NEWLAND', 9)
+        |SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM merged GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "g47_wap_fix" ->
       """WITH src AS (SELECT l_quantity, l_returnflag FROM lineitem

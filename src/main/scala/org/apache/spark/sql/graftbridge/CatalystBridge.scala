@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Two more `private[sql]` re-exports (see [[ColumnBridge]] for why this
+  * file lives in the spark namespace): materializing a resolved logical
+  * plan as a DataFrame (the MERGE source), and converting a Catalyst
+  * literal's internal value (UTF8String, day-int, micros-long) to the
+  * external Scala value our scan predicates carry. */
+object CatalystBridge {
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def literalToScala(value: Any, dataType: org.apache.spark.sql.types.DataType): Any =
+    CatalystTypeConverters.convertToScala(value, dataType)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.catalog.MemoryCatalog
+import graft.spark.GraftSparkCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL UPDATE / MERGE INTO via GraftSqlExtensions (registered on the shared
+  * TestSpark session): statements on graft DSv2 tables execute graft's
+  * native DML; everything else falls through to Spark untouched. */
+class SqlDmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = new MemoryCatalog(name = "dmlmem")
+  private val C = "gdml"
+
+  private def sql(q: String) = spark.sql(q)
+  private lazy val init: Unit = {
+    GraftSparkCatalog.register(spark, C, cat)
+    cat.createNamespace(Seq("s"), ifNotExists = true)
+  }
+
+  test("UPDATE ... WHERE runs as native copy-on-write update") {
+    init
+    sql(s"CREATE TABLE $C.s.acct (id BIGINT, bal DOUBLE, tier STRING)")
+    sql(s"INSERT INTO $C.s.acct VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'b')")
+    sql(s"UPDATE $C.s.acct SET bal = bal + 5.0, tier = 'vip' WHERE id >= 2")
+    val rows = sql(s"SELECT id, bal, tier FROM $C.s.acct ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 10.0, "a"), (2L, 25.0, "vip"), (3L, 35.0, "vip")))
+    assert(cat.loadTable("s.acct").snapshots.length == 2)
+  }
+
+  test("UPDATE with inexpressible condition fails loudly, not wrongly") {
+    init
+    val e = intercept[UnsupportedFeatureError](
+      sql(s"UPDATE $C.s.acct SET bal = 0 WHERE tier = 'a' OR bal > 100"))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("MERGE INTO: UPDATE SET * / INSERT * upsert semantics") {
+    init
+    sql(s"CREATE TABLE $C.s.m1 (id BIGINT, v DOUBLE)")
+    sql(s"INSERT INTO $C.s.m1 VALUES (1, 1.0), (2, 2.0)")
+    sql(s"""MERGE INTO $C.s.m1 t
+           |USING (SELECT * FROM VALUES (2, 20.0), (3, 30.0) AS src(id, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = sql(s"SELECT id, v FROM $C.s.m1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("MERGE INTO: UPDATE SET with expressions over target and source") {
+    init
+    sql(s"CREATE TABLE $C.s.m2 (id BIGINT, v DOUBLE)")
+    sql(s"INSERT INTO $C.s.m2 VALUES (1, 1.0), (2, 2.0)")
+    sql(s"""MERGE INTO $C.s.m2 t
+           |USING (SELECT * FROM VALUES (1, 100.0), (9, 900.0) AS src(id, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val rows = sql(s"SELECT id, v FROM $C.s.m2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 101.0), (2L, 2.0), (9L, 900.0)))
+  }
+
+  test("MERGE INTO: WHEN MATCHED DELETE, merge-on-read table") {
+    init
+    sql(s"""CREATE TABLE $C.s.m3 (id BIGINT, v DOUBLE)
+           |TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""".stripMargin)
+    sql(s"INSERT INTO $C.s.m3 VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    sql(s"""MERGE INTO $C.s.m3 t
+           |USING (SELECT * FROM VALUES (CAST(2 AS BIGINT)) AS src(id)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    val ids = sql(s"SELECT id FROM $C.s.m3 ORDER BY id").collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(1L, 3L))
+  }
+
+  test("non-graft tables keep Spark's own (rejecting) DML path") {
+    init
+    spark.range(3).createOrReplaceTempView("plain_view")
+    val e = intercept[Exception](sql("UPDATE plain_view SET id = 0 WHERE id = 1"))
+    assert(!e.isInstanceOf[UnsupportedFeatureError])
+  }
+}
