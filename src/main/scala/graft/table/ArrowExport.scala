@@ -53,7 +53,13 @@ object ArrowExport {
     new ArrowSchema(schema.fields.map(arrowField).asJava)
 
   /** Materialize a DataFrame (already projected to `schema`) as Arrow
-    * batches of at most `maxRowsPerBatch` rows. Caller closes the roots. */
+    * batches of at most `maxRowsPerBatch` rows. Caller closes the roots.
+    *
+    * DRIVER-SIDE ONLY: this collects the full result into driver memory
+    * first (API parity with the reference's `to_arrow`, which also fully
+    * materializes — `scan.rs:57-63`). It is for handing modest results to
+    * Arrow consumers, NOT an export path for big tables — large exports
+    * should `df.write.parquet` from the executors instead. */
   def toBatches(df: DataFrame, schema: Schema, allocator: BufferAllocator,
                 maxRowsPerBatch: Int = 4096): Seq[VectorSchemaRoot] = {
     val rows = df.collect()
