@@ -548,6 +548,9 @@ object SparkEntry {
               |ON t.n_nationkey = s.n_nationkey
               |WHEN MATCHED THEN UPDATE SET *
               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // OR/LIKE exceed ScanPredicates → routes through the row-level
+      // merge-on-read deleteWhere (position deletes, no file rewrite)
+      s.sql("DELETE FROM g49cat.default.n WHERE n_name LIKE 'NATION_1%' OR n_regionkey = 4")
       s.sql("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
               |FROM g49cat.default.n GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
@@ -1278,7 +1281,9 @@ object SparkEntry {
         |  FROM base
         |  UNION ALL SELECT 995, 'NEWLAND', 9)
         |SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
-        |FROM merged GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+        |FROM merged
+        |WHERE NOT (n_name LIKE 'NATION_1%' OR n_regionkey = 4)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "g47_wap_fix" ->
       """WITH src AS (SELECT l_quantity, l_returnflag FROM lineitem

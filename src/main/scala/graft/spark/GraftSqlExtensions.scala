@@ -48,6 +48,19 @@ case class GraftUpdateCommand(table: GTable, preds: Seq[ScanPredicate],
                               assignments: Map[String, String])
   extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
 
+/** UPDATE whose condition exceeds ScanPredicates: runs the merge-on-read
+  * `updateWhere` (position deletes + updated images), with the prunable
+  * conjuncts still bounding the scan. */
+case class GraftUpdateWhereCommand(table: GTable, condition: String,
+                                   prunePreds: Seq[ScanPredicate],
+                                   assignments: Map[String, String])
+  extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
+
+/** DELETE whose condition exceeds ScanPredicates (OR, LIKE, functions). */
+case class GraftDeleteWhereCommand(table: GTable, condition: String,
+                                   prunePreds: Seq[ScanPredicate])
+  extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
+
 case class GraftMergeCommand(table: GTable, source: LogicalPlan,
                              on: Seq[String], whenMatched: WhenMatched,
                              whenNotMatched: WhenNotMatched)
@@ -57,6 +70,10 @@ class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftUpdateCommand(t, preds, assigns) =>
       GraftDmlExec(() => t.refresh().update(session, preds, assigns)) :: Nil
+    case GraftUpdateWhereCommand(t, cond, pp, assigns) =>
+      GraftDmlExec(() => t.refresh().updateWhere(session, cond, assigns, pp)) :: Nil
+    case GraftDeleteWhereCommand(t, cond, pp) =>
+      GraftDmlExec(() => t.refresh().deleteWhere(session, cond, pp)) :: Nil
     case GraftMergeCommand(t, src, on, wm, wnm) =>
       GraftDmlExec(() => t.refresh().merge(session,
         CatalystBridge.dataFrame(session, src), on, wm, wnm)) :: Nil
@@ -81,15 +98,54 @@ class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(target, assignments, condition)
         if u.resolved && graftTable(target).isDefined =>
       val t = graftTable(target).get
-      val preds = condition.map(predicatesOf).getOrElse(Nil)
+      condition.foreach(rejectSubqueries)
       val assigns = assignments.map { a =>
         (attrName(a.key, "UPDATE SET target"), unqualifiedSql(a.value))
       }.toMap
-      GraftUpdateCommand(t, preds, assigns)
+      condition match {
+        case Some(cond) =>
+          val (preds, residual) = convertConjuncts(cond)
+          if (residual.isEmpty) GraftUpdateCommand(t, preds, assigns)
+          else GraftUpdateWhereCommand(t, unqualifiedSql(cond), preds, assigns)
+        case None => // UPDATE without WHERE: every row, via position deletes
+          GraftUpdateWhereCommand(t, "true", Nil, assigns)
+      }
+
+    // Only DELETEs the DSv2 SupportsDelete path must refuse (conditions
+    // beyond ScanPredicate conjunctions); simple ones stay on that path.
+    case d @ DeleteFromTable(target, condition)
+        if d.resolved && graftTable(target).isDefined &&
+          !isConstTrue(condition) && convertConjuncts(condition)._2.nonEmpty =>
+      rejectSubqueries(condition)
+      val (preds, _) = convertConjuncts(condition)
+      GraftDeleteWhereCommand(graftTable(target).get,
+        unqualifiedSql(condition), preds)
 
     case m: MergeIntoTable if m.resolved && graftTable(m.targetTable).isDefined =>
       convertMerge(m)
   }
+
+  /** Split a condition into conjuncts and convert each: (convertible
+    * ScanPredicates, residual conjuncts needing row-level handling). */
+  private def convertConjuncts(cond: Expression): (Seq[ScanPredicate], Seq[Expression]) = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val (ok, rest) = conjuncts(cond).map(c => (c, toPredicate(c))).partition(_._2.isDefined)
+    (ok.flatMap(_._2), rest.map(_._1))
+  }
+
+  private def isConstTrue(e: Expression): Boolean = e match {
+    case Const(true) => true
+    case _ => false
+  }
+
+  /** Correlated/uncorrelated subqueries can't be re-parsed against the
+    * scanned DataFrame — the one genuinely unsupported condition shape. */
+  private def rejectSubqueries(cond: Expression): Unit =
+    if (cond.exists(_.isInstanceOf[SubqueryExpression]))
+      unsupported(s"subquery in DML condition `${cond.sql}`")
 
   private def graftTable(plan: LogicalPlan): Option[GTable] = plan match {
     case SubqueryAlias(_, child) => graftTable(child)
@@ -126,23 +182,22 @@ class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
       else None
   }
 
-  /** WHERE → conjunction of ScanPredicates (exactly the DSv2 DELETE rule:
-    * pruning-capable conjuncts or a clear error). */
-  private def predicatesOf(cond: Expression): Seq[ScanPredicate] = cond match {
-    case And(l, r) => predicatesOf(l) ++ predicatesOf(r)
-    case EqualTo(a: Attribute, Const(v)) => Seq(EqPred(a.name, v))
-    case EqualTo(Const(v), a: Attribute) => Seq(EqPred(a.name, v))
-    case LessThan(a: Attribute, Const(v)) => Seq(LtPred(a.name, v))
-    case LessThan(Const(v), a: Attribute) => Seq(GtPred(a.name, v))
-    case LessThanOrEqual(a: Attribute, Const(v)) => Seq(LePred(a.name, v))
-    case LessThanOrEqual(Const(v), a: Attribute) => Seq(GePred(a.name, v))
-    case GreaterThan(a: Attribute, Const(v)) => Seq(GtPred(a.name, v))
-    case GreaterThan(Const(v), a: Attribute) => Seq(LtPred(a.name, v))
-    case GreaterThanOrEqual(a: Attribute, Const(v)) => Seq(GePred(a.name, v))
-    case GreaterThanOrEqual(Const(v), a: Attribute) => Seq(LePred(a.name, v))
+  /** One conjunct → a pruning-capable ScanPredicate, or None (the conjunct
+    * then rides row-level through updateWhere/deleteWhere). */
+  private def toPredicate(cond: Expression): Option[ScanPredicate] = cond match {
+    case EqualTo(a: Attribute, Const(v)) => Some(EqPred(a.name, v))
+    case EqualTo(Const(v), a: Attribute) => Some(EqPred(a.name, v))
+    case LessThan(a: Attribute, Const(v)) => Some(LtPred(a.name, v))
+    case LessThan(Const(v), a: Attribute) => Some(GtPred(a.name, v))
+    case LessThanOrEqual(a: Attribute, Const(v)) => Some(LePred(a.name, v))
+    case LessThanOrEqual(Const(v), a: Attribute) => Some(GePred(a.name, v))
+    case GreaterThan(a: Attribute, Const(v)) => Some(GtPred(a.name, v))
+    case GreaterThan(Const(v), a: Attribute) => Some(LtPred(a.name, v))
+    case GreaterThanOrEqual(a: Attribute, Const(v)) => Some(GePred(a.name, v))
+    case GreaterThanOrEqual(Const(v), a: Attribute) => Some(LePred(a.name, v))
     case In(a: Attribute, vs) if vs.forall(Const.unapply(_).isDefined) =>
-      Seq(InPred(a.name, vs.map(v => Const.unapply(v).get)))
-    case other => unsupported(s"condition `${other.sql}`")
+      Some(InPred(a.name, vs.map(v => Const.unapply(v).get)))
+    case _ => None
   }
 
   // ----------------------------------------------------------------- merge

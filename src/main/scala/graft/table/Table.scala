@@ -344,7 +344,30 @@ final class Table(
   def deleteMergeOnRead(spark: SparkSession, predicates: Seq[ScanPredicate],
                         branch: String = "main"): Unit = {
     require(predicates.nonEmpty, "delete requires predicates; use overwrite to replace all")
+    morDelete(spark, predicates, None, branch)
+  }
+
+  /**
+   * Row-level DELETE with an ARBITRARY boolean SQL condition (OR, LIKE,
+   * functions — anything beyond [[ScanPredicate]]'s conjunctions), as
+   * merge-on-read position deletes (deletion vectors on format-v3):
+   * O(matched rows) written, no file rewrite. `prunePredicates` is the
+   * optional prunable subset of the condition — pass the conjuncts that ARE
+   * simple so manifest pruning still bounds the scan; the full condition is
+   * (re-)applied row-level either way, so over-pruning is impossible and
+   * the worst case is a full scan, never a wrong answer.
+   */
+  def deleteWhere(spark: SparkSession, condition: String,
+                  prunePredicates: Seq[ScanPredicate] = Nil,
+                  branch: String = "main"): Unit = {
+    require(condition.trim.nonEmpty, "deleteWhere requires a condition")
+    morDelete(spark, prunePredicates, Some(condition), branch)
+  }
+
+  private def morDelete(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        condition: Option[String], branch: String): Unit = {
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val extraCond = condition.map(org.apache.spark.sql.functions.expr)
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -352,7 +375,7 @@ final class Table(
       val affectedScan = dmlScan(branch, predicates)
       val affected = affectedScan.planFiles()
       if (affected.isEmpty) return // nothing can match — no new snapshot
-      val matched = affectedScan.matchedRowsWithPositions(spark, affected)
+      val matched = affectedScan.matchedRowsWithPositions(spark, affected, extraCond)
         .select(col("__file").as("file_path"), col("__pos").as("pos"))
       val commitUuid = java.util.UUID.randomUUID().toString
       val (delFiles, superseded, newHidden) =
@@ -451,9 +474,29 @@ final class Table(
   def updateMergeOnRead(spark: SparkSession, predicates: Seq[ScanPredicate],
                         assignments: Map[String, String],
                         branch: String = "main"): Unit = {
-    validateAssignments(assignments)
     require(predicates.nonEmpty, "update requires predicates")
+    morUpdate(spark, predicates, None, assignments, branch)
+  }
+
+  /** Row-level UPDATE with an arbitrary boolean SQL condition — the
+    * [[deleteWhere]] of UPDATE: position-deletes the matched rows and
+    * appends their updated images. Same pruning contract: `prunePredicates`
+    * bound the scan, the full condition decides the rows. */
+  def updateWhere(spark: SparkSession, condition: String,
+                  assignments: Map[String, String],
+                  prunePredicates: Seq[ScanPredicate] = Nil,
+                  branch: String = "main"): Unit = {
+    require(condition.trim.nonEmpty, "updateWhere requires a condition")
+    morUpdate(spark, prunePredicates, Some(condition), assignments, branch)
+  }
+
+  private def morUpdate(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        condition: Option[String],
+                        assignments: Map[String, String],
+                        branch: String): Unit = {
+    validateAssignments(assignments)
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val extraCond = condition.map(org.apache.spark.sql.functions.expr)
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -464,7 +507,7 @@ final class Table(
       // matched rows feed two writes (positions + updated images); persist
       // so the scan+anti-join doesn't run twice. Matched rows only — small
       // relative to the affected files, and disk-backed if not.
-      val matched = affectedScan.matchedRowsWithPositions(spark, affected)
+      val matched = affectedScan.matchedRowsWithPositions(spark, affected, extraCond)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val commitUuid = java.util.UUID.randomUUID().toString

@@ -250,9 +250,11 @@ final class TableScan(
     * merge-on-read DELETE/UPDATE: only matched (file, pos) pairs and row
     * content ever leave the scan — no data file is rewritten. */
   private[graft] def matchedRowsWithPositions(spark: SparkSession,
-                                              tasks: Seq[FileScanTask]): DataFrame = {
+                                              tasks: Seq[FileScanTask],
+                                              extraCondition: Option[Column] = None): DataFrame = {
     val all = materializeTasks(spark, tasks, withPositions = true)
-    val filtered = predicates.foldLeft(all)((d, p) => d.filter(predicateToColumn(p)))
+    val predFiltered = predicates.foldLeft(all)((d, p) => d.filter(predicateToColumn(p)))
+    val filtered = extraCondition.foldLeft(predFiltered)(_ filter _)
     // translate the rendered path back to the manifest-form path so the
     // recorded position deletes are spec-shaped (scheme-slash variance!)
     import spark.implicits._

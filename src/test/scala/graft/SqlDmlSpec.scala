@@ -29,10 +29,39 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(cat.loadTable("s.acct").snapshots.length == 2)
   }
 
-  test("UPDATE with inexpressible condition fails loudly, not wrongly") {
+  test("UPDATE with OR/LIKE condition routes through row-level updateWhere") {
+    init
+    sql(s"CREATE TABLE $C.s.acct2 (id BIGINT, bal DOUBLE, tier STRING)")
+    sql(s"INSERT INTO $C.s.acct2 VALUES (1, 10.0, 'az'), (2, 20.0, 'b'), (3, 300.0, 'c')")
+    sql(s"UPDATE $C.s.acct2 SET bal = -1.0 WHERE tier LIKE 'a%' OR bal > 100")
+    val bals = sql(s"SELECT bal FROM $C.s.acct2 ORDER BY id").collect().map(_.getDouble(0))
+    assert(bals.toSeq == Seq(-1.0, 20.0, -1.0))
+  }
+
+  test("UPDATE without WHERE updates every row") {
+    init
+    sql(s"CREATE TABLE $C.s.acct3 (id BIGINT, bal DOUBLE)")
+    sql(s"INSERT INTO $C.s.acct3 VALUES (1, 1.0), (2, 2.0)")
+    sql(s"UPDATE $C.s.acct3 SET bal = bal * 10")
+    val bals = sql(s"SELECT bal FROM $C.s.acct3 ORDER BY id").collect().map(_.getDouble(0))
+    assert(bals.toSeq == Seq(10.0, 20.0))
+  }
+
+  test("DELETE with OR condition routes through row-level deleteWhere") {
+    init
+    sql(s"CREATE TABLE $C.s.del2 (id BIGINT, tier STRING)")
+    sql(s"INSERT INTO $C.s.del2 VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'a')")
+    sql(s"DELETE FROM $C.s.del2 WHERE tier = 'a' OR id = 3")
+    val ids = sql(s"SELECT id FROM $C.s.del2 ORDER BY id").collect().map(_.getLong(0))
+    assert(ids.toSeq == Seq(2L))
+    // deleted via position deletes, no data-file rewrite: one more snapshot
+    assert(cat.loadTable("s.del2").snapshots.length == 2)
+  }
+
+  test("subquery in a DML condition fails loudly, not wrongly") {
     init
     val e = intercept[UnsupportedFeatureError](
-      sql(s"UPDATE $C.s.acct SET bal = 0 WHERE tier = 'a' OR bal > 100"))
+      sql(s"UPDATE $C.s.acct SET bal = 0 WHERE id IN (SELECT id FROM $C.s.acct WHERE bal > 5)"))
     assert(e.getMessage.contains("not supported"))
   }
 
