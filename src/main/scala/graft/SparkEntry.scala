@@ -838,6 +838,21 @@ object SparkEntry {
       CorpusOps.vocabTopK(t(s, dir, "documents"), "text", 20)
     }),
 
+    "d51_repetition" -> ((s, dir) => {
+      // boilerplate/spam signal: duplicated-bigram fraction per doc,
+      // map-only (the gram list never leaves its row)
+      CorpusOps.repetitionScore(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    "d52_chunking" -> ((s, dir) => {
+      // RAG chunking: 64-token windows every 48 tokens (16-token overlap),
+      // map-only explode; md5 keeps the compare row-sized
+      CorpusOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, strideTokens = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "d34_minhash_pairs" -> ((s, dir) => {
       // Exact oracle: the full O(n²) cross-join Jaccard in DuckDB. The LSH
       // banding (8 bands × 4 rows) deterministically finds every pair with
@@ -1532,6 +1547,27 @@ object SparkEntry {
       s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
          |FROM (SELECT unnest($ToksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
+
+    "d51_repetition" ->
+      s"""SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         | CASE WHEN len(g) = 0 THEN 0.0
+         |      ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END AS dup_fraction
+         |FROM (SELECT doc_id,
+         |  CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+         |    i -> array_to_string(t[i:i+1], ' '))
+         |  ELSE CAST([] AS VARCHAR[]) END AS g
+         | FROM (SELECT doc_id, $ToksSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "d52_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS s
+         |       FROM toks WHERE len(t) > 0)
+         |SELECT doc_id,
+         | CAST(FLOOR((s - 1) / 48.0) AS BIGINT) AS chunk_idx,
+         | CAST(least(64, len(t) - s + 1) AS BIGINT) AS n_chunk_tokens,
+         | md5(array_to_string(t[s:s+63], ' ')) AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "d45_neardup_clusters" ->
       s"""WITH RECURSIVE corpus AS (

@@ -98,4 +98,43 @@ object CorpusOps {
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+
+  /** Intra-document repetition score — the standard boilerplate/spam
+    * quality signal: the fraction of a document's word `n`-grams that are
+    * duplicates (1 − distinct/total; 0 for docs shorter than `n` tokens).
+    * Map-only: the gram list never leaves its row. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol),
+      size(grams).cast("long").as("n_grams"),
+      when(size(grams) === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(grams)).cast("double") / size(grams))
+        .as("dup_fraction"))
+  }
+
+  /** RAG-style chunking: fixed `chunkTokens`-token windows every
+    * `strideTokens` tokens (overlap = chunk − stride), one output row per
+    * chunk. Map-only explode — each document's chunks are produced where
+    * the document lives, no shuffle; empty documents yield no chunks. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0, "chunk and stride must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")), lit(strideTokens))).as("__start"))
+      .select(col(idCol),
+        floor((col("__start") - 1) / lit(strideTokens.toDouble)).cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start") + 1)
+          .cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("__toks"), col("__start"), lit(chunkTokens)), " ")
+          .cast("binary")).as("chunk_hash"))
+  }
 }

@@ -84,18 +84,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
     }
 
-  /** `VERSION AS OF <snapshot-id>`. */
+  /** `VERSION AS OF <snapshot-id | 'branch' | 'tag'>` — a ref name reads
+    * that ref's head, so WAP audit branches are SQL-readable:
+    * `SELECT … FROM graft.ns.t VERSION AS OF 'audit'`. */
   override def loadTable(ident: Identifier, version: String): SparkTableApi = {
-    val sid =
-      try version.toLong
-      catch { case _: NumberFormatException =>
-        throw new NoSuchTableException(ident) }
     val t = try backing.loadTable(nameOf(ident)) catch {
       case _: NoSuchTableError | _: NoSuchNamespaceError =>
         throw new NoSuchTableException(ident)
     }
-    if (t.snapshotById(sid).isEmpty)
-      throw new InvalidDataError(s"no snapshot with id $sid")
+    val sid = version.toLongOption match {
+      case Some(id) =>
+        if (t.snapshotById(id).isEmpty)
+          throw new InvalidDataError(s"no snapshot with id $id")
+        id
+      case None => t.snapshotForRef(version).map(_.snapshotId).getOrElse(
+        throw new InvalidDataError(s"no snapshot or ref named $version"))
+    }
     new GraftSparkTable(t, Some(sid))
   }
 

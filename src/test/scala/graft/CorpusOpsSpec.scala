@@ -69,6 +69,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 1 && r.getInt(2) == 2)
   }
 
+  test("repetitionScore: duplicated-bigram fraction, short docs score 0") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // bigrams: ab ba ab ba -> 4 total, 2 distinct -> 0.5
+      (2L, "x y z"),      // all distinct -> 0.0
+      (3L, "solo")).toDF("doc_id", "text") // < n tokens -> 0 grams, 0.0
+    val r = CorpusOps.repetitionScore(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((1L, 4L, 0.5), (2L, 2L, 0.0), (3L, 0L, 0.0)))
+  }
+
+  test("chunkDocuments: stride windows with overlap, clamped tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val chunks = CorpusOps.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // starts 1,4,7,10 -> lengths 4,4,4,1; empty doc yields nothing
+    assert(chunks.toSeq == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L)))
+  }
+
   test("packSequences plan: one shuffle on the group key, no global sort") {
     val docs = Seq((1L, "a b", "s1")).toDF("doc_id", "text", "source")
     val plan = CorpusOps.packSequences(docs, "doc_id", "text", "source", 512)

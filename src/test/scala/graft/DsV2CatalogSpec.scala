@@ -83,6 +83,18 @@ class DsV2CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 2)
   }
 
+  test("VERSION AS OF a branch name reads the WAP audit branch") {
+    init
+    sql(s"CREATE TABLE $C.sales.wap (id BIGINT)")
+    val gt = cat.loadTable("sales.wap")
+    import spark.implicits._
+    gt.append(Seq(1L).toDF("id"))
+    gt.appendToBranch("audit", Seq(2L, 3L).toDF("id"))
+    assert(sql(s"SELECT count(*) FROM $C.sales.wap").head().getLong(0) == 1)
+    assert(sql(s"SELECT count(*) FROM $C.sales.wap VERSION AS OF 'audit'")
+      .head().getLong(0) == 3)
+  }
+
   test("INSERT OVERWRITE replaces contents atomically") {
     init
     sql(s"INSERT OVERWRITE $C.sales.orders VALUES (9, 'amer', 1.00, TIMESTAMP_NTZ'2026-02-01 00:00:00')")
