@@ -1,0 +1,94 @@
+package graft.spark
+
+import graft.InvalidDataError
+import graft.table.{StaticTable, Table => GTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{Table => SparkTable}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * Path-based reads without a catalog — the reference's StaticTable
+ * (`lib/iceberg/static_table.rb`) surfaced as a Spark data source:
+ *
+ * {{{
+ * spark.read.format("graft").load("/warehouse/ns/t")            // table dir
+ * spark.read.format("graft").load(".../v7.metadata.json")       // pinned metadata
+ * spark.read.format("graft").option("snapshot-id", "123").load(dir)
+ * spark.read.format("graft").option("branch", "audit").load(dir)
+ * spark.read.format("graft").option("as-of-timestamp-ms", ms).load(dir)
+ * }}}
+ *
+ * A directory resolves through `metadata/version-hint.text` (the Hadoop
+ * catalog layout), falling back to the highest `v*.metadata.json`. Tables
+ * loaded this way have no catalog, so they are read-only — writes fail
+ * with the read-only error, matching StaticTable semantics.
+ */
+class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): SparkTable =
+    resolve(new CaseInsensitiveStringMap(properties))
+
+  private def resolve(options: CaseInsensitiveStringMap): GraftSparkTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new InvalidDataError("format(\"graft\") requires a path"))
+    val t = StaticTable.load(GraftDataSource.metadataPathFor(path), new Configuration())
+    val pinned: Option[Long] =
+      (Option(options.get("snapshot-id")), Option(options.get("branch")),
+        Option(options.get("as-of-timestamp-ms"))) match {
+        case (Some(sid), None, None) =>
+          val id = sid.toLong
+          if (t.snapshotById(id).isEmpty)
+            throw new InvalidDataError(s"no snapshot with id $id")
+          Some(id)
+        case (None, Some(ref), None) =>
+          Some(t.snapshotForRef(ref).getOrElse(
+            throw new InvalidDataError(s"no ref named $ref")).snapshotId)
+        case (None, None, Some(ts)) =>
+          Some(t.snapshotAsOf(ts.toLong).getOrElse(
+            throw new InvalidDataError(s"no snapshot at or before $ts")).snapshotId)
+        case (None, None, None) => None
+        case _ => throw new InvalidDataError(
+          "use at most one of snapshot-id / branch / as-of-timestamp-ms")
+      }
+    new GraftSparkTable(t, pinned)
+  }
+}
+
+object GraftDataSource {
+  /** A `*.metadata.json` path passes through; a table directory resolves
+    * via `metadata/version-hint.text`, else the highest version file. */
+  private[spark] def metadataPathFor(path: String,
+                                     conf: Configuration = new Configuration()): String = {
+    if (path.endsWith(".metadata.json")) return path
+    val dir = new Path(path, "metadata")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir))
+      throw new InvalidDataError(s"not a graft table (no metadata/ under $path)")
+    val hint = new Path(dir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      new Path(dir, s"v$v.metadata.json").toString
+    } else {
+      val VRe = """v(\d+)\.metadata\.json""".r
+      val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+        case VRe(n) => n.toInt
+      }
+      if (versions.isEmpty)
+        throw new InvalidDataError(s"no metadata json found under $dir")
+      new Path(dir, s"v${versions.max}.metadata.json").toString
+    }
+  }
+}
