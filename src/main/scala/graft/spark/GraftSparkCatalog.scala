@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
  * `loadTable(ident, version|timestamp)` hooks; metadata tables resolve as
  * `ns.t.snapshots` etc.
  */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var refKey: Option[String] = None
@@ -219,6 +220,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     backing.tableExists(nameOf(ident))
+
+  // ---------------------------------------------------------- procedures
+
+  /** `CALL graft.system.<proc>(...)` — SQL maintenance (see
+    * [[GraftProcedures]] for the roster). */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new RuntimeException(s"unknown procedure namespace: ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(backing, ident.name).getOrElse(
+      throw new RuntimeException(s"unknown procedure: ${ident.name}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.list.map(Identifier.of(Array("system"), _))
+    else Array.empty
 
   // ---------------------------------------------------------- namespaces
 
