@@ -106,6 +106,29 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 3L))
   }
 
+  test("concurrent SQL MERGEs on disjoint keys all commit (CAS retry)") {
+    init
+    sql(s"CREATE TABLE $C.s.conc (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $C.s.conc VALUES (0, 0)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val merges = (1 to 4).map { k =>
+      Future(sql(
+        s"""MERGE INTO $C.s.conc t
+           |USING (SELECT CAST($k AS BIGINT) AS id, CAST(${k * 10} AS BIGINT) AS v) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    }
+    Await.result(Future.sequence(merges), 120.seconds)
+    val rows = sql(s"SELECT id, v FROM $C.s.conc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // every merge inserted (no lost update): 1 create + 1 insert + 4 merges
+    assert(cat.loadTable("s.conc").snapshots.length >= 5)
+  }
+
   test("non-graft tables keep Spark's own (rejecting) DML path") {
     init
     spark.range(3).createOrReplaceTempView("plain_view")
