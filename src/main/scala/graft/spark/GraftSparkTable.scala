@@ -118,12 +118,35 @@ class GraftSparkTable(
 }
 
 /** Snapshot-pinned V1 scan bridge; one instance per (pushdown, pruning)
-  * outcome. `readSchema` is the pruned schema — Spark plans on it. */
+  * outcome. `readSchema` is the pruned schema — Spark plans on it.
+  *
+  * Reports REAL statistics from manifest planning (post-pruning file
+  * bytes + record counts), so Catalyst's join sizing sees the true scan
+  * size: a dimension-sized graft table auto-broadcasts in SQL joins
+  * instead of defaulting to `spark.sql.defaultSizeInBytes` (= "huge",
+  * = sort-merge-join everything). Planning runs once, lazily, only when
+  * the optimizer asks — and it is the same manifest planning the scan
+  * itself needs, distributed past 64 manifests. */
 private[spark] class GraftV1Scan(
     gt: GTable,
     snapshotId: Option[Long],
     pushed: Array[Filter],
-    required: StructType) extends V1Scan {
+    required: StructType)
+  extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private lazy val plannedTasks =
+    gt.scan(snapshotId, pushed.flatMap(FilterBridge.toPredicate).toSeq).planFiles()
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(plannedTasks.map(_.file.fileSizeInBytes).sum)
+      // exact only when no delete files apply; else let Spark estimate
+      override def numRows(): java.util.OptionalLong =
+        if (plannedTasks.forall(_.deleteFiles.isEmpty))
+          java.util.OptionalLong.of(plannedTasks.map(_.recordCount).sum)
+        else java.util.OptionalLong.empty()
+    }
 
   override def readSchema(): StructType = required
 

@@ -153,6 +153,19 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(cat.loadTable("sales.tr").snapshots.length == 2)
   }
 
+  test("scan reports real statistics: small tables auto-broadcast in joins") {
+    init
+    sql(s"CREATE TABLE $C.sales.dim (k BIGINT, label STRING)")
+    sql(s"INSERT INTO $C.sales.dim VALUES (0, 'a'), (1, 'b'), (2, 'c')")
+    spark.range(100000).selectExpr("id", "id % 3 AS k")
+      .createOrReplaceTempView("facts_v")
+    val plan = sql(
+      s"SELECT f.id, d.label FROM facts_v f JOIN $C.sales.dim d ON f.k = d.k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 3-row graft table to broadcast:\n$plan")
+  }
+
   test("writes via SQL and the programmatic API interleave consistently") {
     init
     sql(s"CREATE TABLE $C.sales.mix (a INT, b STRING)")
