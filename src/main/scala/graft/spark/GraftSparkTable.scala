@@ -7,6 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, TableCapability, Table => SparkTable}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan => V1TableScan}
@@ -54,9 +55,11 @@ class GraftSparkTable(
   // ---------------------------------------------------------------- read
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = schema()
+      private var aggResult: Option[(StructType, Seq[Any])] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val (ok, residual) = filters.partition(f => FilterBridge.toColumn(f).isDefined)
@@ -66,8 +69,31 @@ class GraftSparkTable(
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan =
-        new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required)
+
+      // Metadata-only aggregates: COUNT(*) / COUNT(col) / MIN / MAX over
+      // the whole table are answered from manifest record counts, null
+      // counts and column bounds — zero data files read on a 100 TB table.
+      // Declined (scan proceeds normally) whenever exactness is not
+      // provable: filters present, group-by, delete files in any task, a
+      // file missing the needed stat, or a type whose bound ordering
+      // differs from Spark's.
+      override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = {
+        if (aggResult.isEmpty) aggResult = MetadataAggregates.compute(
+          graftTable, pinnedSnapshotId, pushed, agg)
+        aggResult.isDefined
+      }
+      override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+        if (aggResult.isEmpty) aggResult = MetadataAggregates.compute(
+          graftTable, pinnedSnapshotId, pushed, agg)
+        aggResult.isDefined
+      }
+
+      override def build(): Scan = aggResult match {
+        case Some((aggSchema, values)) =>
+          new GraftMetadataAggScan(graftTable, aggSchema, values)
+        case None =>
+          new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required)
+      }
     }
 
   // --------------------------------------------------------------- write

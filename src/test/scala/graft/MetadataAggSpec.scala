@@ -1,0 +1,72 @@
+package graft
+
+import graft.catalog.MemoryCatalog
+import graft.spark.GraftSparkCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only aggregate pushdown: COUNT/MIN/MAX answered from manifest
+  * stats without opening a data file — and declined (exactly, silently)
+  * whenever that would not be exact. */
+class MetadataAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = new MemoryCatalog(name = "aggmem")
+  private val C = "gagg"
+
+  private def sql(q: String) = spark.sql(q)
+  private lazy val init: Unit = {
+    GraftSparkCatalog.register(spark, C, cat)
+    sql(s"CREATE TABLE $C.default.t (id BIGINT, v DOUBLE, s STRING, d DATE)")
+    sql(s"""INSERT INTO $C.default.t VALUES
+           | (1, 1.5, 'b', DATE'2026-01-02'), (2, -3.0, 'a', DATE'2026-01-01')""".stripMargin)
+    sql(s"INSERT INTO $C.default.t VALUES (3, 9.25, 'zz', DATE'2026-03-01'), (4, NULL, 'c', DATE'2026-02-01')")
+  }
+
+  test("COUNT/MIN/MAX come from metadata and the scan is the agg scan") {
+    init
+    val df = sql(s"SELECT count(*), count(v), min(v), max(v), min(s), max(s), min(d), max(d) FROM $C.default.t")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMetadataAggScan"), s"expected pushed aggregate:\n$plan")
+    val r = df.head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == -3.0 && r.getDouble(3) == 9.25)
+    assert(r.getString(4) == "a" && r.getString(5) == "zz")
+    assert(r.getDate(6).toString == "2026-01-01" && r.getDate(7).toString == "2026-03-01")
+  }
+
+  test("declines under filters and still answers correctly") {
+    init
+    val df = sql(s"SELECT count(*) FROM $C.default.t WHERE id >= 3")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftMetadataAggScan"))
+    assert(df.head().getLong(0) == 2)
+  }
+
+  test("declines when delete files apply (MOR), stays exact") {
+    init
+    sql(s"""CREATE TABLE $C.default.m (id BIGINT)
+           |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    sql(s"INSERT INTO $C.default.m VALUES (1), (2), (3)")
+    sql(s"DELETE FROM $C.default.m WHERE id = 2")
+    val df = sql(s"SELECT count(*), min(id) FROM $C.default.m")
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+    val r = df.head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+  }
+
+  test("empty table: count 0, min/max NULL, still metadata-only") {
+    init
+    sql(s"CREATE TABLE $C.default.e (id BIGINT)")
+    val df = sql(s"SELECT count(*), min(id) FROM $C.default.e")
+    assert(df.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+    val r = df.head()
+    assert(r.getLong(0) == 0 && r.isNullAt(1))
+  }
+
+  test("SUM and GROUP BY are not pushed and stay correct") {
+    init
+    val r1 = sql(s"SELECT sum(id) FROM $C.default.t").head()
+    assert(r1.getLong(0) == 10)
+    val r2 = sql(s"SELECT s, count(*) FROM $C.default.t GROUP BY s ORDER BY s").collect()
+    assert(r2.length == 4)
+  }
+}
