@@ -56,16 +56,23 @@ class GraftSparkTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = schema()
       private var aggResult: Option[(StructType, Seq[Any])] = None
+      private var limitHint: Option[Int] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val (ok, residual) = filters.partition(f => FilterBridge.toColumn(f).isDefined)
         pushed = ok
         residual
       }
+
+      // LIMIT as a planning hint: isPartiallyPushed stays true (Spark keeps
+      // its own Limit on top), but an unfiltered LIMIT n plans only enough
+      // files to cover n rows instead of the whole table.
+      override def pushLimit(n: Int): Boolean = { limitHint = Some(n); true }
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
@@ -92,7 +99,7 @@ class GraftSparkTable(
         case Some((aggSchema, values)) =>
           new GraftMetadataAggScan(graftTable, aggSchema, values)
         case None =>
-          new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required)
+          new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required, limitHint)
       }
     }
 
@@ -157,7 +164,8 @@ private[spark] class GraftV1Scan(
     gt: GTable,
     snapshotId: Option[Long],
     pushed: Array[Filter],
-    required: StructType)
+    required: StructType,
+    limitHint: Option[Int] = None)
   extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private lazy val plannedTasks =
@@ -178,10 +186,11 @@ private[spark] class GraftV1Scan(
 
   override def toV1TableScan[T <: BaseRelation with V1TableScan](
       context: SQLContext): T =
-    new GraftV1Relation(gt, snapshotId, pushed, required, context).asInstanceOf[T]
+    new GraftV1Relation(gt, snapshotId, pushed, required, limitHint, context).asInstanceOf[T]
 
   override def description(): String =
-    s"graft ${gt.ident} pushed=${pushed.mkString(",")}"
+    s"graft ${gt.ident} pushed=${pushed.mkString(",")}" +
+      limitHint.map(n => s" limit=$n").getOrElse("")
 }
 
 private[spark] class GraftV1Relation(
@@ -189,24 +198,47 @@ private[spark] class GraftV1Relation(
     snapshotId: Option[Long],
     pushed: Array[Filter],
     required: StructType,
+    limitHint: Option[Int],
     context: SQLContext) extends BaseRelation with V1TableScan {
 
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
 
+  override def toString: String =
+    s"GraftV1Relation(${gt.ident}${limitHint.map(n => s", limit=$n").getOrElse("")})"
+
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession
-    // pruning predicates reach manifest planning; the same filters are
-    // re-applied on the DataFrame so results are exact per row
-    val preds = pushed.flatMap(FilterBridge.toPredicate).toSeq
-    var df = gt.scan(snapshotId, preds).toDF(spark)
-    val conds = pushed.flatMap(FilterBridge.toColumn)
-    if (conds.nonEmpty) df = df.filter(conds.reduce(_ && _))
-    val out =
-      if (required.isEmpty) df.select()
-      else df.select(required.fieldNames.toIndexedSeq.map(df(_)): _*)
-    out.rdd
+    limitedScan(spark).getOrElse {
+      // pruning predicates reach manifest planning; the same filters are
+      // re-applied on the DataFrame so results are exact per row
+      val preds = pushed.flatMap(FilterBridge.toPredicate).toSeq
+      var df = gt.scan(snapshotId, preds).toDF(spark)
+      val conds = pushed.flatMap(FilterBridge.toColumn)
+      if (conds.nonEmpty) df = df.filter(conds.reduce(_ && _))
+      project(df).rdd
+    }
   }
+
+  /** Unfiltered LIMIT n: plan only a file prefix covering n rows. Safe
+    * only when every planned row is live (no filters — a filtered file
+    * might yield too few rows — and no delete files); otherwise None →
+    * the normal full plan. Spark's own Limit stays on top either way. */
+  private def limitedScan(spark: SparkSession): Option[RDD[Row]] = {
+    val n = limitHint.getOrElse(return None)
+    if (pushed.nonEmpty) return None
+    val scan = gt.scan(snapshotId)
+    val tasks = scan.planFiles()
+    if (tasks.exists(_.deleteFiles.nonEmpty)) return None
+    var covered = 0L
+    val picked = tasks.takeWhile { t =>
+      val need = covered < n; covered += t.recordCount; need }
+    Some(project(scan.materializeTasks(spark, picked)).rdd)
+  }
+
+  private def project(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (required.isEmpty) df.select()
+    else df.select(required.fieldNames.toIndexedSeq.map(df(_)): _*)
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(f => FilterBridge.toColumn(f).isEmpty)

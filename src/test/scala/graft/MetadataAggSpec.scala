@@ -62,6 +62,20 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0 && r.isNullAt(1))
   }
 
+  test("LIMIT plans a file prefix when unfiltered; exact under filters") {
+    init
+    val df = sql(s"SELECT id FROM $C.default.t LIMIT 1")
+    assert(df.queryExecution.executedPlan.toString.contains("limit=1"),
+      "expected the limit hint on the scan")
+    assert(df.collect().length == 1)
+    // with a filter the hint must not reduce planned files: id=4 lives in
+    // the last-inserted file, and all 4 rows span multiple files
+    val filtered = sql(s"SELECT id FROM $C.default.t WHERE id = 4 LIMIT 1").collect()
+    assert(filtered.map(_.getLong(0)).toSeq == Seq(4L))
+    // LIMIT larger than the table still returns everything
+    assert(sql(s"SELECT id FROM $C.default.t LIMIT 100").collect().length == 4)
+  }
+
   test("SUM and GROUP BY are not pushed and stay correct") {
     init
     val r1 = sql(s"SELECT sum(id) FROM $C.default.t").head()
