@@ -69,10 +69,14 @@ class GraftSparkTable(
         residual
       }
 
-      // LIMIT as a planning hint: isPartiallyPushed stays true (Spark keeps
-      // its own Limit on top), but an unfiltered LIMIT n plans only enough
-      // files to cover n rows instead of the whole table.
-      override def pushLimit(n: Int): Boolean = { limitHint = Some(n); true }
+      // LIMIT as a planning hint: partial-only (Spark keeps its own Limit
+      // on top — made explicit below, not left to the interface default),
+      // and an unfiltered LIMIT n plans only enough files to cover n rows.
+      // With filters pushed the hint is useless (a filtered file's yield
+      // is unknowable), so decline and keep EXPLAIN honest.
+      override def pushLimit(n: Int): Boolean =
+        if (pushed.nonEmpty) false else { limitHint = Some(n); true }
+      override def isPartiallyPushed(): Boolean = true
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
@@ -168,8 +172,13 @@ private[spark] class GraftV1Scan(
     limitHint: Option[Int] = None)
   extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  private lazy val plannedTasks =
-    gt.scan(snapshotId, pushed.flatMap(FilterBridge.toPredicate).toSeq).planFiles()
+  /** The graft scan, pinned once; pruning predicates reach its manifest
+    * planning. ONE planning pass (distributed past 64 manifests) is shared
+    * by statistics, the limit prefix, and the actual read. */
+  private[spark] val graftScan =
+    gt.scan(snapshotId, pushed.flatMap(FilterBridge.toPredicate).toSeq)
+  private[spark] lazy val plannedTasks =
+    graftScan.planFilesDistributed(SparkSession.active)
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
@@ -186,7 +195,7 @@ private[spark] class GraftV1Scan(
 
   override def toV1TableScan[T <: BaseRelation with V1TableScan](
       context: SQLContext): T =
-    new GraftV1Relation(gt, snapshotId, pushed, required, limitHint, context).asInstanceOf[T]
+    new GraftV1Relation(this, gt, pushed, required, limitHint, context).asInstanceOf[T]
 
   override def description(): String =
     s"graft ${gt.ident} pushed=${pushed.mkString(",")}" +
@@ -194,8 +203,8 @@ private[spark] class GraftV1Scan(
 }
 
 private[spark] class GraftV1Relation(
+    owner: GraftV1Scan,
     gt: GTable,
-    snapshotId: Option[Long],
     pushed: Array[Filter],
     required: StructType,
     limitHint: Option[Int],
@@ -209,31 +218,31 @@ private[spark] class GraftV1Relation(
 
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession
-    limitedScan(spark).getOrElse {
-      // pruning predicates reach manifest planning; the same filters are
-      // re-applied on the DataFrame so results are exact per row
-      val preds = pushed.flatMap(FilterBridge.toPredicate).toSeq
-      var df = gt.scan(snapshotId, preds).toDF(spark)
-      val conds = pushed.flatMap(FilterBridge.toColumn)
-      if (conds.nonEmpty) df = df.filter(conds.reduce(_ && _))
-      project(df).rdd
+    val tasks = owner.plannedTasks
+    val df = limitPrefix(tasks) match {
+      case Some(picked) => owner.graftScan.materializeTasks(spark, picked)
+      case None =>
+        val all = owner.graftScan.materializeTasks(spark, tasks)
+        // the pushed filters are re-applied row-level (manifest pruning is
+        // only conservative), which also reaches parquet row-group pushdown
+        val conds = pushed.flatMap(FilterBridge.toColumn)
+        if (conds.isEmpty) all else all.filter(conds.reduce(_ && _))
     }
+    project(df).rdd
   }
 
-  /** Unfiltered LIMIT n: plan only a file prefix covering n rows. Safe
-    * only when every planned row is live (no filters — a filtered file
-    * might yield too few rows — and no delete files); otherwise None →
-    * the normal full plan. Spark's own Limit stays on top either way. */
-  private def limitedScan(spark: SparkSession): Option[RDD[Row]] = {
+  /** Unfiltered LIMIT n: only a file prefix covering n rows. Safe exactly
+    * when every PICKED file's rows are all live: the builder already
+    * declined the hint under filters, and a prefix file carrying delete
+    * files falls back (files beyond the prefix with deletes don't matter —
+    * they are not read). Spark's own Limit stays on top either way. */
+  private def limitPrefix(tasks: Seq[graft.table.FileScanTask]): Option[Seq[graft.table.FileScanTask]] = {
     val n = limitHint.getOrElse(return None)
     if (pushed.nonEmpty) return None
-    val scan = gt.scan(snapshotId)
-    val tasks = scan.planFiles()
-    if (tasks.exists(_.deleteFiles.nonEmpty)) return None
     var covered = 0L
     val picked = tasks.takeWhile { t =>
       val need = covered < n; covered += t.recordCount; need }
-    Some(project(scan.materializeTasks(spark, picked)).rdd)
+    if (picked.exists(_.deleteFiles.nonEmpty)) None else Some(picked)
   }
 
   private def project(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

@@ -76,6 +76,19 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(sql(s"SELECT id FROM $C.default.t LIMIT 100").collect().length == 4)
   }
 
+  test("LIMIT prefix stays exact around delete files") {
+    init
+    sql(s"""CREATE TABLE $C.default.ld (id BIGINT)
+           |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    sql(s"INSERT INTO $C.default.ld VALUES (1), (2), (3)")
+    sql(s"DELETE FROM $C.default.ld WHERE id = 2")
+    // a picked file may carry the position delete -> fallback, never a
+    // resurrected row
+    val got = sql(s"SELECT id FROM $C.default.ld LIMIT 3").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
   test("SUM and GROUP BY are not pushed and stay correct") {
     init
     val r1 = sql(s"SELECT sum(id) FROM $C.default.t").head()
