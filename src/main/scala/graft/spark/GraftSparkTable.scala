@@ -34,7 +34,18 @@ import scala.jdk.CollectionConverters._
 class GraftSparkTable(
     val graftTable: GTable,
     pinnedSnapshotId: Option[Long] = None)
-  extends SparkTable with SupportsRead with SupportsWrite with SupportsDelete {
+  extends SparkTable with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Iceberg-parity metadata columns: `SELECT _file, _pos, c FROM t`
+    * surfaces each row's source data file and ordinal — the audit handle
+    * for bad-file triage and position-delete debugging. A (pathological)
+    * user column with the same name wins: the metadata column is hidden. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val taken = graftTable.currentSchema.fields.map(_.name).toSet
+    Array(GraftSparkTable.FileColumn, GraftSparkTable.PosColumn)
+      .filterNot(c => taken.contains(c.name))
+  }
 
   override def name(): String = graftTable.ident.toString
 
@@ -64,7 +75,11 @@ class GraftSparkTable(
       private var limitHint: Option[Int] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        val (ok, residual) = filters.partition(f => FilterBridge.toColumn(f).isDefined)
+        // filters over metadata columns (_file/_pos) stay Spark-side: they
+        // are not in the data schema the pushed-filter machinery prunes on
+        val dataCols = schema().fieldNames.toSet
+        val (ok, residual) = filters.partition(f =>
+          FilterBridge.toColumn(f).isDefined && f.references.forall(dataCols.contains))
         pushed = ok
         residual
       }
@@ -219,10 +234,18 @@ private[spark] class GraftV1Relation(
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession
     val tasks = owner.plannedTasks
+    // metadata columns ride the positions channel (__file/__pos)
+    val needPositions = required.fieldNames.exists(n => n == "_file" || n == "_pos")
+    def materialize(ts: Seq[graft.table.FileScanTask]) = {
+      val base = owner.graftScan.materializeTasks(spark, ts, withPositions = needPositions)
+      if (needPositions)
+        base.withColumnRenamed("__file", "_file").withColumnRenamed("__pos", "_pos")
+      else base
+    }
     val df = limitPrefix(tasks) match {
-      case Some(picked) => owner.graftScan.materializeTasks(spark, picked)
+      case Some(picked) => materialize(picked)
       case None =>
-        val all = owner.graftScan.materializeTasks(spark, tasks)
+        val all = materialize(tasks)
         // the pushed filters are re-applied row-level (manifest pruning is
         // only conservative), which also reaches parquet row-group pushdown
         val conds = pushed.flatMap(FilterBridge.toColumn)
@@ -251,6 +274,24 @@ private[spark] class GraftV1Relation(
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(f => FilterBridge.toColumn(f).isEmpty)
+}
+
+object GraftSparkTable {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  private val FileColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_file"
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "manifest-form path of the row's data file"
+  }
+  private val PosColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_pos"
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row ordinal within the data file"
+  }
 }
 
 /** Read-only DSv2 wrapper for the metadata tables (`t.snapshots`,

@@ -166,6 +166,23 @@ class DsV2CatalogSpec extends AnyFunSuite {
       s"expected the 3-row graft table to broadcast:\n$plan")
   }
 
+  test("_file and _pos metadata columns resolve in SQL") {
+    init
+    sql(s"CREATE TABLE $C.sales.mc (id BIGINT)")
+    sql(s"INSERT INTO $C.sales.mc VALUES (1), (2)")
+    sql(s"INSERT INTO $C.sales.mc VALUES (3)")
+    val rows = sql(s"SELECT _file, _pos, id FROM $C.sales.mc ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3)
+    assert(rows.forall(_._1.contains("/data/")))
+    // rows of the second commit live in a different file than the first
+    assert(rows.map(_._1).distinct.length >= 2)
+    // positions are per-file ordinals
+    assert(rows.forall(_._2 >= 0))
+    // plain SELECT * must NOT include metadata columns
+    assert(sql(s"SELECT * FROM $C.sales.mc").columns.toSeq == Seq("id"))
+  }
+
   test("writes via SQL and the programmatic API interleave consistently") {
     init
     sql(s"CREATE TABLE $C.sales.mix (a INT, b STRING)")
