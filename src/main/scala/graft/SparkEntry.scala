@@ -1636,9 +1636,9 @@ object SparkEntry {
         |       FROM d CROSS JOIN generate_series(0, 119) AS g(idx)
         |       WHERE g.idx < d.w*d.h*3)
         |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        | SUM(CASE WHEN idx % 3 = 0 THEN v ELSE 0 END) AS sum_r,
-        | SUM(CASE WHEN idx % 3 = 1 THEN v ELSE 0 END) AS sum_g,
-        | SUM(CASE WHEN idx % 3 = 2 THEN v ELSE 0 END) AS sum_b
+        | CAST(SUM(CASE WHEN idx % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        | CAST(SUM(CASE WHEN idx % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        | CAST(SUM(CASE WHEN idx % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     "m41_frame_sample" ->

@@ -668,7 +668,9 @@ object Manifests {
  * Iceberg single-value binary serialization (spec Appendix D): the encoding
  * of bound values in manifests. Converts from/to graft's canonical bound
  * strings (the physical forms ParquetStats records: epoch-day dates, micros
- * timestamps, unscaled decimal integers).
+ * timestamps, SCALED plain decimal strings — "123.45", matching what scan
+ * pruning compares user values against; the manifest bytes stay the spec's
+ * unscaled big-endian integer).
  */
 private[graft] object SingleValue {
 
@@ -696,13 +698,10 @@ private[graft] object SingleValue {
             .putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits).array())
         case IBinary | IFixed(_) => Some(raw.getBytes("UTF-8"))
         case IDecimal(_, s) =>
-          // footer bounds for decimals come as the unscaled integer string
-          val unscaled =
-            if (raw.contains('.'))
-              new java.math.BigDecimal(raw).setScale(s, java.math.RoundingMode.UNNECESSARY)
-                .unscaledValue
-            else new java.math.BigInteger(raw)
-          Some(unscaled.toByteArray) // big-endian two's-complement, minimal
+          // canonical form is the scaled decimal string ("67.89")
+          Some(new java.math.BigDecimal(raw)
+            .setScale(s, java.math.RoundingMode.UNNECESSARY)
+            .unscaledValue.toByteArray) // big-endian two's-complement, minimal
         case _ => None
       }
     } catch { case _: Exception => None }
@@ -720,7 +719,8 @@ private[graft] object SingleValue {
     case IUuid =>
       val bb = ByteBuffer.wrap(bytes)
       new java.util.UUID(bb.getLong, bb.getLong).toString
-    case IDecimal(_, _) => new java.math.BigInteger(bytes).toString
+    case IDecimal(_, s) =>
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), s).toPlainString
     case _ => new String(bytes, "UTF-8") // string, binary, fixed
   }
 }

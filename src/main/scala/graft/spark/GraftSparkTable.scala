@@ -105,12 +105,12 @@ class GraftSparkTable(
       // differs from Spark's.
       override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = {
         if (aggResult.isEmpty) aggResult = MetadataAggregates.compute(
-          graftTable, pinnedSnapshotId, pushed, agg)
+          graftTable, SparkSession.active, pinnedSnapshotId, pushed, agg)
         aggResult.isDefined
       }
       override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
         if (aggResult.isEmpty) aggResult = MetadataAggregates.compute(
-          graftTable, pinnedSnapshotId, pushed, agg)
+          graftTable, SparkSession.active, pinnedSnapshotId, pushed, agg)
         aggResult.isDefined
       }
 

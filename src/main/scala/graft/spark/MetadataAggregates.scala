@@ -21,16 +21,32 @@ import org.apache.spark.sql.types._
  *  - no delete files in any planned task (deleted rows would be counted);
  *  - COUNT(col) needs a null count for the column in EVERY file;
  *  - MIN/MAX need a bound for the column in every file, and a type whose
- *    bound ordering provably matches Spark's (numeric/date/timestamp/
- *    decimal/string).
+ *    bound ordering provably matches Spark's (int/long/date/timestamp/
+ *    decimal/string). Float/double are NOT answered from bounds: Spark
+ *    orders NaN above +Infinity but parquet writers disagree on whether
+ *    NaN enters the footer min/max at all (some skip it, some propagate
+ *    it), so a footer bound cannot prove the true MIN/MAX of a column
+ *    that might hold NaN. String bounds longer than
+ *    [[StringBoundTruncateLen]] bytes decline too: foreign writers (files
+ *    registered via addFiles) may truncate long binary stats, and a
+ *    truncated bound is valid for pruning but not exact for MIN/MAX.
+ *
+ * Planning reuses the scan's own manifest walk, distributed past the
+ * 64-manifest threshold — a COUNT(*) on a 10⁵-manifest table must not
+ * serialize a driver-side manifest read at optimization time.
  */
 private[spark] object MetadataAggregates {
 
-  def compute(gt: GTable, snapshotId: Option[Long], pushed: Array[Filter],
+  /** Foreign parquet writers commonly cap binary stats at 64 bytes; a
+    * bound at or past the cap cannot be proven untruncated. */
+  private[spark] val StringBoundTruncateLen = 64
+
+  def compute(gt: GTable, spark: org.apache.spark.sql.SparkSession,
+              snapshotId: Option[Long], pushed: Array[Filter],
               agg: Aggregation): Option[(StructType, Seq[Any])] = {
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     val schema = gt.currentSchema
-    val tasks = gt.scan(snapshotId).planFiles()
+    val tasks = gt.scan(snapshotId).planFilesDistributed(spark)
     if (tasks.exists(_.deleteFiles.nonEmpty)) return None
     val files = tasks.map(_.file)
     val totalRows = files.map(_.recordCount).sum
@@ -62,6 +78,9 @@ private[spark] object MetadataAggregates {
       val raws = contributing.map(f =>
         (if (lower) f.lowerBounds else f.upperBounds).get(field.name))
       if (raws.exists(_.isEmpty)) return Left(())
+      if (field.fieldType == IString &&
+          raws.flatten.exists(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .length >= StringBoundTruncateLen)) return Left(())
       val parsed = raws.flatten.map(parse(_, field.fieldType))
       if (parsed.exists(_.isEmpty)) return Left(())
       val vals = parsed.flatten
@@ -103,8 +122,10 @@ private[spark] object MetadataAggregates {
     Some((StructType(fields), values))
   }
 
+  // float/double intentionally absent: NaN makes footer bounds unprovable
+  // as Spark MIN/MAX (see the class doc) — COUNT paths are unaffected
   private def supported(t: IType): Boolean = t match {
-    case IInt | ILong | IFloat | IDouble | IDate | ITimestamp | ITimestampTz |
+    case IInt | ILong | IDate | ITimestamp | ITimestampTz |
          ITime | IString | IDecimal(_, _) => true
     case _ => false
   }

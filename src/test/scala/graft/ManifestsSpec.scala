@@ -107,7 +107,8 @@ class ManifestsSpec extends AnyFunSuite {
     assert(SingleValue.toBytes(IString, "iceberg").get.toSeq ==
       "iceberg".getBytes("UTF-8").toSeq)
     // decimal unscaled big-endian minimal two's-complement: 12.34 scale 2 -> 1234 -> 04 D2
-    assert(SingleValue.toBytes(IDecimal(9, 2), "1234").get.toSeq ==
+    // (canonical string form is the SCALED value; bytes are the spec's unscaled int)
+    assert(SingleValue.toBytes(IDecimal(9, 2), "12.34").get.toSeq ==
       Seq[Byte](0x04, 0xD2.toByte))
     // date as epoch days (physical int form)
     assert(SingleValue.toBytes(IDate, "18262").get.toSeq ==
@@ -116,7 +117,7 @@ class ManifestsSpec extends AnyFunSuite {
     for ((t, v) <- Seq[(IType, String)](
       IInt -> "-7", ILong -> "123456789012", IFloat -> "1.5", IDouble -> "-2.25",
       IBoolean -> "true", IString -> "héllo wörld", IDate -> "19000",
-      ITimestamp -> "1700000000000000", IDecimal(18, 2) -> "-999",
+      ITimestamp -> "1700000000000000", IDecimal(18, 2) -> "-999.25",
       IUuid -> "f79c3e09-677c-4bbd-a479-3f349cb785e7"))
       assert(SingleValue.fromBytes(t, SingleValue.toBytes(t, v).get) == v, s"$t")
   }

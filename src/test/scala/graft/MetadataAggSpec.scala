@@ -23,14 +23,70 @@ class MetadataAggSpec extends AnyFunSuite {
 
   test("COUNT/MIN/MAX come from metadata and the scan is the agg scan") {
     init
-    val df = sql(s"SELECT count(*), count(v), min(v), max(v), min(s), max(s), min(d), max(d) FROM $C.default.t")
+    val df = sql(s"SELECT count(*), count(v), min(s), max(s), min(d), max(d) FROM $C.default.t")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GraftMetadataAggScan"), s"expected pushed aggregate:\n$plan")
     val r = df.head()
     assert(r.getLong(0) == 4 && r.getLong(1) == 3)
-    assert(r.getDouble(2) == -3.0 && r.getDouble(3) == 9.25)
-    assert(r.getString(4) == "a" && r.getString(5) == "zz")
-    assert(r.getDate(6).toString == "2026-01-01" && r.getDate(7).toString == "2026-03-01")
+    assert(r.getString(2) == "a" && r.getString(3) == "zz")
+    assert(r.getDate(4).toString == "2026-01-01" && r.getDate(5).toString == "2026-03-01")
+  }
+
+  test("float/double MIN/MAX decline (NaN-unsafe bounds) but COUNT(col) still pushes") {
+    init
+    val df = sql(s"SELECT min(v), max(v) FROM $C.default.t")
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+    val r = df.head()
+    assert(r.getDouble(0) == -3.0 && r.getDouble(1) == 9.25)
+    // NaN actually present: Spark's MAX is NaN; the normal scan gets it right
+    sql(s"CREATE TABLE $C.default.nan (x DOUBLE)")
+    sql(s"INSERT INTO $C.default.nan VALUES (1.0), (cast('NaN' as double)), (2.0)")
+    val m = sql(s"SELECT max(x), count(x) FROM $C.default.nan").head()
+    assert(m.getDouble(0).isNaN)
+    assert(m.getLong(1) == 3)
+    val countOnly = sql(s"SELECT count(v) FROM $C.default.t")
+    assert(countOnly.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+    assert(countOnly.head().getLong(0) == 3)
+  }
+
+  test("decimal MIN/MAX are scale-correct from metadata") {
+    init
+    sql(s"CREATE TABLE $C.default.dec (id BIGINT, price DECIMAL(9,2), big DECIMAL(24,4))")
+    sql(s"INSERT INTO $C.default.dec VALUES (1, 67.89, 1.5000), (2, 123.45, 2.5000)")
+    val df = sql(s"SELECT min(price), max(price) FROM $C.default.dec")
+    assert(df.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"),
+      "INT-backed decimal bounds are scale-normalized, so this must push")
+    val r = df.head()
+    assert(r.getDecimal(0).toString == "67.89", s"got ${r.getDecimal(0)}")
+    assert(r.getDecimal(1).toString == "123.45")
+    // FLBA-backed DECIMAL(24,4) has no recorded bounds -> declines, stays right
+    val b = sql(s"SELECT min(big), max(big) FROM $C.default.dec")
+    assert(!b.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+    val rb = b.head()
+    assert(rb.getDecimal(0).toString == "1.5000" && rb.getDecimal(1).toString == "2.5000")
+  }
+
+  test("decimal equality predicates do not prune away matching files") {
+    init
+    sql(s"CREATE TABLE $C.default.decf (id BIGINT, price DECIMAL(9,2))")
+    sql(s"INSERT INTO $C.default.decf VALUES (1, 67.89)")
+    sql(s"INSERT INTO $C.default.decf VALUES (2, 123.45)")
+    val got = sql(s"SELECT id FROM $C.default.decf WHERE price = 123.45").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L), s"got ${got.toSeq}")
+    val rng = sql(s"SELECT id FROM $C.default.decf WHERE price > 100.00").collect()
+    assert(rng.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("string MIN/MAX decline when bounds could be truncated (>=64 bytes)") {
+    init
+    sql(s"CREATE TABLE $C.default.longs (s STRING)")
+    val long1 = "a" * 80
+    val long2 = "b" * 80
+    sql(s"INSERT INTO $C.default.longs VALUES ('$long1'), ('$long2')")
+    val df = sql(s"SELECT min(s), max(s) FROM $C.default.longs")
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+    val r = df.head()
+    assert(r.getString(0) == long1 && r.getString(1) == long2)
   }
 
   test("declines under filters and still answers correctly") {
