@@ -20,7 +20,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * spark.read.format("graft").option("snapshot-id", "123").load(dir)
  * spark.read.format("graft").option("branch", "audit").load(dir)
  * spark.read.format("graft").option("as-of-timestamp-ms", ms).load(dir)
+ * spark.read.format("graft").option("hadoop.fs.s3a.endpoint", e).load(dir)
  * }}}
+ *
+ * Options prefixed `hadoop.` overlay the Hadoop Configuration used to
+ * resolve and read the table — the analogue of the reference's
+ * `storage_options:` passthrough (`lib/iceberg/table.rb:151-159`), for
+ * per-read filesystem settings (endpoints, credentials providers) without
+ * touching the session-wide conf.
  *
  * A directory resolves through `metadata/version-hint.text` (the Hadoop
  * catalog layout), falling back to the highest `v*.metadata.json`. Tables
@@ -42,7 +49,11 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
   private def resolve(options: CaseInsensitiveStringMap): GraftSparkTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new InvalidDataError("format(\"graft\") requires a path"))
-    val t = StaticTable.load(GraftDataSource.metadataPathFor(path), new Configuration())
+    val conf = new Configuration()
+    options.asCaseSensitiveMap().forEach { (k, v) =>
+      if (k.startsWith("hadoop.")) conf.set(k.substring("hadoop.".length), v)
+    }
+    val t = StaticTable.load(GraftDataSource.metadataPathFor(path, conf), conf)
     val pinned: Option[Long] =
       (Option(options.get("snapshot-id")), Option(options.get("branch")),
         Option(options.get("as-of-timestamp-ms"))) match {

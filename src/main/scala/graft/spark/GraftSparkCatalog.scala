@@ -169,12 +169,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
     val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
     val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
-    if (sets.nonEmpty || removes.nonEmpty)
-      t.updateProperties(sets.toMap, removes)
     val schemaChanges = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
       case _ => true
     }
+    // schema changes commit FIRST: they are the only ones that can be
+    // rejected, and a rejection must not leave a property-only half of
+    // the ALTER applied (property updates cannot fail validation)
     if (schemaChanges.nonEmpty) {
       val up = t.updateSchema()
       schemaChanges.foreach {
@@ -198,6 +199,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       }
       up.commit()
     }
+    if (sets.nonEmpty || removes.nonEmpty)
+      t.updateProperties(sets.toMap, removes)
     loadTable(ident)
   }
 

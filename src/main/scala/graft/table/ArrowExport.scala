@@ -55,7 +55,7 @@ object ArrowExport {
   /** Materialize a DataFrame (already projected to `schema`) as Arrow
     * batches of at most `maxRowsPerBatch` rows. Caller closes the roots.
     *
-    * DRIVER-SIDE ONLY: this collects the full result into driver memory
+    * WARNING — DRIVER-SIDE ONLY: this collects the full result into driver memory
     * first (API parity with the reference's `to_arrow`, which also fully
     * materializes — `scan.rs:57-63`). It is for handing modest results to
     * Arrow consumers, NOT an export path for big tables — large exports

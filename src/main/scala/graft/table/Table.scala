@@ -293,6 +293,14 @@ final class Table(
   def deleteCopyOnWrite(spark: SparkSession, predicates: Seq[ScanPredicate],
                         branch: String = "main"): Unit = {
     require(predicates.nonEmpty, "delete requires predicates; use overwrite to replace all")
+    cowDelete(spark, predicates, None, branch)
+  }
+
+  /** COW delete over `predicates` AND an optional arbitrary SQL condition
+    * (the [[deleteWhere]] shape). `predicates` bound the rewrite set via
+    * pruning; the full condition decides the rows. */
+  private def cowDelete(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        condition: Option[String], branch: String): Unit = {
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     var attempt = 0
     var committed = false
@@ -307,7 +315,8 @@ final class Table(
       if (affected.isEmpty) return // nothing can match — no new snapshot
       // rewrite affected files WITHOUT the matching rows (MOR deletes and
       // schema projection applied by the scan materialization)
-      val matchAll = predicates.map(affectedScan.predicateToColumn)
+      val matchAll = (predicates.map(affectedScan.predicateToColumn) ++
+        condition.map(org.apache.spark.sql.functions.expr))
         .reduce(_ && _)
       val rewritten = affectedScan.materializeTasks(spark, affected)
         .filter(!matchAll)
@@ -349,19 +358,26 @@ final class Table(
 
   /**
    * Row-level DELETE with an ARBITRARY boolean SQL condition (OR, LIKE,
-   * functions — anything beyond [[ScanPredicate]]'s conjunctions), as
-   * merge-on-read position deletes (deletion vectors on format-v3):
-   * O(matched rows) written, no file rewrite. `prunePredicates` is the
-   * optional prunable subset of the condition — pass the conjuncts that ARE
-   * simple so manifest pruning still bounds the scan; the full condition is
-   * (re-)applied row-level either way, so over-pruning is impossible and
-   * the worst case is a full scan, never a wrong answer.
+   * functions — anything beyond [[ScanPredicate]]'s conjunctions).
+   * Honors `write.delete.mode` exactly like [[delete]]: copy-on-write
+   * (the default) rewrites the affected files without the matching rows;
+   * merge-on-read writes position deletes (DVs on v3), O(matched rows).
+   * `prunePredicates` is the optional prunable subset of the condition —
+   * pass the conjuncts that ARE simple so manifest pruning still bounds
+   * the scan; the full condition is (re-)applied row-level either way, so
+   * over-pruning is impossible and the worst case is a full scan, never a
+   * wrong answer.
    */
   def deleteWhere(spark: SparkSession, condition: String,
                   prunePredicates: Seq[ScanPredicate] = Nil,
                   branch: String = "main"): Unit = {
     require(condition.trim.nonEmpty, "deleteWhere requires a condition")
-    morDelete(spark, prunePredicates, Some(condition), branch)
+    meta.properties.get("write.delete.mode") match {
+      case Some("merge-on-read") => morDelete(spark, prunePredicates, Some(condition), branch)
+      case Some(other) if other != "copy-on-write" =>
+        throw new InvalidDataError(s"unknown write.delete.mode: $other")
+      case _ => cowDelete(spark, prunePredicates, Some(condition), branch)
+    }
   }
 
   private def morDelete(spark: SparkSession, predicates: Seq[ScanPredicate],
@@ -417,8 +433,17 @@ final class Table(
   def updateCopyOnWrite(spark: SparkSession, predicates: Seq[ScanPredicate],
                         assignments: Map[String, String],
                         branch: String = "main"): Unit = {
-    validateAssignments(assignments)
     require(predicates.nonEmpty, "update requires predicates")
+    cowUpdate(spark, predicates, None, assignments, branch)
+  }
+
+  /** COW update over `predicates` AND an optional arbitrary SQL condition
+    * (the [[updateWhere]] shape): same pruning contract as [[cowDelete]]. */
+  private def cowUpdate(spark: SparkSession, predicates: Seq[ScanPredicate],
+                        condition: Option[String],
+                        assignments: Map[String, String],
+                        branch: String): Unit = {
+    validateAssignments(assignments)
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     var attempt = 0
     var committed = false
@@ -431,7 +456,9 @@ final class Table(
       // one manifest pass yields both the rewrite set and the carried set
       val (affected, kept) = affectedScan.planFilesPartitioned()
       if (affected.isEmpty) return
-      val matchAll = predicates.map(affectedScan.predicateToColumn).reduce(_ && _)
+      val matchAll = (predicates.map(affectedScan.predicateToColumn) ++
+        condition.map(org.apache.spark.sql.functions.expr))
+        .reduce(_ && _)
       val base = affectedScan.materializeTasks(spark, affected)
       val rewritten = meta.currentSchema.fields.foldLeft(base) { (d, f) =>
         assignments.get(f.name) match {
@@ -479,15 +506,24 @@ final class Table(
   }
 
   /** Row-level UPDATE with an arbitrary boolean SQL condition — the
-    * [[deleteWhere]] of UPDATE: position-deletes the matched rows and
-    * appends their updated images. Same pruning contract: `prunePredicates`
-    * bound the scan, the full condition decides the rows. */
+    * [[deleteWhere]] of UPDATE. Honors `write.update.mode` exactly like
+    * [[update]]: copy-on-write (default) rewrites affected files with the
+    * assignments applied to matching rows; merge-on-read position-deletes
+    * the matched rows and appends their updated images. Same pruning
+    * contract: `prunePredicates` bound the scan, the full condition
+    * decides the rows. */
   def updateWhere(spark: SparkSession, condition: String,
                   assignments: Map[String, String],
                   prunePredicates: Seq[ScanPredicate] = Nil,
                   branch: String = "main"): Unit = {
     require(condition.trim.nonEmpty, "updateWhere requires a condition")
-    morUpdate(spark, prunePredicates, Some(condition), assignments, branch)
+    meta.properties.get("write.update.mode") match {
+      case Some("merge-on-read") =>
+        morUpdate(spark, prunePredicates, Some(condition), assignments, branch)
+      case Some(other) if other != "copy-on-write" =>
+        throw new InvalidDataError(s"unknown write.update.mode: $other")
+      case _ => cowUpdate(spark, prunePredicates, Some(condition), assignments, branch)
+    }
   }
 
   private def morUpdate(spark: SparkSession, predicates: Seq[ScanPredicate],
@@ -788,10 +824,14 @@ final class Table(
    * O(one DV per file) no matter how many deletes have run.
    *
    * Scale shape: positions shuffle once on `file_path` (all ordinals of a
-   * data file land in one task), each task serializes one PORTABLE bitmap
-   * per file, and only the compressed bitmap bytes come back to the driver
-   * (O(affected files), not O(deleted rows)) to be framed into the blob
-   * layout and written. Merging an existing DV is one ranged blob read.
+   * data file land in one task), each task merges any existing DV (one
+   * ranged blob read, executor-side) and writes ONE Puffin file holding
+   * its files' blobs. Only `(puffin path, blob offset/length, cardinality)`
+   * descriptors come back to the driver — no bitmap bytes ever do, so a
+   * delete touching 10⁶ data files ships 10⁶ small tuples, not 10⁶
+   * serialized bitmaps. Task attempt ids are in the Puffin file names, so
+   * a retried/speculative attempt writes a fresh file and the loser is an
+   * orphan for removeOrphanFiles, never a corrupted winner.
    *
    * Returns (DV manifest entries, superseded (path, offset) delete-entry
    * keys, count of NEWLY hidden rows — the merged bitmaps' cardinality
@@ -806,7 +846,18 @@ final class Table(
     import org.roaringbitmap.longlong.Roaring64NavigableMap
     val spark = matched.sparkSession
     import spark.implicits._
-    val perFile: Seq[(String, Array[Byte], Long)] = matched
+    // at most one live DV per data file (invariant of this writer);
+    // (file -> (dv path, blob offset if recorded, blob length)) — small:
+    // one entry per affected file, shipped into the task closure
+    val liveDvByFile: Map[String, (String, Option[Long], Long)] =
+      affected.flatMap(_.deleteFiles).filter(_.isDeletionVector)
+        .flatMap(d => d.referencedDataFile.map(_ -> ((d.filePath,
+          d.contentOffset, d.contentSizeInBytes.getOrElse(d.fileSizeInBytes))))).toMap
+    val confSer = new SerializableHadoopConf(hadoopConf)
+    val dvDir = new Path(meta.location, "data").toString
+    // (puffin path, puffin file length, referenced data file,
+    //  blob offset, blob length, merged cardinality, newly hidden rows)
+    val descriptors: Seq[(String, Long, String, Long, Long, Long, Long)] = matched
       .select(col("file_path").cast("string"), col("pos").cast("long"))
       .repartition(col("file_path"))
       .as[(String, Long)]
@@ -815,54 +866,57 @@ final class Table(
         it.foreach { case (f, p) =>
           maps.getOrElseUpdate(f, new Roaring64NavigableMap()).addLong(p)
         }
-        maps.iterator.map { case (f, m) =>
-          m.runOptimize()
-          val out = new java.io.ByteArrayOutputStream()
-          m.serializePortable(new java.io.DataOutputStream(out))
-          (f, out.toByteArray, m.getLongCardinality)
+        if (maps.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val part = if (tc == null) 0 else tc.partitionId()
+          val attempt = if (tc == null) 0L else tc.taskAttemptId()
+          // matched rows are live rows (the scan already applied old DVs),
+          // so the pre-merge cardinality IS the newly-hidden count
+          val newlyByFile = maps.view.mapValues(_.getLongCardinality).toMap
+          val blobs = maps.toSeq.sortBy(_._1).map { case (file, bitmap) =>
+            liveDvByFile.get(file).foreach { case (oldPath, oldOff, oldLen) =>
+              val p0 = new Path(oldPath)
+              bitmap.or(DeletionVector.deserialize(Puffin.readBlob(
+                p0.getFileSystem(confSer.value), p0, oldOff.getOrElse(0L), oldLen)))
+            }
+            bitmap.runOptimize()
+            // snapshot-id/sequence-number are -1: DVs are written BEFORE
+            // the commit wins its CAS; the manifest entry is authoritative
+            // (and a retry against refreshed metadata re-stamps them anyway)
+            Puffin.Blob(DeletionVector.BlobType, Nil, -1L, -1L,
+              DeletionVector.serialize(bitmap),
+              Map("referenced-data-file" -> file,
+                "cardinality" -> bitmap.getLongCardinality.toString))
+          }
+          val dvPath = new Path(dvDir, s"$commitUuid-dv-p$part-a$attempt.puffin")
+          val (fileLen, blobMetas) = Puffin.write(
+            dvPath.getFileSystem(confSer.value), dvPath, blobs)
+          blobMetas.iterator.map { bm =>
+            val ref = bm.properties("referenced-data-file")
+            (dvPath.toString, fileLen, ref, bm.offset, bm.length,
+              bm.properties("cardinality").toLong, newlyByFile(ref))
+          }
         }
       }.collect().toSeq
-    if (perFile.isEmpty) return (Nil, Set.empty, 0L)
-    val newlyHidden = perFile.map(_._3).sum
-    // at most one live DV per data file (invariant of this writer)
-    val liveDvByFile: Map[String, graft.manifest.DataFile] =
-      affected.flatMap(_.deleteFiles).filter(_.isDeletionVector)
-        .flatMap(d => d.referencedDataFile.map(_ -> d)).toMap
-    val fs = new Path(meta.location).getFileSystem(hadoopConf)
-    val superseded = Set.newBuilder[(String, Long)]
-    val blobs = perFile.sortBy(_._1).map { case (file, bytes, _) =>
-      val bitmap = new Roaring64NavigableMap()
-      bitmap.deserializePortable(new java.io.DataInputStream(
-        new java.io.ByteArrayInputStream(bytes)))
-      liveDvByFile.get(file).foreach { old =>
-        bitmap.or(DeletionVector.deserialize(Puffin.readBlob(fs,
-          new Path(old.filePath), old.contentOffset.getOrElse(0L),
-          old.contentSizeInBytes.getOrElse(old.fileSizeInBytes))))
-        superseded += ((old.filePath, old.contentOffset.getOrElse(-1L)))
-      }
-      // snapshot-id/sequence-number are -1: DVs are written BEFORE the
-      // commit wins its CAS; the manifest entry is authoritative (and a
-      // retry against refreshed metadata would re-stamp them anyway)
-      Puffin.Blob(DeletionVector.BlobType, Nil, -1L, -1L,
-        DeletionVector.serialize(bitmap),
-        Map("referenced-data-file" -> file,
-          "cardinality" -> bitmap.getLongCardinality.toString))
-    }
-    val dvPath = new Path(meta.location, s"data/$commitUuid-dv.puffin")
-    val (fileLen, blobMetas) = Puffin.write(fs, dvPath, blobs)
-    val dvFiles = blobMetas.map { bm =>
+    if (descriptors.isEmpty) return (Nil, Set.empty, 0L)
+    val newlyHidden = descriptors.map(_._7).sum
+    val superseded = descriptors.flatMap { d =>
+      liveDvByFile.get(d._3).map { case (p, off, _) => (p, off.getOrElse(-1L)) }
+    }.toSet
+    val dvFiles = descriptors.map { case (path, fileLen, ref, off, len, card, _) =>
       graft.manifest.DataFile(
-        filePath = dvPath.toString,
+        filePath = path,
         fileFormat = "PUFFIN",
         partition = Map.empty,
-        recordCount = bm.properties("cardinality").toLong,
+        recordCount = card,
         fileSizeInBytes = fileLen,
         content = 1,
-        referencedDataFile = Some(bm.properties("referenced-data-file")),
-        contentOffset = Some(bm.offset),
-        contentSizeInBytes = Some(bm.length))
+        referencedDataFile = Some(ref),
+        contentOffset = Some(off),
+        contentSizeInBytes = Some(len))
     }
-    (dvFiles, superseded.result(), newlyHidden)
+    (dvFiles, superseded, newlyHidden)
   }
 
   /** Write the MOR delete half in the table's format-version

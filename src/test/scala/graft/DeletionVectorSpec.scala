@@ -133,6 +133,35 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(asOf == Set(3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
   }
 
+  test("multi-file DV delete: executor-written Puffin files, one live DV per file") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = v3Table(cat, "dv_multi")
+    // several appends -> several data files; a spanning delete touches all
+    for (b <- 0 until 4)
+      tbl.append((0 until 25).map(i => (b * 100L + i, s"n$b-$i")).toDF("id", "name").coalesce(1))
+    assert(tbl.scan().planFiles().size == 4)
+
+    tbl.delete(spark, Seq(EqPred("name", "n2-3")))      // one file affected
+    tbl.delete(spark, Seq(LtPred("id", 210L)))          // three files affected, one merges
+    val tasks = tbl.scan().planFiles()
+    val dvs = tasks.flatMap(_.deleteFiles).filter(_.isDeletionVector)
+    // ONE live DV per affected data file, even after the merge commit
+    assert(dvs.map(_.referencedDataFile.get).distinct.size == 3)
+    assert(dvs.groupBy(_.referencedDataFile.get).forall(_._2.size == 1))
+    // the DV puffin files are task-written (attempt-id naming), and the
+    // second commit's spanning delete may produce several of them
+    assert(dvs.forall(_.filePath.matches(".*-dv-p\\d+-a\\d+\\.puffin")))
+    // read-back: rows >= 210 plus the never-touched file, minus nothing else
+    val want = (0 until 4).flatMap(b => (0 until 25).map(i => b * 100L + i))
+      .filter(id => id >= 210L).toSet
+    assert(rowsOf(tbl).map(_._1) == want)
+    // merged bitmap cardinality counts dead rows once: file 2's DV holds
+    // exactly {200..209} (203 was already dead and is not double-counted)
+    assert(dvs.map(_.recordCount).sorted.toSeq == Seq(10L, 25L, 25L),
+      s"cardinalities were ${dvs.map(_.recordCount)}")
+  }
+
   test("v3 update via DV + row lineage: _row_id stable across MOR DML") {
     import spark.implicits._
     val cat = new MemoryCatalog()

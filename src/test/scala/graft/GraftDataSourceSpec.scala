@@ -50,6 +50,22 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT name FROM ev_static WHERE id = 3").head().getString(0) == "three")
   }
 
+  test("hadoop.* read options overlay the filesystem conf (storage_options parity)") {
+    // benign option: read still works, option reaches the conf
+    val df = spark.read.format("graft")
+      .option("hadoop.io.file.buffer.size", "8192").load(tableDir)
+    assert(df.count() == 3)
+    // the option demonstrably reaches the Configuration: a bogus fs impl
+    // for the path's scheme must break resolution
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .option("hadoop.fs.file.impl", "no.such.FileSystemImpl")
+        .option("hadoop.fs.file.impl.disable.cache", "true")
+        .load(tableDir).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("writes are rejected: no catalog, read-only") {
     val e = intercept[Exception] {
       Seq((4L, "four")).toDF("id", "name")

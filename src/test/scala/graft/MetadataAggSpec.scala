@@ -145,6 +145,35 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
+  test("metadata aggregates plan via the Spark-job route past 64 manifests") {
+    init
+    import spark.implicits._
+    sql(s"CREATE TABLE $C.default.many (id BIGINT)")
+    val tbl = cat.loadTable("many")
+    // 66 fast appends -> 66 data manifests, past DistributedPlanThreshold
+    for (i <- 1 to 66) tbl.append(Seq(i.toLong).toDF("id").coalesce(1))
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = sql(s"SELECT count(*), min(id), max(id) FROM $C.default.many")
+      // optimization-time aggregate computation — no action yet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftMetadataAggScan"), plan)
+      // the manifest walk itself must have run as a Spark job (the
+      // distributed planning route), not a driver-side .par loop
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(jobs > 0, "expected a Spark job from distributed manifest planning")
+      val r = df.head()
+      assert(r.getLong(0) == 66 && r.getLong(1) == 1 && r.getLong(2) == 66)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("SUM and GROUP BY are not pushed and stay correct") {
     init
     val r1 = sql(s"SELECT sum(id) FROM $C.default.t").head()

@@ -54,8 +54,32 @@ class SqlDmlSpec extends AnyFunSuite {
     sql(s"DELETE FROM $C.s.del2 WHERE tier = 'a' OR id = 3")
     val ids = sql(s"SELECT id FROM $C.s.del2 ORDER BY id").collect().map(_.getLong(0))
     assert(ids.toSeq == Seq(2L))
-    // deleted via position deletes, no data-file rewrite: one more snapshot
     assert(cat.loadTable("s.del2").snapshots.length == 2)
+  }
+
+  test("complex-condition DML honors the table's write mode (COW stays delete-file-free)") {
+    init
+    // default (copy-on-write) table: OR-condition DELETE/UPDATE must NOT
+    // accumulate delete files — they rewrite the affected files
+    sql(s"CREATE TABLE $C.s.cow (id BIGINT, tier STRING)")
+    sql(s"INSERT INTO $C.s.cow VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'a')")
+    sql(s"DELETE FROM $C.s.cow WHERE tier = 'a' OR id = 3")
+    sql(s"UPDATE $C.s.cow SET tier = 'x' WHERE tier LIKE 'b%' OR id > 100")
+    val cow = cat.loadTable("s.cow")
+    assert(cow.scan().planFiles().forall(_.deleteFiles.isEmpty),
+      "COW table accumulated delete files from complex-condition SQL DML")
+    val rows = sql(s"SELECT id, tier FROM $C.s.cow ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2L, "x")))
+    // MOR table: the same DML writes position deletes, no rewrite
+    sql(s"""CREATE TABLE $C.s.morx (id BIGINT, tier STRING) TBLPROPERTIES
+           | ('write.delete.mode'='merge-on-read','write.update.mode'='merge-on-read')""".stripMargin)
+    sql(s"INSERT INTO $C.s.morx VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql(s"DELETE FROM $C.s.morx WHERE tier = 'a' OR id = 3")
+    val mor = cat.loadTable("s.morx")
+    assert(mor.scan().planFiles().exists(_.deleteFiles.nonEmpty),
+      "MOR table should delete via position deletes")
+    assert(sql(s"SELECT id FROM $C.s.morx").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("subquery in a DML condition fails loudly, not wrongly") {
