@@ -313,12 +313,25 @@ final class Table(
       // one manifest pass yields both the rewrite set and the carried set
       val (affected, kept) = affectedScan.planFilesPartitioned()
       if (affected.isEmpty) return // nothing can match — no new snapshot
-      // rewrite affected files WITHOUT the matching rows (MOR deletes and
-      // schema projection applied by the scan materialization)
+      // DISCOVERY pass: bounds pruning is conservative (and with an
+      // arbitrary condition there may be no prunable conjunct at all), so
+      // find the files that PROVABLY hold a matching row first. The pass
+      // reads only the predicate columns (column-pruned by Catalyst); the
+      // rewrite then touches exactly those files — a `DELETE WHERE a OR b`
+      // on a 100 TB table rewrites the matching files, never the table.
       val matchAll = (predicates.map(affectedScan.predicateToColumn) ++
         condition.map(org.apache.spark.sql.functions.expr))
         .reduce(_ && _)
-      val rewritten = affectedScan.materializeTasks(spark, affected)
+      val matchedFiles = affectedScan
+        .matchedRowsWithPositions(spark, affected,
+          condition.map(org.apache.spark.sql.functions.expr))
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (matchedFiles.isEmpty) return // no live row matches — no new snapshot
+      val (rewriteSet, carried) = affected.partition(t => matchedFiles.contains(t.filePath))
+      // rewrite matching files WITHOUT the matching rows (MOR deletes and
+      // schema projection applied by the scan materialization)
+      val rewritten = affectedScan.materializeTasks(spark, rewriteSet)
         .filter(!matchAll)
       val commitUuid = java.util.UUID.randomUUID().toString
       val dataDir = new Path(meta.location, s"data/$commitUuid")
@@ -328,7 +341,7 @@ final class Table(
           .map(_.toLong).getOrElse(5000000L))
       try {
         meta = cat.commitTable(ident, meta,
-          buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
+          buildRewriteMetadata(meta, kept ++ carried, rewriteSet, newFiles, commitUuid,
             keepParentDeleteManifests = true, toBranch = branch))
         committed = true
       } catch {
@@ -459,7 +472,16 @@ final class Table(
       val matchAll = (predicates.map(affectedScan.predicateToColumn) ++
         condition.map(org.apache.spark.sql.functions.expr))
         .reduce(_ && _)
-      val base = affectedScan.materializeTasks(spark, affected)
+      // same discovery pass as [[cowDelete]]: only files that provably
+      // hold a matching row are rewritten; the rest are carried verbatim
+      val matchedFiles = affectedScan
+        .matchedRowsWithPositions(spark, affected,
+          condition.map(org.apache.spark.sql.functions.expr))
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (matchedFiles.isEmpty) return // no live row matches — no new snapshot
+      val (rewriteSet, carried) = affected.partition(t => matchedFiles.contains(t.filePath))
+      val base = affectedScan.materializeTasks(spark, rewriteSet)
       val rewritten = meta.currentSchema.fields.foldLeft(base) { (d, f) =>
         assignments.get(f.name) match {
           case Some(exprStr) =>
@@ -479,7 +501,7 @@ final class Table(
           .map(_.toLong).getOrElse(5000000L))
       try {
         meta = cat.commitTable(ident, meta,
-          buildRewriteMetadata(meta, kept, affected, newFiles, commitUuid,
+          buildRewriteMetadata(meta, kept ++ carried, rewriteSet, newFiles, commitUuid,
             keepParentDeleteManifests = true, toBranch = branch))
         committed = true
       } catch {

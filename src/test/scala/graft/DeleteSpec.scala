@@ -77,4 +77,38 @@ class DeleteSpec extends AnyFunSuite {
     assert(tbl.toDF(spark, Some(pre)).count() == 2)
     assert(tbl.currentSnapshot.get.summary("total-records") == "1")
   }
+
+  test("COW rewrites only files that actually hold a match; others carried verbatim") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("cow_discover", schema)
+    // interleaved ids: both files' [min,max] bounds contain id=3, so
+    // bounds pruning CANNOT separate them — only the discovery pass can
+    tbl.append(Seq((1L, "a"), (3L, "a"), (5L, "a")).toDF("id", "k").coalesce(1))
+    tbl.append(Seq((2L, "b"), (4L, "b"), (6L, "b")).toDF("id", "k").coalesce(1))
+    val before = tbl.scan().planFiles().map(_.filePath).toSet
+    assert(before.size == 2)
+
+    tbl.delete(spark, Seq(EqPred("id", 3L)))
+    val after = tbl.scan().planFiles().map(_.filePath).toSet
+    // the b-file was affected-by-bounds but held no match: same path lives on
+    assert(after.size == 2)
+    assert((before & after).size == 1, s"expected exactly one carried file, got ${before & after}")
+    assert(tbl.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L, 5L, 6L))
+
+    // a delete whose bounds-affected files hold NO matching row is a no-op
+    val snaps = tbl.snapshots.size
+    tbl.delete(spark, Seq(EqPred("id", 3L))) // already gone; bounds still admit 3
+    assert(tbl.snapshots.size == snaps, "matchless COW delete must not commit")
+
+    // arbitrary-condition COW delete (nothing prunable) still only
+    // rewrites the single file holding matches
+    val pre = tbl.scan().planFiles().map(_.filePath).toSet
+    tbl.deleteWhere(spark, "k = 'b' AND id = 2")
+    val post = tbl.scan().planFiles().map(_.filePath).toSet
+    assert((pre & post).size == 1, "a-file must be carried, not rewritten")
+    assert(tbl.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L, 5L, 6L))
+  }
 }
