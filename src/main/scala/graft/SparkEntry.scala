@@ -853,6 +853,46 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "d53_bloom_decontaminate" -> ((s, dir) => {
+      // same contract as d47, different 100 TB execution: the test-gram
+      // Bloom sketch prefilters corpus grams MAP-SIDE, so only candidate
+      // grams (true hits + ~fpp false positives) ride the shuffle. No
+      // false negatives by construction; the exact join removes the FPs —
+      // output provably equals d47's, and shares its oracle shape.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val test = docs.where("doc_id % 5 = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      CorpusOps.ngramOverlapBloom(docs, test, "doc_id", "text", n = 8,
+          expectedTestGrams = 1L << 16, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
+    "d54_cluster_best" -> ((s, dir) => {
+      // fuzzy dedup with the "keep the cleanest copy" rule: cluster the
+      // verified near-dup pairs, then keep each cluster's highest-quality
+      // member (ties on id). One hash shuffle on the cluster key; the
+      // corpus only joins in for clustered ids.
+      val corpus = corpusWithNearDups(s, dir)
+      val pairs = DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+          bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
+        .select("id_a", "id_b")
+      val attrs = corpus.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).cast("long").as("quality"))
+      DedupOps.clusterRepresentatives(pairs, attrs, "doc_id", "quality")
+        .orderBy("component")
+    }),
+
+    "d55_quality_filter" -> ((s, dir) => {
+      // keep/drop with provenance: per-document failed-signal reasons —
+      // what a production filter pipeline reports for loss accounting
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityReasons(col("text")).as("reasons"))
+        .withColumn("keep", col("reasons") === "")
+        .orderBy("doc_id")
+    }),
+
     "d34_minhash_pairs" -> ((s, dir) => {
       // Exact oracle: the full O(n²) cross-join Jaccard in DuckDB. The LSH
       // banding (8 bands × 4 rows) deterministically finds every pair with
@@ -935,6 +975,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e41_knn_sq8" -> ((s, dir) => {
+      // SQ8 with error-bounded exact re-ranking: the candidate threshold
+      // τ − 2E(q) provably admits every true top-k vector, so the output
+      // EQUALS the exact inner-product top-k at any setting — no recall
+      // knob to mistune. Oracle: the brute-force MIPS top-5 in DuckDB.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKSq8(
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e39_embedding_neardup" -> ((s, dir) => {
       // Planted near-identical vectors by power-of-two scaling: sign(p·2v)
       // == sign(p·v) EXACTLY in IEEE float (scaling by 2 is exact and
@@ -1001,6 +1054,27 @@ object SparkEntry {
       |SELECT query_id, vec_id,
       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
       |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by d47 and d53 — the Bloom stage changes the execution, not
+    * the result. */
+  private lazy val DecontaminateOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |grams AS (
+       | SELECT doc_id, unnest(list_distinct(
+       |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+       |     i -> md5(array_to_string(t[i:i+7], ' ')))
+       |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+       | FROM toks),
+       |testg AS (
+       | SELECT DISTINCT unnest(list_distinct(
+       |   CASE WHEN len(tm) >= 8 THEN list_transform(range(1, len(tm) - 6),
+       |     i -> md5(array_to_string(tm[i:i+7], ' ')))
+       |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+       | FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
+       |       FROM toks WHERE doc_id % 5 = 0))
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM grams g JOIN testg USING (gram)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1502,24 +1576,83 @@ object SparkEntry {
          |  CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS chunk_id
          |FROM acc ORDER BY doc_id""".stripMargin,
 
-    "d47_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |grams AS (
-         | SELECT doc_id, unnest(list_distinct(
-         |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
-         |     i -> md5(array_to_string(t[i:i+7], ' ')))
-         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
-         | FROM toks),
-         |testg AS (
-         | SELECT DISTINCT unnest(list_distinct(
-         |   CASE WHEN len(tm) >= 8 THEN list_transform(range(1, len(tm) - 6),
-         |     i -> md5(array_to_string(tm[i:i+7], ' ')))
-         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
-         | FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
-         |       FROM toks WHERE doc_id % 5 = 0))
-         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |FROM grams g JOIN testg USING (gram)
-         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "d47_decontaminate" -> DecontaminateOracleSql,
+
+    // d53 computes the SAME result as d47 (the Bloom stage has no false
+    // negatives and the exact join removes false positives) — same oracle
+    "d53_bloom_decontaminate" -> DecontaminateOracleSql,
+
+    "d54_cluster_best" ->
+      s"""WITH RECURSIVE corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0
+         |), sh AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(toks) - 3, 0) + 1),
+         |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM corpus)
+         |), pairs AS MATERIALIZED (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         | WHERE jaccard >= 0.7
+         |), edges AS MATERIALIZED (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, comp) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+         |), comps AS (
+         | SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+         |), h AS (SELECT doc_id,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.EnStop)}))) AS en,
+         |  len($ToksSql) AS ntok,
+         |  length(text) AS nchar,
+         |  length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS npunct,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS nletter
+         | FROM corpus),
+         |q AS (
+         | SELECT doc_id,
+         |  CAST(CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1 ELSE 0 END
+         |     + CASE WHEN npunct * 1000 <= nchar * 80 THEN 1 ELSE 0 END
+         |     + CASE WHEN en * 1000 >= ntok * 10 THEN 1 ELSE 0 END
+         |     + CASE WHEN nletter >= ntok * 3 AND nletter <= ntok * 12 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS quality
+         | FROM h)
+         |SELECT component, rep_id, rep_quality, n_members FROM (
+         | SELECT c.component, c.id AS rep_id, q.quality AS rep_quality,
+         |  CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
+         |  ROW_NUMBER() OVER (PARTITION BY c.component
+         |   ORDER BY q.quality DESC, c.id) AS rk
+         | FROM comps c JOIN q ON q.doc_id = c.id)
+         |WHERE rk = 1 ORDER BY component""".stripMargin,
+
+    "d55_quality_filter" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.EnStop)}))) AS en,
+         |  len($ToksSql) AS ntok,
+         |  length(text) AS nchar,
+         |  length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS npunct,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS nletter
+         | FROM documents)
+         |SELECT doc_id, reasons, (reasons = '') AS keep FROM (
+         | -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+         | -- array_join([]) is '' — normalize to the Spark form
+         | SELECT doc_id, COALESCE(array_to_string(list_filter([
+         |   CASE WHEN ntok < 10 OR ntok > 10000 THEN 'length' ELSE NULL END,
+         |   CASE WHEN npunct * 1000 > nchar * 80 THEN 'punctuation' ELSE NULL END,
+         |   CASE WHEN en * 1000 < ntok * 10 THEN 'stopwords' ELSE NULL END,
+         |   CASE WHEN nletter < ntok * 3 OR nletter > ntok * 12 THEN 'word_shape' ELSE NULL END
+         |  ], x -> x IS NOT NULL), ','), '') AS reasons
+         | FROM h) ORDER BY doc_id""".stripMargin,
 
     "d48_redact_pii" ->
       s"""WITH pii AS (SELECT doc_id,
@@ -1617,6 +1750,14 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM ms a JOIN ms b ON a.doc_id < b.doc_id AND a.ms = b.ms
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "e41_knn_sq8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "e39_embedding_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,

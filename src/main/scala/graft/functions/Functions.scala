@@ -55,6 +55,30 @@ object BucketUtil {
     dot
   }
 
+  /** Asymmetric SQ8 score: quantize `v` to 8-bit codes with per-dimension
+    * (mins, steps), dequantize, dot with the FULL-precision query — the
+    * standard asymmetric-distance computation. Per-dim quantization error
+    * is at most steps(i)/2, so |sq8Dot − dot| ≤ Σ|q_i|·steps(i)/2. */
+  def sq8Dot(v: ArrayData, q: ArrayData, mins: Array[Float], steps: Array[Float]): Double = {
+    val n = math.min(math.min(v.numElements(), q.numElements()), mins.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val s = steps(i)
+      val deq =
+        if (s == 0f) mins(i).toDouble
+        else {
+          var code = Math.round((v.getFloat(i) - mins(i)) / s)
+          if (code < 0) code = 0
+          if (code > 255) code = 255
+          mins(i).toDouble + code.toDouble * s
+        }
+      dot += deq * q.getFloat(i)
+      i += 1
+    }
+    dot
+  }
+
   /** L2 norm of a float vector. */
   def normFloat(a: ArrayData): Double = {
     var s = 0.0
@@ -264,6 +288,46 @@ case class CosineSimilarity(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BucketUtil.cosineFloat($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Inner product of two float vectors (codegen'd; MIPS scoring). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BucketUtil.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BucketUtil.dotFloat($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric SQ8 inner product (codegen'd): left = corpus vector
+  * (quantized on the fly against the per-dimension grid), right = full-
+  * precision query. The grid (2×dim floats) ships as plan reference
+  * objects. See [[BucketUtil.sq8Dot]] for the error bound. */
+case class Sq8Dot(left: Expression, right: Expression,
+                  mins: Array[Float], steps: Array[Float])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BucketUtil.sq8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mins, steps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("mins", mins, "float[]")
+    val sref = ctx.addReferenceObj("steps", steps, "float[]")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BucketUtil.sq8Dot($a, $b, $mref, $sref)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Dot =
     copy(left = l, right = r)
 }
 
@@ -557,6 +621,26 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 }
 
 /** Column-level entry points + SQL registration. */
+/** Bloom-filter membership probe, codegen'd: the sketch (built distributed
+  * over the small side, merged once) ships as ONE plan reference object per
+  * executor, and the probe is two hashes per row — a map-side prefilter
+  * that keeps non-candidate rows out of a shuffle entirely. NO false
+  * negatives by construction, so an exact join downstream restores
+  * exactness; false positives only cost shuffle bytes (~fpp of the input). */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
+}
+
 object GraftFunctions {
   def iceberg_bucket(n: Int, c: Column): Column =
     ColumnBridge.column(IcebergBucket(expression(c), n))
@@ -582,6 +666,13 @@ object GraftFunctions {
     ColumnBridge.column(NearestCentroid(expression(c), centers))
   def nearest_centroids(c: Column, centers: Array[Array[Float]], nprobe: Int): Column =
     ColumnBridge.column(NearestCentroids(expression(c), centers, nprobe))
+  def bloom_might_contain(c: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(expression(c), bloom))
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(expression(a), expression(b)))
+  def sq8_dot(v: Column, q: Column, mins: Array[Float], steps: Array[Float]): Column =
+    ColumnBridge.column(Sq8Dot(expression(v), expression(q), mins, steps))
 
   /** Deterministic seeded hyperplanes for [[HyperplaneSig]] (xorshift64,
     * no RNG state shared with anything else). */

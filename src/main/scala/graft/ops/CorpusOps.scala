@@ -71,6 +71,32 @@ object CorpusOps {
   }
 
   /**
+   * [[ngramOverlap]] with a Bloom prefilter on the corpus side: the merged
+   * test-gram Bloom sketch (built by a distributed aggregation, collected
+   * once, shipped as a plan constant) probes every training gram map-side,
+   * so only true hits plus the ~`fpp` false-positive fraction ever enter
+   * the join shuffle — on a 100 TB corpus the shuffle shrinks from "every
+   * distinct gram" to "approximately the contaminated grams". The sketch
+   * has NO false negatives by construction and the exact join removes the
+   * false positives, so the result EQUALS [[ngramOverlap]] row for row
+   * (same oracle).
+   */
+  def ngramOverlapBloom(train: DataFrame, test: DataFrame, idCol: String,
+                        textCol: String, n: Int = 8,
+                        expectedTestGrams: Long = 1L << 20,
+                        fpp: Double = 0.01): DataFrame = {
+    val testGrams = test
+      .select(explode(gramSet(col(textCol), n)).as("gram")).distinct()
+    val bloom = testGrams.stat.bloomFilter("gram", expectedTestGrams, fpp)
+    train
+      .select(col(idCol), explode(gramSet(col(textCol), n)).as("gram"))
+      .where(graft.functions.GraftFunctions.bloom_might_contain(col("gram"), bloom))
+      .join(broadcast(testGrams), "gram")
+      .groupBy(idCol) // grams are distinct per doc: count == distinct count
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Deterministic stratified sampling: each stratum keeps the documents
    * whose content-hash first hex digit falls in its allowed set (so rates
    * are multiples of 1/16). Like [[graft.SparkEntry]]'s d43 sample but

@@ -123,6 +123,80 @@ object SimilarityOps {
     centers
   }
 
+  /**
+   * Scalar-quantized (SQ8) top-k by INNER PRODUCT with error-bounded exact
+   * re-ranking — PROVABLY exact at every setting (unlike recall-tuned ANN):
+   *
+   *  1. STATS: per-dimension [min,max] over the corpus (one treeAggregate;
+   *     the driver holds 2×dim floats, never vectors).
+   *  2. SCORE: each corpus vector quantizes to 8-bit codes on the grid and
+   *     scores against the full-precision query (asymmetric SQ) via a
+   *     codegen'd expression. At 100 TB the codes would be a STORED column
+   *     — 4× less scan IO than float32 — with the same scoring expression.
+   *  3. BOUND: per-dim quantization error ≤ step/2, so any score is within
+   *     E(q) = Σ|q_i|·step_i/2 of the true dot. The k-th best quantized
+   *     score τ therefore admits only vectors with quantized score
+   *     ≥ τ − 2E(q) into the true top-k — everything else is provably out.
+   *  4. RESCORE: exact dot product over that candidate set only; top-k.
+   *
+   * Same output shape as [[topKBruteForce]] (rank by dot, ties on id).
+   */
+  def topKSq8(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, dim: Int): DataFrame = {
+    val zero = (Array.fill(dim)(Float.MaxValue), Array.fill(dim)(Float.MinValue))
+    val (mins, maxs) = corpus.select(col(corpusVec)).rdd.treeAggregate(zero)(
+      seqOp = { case ((mn, mx), row) =>
+        val v = row.getSeq[Float](0)
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) {
+          if (v(i) < mn(i)) mn(i) = v(i)
+          if (v(i) > mx(i)) mx(i) = v(i)
+          i += 1
+        }
+        (mn, mx)
+      },
+      combOp = { case ((m1, x1), (m2, x2)) =>
+        var i = 0
+        while (i < dim) {
+          if (m2(i) < m1(i)) m1(i) = m2(i)
+          if (x2(i) > x1(i)) x1(i) = x2(i)
+          i += 1
+        }
+        (m1, x1)
+      })
+    val steps = Array.tabulate(dim)(i =>
+      if (maxs(i) <= mins(i)) 0f else (maxs(i) - mins(i)) / 255f)
+
+    val qdf = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+    val scored = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("vec_id"), col("cvec"), col("qvec"),
+        GraftFunctions.sq8_dot(col("cvec"), col("qvec"), mins, steps).as("approx"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val ranked = scored.withColumn("__rk", row_number().over(w))
+    // τ per query (absent when the corpus holds fewer than k vectors —
+    // then everything is a candidate anyway)
+    val taus = ranked.where(col("__rk") === k)
+      .select(col("query_id"), col("approx").as("tau"))
+    // E(q) in double, plus an epsilon absorbing float rounding in the
+    // quantize/dequantize round-trip (only ADDS candidates, never drops)
+    val errs = qdf.select(col("query_id"),
+      (aggregate(
+        zip_with(col("qvec"), lit(steps), (q, s) => abs(q).cast("double") * s.cast("double")),
+        lit(0.0), (acc, x) => acc + x) / 2.0 + lit(1e-6)).as("err"))
+    val candidates = ranked
+      .join(broadcast(taus), Seq("query_id"), "left")
+      .join(broadcast(errs), Seq("query_id"))
+      .where(col("tau").isNull || col("approx") >= col("tau") - lit(2.0) * col("err"))
+    val rescored = candidates.select(col("query_id"), col("vec_id"),
+      GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe. Same output shape as
     * the brute-force path; recall depends on nbits/probeBits. */
   def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,

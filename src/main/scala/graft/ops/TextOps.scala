@@ -92,6 +92,27 @@ object TextOps {
     s1 + s2 + s3 + s4
   }
 
+  /** Filter provenance: WHICH of [[qualityScore]]'s four signals failed,
+    * as a stable comma-joined reason string ("" = keep). Real pipelines
+    * must report why documents were dropped (per-reason loss accounting,
+    * threshold tuning) — a bare boolean filter can't. Same single-pass
+    * profile as the score; map-only; reason order is fixed so the string
+    * is engine-portable for the oracle. */
+  def qualityReasons(text: Column): Column = {
+    val p = profile(text)
+    val toks = p.getField("ntok")
+    val chars = p.getField("nchar")
+    val punct = p.getField("npunct")
+    val stops = p.getField("hits0") // EnStop
+    val letters = p.getField("nletter")
+    val r1 = when(toks < 10 || toks > 10000, lit("length")).otherwise(lit(null))
+    val r2 = when(punct * 1000 > chars * 80, lit("punctuation")).otherwise(lit(null))
+    val r3 = when(stops * 1000 < toks * 10, lit("stopwords")).otherwise(lit(null))
+    val r4 = when(letters < toks * 3 || letters > toks * 12, lit("word_shape"))
+      .otherwise(lit(null))
+    array_join(filter(array(r1, r2, r3, r4), x => x.isNotNull), ",")
+  }
+
   /** Stable content hash for exact dedup (md5 hex — cheap, engine-portable). */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 

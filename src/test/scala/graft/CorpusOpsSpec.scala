@@ -35,6 +35,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq((1L, 1L)))
   }
 
+  test("ngramOverlapBloom equals ngramOverlap exactly (no false negatives survive)") {
+    val train = (1L to 200L).map(i =>
+      (i, if (i % 7 == 0) s"c t1 t2 t3 t4 t5 t6 t7 t8 x$i" else s"a$i b$i " + (1 to 8).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val test = Seq(Tuple1("zz t1 t2 t3 t4 t5 t6 t7 t8")).toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val exact = rows(CorpusOps.ngramOverlap(train, test, "doc_id", "text", n = 8))
+    val bloomed = rows(CorpusOps.ngramOverlapBloom(train, test, "doc_id", "text",
+      n = 8, expectedTestGrams = 1024, fpp = 0.01))
+    assert(exact.nonEmpty && bloomed == exact)
+    // a deliberately tiny/over-saturated sketch still never loses a hit
+    val saturated = rows(CorpusOps.ngramOverlapBloom(train, test, "doc_id", "text",
+      n = 8, expectedTestGrams = 2, fpp = 0.5))
+    assert(saturated == exact)
+  }
+
+  test("qualityReasons: stable reason strings, keep == empty reasons") {
+    val good = ("the a of and to in is " + (1 to 20).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (1L, good),                         // passes all four signals
+      (2L, "tiny doc"),                   // too short + no stopwords
+      (3L, good + " !!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!")) // punctuation
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), TextOps.qualityReasons(col("text")).as("reasons"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) == "")
+    assert(r(2L).contains("length") && r(2L).contains("stopwords"))
+    assert(r(3L).contains("punctuation"))
+    // reasons are ordered by the fixed signal order, comma-joined
+    assert(r(2L) == r(2L).split(",").toSeq.mkString(","))
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i => (i.toLong, s"doc number $i content", if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "text", "lang")

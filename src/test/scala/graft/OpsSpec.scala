@@ -88,6 +88,18 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 20L, 99L))
   }
 
+  test("clusterRepresentatives keeps the best-quality member per cluster") {
+    // {1,2,3}: quality peaks at 2; {10,11}: tie on quality -> min id wins
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val attrs = Seq((1L, 1L), (2L, 5L), (3L, 3L), (10L, 2L), (11L, 2L), (99L, 9L))
+      .toDF("doc_id", "quality")
+    val reps = DedupOps.clusterRepresentatives(pairs, attrs, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // isolated 99 never enters the graph: clusters only
+    assert(reps == Seq((1L, 2L, 5L, 3L), (10L, 10L, 2L, 2L)))
+  }
+
   test("connectedComponents releases every cache entry it creates") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     def cachedCount: Int = {
@@ -239,6 +251,26 @@ class OpsSpec extends AnyFunSuite {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.6, s"LSH recall $recall") // multiprobe-2 on 8 bits
+  }
+
+  test("SQ8 top-k equals exact MIPS top-k (error-bounded candidates)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // exact MIPS reference via the same dot expression
+    val scored = emb.select($"vec_id", $"embedding").crossJoin(
+        broadcast(queries))
+      .select($"qid".as("query_id"), $"vec_id",
+        graft.functions.GraftFunctions.dot_product($"embedding", $"qvec").as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"dot".desc, $"vec_id".asc)
+    val exact = scored.withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val sq8 = SimilarityOps.topKSq8(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(sq8 == exact, "SQ8 must be EXACT, not approximate")
+    // and the candidate bound actually prunes: fewer rescored rows than corpus×queries
+    // (sanity only at this scale; the invariant above is the real check)
   }
 
   test("multi-probe masks: combinatorial generation, safe at large nbits") {
