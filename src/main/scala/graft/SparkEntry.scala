@@ -709,6 +709,33 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    "s43_stream_dedup" -> ((s, dir) => {
+      // custom streaming state (flatMapGroupsWithState): exact-dedup with
+      // provenance over the event stream — every row tagged keep/duplicate
+      // with the id it duplicates and its running index. Deterministic:
+      // events.parquet is one AvailableNow batch, and rows sort by
+      // (event time, id) inside each state group, so the oracle is the
+      // equivalent batch window query.
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev =
+        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val out = graft.streaming.StreamingOps
+        .dedupStream(ev, "ts", "event_id", "props")
+      val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("content_hash"), col("id"), col("keep"),
+          col("first_id"), col("dup_index"))
+        .orderBy("content_hash", "dup_index")
+    }),
+
     // ------------------------------------------------- LLM-pipeline ops
     "d30_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -1442,6 +1469,16 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2) w, mx
         |WHERE window_start + INTERVAL 1 HOUR <= wm
         |ORDER BY 1, 2""".stripMargin,
+
+    "s43_stream_dedup" ->
+      """SELECT content_hash, id, keep, first_id, dup_index FROM (
+        | SELECT md5(props) AS content_hash, event_id AS id,
+        |  (ROW_NUMBER() OVER w = 1) AS keep,
+        |  FIRST_VALUE(event_id) OVER w AS first_id,
+        |  CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS dup_index
+        | FROM events
+        | WINDOW w AS (PARTITION BY props ORDER BY ts, event_id)
+        |) ORDER BY content_hash, dup_index""".stripMargin,
 
     "d30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

@@ -51,6 +51,69 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Row shapes for [[dedupStream]]'s custom state machine. `ts` is the
+    * watermarked event-time column (must survive to the stateful operator
+    * for event-time timeouts); `tsRaw` its microsecond ticks for exact
+    * deterministic ordering. */
+  final case class DedupIn(hash: String, ts: java.sql.Timestamp, tsRaw: Long, id: Long)
+  final case class DedupState(firstId: Long, dupCount: Long, maxTsRaw: Long)
+  final case class DedupOut(content_hash: String, id: Long, keep: Boolean,
+                            first_id: Long, dup_index: Long)
+
+  /**
+   * Streaming exact-dedup WITH provenance — the op `dropDuplicates` can't
+   * express: every row is emitted, tagged `keep` (first occurrence of its
+   * content hash) or not, plus WHICH row it duplicates (`first_id`) and its
+   * running `dup_index`. Ingest pipelines need the full accounting (what
+   * was dropped, why, against what), not just the survivors.
+   *
+   * Custom state via `flatMapGroupsWithState` (update mode): key = content
+   * hash, state = (first id, duplicate count, max event time). State is
+   * BOUNDED: an event-time timeout expires a hash `retentionMs` after its
+   * last occurrence once the watermark passes — at 100 TB/day ingest the
+   * store holds only the retention window's distinct hashes, and a hash
+   * recurring after expiry is treated as fresh (windowed dedup semantics).
+   *
+   * Within a micro-batch, rows are processed in (event time, id) order, so
+   * the output is deterministic however the source chunks its batches.
+   */
+  def dedupStream(events: DataFrame, tsCol: String, idCol: String,
+                  contentCol: String, watermark: String = "10 minutes",
+                  retentionMs: Long = 60L * 60 * 1000): org.apache.spark.sql.Dataset[DedupOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events
+      .select(md5(col(contentCol).cast("binary")).as("hash"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"))
+      .withWatermark("ts", watermark)
+      .select(col("hash"), col("ts"),
+        // microsecond event-time ticks: deterministic ordering, no unit loss
+        unix_micros(col("ts")).as("tsRaw"), col("id"))
+      .as[DedupIn]
+      .groupByKey(_.hash)
+    keyed.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+      (hash: String, rows: Iterator[DedupIn], state: GroupState[DedupState]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val batch = rows.toVector.sortBy(r => (r.tsRaw, r.id))
+          var st = state.getOption.getOrElse(DedupState(-1L, -1L, Long.MinValue))
+          val out = batch.map { r =>
+            st =
+              if (st.firstId < 0) DedupState(r.id, 0L, r.tsRaw)
+              else st.copy(dupCount = st.dupCount + 1, maxTsRaw = math.max(st.maxTsRaw, r.tsRaw))
+            DedupOut(hash, r.id, keep = st.dupCount == 0 && r.id == st.firstId,
+              st.firstId, st.dupCount)
+          }
+          state.update(st)
+          // expire retentionMs after the LAST occurrence (event time)
+          state.setTimeoutTimestamp(st.maxTsRaw / 1000L + retentionMs)
+          out.iterator
+        }
+      })
+  }
+
   /**
    * Streaming INGESTION into a graft table: start `stream.writeStream`
    * appending each micro-batch as one atomic commit. The micro-batch id is

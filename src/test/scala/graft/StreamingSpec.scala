@@ -47,6 +47,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser == Map(1L -> 2, 2L -> 1))
   }
 
+  test("dedupStream: provenance across batches, state expires after retention") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "event_id", "text")
+    val out = StreamingOps.dedupStream(events, "ts", "event_id", "text",
+      watermark = "1 minute", retentionMs = 10L * 60 * 1000) // 10 min retention
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: first occurrences + one in-batch duplicate (sorted by ts,id)
+    mem.addData((ts(10, 0), 1L, "aaa"), (ts(10, 1), 2L, "bbb"), (ts(10, 2), 3L, "aaa"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate — state remembers first_id = 1
+    mem.addData((ts(10, 3), 4L, "aaa"))
+    q.processAllAvailable()
+    def rows = spark.table("dedup_out")
+      .select("id", "keep", "first_id", "dup_index").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, true, 1L, 0L), (2L, true, 2L, 0L), (3L, false, 1L, 1L),
+      (4L, false, 1L, 2L)))
+
+    // advance the watermark far past last-seen + retention: state expires,
+    // so "aaa" arriving later is a fresh first occurrence, not a duplicate
+    mem.addData((ts(12, 0), 50L, "ccc")) // watermark -> 11:59
+    q.processAllAvailable()
+    mem.addData((ts(12, 1), 51L, "aaa"))
+    q.processAllAvailable()
+    q.stop()
+    val later = spark.table("dedup_out").where("id = 51")
+      .select("keep", "dup_index").collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    assert(later.toSeq == Seq((true, 0L)), "expired hash must dedup as fresh")
+  }
+
   test("streaming ingestion: writeStream appends micro-batches as commits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
