@@ -212,21 +212,38 @@ final class Table(
    * fast-append commit publishes them, so onboarding N TB of existing
    * parquet costs O(files) parallel footer reads — never a data copy.
    *
-   * Constraints: the table must be unpartitioned (a foreign file's
-   * partition tuple cannot be inferred safely), and columns shared with
-   * the table schema must match by name AND Spark type exactly — the
-   * scan reads foreign files (which carry no Iceberg field ids) through
-   * name binding with the declared schema, where Parquet tolerates no
-   * implicit casts. Columns the files lack read as null, like append.
+   * Constraints: partitioned targets must use identity transforms, and
+   * every registered file must be PROVABLY single-valued on each
+   * partition source (footer min == max, zero nulls) — the tuple is
+   * derived from the file's own statistics, never from a directory
+   * layout, so a mislabeled path cannot land rows in the wrong
+   * partition. Columns shared with the table schema must match by name
+   * AND Spark type exactly — the scan reads foreign files (which carry
+   * no Iceberg field ids) through name binding with the declared schema,
+   * where Parquet tolerates no implicit casts. Columns the files lack
+   * read as null, like append.
    */
   def addFiles(spark: SparkSession, paths: Seq[String],
                extraSummary: Map[String, String] = Map.empty): Unit = {
     import scala.collection.parallel.CollectionConverters._
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     require(paths.nonEmpty, "addFiles requires at least one file path")
-    if (meta.defaultPartitionSpec.fields.nonEmpty)
-      throw new InvalidDataError(
-        "addFiles supports unpartitioned tables only (no safe partition tuple for foreign files)")
+    // Partitioned targets: identity transforms only, and each file must be
+    // PROVABLY single-valued on every partition source (footer min == max,
+    // zero nulls) — the partition tuple is then derived from the file's
+    // own statistics, so no trust is placed in foreign directory layouts
+    // and a mislabeled file can never land in the wrong partition.
+    val spec = meta.defaultPartitionSpec
+    val specFieldById = meta.currentSchema.fields.map(f => f.id -> f).toMap
+    val partSources: Seq[(graft.meta.PartitionField, graft.types.NestedField)] = spec.fields.map { pf =>
+      if (pf.transform != "identity")
+        throw new InvalidDataError(
+          s"addFiles supports identity-partitioned tables only (field '${pf.name}' uses " +
+            s"'${pf.transform}'; a foreign file carries no safe value for a derived tuple)")
+      val src = specFieldById.getOrElse(pf.sourceId,
+        throw new InvalidDataError(s"partition source id ${pf.sourceId} not in schema"))
+      (pf, src)
+    }
     val tableSpark = graft.types.SparkSchemaConverter.toSpark(meta.currentSchema)
     val fileSchema = spark.read.parquet(paths: _*).schema
     val tableByName = tableSpark.fields.map(f => f.name -> f.dataType).toMap
@@ -240,15 +257,28 @@ final class Table(
       val fs = path.getFileSystem(hadoopConf)
       val stats = ParquetStats.read(hadoopConf, path)
       if (stats.recordCount == 0L) None
-      else Some(graft.manifest.DataFile(
-        filePath = path.toString,
-        fileFormat = "PARQUET",
-        partition = Map.empty,
-        recordCount = stats.recordCount,
-        fileSizeInBytes = fs.getFileStatus(path).getLen,
-        lowerBounds = stats.lowerBounds,
-        upperBounds = stats.upperBounds,
-        nullCounts = stats.nullCounts))
+      else {
+        val partition: Map[String, String] = partSources.map { case (pf, src) =>
+          val lo = stats.lowerBounds.get(src.name)
+          val hi = stats.upperBounds.get(src.name)
+          val nulls = stats.nullCounts.getOrElse(src.name, 0L)
+          if (lo.isEmpty || lo != hi || nulls > 0)
+            throw new InvalidDataError(
+              s"addFiles: $p is not single-valued on partition source '${src.name}' " +
+                s"(bounds ${lo.orNull}..${hi.orNull}, $nulls nulls) — " +
+                "each registered file must belong to exactly one partition")
+          pf.name -> Table.partitionValueString(lo.get, src.fieldType, p)
+        }.toMap
+        Some(graft.manifest.DataFile(
+          filePath = path.toString,
+          fileFormat = "PARQUET",
+          partition = partition,
+          recordCount = stats.recordCount,
+          fileSizeInBytes = fs.getFileStatus(path).getLen,
+          lowerBounds = stats.lowerBounds,
+          upperBounds = stats.upperBounds,
+          nullCounts = stats.nullCounts))
+      }
     }.seq
     if (files.isEmpty) return
     commitAppend(cat, files, java.util.UUID.randomUUID().toString,
@@ -2105,6 +2135,22 @@ final class Table(
   }
 
   override def toString: String = s"Table($ident)"
+}
+
+object Table {
+  /** Footer-stats bound string → the external partition-tuple rendering
+    * the scan's partition parsing expects (identity transforms only; the
+    * same forms AppendUtil's Hive-style directories produce). */
+  private[table] def partitionValueString(raw: String, t: graft.types.IType,
+                                          file: String): String = t match {
+    case graft.types.IInt | graft.types.ILong | graft.types.IString |
+         graft.types.IBoolean | graft.types.IDecimal(_, _) => raw
+    case graft.types.IDate => // stats record epoch days; tuples are ISO dates
+      java.time.LocalDate.ofEpochDay(raw.toLong).toString
+    case other =>
+      throw new graft.InvalidDataError(
+        s"addFiles: partition source type $other is not supported for foreign files ($file)")
+  }
 }
 
 /** Read-only table loaded directly from a metadata.json path, no catalog

@@ -252,12 +252,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(tbl.scan().planFiles().size == 2) // no rewrite: the two foreign files
     // footer bounds made it into the manifest → pruning skips the other file
     assert(tbl.scan(predicates = Seq(GePred("id", 50L))).planFiles().size == 1)
-    // guards: type mismatch and partitioned target are rejected
+    // guards: type mismatch rejected; a multi-valued file cannot enter an
+    // identity-partitioned table (p1 holds k = a AND b)
     Seq(("x", 1)).toDF("id", "qty").write.mode("overwrite").parquet(s"$ext/bad")
     assertThrows[InvalidDataError](tbl.addFiles(spark, parts(s"$ext/bad")))
     val part = cat.createTable("addf_part", schema, partitionSpec =
       graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(3, 1000, "k", "identity"))))
     assertThrows[InvalidDataError](part.addFiles(spark, parts(s"$ext/p1")))
+
+    // identity-partitioned import: single-valued files derive their tuple
+    // from footer stats; partition pruning then works like native data
+    Seq((1L, 10, "a"), (2L, 20, "a")).toDF("id", "qty", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ext/pa")
+    Seq((3L, 30, "b")).toDF("id", "qty", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ext/pb")
+    part.addFiles(spark, parts(s"$ext/pa") ++ parts(s"$ext/pb"))
+    assert(part.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val pruned = part.scan(predicates = Seq(EqPred("k", "b"))).planFiles()
+    assert(pruned.size == 1 && pruned.head.file.partition == Map("k" -> "b"))
+    assert(part.scan(predicates = Seq(EqPred("k", "b"))).toDF(spark)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // a non-identity spec still refuses foreign files
+    val bucketed = cat.createTable("addf_bucket", schema, partitionSpec =
+      graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(1, 1001, "id_bucket", "bucket[4]"))))
+    assertThrows[InvalidDataError](bucketed.addFiles(spark, parts(s"$ext/pa")))
     // imported data participates in DML like native data
     tbl.delete(spark, Seq(EqPred("k", "b")))
     assert(tbl.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 100L))
