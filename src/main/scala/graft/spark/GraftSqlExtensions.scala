@@ -36,10 +36,22 @@ import org.apache.spark.sql.graftbridge.CatalystBridge
  */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(session => new GraftDmlResolution(session))
     ext.injectPlannerStrategy(session => new GraftDmlStrategy(session))
   }
 }
+
+/** ALTER TABLE … ADD PARTITION FIELD (parser-injected; Spark's grammar has
+  * no partition-evolution DDL). Identifier resolves at planning time. */
+case class GraftAddPartitionFieldCommand(ident: Seq[String], source: String,
+                                         transform: String, name: Option[String])
+  extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
+
+/** ALTER TABLE … DROP PARTITION FIELD (field name, or a transform form
+  * mapped to its default name). */
+case class GraftDropPartitionFieldCommand(ident: Seq[String], fieldName: String)
+  extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
 
 /** Eagerly-executed logical commands (Spark runs `Command` nodes at
   * DataFrame creation). The merge SOURCE plan rides as a field, not a
@@ -77,7 +89,36 @@ class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
     case GraftMergeCommand(t, src, on, wm, wnm) =>
       GraftDmlExec(() => t.refresh().merge(session,
         CatalystBridge.dataFrame(session, src), on, wm, wnm)) :: Nil
+    case GraftAddPartitionFieldCommand(ident, source, transform, name) =>
+      val t = resolveGraftTable(ident)
+      GraftDmlExec(() => t.refresh().updateSpec()
+        .addField(source, transform, name).commit()) :: Nil
+    case GraftDropPartitionFieldCommand(ident, fieldName) =>
+      val t = resolveGraftTable(ident)
+      GraftDmlExec(() => t.refresh().updateSpec().removeField(fieldName).commit()) :: Nil
     case _ => Nil
+  }
+
+  /** Resolve a raw (possibly catalog-qualified) identifier from the
+    * parser-injected DDL to the backing graft table. */
+  private def resolveGraftTable(ident: Seq[String]): GTable = {
+    val cm = CatalystBridge.catalogManager(session)
+    val (cat, rest) =
+      if (ident.size > 1 && cm.isCatalogRegistered(ident.head))
+        (cm.catalog(ident.head), ident.tail)
+      else (cm.currentCatalog, ident)
+    cat match {
+      case g: GraftSparkCatalog =>
+        val ns = if (rest.size > 1) rest.init.toArray else g.defaultNamespace()
+        g.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(ns, rest.last)) match {
+          case gt: GraftSparkTable => gt.graftTable
+          case other => throw new UnsupportedFeatureError(
+            s"not a graft table: ${ident.mkString(".")} ($other)")
+        }
+      case other => throw new UnsupportedFeatureError(
+        "ALTER TABLE ... PARTITION FIELD requires a graft catalog " +
+          s"(got catalog '${other.name()}' for ${ident.mkString(".")})")
+    }
   }
 }
 

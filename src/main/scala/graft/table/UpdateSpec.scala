@@ -70,7 +70,7 @@ final class UpdateSpec private[table] (table: Table) {
   }
 }
 
-private[table] object UpdateSpec {
+private[graft] object UpdateSpec {
   private sealed trait Op
   private final case class AddField(source: String, transform: String,
                                     name: Option[String]) extends Op

@@ -16,4 +16,9 @@ object CatalystBridge {
 
   def literalToScala(value: Any, dataType: org.apache.spark.sql.types.DataType): Any =
     CatalystTypeConverters.convertToScala(value, dataType)
+
+  /** The session's CatalogManager (private[sql]) — parser-injected DDL
+    * resolves its raw identifiers against it at planning time. */
+  def catalogManager(spark: SparkSession): org.apache.spark.sql.connector.catalog.CatalogManager =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
 }

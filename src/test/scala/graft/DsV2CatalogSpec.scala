@@ -194,4 +194,46 @@ class DsV2CatalogSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1)))
     assert(all.toSeq == Seq((1, "sql"), (2, "api")))
   }
+
+  test("ALTER TABLE ADD/DROP PARTITION FIELD — SQL partition evolution") {
+    init
+    sql(s"CREATE TABLE $C.sales.pevo (id BIGINT, k STRING, ts TIMESTAMP_NTZ)")
+    import spark.implicits._
+
+    sql(s"ALTER TABLE $C.sales.pevo ADD PARTITION FIELD k")
+    var gt = cat.loadTable("sales.pevo")
+    assert(gt.defaultPartitionSpec.fields.map(f => (f.name, f.transform)) ==
+      Seq(("k", "identity")))
+
+    sql(s"ALTER TABLE $C.sales.pevo ADD PARTITION FIELD bucket(4, id)")
+    gt = cat.loadTable("sales.pevo")
+    assert(gt.defaultPartitionSpec.fields.map(f => (f.name, f.transform)) ==
+      Seq(("k", "identity"), ("id_bucket", "bucket[4]")))
+
+    // writes land under the evolved spec; pruning works
+    sql(s"INSERT INTO $C.sales.pevo VALUES (1, 'a', TIMESTAMP_NTZ'2024-01-01 00:00:00'), " +
+      "(2, 'b', TIMESTAMP_NTZ'2024-01-02 00:00:00')")
+    gt = cat.loadTable("sales.pevo")
+    assert(gt.scan(predicates = Seq(graft.table.EqPred("k", "a"))).planFiles().size == 1)
+
+    // DROP by transform form maps to the default field name; by name works too
+    sql(s"ALTER TABLE $C.sales.pevo DROP PARTITION FIELD bucket(4, id)")
+    sql(s"ALTER TABLE $C.sales.pevo DROP PARTITION FIELD k")
+    gt = cat.loadTable("sales.pevo")
+    assert(gt.defaultPartitionSpec.fields.isEmpty)
+    assert(sql(s"SELECT count(*) FROM $C.sales.pevo").head().getLong(0) == 2)
+
+    // AS name override, and time transform
+    sql(s"ALTER TABLE $C.sales.pevo ADD PARTITION FIELD day(ts) AS ts_d")
+    gt = cat.loadTable("sales.pevo")
+    assert(gt.defaultPartitionSpec.fields.map(f => (f.name, f.transform)) ==
+      Seq(("ts_d", "day")))
+
+    // unknown column fails loudly; non-graft catalogs are refused
+    assertThrows[InvalidDataError](
+      sql(s"ALTER TABLE $C.sales.pevo ADD PARTITION FIELD nope"))
+    // every other ALTER TABLE form still parses through Spark's grammar
+    sql(s"ALTER TABLE $C.sales.pevo SET TBLPROPERTIES ('x' = 'y')")
+    assert(cat.loadTable("sales.pevo").properties("x") == "y")
+  }
 }
