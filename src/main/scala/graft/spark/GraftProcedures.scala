@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * CALL graft.system.fast_forward(`table` => 'ns.t', branch => 'main', `from` => 'audit')
  * CALL graft.system.zorder(`table` => 'ns.t', columns => 'a,b')
  * CALL graft.system.maintain(`table` => 'ns.t')
+ * CALL graft.system.add_files(`table` => 'ns.t', source_dir => '/data/in')
  * }}}
  * Each returns one summary row. The heavy work is the same cluster-safe
  * maintenance the programmatic API runs (distributed reachability walks,
@@ -30,7 +31,7 @@ private[spark] object GraftProcedures {
 
   def list: Array[String] = Array("compact", "expire_snapshots",
     "rewrite_manifests", "remove_orphan_files", "rollback", "fast_forward",
-    "zorder", "maintain")
+    "zorder", "maintain", "add_files")
 
   def load(backing: GCatalog, name: String): Option[UnboundProcedure] = {
     def t(input: InternalRow): GTable =
@@ -76,6 +77,18 @@ private[spark] object GraftProcedures {
           p("small_file_bytes", LongType, Some("67108864"))),
         in => { val removed = t(in).maintain(spark, in.getLong(1), in.getInt(2), in.getLong(3))
           s"maintained; removed ${removed.length} files" }))
+      case "add_files" => Some(proc(name,
+        Seq(p("table", StringType), p("source_dir", StringType)),
+        in => {
+          val tbl = t(in)
+          val dir = new org.apache.hadoop.fs.Path(in.getUTF8String(1).toString)
+          val fs = dir.getFileSystem(tbl.hadoopConf)
+          val files = fs.listStatus(dir)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).toSeq
+          tbl.addFiles(spark, files)
+          s"added ${files.size} files"
+        }))
       case _ => None
     }
   }

@@ -53,6 +53,12 @@ case class GraftAddPartitionFieldCommand(ident: Seq[String], source: String,
 case class GraftDropPartitionFieldCommand(ident: Seq[String], fieldName: String)
   extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
 
+/** ALTER TABLE … WRITE ORDERED BY / WRITE UNORDERED (empty columns):
+  * sort-order evolution, shaping future writes only. */
+case class GraftWriteOrderedCommand(ident: Seq[String],
+                                    columns: Seq[(String, String, Option[String])])
+  extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
+
 /** Eagerly-executed logical commands (Spark runs `Command` nodes at
   * DataFrame creation). The merge SOURCE plan rides as a field, not a
   * child: the strategy materializes it as a DataFrame itself. */
@@ -96,6 +102,9 @@ class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
     case GraftDropPartitionFieldCommand(ident, fieldName) =>
       val t = resolveGraftTable(ident)
       GraftDmlExec(() => t.refresh().updateSpec().removeField(fieldName).commit()) :: Nil
+    case GraftWriteOrderedCommand(ident, columns) =>
+      val t = resolveGraftTable(ident)
+      GraftDmlExec(() => t.refresh().replaceSortOrder(columns)) :: Nil
     case _ => Nil
   }
 

@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
  *                                   | year(col) | month(col) | day(col) | hour(col)>
  *               [AS <name>]
  * ALTER TABLE t DROP PARTITION FIELD <field-name | same transform forms>
+ * ALTER TABLE t WRITE ORDERED BY c1 [ASC|DESC] [NULLS FIRST|LAST], c2 ...
+ * ALTER TABLE t WRITE UNORDERED
  * }}}
  *
  * A tiny delegating parser: two anchored regexes decide whether the
@@ -49,6 +51,13 @@ object GraftSqlParser {
   private val DropRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""").r
+  private val OrderedRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val UnorderedRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident + """\s+WRITE\s+UNORDERED\s*;?\s*$""").r
+  private val OrderItemRe =
+    """(?i)^([\w]+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
 
   private val BucketRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([\w]+)\s*\)$""".r
   private val TruncateRe = """(?i)^truncate\s*\(\s*(\d+)\s*,\s*([\w]+)\s*\)$""".r
@@ -81,6 +90,17 @@ object GraftSqlParser {
         case None => what.trim
       }
       Some(GraftDropPartitionFieldCommand(identParts(ident), fieldName))
+    case OrderedRe(ident, items) =>
+      val parsed = items.split(',').toSeq.map(_.trim).map {
+        case OrderItemRe(c, dir, nulls) =>
+          Some((c, Option(dir).map(_.toLowerCase).getOrElse("asc"),
+            Option(nulls).map(n => s"nulls-${n.toLowerCase}")))
+        case _ => None // malformed item: not ours — let Spark's parser error
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else Some(GraftWriteOrderedCommand(identParts(ident), parsed.flatten))
+    case UnorderedRe(ident) =>
+      Some(GraftWriteOrderedCommand(identParts(ident), Nil))
     case _ => None
   }
 }

@@ -1127,6 +1127,41 @@ final class Table(
       }
     }
 
+  /**
+   * Sort-order evolution (metadata-only): replace the default write sort
+   * order with `columns` — `(name, direction, nullOrder)` with direction
+   * `asc`/`desc` and nullOrder defaulting like [[graft.meta.SortField]];
+   * empty means unsorted. Adopts an identical existing order's id, else
+   * registers the next id. Existing files keep their layout (sort orders
+   * only shape FUTURE writes — same contract as partition evolution).
+   */
+  def replaceSortOrder(columns: Seq[(String, String, Option[String])]): Unit =
+    commitWithRetry() { base =>
+      val schema = base.currentSchema
+      val fields = columns.map { case (name, dir, nullOrder) =>
+        val f = schema.fieldByName(name).getOrElse(
+          throw new InvalidDataError(s"no such column: $name"))
+        if (dir != "asc" && dir != "desc")
+          throw new InvalidDataError(s"sort direction must be asc or desc, got: $dir")
+        graft.meta.SortField(f.id, "identity", dir, nullOrder.orNull)
+      }
+      val now = System.currentTimeMillis()
+      val existing = base.sortOrders.find(_.fields == fields)
+      existing match {
+        case Some(same) if same.orderId == base.defaultSortOrderId => None // no-op
+        case Some(same) =>
+          Some(base.copy(defaultSortOrderId = same.orderId, lastUpdatedMs = now))
+        case None if fields.isEmpty =>
+          Some(base.copy(defaultSortOrderId = 0, lastUpdatedMs = now))
+        case None =>
+          val newId = (base.sortOrders.map(_.orderId) :+ 0).max + 1
+          Some(base.copy(
+            defaultSortOrderId = newId,
+            sortOrders = base.sortOrders :+ graft.meta.SortOrder(newId, fields),
+            lastUpdatedMs = now))
+      }
+    }
+
   private def validateAssignments(assignments: Map[String, String]): Unit = {
     require(assignments.nonEmpty, "update requires assignments")
     val schemaCols = meta.currentSchema.fields.map(_.name).toSet

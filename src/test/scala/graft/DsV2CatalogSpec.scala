@@ -236,4 +236,32 @@ class DsV2CatalogSpec extends AnyFunSuite {
     sql(s"ALTER TABLE $C.sales.pevo SET TBLPROPERTIES ('x' = 'y')")
     assert(cat.loadTable("sales.pevo").properties("x") == "y")
   }
+
+  test("ALTER TABLE WRITE ORDERED BY — sort-order evolution shapes new writes") {
+    init
+    sql(s"CREATE TABLE $C.sales.sevo (id BIGINT, k STRING)")
+    sql(s"ALTER TABLE $C.sales.sevo WRITE ORDERED BY k DESC NULLS LAST, id")
+    var gt = cat.loadTable("sales.sevo")
+    val schema = gt.currentSchema
+    def fid(n: String) = schema.fieldByName(n).get.id
+    assert(gt.defaultSortOrder.fields.map(f => (f.sourceId, f.direction, f.nullOrder)) ==
+      Seq((fid("k"), "desc", "nulls-last"), (fid("id"), "asc", "nulls-first")))
+
+    // new writes come out sorted within the file (one partition -> one file)
+    import spark.implicits._
+    gt.append(Seq((3L, "a"), (1L, "c"), (2L, "b")).toDF("id", "k").coalesce(1))
+    gt = cat.loadTable("sales.sevo")
+    val file = gt.scan().planFiles().head.filePath
+    val inFile = spark.read.parquet(file).collect().map(_.getString(1)).toSeq
+    assert(inFile == Seq("c", "b", "a"), s"expected k DESC within file, got $inFile")
+
+    // unordered resets; identical order is adopted, not duplicated
+    sql(s"ALTER TABLE $C.sales.sevo WRITE UNORDERED")
+    assert(cat.loadTable("sales.sevo").defaultSortOrder.isUnsorted)
+    sql(s"ALTER TABLE $C.sales.sevo WRITE ORDERED BY k DESC NULLS LAST, id")
+    val orders = cat.loadTable("sales.sevo").metadata.sortOrders
+    assert(orders.count(!_.isUnsorted) == 1, s"adopted, not duplicated: $orders")
+    assertThrows[InvalidDataError](
+      sql(s"ALTER TABLE $C.sales.sevo WRITE ORDERED BY nope"))
+  }
 }

@@ -60,6 +60,20 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $C.default.m").head().getLong(0) == 3)
   }
 
+  test("CALL add_files registers a directory of foreign parquet") {
+    init
+    import spark.implicits._
+    sql(s"CREATE TABLE $C.default.af (id BIGINT, k STRING)")
+    val ext = java.nio.file.Files.createTempDirectory("graft-proc-addf").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    val msg = sql(s"CALL $C.system.add_files(`table` => 'af', source_dir => '$ext')")
+      .head().getString(0)
+    assert(msg == "added 1 files")
+    assert(sql(s"SELECT id FROM $C.default.af ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("unknown procedure raises") {
     init
     intercept[Exception](sql(s"CALL $C.system.nope()"))
