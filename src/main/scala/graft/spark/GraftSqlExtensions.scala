@@ -59,6 +59,15 @@ case class GraftWriteOrderedCommand(ident: Seq[String],
                                     columns: Seq[(String, String, Option[String])])
   extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
 
+/** ALTER TABLE … CREATE BRANCH/TAG [AS OF VERSION n]. */
+case class GraftCreateRefCommand(ident: Seq[String], kind: String,
+                                 refName: String, snapshotId: Option[Long])
+  extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
+
+/** ALTER TABLE … DROP BRANCH/TAG. */
+case class GraftDropRefCommand(ident: Seq[String], kind: String, refName: String)
+  extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
+
 /** Eagerly-executed logical commands (Spark runs `Command` nodes at
   * DataFrame creation). The merge SOURCE plan rides as a field, not a
   * child: the strategy materializes it as a DataFrame itself. */
@@ -105,6 +114,21 @@ class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
     case GraftWriteOrderedCommand(ident, columns) =>
       val t = resolveGraftTable(ident)
       GraftDmlExec(() => t.refresh().replaceSortOrder(columns)) :: Nil
+    case GraftCreateRefCommand(ident, kind, refName, sid) =>
+      val t = resolveGraftTable(ident)
+      GraftDmlExec(() =>
+        if (kind == "branch") t.refresh().createBranch(refName, sid)
+        else t.refresh().createTag(refName, sid)) :: Nil
+    case GraftDropRefCommand(ident, kind, refName) =>
+      val t = resolveGraftTable(ident)
+      GraftDmlExec(() => {
+        val refreshed = t.refresh()
+        refreshed.metadata.refs.get(refName).foreach { r =>
+          if (r.refType != kind) throw new graft.InvalidDataError(
+            s"ref $refName is a ${r.refType}, not a $kind")
+        }
+        refreshed.dropRef(refName)
+      }) :: Nil
     case _ => Nil
   }
 

@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * ALTER TABLE t DROP PARTITION FIELD <field-name | same transform forms>
  * ALTER TABLE t WRITE ORDERED BY c1 [ASC|DESC] [NULLS FIRST|LAST], c2 ...
  * ALTER TABLE t WRITE UNORDERED
+ * ALTER TABLE t CREATE BRANCH b [AS OF VERSION <snapshot-id>]
+ * ALTER TABLE t CREATE TAG g [AS OF VERSION <snapshot-id>]
+ * ALTER TABLE t DROP BRANCH b  |  ALTER TABLE t DROP TAG g
  * }}}
  *
  * A tiny delegating parser: two anchored regexes decide whether the
@@ -58,6 +61,12 @@ object GraftSqlParser {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident + """\s+WRITE\s+UNORDERED\s*;?\s*$""").r
   private val OrderItemRe =
     """(?i)^([\w]+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
+  private val CreateRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+CREATE\s+(BRANCH|TAG)\s+([\w]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+  private val DropRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+(BRANCH|TAG)\s+([\w]+)\s*;?\s*$""").r
 
   private val BucketRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([\w]+)\s*\)$""".r
   private val TruncateRe = """(?i)^truncate\s*\(\s*(\d+)\s*,\s*([\w]+)\s*\)$""".r
@@ -101,6 +110,11 @@ object GraftSqlParser {
       else Some(GraftWriteOrderedCommand(identParts(ident), parsed.flatten))
     case UnorderedRe(ident) =>
       Some(GraftWriteOrderedCommand(identParts(ident), Nil))
+    case CreateRefRe(ident, kind, name, version) =>
+      Some(GraftCreateRefCommand(identParts(ident), kind.toLowerCase, name,
+        Option(version).map(_.toLong)))
+    case DropRefRe(ident, kind, name) =>
+      Some(GraftDropRefCommand(identParts(ident), kind.toLowerCase, name))
     case _ => None
   }
 }

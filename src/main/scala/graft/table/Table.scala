@@ -1767,6 +1767,19 @@ final class Table(
     }
   }
 
+  /** Drop a named ref (tag or branch). `main` is the table's lifeline and
+    * cannot be dropped; the referenced snapshots stay until expiration. */
+  def dropRef(name: String): Unit = {
+    if (name == "main")
+      throw new InvalidDataError("cannot drop the main branch")
+    if (!meta.refs.contains(name))
+      throw new InvalidDataError(s"no ref named $name")
+    commitWithRetry() { base =>
+      if (!base.refs.contains(name)) None
+      else Some(base.copy(refs = base.refs - name))
+    }
+  }
+
   /** Scan pinned to a named ref (tag or branch). */
   def scanRef(name: String, predicates: Seq[ScanPredicate] = Nil): TableScan = {
     val snap = meta.snapshotForRef(name).getOrElse(

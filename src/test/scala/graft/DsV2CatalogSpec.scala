@@ -264,4 +264,31 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assertThrows[InvalidDataError](
       sql(s"ALTER TABLE $C.sales.sevo WRITE ORDERED BY nope"))
   }
+
+  test("ALTER TABLE CREATE/DROP BRANCH and TAG — WAP refs in SQL") {
+    init
+    sql(s"CREATE TABLE $C.sales.refs (id BIGINT)")
+    sql(s"INSERT INTO $C.sales.refs VALUES (1)")
+    val gt = cat.loadTable("sales.refs")
+    val first = gt.currentSnapshotId.get
+    sql(s"INSERT INTO $C.sales.refs VALUES (2)")
+
+    sql(s"ALTER TABLE $C.sales.refs CREATE TAG v1 AS OF VERSION $first")
+    sql(s"ALTER TABLE $C.sales.refs CREATE BRANCH audit")
+    val refs = cat.loadTable("sales.refs").metadata.refs
+    assert(refs("v1").refType == "tag" && refs("v1").snapshotId == first)
+    assert(refs("audit").refType == "branch")
+    // the tag reads the pinned snapshot through SQL time travel
+    assert(sql(s"SELECT count(*) FROM $C.sales.refs VERSION AS OF 'v1'")
+      .head().getLong(0) == 1)
+
+    // kind mismatch fails loudly; drop removes only the named ref
+    assertThrows[InvalidDataError](
+      sql(s"ALTER TABLE $C.sales.refs DROP BRANCH v1"))
+    sql(s"ALTER TABLE $C.sales.refs DROP TAG v1")
+    sql(s"ALTER TABLE $C.sales.refs DROP BRANCH audit")
+    assert(!cat.loadTable("sales.refs").metadata.refs.contains("v1"))
+    assertThrows[InvalidDataError](
+      sql(s"ALTER TABLE $C.sales.refs DROP BRANCH main"))
+  }
 }
