@@ -85,7 +85,7 @@ object GraftSqlParser {
   private def identParts(raw: String): Seq[String] =
     raw.split('.').toSeq.map(p => if (p.startsWith("`")) p.substring(1, p.length - 1) else p)
 
-  private[spark] def parsePartitionDdl(sqlText: String): Option[LogicalPlan] = sqlText match {
+  private[graft] def parsePartitionDdl(sqlText: String): Option[LogicalPlan] = sqlText match {
     case AddRe(ident, transform, name) =>
       parseTransform(transform).map { case (src, t) =>
         GraftAddPartitionFieldCommand(identParts(ident), src, t, Option(name))

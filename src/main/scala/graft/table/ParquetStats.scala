@@ -51,7 +51,6 @@ object ParquetStats {
       val lower = scala.collection.mutable.Map[String, String]()
       val upper = scala.collection.mutable.Map[String, String]()
       val nulls = scala.collection.mutable.Map[String, Long]()
-      val numericCol = scala.collection.mutable.Map[String, Boolean]()
       val poisonedBounds = scala.collection.mutable.Set[String]()
       val poisonedNulls = scala.collection.mutable.Set[String]()
       for (block <- blocks; col <- block.getColumns.asScala) {
@@ -64,7 +63,6 @@ object ParquetStats {
             if (st.hasNonNullValue) {
               boundsOf(col.getPrimitiveType, st) match {
                 case Usable(mn, mx, isNum) =>
-                  numericCol(name) = isNum
                   lower(name) = lower.get(name).fold(mn)(prev => if (lt(isNum, mn, prev)) mn else prev)
                   upper(name) = upper.get(name).fold(mx)(prev => if (lt(isNum, prev, mx)) mx else prev)
                 case Unusable => poisonedBounds += name
