@@ -72,6 +72,9 @@ class GraftSparkTable(
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = schema()
       private var aggResult: Option[(StructType, Seq[Any])] = None
+      // a DECLINED aggregate must not re-run the manifest walk when Spark
+      // probes both supportCompletePushDown and pushAggregation
+      private var aggTried = false
       private var limitHint: Option[Int] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -103,16 +106,18 @@ class GraftSparkTable(
       // provable: filters present, group-by, delete files in any task, a
       // file missing the needed stat, or a type whose bound ordering
       // differs from Spark's.
-      override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = {
-        if (aggResult.isEmpty) aggResult = MetadataAggregates.compute(
-          graftTable, SparkSession.active, pinnedSnapshotId, pushed, agg)
+      private def tryAggregation(agg: aggregate.Aggregation): Boolean = {
+        if (!aggTried) {
+          aggTried = true
+          aggResult = MetadataAggregates.compute(
+            graftTable, SparkSession.active, pinnedSnapshotId, pushed, agg)
+        }
         aggResult.isDefined
       }
-      override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-        if (aggResult.isEmpty) aggResult = MetadataAggregates.compute(
-          graftTable, SparkSession.active, pinnedSnapshotId, pushed, agg)
-        aggResult.isDefined
-      }
+      override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+        tryAggregation(agg)
+      override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+        tryAggregation(agg)
 
       override def build(): Scan = aggResult match {
         case Some((aggSchema, values)) =>
