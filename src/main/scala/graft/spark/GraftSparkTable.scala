@@ -202,8 +202,16 @@ private[spark] class GraftV1Scan(
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(plannedTasks.map(_.file.fileSizeInBytes).sum)
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val total = plannedTasks.map(_.file.fileSizeInBytes).sum
+        // column pruning reads a fraction of each file; scale like Spark's
+        // own FileScan (ratio of default sizes), so a 2-column projection
+        // of a wide fact table doesn't block a broadcast it deserves
+        val fullSchema = SparkSchemaConverter.toSpark(gt.currentSchema)
+        val fullSize = math.max(1L, fullSchema.defaultSize.toLong)
+        val ratio = math.min(1.0, required.defaultSize.toDouble / fullSize)
+        java.util.OptionalLong.of(math.max(1L, (total * ratio).toLong))
+      }
       // exact only when no delete files apply; else let Spark estimate
       override def numRows(): java.util.OptionalLong =
         if (plannedTasks.forall(_.deleteFiles.isEmpty))
