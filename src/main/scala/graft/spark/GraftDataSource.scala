@@ -35,9 +35,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * with the read-only error, matching StaticTable semantics.
  */
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming source: spark.readStream.format("graft").load(dir) ----
+
+  private def streamPath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new InvalidDataError("readStream format(\"graft\") requires a path"))
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    ("graft", schema.getOrElse {
+      val conf = new Configuration()
+      parameters.foreach { case (k, v) =>
+        if (k.startsWith("hadoop.")) conf.set(k.substring("hadoop.".length), v)
+      }
+      val t = StaticTable.load(
+        GraftDataSource.metadataPathFor(streamPath(parameters), conf), conf)
+      graft.types.SparkSchemaConverter.toSpark(t.currentSchema)
+    })
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext, streamPath(parameters), parameters)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolve(options).schema()
@@ -78,7 +104,11 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
 
 object GraftDataSource {
   /** A `*.metadata.json` path passes through; a table directory resolves
-    * via `metadata/version-hint.text`, else the highest version file. */
+    * via `metadata/version-hint.text`, else the highest version file.
+    * The hint rewrite is not atomic, so a concurrent reader (a streaming
+    * source polls every trigger) can observe it empty or pointing at a
+    * not-yet-visible version — any unusable hint falls back to the
+    * version listing instead of failing the read. */
   private[spark] def metadataPathFor(path: String,
                                      conf: Configuration = new Configuration()): String = {
     if (path.endsWith(".metadata.json")) return path
@@ -87,12 +117,16 @@ object GraftDataSource {
     if (!fs.exists(dir))
       throw new InvalidDataError(s"not a graft table (no metadata/ under $path)")
     val hint = new Path(dir, "version-hint.text")
-    if (fs.exists(hint)) {
-      val in = fs.open(hint)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-      new Path(dir, s"v$v.metadata.json").toString
-    } else {
+    val fromHint: Option[String] =
+      if (!fs.exists(hint)) None
+      else try {
+        val in = fs.open(hint)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        val p = new Path(dir, s"v$v.metadata.json")
+        if (v.nonEmpty && fs.exists(p)) Some(p.toString) else None
+      } catch { case _: java.io.IOException => None }
+    fromHint.getOrElse {
       val VRe = """v(\d+)\.metadata\.json""".r
       val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
         case VRe(n) => n.toInt

@@ -1,0 +1,102 @@
+package graft.spark
+
+import graft.UnsupportedFeatureError
+import graft.table.{StaticTable, Table => GTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Streaming SOURCE over a graft table: `spark.readStream.format("graft")
+ * .load(tableDir)` consumes the table's commits as micro-batches — every
+ * atomic snapshot is a natural offset, so the source is exactly-once by
+ * construction (offsets are the table's own sequence numbers, replayable
+ * from any checkpoint against the immutable snapshot log).
+ *
+ * Semantics: APPEND consumption. Each append commit contributes exactly
+ * the files it added (per-commit manifest diff — O(commit), planned from
+ * metadata, no data re-read). Non-append commits (overwrite, delete,
+ * row-level DML) fail loudly by default — their row-level effect is not
+ * expressible as appended rows; consume those via
+ * [[graft.streaming.StreamingOps.changesBetween]] (CDC) instead. With
+ * `skip-non-appends=true` they are skipped (compactions and other
+ * rewrites add no NEW rows, so skipping them is exact for append-only
+ * pipelines that also run maintenance).
+ *
+ * Options: `starting-snapshot-id` (consume strictly after the given
+ * snapshot; default: from the beginning), `skip-non-appends`
+ * (default false), plus the same `hadoop.*` conf overlay batch reads
+ * take. The table resolves per trigger through `metadata/version-hint`,
+ * so a FS-visible (Hadoop-catalog) table is required.
+ */
+class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
+                        parameters: Map[String, String]) extends Source {
+
+  private val conf: Configuration = {
+    val c = new Configuration()
+    parameters.foreach { case (k, v) =>
+      if (k.startsWith("hadoop.")) c.set(k.substring("hadoop.".length), v)
+    }
+    c
+  }
+  private val skipNonAppends =
+    parameters.get("skip-non-appends").exists(_.toBoolean)
+
+  private def loadTable(): GTable =
+    StaticTable.load(GraftDataSource.metadataPathFor(tableDir, conf), conf)
+
+  private val startSeq: Long = parameters.get("starting-snapshot-id") match {
+    case None => Long.MinValue
+    case Some(id) =>
+      loadTable().snapshotById(id.toLong).getOrElse(
+        throw new graft.InvalidDataError(s"no snapshot with id $id")).sequenceNumber
+  }
+
+  override val schema: StructType =
+    graft.types.SparkSchemaConverter.toSpark(loadTable().currentSchema)
+
+  override def getOffset: Option[Offset] = {
+    val t = loadTable()
+    t.currentSnapshot.map(s => LongOffset(math.max(s.sequenceNumber, startSeq)))
+  }
+
+  private def seqOf(o: Offset): Long = o.json.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val t = loadTable()
+    val fromSeq = start.map(seqOf).getOrElse(startSeq)
+    val toSeq = seqOf(end)
+    val snaps = t.metadata.snapshots
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+      .sortBy(_.sequenceNumber)
+    val added: Seq[String] = snaps.flatMap { s =>
+      s.operation.getOrElse("append") match {
+        case "append" =>
+          // this commit's own file diff against its parent — O(commit)
+          val mine = t.scan(Some(s.snapshotId)).planFiles().map(_.filePath).toSet
+          val parent = s.parentSnapshotId
+            .map(p => t.scan(Some(p)).planFiles().map(_.filePath).toSet)
+            .getOrElse(Set.empty[String])
+          (mine -- parent).toSeq.sorted
+        case other if skipNonAppends => Nil
+        case other => throw new UnsupportedFeatureError(
+          s"streaming read hit a non-append commit (operation=$other, snapshot " +
+            s"${s.snapshotId}); consume row-level changes via StreamingOps.changesBetween " +
+            "(CDC), or set skip-non-appends=true to stream appended rows only")
+      }
+    }
+    val spark = sqlContext.sparkSession
+    val batch =
+      if (added.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(added: _*)
+    org.apache.spark.sql.graftbridge.CatalystBridge.asStreamingDataFrame(spark, batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource($tableDir)"
+}

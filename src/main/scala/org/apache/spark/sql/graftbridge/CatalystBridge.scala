@@ -21,4 +21,15 @@ object CatalystBridge {
     * resolves its raw identifiers against it at planning time. */
   def catalogManager(spark: SparkSession): org.apache.spark.sql.connector.catalog.CatalogManager =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+
+  /** Re-tag a batch DataFrame as streaming (private[sql]
+    * internalCreateDataFrame) — what a V1 streaming Source must return
+    * from getBatch. The physical rows are the batch plan's own RDD, taken
+    * lazily. */
+  def asStreamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

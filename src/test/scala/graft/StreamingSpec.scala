@@ -130,6 +130,62 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("readStream format(graft): commits arrive as micro-batches, exactly once") {
+    import spark.implicits._
+    import graft.types.{ILong, IString, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.src", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false))))
+    tbl.append(Seq((1L, "a")).toDF("id", "k"))
+
+    val stream = spark.readStream.format("graft").load(s"$wh/default/src")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("graft_src")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def ids = spark.table("graft_src").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L))
+      tbl.append(Seq((2L, "b"), (3L, "c")).toDF("id", "k"))
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 2L, 3L), "new commit must arrive as one batch")
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 2L, 3L), "no re-delivery without new commits")
+    } finally q.stop()
+  }
+
+  test("readStream format(graft): non-append commits fail loudly; skip mode streams appends only") {
+    import spark.implicits._
+    import graft.types.{ILong, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-src2").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.m", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    tbl.append(Seq(1L).toDF("id"))
+    tbl.delete(spark, Seq(graft.table.EqPred("id", 1L))) // COW rewrite commit
+    tbl.append(Seq(2L).toDF("id"))
+
+    // default: the rewrite commit is a hard error pointing at CDC
+    val strict = spark.readStream.format("graft").load(s"$wh/default/m")
+      .writeStream.format("memory").queryName("graft_strict").outputMode("append").start()
+    val e = intercept[Exception] { strict.processAllAvailable() }
+    assert(e.getMessage.contains("non-append") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-append")), e.getMessage)
+    strict.stop()
+
+    // skip mode: appended rows only (the delete's row-level effect is CDC's job)
+    val q = spark.readStream.format("graft").option("skip-non-appends", "true")
+      .load(s"$wh/default/m")
+      .writeStream.format("memory").queryName("graft_skip").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_skip").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("table commits consumed as micro-batches via snapshot offsets") {
     import spark.implicits._
     val cat = new MemoryCatalog()
