@@ -736,6 +736,27 @@ object SparkEntry {
         .orderBy("content_hash", "dup_index")
     }),
 
+    "s44_stream_table_source" -> ((s, dir) => {
+      // the graft STREAMING SOURCE end to end: a Hadoop-catalog table is
+      // built from two append commits, then readStream.format("graft")
+      // consumes it — each commit is one micro-batch, offsets are the
+      // table's own sequence numbers. The sink's contents must equal the
+      // table's batch contents (the oracle reads the same source rows).
+      val wh = java.nio.file.Files.createTempDirectory("graft-s44").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = cat.createTable("default.docs_stream",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      tbl.append(docs.where("doc_id % 2 = 0"))
+      tbl.append(docs.where("doc_id % 2 = 1"))
+      val sink = s"s44_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft").load(s"$wh/default/docs_stream")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     // ------------------------------------------------- LLM-pipeline ops
     "d30_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -1469,6 +1490,9 @@ object SparkEntry {
         | FROM events GROUP BY 1, 2) w, mx
         |WHERE window_start + INTERVAL 1 HOUR <= wm
         |ORDER BY 1, 2""".stripMargin,
+
+    "s44_stream_table_source" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
 
     "s43_stream_dedup" ->
       """SELECT content_hash, id, keep, first_id, dup_index FROM (
