@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.StructType
  *
  * Options: `starting-snapshot-id` (consume strictly after the given
  * snapshot; default: from the beginning), `skip-non-appends`
- * (default false), plus the same `hadoop.*` conf overlay batch reads
- * take. The table resolves per trigger through `metadata/version-hint`,
- * so a FS-visible (Hadoop-catalog) table is required.
+ * (default false), `max-snapshots-per-trigger` (bound how many commits a
+ * micro-batch spans once the stream is flowing — a consumer catching up
+ * on a long-lived table must not plan one giant batch; the very first
+ * offer after a cold start is unbounded unless `starting-snapshot-id`
+ * narrows it), plus the same `hadoop.*` conf overlay batch reads take.
+ * The table resolves per trigger through `metadata/version-hint`, so a
+ * FS-visible (Hadoop-catalog) table is required.
  */
 class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
                         parameters: Map[String, String]) extends Source {
@@ -43,6 +47,10 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
   }
   private val skipNonAppends =
     parameters.get("skip-non-appends").exists(_.toBoolean)
+  private val maxSnapshotsPerTrigger: Option[Int] =
+    parameters.get("max-snapshots-per-trigger").map(_.toInt)
+  // highest sequence number already offered/consumed — the rate-limit base
+  @volatile private var lastSeenSeq: Option[Long] = None
 
   private def loadTable(): GTable =
     StaticTable.load(GraftDataSource.metadataPathFor(tableDir, conf), conf)
@@ -59,7 +67,20 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
 
   override def getOffset: Option[Offset] = {
     val t = loadTable()
-    t.currentSnapshot.map(s => LongOffset(math.max(s.sequenceNumber, startSeq)))
+    t.currentSnapshot.map { s =>
+      val target = math.max(s.sequenceNumber, startSeq)
+      val capped = maxSnapshotsPerTrigger match {
+        case Some(n) =>
+          // advance by at most n COMMITS (sequence numbers may be sparse)
+          val seen = lastSeenSeq.getOrElse(startSeq)
+          val next = t.metadata.snapshots.map(_.sequenceNumber)
+            .filter(q => q > seen && q <= target).sorted.take(n)
+          if (next.isEmpty) seen else next.last
+        case None => target
+      }
+      lastSeenSeq = Some(capped)
+      LongOffset(capped)
+    }
   }
 
   private def seqOf(o: Offset): Long = o.json.toLong
@@ -68,6 +89,8 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     val t = loadTable()
     val fromSeq = start.map(seqOf).getOrElse(startSeq)
     val toSeq = seqOf(end)
+    // restart replay: resume rate limiting from the checkpointed batch end
+    if (lastSeenSeq.forall(_ < toSeq)) lastSeenSeq = Some(toSeq)
     val snaps = t.metadata.snapshots
       .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
       .sortBy(_.sequenceNumber)

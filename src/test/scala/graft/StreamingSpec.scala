@@ -156,6 +156,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream format(graft): max-snapshots-per-trigger bounds catch-up batches") {
+    import spark.implicits._
+    import graft.types.{ILong, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-src3").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.rl", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    for (i <- 1 to 3) tbl.append(Seq(i.toLong).toDF("id"))
+
+    val q = spark.readStream.format("graft")
+      .option("max-snapshots-per-trigger", "1")
+      .load(s"$wh/default/rl")
+      .writeStream.format("memory").queryName("graft_rl").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_rl").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // the 3-commit backlog arrived as (at least) 3 one-commit batches
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"expected >=3 rate-limited batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("readStream format(graft): non-append commits fail loudly; skip mode streams appends only") {
     import spark.implicits._
     import graft.types.{ILong, NestedField, Schema}
