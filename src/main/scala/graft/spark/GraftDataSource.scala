@@ -36,9 +36,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  */
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    if (partitionColumns.nonEmpty)
+      throw new InvalidDataError(
+        "partitionBy on the graft sink is ignored state — partitioning comes " +
+          "from the TABLE's spec; remove partitionBy")
+    new GraftStreamSink(parameters)
+  }
 
   // ---- streaming source: spark.readStream.format("graft").load(dir) ----
 
@@ -73,13 +86,24 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     resolve(new CaseInsensitiveStringMap(properties))
 
   private def resolve(options: CaseInsensitiveStringMap): GraftSparkTable = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new InvalidDataError("format(\"graft\") requires a path"))
     val conf = new Configuration()
     options.asCaseSensitiveMap().forEach { (k, v) =>
       if (k.startsWith("hadoop.")) conf.set(k.substring("hadoop.".length), v)
     }
-    val t = StaticTable.load(GraftDataSource.metadataPathFor(path, conf), conf)
+    // two addressing modes: a table/metadata path (read-only StaticTable),
+    // or warehouse+table naming a Hadoop-catalog table (catalog-backed —
+    // the form the streaming sink uses, so its schema resolves here too)
+    val t = Option(options.get("path")) match {
+      case Some(path) =>
+        StaticTable.load(GraftDataSource.metadataPathFor(path, conf), conf)
+      case None =>
+        (Option(options.get("warehouse")), Option(options.get("table"))) match {
+          case (Some(wh), Some(name)) =>
+            new graft.catalog.HadoopCatalog(wh, hadoopConf = conf).loadTable(name)
+          case _ => throw new InvalidDataError(
+            "format(\"graft\") requires a path, or warehouse+table options")
+        }
+    }
     val pinned: Option[Long] =
       (Option(options.get("snapshot-id")), Option(options.get("branch")),
         Option(options.get("as-of-timestamp-ms"))) match {

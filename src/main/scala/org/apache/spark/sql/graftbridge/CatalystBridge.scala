@@ -32,4 +32,13 @@ object CatalystBridge {
       df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
       df.schema, isStreaming = true)
   }
+
+  /** The inverse: a V1 Sink's addBatch frame arrives streaming-tagged and
+    * refuses batch writes; rebind its micro-batch rows as a batch frame. */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
+      df.schema)
+  }
 }

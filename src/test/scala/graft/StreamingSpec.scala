@@ -83,6 +83,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(later.toSeq == Seq((true, 0L)), "expired hash must dedup as fresh")
   }
 
+  test("writeStream format(graft): native sink appends; merge-keys upserts") {
+    import spark.implicits._
+    import graft.types.{ILong, IString, NestedField, Schema}
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val cp1 = java.nio.file.Files.createTempDirectory("graft-sink-cp1").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    cat.createTable("default.sunk", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false))))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "k").writeStream.format("graft")
+      .option("warehouse", wh).option("table", "default.sunk")
+      .option("checkpointLocation", cp1).start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val tbl = cat.loadTable("default.sunk")
+    assert(tbl.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // each micro-batch was one commit with replay bookkeeping
+    assert(tbl.snapshots.flatMap(_.summary.get("streaming-batch-id")).nonEmpty)
+
+    // merge-keys: upsert semantics, last batch wins per key
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-sink-cp2").toString
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = mem2.toDF().toDF("id", "k").writeStream.format("graft")
+      .option("warehouse", wh).option("table", "default.sunk")
+      .option("merge-keys", "id")
+      .option("checkpointLocation", cp2).start()
+    try {
+      mem2.addData((2L, "B2"), (9L, "z"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = cat.loadTable("default.sunk").toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows == Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "z"))
+  }
+
   test("streaming ingestion: writeStream appends micro-batches as commits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
