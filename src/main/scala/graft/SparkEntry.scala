@@ -757,6 +757,31 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s45_stream_roundtrip" -> ((s, dir) => {
+      // the WHOLE streaming surface in one pipe: table → source → filter
+      // transform → native sink → second table; the result must equal the
+      // batch query over the same rows. Exactly-once on both ends (source
+      // offsets are sequence numbers; sink dedups replayed batch ids).
+      val wh = java.nio.file.Files.createTempDirectory("graft-s45").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val src = cat.createTable("default.rt_src",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      cat.createTable("default.rt_out",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      src.append(docs.where("doc_id < 100"))
+      src.append(docs.where("doc_id >= 100"))
+      val cp = java.nio.file.Files.createTempDirectory("graft-s45-cp").toString
+      val q = s.readStream.format("graft").load(s"$wh/default/rt_src")
+        .where(col("n_chars") >= 200)
+        .writeStream.format("graft")
+        .option("warehouse", wh).option("table", "default.rt_out")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
+    }),
+
     // ------------------------------------------------- LLM-pipeline ops
     "d30_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -1493,6 +1518,9 @@ object SparkEntry {
 
     "s44_stream_table_source" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
+    "s45_stream_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200 ORDER BY doc_id",
 
     "s43_stream_dedup" ->
       """SELECT content_hash, id, keep, first_id, dup_index FROM (
