@@ -94,15 +94,16 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     val snaps = t.metadata.snapshots
       .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
       .sortBy(_.sequenceNumber)
-    val added: Seq[String] = snaps.flatMap { s =>
+    val addedTasks: Seq[graft.table.FileScanTask] = snaps.flatMap { s =>
       s.operation.getOrElse("append") match {
         case "append" =>
           // this commit's own file diff against its parent — O(commit)
-          val mine = t.scan(Some(s.snapshotId)).planFiles().map(_.filePath).toSet
           val parent = s.parentSnapshotId
             .map(p => t.scan(Some(p)).planFiles().map(_.filePath).toSet)
             .getOrElse(Set.empty[String])
-          (mine -- parent).toSeq.sorted
+          t.scan(Some(s.snapshotId)).planFiles()
+            .filterNot(task => parent.contains(task.filePath))
+            .sortBy(_.filePath)
         case other if skipNonAppends => Nil
         case other => throw new UnsupportedFeatureError(
           s"streaming read hit a non-append commit (operation=$other, snapshot " +
@@ -112,9 +113,16 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     }
     val spark = sqlContext.sparkSession
     val batch =
-      if (added.isEmpty)
+      if (addedTasks.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(added: _*)
+      else
+        // the table's own materialization: field-ID projection per writer
+        // schema, so a column renamed between commits still reads its data
+        // (plain spark.read.parquet would name-bind it to null); the final
+        // select pins the stream's fixed schema (columns added to the
+        // table mid-stream don't widen a running query)
+        t.scan().materializeTasks(spark, addedTasks)
+          .select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     org.apache.spark.sql.graftbridge.CatalystBridge.asStreamingDataFrame(spark, batch)
   }
 

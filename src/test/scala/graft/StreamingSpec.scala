@@ -198,6 +198,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream format(graft): a column renamed mid-stream keeps its data (field-id read)") {
+    import spark.implicits._
+    import graft.types.{ILong, IString, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-src4").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.ren", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false))))
+    tbl.append(Seq((1L, "old-file")).toDF("id", "k"))
+    // rename k -> kk, then append a post-rename commit
+    tbl.updateSchema().renameColumn("k", "kk").commit()
+    tbl.refresh().append(Seq((2L, "new-file")).toDF("id", "kk"))
+
+    // the stream starts AFTER the rename: schema is (id, kk); the
+    // pre-rename file must still yield its value via field-id projection
+    val q = spark.readStream.format("graft").load(s"$wh/default/ren")
+      .writeStream.format("memory").queryName("graft_ren").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("graft_ren").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "old-file"), (2L, "new-file")),
+        s"renamed column must not read as null, got $rows")
+    } finally q.stop()
+  }
+
   test("readStream format(graft): max-snapshots-per-trigger bounds catch-up batches") {
     import spark.implicits._
     import graft.types.{ILong, NestedField, Schema}
