@@ -69,7 +69,10 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       }
       val t = StaticTable.load(
         GraftDataSource.metadataPathFor(streamPath(parameters), conf), conf)
-      graft.types.SparkSchemaConverter.toSpark(t.currentSchema)
+      val base = graft.types.SparkSchemaConverter.toSpark(t.currentSchema)
+      if (parameters.get("read-changes").exists(_.toBoolean))
+        GraftStreamSource.withChangeColumns(base)
+      else base
     })
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,

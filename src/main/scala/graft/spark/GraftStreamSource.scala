@@ -25,9 +25,17 @@ import org.apache.spark.sql.types.StructType
  * rewrites add no NEW rows, so skipping them is exact for append-only
  * pipelines that also run maintenance).
  *
+ * CDC mode (`read-changes=true`): every commit — appends, upserts, MOR
+ * and COW deletes, compactions — arrives as row-level change records
+ * with `_change_type` ('insert' | 'delete'), `_commit_snapshot_id` and
+ * `_commit_sequence` columns (the [[graft.streaming.StreamingOps
+ * .changesBetween]] shape), so a downstream can mirror the table
+ * exactly. No commit shape ever errors in CDC mode.
+ *
  * Options: `starting-snapshot-id` (consume strictly after the given
  * snapshot; default: from the beginning), `skip-non-appends`
- * (default false), `max-snapshots-per-trigger` (bound how many commits a
+ * (default false), `read-changes` (CDC mode, default false),
+ * `max-snapshots-per-trigger` (bound how many commits a
  * micro-batch spans once the stream is flowing — a consumer catching up
  * on a long-lived table must not plan one giant batch; the very first
  * offer after a cold start is unbounded unless `starting-snapshot-id`
@@ -47,6 +55,8 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
   }
   private val skipNonAppends =
     parameters.get("skip-non-appends").exists(_.toBoolean)
+  private val readChanges =
+    parameters.get("read-changes").exists(_.toBoolean)
   private val maxSnapshotsPerTrigger: Option[Int] =
     parameters.get("max-snapshots-per-trigger").map(_.toInt)
   // highest sequence number already offered/consumed — the rate-limit base
@@ -62,8 +72,10 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
         throw new graft.InvalidDataError(s"no snapshot with id $id")).sequenceNumber
   }
 
-  override val schema: StructType =
-    graft.types.SparkSchemaConverter.toSpark(loadTable().currentSchema)
+  override val schema: StructType = {
+    val base = graft.types.SparkSchemaConverter.toSpark(loadTable().currentSchema)
+    if (readChanges) GraftStreamSource.withChangeColumns(base) else base
+  }
 
   override def getOffset: Option[Offset] = {
     val t = loadTable()
@@ -94,6 +106,20 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     val snaps = t.metadata.snapshots
       .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
       .sortBy(_.sequenceNumber)
+    val spark = sqlContext.sparkSession
+    if (readChanges) {
+      // CDC: row-level changes over the commit range, any commit shape
+      val batch =
+        if (snaps.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else {
+          val fromId = t.metadata.snapshots.find(_.sequenceNumber == fromSeq).map(_.snapshotId)
+          graft.streaming.StreamingOps.changesBetween(
+            spark, t, fromId, Some(snaps.last.snapshotId))
+        }
+      return org.apache.spark.sql.graftbridge.CatalystBridge
+        .asStreamingDataFrame(spark, batch)
+    }
     val addedTasks: Seq[graft.table.FileScanTask] = snaps.flatMap { s =>
       s.operation.getOrElse("append") match {
         case "append" =>
@@ -111,7 +137,6 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
             "(CDC), or set skip-non-appends=true to stream appended rows only")
       }
     }
-    val spark = sqlContext.sparkSession
     val batch =
       if (addedTasks.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -130,4 +155,17 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource($tableDir)"
+}
+
+object GraftStreamSource {
+  /** The CDC read shape: the table columns plus the change metadata
+    * columns [[graft.streaming.StreamingOps.changesBetween]] appends. */
+  private[spark] def withChangeColumns(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_sequence",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 }

@@ -198,6 +198,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream format(graft): read-changes streams row-level CDC for every commit shape") {
+    import spark.implicits._
+    import graft.types.{ILong, IString, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.cdc", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false))))
+    tbl.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+
+    val q = spark.readStream.format("graft").option("read-changes", "true")
+      .load(s"$wh/default/cdc")
+      .writeStream.format("memory").queryName("graft_cdc").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def changes = spark.table("graft_cdc")
+        .select("id", "k", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(changes.toSet == Set((1L, "a", "insert"), (2L, "b", "insert")))
+      // a COW delete is NOT an error in CDC mode — it is a delete record
+      tbl.delete(spark, Seq(graft.table.EqPred("id", 1L)))
+      tbl.refresh().upsert(spark, Seq((2L, "B2")).toDF("id", "k"), Seq("id"))
+      q.processAllAvailable()
+      val byType = changes.groupBy(_._3).view.mapValues(_.toSet).toMap
+      assert(byType("delete").contains((1L, "a", "delete")))
+      assert(byType("delete").contains((2L, "b", "delete")), "upsert deletes the old image")
+      assert(byType("insert").contains((2L, "B2", "insert")))
+    } finally q.stop()
+  }
+
   test("readStream format(graft): a column renamed mid-stream keeps its data (field-id read)") {
     import spark.implicits._
     import graft.types.{ILong, IString, NestedField, Schema}
