@@ -13,7 +13,11 @@ object Bench {
     "q06_selective_filter", "q08_window_topn", "q17_events_daily",
     "q18_sessionize", "d30_exact_dedup", "d33_lang_quality",
     "d34_minhash_pairs", "e37_knn_bruteforce", "e38_knn_lsh",
-    "g26_append_roundtrip")
+    "g26_append_roundtrip",
+    // streaming round-trip: table → source micro-batches (s44), plus the
+    // full source → transform → native-sink pipe (s45); each run builds
+    // its own temp tables, so the time covers ingest + catch-up + drain
+    "s44_stream_table_source", "s45_stream_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -73,6 +73,9 @@ final class RestCatalog(
       case "NamespaceAlreadyExistsException" => throw new NamespaceAlreadyExistsError(msg)
       case "CommitFailedException" => throw new CommitConflictError(msg)
       case "BadRequestException" => throw new InvalidDataError(msg)
+      // base-class error with the server's message verbatim, so REST callers
+      // see exactly what Memory/Hadoop/Jdbc callers see for a non-empty drop
+      case "NamespaceNotEmptyException" => throw new GraftError(msg)
       case _ => throw new GraftError(s"REST catalog error ($code): $msg")
     }
   }

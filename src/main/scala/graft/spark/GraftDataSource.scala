@@ -50,6 +50,21 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       throw new InvalidDataError(
         "partitionBy on the graft sink is ignored state — partitioning comes " +
           "from the TABLE's spec; remove partitionBy")
+    // The sink COMMITS what each trigger hands it. Complete mode re-emits
+    // every result row every trigger — appending that duplicates the table
+    // each micro-batch. Update mode re-emits changed rows, which is only
+    // sound when each batch upserts on a key (merge-keys); appended, the
+    // old versions of updated rows would survive alongside the new.
+    import org.apache.spark.sql.streaming.OutputMode
+    if (outputMode == OutputMode.Complete())
+      throw new graft.UnsupportedFeatureError(
+        "the graft sink does not support Complete output mode: each trigger " +
+          "re-emits ALL rows and an appending sink would duplicate the table " +
+          "every micro-batch; use Append, or Update with merge-keys")
+    if (outputMode == OutputMode.Update() && !parameters.get("merge-keys").exists(_.trim.nonEmpty))
+      throw new InvalidDataError(
+        "Update output mode on the graft sink requires the merge-keys option: " +
+          "updated rows re-emit and must upsert on a key, not append")
     new GraftStreamSink(parameters)
   }
 

@@ -33,15 +33,23 @@ class GraftStreamSink(parameters: Map[String, String]) extends Sink {
   private val branch = parameters.getOrElse("branch", "main")
   private val mergeKeys: Seq[String] = parameters.get("merge-keys")
     .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-  // scope replay detection to this query's lifecycle (same rule as
-  // StreamingOps.appendStream): the checkpoint IS the query identity
-  private val scope = parameters.getOrElse("checkpointLocation", s"$warehouse/$tableName")
+  // Batch ids are only meaningful WITHIN one query's lifecycle; replay
+  // detection is scoped by the query id Spark persists at
+  // <checkpoint>/metadata — NOT by the checkpoint path string: a fresh
+  // query reusing a wiped checkpoint path restarts batch ids at 0, and a
+  // path-keyed scope would silently drop its first batches as "already
+  // committed". No checkpointLocation option = no stable identity to
+  // scope by, so it is required (the sink never falls back to a
+  // table-global scope for the same reason).
+  private val checkpointLoc = required("checkpointLocation")
 
   private def loadTable(): GTable =
     new graft.catalog.HadoopCatalog(warehouse).loadTable(tableName)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = loadTable()
+    val scope = graft.streaming.StreamingOps
+      .queryScope(data.sparkSession, checkpointLoc)
     val already = graft.streaming.StreamingOps
       .lastCommittedBatchId(table, scope).exists(_ >= batchId)
     if (already) return

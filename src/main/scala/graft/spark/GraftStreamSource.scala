@@ -83,10 +83,13 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
       val target = math.max(s.sequenceNumber, startSeq)
       val capped = maxSnapshotsPerTrigger match {
         case Some(n) =>
-          // advance by at most n COMMITS (sequence numbers may be sparse)
+          // advance by at most n COMMITS (sequence numbers may be sparse —
+          // branch-staged commits consume numbers too), counting only
+          // commits on MAIN's ancestry: those are the only ones offered
           val seen = lastSeenSeq.getOrElse(startSeq)
-          val next = t.metadata.snapshots.map(_.sequenceNumber)
-            .filter(q => q > seen && q <= target).sorted.take(n)
+          val next = graft.streaming.StreamingOps.mainAncestry(t)
+            .map(_.sequenceNumber)
+            .filter(q => q > seen && q <= target).take(n)
           if (next.isEmpty) seen else next.last
         case None => target
       }
@@ -103,9 +106,24 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     val toSeq = seqOf(end)
     // restart replay: resume rate limiting from the checkpointed batch end
     if (lastSeenSeq.forall(_ < toSeq)) lastSeenSeq = Some(toSeq)
-    val snaps = t.metadata.snapshots
+    // Only MAIN's published ancestry is consumed: branch-staged (WAP)
+    // commits share the table-global sequence-number space, so a seq-range
+    // filter over ALL snapshots would stream unpublished rows.
+    val ancestry = graft.streaming.StreamingOps.mainAncestry(t)
+    // A checkpointed offset whose snapshot no longer exists means routine
+    // maintenance (expireSnapshots) outran this consumer — the commits
+    // between that offset and the oldest retained snapshot are GONE, and
+    // resolving "from the beginning" instead would replay the whole table
+    // as duplicates into a sink that believes this source is exactly-once.
+    // Loud failure is the only correct answer (Iceberg's changelog reads
+    // error the same way).
+    if (fromSeq > Long.MinValue && !ancestry.exists(_.sequenceNumber == fromSeq))
+      throw new graft.InvalidDataError(
+        s"cannot resume streaming read of $tableDir: the snapshot at " +
+          s"checkpointed offset (sequence $fromSeq) has expired or is not on " +
+          "main; restart from a fresh checkpoint (or starting-snapshot-id)")
+    val snaps = ancestry
       .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
-      .sortBy(_.sequenceNumber)
     val spark = sqlContext.sparkSession
     if (readChanges) {
       // CDC: row-level changes over the commit range, any commit shape
@@ -113,7 +131,9 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
         if (snaps.isEmpty)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         else {
-          val fromId = t.metadata.snapshots.find(_.sequenceNumber == fromSeq).map(_.snapshotId)
+          val fromId =
+            if (fromSeq == Long.MinValue) None
+            else ancestry.find(_.sequenceNumber == fromSeq).map(_.snapshotId)
           graft.streaming.StreamingOps.changesBetween(
             spark, t, fromId, Some(snaps.last.snapshotId))
         }
@@ -123,13 +143,9 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     val addedTasks: Seq[graft.table.FileScanTask] = snaps.flatMap { s =>
       s.operation.getOrElse("append") match {
         case "append" =>
-          // this commit's own file diff against its parent — O(commit)
-          val parent = s.parentSnapshotId
-            .map(p => t.scan(Some(p)).planFiles().map(_.filePath).toSet)
-            .getOrElse(Set.empty[String])
-          t.scan(Some(s.snapshotId)).planFiles()
-            .filterNot(task => parent.contains(task.filePath))
-            .sortBy(_.filePath)
+          // the commit's own manifests (addedSnapshotId == commit) name
+          // exactly what it added — O(commit) planning, no parent walk
+          t.scan(Some(s.snapshotId)).addedFiles()
         case other if skipNonAppends => Nil
         case other => throw new UnsupportedFeatureError(
           s"streaming read hit a non-append commit (operation=$other, snapshot " +

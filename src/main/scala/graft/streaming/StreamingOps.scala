@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.meta.Snapshot
 import graft.table.Table
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -179,7 +180,7 @@ object StreamingOps {
     * at `<checkpoint>/metadata` (stable across restarts from the same
     * checkpoint; fresh per new checkpoint). Falls back to the checkpoint
     * path itself, which has the same lifecycle. */
-  private def queryScope(spark: SparkSession, checkpointDir: String): String = {
+  private[graft] def queryScope(spark: SparkSession, checkpointDir: String): String = {
     try {
       val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -209,10 +210,34 @@ object StreamingOps {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
-  /** Snapshot ids committed strictly after `fromSnapshotId` (None = from
-    * the beginning), oldest first — the offset sequence for a consumer. */
+  /** Snapshots on MAIN's published ancestry (parent-pointer walk from the
+    * current head), oldest first. This — not the metadata's full snapshot
+    * list — is what a stream consumes: branch-staged (write-audit-publish)
+    * commits live in the same list and draw from the same table-global
+    * sequence-number space, so any seq-range filter over ALL snapshots
+    * would leak unpublished (possibly never-published) rows into the
+    * stream. The walk naturally stops at the oldest RETAINED snapshot
+    * (an expired parent id resolves to nothing). */
+  private[graft] def mainAncestry(table: Table): Seq[Snapshot] =
+    ancestryOf(table, table.currentSnapshot)
+
+  /** Published ancestry of `head` (inclusive), oldest first. */
+  private[graft] def ancestryOf(table: Table, head: Option[Snapshot]): Seq[Snapshot] = {
+    var out = List.empty[Snapshot]
+    var cur = head
+    while (cur.isDefined) {
+      out = cur.get :: out
+      cur = cur.get.parentSnapshotId.flatMap(table.snapshotById)
+    }
+    out
+  }
+
+  /** Snapshot ids committed to MAIN strictly after `fromSnapshotId`
+    * (None = from the beginning), oldest first — the offset sequence for
+    * a consumer. Branch-staged commits are not offered (see
+    * [[mainAncestry]]). */
   def newSnapshotsSince(table: Table, fromSnapshotId: Option[Long]): Seq[Long] = {
-    val all = table.metadata.snapshots.sortBy(_.sequenceNumber)
+    val all = mainAncestry(table)
     fromSnapshotId match {
       case None => all.map(_.snapshotId)
       case Some(id) =>
@@ -223,23 +248,45 @@ object StreamingOps {
     }
   }
 
-  /** Rows added after `fromSnapshotId` (exclusive) up to the current
-    * snapshot: the micro-batch between two offsets. Fast-append tables
-    * only ever add files, so this is the set difference of the two
-    * snapshots' file lists — planned from manifests, no data re-read. */
+  /** Rows added to MAIN after `fromSnapshotId` (exclusive) up to the
+    * current snapshot: the micro-batch between two offsets.
+    *
+    * Scale shape: when every commit in the range is an append (the shape
+    * this consumer exists for), the batch is planned as the union of each
+    * commit's OWN manifests ([[graft.table.TableScan.addedFiles]] — the
+    * manifest list's `addedSnapshotId` names them), so planning cost is
+    * O(commits consumed), never O(table). Only a range containing
+    * rewrites (compaction, DML) falls back to the two-snapshot file-set
+    * difference — and that diff plans distributed past the manifest
+    * threshold, so even the fallback never serializes a large table's
+    * metadata on the driver. */
   def incrementalDiff(spark: SparkSession, table: Table,
                       fromSnapshotId: Option[Long]): DataFrame = {
     import graft.types.SparkSchemaConverter
-    val currentFiles = table.scan().planFiles().map(t => t.filePath -> t).toMap
-    val baseFiles: Set[String] = fromSnapshotId match {
-      case None => Set.empty
-      case Some(id) => table.scan(Some(id)).planFiles().map(_.filePath).toSet
-    }
-    val added = (currentFiles.keySet -- baseFiles).toSeq.sorted
     val schema = SparkSchemaConverter.toSpark(table.currentSchema)
-    if (added.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(added: _*)
+    def emptyDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val ancestry = mainAncestry(table)
+    val fromSeq = fromSnapshotId.map(id => table.snapshotById(id)
+      .getOrElse(throw new graft.InvalidDataError(s"no snapshot with id $id"))
+      .sequenceNumber).getOrElse(Long.MinValue)
+    val range = ancestry.filter(_.sequenceNumber > fromSeq)
+    if (range.isEmpty) return emptyDf
+    if (range.forall(_.operation.contains("append"))) {
+      val tasks = range.flatMap(s => table.scan(Some(s.snapshotId)).addedFiles())
+      if (tasks.isEmpty) emptyDf
+      else table.scan().materializeTasks(spark, tasks)
+    } else {
+      val currentFiles = table.scan().planFilesDistributed(spark).map(_.filePath).toSet
+      val baseFiles: Set[String] = fromSnapshotId match {
+        case None => Set.empty
+        case Some(id) =>
+          table.scan(Some(id)).planFilesDistributed(spark).map(_.filePath).toSet
+      }
+      val added = (currentFiles -- baseFiles).toSeq.sorted
+      if (added.isEmpty) emptyDf
+      else spark.read.schema(schema).parquet(added: _*)
+    }
   }
 
   /**
@@ -255,8 +302,13 @@ object StreamingOps {
    * Scale shape: the diff is computed only over AFFECTED files — files
    * added/removed by the commit plus files a new delete file applies
    * to — never the whole table. A CDC consumer of a 100 TB table reads
-   * O(commit) bytes per commit, and the `exceptAll` shuffles only those
-   * affected rows.
+   * O(commit) bytes per commit; PLANNING is O(commit) too for append
+   * commits (their own manifests, found by `addedSnapshotId`, name
+   * exactly what they added — no parent walk, no exceptAll: the inserts
+   * are the added rows, map-only). Only commits that remove files or add
+   * deletes pay the two-snapshot diff, and that diff plans distributed
+   * past the manifest threshold. The range walks MAIN's ancestry, so
+   * branch-staged (WAP) commits never surface as changes.
    */
   def changesBetween(spark: SparkSession, table: Table,
                      fromSnapshotId: Option[Long],
@@ -275,30 +327,45 @@ object StreamingOps {
     def emptyOut = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
 
-    val all = table.metadata.snapshots.sortBy(_.sequenceNumber)
     def seqOf(id: Long): Long = table.snapshotById(id)
       .getOrElse(throw new graft.InvalidDataError(s"no snapshot with id $id"))
       .sequenceNumber
     val fromSeq = fromSnapshotId.map(seqOf).getOrElse(Long.MinValue)
-    val toSeq = toSnapshotId.map(seqOf)
-      .orElse(table.currentSnapshot.map(_.sequenceNumber)).getOrElse(Long.MinValue)
-    val range = all.filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+    val head: Option[Snapshot] = toSnapshotId match {
+      case Some(id) => Some(table.snapshotById(id).getOrElse(
+        throw new graft.InvalidDataError(s"no snapshot with id $id")))
+      case None => table.currentSnapshot
+    }
+    val toSeq = head.map(_.sequenceNumber).getOrElse(Long.MinValue)
+    val range = ancestryOf(table, head)
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
     if (range.isEmpty) return emptyOut
 
     var prevId: Option[Long] = fromSnapshotId
     val perCommit = range.flatMap { s =>
       val snapId = s.snapshotId
+      def stamp(df: DataFrame): DataFrame = df
+        .withColumn("_commit_snapshot_id", lit(snapId))
+        .withColumn("_commit_sequence", lit(s.sequenceNumber))
       val result: Option[DataFrame] =
         // metadata-only reorganizations provably change no rows
         if (s.summary.get("operation").contains("replace")) None
-        else {
+        else if (s.operation.contains("append")) {
+          // pure append (the dominant commit shape): no removed files, no
+          // new deletes — inserts ARE the added rows. Planned from the
+          // commit's own manifests, emitted map-only.
+          val added = table.scan(Some(snapId)).addedFiles()
+          if (added.isEmpty) None
+          else Some(stamp(table.scan(Some(snapId)).materializeTasks(spark, added)
+            .withColumn("_change_type", lit("insert"))))
+        } else {
           val scanP = prevId match {
             case Some(id) => table.scan(Some(id))
             case None => new TableScan(table, None, Nil)
           }
           val scanS = table.scan(Some(snapId))
-          val tasksP = scanP.planFiles()
-          val tasksS = scanS.planFiles()
+          val tasksP = scanP.planFilesDistributed(spark)
+          val tasksS = scanS.planFilesDistributed(spark)
           val pPaths = tasksP.map(_.filePath).toSet
           val sPaths = tasksS.map(_.filePath).toSet
           val pByPath = tasksP.map(t => t.filePath -> t).toMap
@@ -310,7 +377,13 @@ object StreamingOps {
             pByPath(t.filePath).deleteFiles.map(_.filePath).toSet !=
               t.deleteFiles.map(_.filePath).toSet)
           if (removed.isEmpty && added.isEmpty && moreDeleted.isEmpty) None
-          else {
+          else if (removed.isEmpty && moreDeleted.isEmpty) {
+            // adds-only commit under a non-append operation: same map-only
+            // shape — an exceptAll against a provably empty old side would
+            // still pay a full shuffle of the inserts
+            Some(stamp(scanS.materializeTasks(spark, added)
+              .withColumn("_change_type", lit("insert"))))
+          } else {
             val oldAffected = scanP.materializeTasks(spark,
               removed ++ tasksP.filter(t => moreDeleted.exists(_.filePath == t.filePath)))
             val newAffected = scanS.materializeTasks(spark, added ++ moreDeleted)
@@ -318,9 +391,7 @@ object StreamingOps {
               .withColumn("_change_type", lit("delete"))
             val ins = newAffected.exceptAll(oldAffected)
               .withColumn("_change_type", lit("insert"))
-            Some(del.unionAll(ins)
-              .withColumn("_commit_snapshot_id", lit(snapId))
-              .withColumn("_commit_sequence", lit(s.sequenceNumber)))
+            Some(stamp(del.unionAll(ins)))
           }
         }
       prevId = Some(snapId)
@@ -353,22 +424,32 @@ object StreamingOps {
   def processAvailableCommits(spark: SparkSession, table: Table,
                               fromSnapshotId: Option[Long])(
                               process: (DataFrame, Long) => Unit): Option[Long] = {
+    import graft.types.SparkSchemaConverter
+    val schema = SparkSchemaConverter.toSpark(table.currentSchema)
+    def emptyDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     var last = fromSnapshotId
     newSnapshotsSince(table, fromSnapshotId).foreach { sid =>
       val prev = last
-      val batch = {
-        import graft.types.SparkSchemaConverter
-        val nowFiles = table.scan(Some(sid)).planFiles().map(_.filePath).toSet
-        val prevFiles = prev match {
-          case None => Set.empty[String]
-          case Some(p) => table.scan(Some(p)).planFiles().map(_.filePath).toSet
+      val snap = table.snapshotById(sid)
+      val batch =
+        if (snap.exists(_.operation.contains("append"))) {
+          // the commit's own manifests name its files — O(commit) planning
+          val added = table.scan(Some(sid)).addedFiles()
+          if (added.isEmpty) emptyDf
+          else table.scan(Some(sid)).materializeTasks(spark, added)
+        } else {
+          val nowFiles = table.scan(Some(sid)).planFilesDistributed(spark)
+            .map(_.filePath).toSet
+          val prevFiles = prev match {
+            case None => Set.empty[String]
+            case Some(p) =>
+              table.scan(Some(p)).planFilesDistributed(spark).map(_.filePath).toSet
+          }
+          val added = (nowFiles -- prevFiles).toSeq.sorted
+          if (added.isEmpty) emptyDf
+          else spark.read.schema(schema).parquet(added: _*)
         }
-        val added = (nowFiles -- prevFiles).toSeq.sorted
-        val schema = SparkSchemaConverter.toSpark(table.currentSchema)
-        if (added.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(added: _*)
-      }
       process(batch, sid)
       last = Some(sid)
     }

@@ -59,7 +59,14 @@ object ParquetStats {
           val name = col.getPath.toDotString
           val st = col.getStatistics
           if (st != null && !st.isEmpty) {
-            nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            // foreign writers (the addFiles path) can leave num_nulls unset;
+            // getNumNulls then returns the -1 sentinel, which would corrupt
+            // the file's null count (and everything downstream of it:
+            // COUNT(col) metadata-aggregate pushdown, addFiles' zero-null
+            // partition-tuple proof) — a row group without a SET null count
+            // poisons the column's count entirely
+            if (st.isNumNullsSet) nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+            else poisonedNulls += name
             if (st.hasNonNullValue) {
               boundsOf(col.getPrimitiveType, st) match {
                 case Usable(mn, mx, isNum) =>

@@ -153,6 +153,62 @@ class RestCatalogSpec extends AnyFunSuite with CatalogBehavior
     assert(c.loadTable("kv").toDF(spark).count() == 3)
   }
 
+  test("REST error conformance: status + payload shape map to the exact error classes") {
+    val s = new RestCatalogServer().start()
+    servers += s
+    val c = new RestCatalog(s.uri)
+
+    // ---- client-side: each spec error type raises the reference's class
+    assertThrows[NoSuchTableError](c.loadTable("nope"))            // 404
+    assertThrows[NoSuchTableError](c.dropTable("nope"))            // 404
+    assertThrows[NoSuchNamespaceError](c.namespaceProperties(Seq("ghost"))) // 404
+    assertThrows[NoSuchNamespaceError](c.dropNamespace(Seq("ghost")))       // 404
+    c.createTable("dup", schema)
+    assertThrows[TableAlreadyExistsError](c.createTable("dup", schema))     // 409
+    c.createNamespace(Seq("already"))
+    assertThrows[NamespaceAlreadyExistsError](c.createNamespace(Seq("already"))) // 409
+    // non-empty namespace drop: base-class error with the same message the
+    // local backends produce (test/catalog_test.rb pins this message family)
+    val e = intercept[GraftError](c.dropNamespace(Seq("default")))
+    assert(e.getClass == classOf[GraftError] &&
+      e.getMessage.contains("Namespace is not empty"), e.getMessage)
+
+    // ---- wire-level: the published spec's error model — HTTP status, and a
+    // payload of {"error": {message, type, code}} with code echoing status
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val http = java.net.http.HttpClient.newHttpClient()
+    def get(path: String): (Int, JValue) = {
+      val r = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"${s.uri}/v1/$path"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), JsonMethods.parse(r.body()))
+    }
+    val (nsCode, nsBody) = get("namespaces/ghost")
+    assert(nsCode == 404)
+    assert((nsBody \ "error" \ "type") == JString("NoSuchNamespaceException"))
+    assert((nsBody \ "error" \ "code") == JInt(404))
+    assert((nsBody \ "error" \ "message").isInstanceOf[JString])
+    val (tCode, tBody) = get("namespaces/default/tables/nope")
+    assert(tCode == 404)
+    assert((tBody \ "error" \ "type") == JString("NoSuchTableException"))
+    assert((tBody \ "error" \ "code") == JInt(404))
+
+    // conflict wire shape: re-creating "dup" must be 409 + TableAlreadyExists
+    val createBody = """{"name":"dup","schema":{"type":"struct","schema-id":0,"fields":[]}}"""
+    val r = http.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${s.uri}/v1/namespaces/default/tables"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(createBody)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 409, r.body())
+    val conflict = JsonMethods.parse(r.body())
+    assert((conflict \ "error" \ "type") == JString("TableAlreadyExistsException"))
+    assert((conflict \ "error" \ "code") == JInt(409))
+  }
+
   test("stale handle conflicts (409 → CommitConflictError) and retries") {
     val spark = TestSpark.spark
     import spark.implicits._

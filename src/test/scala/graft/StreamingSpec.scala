@@ -7,6 +7,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Driver-side collector for the CDC-expiration restart test (foreachBatch
+  * closures need a stable object; the memory sink can't recover from a
+  * checkpoint so it can't exercise restarts). */
+object CdcExpireProbe {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+}
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -335,6 +342,253 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == tbl.currentSnapshotId)
     // checkpoint-resume: nothing new after the last offset
     assert(StreamingOps.processAvailableCommits(spark, tbl, last)((_, _) => fail()) == last)
+  }
+
+  test("readStream format(graft): branch-staged WAP commits never leak into the stream") {
+    import spark.implicits._
+    import graft.types.{ILong, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-wap-leak").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.wapsrc", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    tbl.append(Seq(1L).toDF("id"))
+    val q = spark.readStream.format("graft").load(s"$wh/default/wapsrc")
+      .writeStream.format("memory").queryName("graft_wap_leak").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def ids = spark.table("graft_wap_leak").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L))
+      // stage a commit on a branch, then publish one on main: the staged
+      // commit's sequence number falls INSIDE the consumed range — a
+      // seq-range filter over all snapshots would stream the unpublished 99
+      tbl.refresh().appendToBranch("audit", Seq(99L).toDF("id"))
+      tbl.refresh().append(Seq(2L).toDF("id"))
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 2L),
+        s"branch-staged rows must not stream before publish, got $ids")
+    } finally q.stop()
+
+    // publish path: a staged commit arrives only once main fast-forwards
+    val tbl2 = cat.createTable("default.wapsrc2", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    tbl2.append(Seq(10L).toDF("id"))
+    val q2 = spark.readStream.format("graft").load(s"$wh/default/wapsrc2")
+      .writeStream.format("memory").queryName("graft_wap_pub").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      def ids2 = spark.table("graft_wap_pub").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids2 == Seq(10L))
+      tbl2.refresh().appendToBranch("audit", Seq(99L).toDF("id"))
+      q2.processAllAvailable()
+      assert(ids2 == Seq(10L), "staged-only commit must not advance the offset")
+      tbl2.refresh().fastForward("main", "audit")
+      q2.processAllAvailable()
+      assert(ids2 == Seq(10L, 99L), "published rows must arrive after fastForward")
+    } finally q2.stop()
+  }
+
+  test("changesBetween / incrementalDiff / newSnapshotsSince walk main ancestry, not staged branches") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false)))
+    val tbl = cat.createTable("cdc_wap", schema)
+    tbl.append(Seq(1L -> "a").toDF("id", "v"))
+    val s1 = tbl.currentSnapshotId.get
+    tbl.appendToBranch("wap", Seq(99L -> "z").toDF("id", "v"))
+    tbl.append(Seq(2L -> "b").toDF("id", "v"))
+    val s3 = tbl.currentSnapshotId.get
+
+    assert(StreamingOps.newSnapshotsSince(tbl, None) == Seq(s1, s3))
+    val changed = StreamingOps.changesBetween(spark, tbl, None)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changed == Set((1L, "insert"), (2L, "insert")),
+      s"staged branch rows must not appear as changes, got $changed")
+    val diff = StreamingOps.incrementalDiff(spark, tbl, None)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(diff == Seq(1L, 2L))
+  }
+
+  test("CDC resume after snapshot expiration fails loudly instead of replaying the table") {
+    import spark.implicits._
+    import graft.types.{ILong, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc-exp").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-cdc-exp-cp").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.cdcexp", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    tbl.append(Seq(1L).toDF("id"))
+    // foreachBatch (not the memory sink, which refuses checkpoint recovery)
+    CdcExpireProbe.rows.clear()
+    def startQuery() = spark.readStream.format("graft")
+      .option("read-changes", "true").load(s"$wh/default/cdcexp")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => CdcExpireProbe.rows.add(r.getLong(0)))
+      }.option("checkpointLocation", cp).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(CdcExpireProbe.rows.size == 1)
+
+    // routine maintenance outruns the consumer: the checkpointed offset's
+    // snapshot is expired away
+    tbl.refresh().append(Seq(2L).toDF("id"))
+    tbl.refresh().append(Seq(3L).toDF("id"))
+    tbl.refresh().expireSnapshots(System.currentTimeMillis() + 60000, retainLast = 1)
+
+    val q2 = startQuery()
+    val e = intercept[Exception] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("expired")),
+      s"restart past an expired offset must fail loudly, got: ${messages(e)}")
+    // and crucially: nothing was silently replayed into the sink
+    assert(CdcExpireProbe.rows.size == 1,
+      "an unresumable checkpoint must deliver NOTHING, not a full-table replay")
+  }
+
+  test("restart mid-catch-up resumes from the checkpointed offset with the trigger cap re-applied") {
+    import spark.implicits._
+    import graft.types.{ILong, NestedField, Schema}
+    val wh = java.nio.file.Files.createTempDirectory("graft-rl-restart").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-rl-restart-cp").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.rl2", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    cat.createTable("default.rl2out", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    for (i <- 1 to 3) tbl.append(Seq(i.toLong).toDF("id"))
+
+    // graft source -> graft sink (the memory sink refuses checkpoint recovery)
+    def startQuery() = spark.readStream.format("graft")
+      .option("max-snapshots-per-trigger", "1").load(s"$wh/default/rl2")
+      .writeStream.format("graft")
+      .option("warehouse", wh).option("table", "default.rl2out")
+      .option("checkpointLocation", cp).start()
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assert(cat.loadTable("default.rl2out").toDF(spark).collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q1.stop()
+
+    // a 3-commit backlog accumulates while the query is down
+    for (i <- 4 to 6) tbl.refresh().append(Seq(i.toLong).toDF("id"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      // resumes AFTER the checkpointed offset (re-delivering 1..3 would show
+      // up as duplicate rows here), and the backlog still arrives one
+      // commit per trigger
+      assert(cat.loadTable("default.rl2out").toDF(spark).collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      val dataBatches = q2.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"cap must survive restart, got $dataBatches batches")
+    } finally q2.stop()
+  }
+
+  test("incremental planning is O(commit): consuming 3 commits never opens older manifests") {
+    import spark.implicits._
+    import graft.manifest.Manifests
+    import org.apache.hadoop.fs.Path
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false)))
+    val tbl = cat.createTable("ocommit_t", schema)
+    for (i <- 1 to 12) tbl.append(Seq(i.toLong -> s"v$i").toDF("id", "v"))
+    val snaps = StreamingOps.newSnapshotsSince(tbl, None)
+    val from = snaps(8) // consume the last 3 commits: 10, 11, 12
+    val lastThree = snaps.takeRight(3).toSet
+
+    // cross-check: the manifest-keyed added set IS the two-snapshot diff
+    for (sid <- lastThree) {
+      val s = tbl.snapshotById(sid).get
+      val added = tbl.scan(Some(sid)).addedFiles().map(_.filePath).toSet
+      val parent = s.parentSnapshotId
+        .map(p => tbl.scan(Some(p)).planFiles().map(_.filePath).toSet)
+        .getOrElse(Set.empty[String])
+      val full = tbl.scan(Some(sid)).planFiles().map(_.filePath).toSet
+      assert(added == full -- parent, s"addedFiles mismatch for snapshot $sid")
+    }
+
+    // now make every OLDER commit's manifest unreadable: O(table) planning
+    // (a planFiles walk of any snapshot) becomes impossible, so the
+    // consumption below succeeds ONLY if it reads just the 3 commits' own
+    // manifests
+    val head = tbl.currentSnapshot.get
+    val fs = new Path(head.manifestList)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Manifests.readManifestList(fs, new Path(head.manifestList))
+      .filterNot(mf => lastThree.contains(mf.addedSnapshotId))
+      .foreach(mf => fs.delete(new Path(mf.manifestPath), false))
+    intercept[Exception] { tbl.scan().planFiles() } // deletion took effect
+
+    val diff = StreamingOps.incrementalDiff(spark, tbl, Some(from))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(diff == Seq(10L, 11L, 12L))
+    val changes = StreamingOps.changesBetween(spark, tbl, Some(from))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((10L, "insert"), (11L, "insert"), (12L, "insert")))
+  }
+
+  test("graft sink: a wiped checkpoint path gets a fresh replay scope; checkpointLocation is required") {
+    import spark.implicits._
+    import graft.types.{ILong, NestedField, Schema}
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-sink-scope").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-sink-scope-cp").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    cat.createTable("default.scoped", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+
+    val mem1 = MemoryStream[Long]
+    val q1 = mem1.toDF().toDF("id").writeStream.format("graft")
+      .option("warehouse", wh).option("table", "default.scoped")
+      .option("checkpointLocation", cp).start()
+    try { mem1.addData(1L, 2L); q1.processAllAvailable() } finally q1.stop()
+
+    // wipe the checkpoint: a NEW query reuses the same path and restarts
+    // batch ids at 0 — scoping by path would drop its first batches as
+    // "already committed"; scoping by the persisted query id must not
+    val cpPath = new org.apache.hadoop.fs.Path(cp)
+    cpPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cpPath, true)
+    val mem2 = MemoryStream[Long]
+    val q2 = mem2.toDF().toDF("id").writeStream.format("graft")
+      .option("warehouse", wh).option("table", "default.scoped")
+      .option("checkpointLocation", cp).start()
+    try { mem2.addData(3L); q2.processAllAvailable() } finally q2.stop()
+    assert(cat.loadTable("default.scoped").toDF(spark).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "fresh query on a reused checkpoint path must not lose batches")
+
+    // no checkpointLocation = no stable query identity to scope replay by
+    intercept[InvalidDataError] {
+      new graft.spark.GraftStreamSink(
+        Map("warehouse" -> wh, "table" -> "default.scoped"))
+    }
+  }
+
+  test("graft sink rejects Complete mode, and Update mode without merge-keys") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ds = new graft.spark.GraftDataSource()
+    val params = Map("warehouse" -> "/tmp/wh", "table" -> "default.t",
+      "checkpointLocation" -> "/tmp/cp")
+    intercept[UnsupportedFeatureError] {
+      ds.createSink(spark.sqlContext, params, Nil, OutputMode.Complete())
+    }
+    intercept[InvalidDataError] {
+      ds.createSink(spark.sqlContext, params, Nil, OutputMode.Update())
+    }
+    // Update WITH merge-keys upserts; Append is always accepted
+    ds.createSink(spark.sqlContext, params + ("merge-keys" -> "id"), Nil, OutputMode.Update())
+    ds.createSink(spark.sqlContext, params, Nil, OutputMode.Append())
   }
 
   test("changesBetween: row-level CDC across append, upsert, MOR delete, compaction") {
