@@ -140,7 +140,14 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
         case _ => throw new InvalidDataError(
           "use at most one of snapshot-id / branch / as-of-timestamp-ms")
       }
-    new GraftSparkTable(t, pinned)
+    // the raw options travel with the table: a streaming read needs them to
+    // re-resolve the table per trigger (path, rate limits, hadoop overlays)
+    val optMap = {
+      val b = Map.newBuilder[String, String]
+      options.asCaseSensitiveMap().forEach((k, v) => b += (k.toLowerCase -> v))
+      b.result()
+    }
+    new GraftSparkTable(t, pinned, optMap)
   }
 }
 

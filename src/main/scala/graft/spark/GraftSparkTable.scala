@@ -33,7 +33,8 @@ import scala.jdk.CollectionConverters._
  */
 class GraftSparkTable(
     val graftTable: GTable,
-    pinnedSnapshotId: Option[Long] = None)
+    pinnedSnapshotId: Option[Long] = None,
+    streamOptions: Map[String, String] = Map.empty)
   extends SparkTable with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
@@ -52,9 +53,21 @@ class GraftSparkTable(
   override def schema(): StructType =
     SparkSchemaConverter.toSpark(graftTable.currentSchema)
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    // micro-batch streaming goes native V2 when the table was resolved by
+    // path (the stream re-resolves it per trigger) and the executor-side
+    // row reader covers the schema; CDC mode (read-changes) and the
+    // v1-source escape hatch stay on the V1 Source, which Spark falls back
+    // to automatically when this capability is absent
+    if (streamOptions.contains("path") &&
+        !streamOptions.get("read-changes").exists(_.toBoolean) &&
+        !streamOptions.get("v1-source").exists(_.toBoolean) &&
+        GraftMicroBatchStream.streamable(graftTable.currentSchema))
+      caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
 
   override def partitioning(): Array[Transform] =
     TransformBridge.toSparkTransforms(
@@ -123,7 +136,8 @@ class GraftSparkTable(
         case Some((aggSchema, values)) =>
           new GraftMetadataAggScan(graftTable, aggSchema, values)
         case None =>
-          new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required, limitHint)
+          new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required,
+            limitHint, streamOptions)
       }
     }
 
@@ -189,8 +203,19 @@ private[spark] class GraftV1Scan(
     snapshotId: Option[Long],
     pushed: Array[Filter],
     required: StructType,
-    limitHint: Option[Int] = None)
+    limitHint: Option[Int] = None,
+    streamOptions: Map[String, String] = Map.empty)
   extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Micro-batch streaming entry (MicroBatchExecution builds this scan with
+    * no pushdown calls, so `required` is the full schema here). The stream
+    * schema pins to the table's schema at query start. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(
+      streamOptions.getOrElse("path", throw new UnsupportedFeatureError(
+        "streaming read requires a path-resolved table (readStream.format(\"graft\").load(dir))")),
+      streamOptions, gt.currentSchema)
 
   /** The graft scan, pinned once; pruning predicates reach its manifest
     * planning. ONE planning pass (distributed past 64 manifests) is shared

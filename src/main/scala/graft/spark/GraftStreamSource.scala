@@ -35,7 +35,9 @@ import org.apache.spark.sql.types.StructType
  * Options: `starting-snapshot-id` (consume strictly after the given
  * snapshot; default: from the beginning), `skip-non-appends`
  * (default false), `read-changes` (CDC mode, default false),
- * `max-snapshots-per-trigger` (bound how many commits a
+ * `branch` (consume the named ref's ancestry instead of main's — the
+ * write-audit-publish audit consumer), `max-snapshots-per-trigger`
+ * (bound how many commits a
  * micro-batch spans once the stream is flowing — a consumer catching up
  * on a long-lived table must not plan one giant batch; the very first
  * offer after a cold start is unbounded unless `starting-snapshot-id`
@@ -59,6 +61,13 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     parameters.get("read-changes").exists(_.toBoolean)
   private val maxSnapshotsPerTrigger: Option[Int] =
     parameters.get("max-snapshots-per-trigger").map(_.toInt)
+  // stream the named branch's ancestry instead of main's (the WAP audit
+  // consumer: staged commits are published TO IT before they reach main)
+  private val branch: Option[String] = parameters.get("branch")
+  for (k <- Seq("snapshot-id", "as-of-timestamp-ms") if parameters.contains(k))
+    throw new graft.InvalidDataError(
+      s"$k cannot stream: a pinned snapshot has no commit sequence to consume; " +
+        "use starting-snapshot-id (a resume point) or branch (a live ref)")
   // highest sequence number already offered/consumed — the rate-limit base
   @volatile private var lastSeenSeq: Option[Long] = None
 
@@ -79,15 +88,15 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
 
   override def getOffset: Option[Offset] = {
     val t = loadTable()
-    t.currentSnapshot.map { s =>
+    graft.streaming.StreamingOps.streamHead(t, branch).map { s =>
       val target = math.max(s.sequenceNumber, startSeq)
       val capped = maxSnapshotsPerTrigger match {
         case Some(n) =>
           // advance by at most n COMMITS (sequence numbers may be sparse —
-          // branch-staged commits consume numbers too), counting only
-          // commits on MAIN's ancestry: those are the only ones offered
+          // commits staged on OTHER refs consume numbers too), counting
+          // only commits on the consumed ancestry: those are offered
           val seen = lastSeenSeq.getOrElse(startSeq)
-          val next = graft.streaming.StreamingOps.mainAncestry(t)
+          val next = graft.streaming.StreamingOps.streamAncestry(t, branch)
             .map(_.sequenceNumber)
             .filter(q => q > seen && q <= target).take(n)
           if (next.isEmpty) seen else next.last
@@ -106,10 +115,11 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     val toSeq = seqOf(end)
     // restart replay: resume rate limiting from the checkpointed batch end
     if (lastSeenSeq.forall(_ < toSeq)) lastSeenSeq = Some(toSeq)
-    // Only MAIN's published ancestry is consumed: branch-staged (WAP)
-    // commits share the table-global sequence-number space, so a seq-range
-    // filter over ALL snapshots would stream unpublished rows.
-    val ancestry = graft.streaming.StreamingOps.mainAncestry(t)
+    // Only the consumed ref's published ancestry (main's, or `branch`'s):
+    // commits staged on other refs share the table-global sequence-number
+    // space, so a seq-range filter over ALL snapshots would stream
+    // unpublished rows.
+    val ancestry = graft.streaming.StreamingOps.streamAncestry(t, branch)
     // A checkpointed offset whose snapshot no longer exists means routine
     // maintenance (expireSnapshots) outran this consumer — the commits
     // between that offset and the oldest retained snapshot are GONE, and

@@ -221,6 +221,22 @@ object StreamingOps {
   private[graft] def mainAncestry(table: Table): Seq[Snapshot] =
     ancestryOf(table, table.currentSnapshot)
 
+  /** Head a stream consumes from: MAIN's current snapshot, or a named
+    * ref's head (the WAP audit consumer streams the staged branch). A
+    * missing ref fails loudly — a dropped branch mid-stream must not
+    * silently become an empty stream. */
+  private[graft] def streamHead(table: Table, branch: Option[String]): Option[Snapshot] =
+    branch match {
+      case None => table.currentSnapshot
+      case Some(b) => Some(table.snapshotForRef(b).getOrElse(
+        throw new graft.InvalidDataError(s"no ref named $b")))
+    }
+
+  /** Published ancestry a stream consumes: main's, or the named branch's
+    * (staged WAP commits ARE published to their audit consumer). */
+  private[graft] def streamAncestry(table: Table, branch: Option[String]): Seq[Snapshot] =
+    ancestryOf(table, streamHead(table, branch))
+
   /** Published ancestry of `head` (inclusive), oldest first. */
   private[graft] def ancestryOf(table: Table, head: Option[Snapshot]): Seq[Snapshot] = {
     var out = List.empty[Snapshot]

@@ -760,7 +760,7 @@ private[graft] object ScanPruning extends Serializable {
 /** Hadoop `Configuration` is not `Serializable`; this carries it through a
   * Spark closure by writing its key/value state (the same trick Spark's own
   * internal wrapper uses). */
-private[table] class SerializableHadoopConf(@transient var value: Configuration)
+private[graft] class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()

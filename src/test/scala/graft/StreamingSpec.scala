@@ -538,6 +538,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(changes == Set((10L, "insert"), (11L, "insert"), (12L, "insert")))
   }
 
+  test("changesBetween plans append-only ranges map-only: no Except, no old-side scan") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("co_plan", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    tbl.append(Seq(1L).toDF("id"))
+    tbl.append(Seq(2L).toDF("id"))
+    tbl.append(Seq(3L).toDF("id"))
+    val snaps = StreamingOps.newSnapshotsSince(tbl, None)
+    val df = StreamingOps.changesBetween(spark, tbl, Some(snaps.head))
+    // the analyzed plan (exceptAll is rewritten away by the optimizer, so
+    // the optimized plan could never contain it; the analyzed one does)
+    val plan = df.queryExecution.analyzed
+    val hasExcept = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+    }.nonEmpty
+    assert(!hasExcept,
+      s"append-only CDC must not pay an exceptAll shuffle, plan:\n$plan")
+    assert(df.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "insert"), (3L, "insert")))
+  }
+
   test("graft sink: a wiped checkpoint path gets a fresh replay scope; checkpointLocation is required") {
     import spark.implicits._
     import graft.types.{ILong, NestedField, Schema}

@@ -1,0 +1,369 @@
+package graft
+
+import graft.types.{IDouble, IInt, ILong, IString, IStruct, NestedField, Schema}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side state for the Trigger.AvailableNow mid-run-commit test
+  * (foreachBatch closures need a stable object to report into). */
+object AvailableNowProbe {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var sourceTable: graft.table.Table = _
+}
+
+/**
+ * The DataSource V2 micro-batch streaming path (`GraftMicroBatchStream`):
+ * engagement (vs the V1 `Source` fallback), checkpoint interop between the
+ * two implementations, schema-pinned field-id reads with initial-defaults,
+ * and the loud-failure contract on an expired resume point.
+ */
+class StreamingV2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkTable(prefix: String, schema: Schema): (String, graft.table.Table) = {
+    val wh = java.nio.file.Files.createTempDirectory(prefix).toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    (s"$wh/default/t", cat.createTable("default.t", schema))
+  }
+
+  private val idSchema =
+    Schema(0, Seq(NestedField(1, "id", ILong, required = false)))
+
+  private def sourceDescription(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.lastProgress.sources.head.description
+
+  test("readStream format(graft) engages the V2 micro-batch stream; v1-source opts out") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-engage", idSchema)
+    tbl.append(Seq(1L, 2L).toDF("id"))
+
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("v2_engage").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"),
+        s"default path must be the V2 stream, got: ${sourceDescription(q)}")
+      assert(spark.table("v2_engage").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L))
+    } finally q.stop()
+
+    val q1 = spark.readStream.format("graft").option("v1-source", "true").load(dir)
+      .writeStream.format("memory").queryName("v2_optout").outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      assert(sourceDescription(q1).startsWith("GraftStreamSource"),
+        s"v1-source=true must fall back to the V1 source, got: ${sourceDescription(q1)}")
+      assert(spark.table("v2_optout").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L))
+    } finally q1.stop()
+  }
+
+  test("CDC mode (read-changes) stays on the V1 source") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-cdc", idSchema)
+    tbl.append(Seq(1L).toDF("id"))
+    val q = spark.readStream.format("graft").option("read-changes", "true").load(dir)
+      .writeStream.format("memory").queryName("v2_cdc").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftStreamSource"))
+      assert(spark.table("v2_cdc").select("_change_type").collect()
+        .map(_.getString(0)).toSeq == Seq("insert"))
+    } finally q.stop()
+  }
+
+  test("a schema the V2 row reader cannot produce falls back to V1 and still streams") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (dir, tbl) = mkTable("graft-v2-struct", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "loc", IStruct(Seq(
+        NestedField(3, "lat", IDouble, required = false),
+        NestedField(4, "lon", IDouble, required = false))), required = false))))
+    val sparkSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("loc", StructType(Seq(
+        StructField("lat", DoubleType), StructField("lon", DoubleType))))))
+    tbl.append(spark.createDataFrame(
+      java.util.List.of(Row(1L, Row(1.5, -2.5))), sparkSchema))
+
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("v2_struct").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftStreamSource"),
+        "struct columns are outside the V2 reader; the fallback must be automatic")
+      val r = spark.table("v2_struct").collect().head
+      assert(r.getLong(0) == 1L && r.getStruct(1).getDouble(0) == 1.5)
+    } finally q.stop()
+  }
+
+  test("a V1 checkpoint resumes under V2 (same offset wire format), exactly once") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-interop", idSchema)
+    val wh = new java.io.File(dir).getParentFile.getParent
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    cat.createTable("default.out", idSchema)
+    val cp = java.nio.file.Files.createTempDirectory("graft-v2-interop-cp").toString
+    tbl.append(Seq(1L, 2L).toDF("id"))
+
+    def startQuery(v1: Boolean) = spark.readStream.format("graft")
+      .option("v1-source", v1.toString).load(dir)
+      .writeStream.format("graft")
+      .option("warehouse", wh).option("table", "default.out")
+      .option("checkpointLocation", cp).start()
+    def outRows = cat.loadTable("default.out").toDF(spark).collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+    val q1 = startQuery(v1 = true)
+    try {
+      q1.processAllAvailable()
+      assert(sourceDescription(q1).startsWith("GraftStreamSource"))
+      assert(outRows == Seq(1L, 2L))
+    } finally q1.stop()
+
+    tbl.refresh().append(Seq(3L).toDF("id"))
+    val q2 = startQuery(v1 = false)
+    try {
+      q2.processAllAvailable()
+      assert(sourceDescription(q2).startsWith("GraftMicroBatchStream"))
+      assert(outRows == Seq(1L, 2L, 3L),
+        "the V2 resume must deliver ONLY the new commit — no replay, no gap")
+    } finally q2.stop()
+  }
+
+  test("V2 reads old files under the pinned schema: rename keeps data, added column reads its default") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-evol", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false))))
+    tbl.append(Seq((1L, "old")).toDF("id", "k"))
+    tbl.updateSchema()
+      .renameColumn("k", "kk")
+      .addRequiredColumn("score", IInt, 7)
+      .commit()
+    tbl.refresh().append(Seq((2L, "new", 9)).toDF("id", "kk", "score"))
+
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("v2_evol").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"))
+      val rows = spark.table("v2_evol").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows == Set((1L, "old", 7), (2L, "new", 9)),
+        s"field-id projection + initial-default, got $rows")
+    } finally q.stop()
+  }
+
+  test("V2 restart past an expired offset fails loudly and delivers nothing") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-exp", idSchema)
+    val wh = new java.io.File(dir).getParentFile.getParent
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    cat.createTable("default.expout", idSchema)
+    val cp = java.nio.file.Files.createTempDirectory("graft-v2-exp-cp").toString
+    tbl.append(Seq(1L).toDF("id"))
+
+    def startQuery() = spark.readStream.format("graft").load(dir)
+      .writeStream.format("graft")
+      .option("warehouse", wh).option("table", "default.expout")
+      .option("checkpointLocation", cp).start()
+    def outRows = cat.loadTable("default.expout").toDF(spark).collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assert(sourceDescription(q1).startsWith("GraftMicroBatchStream"))
+      assert(outRows == Seq(1L))
+    } finally q1.stop()
+
+    // maintenance outruns the consumer: the offset's snapshot is expired
+    tbl.refresh().append(Seq(2L).toDF("id"))
+    tbl.refresh().append(Seq(3L).toDF("id"))
+    tbl.refresh().expireSnapshots(System.currentTimeMillis() + 60000, retainLast = 1)
+
+    val q2 = startQuery()
+    val e = intercept[Exception] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("expired")),
+      s"expected the loud expiration error, got: ${messages(e)}")
+    assert(outRows == Seq(1L), "an unresumable checkpoint must deliver NOTHING")
+  }
+
+  test("V2 admission control: max-snapshots-per-trigger caps each batch, backlog drains in order") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-cap", idSchema)
+    for (i <- 1 to 4) tbl.append(Seq(i.toLong).toDF("id"))
+
+    val q = spark.readStream.format("graft")
+      .option("max-snapshots-per-trigger", "2").load(dir)
+      .writeStream.format("memory").queryName("v2_cap").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"))
+      assert(spark.table("v2_cap").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2, s"4-commit backlog at cap 2 needs >=2 batches, got $dataBatches")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog under the cap, stops, and ignores mid-run commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val (dir, tbl) = mkTable("graft-v2-avnow", idSchema)
+    for (i <- 1 to 3) tbl.append(Seq(i.toLong).toDF("id"))
+
+    // batch 0 appends a NEW source commit mid-drain: AvailableNow captured
+    // its end offset at query start, so id=99 must NOT be consumed
+    AvailableNowProbe.rows.clear()
+    AvailableNowProbe.injected.set(false)
+    AvailableNowProbe.sourceTable = tbl
+    val q = spark.readStream.format("graft")
+      .option("max-snapshots-per-trigger", "1").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => AvailableNowProbe.rows.add(r.getLong(0)))
+        if (AvailableNowProbe.injected.compareAndSet(false, true)) {
+          val s = batch.sparkSession
+          import s.implicits._
+          AvailableNowProbe.sourceTable.refresh().append(Seq(99L).toDF("id"))
+        }
+      }.start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query must stop on its own")
+      val got = {
+        import scala.jdk.CollectionConverters._
+        AvailableNowProbe.rows.asScala.toSeq.sorted
+      }
+      assert(got == Seq(1L, 2L, 3L),
+        s"drain to the captured end only — the mid-run commit waits, got $got")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "the cap still applies: one commit per trigger")
+    } finally q.stop()
+
+    // the next invocation picks up exactly the commit that waited
+    val q2 = spark.readStream.format("graft")
+      .option("max-snapshots-per-trigger", "1").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => AvailableNowProbe.rows.add(r.getLong(0)))
+      }.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-v2-avnow-cp2").toString)
+      .start()
+    try {
+      assert(q2.awaitTermination(120000))
+      val got2 = {
+        import scala.jdk.CollectionConverters._
+        AvailableNowProbe.rows.asScala.toSeq.sorted
+      }
+      // fresh checkpoint: this run replays 1..3 and now also sees 99
+      assert(got2 == Seq(1L, 1L, 2L, 2L, 3L, 3L, 99L), s"got $got2")
+    } finally q2.stop()
+  }
+
+  test("V2 source reports lag metrics (behindCommits) in query progress") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-metrics", idSchema)
+    tbl.append(Seq(1L).toDF("id"))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("v2_metrics").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val m = q.lastProgress.sources.head.metrics
+      assert(m.get("behindCommits") == "0",
+        s"caught-up consumer must report zero lag, got $m")
+      assert(m.containsKey("latestSequenceNumber"))
+    } finally q.stop()
+  }
+
+  test("branch option streams the audit branch's ancestry (V2 and V1), tracking fastForward") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-branch", idSchema)
+    tbl.append(Seq(1L).toDF("id"))
+    tbl.refresh().appendToBranch("audit", Seq(99L).toDF("id"))
+
+    // the audit consumer sees main's history PLUS the staged commit
+    val q = spark.readStream.format("graft").option("branch", "audit").load(dir)
+      .writeStream.format("memory").queryName("v2_branch").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"))
+      def ids = spark.table("v2_branch").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 99L),
+        s"the branch stream must include staged commits, got $ids")
+      // more staged work arrives; publishing to main must not re-deliver
+      tbl.refresh().appendToBranch("audit", Seq(100L).toDF("id"))
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 99L, 100L))
+      tbl.refresh().fastForward("main", "audit")
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 99L, 100L), "fastForward adds no new branch commits")
+    } finally q.stop()
+
+    // same option through the V1 source
+    val q1 = spark.readStream.format("graft")
+      .option("branch", "audit").option("v1-source", "true").load(dir)
+      .writeStream.format("memory").queryName("v1_branch").outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      assert(sourceDescription(q1).startsWith("GraftStreamSource"))
+      assert(spark.table("v1_branch").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 99L, 100L))
+    } finally q1.stop()
+  }
+
+  test("streaming rejects pinned-snapshot options (snapshot-id / as-of-timestamp-ms)") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-pin", idSchema)
+    tbl.append(Seq(1L).toDF("id"))
+    val sid = tbl.currentSnapshot.get.snapshotId
+    val q = spark.readStream.format("graft")
+      .option("snapshot-id", sid.toString).load(dir)
+      .writeStream.format("memory").queryName("v2_pin").outputMode("append").start()
+    val e = intercept[Exception] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cannot stream")), s"got: ${messages(e)}")
+  }
+
+  test("V2 non-append commit: loud error by default, skip-non-appends streams appends only") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-na", idSchema)
+    tbl.append(Seq(1L).toDF("id"))
+    tbl.refresh().delete(spark, Seq(graft.table.EqPred("id", 1L)))
+    tbl.refresh().append(Seq(2L).toDF("id"))
+
+    val qFail = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("v2_na_fail").outputMode("append").start()
+    val e = intercept[Exception] {
+      qFail.processAllAvailable()
+      qFail.awaitTermination(30000)
+    }
+    qFail.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-append")), s"got: ${messages(e)}")
+
+    val qSkip = spark.readStream.format("graft")
+      .option("skip-non-appends", "true").load(dir)
+      .writeStream.format("memory").queryName("v2_na_skip").outputMode("append").start()
+    try {
+      qSkip.processAllAvailable()
+      assert(sourceDescription(qSkip).startsWith("GraftMicroBatchStream"))
+      assert(spark.table("v2_na_skip").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L), "skip mode streams appended rows only (the delete is skipped)")
+    } finally qSkip.stop()
+  }
+}
