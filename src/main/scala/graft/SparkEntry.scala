@@ -782,6 +782,29 @@ object SparkEntry {
       cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
     }),
 
+    "s46_stream_branch" -> ((s, dir) => {
+      // the write-audit-publish AUDIT consumer: commits staged on a branch
+      // stream to their auditor BEFORE publish (branch ancestry = main's
+      // history at stage time + the staged commits), while main consumers
+      // see nothing until fastForward. Offsets are sequence numbers on the
+      // BRANCH's ancestry.
+      val wh = java.nio.file.Files.createTempDirectory("graft-s46").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = cat.createTable("default.audit_src",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      tbl.append(docs.where("doc_id < 50"))                       // published
+      tbl.refresh().appendToBranch("audit",
+        docs.where("doc_id >= 50 and doc_id < 100"))              // staged
+      val sink = s"s46_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft").option("branch", "audit")
+        .load(s"$wh/default/audit_src")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     // ------------------------------------------------- LLM-pipeline ops
     "d30_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -877,6 +900,21 @@ object SparkEntry {
           .as("text"))
       CorpusOps.ngramOverlap(docs, test, "doc_id", "text", n = 8)
         .orderBy("doc_id")
+    }),
+
+    "d56_fuzzy_decontaminate" -> ((s, dir) => {
+      // FUZZY decontamination: the mutated benchmark variants of d47 are
+      // caught by exact 8-gram overlap, but a paraphrased test doc need
+      // not share one exact 8-gram — near-duplicate leakage is what
+      // 3-shingle Jaccard >= 0.7 sees. Banded MinHash candidates between
+      // corpus and (broadcast) test side only; output = cleaned corpus.
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val toks = TextOps.tokens(col("text"))
+      val test = docs.where("doc_id % 5 = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      DedupOps.fuzzyDecontaminate(docs, test, "doc_id", "text")
+        .select("doc_id", "lang").orderBy("doc_id")
     }),
 
     "d48_redact_pii" -> ((s, dir) => {
@@ -1522,6 +1560,10 @@ object SparkEntry {
     "s45_stream_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200 ORDER BY doc_id",
 
+    // the audit-branch stream sees main's published prefix + the staged commit
+    "s46_stream_branch" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+
     "s43_stream_dedup" ->
       """SELECT content_hash, id, keep, first_id, dup_index FROM (
         | SELECT md5(props) AS content_hash, event_id AS id,
@@ -1666,6 +1708,28 @@ object SparkEntry {
          |FROM acc ORDER BY doc_id""".stripMargin,
 
     "d47_decontaminate" -> DecontaminateOracleSql,
+
+    // ground truth for the banded-MinHash candidate stage: brute-force
+    // 3-shingle Jaccard corpus x test (the LSH must lose no pair >= 0.7
+    // for the cleaned corpus to hash-match — same recall property d34
+    // certifies for the self-join form)
+    "d56_fuzzy_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(t) - 3, 0) + 1),
+         |   i -> array_to_string(t[i+1:i+3], ' '))) AS sh
+         | FROM toks),
+         |tsh AS (SELECT list_distinct(list_transform(
+         |   range(0, greatest(len(tm) - 3, 0) + 1),
+         |   i -> array_to_string(tm[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
+         |       FROM toks WHERE doc_id % 5 = 0)),
+         |bad AS (SELECT DISTINCT a.doc_id FROM sh a, tsh b
+         | WHERE (CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END) >= 0.7)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY d.doc_id""".stripMargin,
 
     // d53 computes the SAME result as d47 (the Bloom stage has no false
     // negatives and the exact join removes false positives) — same oracle

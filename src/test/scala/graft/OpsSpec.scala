@@ -169,6 +169,38 @@ class OpsSpec extends AnyFunSuite {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet))
   }
 
+  test("fuzzyDecontaminate drops near-dup test leakage, keeps clean docs, broadcasts the test side") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang", $"text").limit(30)
+    // test suite = mutated variants of docs 0..9 (drop last 2 tokens):
+    // near-dups that exact-8-gram decon could miss on paraphrase
+    val test = corpus.where($"doc_id" < 10).select(
+      concat_ws(" ", slice(split($"text", " "), lit(1),
+        greatest(size(split($"text", " ")) - 2, lit(1)))).as("text"))
+    val cleaned = DedupOps.fuzzyDecontaminate(corpus, test, "doc_id", "text")
+    val keptIds = cleaned.select("doc_id").as[Long].collect().toSet
+    // ground truth by brute force
+    val truthBad = DedupOps.ngramJaccardPairs(
+        corpus.unionAll(test.select(lit(-1L).as("doc_id"), lit("xx").as("lang"), $"text")),
+        "doc_id", "text",
+        corpus.select($"doc_id".as("id_a")).crossJoin(
+          test.select(lit(-1L).as("id_b"))).distinct())
+      .where($"jaccard" >= 0.7).select("id_a").as[Long].collect().toSet
+    assert(keptIds == corpus.select("doc_id").as[Long].collect().toSet -- truthBad,
+      "cleaned corpus must equal brute-force ground truth")
+    assert(truthBad.nonEmpty, "the planted mutations must actually contaminate")
+    assert(cleaned.columns.toSeq == Seq("doc_id", "lang", "text"),
+      "output keeps the corpus's own columns")
+    // the corpus never shuffles: every join in the plan broadcasts
+    val exchanges = cleaned.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2, // candidate distinct + bad-id distinct only
+      s"corpus-side shuffles leaked into the plan:\n${cleaned.queryExecution.executedPlan}")
+  }
+
   test("degenerate buckets are capped: 1k identical docs don't go quadratic") {
     // 1000 byte-identical documents hash to ONE band bucket in every band
     // (and one simhash chunk bucket, one hyperplane bucket). Uncapped that
