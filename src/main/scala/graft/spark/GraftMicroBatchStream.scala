@@ -38,7 +38,8 @@ case class GraftStreamOffset(seq: Long) extends Offset {
  * offset's snapshot has been expired, `skip-non-appends`,
  * `starting-snapshot-id`, `branch` (stream the named ref's ancestry —
  * the write-audit-publish audit consumer), `max-snapshots-per-trigger`,
- * and `hadoop.*` conf overlays. `Trigger.AvailableNow` is native
+ * `max-rows-per-trigger` (appended-row cap at commit granularity, from
+ * snapshot summaries), and `hadoop.*` conf overlays. `Trigger.AvailableNow` is native
  * ([[SupportsTriggerAvailableNow]]): the backlog end is captured at query
  * start and rate-limited triggers drain exactly to it. Progress reports
  * carry `behindCommits` lag ([[ReportsSourceMetrics]]).
@@ -63,6 +64,8 @@ class GraftMicroBatchStream(
     parameters.get("skip-non-appends").exists(_.toBoolean)
   private val maxSnapshotsPerTrigger: Option[Int] =
     parameters.get("max-snapshots-per-trigger").map(_.toInt)
+  private val maxRowsPerTrigger: Option[Long] =
+    parameters.get("max-rows-per-trigger").map(_.toLong)
   // stream the named branch's ancestry instead of main's (the WAP audit
   // consumer: staged commits are published TO IT before they reach main)
   private val branch: Option[String] = parameters.get("branch")
@@ -133,13 +136,9 @@ class GraftMicroBatchStream(
     val from = start.asInstanceOf[GraftStreamOffset].seq
     val uncapped = math.max(head.sequenceNumber, startSeq)
     val target = availableNowCap.fold(uncapped)(math.min(uncapped, _))
-    val capped = maxSnapshotsPerTrigger match {
-      case Some(n) =>
-        val next = graft.streaming.StreamingOps.streamAncestry(t, branch)
-          .map(_.sequenceNumber).filter(q => q > from && q <= target).take(n)
-        if (next.isEmpty) from else next.last
-      case None => target
-    }
+    val capped = graft.streaming.StreamingOps.cappedEndSeq(
+      graft.streaming.StreamingOps.streamAncestry(t, branch),
+      from, target, maxSnapshotsPerTrigger, maxRowsPerTrigger)
     GraftStreamOffset(math.max(capped, from))
   }
 

@@ -41,7 +41,10 @@ import org.apache.spark.sql.types.StructType
  * micro-batch spans once the stream is flowing — a consumer catching up
  * on a long-lived table must not plan one giant batch; the very first
  * offer after a cold start is unbounded unless `starting-snapshot-id`
- * narrows it), plus the same `hadoop.*` conf overlay batch reads take.
+ * narrows it), `max-rows-per-trigger` (cap a batch by APPENDED ROWS at
+ * commit granularity, from snapshot summaries — metadata only; commits
+ * vary wildly in size, so a commit-count cap alone cannot bound batch
+ * work), plus the same `hadoop.*` conf overlay batch reads take.
  * The table resolves per trigger through `metadata/version-hint`, so a
  * FS-visible (Hadoop-catalog) table is required.
  */
@@ -61,6 +64,8 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     parameters.get("read-changes").exists(_.toBoolean)
   private val maxSnapshotsPerTrigger: Option[Int] =
     parameters.get("max-snapshots-per-trigger").map(_.toInt)
+  private val maxRowsPerTrigger: Option[Long] =
+    parameters.get("max-rows-per-trigger").map(_.toLong)
   // stream the named branch's ancestry instead of main's (the WAP audit
   // consumer: staged commits are published TO IT before they reach main)
   private val branch: Option[String] = parameters.get("branch")
@@ -90,18 +95,14 @@ class GraftStreamSource(sqlContext: SQLContext, tableDir: String,
     val t = loadTable()
     graft.streaming.StreamingOps.streamHead(t, branch).map { s =>
       val target = math.max(s.sequenceNumber, startSeq)
-      val capped = maxSnapshotsPerTrigger match {
-        case Some(n) =>
-          // advance by at most n COMMITS (sequence numbers may be sparse —
-          // commits staged on OTHER refs consume numbers too), counting
-          // only commits on the consumed ancestry: those are offered
-          val seen = lastSeenSeq.getOrElse(startSeq)
-          val next = graft.streaming.StreamingOps.streamAncestry(t, branch)
-            .map(_.sequenceNumber)
-            .filter(q => q > seen && q <= target).take(n)
-          if (next.isEmpty) seen else next.last
-        case None => target
-      }
+      // advance by at most max-snapshots-per-trigger COMMITS and
+      // max-rows-per-trigger appended rows (sequence numbers may be sparse
+      // — commits staged on OTHER refs consume numbers too, so both caps
+      // count commits on the consumed ancestry only)
+      val seen = lastSeenSeq.getOrElse(startSeq)
+      val capped = graft.streaming.StreamingOps.cappedEndSeq(
+        graft.streaming.StreamingOps.streamAncestry(t, branch),
+        seen, target, maxSnapshotsPerTrigger, maxRowsPerTrigger)
       lastSeenSeq = Some(capped)
       LongOffset(capped)
     }

@@ -237,6 +237,38 @@ object StreamingOps {
   private[graft] def streamAncestry(table: Table, branch: Option[String]): Seq[Snapshot] =
     ancestryOf(table, streamHead(table, branch))
 
+  /** End sequence number for the next micro-batch: at most `maxSnapshots`
+    * commits and approximately `maxRows` appended rows past `fromSeq`
+    * (commit granularity — a single commit is never split, so the first
+    * pending commit is always taken). Row counts come straight from
+    * snapshot summaries (`added-records`) — metadata only, no manifest
+    * IO; a commit without the summary key conservatively fills the whole
+    * row budget. */
+  private[graft] def cappedEndSeq(ancestry: Seq[Snapshot], fromSeq: Long,
+                                  targetSeq: Long, maxSnapshots: Option[Int],
+                                  maxRows: Option[Long]): Long = {
+    val pending = ancestry
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= targetSeq)
+    if (pending.isEmpty) return fromSeq
+    if (maxSnapshots.isEmpty && maxRows.isEmpty) return targetSeq
+    val snapCap = maxSnapshots.getOrElse(Int.MaxValue)
+    val rowCap = maxRows.getOrElse(Long.MaxValue)
+    var end = fromSeq
+    var taken = 0
+    var rows = 0L
+    val it = pending.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val s = it.next()
+      val r = s.summary.get("added-records").map(_.toLong).getOrElse(rowCap)
+      if (taken == 0 || (taken < snapCap && rows + r <= rowCap)) {
+        end = s.sequenceNumber; taken += 1; rows += r
+        if (taken >= snapCap || rows >= rowCap) stop = true
+      } else stop = true
+    }
+    end
+  }
+
   /** Published ancestry of `head` (inclusive), oldest first. */
   private[graft] def ancestryOf(table: Table, head: Option[Snapshot]): Seq[Snapshot] = {
     var out = List.empty[Snapshot]

@@ -338,6 +338,28 @@ class StreamingV2Spec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("cannot stream")), s"got: ${messages(e)}")
   }
 
+  test("max-rows-per-trigger caps batches by appended rows at commit granularity") {
+    import spark.implicits._
+    val (dir, tbl) = mkTable("graft-v2-rowcap", idSchema)
+    tbl.append(Seq(1L, 2L).toDF("id"))            // 2 rows
+    tbl.refresh().append(Seq(3L, 4L, 5L).toDF("id"))        // 3 rows
+    tbl.refresh().append(Seq(6L, 7L, 8L, 9L).toDF("id"))    // 4 rows
+
+    val q = spark.readStream.format("graft")
+      .option("max-rows-per-trigger", "5").load(dir)
+      .writeStream.format("memory").queryName("v2_rowcap").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("v2_rowcap").collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to 9L))
+      val batchSizes = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.numInputRows).toSeq
+      // commits of 2+3 fill the 5-row budget exactly; the 4-row commit
+      // lands alone (a commit is never split)
+      assert(batchSizes == Seq(5L, 4L), s"got $batchSizes")
+    } finally q.stop()
+  }
+
   test("V2 non-append commit: loud error by default, skip-non-appends streams appends only") {
     import spark.implicits._
     val (dir, tbl) = mkTable("graft-v2-na", idSchema)
