@@ -48,13 +48,16 @@ case class GraftStreamOffset(seq: Long) extends Offset {
  * its data; an added column reads its initial-default).
  */
 class GraftMicroBatchStream(
-    tableDir: String,
+    loader: () => GTable,
+    sourceDesc: String,
     parameters: Map[String, String],
-    streamSchema: Schema) extends MicroBatchStream with SupportsAdmissionControl
+    streamSchema: Schema,
+    baseConf: Configuration = new Configuration()) extends MicroBatchStream
+    with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val conf: Configuration = {
-    val c = new Configuration()
+    val c = new Configuration(baseConf)
     parameters.foreach { case (k, v) =>
       if (k.startsWith("hadoop.")) c.set(k.substring("hadoop.".length), v)
     }
@@ -74,8 +77,7 @@ class GraftMicroBatchStream(
       s"$k cannot stream: a pinned snapshot has no commit sequence to consume; " +
         "use starting-snapshot-id (a resume point) or branch (a live ref)")
 
-  private def loadTable(): GTable =
-    StaticTable.load(GraftDataSource.metadataPathFor(tableDir, conf), conf)
+  private def loadTable(): GTable = loader()
 
   private val startSeq: Long = parameters.get("starting-snapshot-id") match {
     case None => Long.MinValue
@@ -152,7 +154,7 @@ class GraftMicroBatchStream(
     // than silently skipping or replaying
     if (fromSeq > Long.MinValue && !ancestry.exists(_.sequenceNumber == fromSeq))
       throw new graft.InvalidDataError(
-        s"cannot resume streaming read of $tableDir: the snapshot at " +
+        s"cannot resume streaming read of $sourceDesc: the snapshot at " +
           s"checkpointed offset (sequence $fromSeq) has expired or is not on " +
           "main; restart from a fresh checkpoint (or starting-snapshot-id)")
     val snaps = ancestry
@@ -179,10 +181,33 @@ class GraftMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     GraftStreamReaderFactory(GraftMicroBatchStream.schemaJson(streamSchema))
 
-  override def toString: String = s"GraftMicroBatchStream($tableDir)"
+  override def toString: String = s"GraftMicroBatchStream($sourceDesc)"
 }
 
 object GraftMicroBatchStream {
+
+  /** Path-resolved stream: the table re-resolves per trigger through
+    * `metadata/version-hint` (the form `readStream.format("graft")
+    * .load(dir)` takes). */
+  def forPath(tableDir: String, parameters: Map[String, String],
+              streamSchema: Schema): GraftMicroBatchStream = {
+    val conf = new Configuration()
+    parameters.foreach { case (k, v) =>
+      if (k.startsWith("hadoop.")) conf.set(k.substring("hadoop.".length), v)
+    }
+    new GraftMicroBatchStream(
+      () => StaticTable.load(GraftDataSource.metadataPathFor(tableDir, conf), conf),
+      tableDir, parameters, streamSchema, conf)
+  }
+
+  /** Catalog-resolved stream (`spark.readStream.table("cat.db.t")`): the
+    * table refreshes through its own catalog per trigger — works for every
+    * backend (Hadoop, JDBC, REST, in-memory), no filesystem layout
+    * assumption. */
+  def forCatalogTable(t: GTable, parameters: Map[String, String],
+                      streamSchema: Schema): GraftMicroBatchStream =
+    new GraftMicroBatchStream(() => t.refresh(), t.ident.toString,
+      parameters, streamSchema, t.hadoopConf)
   import org.json4s.jackson.JsonMethods
 
   private[spark] def schemaJson(s: Schema): String =

@@ -56,12 +56,14 @@ class GraftSparkTable(
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-    // micro-batch streaming goes native V2 when the table was resolved by
-    // path (the stream re-resolves it per trigger) and the executor-side
-    // row reader covers the schema; CDC mode (read-changes) and the
-    // v1-source escape hatch stay on the V1 Source, which Spark falls back
-    // to automatically when this capability is absent
-    if (streamOptions.contains("path") &&
+    // micro-batch streaming goes native V2 when the table can re-resolve
+    // per trigger — by path (format("graft").load(dir)) or through its own
+    // catalog (spark.readStream.table("cat.db.t")) — and the executor-side
+    // row reader covers the schema; for path reads, CDC mode (read-changes)
+    // and the v1-source escape hatch stay on the V1 Source, which Spark
+    // falls back to automatically when this capability is absent
+    val resolvable = streamOptions.contains("path") || graftTable.catalog.isDefined
+    if (resolvable &&
         !streamOptions.get("read-changes").exists(_.toBoolean) &&
         !streamOptions.get("v1-source").exists(_.toBoolean) &&
         GraftMicroBatchStream.streamable(graftTable.currentSchema))
@@ -136,8 +138,15 @@ class GraftSparkTable(
         case Some((aggSchema, values)) =>
           new GraftMetadataAggScan(graftTable, aggSchema, values)
         case None =>
+          // per-scan options (readStream.table(...).option(...) arrives
+          // here, not at table resolution) overlay the table-level ones
+          val scanOpts = {
+            val b = Map.newBuilder[String, String]
+            options.asCaseSensitiveMap().forEach((k, v) => b += (k.toLowerCase -> v))
+            b.result()
+          }
           new GraftV1Scan(graftTable, pinnedSnapshotId, pushed, required,
-            limitHint, streamOptions)
+            limitHint, streamOptions ++ scanOpts)
       }
     }
 
@@ -211,11 +220,29 @@ private[spark] class GraftV1Scan(
     * no pushdown calls, so `required` is the full schema here). The stream
     * schema pins to the table's schema at query start. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(
-      streamOptions.getOrElse("path", throw new UnsupportedFeatureError(
-        "streaming read requires a path-resolved table (readStream.format(\"graft\").load(dir))")),
-      streamOptions, gt.currentSchema)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a batch-resolution pin (VERSION AS OF / TIMESTAMP AS OF) cannot
+    // stream — EXCEPT the branch option's pin: the stream re-resolves the
+    // live branch per trigger and ignores the batch-time snapshot
+    if (snapshotId.isDefined && !streamOptions.contains("branch"))
+      throw new UnsupportedFeatureError(
+        "cannot stream a time-travel table: a pinned snapshot has no commit " +
+          "sequence to consume; use starting-snapshot-id or branch")
+    if (streamOptions.get("read-changes").exists(_.toBoolean))
+      throw new UnsupportedFeatureError(
+        "CDC streaming (read-changes) runs through the path-based reader: " +
+          "spark.readStream.format(\"graft\").option(\"read-changes\", \"true\").load(dir)")
+    streamOptions.get("path") match {
+      case Some(dir) =>
+        GraftMicroBatchStream.forPath(dir, streamOptions, gt.currentSchema)
+      case None if gt.catalog.isDefined =>
+        GraftMicroBatchStream.forCatalogTable(gt, streamOptions, gt.currentSchema)
+      case None => throw new UnsupportedFeatureError(
+        "streaming read requires a path-resolved table " +
+          "(readStream.format(\"graft\").load(dir)) or a catalog table " +
+          "(spark.readStream.table(\"cat.db.t\"))")
+    }
+  }
 
   /** The graft scan, pinned once; pruning predicates reach its manifest
     * planning. ONE planning pass (distributed past 64 manifests) is shared

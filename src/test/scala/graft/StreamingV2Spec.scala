@@ -360,6 +360,56 @@ class StreamingV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spark.readStream.table streams a catalog table (refresh through its own catalog)") {
+    import spark.implicits._
+    val cat = new graft.catalog.MemoryCatalog(name = "streammem")
+    graft.spark.GraftSparkCatalog.register(spark, "gstream", cat)
+    cat.createNamespace(Seq("db"), ifNotExists = true)
+    val tbl = cat.createTable("db.src", idSchema)
+    tbl.append(Seq(1L, 2L).toDF("id"))
+
+    val q = spark.readStream
+      .option("max-snapshots-per-trigger", "1")
+      .table("gstream.db.src")
+      .writeStream.format("memory").queryName("v2_cat").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"),
+        s"catalog tables must stream through V2, got: ${sourceDescription(q)}")
+      def ids = spark.table("v2_cat").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+      // a new commit through the catalog arrives as its own micro-batch —
+      // the in-memory catalog has no filesystem layout to re-resolve, so
+      // this proves the refresh loader path
+      tbl.refresh().append(Seq(3L).toDF("id"))
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming a time-travel (VERSION AS OF) table fails loudly") {
+    import spark.implicits._
+    val cat = new graft.catalog.MemoryCatalog(name = "streammem2")
+    graft.spark.GraftSparkCatalog.register(spark, "gstream2", cat)
+    cat.createNamespace(Seq("db"), ifNotExists = true)
+    val tbl = cat.createTable("db.tt", idSchema)
+    tbl.append(Seq(1L).toDF("id"))
+    val sid = tbl.currentSnapshot.get.snapshotId
+    val e = intercept[Exception] {
+      val q = spark.readStream
+        .option("snapshot-id", sid.toString)  // batch-style pin: not streamable
+        .table("gstream2.db.tt")
+        .writeStream.format("memory").queryName("v2_tt").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      } finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("cannot stream")), s"got: ${messages(e)}")
+  }
+
   test("V2 non-append commit: loud error by default, skip-non-appends streams appends only") {
     import spark.implicits._
     val (dir, tbl) = mkTable("graft-v2-na", idSchema)
