@@ -917,6 +917,35 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "d57_incremental_neardup" -> ((s, dir) => {
+      // INCREMENTAL ingest dedup, end to end through graft tables: batch 1
+      // (the corpus) is accepted against empty state; batch 2 (mutated
+      // variants) dedups against the ACCUMULATED band-signature state —
+      // the accepted corpus is never re-hashed, only probed. State and
+      // accepted docs live in graft tables, appended per step, exactly
+      // like a streaming ingest pipeline would run it.
+      val wh = java.nio.file.Files.createTempDirectory("graft-d57").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val toks = TextOps.tokens(col("text"))
+      val mutants = docs.where("doc_id % 5 = 0").select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      val accepted = cat.createTable("default.accepted",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      val state = cat.createTable("default.state",
+        graft.types.SparkSchemaConverter.fromSpark(
+          DedupOps.bandSignatures(docs, "doc_id", "text").schema))
+      val (c1, b1) = DedupOps.incrementalNearDup(
+        docs, state.toDF(s), accepted.toDF(s), "doc_id", "text")
+      accepted.append(c1); state.refresh().append(b1)
+      val (c2, b2) = DedupOps.incrementalNearDup(
+        mutants, state.refresh().toDF(s), accepted.refresh().toDF(s), "doc_id", "text")
+      accepted.refresh().append(c2); state.refresh().append(b2)
+      accepted.refresh().toDF(s).select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "d48_redact_pii" -> ((s, dir) => {
       // PII scrubbing: deterministic synthetic contact lines (so the
       // oracle can replay them), then a codegen'd regexp_replace chain;
@@ -1708,6 +1737,32 @@ object SparkEntry {
          |FROM acc ORDER BY doc_id""".stripMargin,
 
     "d47_decontaminate" -> DecontaminateOracleSql,
+
+    // the two-step incremental run: step 1 accepts the whole corpus
+    // (state was empty); step 2 accepts a mutant iff NO accepted doc
+    // (= any original) reaches Jaccard 0.7 — brute-forced here
+    "d57_incremental_neardup" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(t) - 3, 0) + 1),
+         |   i -> array_to_string(t[i+1:i+3], ' '))) AS sh
+         | FROM toks),
+         |msh AS (SELECT doc_id + 1000000 AS doc_id, lang,
+         |   list_distinct(list_transform(
+         |     range(0, greatest(len(tm) - 3, 0) + 1),
+         |     i -> array_to_string(tm[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT doc_id, lang, t[1:greatest(len(t) - 1, 1)] AS tm
+         |       FROM toks WHERE doc_id % 5 = 0)),
+         |badm AS (SELECT DISTINCT m.doc_id FROM msh m, sh a
+         | WHERE (CASE WHEN len(m.sh) + len(a.sh) - len(list_intersect(m.sh, a.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(m.sh, a.sh)) AS DOUBLE)
+         |             / (len(m.sh) + len(a.sh) - len(list_intersect(m.sh, a.sh))) END) >= 0.7)
+         |SELECT doc_id, lang FROM (
+         | SELECT doc_id, lang FROM documents
+         | UNION ALL
+         | SELECT doc_id, lang FROM msh
+         | WHERE doc_id NOT IN (SELECT doc_id FROM badm)
+         |) ORDER BY doc_id""".stripMargin,
 
     // ground truth for the banded-MinHash candidate stage: brute-force
     // 3-shingle Jaccard corpus x test (the LSH must lose no pair >= 0.7

@@ -201,6 +201,41 @@ class OpsSpec extends AnyFunSuite {
       s"corpus-side shuffles leaked into the plan:\n${cleaned.queryExecution.executedPlan}")
   }
 
+  test("incrementalNearDup: batch dedups against accepted state, never re-hashing the corpus") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val accepted = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").where($"doc_id" < 20)
+    val stateBands = DedupOps.bandSignatures(accepted, "doc_id", "text")
+    // batch: 5 near-dup mutants of accepted docs + 5 fresh (unseen) docs
+    val mutants = accepted.where($"doc_id" < 5).select(
+      ($"doc_id" + 1000).as("doc_id"),
+      concat_ws(" ", slice(split($"text", " "), lit(1),
+        greatest(size(split($"text", " ")) - 2, lit(1)))).as("text"))
+    val fresh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").where($"doc_id" >= 30 && $"doc_id" < 35)
+    val batch = mutants.unionAll(fresh)
+
+    val (clean, newBands) = DedupOps.incrementalNearDup(
+      batch, stateBands, accepted, "doc_id", "text")
+    val kept = clean.select("doc_id").as[Long].collect().toSet
+
+    // brute-force ground truth: batch doc is a dup iff j >= 0.7 vs ANY accepted
+    val all = accepted.unionAll(batch)
+    val pairs = batch.select($"doc_id".as("id_a"))
+      .crossJoin(accepted.select($"doc_id".as("id_b")))
+    val trueDups = DedupOps.ngramJaccardPairs(all, "doc_id", "text", pairs)
+      .where($"jaccard" >= 0.7).select("id_a").as[Long].collect().toSet
+    assert(trueDups.nonEmpty, "planted mutants must collide")
+    assert(kept == batch.select("doc_id").as[Long].collect().toSet -- trueDups)
+    assert(fresh.select("doc_id").as[Long].collect().toSet.subsetOf(kept),
+      "fresh docs must always be accepted")
+    // the state delta covers exactly the accepted batch docs, 8 bands each
+    val bandCounts = newBands.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(bandCounts.keySet == kept && bandCounts.values.forall(_ == 8L))
+  }
+
   test("degenerate buckets are capped: 1k identical docs don't go quadratic") {
     // 1000 byte-identical documents hash to ONE band bucket in every band
     // (and one simhash chunk bucket, one hyperplane bucket). Uncapped that
