@@ -1115,6 +1115,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e42_incremental_embedding_neardup" -> ((s, dir) => {
+      // INCREMENTAL embedding dedup: a batch of arriving vectors probes
+      // the accepted corpus's hyperplane-signature state. Planted dups by
+      // power-of-two scaling (cosine exactly 1, same bucket — e39's
+      // guaranteed-recall construction); planted NOVEL vectors by
+      // negation (cosine −1 to their source; organic range is ±0.55, far
+      // from the 0.95 threshold on both sides).
+      val emb = t(s, dir, "embeddings")
+      val sigs = DedupOps.embeddingSignatures(emb, "vec_id", "embedding",
+        dim = 64, nbits = 12)
+      val dups = emb.where("vec_id % 10 = 0").select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val fresh = emb.where("vec_id % 10 = 5").select(
+        (col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      val batch = dups.unionByName(fresh)
+      val (clean, _) = DedupOps.incrementalEmbeddingNearDup(
+        batch, sigs, emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, nbits = 12, threshold = 0.95)
+      clean.select("vec_id").orderBy("vec_id")
+    }),
+
     "e41_knn_sq8" -> ((s, dir) => {
       // SQ8 with error-bounded exact re-ranking: the candidate threshold
       // τ − 2E(q) provably admits every true top-k vector, so the output
@@ -1958,6 +1981,23 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM ms a JOIN ms b ON a.doc_id < b.doc_id AND a.ms = b.ms
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the batch vectors accepted by the incremental step = those whose
+    // brute-force max cosine against the accepted corpus stays below 0.95
+    "e42_incremental_embedding_neardup" ->
+      """WITH b AS (
+        | SELECT vec_id + 1000000 AS vec_id,
+        |        list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS e
+        | FROM embeddings WHERE vec_id % 10 = 0
+        | UNION ALL
+        | SELECT vec_id + 2000000 AS vec_id,
+        |        list_transform(embedding, x -> CAST(-x AS FLOAT)) AS e
+        | FROM embeddings WHERE vec_id % 10 = 5
+        |),
+        |bad AS (SELECT DISTINCT b.vec_id FROM b, embeddings a
+        |        WHERE list_cosine_similarity(a.embedding, b.e) >= 0.95)
+        |SELECT vec_id FROM b WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+        |ORDER BY vec_id""".stripMargin,
 
     "e41_knn_sq8" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -236,6 +236,25 @@ class OpsSpec extends AnyFunSuite {
     assert(bandCounts.keySet == kept && bandCounts.values.forall(_ == 8L))
   }
 
+  test("incrementalEmbeddingNearDup: scaled dups rejected, negated vectors accepted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val sigs = DedupOps.embeddingSignatures(emb, "vec_id", "embedding", dim = 64)
+    val dups = emb.where($"vec_id" < 5).select(($"vec_id" + 1000).as("vec_id"),
+      transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val fresh = emb.where($"vec_id" >= 5 && $"vec_id" < 10)
+      .select(($"vec_id" + 2000).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+    val (clean, newSigs) = DedupOps.incrementalEmbeddingNearDup(
+      dups.unionByName(fresh), sigs, emb, "vec_id", "embedding", dim = 64)
+    val kept = clean.select("vec_id").as[Long].collect().toSet
+    assert(kept == (2005L to 2009L).toSet,
+      s"scaled copies are dups (cos=1), negated are novel (cos=-1); got $kept")
+    assert(newSigs.select("id").as[Long].collect().toSet == kept)
+  }
+
   test("degenerate buckets are capped: 1k identical docs don't go quadratic") {
     // 1000 byte-identical documents hash to ONE band bucket in every band
     // (and one simhash chunk bucket, one hyperplane bucket). Uncapped that
