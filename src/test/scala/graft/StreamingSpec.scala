@@ -538,6 +538,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(changes == Set((10L, "insert"), (11L, "insert"), (12L, "insert")))
   }
 
+  test("CDC non-append diff on a >64-manifest table plans through the distributed branch") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("cdc_dist", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false))))
+    // 65 append commits -> 65 data manifests: past the distributed-plan
+    // threshold, so the non-append diff below exercises the Spark-job
+    // planning path end to end (not the driver-parallel fallback)
+    for (i <- 1 to 65) tbl.append(Seq(i.toLong -> s"v$i").toDF("id", "v"))
+    assert(tbl.currentSnapshot.isDefined)
+    val beforeDelete = tbl.currentSnapshot.get.snapshotId
+    tbl.delete(spark, Seq(graft.table.EqPred("id", 7L)))
+    val changes = StreamingOps.changesBetween(spark, tbl, Some(beforeDelete))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((7L, "delete")),
+      s"distributed-planned diff must still be row-exact, got $changes")
+  }
+
   test("changesBetween plans append-only ranges map-only: no Except, no old-side scan") {
     import spark.implicits._
     val cat = new MemoryCatalog()
