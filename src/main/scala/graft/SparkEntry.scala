@@ -782,6 +782,41 @@ object SparkEntry {
       cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
     }),
 
+    "s47_stream_ingest_dedup" -> ((s, dir) => {
+      // the WHOLE streaming-ingest dedup story: table commits consumed in
+      // order (processAvailableCommits), each batch incremental-near-dup
+      // checked against the accumulated signature state, accepted rows +
+      // state deltas committed per batch — commit 1 is the corpus, commit
+      // 2 its mutated near-dups, so the accepted table must equal d57's
+      // two-step result (shared oracle).
+      val wh = java.nio.file.Files.createTempDirectory("graft-s47").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val toks = TextOps.tokens(col("text"))
+      val mutants = docs.where("doc_id % 5 = 0").select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      val src = cat.createTable("default.ingest",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      src.append(docs)
+      src.refresh().append(mutants)
+      val accepted = cat.createTable("default.accepted",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      val state = cat.createTable("default.state",
+        graft.types.SparkSchemaConverter.fromSpark(
+          DedupOps.bandSignatures(docs, "doc_id", "text").schema))
+      graft.streaming.StreamingOps.processAvailableCommits(s, src, None) {
+        (batch, _) =>
+          val (clean, bands) = DedupOps.incrementalNearDup(
+            batch, state.refresh().toDF(s), accepted.refresh().toDF(s),
+            "doc_id", "text")
+          accepted.refresh().append(clean)
+          state.refresh().append(bands)
+      }
+      accepted.refresh().toDF(s).select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "s46_stream_branch" -> ((s, dir) => {
       // the write-audit-publish AUDIT consumer: commits staged on a branch
       // stream to their auditor BEFORE publish (branch ancestry = main's
@@ -1217,6 +1252,33 @@ object SparkEntry {
       |SELECT query_id, vec_id,
       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
       |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by d57 (explicit two-step API drive) and s47 (the same
+    * semantics driven by streaming commit consumption): originals all
+    * accepted against empty state; a mutant accepted iff no original
+    * reaches 3-shingle Jaccard 0.7. */
+  private lazy val IncrementalNearDupOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |   range(0, greatest(len(t) - 3, 0) + 1),
+       |   i -> array_to_string(t[i+1:i+3], ' '))) AS sh
+       | FROM toks),
+       |msh AS (SELECT doc_id + 1000000 AS doc_id, lang,
+       |   list_distinct(list_transform(
+       |     range(0, greatest(len(tm) - 3, 0) + 1),
+       |     i -> array_to_string(tm[i+1:i+3], ' '))) AS sh
+       | FROM (SELECT doc_id, lang, t[1:greatest(len(t) - 1, 1)] AS tm
+       |       FROM toks WHERE doc_id % 5 = 0)),
+       |badm AS (SELECT DISTINCT m.doc_id FROM msh m, sh a
+       | WHERE (CASE WHEN len(m.sh) + len(a.sh) - len(list_intersect(m.sh, a.sh)) = 0 THEN 1.0
+       |        ELSE CAST(len(list_intersect(m.sh, a.sh)) AS DOUBLE)
+       |             / (len(m.sh) + len(a.sh) - len(list_intersect(m.sh, a.sh))) END) >= 0.7)
+       |SELECT doc_id, lang FROM (
+       | SELECT doc_id, lang FROM documents
+       | UNION ALL
+       | SELECT doc_id, lang FROM msh
+       | WHERE doc_id NOT IN (SELECT doc_id FROM badm)
+       |) ORDER BY doc_id""".stripMargin
 
   /** Shared by d47 and d53 — the Bloom stage changes the execution, not
     * the result. */
@@ -1763,29 +1825,10 @@ object SparkEntry {
 
     // the two-step incremental run: step 1 accepts the whole corpus
     // (state was empty); step 2 accepts a mutant iff NO accepted doc
-    // (= any original) reaches Jaccard 0.7 — brute-forced here
-    "d57_incremental_neardup" ->
-      s"""WITH toks AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(
-         |   range(0, greatest(len(t) - 3, 0) + 1),
-         |   i -> array_to_string(t[i+1:i+3], ' '))) AS sh
-         | FROM toks),
-         |msh AS (SELECT doc_id + 1000000 AS doc_id, lang,
-         |   list_distinct(list_transform(
-         |     range(0, greatest(len(tm) - 3, 0) + 1),
-         |     i -> array_to_string(tm[i+1:i+3], ' '))) AS sh
-         | FROM (SELECT doc_id, lang, t[1:greatest(len(t) - 1, 1)] AS tm
-         |       FROM toks WHERE doc_id % 5 = 0)),
-         |badm AS (SELECT DISTINCT m.doc_id FROM msh m, sh a
-         | WHERE (CASE WHEN len(m.sh) + len(a.sh) - len(list_intersect(m.sh, a.sh)) = 0 THEN 1.0
-         |        ELSE CAST(len(list_intersect(m.sh, a.sh)) AS DOUBLE)
-         |             / (len(m.sh) + len(a.sh) - len(list_intersect(m.sh, a.sh))) END) >= 0.7)
-         |SELECT doc_id, lang FROM (
-         | SELECT doc_id, lang FROM documents
-         | UNION ALL
-         | SELECT doc_id, lang FROM msh
-         | WHERE doc_id NOT IN (SELECT doc_id FROM badm)
-         |) ORDER BY doc_id""".stripMargin,
+    // (= any original) reaches Jaccard 0.7 — brute-forced here. s47 is
+    // the same semantics driven through streaming commit consumption.
+    "d57_incremental_neardup" -> IncrementalNearDupOracleSql,
+    "s47_stream_ingest_dedup" -> IncrementalNearDupOracleSql,
 
     // ground truth for the banded-MinHash candidate stage: brute-force
     // 3-shingle Jaccard corpus x test (the LSH must lose no pair >= 0.7
