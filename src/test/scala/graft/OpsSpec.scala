@@ -255,6 +255,41 @@ class OpsSpec extends AnyFunSuite {
     assert(newSigs.select("id").as[Long].collect().toSet == kept)
   }
 
+  test("incrementalEmbeddingNearDup multi-probe: full-radius probing equals brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val sigs = DedupOps.embeddingSignatures(emb, "vec_id", "embedding", dim = 64)
+    // perturbed copies: alternate +-8% per-coordinate scaling -> cosine is
+    // high but below 1, so the signature can land a few bits away from
+    // the source's bucket — exactly what multi-probe exists for
+    val batch = emb.where($"vec_id" < 20).select(($"vec_id" + 5000).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x * (lit(1.0f) + lit(0.08f) * ((i % 2) * 2 - 1).cast("float")))
+        .as("embedding"))
+    // ground truth: brute-force max cosine vs the whole accepted corpus
+    val trueDups = batch.as("b").crossJoin(emb.as("a"))
+      .where(GraftFunctions.cosine_similarity($"a.embedding", $"b.embedding") >= 0.95)
+      .select($"b.vec_id").as[Long].collect().toSet
+    assert(trueDups.nonEmpty)
+    // probeBits = nbits covers the whole code space -> provably brute force
+    val (cleanFull, _) = DedupOps.incrementalEmbeddingNearDup(
+      batch, sigs, emb, "vec_id", "embedding", dim = 64, nbits = 12,
+      probeBits = 12)
+    val keptFull = cleanFull.select("vec_id").as[Long].collect().toSet
+    assert(keptFull == batch.select("vec_id").as[Long].collect().toSet -- trueDups,
+      "full-radius multi-probe must equal brute force")
+    // default probing never accepts MORE than the exact result allows
+    // (precision is exact at any probe setting; probing affects recall only)
+    val (cleanDefault, _) = DedupOps.incrementalEmbeddingNearDup(
+      batch, sigs, emb, "vec_id", "embedding", dim = 64, nbits = 12)
+    val keptDefault = cleanDefault.select("vec_id").as[Long].collect().toSet
+    assert(keptFull.subsetOf(keptDefault),
+      "fewer probes can only miss dups (accept more), never reject clean docs")
+  }
+
   test("degenerate buckets are capped: 1k identical docs don't go quadratic") {
     // 1000 byte-identical documents hash to ONE band bucket in every band
     // (and one simhash chunk bucket, one hyperplane bucket). Uncapped that
