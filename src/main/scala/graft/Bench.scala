@@ -17,7 +17,10 @@ object Bench {
     // streaming round-trip: table → source micro-batches (s44), plus the
     // full source → transform → native-sink pipe (s45); each run builds
     // its own temp tables, so the time covers ingest + catch-up + drain
-    "s44_stream_table_source", "s45_stream_roundtrip")
+    "s44_stream_table_source", "s45_stream_roundtrip",
+    // round-9 headline: fuzzy decontamination (banded MinHash corpus ×
+    // broadcast test side — the heaviest new operator)
+    "d56_fuzzy_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

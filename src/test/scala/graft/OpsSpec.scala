@@ -234,6 +234,13 @@ class OpsSpec extends AnyFunSuite {
     val bandCounts = newBands.groupBy("doc_id").count()
       .as[(Long, Long)].collect().toMap
     assert(bandCounts.keySet == kept && bandCounts.values.forall(_ == 8L))
+    // plan shape: the accepted corpus rides broadcast joins only — the
+    // sole shuffles are the two tiny candidate/dup-id distincts
+    val exchanges = clean.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2,
+      s"accepted-side shuffle leaked into the incremental plan:\n${clean.queryExecution.executedPlan}")
   }
 
   test("incrementalEmbeddingNearDup: scaled dups rejected, negated vectors accepted") {
