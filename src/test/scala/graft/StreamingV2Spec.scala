@@ -410,6 +410,53 @@ class StreamingV2Spec extends AnyFunSuite {
     assert(messages(e).exists(m => m.contains("cannot stream")), s"got: ${messages(e)}")
   }
 
+  test("V2 row reader equals the batch (vectorized) reader across every streamable type") {
+    import graft.types._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = Schema(0, Seq(
+      NestedField(1, "b", IBoolean, required = false),
+      NestedField(2, "i", IInt, required = false),
+      NestedField(3, "l", ILong, required = false),
+      NestedField(4, "f", IFloat, required = false),
+      NestedField(5, "d", IDouble, required = false),
+      NestedField(6, "s", IString, required = false),
+      NestedField(7, "dt", IDate, required = false),
+      NestedField(8, "ts", ITimestamp, required = false),
+      NestedField(9, "bin", IBinary, required = false),
+      NestedField(10, "dec9", IDecimal(9, 2), required = false),
+      NestedField(11, "dec18", IDecimal(18, 4), required = false),
+      NestedField(12, "arr", IList(13, ILong, elementRequired = false), required = false)))
+    val (dir, tbl) = mkTable("graft-v2-types", schema)
+    val sparkSchema = graft.types.SparkSchemaConverter.toSpark(schema)
+    val rows = java.util.List.of(
+      Row(true, 1, 10L, 1.5f, 2.5, "alpha", java.sql.Date.valueOf("2026-01-02"),
+        java.time.LocalDateTime.parse("2026-01-02T03:04:05.123456"),
+        Array[Byte](1, 2, 3), new java.math.BigDecimal("1234567.89"),
+        new java.math.BigDecimal("12345678901234.5678"), Seq(1L, 2L, 3L)),
+      Row(false, -7, -70L, -0.25f, -0.5, "", java.sql.Date.valueOf("1969-12-31"),
+        java.time.LocalDateTime.parse("1969-12-31T23:59:59.999999"),
+        Array[Byte](), new java.math.BigDecimal("-0.01"),
+        new java.math.BigDecimal("-0.0001"), Seq()),
+      Row(null, null, null, null, null, null, null, null, null, null, null, null))
+    tbl.append(spark.createDataFrame(rows, sparkSchema))
+
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("v2_types").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"))
+      def canon(r: org.apache.spark.sql.Row): String = r.toSeq.map {
+        case b: Array[Byte] => b.toSeq.toString
+        case x => String.valueOf(x)
+      }.mkString("|")
+      val streamed = spark.table("v2_types").collect().map(canon).sorted.toSeq
+      val batch = tbl.refresh().toDF(spark).collect().map(canon).sorted.toSeq
+      assert(streamed == batch,
+        s"streamed rows must equal the batch read\nstream: $streamed\nbatch:  $batch")
+    } finally q.stop()
+  }
+
   test("V2 non-append commit: loud error by default, skip-non-appends streams appends only") {
     import spark.implicits._
     val (dir, tbl) = mkTable("graft-v2-na", idSchema)
