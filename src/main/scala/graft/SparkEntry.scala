@@ -981,6 +981,18 @@ object SparkEntry {
       accepted.refresh().toDF(s).select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "d58_budget_select" -> ((s, dir) => {
+      // token-budget training-mix selection: per language, the
+      // highest-quality docs (n_chars as the quality proxy here) fill a
+      // 2000-token budget; the budget-crossing doc is included. One
+      // window per stratum, no global sort.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CorpusOps.selectWithinBudget(docs, "doc_id", "lang", "n_chars",
+          "n_tokens", budgetPerStratum = 2000L)
+        .select("doc_id", "lang", "n_tokens").orderBy("doc_id")
+    }),
+
     "d48_redact_pii" -> ((s, dir) => {
       // PII scrubbing: deterministic synthetic contact lines (so the
       // oracle can replay them), then a codegen'd regexp_replace chain;
@@ -1822,6 +1834,16 @@ object SparkEntry {
          |FROM acc ORDER BY doc_id""".stripMargin,
 
     "d47_decontaminate" -> DecontaminateOracleSql,
+
+    "d58_budget_select" ->
+      s"""WITH tc AS (SELECT doc_id, lang, n_chars,
+         |  CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tc)
+         |SELECT doc_id, lang, n_tokens FROM c
+         |WHERE cum - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
 
     // the two-step incremental run: step 1 accepts the whole corpus
     // (state was empty); step 2 accepts a mutant iff NO accepted doc

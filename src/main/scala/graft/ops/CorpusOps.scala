@@ -97,6 +97,30 @@ object CorpusOps {
   }
 
   /**
+   * Token-budget corpus selection: within each stratum (language, source
+   * shard), keep the highest-quality documents whose cumulative token
+   * count fits the budget — the "fill the training mix" step after
+   * quality scoring. A document is kept while the running total BEFORE it
+   * is under the budget (so the budget-crossing document is included —
+   * training pipelines truncate mid-document rather than waste budget;
+   * callers wanting strict fit subtract one doc's worth).
+   *
+   * 100 TB design: one hash partition on the stratum + a window inside
+   * each — no global sort (same shape as [[packSequences]]). Ordering is
+   * total and deterministic: (quality DESC, id ASC).
+   */
+  def selectWithinBudget(df: DataFrame, idCol: String, strataCol: String,
+                         qualityCol: String, tokensCol: String,
+                         budgetPerStratum: Long): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .where(col("cum_tokens") - col(tokensCol) < budgetPerStratum)
+      .drop("cum_tokens")
+  }
+
+  /**
    * Deterministic stratified sampling: each stratum keeps the documents
    * whose content-hash first hex digit falls in its allowed set (so rates
    * are multiples of 1/16). Like [[graft.SparkEntry]]'s d43 sample but

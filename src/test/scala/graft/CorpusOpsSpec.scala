@@ -68,6 +68,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(2L) == r(2L).split(",").toSeq.mkString(","))
   }
 
+  test("selectWithinBudget: quality-ordered fill, budget-crossing doc included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 10, 5L), (2L, "en", 9, 4L), (3L, "en", 8, 2L),
+      (4L, "fr", 7, 100L), (5L, "fr", 6, 1L)).toDF("id", "lang", "q", "tok")
+    val kept = CorpusOps.selectWithinBudget(docs, "id", "lang", "q", "tok", 8L)
+      .select("id").as[Long].collect().toSet
+    // en: cum-before 0,5,9 -> 1,2 kept, 3 over; fr: the first doc always
+    // fits (crossing doc included), the next starts past the budget
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i => (i.toLong, s"doc number $i content", if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "text", "lang")
