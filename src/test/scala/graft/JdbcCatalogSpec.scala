@@ -27,6 +27,29 @@ class JdbcCatalogSpec extends AnyFunSuite with CatalogBehavior {
     assert(c.loadTable("kv").toDF(spark).count() == 3)
   }
 
+  test("spark.readStream.table streams a JDBC-catalog table (cross-backend loader)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.types.{ILong, NestedField, Schema}
+    val c = cat().asInstanceOf[JdbcCatalog]
+    graft.spark.GraftSparkCatalog.register(spark, "gjdbc", c)
+    val tbl = c.createTable("stream_src", Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false))))
+    tbl.append(Seq(1L, 2L).toDF("id"))
+    val q = spark.readStream.table("gjdbc.stream_src")
+      .writeStream.format("memory").queryName("jdbc_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.sources.head.description.startsWith("GraftMicroBatchStream"))
+      def ids = spark.table("jdbc_stream").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+      // the new commit resolves through the JDBC pointer swap per trigger
+      tbl.refresh().append(Seq(3L).toDF("id"))
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stale handle conflicts (updateCount 0 → CommitConflictError) and retries") {
     val spark = TestSpark.spark
     import spark.implicits._
