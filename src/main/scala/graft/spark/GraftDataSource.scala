@@ -70,9 +70,19 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
 
   // ---- streaming source: spark.readStream.format("graft").load(dir) ----
 
+  /** The table directory a stream resolves through: an explicit path, or
+    * the Hadoop-catalog layout derived from warehouse+table (Spark builds
+    * the V1 fallback relation EAGERLY even when the V2 stream will be
+    * chosen, so this must resolve for every addressing mode the V2 path
+    * accepts). */
   private def streamPath(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new InvalidDataError("readStream format(\"graft\") requires a path"))
+    parameters.get("path").orElse {
+      (parameters.get("warehouse"), parameters.get("table")) match {
+        case (Some(wh), Some(name)) => Some((wh +: name.split('.').toSeq).mkString("/"))
+        case _ => None
+      }
+    }.getOrElse(throw new InvalidDataError(
+      "readStream format(\"graft\") requires a path, or warehouse+table options"))
 
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
                             schema: Option[StructType], providerName: String,

@@ -387,6 +387,27 @@ class StreamingV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("warehouse+table options stream through the catalog loader (no path needed)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-v2-whopt").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val tbl = cat.createTable("default.t", idSchema)
+    tbl.append(Seq(1L).toDF("id"))
+    // the V1 source requires a path; the catalog-resolved V2 stream does not
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("table", "default.t").load()
+      .writeStream.format("memory").queryName("v2_whopt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"))
+      def ids = spark.table("v2_whopt").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L))
+      tbl.refresh().append(Seq(2L).toDF("id"))
+      q.processAllAvailable()
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming a time-travel (VERSION AS OF) table fails loudly") {
     import spark.implicits._
     val cat = new graft.catalog.MemoryCatalog(name = "streammem2")
