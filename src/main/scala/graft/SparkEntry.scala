@@ -555,6 +555,26 @@ object SparkEntry {
               |FROM g49cat.default.n GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    "g50_insert_overwrite" -> ((s, dir) => {
+      // filter-scoped INSERT OVERWRITE (SupportsOverwrite → overwriteWhere):
+      // replace exactly ONE partition of an identity-partitioned table in a
+      // single atomic snapshot. The replaced partition's files leave via
+      // metadata alone (ScanPruning.strictFileEvolved — every live row
+      // provably matches), the other partitions' files are carried untouched.
+      graft.spark.GraftSparkCatalog.register(s, "g50cat", new MemoryCatalog())
+      t(s, dir, "lineitem").where("l_orderkey % 10 = 3")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .createOrReplaceTempView("g50_li_src")
+      s.sql("""CREATE TABLE g50cat.default.li PARTITIONED BY (l_returnflag)
+              |AS SELECT * FROM g50_li_src""".stripMargin)
+      s.sql("""INSERT OVERWRITE g50cat.default.li PARTITION (l_returnflag = 'R')
+              |SELECT l_orderkey, l_quantity + 1000 FROM g50_li_src
+              |WHERE l_returnflag = 'R'""".stripMargin)
+      s.sql("""SELECT l_returnflag, count(*) AS n_items,
+              | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              |FROM g50cat.default.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "g47_wap_fix" -> ((s, dir) => {
       // write-audit-publish with a FIX: stage an append on "audit", then
       // branch-scoped DML repairs it (MOR delete + COW update commit to
@@ -1523,6 +1543,13 @@ object SparkEntry {
         | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity + 100
         |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 6
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g50_insert_overwrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 1000
+        |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 3
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g35_mor_delete" ->

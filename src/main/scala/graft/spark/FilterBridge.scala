@@ -23,6 +23,9 @@ object FilterBridge {
     * (it may still convert row-level via [[toColumn]]). */
   def toPredicate(f: sources.Filter): Option[ScanPredicate] = f match {
     case sources.EqualTo(a, v) if topLevel(a) => Some(EqPred(a, v))
+    // static INSERT OVERWRITE … PARTITION (p=v) arrives null-safe; with a
+    // non-null value `<=>` and `=` accept exactly the same rows
+    case sources.EqualNullSafe(a, v) if topLevel(a) && v != null => Some(EqPred(a, v))
     case sources.LessThan(a, v) if topLevel(a) => Some(LtPred(a, v))
     case sources.LessThanOrEqual(a, v) if topLevel(a) => Some(LePred(a, v))
     case sources.GreaterThan(a, v) if topLevel(a) => Some(GtPred(a, v))

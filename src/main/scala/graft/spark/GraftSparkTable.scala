@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Sup
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan => V1TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,7 +55,8 @@ class GraftSparkTable(
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
     // micro-batch streaming goes native V2 when the table can re-resolve
     // per trigger — by path (format("graft").load(dir)) or through its own
     // catalog (spark.readStream.table("cat.db.t")) — and the executor-side
@@ -155,15 +156,35 @@ class GraftSparkTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pinnedSnapshotId.isDefined)
       throw new UnsupportedFeatureError("cannot write to a time-travel table")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var overwriteAll = false
+      private var overwriteFilters: Option[Array[Filter]] = None
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      /** Filter-scoped overwrite (static-mode `INSERT OVERWRITE …
+        * PARTITION (p=v)` and `DataFrameWriterV2.overwrite(cond)`):
+        * accepted whenever every filter maps to a [[graft.table.ScanPredicate]]
+        * — then [[GTable.overwriteWhere]] replaces exactly the matching rows
+        * in ONE atomic snapshot, dropping fully-matched files from metadata
+        * alone. Inexpressible conditions are rejected at analysis. */
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        FilterBridge.isDeleteAll(filters) ||
+          filters.forall(f => FilterBridge.toPredicate(f).isDefined)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteFilters = Some(filters); this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val t = graftTable.refresh()
-              if (overwriteAll || overwrite) t.overwrite(data) else t.append(data)
+              overwriteFilters match {
+                case Some(fs) if !FilterBridge.isDeleteAll(fs) =>
+                  t.overwriteWhere(SparkSession.active,
+                    fs.flatMap(FilterBridge.toPredicate).toSeq, data)
+                case Some(_) => t.overwrite(data)
+                case None =>
+                  if (overwriteAll || overwrite) t.overwrite(data) else t.append(data)
+              }
             }
           }
       }

@@ -1816,6 +1816,89 @@ final class Table(
     }
   }
 
+  /**
+   * Atomic filter-scoped overwrite (SQL `INSERT OVERWRITE … PARTITION (…)`
+   * in static mode, `DataFrameWriterV2.overwrite(cond)`): remove every row
+   * matching `predicates` (+ an optional arbitrary SQL `condition`) and add
+   * `df`, in ONE snapshot — a reader sees the old rows or the new rows,
+   * never neither, and a concurrent reader of an old snapshot is untouched.
+   *
+   * The delete side is copy-on-write with a two-tier rewrite bound:
+   *  1. files whose every live row PROVABLY matches (identity partition
+   *     value or closed column bounds — [[ScanPruning.strictFileEvolved]])
+   *     are dropped from metadata without being read: the common
+   *     partition-aligned overwrite ("replace day X") is metadata-only on
+   *     the delete side;
+   *  2. the remaining affected files go through the same discovery pass as
+   *     [[deleteCopyOnWrite]] — only files that provably HOLD a matching
+   *     row are rewritten (without their matching rows).
+   * Replacing one day of a 100 TB day-partitioned table therefore reads
+   * and rewrites only the rare files that straddle the predicate, never
+   * the partition, never the table. The appended files are written once
+   * and reused across CAS retries; only the (usually tiny) rewrite side is
+   * regenerated per attempt.
+   */
+  def overwriteWhere(spark: SparkSession, predicates: Seq[ScanPredicate], df: DataFrame,
+                     condition: Option[String] = None): Unit = {
+    if (predicates.isEmpty && condition.isEmpty) { overwrite(df); return }
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val aligned = AppendUtil.align(df, meta.currentSchema)
+    val targetRows = meta.properties.get("write.target-file-rows")
+      .map(_.toLong).getOrElse(5000000L)
+    val appendUuid = java.util.UUID.randomUUID().toString
+    val appended = AppendUtil.writeData(aligned, meta.currentSchema,
+      meta.defaultPartitionSpec, meta.defaultSortOrder,
+      new Path(meta.location, s"data/$appendUuid"), hadoopConf,
+      targetFileRows = targetRows)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refresh()
+      val affectedScan = scan(None, predicates)
+      val (affected0, kept) = affectedScan.planFilesPartitioned()
+      // tier 1: strict full-file matches drop unread (predicates only — an
+      // arbitrary extra condition can never be proven file-wide from stats)
+      val (dropped, affected) =
+        if (condition.isDefined) (Nil, affected0)
+        else affected0.partition(t => ScanPruning.strictFileEvolved(predicates, t.file,
+          meta.partitionSpecById(t.specId).getOrElse(meta.defaultPartitionSpec),
+          meta.schemaById(t.schemaId).getOrElse(meta.currentSchema), meta.currentSchema))
+      // tier 2: discovery — which remaining files hold at least one match
+      val extraCond = condition.map(org.apache.spark.sql.functions.expr)
+      val matchedFiles: Set[String] =
+        if (affected.isEmpty) Set.empty
+        else affectedScan.matchedRowsWithPositions(spark, affected, extraCond)
+          .select("__file").distinct().collect().map(_.getString(0)).toSet
+      if (dropped.isEmpty && matchedFiles.isEmpty) {
+        // pure append — no rows to remove anywhere; O(commit) fast-append
+        if (appended.nonEmpty) commitAppend(cat, appended, appendUuid)
+        return
+      }
+      val (rewriteSet, carried) = affected.partition(t => matchedFiles.contains(t.filePath))
+      val matchAll = (predicates.map(affectedScan.predicateToColumn) ++ extraCond)
+        .reduce(_ && _)
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val newFiles =
+        if (rewriteSet.isEmpty) Nil
+        else AppendUtil.writeData(
+          affectedScan.materializeTasks(spark, rewriteSet).filter(!matchAll),
+          meta.currentSchema, meta.defaultPartitionSpec, meta.defaultSortOrder,
+          new Path(meta.location, s"data/$commitUuid"), hadoopConf,
+          targetFileRows = targetRows)
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, kept ++ carried, dropped ++ rewriteSet,
+            newFiles ++ appended, commitUuid, keepParentDeleteManifests = true))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          discardFiles(newFiles) // rewrite side regenerated next attempt
+          attempt += 1
+          if (attempt > 5) { discardFiles(appended); throw e } // append side written once
+      }
+    }
+  }
+
   /** Snapshot for a rewrite: ONE data manifest holding kept (original
     * sequence numbers) + added entries; parent delete manifests carried
     * when the kept set still needs them. */

@@ -550,6 +550,94 @@ private[graft] object ScanPruning extends Serializable {
     }
   }
 
+  /**
+   * STRICT (all-rows) match: true only when EVERY live row of the file
+   * provably satisfies every predicate — the overwrite fast path that
+   * drops a fully-matched file without ever reading it. Dual of
+   * [[keepFileEvolved]] ("some row may match"): here every uncertainty
+   * answers false, so a partition-aligned `INSERT OVERWRITE` on a
+   * 100 TB table drops the target partition's files from metadata alone.
+   *
+   * Soundness notes: an identity partition value pins every row's value
+   * exactly; column bounds satisfy lower ≤ min ≤ max ≤ upper even when
+   * string bounds are truncated (lower==upper==v still implies all rows
+   * == v); bounds cover deleted rows too — a superset, so "all rows
+   * match" stays valid for the live subset. Float/double columns are
+   * excluded outright (NaN breaks bound ordering); files whose null
+   * count for the column is unknown or nonzero are never strict.
+   */
+  def strictFileEvolved(predicates: Seq[ScanPredicate], df: DataFile, spec: PartitionSpec,
+                        writeSchema: Schema, currentSchema: Schema): Boolean =
+    predicates.nonEmpty &&
+      predicates.forall(p => strictPred(p, df, spec, writeSchema, currentSchema))
+
+  private def strictPred(p0: ScanPredicate, df: DataFile, spec: PartitionSpec,
+                         writeSchema: Schema, currentSchema: Schema): Boolean = {
+    val (p, field) =
+      if (writeSchema.schemaId == currentSchema.schemaId) {
+        val f = writeSchema.fieldByName(p0.column).getOrElse(return false)
+        (p0, f)
+      } else {
+        val cf = currentSchema.fieldByName(p0.column).getOrElse(return false)
+        writeSchema.fieldById(cf.id) match {
+          case Some(wf) => (withColumnName(p0, wf.name), wf)
+          // column absent from the write schema: every row reads the
+          // initial-default constant — strict iff the constant matches
+          case None => return constMatches(p0, cf.initialDefault.orNull)
+        }
+      }
+    field.fieldType match {
+      case IFloat | IDouble => return false // NaN-unsafe for strict claims
+      case _ =>
+    }
+    val identityVal = spec.fields
+      .find(pf => pf.sourceId == field.id && Transform.parse(pf.transform) == IdentityTransform)
+      .flatMap(pf => df.partition.get(pf.name))
+    identityVal match {
+      case Some(raw) if raw.isEmpty => false // all-null partition: no row matches
+      case Some(raw) =>
+        parseValue(raw, field.fieldType) match {
+          case Some(v) => constMatches(p, v)
+          case None => boundsStrict(p, df, field)
+        }
+      case None => boundsStrict(p, df, field)
+    }
+  }
+
+  private def boundsStrict(p: ScanPredicate, df: DataFile, field: graft.types.NestedField): Boolean = {
+    if (!df.nullCounts.get(field.name).contains(0L)) return false // null rows never match
+    val lower = df.lowerBounds.get(field.name).flatMap(parsePhysical(_, field.fieldType))
+    val upper = df.upperBounds.get(field.name).flatMap(parsePhysical(_, field.fieldType))
+    if (lower.isEmpty || upper.isEmpty) return false
+    def num(v: Any): Option[BigDecimal] = canonNum(physicalOf(v, field.fieldType))
+    def eqAll(v: Any): Boolean =
+      (num(v), lower.flatMap(canonNum), upper.flatMap(canonNum)) match {
+        case (Some(x), Some(lo), Some(hi)) => x == lo && x == hi
+        case _ => (v, lower.get, upper.get) match {
+          case (s: String, lo: String, hi: String) => lo == s && hi == s
+          case _ => false
+        }
+      }
+    def cmpAll(v: Any, takeUpper: Boolean, ok: Int => Boolean): Boolean = {
+      val bound = if (takeUpper) upper else lower
+      (num(v), bound.flatMap(canonNum)) match {
+        case (Some(x), Some(b)) => ok(b.compare(x))
+        case _ => (v, bound.get) match {
+          case (s: String, b: String) => ok(b.compareTo(s))
+          case _ => false
+        }
+      }
+    }
+    p match {
+      case EqPred(_, v) => eqAll(v)
+      case InPred(_, vs) => vs.exists(eqAll)
+      case LtPred(_, v) => cmpAll(v, takeUpper = true, _ < 0)
+      case LePred(_, v) => cmpAll(v, takeUpper = true, _ <= 0)
+      case GtPred(_, v) => cmpAll(v, takeUpper = false, _ > 0)
+      case GePred(_, v) => cmpAll(v, takeUpper = false, _ >= 0)
+    }
+  }
+
   private def withColumnName(p: ScanPredicate, name: String): ScanPredicate = p match {
     case EqPred(_, v) => EqPred(name, v)
     case LtPred(_, v) => LtPred(name, v)
