@@ -575,6 +575,32 @@ object SparkEntry {
               |FROM g50cat.default.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    "g51_dynamic_overwrite" -> ((s, dir) => {
+      // dynamic-partition INSERT OVERWRITE through the executor-side V2
+      // fanout writer (GraftDynamicOverwriteWrite): every partition present
+      // in the incoming data is atomically replaced, all others carried —
+      // no static PARTITION clause, no table rewrite
+      graft.spark.GraftSparkCatalog.register(s, "g51cat", new MemoryCatalog())
+      t(s, dir, "lineitem").where("l_orderkey % 10 = 4")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .createOrReplaceTempView("g51_li_src")
+      s.sql("""CREATE TABLE g51cat.default.li PARTITIONED BY (l_returnflag)
+              |AS SELECT * FROM g51_li_src""".stripMargin)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try s.sql("""INSERT OVERWRITE g51cat.default.li
+                  |SELECT l_orderkey, l_quantity + 500, l_returnflag
+                  |FROM g51_li_src WHERE l_returnflag IN ('A', 'N')""".stripMargin)
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.sql("""SELECT l_returnflag, count(*) AS n_items,
+              | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              |FROM g51cat.default.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "g47_wap_fix" -> ((s, dir) => {
       // write-audit-publish with a FIX: stage an append on "audit", then
       // branch-scoped DML repairs it (MOR delete + COW update commit to
@@ -1543,6 +1569,13 @@ object SparkEntry {
         | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity + 100
         |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 6
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g51_dynamic_overwrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CASE WHEN l_returnflag IN ('A', 'N') THEN l_quantity + 500
+        |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 4
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g50_insert_overwrite" ->

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Sup
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan => V1TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,9 +54,14 @@ class GraftSparkTable(
     SparkSchemaConverter.toSpark(graftTable.currentSchema)
 
   override def capabilities(): java.util.Set[TableCapability] = {
+    // BATCH_WRITE rides alongside V1_BATCH_WRITE only to satisfy the
+    // dynamic-overwrite capability check; the physical plan still picks
+    // the V1 exec whenever build() returns a V1Write (append/truncate/
+    // filter overwrite), and the V2 exec for the dynamic-overwrite Write
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
     // micro-batch streaming goes native V2 when the table can re-resolve
     // per trigger — by path (format("graft").load(dir)) or through its own
     // catalog (spark.readStream.table("cat.db.t")) — and the executor-side
@@ -156,10 +161,14 @@ class GraftSparkTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pinnedSnapshotId.isDefined)
       throw new UnsupportedFeatureError("cannot write to a time-travel table")
-    new WriteBuilder with SupportsOverwrite {
+    new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       private var overwriteAll = false
       private var overwriteFilters: Option[Array[Filter]] = None
+      private var dynamic = false
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      /** Dynamic-partition overwrite has no V1 fallback exec in Spark, so
+        * it is the one batch path on the executor-side V2 writer. */
+      override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
       /** Filter-scoped overwrite (static-mode `INSERT OVERWRITE …
         * PARTITION (p=v)` and `DataFrameWriterV2.overwrite(cond)`):
         * accepted whenever every filter maps to a [[graft.table.ScanPredicate]]
@@ -172,22 +181,24 @@ class GraftSparkTable(
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
         overwriteFilters = Some(filters); this
       }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              val t = graftTable.refresh()
-              overwriteFilters match {
-                case Some(fs) if !FilterBridge.isDeleteAll(fs) =>
-                  t.overwriteWhere(SparkSession.active,
-                    fs.flatMap(FilterBridge.toPredicate).toSeq, data)
-                case Some(_) => t.overwrite(data)
-                case None =>
-                  if (overwriteAll || overwrite) t.overwrite(data) else t.append(data)
+      override def build(): Write =
+        if (dynamic) new GraftDynamicOverwriteWrite(graftTable, info.schema())
+        else new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                val t = graftTable.refresh()
+                overwriteFilters match {
+                  case Some(fs) if !FilterBridge.isDeleteAll(fs) =>
+                    t.overwriteWhere(SparkSession.active,
+                      fs.flatMap(FilterBridge.toPredicate).toSeq, data)
+                  case Some(_) => t.overwrite(data)
+                  case None =>
+                    if (overwriteAll || overwrite) t.overwrite(data) else t.append(data)
+                }
               }
             }
-          }
-      }
+        }
     }
   }
 

@@ -1,0 +1,262 @@
+package graft.spark
+
+import graft.UnsupportedFeatureError
+import graft.manifest.DataFile
+import graft.meta.PartitionSpec
+import graft.table.{ParquetStats, SerializableHadoopConf, Table => GTable}
+import graft.transforms.Transform
+import graft.types._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/**
+ * Executor-side partitioned parquet writer for the DSv2 write paths that
+ * cannot ride the V1 whole-DataFrame bridge: dynamic-partition
+ * `INSERT OVERWRITE` (Spark has no V1 fallback exec for it) and the
+ * streaming `writeStream.toTable` path. Plain appends/overwrites stay on
+ * the V1 write deliberately — a whole-DataFrame batch reuses the table's
+ * vectorized parquet pipeline, which beats any row-at-a-time writer.
+ *
+ * Scale design: each task fans its rows out to one open parquet writer
+ * per partition tuple (files roll at `write.target-file-rows`), so a
+ * 1000-executor write produces correctly-partitioned files with no extra
+ * shuffle; executors ship only [[DataFile]] descriptors (path + footer
+ * stats) back, and the driver commits metadata — driver work is O(files),
+ * never O(rows). Failed/speculative tasks abort their own files (the
+ * commit coordinator admits one winner per partition); files orphaned by
+ * a dead executor are invisible to readers (never committed) and are
+ * reclaimed by `removeOrphanFiles`.
+ */
+private[spark] object GraftV2Write {
+
+  /** Per-partition-field evaluator: catalyst row value → transform result
+    * (JVM form). Serializable by construction (case class of case objects). */
+  final case class PartFieldEval(name: String, ordinal: Int, sparkType: DataType,
+                                 transform: Transform, srcType: IType) extends Serializable {
+    def apply(row: InternalRow): Any =
+      if (row.isNullAt(ordinal)) null
+      else transform(jvmValue(row), srcType)
+
+    private def jvmValue(row: InternalRow): Any = sparkType match {
+      case StringType => row.getUTF8String(ordinal).toString
+      case IntegerType => row.getInt(ordinal)
+      case LongType => row.getLong(ordinal)
+      case BooleanType => row.getBoolean(ordinal)
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(ordinal).toLong)
+      case TimestampType | TimestampNTZType =>
+        val micros = row.getLong(ordinal)
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case d: DecimalType => row.getDecimal(ordinal, d.precision, d.scale).toJavaBigDecimal
+      case BinaryType => row.getBinary(ordinal)
+      case other => throw new UnsupportedFeatureError(
+        s"unsupported partition source type for the V2 writer: $other")
+    }
+  }
+
+  /** Tuple-value stringification — must match what [[graft.table.AppendUtil
+    * .writeData]] parses back from Hive-style partition directories, so
+    * tuples compare equal across the two write paths. */
+  def stringify(v: Any): String = v match {
+    case null => ""
+    case d: java.time.LocalDate => d.toString
+    case d: java.math.BigDecimal => d.toString
+    case other => other.toString
+  }
+
+  /** Gate: every partition field's RESULT type must stringify
+    * unambiguously (identical to the Hive-dir form the V1 path produces)
+    * or tuple equality across write paths breaks silently. */
+  def checkWritableSpec(spec: PartitionSpec, schema: Schema): Unit =
+    spec.fields.foreach { pf =>
+      val src = schema.fieldById(pf.sourceId).getOrElse(
+        throw new UnsupportedFeatureError(s"partition source id ${pf.sourceId} not in schema"))
+      val result = Transform.parse(pf.transform).resultType(src.fieldType)
+      result match {
+        case IInt | ILong | IString | IDate | IBoolean | IDecimal(_, _) => ()
+        case other => throw new UnsupportedFeatureError(
+          s"partition field ${pf.name}: result type $other has no unambiguous " +
+            "string form for the executor-side writer; use an int/long/string/" +
+            "date/decimal-valued transform (day/hour/bucket/truncate) instead")
+      }
+    }
+
+  /** Build the serializable writer factory for one write of `gt`. */
+  def factory(gt: GTable, writeSchema: StructType, dataDir: String): GraftWriterFactory = {
+    val schema = gt.currentSchema
+    val spec = gt.defaultPartitionSpec
+    checkWritableSpec(spec, schema)
+    val ordinalByName = writeSchema.fieldNames.zipWithIndex.toMap
+    val partFields = spec.fields.map { pf =>
+      val src = schema.fieldById(pf.sourceId).get
+      val ord = ordinalByName.getOrElse(src.name, throw new UnsupportedFeatureError(
+        s"partition source column ${src.name} missing from write schema"))
+      PartFieldEval(pf.name, ord, writeSchema.fields(ord).dataType,
+        Transform.parse(pf.transform), src.fieldType)
+    }
+    val targetRows = gt.properties.get("write.target-file-rows")
+      .map(_.toLong).getOrElse(5000000L)
+    GraftWriterFactory(dataDir, writeSchema,
+      new SerializableHadoopConf(gt.hadoopConf), partFields, targetRows)
+  }
+
+  /** Delete the files named by (possibly partial) commit messages — the
+    * abort path; a file that never made it to a manifest is invisible. */
+  def deleteFiles(conf: Configuration, messages: Seq[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftWriteCommit(files) => files.foreach { f =>
+        val p = new Path(f.filePath)
+        try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => }
+      }
+      case _ =>
+    }
+
+  def collectFiles(messages: Array[WriterCommitMessage]): Seq[DataFile] =
+    messages.toSeq.flatMap { case GraftWriteCommit(files) => files; case _ => Nil }
+}
+
+/** The files one task wrote, with footer-derived stats — all the driver
+  * ever sees of the data. */
+private[spark] final case class GraftWriteCommit(files: Seq[DataFile])
+  extends WriterCommitMessage
+
+/** Serializable factory: one [[GraftFanoutWriter]] per task (and per epoch
+  * for streaming). */
+private[spark] final case class GraftWriterFactory(
+    dataDir: String,
+    writeSchema: StructType,
+    sconf: SerializableHadoopConf,
+    partFields: Seq[GraftV2Write.PartFieldEval],
+    targetFileRows: Long)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftFanoutWriter(s"$partitionId-$taskId", this)
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftFanoutWriter(s"$epochId-$partitionId-$taskId", this)
+}
+
+/** Executor-side fanout writer: routes each row to the parquet writer of
+  * its partition tuple via [[ParquetWriteSupport]] (Spark's own
+  * InternalRow → parquet converter, so types/nesting match the vectorized
+  * path bit-for-bit), rolling files at `targetFileRows`. */
+private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFactory)
+  extends DataWriter[InternalRow] {
+
+  private val conf: Configuration = {
+    val c = new Configuration(f.sconf.value)
+    ParquetWriteSupport.setSchema(f.writeSchema, c)
+    c.set("spark.sql.parquet.writeLegacyFormat", "false")
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    c
+  }
+
+  private final class Open(val path: Path, val writer: ParquetWriter[InternalRow],
+                           val partition: Map[String, String]) { var rows = 0L }
+
+  private val open = mutable.HashMap.empty[Seq[String], Open]
+  private val closed = mutable.Buffer.empty[(Path, Map[String, String])]
+  private var fileNo = 0
+
+  private class RowWriterBuilder(out: org.apache.parquet.io.OutputFile)
+    extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](out) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport().asInstanceOf[WriteSupport[InternalRow]]
+  }
+
+  private def newOpen(tuple: Seq[String]): Open = {
+    val p = new Path(f.dataDir, s"part-$taskUid-$fileNo.parquet")
+    fileNo += 1
+    val w = new RowWriterBuilder(HadoopOutputFile.fromPath(p, conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    new Open(p, w, f.partFields.map(_.name).zip(tuple).toMap)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val tuple = f.partFields.map(pe => GraftV2Write.stringify(pe(row)))
+    val o = open.getOrElseUpdate(tuple, newOpen(tuple))
+    o.writer.write(row)
+    o.rows += 1
+    if (o.rows >= f.targetFileRows) {
+      o.writer.close()
+      closed += ((o.path, o.partition))
+      open.remove(tuple)
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach { o => o.writer.close(); closed += ((o.path, o.partition)) }
+    open.clear()
+    val files = closed.toSeq.map { case (p, partition) =>
+      val fs = p.getFileSystem(conf)
+      val stats = ParquetStats.read(conf, p)
+      DataFile(
+        filePath = p.toString,
+        fileFormat = "PARQUET",
+        partition = partition,
+        recordCount = stats.recordCount,
+        fileSizeInBytes = fs.getFileStatus(p).getLen,
+        lowerBounds = stats.lowerBounds,
+        upperBounds = stats.upperBounds,
+        nullCounts = stats.nullCounts)
+    }.filter(_.recordCount > 0L)
+    GraftWriteCommit(files)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(o => try o.writer.close() catch { case _: Exception => })
+    val paths = open.values.map(_.path) ++ closed.map(_._1)
+    open.clear()
+    paths.foreach { p => try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => } }
+  }
+
+  override def close(): Unit = ()
+}
+
+/**
+ * Dynamic-partition overwrite (`INSERT OVERWRITE` under
+ * `spark.sql.sources.partitionOverwriteMode=dynamic`,
+ * `DataFrameWriterV2.overwritePartitions()`): executors fan the incoming
+ * rows into partition-tuple files; the driver then atomically replaces
+ * exactly the partitions those files touch — untouched partitions carry
+ * their files, and replacing N days of a 100 TB table costs O(N days
+ * written) + a metadata swap, never a table rewrite.
+ */
+private[spark] final class GraftDynamicOverwriteWrite(gt: GTable, writeSchema: StructType)
+  extends Write with BatchWrite {
+
+  private val commitUuid = java.util.UUID.randomUUID().toString
+  private val dataDir = new Path(gt.location, s"data/$commitUuid").toString
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftV2Write.factory(gt, writeSchema, dataDir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    gt.refresh().commitDynamicOverwrite(GraftV2Write.collectFiles(messages))
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftV2Write.deleteFiles(gt.hadoopConf, messages.toSeq.filter(_ != null))
+
+  override def description(): String = s"graft dynamic overwrite ${gt.ident}"
+}

@@ -1899,6 +1899,61 @@ final class Table(
     }
   }
 
+  /**
+   * Dynamic-partition overwrite, DataFrame form (Iceberg's
+   * `overwritePartitions()`): write `df` through the vectorized partitioned
+   * path, then atomically replace exactly the CURRENT-spec partitions the
+   * new files landed in. Partitions `df` does not touch keep their files;
+   * on an unpartitioned table this degenerates to a full overwrite (the
+   * one empty tuple matches everything) — same semantics as Iceberg.
+   */
+  def overwritePartitions(df: DataFrame): Unit = {
+    catalog.getOrElse(throw new GraftError("this table is read-only"))
+    val aligned = AppendUtil.align(df, meta.currentSchema)
+    val commitUuid = java.util.UUID.randomUUID().toString
+    val newFiles = AppendUtil.writeData(aligned, meta.currentSchema,
+      meta.defaultPartitionSpec, meta.defaultSortOrder,
+      new Path(meta.location, s"data/$commitUuid"), hadoopConf,
+      targetFileRows = meta.properties.get("write.target-file-rows")
+        .map(_.toLong).getOrElse(5000000L))
+    commitDynamicOverwrite(newFiles)
+  }
+
+  /**
+   * Commit side of dynamic-partition overwrite (shared by
+   * [[overwritePartitions]] and the executor-side DSv2 writer): one
+   * snapshot that removes every live file whose CURRENT-spec partition
+   * tuple appears among `newFiles`' tuples and adds `newFiles`. Files
+   * written under older partition specs are never tuple-matched (their
+   * tuples live in a different key space — the same per-spec equality
+   * Iceberg's ReplacePartitions applies). Empty `newFiles` is a no-op:
+   * no data ⇒ no partitions to replace.
+   */
+  private[graft] def commitDynamicOverwrite(newFiles: Seq[graft.manifest.DataFile]): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    if (newFiles.isEmpty) return
+    val tuples = newFiles.map(_.partition).toSet
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refresh()
+      val all = new TableScan(this, meta.currentSnapshot, Nil).planFiles()
+      val (replaced, kept) = all.partition(t =>
+        t.specId == meta.defaultSpecId && tuples.contains(t.file.partition))
+      val commitUuid = java.util.UUID.randomUUID().toString
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, kept, replaced, newFiles, commitUuid,
+            keepParentDeleteManifests = true))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) { discardFiles(newFiles); throw e } // written once
+      }
+    }
+  }
+
   /** Snapshot for a rewrite: ONE data manifest holding kept (original
     * sequence numbers) + added entries; parent delete manifests carried
     * when the kept set still needs them. */

@@ -95,6 +95,102 @@ class OverwriteSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "x"), (9L, "z")))
   }
 
+  // --------------------------------------- dynamic partition overwrite
+
+  private def withDynamicMode[T](body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("dynamic INSERT OVERWRITE replaces only the partitions present in the data") {
+    init
+    sql(s"CREATE TABLE $C.s.dyn (id BIGINT, p STRING) PARTITIONED BY (p)")
+    sql(s"INSERT INTO $C.s.dyn VALUES (1, 'a'), (2, 'a')")
+    sql(s"INSERT INTO $C.s.dyn VALUES (3, 'b'), (4, 'c')")
+    val aFiles0 = sql(s"SELECT DISTINCT _file FROM $C.s.dyn WHERE p = 'a'")
+      .collect().map(_.getString(0)).toSet
+    withDynamicMode {
+      sql(s"INSERT OVERWRITE $C.s.dyn VALUES (30, 'b'), (31, 'b'), (40, 'c')")
+    }
+    val rows = sql(s"SELECT id, p FROM $C.s.dyn ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "a"), (30L, "b"), (31L, "b"), (40L, "c")))
+    // the untouched partition keeps its exact files; one atomic snapshot
+    val aFiles1 = sql(s"SELECT DISTINCT _file FROM $C.s.dyn WHERE p = 'a'")
+      .collect().map(_.getString(0)).toSet
+    assert(aFiles0 == aFiles1)
+    assert(cat.loadTable("s.dyn").snapshots.length == 3)
+  }
+
+  test("writeTo.overwritePartitions and Table.overwritePartitions share semantics") {
+    init
+    import spark.implicits._
+    sql(s"CREATE TABLE $C.s.dyn2 (id BIGINT, p STRING) PARTITIONED BY (p)")
+    sql(s"INSERT INTO $C.s.dyn2 VALUES (1, 'a'), (2, 'b')")
+    Seq((20L, "b")).toDF("id", "p").writeTo(s"$C.s.dyn2").overwritePartitions()
+    assert(sql(s"SELECT id, p FROM $C.s.dyn2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (20L, "b")))
+    // the DataFrame-side path (vectorized writeData) — same tuple space
+    cat.loadTable("s.dyn2").overwritePartitions(Seq((10L, "a"), (11L, "a")).toDF("id", "p"))
+    assert(sql(s"SELECT id, p FROM $C.s.dyn2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "a"), (11L, "a"), (20L, "b")))
+  }
+
+  test("dynamic overwrite on a day-transform partition matches the V1 path's tuples") {
+    init
+    sql(s"CREATE TABLE $C.s.dynday (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+    sql(s"INSERT INTO $C.s.dynday VALUES (TIMESTAMP'2024-01-01 10:00:00', 1), " +
+      "(TIMESTAMP'2024-01-02 11:00:00', 2)")
+    val d1Files0 = sql(s"SELECT DISTINCT _file FROM $C.s.dynday WHERE v = 1")
+      .collect().map(_.getString(0)).toSet
+    withDynamicMode {
+      // executor-side day(ts) must produce the same tuple string the
+      // Hive-dir inventory produced for the existing 2024-01-02 file
+      sql(s"INSERT OVERWRITE $C.s.dynday VALUES (TIMESTAMP'2024-01-02 23:59:59', 20)")
+    }
+    val rows = sql(s"SELECT v FROM $C.s.dynday ORDER BY v").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(1L, 20L))
+    assert(sql(s"SELECT DISTINCT _file FROM $C.s.dynday WHERE v = 1")
+      .collect().map(_.getString(0)).toSet == d1Files0)
+  }
+
+  test("dynamic overwrite on a bucket partition agrees with the write-path murmur3") {
+    init
+    sql(s"CREATE TABLE $C.s.dynbkt (id BIGINT, v STRING) PARTITIONED BY (bucket(4, id))")
+    sql(s"INSERT INTO $C.s.dynbkt SELECT id, 'old' FROM range(0, 16)")
+    import graft.transforms.BucketTransform
+    import graft.types.ILong
+    val b = BucketTransform(4)
+    val hitBucket = b(7L, ILong)
+    withDynamicMode {
+      sql(s"INSERT OVERWRITE $C.s.dynbkt VALUES (7, 'new')")
+    }
+    val rows = sql(s"SELECT id, v FROM $C.s.dynbkt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = (0L until 16L).filter(i => b(i, ILong) != hitBucket)
+      .map(i => (i, "old")) :+ ((7L, "new"))
+    assert(rows.toSeq == expected.sortBy(_._1))
+  }
+
+  test("V2 fanout writer rolls files at write.target-file-rows") {
+    init
+    sql(s"CREATE TABLE $C.s.dynroll (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('write.target-file-rows' = '2')")
+    sql(s"INSERT INTO $C.s.dynroll VALUES (0, 'a')")
+    withDynamicMode {
+      sql(s"INSERT OVERWRITE $C.s.dynroll SELECT id, 'a' FROM range(0, 7)")
+    }
+    assert(sql(s"SELECT count(*) FROM $C.s.dynroll").collect().head.getLong(0) == 7L)
+    val files = sql(s"SELECT DISTINCT _file FROM $C.s.dynroll").collect().map(_.getString(0))
+    assert(files.length >= 3) // 7 rows at 2 rows/file in one task ⇒ ≥ 4 files
+  }
+
   // ------------------------------------------------- strict matcher unit
 
   private val schema = Schema(0, Seq(
