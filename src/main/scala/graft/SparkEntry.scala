@@ -828,6 +828,34 @@ object SparkEntry {
       cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
     }),
 
+    "s48_stream_to_table" -> ((s, dir) => {
+      // the V2 streaming SINK end to end: writeStream.toTable onto an
+      // identity-PARTITIONED catalog table — each micro-batch epoch is
+      // fanned out to partition-tuple files by the executors and committed
+      // atomically (GraftStreamingWrite); result must equal the batch
+      // filter over the same rows
+      val wh = java.nio.file.Files.createTempDirectory("graft-s48").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val cName = s"s48c${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.spark.GraftSparkCatalog.register(s, cName, cat)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val src = cat.createTable("default.src",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      src.append(docs.where("doc_id % 2 = 0"))
+      src.append(docs.where("doc_id % 2 = 1"))
+      s.sql(s"CREATE TABLE $cName.default.out (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) PARTITIONED BY (lang)")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-s48-cp").toString
+      val q = s.readStream.format("graft").load(s"$wh/default/src")
+        .where(col("n_chars") >= 300)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cName.default.out")
+      q.awaitTermination()
+      cat.loadTable("default.out").toDF(s)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -1745,6 +1773,9 @@ object SparkEntry {
 
     "s45_stream_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200 ORDER BY doc_id",
+
+    "s48_stream_to_table" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300 ORDER BY doc_id",
 
     // the audit-branch stream sees main's published prefix + the staged commit
     "s46_stream_branch" ->

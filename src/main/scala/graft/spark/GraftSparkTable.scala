@@ -74,6 +74,15 @@ class GraftSparkTable(
         !streamOptions.get("v1-source").exists(_.toBoolean) &&
         GraftMicroBatchStream.streamable(graftTable.currentSchema))
       caps.add(TableCapability.MICRO_BATCH_READ)
+    // writeStream.toTable: per-epoch commits re-resolve through the
+    // table's own catalog (a read-only/static table cannot commit).
+    // Provider-resolved sink tables (format("graft") with warehouse/table
+    // options) deliberately do NOT advertise it: advertising would make
+    // DataStreamWriter prefer V2 over the V1 GraftStreamSink, whose
+    // whole-DataFrame batches are what merge-keys upsert needs
+    if (graftTable.catalog.isDefined &&
+        !streamOptions.contains("warehouse") && !streamOptions.contains("table"))
+      caps.add(TableCapability.STREAMING_WRITE)
     caps
   }
 
@@ -198,6 +207,25 @@ class GraftSparkTable(
                 }
               }
             }
+
+          /** writeStream.toTable: Append mode arrives plain, Complete mode
+            * arrives through truncate() (replace-per-epoch). Update-mode
+            * upserts stay on the V1 `format("graft")` sink, which writes
+            * equality deletes from whole-DataFrame batches. */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (info.options.containsKey("merge-keys"))
+              throw new UnsupportedFeatureError(
+                "merge-keys upsert streams through the V1 sink: " +
+                  "writeStream.format(\"graft\").option(\"warehouse\", …)" +
+                  ".option(\"table\", …).option(\"merge-keys\", …)")
+            if (graftTable.catalog.isEmpty)
+              throw new UnsupportedFeatureError(
+                "streaming writes need a catalog-backed table (per-epoch commits)")
+            new GraftStreamingWrite(graftTable, info.schema(), info.queryId(),
+              replaceEachEpoch = overwriteAll,
+              branch = Option(info.options.get("branch")).getOrElse("main"))
+          }
         }
     }
   }

@@ -233,6 +233,61 @@ private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFact
 }
 
 /**
+ * Native V2 streaming SINK (`df.writeStream.toTable("cat.db.t")`): each
+ * micro-batch epoch is written partition-fanout by the executors and
+ * committed as ONE atomic snapshot by the driver — metadata-only driver
+ * work, same scale shape as the batch paths. Exactly-once per epoch: the
+ * epoch id and the STABLE streaming query id (Spark's checkpoint-metadata
+ * id, which `LogicalWriteInfo.queryId` carries into every restart) land
+ * in the snapshot summary, so a replayed epoch after recovery is detected
+ * and skipped — the same `streaming-query-id`/`streaming-batch-id`
+ * bookkeeping (and therefore the same dedup scope) as the V1
+ * `format("graft")` sink.
+ *
+ * Append mode appends (optionally staging on a WAP `branch`); Complete
+ * mode replaces the table's whole content each epoch (the V2 truncate
+ * contract). Update-mode upserts need merge keys and stay on the V1 sink
+ * (`writeStream.format("graft").option("merge-keys", …)`), whose
+ * whole-DataFrame batches can write equality deletes.
+ */
+private[spark] final class GraftStreamingWrite(
+    gt: GTable, writeSchema: StructType, queryId: String,
+    replaceEachEpoch: Boolean, branch: String)
+  extends Write with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  if (replaceEachEpoch && branch != "main")
+    throw new UnsupportedFeatureError(
+      "Complete-mode streaming cannot stage on a branch: each epoch replaces " +
+        "the published table; use Append mode for write-audit-publish")
+
+  private val dataDir = new Path(gt.location,
+    s"data/${java.util.UUID.randomUUID().toString}").toString
+
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftV2Write.factory(gt, writeSchema, dataDir)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val t = gt.refresh()
+    val replayed = graft.streaming.StreamingOps
+      .lastCommittedBatchId(t, queryId).exists(_ >= epochId)
+    if (replayed) { GraftV2Write.deleteFiles(t.hadoopConf, messages.toSeq); return }
+    val summary = Map(
+      "streaming-query-id" -> queryId,
+      "streaming-batch-id" -> epochId.toString)
+    val files = GraftV2Write.collectFiles(messages)
+    if (replaceEachEpoch) t.overwriteAllWithFiles(files, summary)
+    else t.appendFiles(files, summary, toBranch = branch)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftV2Write.deleteFiles(gt.hadoopConf, messages.toSeq.filter(_ != null))
+
+  override def description(): String = s"graft streaming write ${gt.ident}"
+}
+
+/**
  * Dynamic-partition overwrite (`INSERT OVERWRITE` under
  * `spark.sql.sources.partitionOverwriteMode=dynamic`,
  * `DataFrameWriterV2.overwritePartitions()`): executors fan the incoming

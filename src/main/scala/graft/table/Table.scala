@@ -1954,6 +1954,46 @@ final class Table(
     }
   }
 
+  /** File-level append (the V2 streaming sink's per-epoch commit):
+    * `files` were already written by executors; this only commits
+    * metadata — O(files) driver work per micro-batch. Empty epochs
+    * commit nothing (and need no replay bookkeeping: replaying a
+    * no-op is a no-op). */
+  private[graft] def appendFiles(files: Seq[graft.manifest.DataFile],
+                                 extraSummary: Map[String, String] = Map.empty,
+                                 toBranch: String = "main"): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    if (files.isEmpty) return
+    commitAppend(cat, files, java.util.UUID.randomUUID().toString,
+      extraSummary, toBranch = toBranch)
+  }
+
+  /** File-level full replacement (a Complete-mode streaming epoch): one
+    * snapshot that removes every live file and adds `files`. An EMPTY
+    * `files` still commits — Complete mode's contract is "the table equals
+    * this epoch's result", even when that result has no rows. */
+  private[graft] def overwriteAllWithFiles(files: Seq[graft.manifest.DataFile],
+                                           extraSummary: Map[String, String] = Map.empty): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refresh()
+      val all = new TableScan(this, meta.currentSnapshot, Nil).planFiles()
+      try {
+        meta = cat.commitTable(ident, meta,
+          buildRewriteMetadata(meta, Nil, all, files,
+            java.util.UUID.randomUUID().toString,
+            keepParentDeleteManifests = false, extraSummary = extraSummary))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) { discardFiles(files); throw e } // written once
+      }
+    }
+  }
+
   /** Snapshot for a rewrite: ONE data manifest holding kept (original
     * sequence numbers) + added entries; parent delete manifests carried
     * when the kept set still needs them. */
@@ -1962,7 +2002,8 @@ final class Table(
                                    added0: Seq[graft.manifest.DataFile],
                                    attemptId: String,
                                    keepParentDeleteManifests: Boolean,
-                                   toBranch: String = "main"): TableMetadata = {
+                                   toBranch: String = "main",
+                                   extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val metadataDir = new Path(base.location, "metadata")
     val fs = metadataDir.getFileSystem(hadoopConf)
     val snapshotId = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
@@ -2030,7 +2071,7 @@ final class Table(
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath.toString,
-      summary = Map(
+      summary = extraSummary ++ Map(
         "operation" -> "overwrite",
         "added-data-files" -> added.size.toString,
         "added-records" -> addedRecords.toString,
