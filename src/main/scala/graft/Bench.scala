@@ -19,8 +19,9 @@ object Bench {
     // its own temp tables, so the time covers ingest + catch-up + drain
     "s44_stream_table_source", "s45_stream_roundtrip",
     // round-9 headline: fuzzy decontamination (banded MinHash corpus ×
-    // broadcast test side — the heaviest new operator)
-    "d56_fuzzy_decontaminate")
+    // broadcast test side — the heaviest new operator), and the
+    // dynamic-partition overwrite (executor-side V2 fanout writer)
+    "d56_fuzzy_decontaminate", "g51_dynamic_overwrite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
