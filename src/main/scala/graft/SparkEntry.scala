@@ -601,6 +601,28 @@ object SparkEntry {
               |FROM g51cat.default.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    "g52_merge_full_sync" -> ((s, dir) => {
+      // MERGE as a full-sync mirror: WHEN MATCHED UPDATE + NOT MATCHED
+      // INSERT + NOT MATCHED BY SOURCE DELETE makes the target equal the
+      // source state in ONE atomic commit — the BY SOURCE clause widens
+      // the scan to every live file (no source-key pruning is sound), and
+      // in merge-on-read mode the write stays O(affected rows)
+      graft.spark.GraftSparkCatalog.register(s, "g52cat", new MemoryCatalog())
+      t(s, dir, "nation").createOrReplaceTempView("g52_nation_src")
+      s.sql("""CREATE TABLE g52cat.default.n AS
+              |SELECT n_nationkey, n_name, n_regionkey FROM g52_nation_src""".stripMargin)
+      s.sql("""MERGE INTO g52cat.default.n t
+              |USING (SELECT n_nationkey, concat(n_name, '_SYNC') AS n_name,
+              |              n_regionkey + 10 AS n_regionkey
+              |       FROM g52_nation_src WHERE n_regionkey <> 2) s
+              |ON t.n_nationkey = s.n_nationkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      s.sql("""SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+              |FROM g52cat.default.n GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     "g47_wap_fix" -> ((s, dir) => {
       // write-audit-publish with a FIX: stage an append on "audit", then
       // branch-scoped DML repairs it (MOR delete + COW update commit to
@@ -1598,6 +1620,12 @@ object SparkEntry {
         |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 6
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g52_merge_full_sync" ->
+      """SELECT n_regionkey + 10 AS n_regionkey, count(*) AS n_nations,
+        | min(n_name || '_SYNC') AS first_name
+        |FROM nation WHERE n_regionkey <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g51_dynamic_overwrite" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

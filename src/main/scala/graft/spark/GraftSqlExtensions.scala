@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.UnsupportedFeatureError
-import graft.table.{EqPred, GePred, GtPred, InPred, LePred, LtPred, ScanPredicate, Table => GTable, WhenMatched, WhenNotMatched}
+import graft.table.{EqPred, GePred, GtPred, InPred, LePred, LtPred, ScanPredicate, Table => GTable, WhenMatched, WhenNotMatched, WhenNotMatchedBySource}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.execution.SparkStrategy
@@ -90,7 +90,8 @@ case class GraftDeleteWhereCommand(table: GTable, condition: String,
 
 case class GraftMergeCommand(table: GTable, source: LogicalPlan,
                              on: Seq[String], whenMatched: WhenMatched,
-                             whenNotMatched: WhenNotMatched)
+                             whenNotMatched: WhenNotMatched,
+                             bySource: WhenNotMatchedBySource = WhenNotMatchedBySource.Ignore)
   extends LeafNode with Command { override def output: Seq[Attribute] = Nil }
 
 class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
@@ -101,9 +102,9 @@ class GraftDmlStrategy(session: SparkSession) extends SparkStrategy {
       GraftDmlExec(() => t.refresh().updateWhere(session, cond, assigns, pp)) :: Nil
     case GraftDeleteWhereCommand(t, cond, pp) =>
       GraftDmlExec(() => t.refresh().deleteWhere(session, cond, pp)) :: Nil
-    case GraftMergeCommand(t, src, on, wm, wnm) =>
+    case GraftMergeCommand(t, src, on, wm, wnm, bys) =>
       GraftDmlExec(() => t.refresh().merge(session,
-        CatalystBridge.dataFrame(session, src), on, wm, wnm)) :: Nil
+        CatalystBridge.dataFrame(session, src), on, wm, wnm, bys)) :: Nil
     case GraftAddPartitionFieldCommand(ident, source, transform, name) =>
       val t = resolveGraftTable(ident)
       GraftDmlExec(() => t.refresh().updateSpec()
@@ -278,8 +279,6 @@ class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def convertMerge(m: MergeIntoTable): GraftMergeCommand = {
     val t = graftTable(m.targetTable).get
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE")
     if (m.schemaEvolutionEnabled) unsupported("MERGE WITH SCHEMA EVOLUTION")
 
     val targetAttrs = m.targetTable.outputSet
@@ -381,9 +380,33 @@ class GraftDmlResolution(session: SparkSession) extends Rule[LogicalPlan] {
       case Some(_) => WhenNotMatched.InsertAll
     }
 
+    // WHEN NOT MATCHED BY SOURCE — the full-sync side. Its rows carry NO
+    // source values (that's what "not matched by source" means), so UPDATE
+    // SET expressions referencing source columns are rejected outright.
+    def rewriteTargetOnly(e: Expression): String = {
+      val rewritten = e.transform {
+        case a: Attribute if sourceAttrs.contains(a) =>
+          unsupported(
+            s"NOT MATCHED BY SOURCE UPDATE SET references source column `${a.name}`")
+        case a: Attribute => UnresolvedAttribute(Seq(a.name))
+      }
+      rewritten.sql
+    }
+    val bySource: WhenNotMatchedBySource = m.notMatchedBySourceActions match {
+      case Nil => WhenNotMatchedBySource.Ignore
+      case Seq(d: DeleteAction) =>
+        if (d.condition.isDefined) unsupported("conditional WHEN NOT MATCHED BY SOURCE DELETE")
+        WhenNotMatchedBySource.Delete
+      case Seq(u: UpdateAction) =>
+        if (u.condition.isDefined) unsupported("conditional WHEN NOT MATCHED BY SOURCE UPDATE")
+        WhenNotMatchedBySource.UpdateSet(u.assignments.map(a =>
+          attrName(a.key, "UPDATE SET target") -> rewriteTargetOnly(a.value)).toMap)
+      case _ => unsupported("multiple WHEN NOT MATCHED BY SOURCE clauses")
+    }
+
     // materialize the projection as a plan so the strategy can run it
     val projected = Project(
       srcProjection.map { case (name, e) => Alias(e, name)() }, m.sourceTable)
-    GraftMergeCommand(t, projected, keys, whenMatched, whenNotMatched)
+    GraftMergeCommand(t, projected, keys, whenMatched, whenNotMatched, bySource)
   }
 }

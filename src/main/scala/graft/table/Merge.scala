@@ -24,3 +24,20 @@ object WhenNotMatched {
   /** Drop them. */
   case object Ignore extends WhenNotMatched
 }
+
+/** `WHEN NOT MATCHED BY SOURCE` — the full-sync side of MERGE: what
+  * happens to TARGET rows whose key never appears in the source. Its
+  * domain is the whole target minus the source key set, so an active
+  * clause widens the merge scan to every live file (no source-key-bounds
+  * pruning is sound); merge-on-read mode keeps the WRITE cost at
+  * O(affected rows) regardless. */
+sealed trait WhenNotMatchedBySource
+object WhenNotMatchedBySource {
+  /** Remove target rows absent from the source (mirror/full-sync). */
+  case object Delete extends WhenNotMatchedBySource
+  /** Set specific columns on them; expressions see target columns by name
+    * (source columns do not exist on these rows). */
+  final case class UpdateSet(assignments: Map[String, String]) extends WhenNotMatchedBySource
+  /** Leave them untouched (the default — classic upsert). */
+  case object Ignore extends WhenNotMatchedBySource
+}

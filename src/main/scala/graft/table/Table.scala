@@ -648,19 +648,22 @@ final class Table(
    */
   def merge(spark: SparkSession, source: DataFrame, on: Seq[String],
             whenMatched: WhenMatched = WhenMatched.UpdateAll,
-            whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll): Unit =
+            whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll,
+            bySource: WhenNotMatchedBySource = WhenNotMatchedBySource.Ignore): Unit =
     meta.properties.get("write.merge.mode") match {
-      case Some("merge-on-read") => mergeMergeOnRead(spark, source, on, whenMatched, whenNotMatched)
+      case Some("merge-on-read") =>
+        mergeMergeOnRead(spark, source, on, whenMatched, whenNotMatched, bySource)
       case Some(other) if other != "copy-on-write" =>
         throw new InvalidDataError(s"unknown write.merge.mode: $other")
-      case _ => mergeCopyOnWrite(spark, source, on, whenMatched, whenNotMatched)
+      case _ => mergeCopyOnWrite(spark, source, on, whenMatched, whenNotMatched, bySource)
     }
 
   def mergeCopyOnWrite(spark: SparkSession, source: DataFrame, on: Seq[String],
                        whenMatched: WhenMatched = WhenMatched.UpdateAll,
-                       whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll): Unit = {
+                       whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll,
+                       bySource: WhenNotMatchedBySource = WhenNotMatchedBySource.Ignore): Unit = {
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
-    mergePrep(spark, source, on, whenMatched) match {
+    mergePrep(spark, source, on, whenMatched, bySource) match {
       case None => // empty source: nothing can match or insert
       case Some((srcAligned, preds)) => try {
         var attempt = 0
@@ -680,7 +683,7 @@ final class Table(
           }
           val targetRows = sc.materializeTasks(spark, affected)
           val result = mergeResult(
-            mergeJoined(targetRows, srcAligned, on), whenMatched, whenNotMatched)
+            mergeJoined(targetRows, srcAligned, on), whenMatched, whenNotMatched, bySource)
           val newFiles = writeDataFiles(result, commitUuid)
           try {
             meta = cat.commitTable(ident, meta,
@@ -700,10 +703,11 @@ final class Table(
 
   def mergeMergeOnRead(spark: SparkSession, source: DataFrame, on: Seq[String],
                        whenMatched: WhenMatched = WhenMatched.UpdateAll,
-                       whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll): Unit = {
+                       whenNotMatched: WhenNotMatched = WhenNotMatched.InsertAll,
+                       bySource: WhenNotMatchedBySource = WhenNotMatchedBySource.Ignore): Unit = {
     import org.apache.spark.sql.functions.{expr, lit, when}
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
-    mergePrep(spark, source, on, whenMatched) match {
+    mergePrep(spark, source, on, whenMatched, bySource) match {
       case None =>
       case Some((srcAligned, preds)) => try {
         var attempt = 0
@@ -732,10 +736,19 @@ final class Table(
                 .cast(graft.types.SparkSchemaConverter.toSparkType(f.fieldType))
                 .as(f.name)): _*)
             val matched = joined.filter(isM)
+            val tOnly = joined.filter(col("__t").isNotNull && col("__s").isNull)
             val images: Option[DataFrame] = whenMatched match {
               case WhenMatched.UpdateAll => Some(proj(matched, f => col(s"__src_${f.name}")))
               case WhenMatched.UpdateSet(a) =>
                 Some(proj(matched, f => a.get(f.name).map(expr).getOrElse(col(f.name))))
+              case _ => None // Delete: positions only; Ignore: untouched
+            }
+            // BY SOURCE actions hide the old target-only row (a position
+            // delete) and, for UpdateSet, re-insert its new image — write
+            // cost stays O(affected rows), the point of MOR full-sync
+            val bySourceImages: Option[DataFrame] = bySource match {
+              case WhenNotMatchedBySource.UpdateSet(a) =>
+                Some(proj(tOnly, f => a.get(f.name).map(expr).getOrElse(col(f.name))))
               case _ => None // Delete: positions only; Ignore: untouched
             }
             val inserts: Option[DataFrame] = whenNotMatched match {
@@ -743,13 +756,16 @@ final class Table(
                 Some(proj(joined.filter(col("__t").isNull), f => col(s"__src_${f.name}")))
               case WhenNotMatched.Ignore => None
             }
+            val posFrames =
+              (if (whenMatched != WhenMatched.Ignore) Seq(matched) else Nil) ++
+                (if (bySource != WhenNotMatchedBySource.Ignore) Seq(tOnly) else Nil)
             val (delFiles, superseded, newHidden) =
-              if (whenMatched == WhenMatched.Ignore)
-                (Nil, Set.empty[(String, Long)], None: Option[Long])
-              else writeMorDeletes(
-                matched.select(col("__file").as("file_path"), col("__pos").as("pos")),
-                affected, commitUuid)
-            val newFiles = (images ++ inserts).reduceOption(_ unionAll _)
+              posFrames.map(_.select(col("__file").as("file_path"), col("__pos").as("pos")))
+                .reduceOption(_ unionAll _) match {
+                case None => (Nil, Set.empty[(String, Long)], None: Option[Long])
+                case Some(pos) => writeMorDeletes(pos, affected, commitUuid)
+              }
+            val newFiles = (images ++ bySourceImages ++ inserts).reduceOption(_ unionAll _)
               .map(writeDataFiles(_, commitUuid)).getOrElse(Nil)
             if (delFiles.isEmpty && newFiles.isEmpty) return // no-op merge
             try {
@@ -775,7 +791,8 @@ final class Table(
     * min/max bounds predicates that scope target planning. None = empty
     * source. */
   private def mergePrep(spark: SparkSession, source: DataFrame, on: Seq[String],
-                        whenMatched: WhenMatched)
+                        whenMatched: WhenMatched,
+                        bySource: WhenNotMatchedBySource = WhenNotMatchedBySource.Ignore)
       : Option[(DataFrame, Seq[ScanPredicate])] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     require(on.nonEmpty, "merge requires join key columns")
@@ -797,6 +814,14 @@ final class Table(
           throw new InvalidDataError(s"cannot assign merge key columns: ${keyed.mkString(", ")}")
       case _ =>
     }
+    bySource match {
+      case WhenNotMatchedBySource.UpdateSet(a) =>
+        val unknown = a.keySet -- schemaCols
+        if (unknown.nonEmpty)
+          throw new InvalidDataError(
+            s"unknown columns in NOT MATCHED BY SOURCE UPDATE SET: ${unknown.mkString(", ")}")
+      case _ =>
+    }
     val srcAligned = AppendUtil.align(source, meta.currentSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one pass over the source: per-key min/max + duplicate-key detection
@@ -811,11 +836,19 @@ final class Table(
         "MERGE source has duplicate join keys: each target row may match at most one source row")
     }
     val stats = srcAligned.agg(aggs.head, aggs.tail: _*).head()
-    if (stats.getAs[Long]("__n") == 0L) { srcAligned.unpersist(); return None }
-    val preds = on.flatMap { k =>
-      Option(stats.getAs[Any](s"__min_$k")).map(GePred(k, _)).toSeq ++
-        Option(stats.getAs[Any](s"__max_$k")).map(LePred(k, _)).toSeq
-    }
+    // an EMPTY source still matters when a BY SOURCE clause is active:
+    // every target row is then unmatched and the action applies table-wide
+    if (stats.getAs[Long]("__n") == 0L &&
+        bySource == WhenNotMatchedBySource.Ignore) { srcAligned.unpersist(); return None }
+    // a BY SOURCE clause's domain is the whole target minus the source key
+    // set — bounding the scan by source key range would silently exempt
+    // out-of-range target rows from the action, so planning goes unpruned
+    val preds =
+      if (bySource != WhenNotMatchedBySource.Ignore) Nil
+      else on.flatMap { k =>
+        Option(stats.getAs[Any](s"__min_$k")).map(GePred(k, _)).toSeq ++
+          Option(stats.getAs[Any](s"__max_$k")).map(LePred(k, _)).toSeq
+      }
     Some((srcAligned, preds))
   }
 
@@ -835,14 +868,17 @@ final class Table(
 
   /** Copy-on-write merge result over the joined frame: matched rows take
     * the `whenMatched` image (or drop), target-only rows pass through
-    * verbatim, source-only rows insert per `whenNotMatched`. */
+    * verbatim unless a `bySource` action deletes or updates them,
+    * source-only rows insert per `whenNotMatched`. */
   private def mergeResult(joined: DataFrame, whenMatched: WhenMatched,
-                          whenNotMatched: WhenNotMatched): DataFrame = {
+                          whenNotMatched: WhenNotMatched,
+                          bySource: WhenNotMatchedBySource = WhenNotMatchedBySource.Ignore): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val isM = col("__t").isNotNull && col("__s").isNotNull
     val sOnly = col("__t").isNull
+    val tOnly = col("__t").isNotNull && col("__s").isNull
     val keep = (isM && lit(whenMatched != WhenMatched.Delete)) ||
-      col("__s").isNull ||
+      (tOnly && lit(bySource != WhenNotMatchedBySource.Delete)) ||
       (sOnly && lit(whenNotMatched == WhenNotMatched.InsertAll))
     val projected = meta.currentSchema.fields.map { f =>
       val srcC = col(s"__src_${f.name}")
@@ -851,7 +887,12 @@ final class Table(
         case WhenMatched.UpdateSet(a) => a.get(f.name).map(expr).getOrElse(col(f.name))
         case _ => col(f.name)
       }
-      when(isM, matchedVal).when(sOnly, srcC).otherwise(col(f.name))
+      val tOnlyVal = bySource match {
+        case WhenNotMatchedBySource.UpdateSet(a) =>
+          a.get(f.name).map(expr).getOrElse(col(f.name))
+        case _ => col(f.name)
+      }
+      when(isM, matchedVal).when(sOnly, srcC).otherwise(tOnlyVal)
         .cast(graft.types.SparkSchemaConverter.toSparkType(f.fieldType)).as(f.name)
     }
     joined.filter(keep).select(projected: _*)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.MemoryCatalog
-import graft.table.{WhenMatched, WhenNotMatched}
+import graft.table.{WhenMatched, WhenNotMatched, WhenNotMatchedBySource}
 import graft.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -155,5 +155,45 @@ class MergeSpec extends AnyFunSuite {
       whenMatched = WhenMatched.UpdateSet(Map("zzz" -> "1"))))
     val bad = freshTable("m_badmode", Map("write.merge.mode" -> "sideways"))
     assertThrows[InvalidDataError](bad.merge(spark, src, Seq("id")))
+  }
+
+  test("NOT MATCHED BY SOURCE DELETE: full-sync mirror, both modes") {
+    import spark.implicits._
+    for (props <- Seq(Map.empty[String, String],
+                      Map("write.merge.mode" -> "merge-on-read"))) {
+      val tbl = freshTable(s"m_sync_${props.size}", props)
+      // source keeps 2 and 4 (4 mutated), adds 9; everything else must go
+      val src = Seq((2L, "even", 20L), (4L, "four", 444L), (9L, "nine", 999L))
+        .toDF("id", "k", "v")
+      tbl.merge(spark, src, Seq("id"),
+        bySource = WhenNotMatchedBySource.Delete)
+      assert(contents(tbl) == Map(
+        2L -> ("even", 20L), 4L -> ("four", 444L), 9L -> ("nine", 999L)),
+        s"mode=$props")
+    }
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE SET marks stale rows, both modes") {
+    import spark.implicits._
+    for (props <- Seq(Map.empty[String, String],
+                      Map("write.merge.mode" -> "merge-on-read"))) {
+      val tbl = freshTable(s"m_stale_${props.size}", props)
+      val src = Seq((1L, "one", 111L)).toDF("id", "k", "v")
+      tbl.merge(spark, src, Seq("id"),
+        whenNotMatched = WhenNotMatched.Ignore,
+        bySource = WhenNotMatchedBySource.UpdateSet(Map("k" -> "'stale'")))
+      assert(contents(tbl) == Map(
+        1L -> ("one", 111L), 2L -> ("stale", 20L), 3L -> ("stale", 30L),
+        4L -> ("stale", 40L), 5L -> ("stale", 50L), 6L -> ("stale", 60L)),
+        s"mode=$props")
+    }
+  }
+
+  test("NOT MATCHED BY SOURCE with an EMPTY source applies table-wide") {
+    import spark.implicits._
+    val tbl = freshTable("m_empty_sync")
+    val src = Seq.empty[(Long, String, Long)].toDF("id", "k", "v")
+    tbl.merge(spark, src, Seq("id"), bySource = WhenNotMatchedBySource.Delete)
+    assert(contents(tbl).isEmpty)
   }
 }

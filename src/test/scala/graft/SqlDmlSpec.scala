@@ -159,4 +159,27 @@ class SqlDmlSpec extends AnyFunSuite {
     val e = intercept[Exception](sql("UPDATE plain_view SET id = 0 WHERE id = 1"))
     assert(!e.isInstanceOf[UnsupportedFeatureError])
   }
+
+  test("MERGE with NOT MATCHED BY SOURCE runs a full sync") {
+    init
+    sql(s"CREATE TABLE $C.s.sync (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $C.s.sync VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql(s"""MERGE INTO $C.s.sync t
+           |USING (SELECT * FROM VALUES (2, 'B'), (9, 'i') AS src(id, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = sql(s"SELECT id, v FROM $C.s.sync ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2L, "B"), (9L, "i")))
+
+    sql(s"""MERGE INTO $C.s.sync t
+           |USING (SELECT * FROM VALUES (2, 'B') AS src(id, v)) s
+           |ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '_stale')""".stripMargin)
+    val rows2 = sql(s"SELECT id, v FROM $C.s.sync ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows2.toSeq == Seq((2L, "B"), (9L, "i_stale")))
+  }
 }
