@@ -90,6 +90,17 @@ trait Catalog {
                                  updated: TableMetadata): TableMetadata
   private[graft] def currentMetadata(ident: TableIdent): TableMetadata
 
+  // -- staged publish (atomic CREATE/REPLACE TABLE AS SELECT) ---------------
+  /** Whether externally-staged metadata can publish through [[commitTable]]
+    * (the pointer-owning backends). REST stays false: the server assigns
+    * locations and owns commits, so the Spark layer degrades to Spark's own
+    * non-atomic replace semantics there. */
+  private[graft] def supportsStagedPublish: Boolean = false
+  /** The location a new table would get — staged data files land there
+    * BEFORE the table exists, so the convention must be deterministic. */
+  private[graft] def defaultTableLocation(ident: TableIdent): String =
+    throw new UnsupportedFeatureError(s"catalog $name does not stage tables")
+
   protected def resolveIdent(name: String): TableIdent =
     TableIdent.parse(name, defaultNamespace)
 }

@@ -215,6 +215,10 @@ final class HadoopCatalog(
   }
 
   // ------------------------------------------------------ commit protocol
+  private[graft] override def supportsStagedPublish: Boolean = true
+  private[graft] override def defaultTableLocation(ident: TableIdent): String =
+    (Seq(warehouse) ++ ident.namespace ++ Seq(ident.name)).mkString("/")
+
   private[graft] def commitTable(ident: TableIdent, base: TableMetadata,
                                  updated: TableMetadata): TableMetadata = lock.synchronized {
     val v = readVersion(ident)

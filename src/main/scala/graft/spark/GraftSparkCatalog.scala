@@ -37,7 +37,7 @@ import scala.jdk.CollectionConverters._
  * `ns.t.snapshots` etc.
  */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var refKey: Option[String] = None
@@ -137,18 +137,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  private def userTableProps(props: Map[String, String]): Map[String, String] = {
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_COLLATION,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE)
+    props.view
+      .filterKeys(k => !reserved.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX))
+      .toMap
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): SparkTableApi = {
     val props = properties.asScala.toMap
     val location = props.get(TableCatalog.PROP_LOCATION)
-    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
-      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-      TableCatalog.PROP_COMMENT, TableCatalog.PROP_COLLATION,
-      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE)
-    val tableProps = props.view
-      .filterKeys(k => !reserved.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX))
-      .toMap
+    val tableProps = userTableProps(props)
     // Spark DDL carries no field ids — fromSpark auto-assigns fresh ones
     val gSchema = SparkSchemaConverter.fromSpark(schema)
     val spec = TransformBridge.toGraftSpec(partitions, gSchema)
@@ -160,6 +164,90 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         case _: NoSuchNamespaceError => throw new NoSuchNamespaceException(ident.namespace)
       }
     new GraftSparkTable(t)
+  }
+
+  // ------------------------------------------- staged CTAS / RTAS (atomic)
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = false, orCreate = false)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = false)
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
+
+  /**
+   * Atomic `CREATE/REPLACE TABLE … AS SELECT`: the staged table's data and
+   * metadata accumulate against an UNPUBLISHED in-memory pointer
+   * ([[graft.catalog.StagingShim]] — the full vectorized write path runs
+   * unchanged), and `commitStagedChanges` publishes everything in one
+   * `commitTable` CAS. A REPLACE therefore never has a window where the
+   * old table is missing, and a failed source query leaves it untouched —
+   * the exact hazard of the non-atomic drop-then-create path. Staged files
+   * of an aborted attempt are deleted best-effort (anything missed is
+   * unreferenced and reclaimed by `remove_orphan_files`).
+   *
+   * Backends that do not own their metadata pointer (REST — the server
+   * assigns locations and commits) degrade to Spark's own non-atomic
+   * replace semantics behind the same interface.
+   */
+  private def stage(ident: Identifier, info: TableInfo,
+                    replace: Boolean, orCreate: Boolean): StagedTable = {
+    val gSchema = SparkSchemaConverter.fromSpark(info.schema())
+    val spec = TransformBridge.toGraftSpec(info.partitions(), gSchema)
+    val props = info.properties().asScala.toMap
+    val tableProps = userTableProps(props)
+    val name = nameOf(ident)
+    if (!backing.namespaceExists(ident.namespace.toSeq))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val exists = backing.tableExists(name)
+    if (!replace && exists) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !exists) throw new NoSuchTableException(ident)
+
+    if (!backing.supportsStagedPublish) {
+      if (exists) backing.dropTable(name)
+      val t = backing.createTable(name, gSchema, None, spec, SortOrder.Unsorted, tableProps)
+      return new GraftStagedTable(t, doCommit = () => (),
+        doAbort = () => backing.dropTable(name, ifExists = true))
+    }
+
+    val gIdent = graft.catalog.TableIdent.parse(name, backing.defaultNamespace)
+    val existing = if (exists) Some(backing.loadTable(name)) else None
+    val location = props.get(TableCatalog.PROP_LOCATION)
+      .orElse(existing.map(_.location))
+      .getOrElse(backing.defaultTableLocation(gIdent))
+    val stagedMeta = graft.meta.TableMetadata.create(location, gSchema, spec,
+      SortOrder.Unsorted, tableProps)
+    val shim = new graft.catalog.StagingShim(backing, stagedMeta)
+    val staged = new graft.table.Table(Some(shim), gIdent, stagedMeta,
+      existing.map(_.hadoopConf).getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+    new GraftStagedTable(staged,
+      doCommit = () => {
+        val finalMeta = shim.current
+        if (backing.tableExists(name)) {
+          if (!replace)
+            throw new TableAlreadyExistsError(s"Table already exists: $name")
+          var done = false
+          while (!done) {
+            val cur = backing.loadTable(name)
+            try { backing.commitTable(gIdent, cur.metadata, finalMeta); done = true }
+            catch { case _: CommitConflictError => } // re-read, CAS again
+          }
+        } else {
+          // brief empty-table window (CREATE only — no old data at risk)
+          val fresh = backing.createTable(name, gSchema, Some(location), spec,
+            SortOrder.Unsorted, tableProps)
+          backing.commitTable(gIdent, fresh.metadata, finalMeta)
+        }
+      },
+      doAbort = () => try {
+        val conf = staged.hadoopConf
+        staged.scan().planFiles().foreach { t =>
+          val path = new org.apache.hadoop.fs.Path(t.filePath)
+          try path.getFileSystem(conf).delete(path, false)
+          catch { case _: Exception => }
+        }
+      } catch { case _: Exception => })
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): SparkTableApi = {

@@ -457,3 +457,17 @@ private[spark] class GraftMetadataSparkTable(
       }
     }
 }
+
+/** A staged (unpublished) table for atomic CREATE/REPLACE TABLE AS SELECT:
+  * reads and writes behave exactly like the live table (same DSv2 surface
+  * over the staged graft [[GTable]]), and Spark drives the outcome through
+  * the two staged hooks. */
+private[spark] final class GraftStagedTable(
+    gt: GTable,
+    doCommit: () => Unit,
+    doAbort: () => Unit)
+  extends GraftSparkTable(gt)
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+  override def commitStagedChanges(): Unit = doCommit()
+  override def abortStagedChanges(): Unit = doAbort()
+}
