@@ -124,6 +124,43 @@ private[spark] object GraftV2Write {
 
   def collectFiles(messages: Array[WriterCommitMessage]): Seq[DataFile] =
     messages.toSeq.flatMap { case GraftWriteCommit(files) => files; case _ => Nil }
+
+  /**
+   * Requested write distribution: cluster incoming rows by the partition
+   * SOURCE columns (identity references resolve without a FunctionCatalog;
+   * same-source-value rows share a tuple, so each tuple lands in few
+   * tasks) — without this a 1000-task write of a 365-partition table
+   * could fan out 365k small files. The fanout writer stays correct under
+   * ANY distribution, so `write.distribution-mode=none` opts a skewed
+   * workload out (one hot partition otherwise serializes into one task —
+   * the V1 path's salt, which a requested distribution cannot express).
+   * Within tasks, rows sort by the table's identity sort-order fields so
+   * rolled files keep tight bounds.
+   */
+  def requestedDistribution(gt: GTable)
+      : (org.apache.spark.sql.connector.distributions.Distribution,
+         Array[org.apache.spark.sql.connector.expressions.SortOrder]) = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val spec = gt.defaultPartitionSpec
+    val mode = gt.properties.getOrElse("write.distribution-mode", "hash")
+    val fieldById = gt.currentSchema.fields.map(f => f.id -> f).toMap
+    val dist =
+      if (spec.isUnpartitioned || mode == "none") Distributions.unspecified()
+      else Distributions.clustered(
+        spec.fields.flatMap(pf => fieldById.get(pf.sourceId))
+          .map(f => Expressions.column(f.name):
+            org.apache.spark.sql.connector.expressions.Expression).toArray)
+    val ordering = gt.metadata.defaultSortOrder.fields.flatMap { sf =>
+      fieldById.get(sf.sourceId).collect {
+        case f if sf.transform == "identity" =>
+          Expressions.sort(Expressions.column(f.name),
+            if (sf.direction == "desc") SortDirection.DESCENDING
+            else SortDirection.ASCENDING)
+      }
+    }.toArray
+    (dist, ordering)
+  }
 }
 
 /** The files one task wrote, with footer-derived stats — all the driver
@@ -253,7 +290,15 @@ private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFact
 private[spark] final class GraftStreamingWrite(
     gt: GTable, writeSchema: StructType, queryId: String,
     replaceEachEpoch: Boolean, branch: String)
-  extends Write with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  extends Write with org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with RequiresDistributionAndOrdering {
+
+  private val distAndOrder = GraftV2Write.requestedDistribution(gt)
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    distAndOrder._1
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    distAndOrder._2
+  override def distributionStrictlyRequired(): Boolean = false
 
   if (replaceEachEpoch && branch != "main")
     throw new UnsupportedFeatureError(
@@ -297,7 +342,14 @@ private[spark] final class GraftStreamingWrite(
  * written) + a metadata swap, never a table rewrite.
  */
 private[spark] final class GraftDynamicOverwriteWrite(gt: GTable, writeSchema: StructType)
-  extends Write with BatchWrite {
+  extends Write with BatchWrite with RequiresDistributionAndOrdering {
+
+  private val distAndOrder = GraftV2Write.requestedDistribution(gt)
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    distAndOrder._1
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    distAndOrder._2
+  override def distributionStrictlyRequired(): Boolean = false
 
   private val commitUuid = java.util.UUID.randomUUID().toString
   private val dataDir = new Path(gt.location, s"data/$commitUuid").toString

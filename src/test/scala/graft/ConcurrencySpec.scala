@@ -60,4 +60,37 @@ class ConcurrencySpec extends AnyFunSuite {
     // sequence numbers strictly increase 1..10 (serialized through the CAS)
     assert(tbl.snapshots.map(_.sequenceNumber).sorted.toSeq == (1L to 10L))
   }
+
+  test("overwriteWhere from a stale handle re-plans: concurrent append to the replaced partition is removed") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val pspec = graft.meta.PartitionSpec(0,
+      Seq(graft.meta.PartitionField(2, 1000, "k", "identity")))
+    cat.createTable("c4", schema, partitionSpec = pspec)
+    val h1 = cat.loadTable("c4")
+    val h2 = cat.loadTable("c4")
+    h1.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    // h2 lands MORE rows in partition b while h1 is about to replace it:
+    // the stale h1 must refresh, re-plan, and the replacement must cover
+    // the concurrently-appended row too (it matches the filter)
+    h2.append(Seq((3L, "b")).toDF("id", "k"))
+    h1.overwriteWhere(spark, Seq(EqPred("k", "b")), Seq((9L, "b")).toDF("id", "k"))
+    assert(cat.loadTable("c4").toDF(spark).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 9L))
+  }
+
+  test("dynamic overwrite from a stale handle replaces the partition's concurrent rows too") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val pspec = graft.meta.PartitionSpec(0,
+      Seq(graft.meta.PartitionField(2, 1000, "k", "identity")))
+    cat.createTable("c5", schema, partitionSpec = pspec)
+    val h1 = cat.loadTable("c5")
+    val h2 = cat.loadTable("c5")
+    h1.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    h2.append(Seq((3L, "b")).toDF("id", "k")) // h1 now stale
+    h1.overwritePartitions(Seq((9L, "b")).toDF("id", "k"))
+    assert(cat.loadTable("c5").toDF(spark).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 9L))
+  }
 }
