@@ -850,6 +850,17 @@ object SparkEntry {
       cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
     }),
 
+    "d59_line_dedup" -> ((s, dir) => {
+      // sub-document boilerplate dedup (the CCNet/RefinedWeb line pass):
+      // every doc gets one of 10 shared header lines prepended — keep-first
+      // line dedup strips the header from every doc except its first
+      // bearer, leaving bodies untouched and reassembled in order
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HEADER "), (col("doc_id") % 10).cast("string"),
+          lit("\n"), col("text")).as("text"))
+      CorpusOps.dedupLines(docs, "doc_id", "text").orderBy("doc_id")
+    }),
+
     "s48_stream_to_table" -> ((s, dir) => {
       // the V2 streaming SINK end to end: writeStream.toTable onto an
       // identity-PARTITIONED catalog table — each micro-batch epoch is
@@ -1804,6 +1815,39 @@ object SparkEntry {
 
     "s48_stream_to_table" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300 ORDER BY doc_id",
+
+    "d59_line_dedup" ->
+      """WITH prepared AS (
+        |  SELECT doc_id, 'HEADER ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) || text AS text
+        |  FROM documents
+        |), flat AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(string_split(text, chr(10)))),
+        |      i -> {'idx': i + 1, 'line': string_split(text, chr(10))[i + 1]})) AS l
+        |  FROM prepared
+        |), f2 AS (
+        |  SELECT doc_id, l.idx AS idx, l.line AS line FROM flat
+        |), firsts AS (
+        |  SELECT line, MIN(doc_id * 1000000 + idx) AS first_k
+        |  FROM f2 WHERE len(line) > 0 GROUP BY line
+        |), kept AS (
+        |  SELECT f.doc_id, f.idx, f.line
+        |  FROM f2 f JOIN firsts fi ON f.line = fi.line
+        |  WHERE len(f.line) > 0 AND f.doc_id * 1000000 + f.idx = fi.first_k
+        |  UNION ALL
+        |  SELECT doc_id, idx, line FROM f2 WHERE len(line) = 0
+        |), totals AS (
+        |  SELECT doc_id, COUNT(*) AS lines_total FROM f2 GROUP BY doc_id
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+        |         COUNT(*) AS lines_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, COALESCE(r.text, '') AS text,
+        |  COALESCE(r.lines_kept, 0) AS lines_kept,
+        |  CAST(t.lines_total - COALESCE(r.lines_kept, 0) AS BIGINT) AS lines_dropped
+        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // the audit-branch stream sees main's published prefix + the staged commit
     "s46_stream_branch" ->

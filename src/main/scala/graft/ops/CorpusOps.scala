@@ -25,6 +25,57 @@ object CorpusOps {
    * which would be a single-reducer sort at corpus scale. Groups pack
    * independently exactly like sharded training data files do.
    */
+  /**
+   * Line-level (sub-document) deduplication — the CCNet/RefinedWeb
+   * boilerplate pass: a LINE repeated across documents (header, footer,
+   * cookie banner, nav bar) survives only in its FIRST occurrence
+   * (ordered by `(idCol, line position)`); every other copy is removed
+   * and the remaining lines are re-joined in their original order. Whole
+   * documents are never dropped — a doc whose every line was boilerplate
+   * comes back with empty text (`lines_kept = 0`), ready for a min-length
+   * quality filter.
+   *
+   * Output: the original id column + `text` (deduped), `lines_kept`,
+   * `lines_dropped`.
+   *
+   * 100 TB design: first-occurrence keys are a map-side-combinable
+   * `min` aggregate per distinct line (the shuffle ships one candidate
+   * per line per map partition, not one per occurrence — a header
+   * repeated 10⁹ times costs its distinct self, not its copies). The
+   * exploded corpus then joins that first-occurrence set on the line
+   * hash; empty lines are structural, always kept, and never shuffled
+   * (they would otherwise be the hottest key in the corpus). Reassembly
+   * groups by document — the id-hash shuffle — and sorts each doc's
+   * surviving lines in memory (docs are bounded; the corpus is not).
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    // (id, idx, line) with idx the 1-based position inside the doc
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), (col("pos") + 1).as("idx"), col("col").as("line"))
+    val content = lines.where(length(col("line")) > 0)
+    // first occurrence per line: one combinable aggregate, keyed compactly
+    val firstKey = (col(idCol).cast("long") * lit(1000000L) + col("idx")).as("k")
+    val firsts = content.select(col("line"), firstKey)
+      .groupBy("line").agg(min("k").as("first_k"))
+    val kept = content
+      .join(firsts, "line")
+      .where(col(idCol).cast("long") * lit(1000000L) + col("idx") === col("first_k"))
+      .select(col(idCol), col("idx"), col("line"))
+      .unionByName(lines.where(length(col("line")) === 0)) // structural lines stay
+    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("lines_total"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => x.getField("line")), sep).as("text"),
+        count(lit(1)).as("lines_kept"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("lines_kept"), lit(0L)).as("lines_kept"),
+        (col("lines_total") - coalesce(col("lines_kept"), lit(0L))).as("lines_dropped"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     partitionCol: String, ctxLen: Int): DataFrame = {
     val w = Window.partitionBy(partitionCol).orderBy(idCol)

@@ -144,4 +144,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(source"))
     assert(!plan.contains("rangepartitioning"))
   }
+
+  test("dedupLines keeps first occurrence, preserves order and empty lines, never drops docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "boiler\nalpha\n\nbeta"),   // first bearer of "boiler", has an empty line
+      (2L, "boiler\ngamma"),             // loses the boilerplate, keeps its body
+      (3L, "boiler")                      // ALL content is boilerplate: empty doc, kept
+    ).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "boiler\nalpha\n\nbeta", 4L, 0L),
+      (2L, "gamma", 1L, 1L),
+      (3L, "", 0L, 1L)))
+  }
 }
