@@ -850,6 +850,25 @@ object SparkEntry {
       cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
     }),
 
+    "d60_shuffle_shards" -> ((s, dir) => {
+      // reproducible global shuffle into 8 training shards: layout depends
+      // only on (seed, doc_id) — any engine derives the identical order
+      CorpusOps.shuffleShards(t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", seed = "r9", numShards = 8)
+        .select("doc_id", "lang", "shard", "pos").orderBy("shard", "pos")
+    }),
+
+    "d61_mix_resample" -> ((s, dir) => {
+      // training-mix epoch weights: upsample src0 2.25x (every doc twice,
+      // a hash-chosen quarter a 3rd time), halve src1, drop src2, keep
+      // the rest 1x — exact, deterministic, map-only
+      CorpusOps.resampleMix(t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 0.0),
+          defaultWeight = 1.0, seed = "mix9")
+        .orderBy("doc_id", "copy")
+    }),
+
     "d59_line_dedup" -> ((s, dir) => {
       // sub-document boilerplate dedup (the CCNet/RefinedWeb line pass):
       // every doc gets one of 10 shared header lines prepended — keep-first
@@ -1815,6 +1834,35 @@ object SparkEntry {
 
     "s48_stream_to_table" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300 ORDER BY doc_id",
+
+    "d60_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5('r9:' || CAST(doc_id AS VARCHAR)) AS hex
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, hex,
+        |    CAST(((strpos('0123456789abcdef', substr(hex, 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(hex, 2, 1)) - 1)) % 8 AS INT) AS shard
+        |  FROM h
+        |)
+        |SELECT doc_id, lang, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "d61_mix_resample" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CASE source
+        |      WHEN 'src0' THEN 2 + CASE WHEN substr(md5('mix9:' || CAST(doc_id AS VARCHAR)), 9, 8) < '40000000' THEN 1 ELSE 0 END
+        |      WHEN 'src1' THEN 0 + CASE WHEN substr(md5('mix9:' || CAST(doc_id AS VARCHAR)), 9, 8) < '80000000' THEN 1 ELSE 0 END
+        |      WHEN 'src2' THEN 0
+        |      ELSE 1
+        |    END AS copies
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
+        |FROM c WHERE copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "d59_line_dedup" ->
       """WITH prepared AS (

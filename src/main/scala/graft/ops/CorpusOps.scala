@@ -190,6 +190,73 @@ object CorpusOps {
     df.where(keep)
   }
 
+  /**
+   * Deterministic global shuffle into training shards — the "shuffle the
+   * corpus before writing tfrecord/parquet shards" step. Every document
+   * gets a pseudorandom but reproducible position derived ONLY from
+   * `(seed, id)`: shard = first two hex nibbles of `md5(seed:id)` mod
+   * `numShards`, position = rank of the full hash inside the shard. Same
+   * seed ⇒ same layout on any engine, cluster, or run; a new seed is a
+   * fresh permutation.
+   *
+   * 100 TB design: sharding is a hash partition (one shuffle); ordering
+   * is per-shard (window inside each hash partition), never a global
+   * sort. `numShards` scales with the corpus — shards are the unit of
+   * training-file output, so they are sized to fit an executor (the
+   * two-nibble key space caps at 256; at larger shard counts widen the
+   * prefix — each nibble is another 16x).
+   */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+                    numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 256, "numShards must be in [1, 256]")
+    val hex = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val digits = "0123456789abcdef"
+    val nib = (i: Int) => instr(lit(digits), substring(hex, i, 1)) - 1
+    val shard = pmod(nib(1) * 16 + nib(2), lit(numShards)).cast("int").as("shard")
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", hex)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("shuffle_key")
+  }
+
+  /**
+   * Deterministic mix resampling: hit a target per-stratum sampling WEIGHT
+   * (not just a keep/drop rate) — `weight = 2.25` emits each document 2 or
+   * 3 times (a 1/4 of them, chosen by hash, get the 3rd copy), `0.5`
+   * keeps half. This is the "epochs per source" knob of a training mix
+   * (upsample wiki 3x, downsample crawl to 0.7x) made exact and
+   * reproducible: the copy count of a document depends only on
+   * `(seed, id)`, so reruns and backfills produce the identical corpus.
+   *
+   * Map-only then explode — no shuffle at all: each row independently
+   * computes `copies = floor(w) + (md5_{64..32}(seed:id) < frac(w) ? 1 : 0)`
+   * (the hash-fraction compare is done on the hex STRING against a
+   * precomputed 8-hex-digit threshold, so any engine with md5 agrees
+   * bit-for-bit), then emits `copy = 0..copies-1`. Output adds `copy`.
+   */
+  def resampleMix(df: DataFrame, idCol: String, strataCol: String,
+                  weights: Map[String, Double], defaultWeight: Double,
+                  seed: String): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w < 128),
+      "weights must be in [0, 128)")
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      val fracHex = f"${math.rint((w - whole) * 4294967296.0).toLong}%08x"
+      // second 8 hex digits: independent of shuffleShards' leading nibbles
+      lit(whole) + when(
+        substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+          .cast("binary")), 9, 8) < lit(fracHex), 1L).otherwise(0L)
+    }
+    val copies = weights.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, w)) => acc.when(col(strataCol) === stratum, copiesFor(w))
+    }.otherwise(copiesFor(defaultWeight))
+    df.withColumn("copies", copies)
+      .where(col("copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("copies") - 1)))
+      .drop("copies")
+  }
+
   /** Global token vocabulary, top `k` by frequency (ties broken by token
     * text for determinism). Partial aggregation combines per-partition
     * counts map-side; the final top-k is TakeOrderedAndProject — no global

@@ -145,6 +145,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"))
   }
 
+  test("shuffleShards: deterministic permutation, dense per-shard positions, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = graft.ops.CorpusOps.shuffleShards(docs, "doc_id", "s1", 8)
+    val b = graft.ops.CorpusOps.shuffleShards(docs, "doc_id", "s1", 8)
+    assert(a.collect().toSet == b.collect().toSet)                 // reproducible
+    val rows = a.select("shard", "pos", "doc_id").as[(Int, Long, Long)].collect()
+    assert(rows.length == 200 && rows.map(_._3).distinct.length == 200)
+    assert(rows.map(_._1).forall(s => s >= 0 && s < 8))
+    rows.groupBy(_._1).foreach { case (_, rs) =>                   // dense 1..n per shard
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    val c = graft.ops.CorpusOps.shuffleShards(docs, "doc_id", "s2", 8)
+    assert(a.collect().toSet != c.collect().toSet)                 // new seed, new layout
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), "must not global-sort")
+  }
+
+  test("resampleMix: exact copy counts per weight, map-only plan") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "up" else "down"))
+      .toDF("doc_id", "source")
+    val out = graft.ops.CorpusOps.resampleMix(docs, "doc_id", "source",
+      Map("up" -> 2.25, "down" -> 0.5), 1.0, "s")
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("up") >= 2 * 200 && counts("up") <= 3 * 200)
+    assert(counts("down") < 200 && counts("down") > 0)
+    // every doc's copies are 0..k-1 with no gaps
+    val copies = out.select("doc_id", "copy").as[(Long, Long)].collect()
+      .groupBy(_._1).values
+    copies.foreach(cs => assert(cs.map(_._2).sorted.toSeq == (0L until cs.size).toSeq))
+    // weight 0 drops, weight 1 with frac 0 keeps exactly once
+    val once = graft.ops.CorpusOps.resampleMix(docs, "doc_id", "source",
+      Map("up" -> 0.0), 1.0, "s")
+    assert(once.where($"source" === "up").count() == 0)
+    assert(once.where($"source" === "down").count() == 200)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "resample must be map-only")
+  }
+
   test("dedupLines keeps first occurrence, preserves order and empty lines, never drops docs") {
     import spark.implicits._
     val docs = Seq(
