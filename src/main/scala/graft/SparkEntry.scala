@@ -850,6 +850,22 @@ object SparkEntry {
       cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
     }),
 
+    "d62_dup_span_stats" -> ((s, dir) => {
+      // exact-substring dedup (Lee et al.), audit side: per-doc tokens
+      // covered by word-8-grams whose first corpus occurrence is elsewhere
+      DedupOps.duplicateSpanStats(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", w = 8)
+        .orderBy("doc_id")
+    }),
+
+    "d63_dup_span_removal" -> ((s, dir) => {
+      // exact-substring dedup, cut side: duplicated spans removed
+      // keep-first, text rebuilt from the surviving tokens
+      DedupOps.removeDuplicateSpans(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", w = 8)
+        .select("doc_id", "text", "n_tokens_kept").orderBy("doc_id")
+    }),
+
     "d60_shuffle_shards" -> ((s, dir) => {
       // reproducible global shuffle into 8 training shards: layout depends
       // only on (seed, doc_id) — any engine derives the identical order
@@ -1377,6 +1393,34 @@ object SparkEntry {
     "CASE WHEN length(trim(text))=0 THEN CAST([] AS VARCHAR[]) " +
       "ELSE regexp_split_to_array(trim(text), '\\s+') END"
 
+  /** Shared CTE chain for the exact-substring span-dedup oracles (d62/d63):
+    * positional word-`w`-gram occurrences → global keep-first → duplicated
+    * ranges → merged islands per doc. Mirrors [[DedupOps.duplicateSpans]]. */
+  private def spanCtes(w: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $ToksSql AS t FROM documents
+       |), occ AS (
+       |  SELECT doc_id, u.p AS p, u.h AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-$w+1,0)+1),
+       |      i -> {'p': i, 'h': md5(array_to_string(t[i:i+$w-1], ' '))})) AS u
+       |    FROM toks) z
+       |), firsts AS (
+       |  SELECT h, MIN(doc_id*1000000+p) AS fk FROM occ GROUP BY h
+       |), dups AS (
+       |  SELECT o.doc_id, o.p AS s, o.p + $w - 1 AS e
+       |  FROM occ o JOIN firsts f ON o.h = f.h
+       |  WHERE o.doc_id*1000000+o.p <> f.fk
+       |), isl AS (
+       |  SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ni
+       |  FROM dups
+       |), isl2 AS (
+       |  SELECT doc_id, s, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl
+       |), merged AS (
+       |  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me FROM isl2 GROUP BY doc_id, island
+       |)""".stripMargin
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
@@ -1834,6 +1878,32 @@ object SparkEntry {
 
     "s48_stream_to_table" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300 ORDER BY doc_id",
+
+    "d62_dup_span_stats" ->
+      s"""${spanCtes(8)}, agg AS (
+         |  SELECT doc_id, SUM(me - ms + 1) AS dup_tokens, COUNT(*) AS n_spans
+         |  FROM merged GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CASE WHEN len(t.t) = 0 THEN 0.0
+         |    ELSE CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.t) END AS dup_ratio
+         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "d63_dup_span_removal" ->
+      s"""${spanCtes(8)}, spanlist AS (
+         |  SELECT doc_id, list({'ms': ms, 'me': me}) AS spans FROM merged GROUP BY doc_id
+         |), cut AS (
+         |  SELECT t.doc_id,
+         |    list_filter(t.t, (x, i) ->
+         |      len(list_filter(COALESCE(s.spans, []), sp -> sp.ms <= i AND i <= sp.me)) = 0) AS kept
+         |  FROM toks t LEFT JOIN spanlist s ON t.doc_id = s.doc_id
+         |)
+         |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS text,
+         |  CAST(len(kept) AS BIGINT) AS n_tokens_kept
+         |FROM cut ORDER BY doc_id""".stripMargin,
 
     "d60_shuffle_shards" ->
       """WITH h AS (

@@ -55,6 +55,35 @@ class OpsSpec extends AnyFunSuite {
     assert(counts(3L) == 2 && counts(7L) == 1 && counts(1L) == 2)
   }
 
+  test("duplicate spans: keep-first cross-doc and intra-doc, islands merge, clean docs zero") {
+    val df = Seq(
+      (1L, "a b c d e f"),            // original — all its grams are firsts
+      (2L, "x y a b c d z"),          // contains doc1's "a b c","b c d" → span [3,6]
+      (3L, "a b c a b c a b c"),      // p1 dups doc1; p4..p7 dup its own p1..p3 → all covered
+      (4L, "p q r")                   // shorter than w: no grams, clean
+    ).toDF("doc_id", "text")
+    val stats = DedupOps.duplicateSpanStats(df, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(stats == Seq(
+      (1L, 6L, 0L, 0L, 0.0),
+      (2L, 7L, 4L, 1L, 4.0 / 7),
+      (3L, 9L, 9L, 1L, 1.0),
+      (4L, 3L, 0L, 0L, 0.0)))
+    val cut = DedupOps.removeDuplicateSpans(df, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_tokens_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(cut == Seq(
+      (1L, "a b c d e f", 6L),
+      (2L, "x y z", 3L),
+      (3L, "", 0L),
+      (4L, "p q r", 3L)))
+    val plan = DedupOps.duplicateSpanStats(df, "doc_id", "text", w = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning") && !plan.contains("Cartesian"))
+  }
+
   test("native minhash signature is bit-exact with the composed HOF form") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
       .select($"doc_id", DedupOps.shingles($"text", 3).as("sh"))
