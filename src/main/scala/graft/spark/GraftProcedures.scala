@@ -31,7 +31,7 @@ private[spark] object GraftProcedures {
 
   def list: Array[String] = Array("compact", "expire_snapshots",
     "rewrite_manifests", "remove_orphan_files", "rollback", "fast_forward",
-    "zorder", "maintain", "add_files")
+    "zorder", "maintain", "add_files", "cherrypick_snapshot")
 
   def load(backing: GCatalog, name: String): Option[UnboundProcedure] = {
     def t(input: InternalRow): GTable =
@@ -77,6 +77,11 @@ private[spark] object GraftProcedures {
           p("small_file_bytes", LongType, Some("67108864"))),
         in => { val removed = t(in).maintain(spark, in.getLong(1), in.getInt(2), in.getLong(3))
           s"maintained; removed ${removed.length} files" }))
+      case "cherrypick_snapshot" => Some(proc(name,
+        Seq(p("table", StringType), p("snapshot_id", LongType),
+          p("branch", StringType, Some("'main'"))),
+        in => { t(in).cherrypickSnapshot(in.getLong(1), in.getUTF8String(2).toString)
+          s"cherry-picked ${in.getLong(1)}" }))
       case "add_files" => Some(proc(name,
         Seq(p("table", StringType), p("source_dir", StringType)),
         in => {

@@ -133,6 +133,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case "manifests" => Some(new GraftMetadataSparkTable(label, t.refresh().manifestsDF(_)))
       case "files" => Some(new GraftMetadataSparkTable(label, t.refresh().filesDF(_)))
       case "partitions" => Some(new GraftMetadataSparkTable(label, t.refresh().partitionsDF(_)))
+      case "entries" => Some(new GraftMetadataSparkTable(label, t.refresh().entriesDF(_)))
+      case "all_manifests" => Some(new GraftMetadataSparkTable(label, t.refresh().allManifestsDF(_)))
+      case "all_files" => Some(new GraftMetadataSparkTable(label, t.refresh().allFilesDF(_)))
+      case "all_data_files" => Some(new GraftMetadataSparkTable(label,
+        s => t.refresh().allFilesDF(s).where(org.apache.spark.sql.functions.col("content") === 0)))
+      case "all_delete_files" => Some(new GraftMetadataSparkTable(label,
+        s => t.refresh().allFilesDF(s).where(org.apache.spark.sql.functions.col("content") =!= 0)))
+      case "data_files" => Some(new GraftMetadataSparkTable(label,
+        s => t.refresh().filesDF(s).where(org.apache.spark.sql.functions.col("content") === 0)))
+      case "delete_files" => Some(new GraftMetadataSparkTable(label,
+        s => t.refresh().filesDF(s).where(org.apache.spark.sql.functions.col("content") =!= 0)))
+      case "metadata_log_entries" => Some(new GraftMetadataSparkTable(label,
+        t.refresh().metadataLogEntriesDF(_)))
       case _ => None
     }
   }

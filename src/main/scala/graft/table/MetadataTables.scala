@@ -112,6 +112,101 @@ object MetadataTables {
     df(spark, schema, rows)
   }
 
+  /** Entry-level view of the current snapshot's manifests (Iceberg's
+    * `t.entries`): one row per manifest entry INCLUDING the tombstoned
+    * ones (`status = 2`) — this is where "which commit deleted that file"
+    * is answered. Ordered by (file_path, status) for determinism. */
+  def entries(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false)))
+    val rows = table.currentSnapshot.toSeq.flatMap { s =>
+      val listPath = new Path(s.manifestList)
+      val fs = listPath.getFileSystem(table.hadoopConf)
+      Manifests.readManifestList(fs, listPath).flatMap { m =>
+        Manifests.readManifest(fs, new Path(m.manifestPath)).map { e =>
+          Row(e.status, e.snapshotId, e.sequenceNumber, e.dataFile.content,
+            e.dataFile.filePath, e.dataFile.partition, e.dataFile.recordCount,
+            e.dataFile.fileSizeInBytes)
+        }
+      }
+    }.sortBy(r => (r.getString(4), r.getInt(0)))
+    df(spark, schema, rows)
+  }
+
+  /** Manifests of EVERY snapshot still in metadata (Iceberg's
+    * `t.all_manifests`): the per-snapshot rows carry
+    * `reference_snapshot_id`, so a manifest shared by five snapshots
+    * appears five times — that is the table's reuse structure, visible. */
+  def allManifests(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("reference_snapshot_id", LongType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false)))
+    val rows = table.snapshots.sortBy(s => (s.sequenceNumber, s.snapshotId)).flatMap { s =>
+      val listPath = new Path(s.manifestList)
+      val fs = listPath.getFileSystem(table.hadoopConf)
+      Manifests.readManifestList(fs, listPath).map { m =>
+        Row(s.snapshotId, m.manifestPath, m.manifestLength, m.partitionSpecId,
+          m.addedSnapshotId, m.content)
+      }
+    }
+    df(spark, schema, rows)
+  }
+
+  /** Files referenced from ANY snapshot still in metadata (Iceberg's
+    * `all_files` family): every distinct manifest is read once, live
+    * entries surface once per file path (first appearance wins — paths
+    * are content-addressed and immutable, duplicates carry identical
+    * stats). This is the "what can removeOrphanFiles never touch" view. */
+  def allFiles(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false)))
+    val manifestPaths = scala.collection.mutable.LinkedHashSet[String]()
+    table.snapshots.sortBy(s => (s.sequenceNumber, s.snapshotId)).foreach { s =>
+      val listPath = new Path(s.manifestList)
+      val fs = listPath.getFileSystem(table.hadoopConf)
+      Manifests.readManifestList(fs, listPath).foreach(m => manifestPaths += m.manifestPath)
+    }
+    val seen = scala.collection.mutable.HashSet[String]()
+    val rows = manifestPaths.toSeq.flatMap { mp =>
+      val p = new Path(mp)
+      val fs = p.getFileSystem(table.hadoopConf)
+      Manifests.readManifest(fs, p).collect {
+        case e if e.isLive && seen.add(e.dataFile.filePath) =>
+          Row(e.dataFile.content, e.dataFile.filePath, e.dataFile.fileFormat,
+            e.dataFile.partition, e.dataFile.recordCount, e.dataFile.fileSizeInBytes)
+      }
+    }.sortBy(_.getString(1))
+    df(spark, schema, rows)
+  }
+
+  /** The metadata-file lineage (Iceberg's `t.metadata_log_entries`): one
+    * row per superseded metadata.json, in supersession order. File-backed
+    * catalogs append on every commit; in-memory tables have no files and
+    * show an empty log. */
+  def metadataLogEntries(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("file", StringType, nullable = false)))
+    df(spark, schema, table.metadata.metadataLog.map(e =>
+      Row(new java.sql.Timestamp(e.timestampMs), e.metadataFile)))
+  }
+
   def refs(spark: SparkSession, table: Table): DataFrame = {
     val schema = StructType(Seq(
       StructField("name", StringType, nullable = false),

@@ -116,6 +116,10 @@ final class Table(
   def filesDF(spark: SparkSession): DataFrame = MetadataTables.files(spark, this)
   def refsDF(spark: SparkSession): DataFrame = MetadataTables.refs(spark, this)
   def partitionsDF(spark: SparkSession): DataFrame = MetadataTables.partitions(spark, this)
+  def entriesDF(spark: SparkSession): DataFrame = MetadataTables.entries(spark, this)
+  def allManifestsDF(spark: SparkSession): DataFrame = MetadataTables.allManifests(spark, this)
+  def allFilesDF(spark: SparkSession): DataFrame = MetadataTables.allFiles(spark, this)
+  def metadataLogEntriesDF(spark: SparkSession): DataFrame = MetadataTables.metadataLogEntries(spark, this)
 
   // ------------------------------------------------------------ write path
 
@@ -204,6 +208,41 @@ final class Table(
             snapshotLog = base.snapshotLog :+ SnapshotLogEntry(now, target.snapshotId))
         else moved)
     }
+  }
+
+  /**
+   * Apply a snapshot's APPEND as a fresh commit on a branch head —
+   * Iceberg's cherry-pick: the publish half of snapshot-level
+   * write-audit-publish, and the escape hatch when a staged branch commit
+   * can no longer [[fastForward]] because the branch moved on underneath
+   * it. Only append snapshots are eligible (an overwrite/delete's removed
+   * set may have been rewritten since it was staged; Iceberg rejects those
+   * for the same reason). The new commit records its origin in
+   * `source-snapshot-id`; picking a snapshot already in the branch's
+   * ancestry is a no-op. O(commit): only the manifests the source commit
+   * itself wrote are read ([[TableScan.addedFiles]]), and the re-commit is
+   * a fast-append.
+   */
+  def cherrypickSnapshot(sourceSnapshotId: Long, toBranch: String = "main"): Unit = {
+    refresh()
+    val src = meta.snapshotById(sourceSnapshotId).getOrElse(
+      throw new InvalidDataError(s"no snapshot with id $sourceSnapshotId"))
+    // already published if the snapshot itself — or a commit recording it
+    // as its cherry-pick source — is in the branch's ancestry
+    var cur = meta.snapshotForRef(toBranch)
+    while (cur.isDefined) {
+      if (cur.get.snapshotId == sourceSnapshotId ||
+        cur.get.summary.get("source-snapshot-id").contains(sourceSnapshotId.toString))
+        return
+      cur = cur.get.parentSnapshotId.flatMap(meta.snapshotById)
+    }
+    val op = src.summary.getOrElse("operation", "")
+    if (op != "append") throw new InvalidDataError(
+      s"cannot cherry-pick snapshot $sourceSnapshotId: operation '$op' is not an append")
+    // v3 row lineage: rows are new to this branch — ids re-assigned at commit
+    val added = new TableScan(this, Some(src), Nil).addedFiles()
+      .map(_.file.copy(firstRowId = None))
+    appendFiles(added, Map("source-snapshot-id" -> sourceSnapshotId.toString), toBranch)
   }
 
   /**

@@ -51,6 +51,91 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(n == 3L)
   }
 
+  test("entries/all_manifests/all_files/metadata_log see tombstones and history") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "v", IString, required = false)))
+    val tbl = cat.createTable("meta_all", schema)
+    tbl.append(Seq(1L -> "a", 2L -> "b").toDF("id", "v"))
+    tbl.append(Seq(3L -> "c").toDF("id", "v"))
+    val beforeCompact = tbl.allFilesDF(spark).count()
+    tbl.compact(spark, smallFileBytes = 1L << 30, minInputFiles = 2)
+
+    // entries: the compaction snapshot's single manifest carries the
+    // rewritten file as an ADD (inputs drop with their manifests)
+    val entries = tbl.entriesDF(spark)
+    assert(entries.where("status = 1").count() == 1)
+    assert(entries.where("status = 1").head().getLong(6) == 3L)
+
+    // tombstones surface where the writer produces them: a v3 DV merge
+    // supersedes the old DV with an explicit status=2 entry
+    val v3 = cat.createTable("meta_v3", schema, properties = Map(
+      "format-version" -> "3", "write.delete.mode" -> "merge-on-read"))
+    v3.append(Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("id", "v").coalesce(1))
+    v3.delete(spark, Seq(graft.table.EqPred("id", 1L)))
+    v3.delete(spark, Seq(graft.table.EqPred("id", 2L)))
+    val v3e = v3.entriesDF(spark)
+    assert(v3e.where("status = 2 AND content = 1").count() == 1) // superseded DV
+    assert(v3e.where("status != 2 AND content = 1").count() == 1) // merged DV
+
+    // all_manifests: every snapshot contributes rows keyed by its id
+    val am = tbl.allManifestsDF(spark)
+    assert(am.select("reference_snapshot_id").distinct().count() == 3)
+
+    // all_files: union over history ⊇ live files; pre-compaction inputs survive
+    val af = tbl.allFilesDF(spark)
+    assert(af.count() > tbl.filesDF(spark).count())
+    assert(af.count() >= beforeCompact)
+    assert(af.select("file_path").distinct().count() == af.count())
+    // filtered family views
+    assert(af.where("content = 0").count() == af.count())
+
+    // memory catalog keeps no metadata files → empty lineage, stable schema
+    val ml = tbl.metadataLogEntriesDF(spark)
+    assert(ml.columns.toSeq == Seq("timestamp", "file") && ml.count() == 0)
+  }
+
+  test("metadata_log_entries tracks supersession on a file-backed catalog") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlog").toString
+    val cat = new graft.catalog.HadoopCatalog(dir)
+    val schema = Schema(0, Seq(NestedField(1, "id", ILong, required = false)))
+    val tbl = cat.createTable("t", schema)
+    tbl.append(Seq(1L).toDF("id"))
+    tbl.append(Seq(2L).toDF("id"))
+    val ml = tbl.refresh().metadataLogEntriesDF(spark)
+      .orderBy("timestamp").collect()
+    assert(ml.length == 2) // create + first append superseded
+    assert(ml.map(_.getString(1)).forall(_.contains("metadata")))
+  }
+
+  test("SQL resolves the extended metadata-table family") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-metasql").toString
+    spark.conf.set("spark.sql.catalog.metax", "graft.spark.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.metax.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE metax.default.mt (id BIGINT, v STRING) USING graft")
+      spark.sql("INSERT INTO metax.default.mt VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO metax.default.mt VALUES (3, 'c')")
+      assert(spark.sql("SELECT * FROM metax.default.mt.entries WHERE status = 1").count() >= 2)
+      assert(spark.sql("SELECT * FROM metax.default.mt.all_manifests").count() >= 2)
+      assert(spark.sql("SELECT * FROM metax.default.mt.all_files").count() ==
+        spark.sql("SELECT * FROM metax.default.mt.all_data_files").count())
+      assert(spark.sql("SELECT * FROM metax.default.mt.all_delete_files").count() == 0)
+      assert(spark.sql("SELECT * FROM metax.default.mt.data_files").count() ==
+        spark.sql("SELECT * FROM metax.default.mt.files").count())
+      assert(spark.sql("SELECT * FROM metax.default.mt.delete_files").count() == 0)
+      assert(spark.sql("SELECT * FROM metax.default.mt.metadata_log_entries").count() >= 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS metax.default.mt")
+      spark.conf.unset("spark.sql.catalog.metax")
+      spark.conf.unset("spark.sql.catalog.metax.warehouse")
+    }
+  }
+
   test("partitions metadata table rolls up live files per partition tuple") {
     import spark.implicits._
     val cat = new MemoryCatalog()

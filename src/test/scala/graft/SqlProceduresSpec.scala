@@ -51,6 +51,40 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(sql(s"SELECT count(*) FROM $C.default.w").head().getLong(0) == 3)
   }
 
+  test("CALL cherrypick_snapshot publishes a staged append after main diverged") {
+    init
+    import spark.implicits._
+    sql(s"CREATE TABLE $C.default.cp (id BIGINT)")
+    sql(s"INSERT INTO $C.default.cp VALUES (1)")
+    val t = cat.loadTable("cp")
+    // stage on an audit branch, then let main move on — fast-forward now
+    // impossible (histories diverged), cherry-pick is the publish path
+    t.appendToBranch("audit", Seq(10L, 11L).toDF("id"))
+    val staged = t.refresh().snapshotForRef("audit").get.snapshotId
+    sql(s"INSERT INTO $C.default.cp VALUES (2)")
+    val ff = intercept[Exception](
+      t.refresh().fastForward("main", "audit"))
+    assert(ff.getMessage.contains("diverged"))
+    sql(s"CALL $C.system.cherrypick_snapshot(`table` => 'cp', snapshot_id => $staged)")
+    assert(sql(s"SELECT id FROM $C.default.cp ORDER BY id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 10L, 11L))
+    // provenance recorded; picking again is a no-op
+    val cur = cat.loadTable("cp").currentSnapshot.get
+    assert(cur.summary.get("source-snapshot-id").contains(staged.toString))
+    sql(s"CALL $C.system.cherrypick_snapshot(`table` => 'cp', snapshot_id => $staged)")
+    assert(sql(s"SELECT count(*) FROM $C.default.cp").head().getLong(0) == 4)
+    assert(cat.loadTable("cp").currentSnapshot.get.snapshotId == cur.snapshotId)
+    // non-append snapshots are rejected: take the delete commit off
+    // main's ancestry (rollback), then try to pick it
+    val preDelete = cat.loadTable("cp").currentSnapshot.get.snapshotId
+    sql(s"DELETE FROM $C.default.cp WHERE id = 11")
+    val del = cat.loadTable("cp").currentSnapshot.get.snapshotId
+    sql(s"CALL $C.system.rollback(`table` => 'cp', snapshot_id => $preDelete)")
+    val err = intercept[Exception](
+      cat.loadTable("cp").cherrypickSnapshot(del))
+    assert(err.getMessage.contains("not an append"))
+  }
+
   test("CALL maintain runs the whole chain; defaults apply") {
     init
     sql(s"CREATE TABLE $C.default.m (id BIGINT)")
