@@ -850,6 +850,22 @@ object SparkEntry {
       cat.loadTable("default.rt_out").toDF(s).orderBy("doc_id")
     }),
 
+    "d64_tfidf_keywords" -> ((s, dir) => {
+      // per-doc TF-IDF keywords: integer-exact ranking (tf DESC, df ASC,
+      // token ASC); the transcendental score itself is reported rounded
+      CorpusOps.tfidfKeywords(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+
+    "d65_lm_quality" -> ((s, dir) => {
+      // self-trained char-trigram LM: mean trigram log-likelihood as the
+      // perplexity-filter quality signal, no external model shipped
+      TextOps.lmQualityScore(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "d62_dup_span_stats" -> ((s, dir) => {
       // exact-substring dedup (Lee et al.), audit side: per-doc tokens
       // covered by word-8-grams whose first corpus occurrence is elsewhere
@@ -1878,6 +1894,45 @@ object SparkEntry {
 
     "s48_stream_to_table" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300 ORDER BY doc_id",
+
+    "d64_tfidf_keywords" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest($ToksSql) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY doc_id, token
+         |), dfreq AS (
+         |  SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+         |), nd AS (
+         |  SELECT COUNT(*) AS n_docs FROM documents
+         |), ranked AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+         |    ROUND(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.doc_freq), 6) AS tfidf,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.token ASC) AS INT) AS rank
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+         |)
+         |SELECT doc_id, rank, token, tf, doc_freq, tfidf
+         |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "d65_lm_quality" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-2,0)+1),
+        |    i -> text[i:i+2])) AS tri
+        |  FROM documents
+        |), model AS (
+        |  SELECT tri, COUNT(*) AS c FROM occ GROUP BY tri
+        |), tot AS (
+        |  SELECT COUNT(*) AS t FROM occ
+        |), sc AS (
+        |  SELECT o.doc_id, COUNT(*) AS n_trigrams,
+        |    ROUND(AVG(ln(CAST(m.c AS DOUBLE) / tot.t)), 6) AS avg_logp
+        |  FROM occ o JOIN model m USING (tri) CROSS JOIN tot
+        |  GROUP BY o.doc_id
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  sc.avg_logp
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d62_dup_span_stats" ->
       s"""${spanCtes(8)}, agg AS (

@@ -257,6 +257,38 @@ object CorpusOps {
       .drop("copies")
   }
 
+  /**
+   * Per-document TF-IDF keyword extraction: the top `k` tokens of each
+   * document ranked frequent-in-doc, rare-in-corpus. The RANKING key is
+   * exact integer arithmetic — `(tf DESC, doc_freq ASC, token ASC)` — so
+   * every engine agrees on the keyword set bit-for-bit; the reported
+   * `tfidf = tf * ln(n_docs / doc_freq)` is the standard score for
+   * consumers (rounded, since `ln` is the only non-rational step).
+   *
+   * 100 TB design: document frequency is one combinable count per
+   * distinct token (partial aggs map-side); the corpus-wide doc count
+   * joins as a broadcast single row; scoring joins occurrences to the
+   * (bounded, vocabulary-sized) DF table and the top-k is a per-document
+   * window — shuffles are on token then id, both necessary, none global.
+   */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val occ = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val tf = occ.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val ranked = tf.join(docFreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(idCol)
+          .orderBy(col("tf").desc, col("doc_freq").asc, col("token").asc)))
+      .where(col("rank") <= k)
+    ranked.select(col(idCol), col("rank"), col("token"), col("tf"),
+      col("doc_freq"), col("tfidf"))
+  }
+
   /** Global token vocabulary, top `k` by frequency (ties broken by token
     * text for determinism). Partial aggregation combines per-partition
     * counts map-side; the final top-k is TakeOrderedAndProject — no global

@@ -116,6 +116,54 @@ object TextOps {
   /** Stable content hash for exact dedup (md5 hex — cheap, engine-portable). */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
+  // ------------------------------------------- character-LM quality score
+
+  /** Character trigrams of a document WITH multiplicity (positions
+    * `1..len-2`), as a column expression — the unit of the corpus
+    * character language model. */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => substring(text, i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * CCNet-style language-model quality scoring without an external model:
+   * train a character-trigram unigram LM on the corpus itself (one
+   * combinable count per distinct trigram), then score every document by
+   * its mean trigram log-likelihood `avg ln(count(tri) / total)`.
+   * Well-formed text built from common character patterns scores high;
+   * binary junk, rare-script spam, and mojibake score low — the standard
+   * "perplexity filter" signal, self-trained so it needs no shipped model.
+   * Docs shorter than 3 chars score NULL (`n_trigrams = 0`).
+   *
+   * Output: id + `n_trigrams`, `avg_logp` (rounded — `ln` is the only
+   * non-rational step).
+   *
+   * 100 TB design: the model is the trigram-count table — bounded by the
+   * character-trigram vocabulary, orders of magnitude smaller than the
+   * corpus — and joins back BROADCAST, so scoring is map-side; the only
+   * per-corpus shuffles are the combinable count and the per-document
+   * average (partial aggs on both sides).
+   */
+  def lmQualityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val occ = df.select(col(idCol),
+      explode(charTrigrams(col(textCol))).as("tri"))
+    val model = occ.groupBy("tri").agg(count(lit(1)).as("c"))
+    val total = occ.select(count(lit(1)).as("t"))
+    val scored = occ
+      .join(broadcast(model), "tri")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(log(col("c").cast("double") / col("t"))), 6).as("avg_logp"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_logp"))
+  }
+
   // ------------------------------------------------------------ redaction
 
   /** RE2-compatible patterns (run identically under Java regex and the

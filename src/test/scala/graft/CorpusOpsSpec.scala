@@ -185,6 +185,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "resample must be map-only")
   }
 
+  test("tfidfKeywords: integer-exact ranking, standard score reported") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    // df: apple 2, banana 2, cherry 1, date 1; N = 3
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)) == Seq(
+      (1L, 1, "apple", 2L, 2L), (1L, 2, "banana", 1L, 2L),
+      (2L, 1, "cherry", 1L, 1L), (2L, 2, "banana", 1L, 2L),
+      (3L, 1, "date", 3L, 1L), (3L, 2, "apple", 1L, 2L)))
+    val byKey = out.map(r => (r._1, r._3) -> r._6).toMap
+    assert(math.abs(byKey((1L, "apple")) - 2 * math.log(3.0 / 2)) < 1e-5)
+    assert(math.abs(byKey((3L, "date")) - 3 * math.log(3.0)) < 1e-5)
+  }
+
+  test("lmQualityScore: self-trained trigram LM, short docs null, model broadcast") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "ab")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.lmQualityScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // model: aaa -> 3, aab -> 1; total 4
+    assert(out(0).getLong(1) == 2 &&
+      math.abs(out(0).getDouble(2) - math.log(3.0 / 4)) < 1e-5)
+    assert(out(1).getLong(1) == 2 &&
+      math.abs(out(1).getDouble(2) - (math.log(3.0 / 4) + math.log(1.0 / 4)) / 2) < 1e-5)
+    assert(out(2).getLong(1) == 0 && out(2).isNullAt(2))
+    val plan = graft.ops.TextOps.lmQualityScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "model must join broadcast")
+  }
+
   test("dedupLines keeps first occurrence, preserves order and empty lines, never drops docs") {
     import spark.implicits._
     val docs = Seq(
