@@ -456,6 +456,94 @@ case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TextShingles = copy(child = c)
 }
 
+object GramUtil {
+  /** Positional word-`w`-gram md5 occurrences — the exact-substring-dedup
+    * key stream: one `(p, h)` row per 1-based start position, `h` the
+    * 16-byte md5 of the space-joined gram (identical bytes to
+    * `md5(concat_ws(' ', slice(tokens, p, w)))` — only the hash, never the
+    * text, shuffles). One tokenize pass and one rolling StringBuilder per
+    * document; the composed HOF form re-ran the whitespace-regex
+    * tokenization for every position (O(tokens²) per document —
+    * interpreted lambdas get no subexpression elimination). */
+  def positionalGramHashes(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val trimmed = s.toString.trim
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+    if (toks.length < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](toks.length - w + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val h = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i + 1, h))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Character trigrams WITH multiplicity, codepoint-exact (a surrogate
+    * pair counts as one character, matching `substring`/`length` SQL
+    * semantics and DuckDB's `strlen`/`substr`): one codepoint walk per
+    * document. The `substring(text, i, 3)` HOF form re-scanned the string
+    * from byte 0 for every position (UTF-8 offsets are not random-access),
+    * O(len²) per document. */
+  def charTrigrams(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](n + 1)
+    var ci = 0
+    var k = 0
+    while (ci < str.length) {
+      starts(k) = ci
+      k += 1
+      ci += Character.charCount(str.codePointAt(ci))
+    }
+    starts(n) = str.length
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = UTF8String.fromString(str.substring(starts(i), starts(i + 3)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class PositionalGramHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p", IntegerType, nullable = false),
+    StructField("h", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = "positional_gram_hashes"
+  override def nullSafeEval(v: Any): Any =
+    GramUtil.positionalGramHashes(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.positionalGramHashes($c, $w)")
+  override protected def withNewChildInternal(c: Expression): PositionalGramHashes = copy(child = c)
+}
+
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+  override def nullSafeEval(v: Any): Any =
+    GramUtil.charTrigrams(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.charTrigrams($c)")
+  override protected def withNewChildInternal(c: Expression): CharTrigrams = copy(child = c)
+}
+
 /** 64-bit FNV-1a text fingerprint (codegen'd). */
 case class TextFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -654,6 +742,10 @@ object GraftFunctions {
     ColumnBridge.column(TextFingerprint(expression(c)))
   def text_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(TextShingles(expression(c), n))
+  def positional_gram_hashes(c: Column, w: Int): Column =
+    ColumnBridge.column(PositionalGramHashes(expression(c), w))
+  def char_trigrams(c: Column): Column =
+    ColumnBridge.column(CharTrigrams(expression(c)))
   def minhash_signature(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(expression(c), k))
   def simhash64(c: Column): Column =

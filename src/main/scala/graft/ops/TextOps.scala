@@ -120,12 +120,12 @@ object TextOps {
 
   /** Character trigrams of a document WITH multiplicity (positions
     * `1..len-2`), as a column expression — the unit of the corpus
-    * character language model. */
+    * character language model. Native one-pass expression
+    * ([[graft.functions.GramUtil.charTrigrams]]): the `substring(text, i, 3)`
+    * HOF form re-scanned the UTF-8 bytes from the start for every
+    * position, O(len²) per document. */
   def charTrigrams(text: Column): Column =
-    when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2),
-        i => substring(text, i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.char_trigrams(text)
 
   /**
    * CCNet-style language-model quality scoring without an external model:

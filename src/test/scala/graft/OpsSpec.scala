@@ -101,6 +101,50 @@ class OpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native positional gram hashes are bit-exact with the composed HOF form") {
+    val w = 3
+    val edge = Seq((9000001L, ""), (9000002L, "   "), (9000003L, "a b"),
+      (9000004L, "a b c"), (9000005L, "  x\ty \n z  w ")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select($"doc_id", $"text").unionByName(edge)
+    val toks = TextOps.tokens($"text")
+    // the HOF reference form the native expression replaced (hex md5 string)
+    val hof = when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - w + 1),
+        i => struct(i.as("p"),
+          md5(concat_ws(" ", slice(toks, i, lit(w))).cast("binary")).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:string>>"))
+    val native = graft.functions.GraftFunctions.positional_gram_hashes($"text", w)
+    val diff = docs
+      .select(
+        transform(native, g => struct(g.getField("p").as("p"),
+          lower(hex(g.getField("h"))).as("h"))).as("native"),
+        hof.as("ref"))
+      .where(not($"native" <=> $"ref")).count()
+    assert(diff == 0)
+  }
+
+  test("native char trigrams are codepoint-exact (incl. surrogate pairs)") {
+    val edge = Seq((9000001L, ""), (9000002L, "ab"), (9000003L, "abc"),
+      (9000004L, "abcd"),
+      (9000005L, "a😀b😁"), // 😀/😁: 4 codepoints → 2 trigrams
+      (9000006L, "héllo wörld")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select($"doc_id", $"text").unionByName(edge)
+    // the substring-per-position reference form the native expression replaced
+    val hof = when(length($"text") >= 3,
+      transform(sequence(lit(1), length($"text") - 2),
+        i => substring($"text", i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val diff = docs
+      .select(TextOps.charTrigrams($"text").as("native"), hof.as("ref"))
+      .where(not($"native" <=> $"ref")).count()
+    assert(diff == 0)
+    val emoji = docs.where($"doc_id" === 9000005L)
+      .select(TextOps.charTrigrams($"text")).as[Seq[String]].head()
+    assert(emoji == Seq("a😀b", "😀b😁"))
+  }
+
   test("connected components: chain, triangle, pair; dedup keeps representatives") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
