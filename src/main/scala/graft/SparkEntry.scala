@@ -1095,6 +1095,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d66_contamination_score" -> ((s, dir) => {
+      // graded contamination audit: EVERY doc scored by the fraction of
+      // its distinct 8-grams colliding with the benchmark (d47's test
+      // side) — pipelines threshold the fraction instead of dropping on
+      // one shared gram. Same single-shuffle join; the frac is one exact
+      // double division so both engines agree bitwise.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val test = docs.where("doc_id % 5 = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      CorpusOps.contaminationScore(docs, test, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "d56_fuzzy_decontaminate" -> ((s, dir) => {
       // FUZZY decontamination: the mutated benchmark variants of d47 are
       // caught by exact 8-gram overlap, but a paraphrased test doc need
@@ -1318,6 +1333,25 @@ object SparkEntry {
           k = 5, nlist = 16, nprobe = 16)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    "e43_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: k-means clusters, then cosine pruning inside clusters
+      // only. Planted dups by power-of-two scaling have a cosine of
+      // exactly 1 to every centroid AND to their source (scaling by 2 is
+      // exact and rounding is scale-invariant for powers of two), so they
+      // provably share their source's cluster and get dropped; no organic
+      // pair reaches 0.99 (corpus max < 0.95), so the survivor set and
+      // each survivor's n_dups equal the GLOBAL brute-force answer the
+      // oracle computes — the clustering can be graded exactly.
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.where("vec_id % 10 = 0").select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+      DedupOps.semanticDedup(corpus, "vec_id", "embedding",
+          kClusters = 16, threshold = 0.99)
+        .orderBy("vec_id")
     }),
 
     "e42_incremental_embedding_neardup" -> ((s, dir) => {
@@ -2171,6 +2205,31 @@ object SparkEntry {
 
     "d47_decontaminate" -> DecontaminateOracleSql,
 
+    "d66_contamination_score" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |gs AS (
+         | SELECT doc_id, list_distinct(
+         |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+         |     i -> md5(array_to_string(t[i:i+7], ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END) AS g
+         | FROM toks),
+         |grams AS (SELECT doc_id, unnest(g) AS gram FROM gs),
+         |testg AS (
+         | SELECT DISTINCT unnest(list_distinct(
+         |   CASE WHEN len(tm) >= 8 THEN list_transform(range(1, len(tm) - 6),
+         |     i -> md5(array_to_string(tm[i:i+7], ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         | FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
+         |       FROM toks WHERE doc_id % 5 = 0)),
+         |hits AS (
+         | SELECT g.doc_id, COUNT(*) AS n_shared
+         | FROM grams g JOIN testg USING (gram) GROUP BY g.doc_id)
+         |SELECT gs.doc_id, CAST(len(gs.g) AS BIGINT) AS n_grams,
+         | CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+         | CASE WHEN len(gs.g) = 0 THEN CAST(0 AS DOUBLE)
+         |   ELSE CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(gs.g) END AS frac
+         |FROM gs LEFT JOIN hits h USING (doc_id) ORDER BY gs.doc_id""".stripMargin,
+
     "d58_budget_select" ->
       s"""WITH tc AS (SELECT doc_id, lang, n_chars,
          |  CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
@@ -2385,6 +2444,24 @@ object SparkEntry {
 
     // the batch vectors accepted by the incremental step = those whose
     // brute-force max cosine against the accepted corpus stays below 0.95
+    // brute-force global dedup: provably equals the clustered SemDeDup
+    // output (planted dups share their source's cluster — see the query)
+    "e43_semantic_dedup" ->
+      """WITH corpus AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000 AS vec_id,
+        |        list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+        | FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT e.vec_id,
+        | CAST((SELECT COUNT(*) FROM corpus o WHERE o.vec_id <> e.vec_id
+        |   AND list_cosine_similarity(o.embedding, e.embedding) >= 0.99)
+        |   AS BIGINT) AS n_dups
+        |FROM corpus e
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus o2 WHERE o2.vec_id < e.vec_id
+        |  AND list_cosine_similarity(o2.embedding, e.embedding) >= 0.99)
+        |ORDER BY e.vec_id""".stripMargin,
+
     "e42_incremental_embedding_neardup" ->
       """WITH b AS (
         | SELECT vec_id + 1000000 AS vec_id,

@@ -89,14 +89,14 @@ object CorpusOps {
   /** Word n-grams of `textCol`, hashed to md5 hex (32 bytes ride the
     * shuffle instead of unbounded gram strings); empty when the document
     * has fewer than `n` tokens. */
-  private def gramSet(textCol: Column, n: Int): Column = {
-    val toks = TextOps.tokens(textCol)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => md5(array_join(slice(toks, i, lit(n)), " ").cast("binary"))))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(grams)
-  }
+  /** Distinct word-`n`-gram md5 hex hashes — same bytes as
+    * `md5(array_join(slice(tokens, i, n), ' '))` but via the native
+    * one-pass gram expression (the HOF form re-tokenized per position);
+    * the per-element hex relabel runs over the computed array only. */
+  private def gramSet(textCol: Column, n: Int): Column =
+    array_distinct(transform(
+      graft.functions.GraftFunctions.positional_gram_hashes(textCol, n),
+      g => lower(hex(g.getField("h")))))
 
   /**
    * Train/test decontamination: which training documents share at least
@@ -145,6 +145,32 @@ object CorpusOps {
       .join(broadcast(testGrams), "gram")
       .groupBy(idCol) // grams are distinct per doc: count == distinct count
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
+   * Per-document contamination AUDIT — the graded counterpart of the
+   * boolean [[ngramOverlap]] drop: every training document scored by the
+   * fraction of its distinct word-`n`-grams that collide with the
+   * test/benchmark suite (`n_shared / n_grams`). Pipelines threshold this
+   * (drop ≥ x%, flag ≥ y%) instead of dropping on a single shared gram;
+   * zero-gram docs score 0.
+   *
+   * 100 TB design: identical join shape to [[ngramOverlap]] (one shuffle
+   * on the gram hash, test side broadcast) plus a map-only per-doc gram
+   * count — the left join back to the corpus adds no second scan of the
+   * gram stream.
+   */
+  def contaminationScore(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8): DataFrame = {
+    val overlap = ngramOverlap(train, test, idCol, textCol, n)
+    train
+      .select(col(idCol), size(gramSet(col(textCol), n)).cast("long").as("n_grams"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_grams")).as("frac"))
   }
 
   /**

@@ -52,6 +52,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(saturated == exact)
   }
 
+  test("contaminationScore: per-doc fraction, zero rows kept, short docs 0") {
+    val train = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // 2 grams, 1 shared → 0.5
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8"),     // 1 gram, clean → 0.0
+      (3L, "short doc")).toDF("doc_id", "text") // no grams → 0.0
+    val test = Seq(Tuple1("zz t1 t2 t3 t4 t5 t6 t7 t8")).toDF("text")
+    val scored = CorpusOps.contaminationScore(train, test, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(scored == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0), (3L, 0L, 0L, 0.0)))
+  }
+
   test("qualityReasons: stable reason strings, keep == empty reasons") {
     val good = ("the a of and to in is " + (1 to 20).map(i => s"word$i").mkString(" "))
     val docs = Seq(

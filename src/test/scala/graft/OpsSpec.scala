@@ -145,6 +145,21 @@ class OpsSpec extends AnyFunSuite {
     assert(emoji == Seq("a😀b", "😀b😁"))
   }
 
+  test("semanticDedup: identical-direction dups dropped in-cluster, orthogonal rows survive") {
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),   // same direction as 1 → dropped (larger id)
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 2f, 0f, 0f)),   // same direction as 3 → dropped
+      (5L, Array(0f, 0f, 1f, 0f)),   // unique
+      (6L, Array(0f, 0f, 0f, 1f)))   // unique
+      .toDF("vec_id", "embedding")
+    val out = DedupOps.semanticDedup(rows, "vec_id", "embedding",
+        kClusters = 3, threshold = 0.99, trainSample = 10)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (3L, 1L), (5L, 0L), (6L, 0L)))
+  }
+
   test("connected components: chain, triangle, pair; dedup keeps representatives") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
