@@ -331,17 +331,18 @@ object CorpusOps {
     * Map-only: the gram list never leaves its row. */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol),
-      size(grams).cast("long").as("n_grams"),
-      when(size(grams) === 0, lit(0.0))
-        .otherwise(lit(1.0) -
-          size(array_distinct(grams)).cast("double") / size(grams))
-        .as("dup_fraction"))
+    // native one-pass grams (the HOF form re-tokenized per position);
+    // distinct-over-16-byte-hashes == distinct-over-gram-text
+    val grams = transform(
+      graft.functions.GraftFunctions.positional_gram_hashes(col(textCol), n),
+      g => g.getField("h"))
+    df.select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        when(size(col("__g")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("__g"))).cast("double") / size(col("__g")))
+          .as("dup_fraction"))
   }
 
   /** RAG-style chunking: fixed `chunkTokens`-token windows every

@@ -144,6 +144,51 @@ object CorpusScaleProbe {
       s"mojibake must score in the bottom 1%: $below organic docs below it")
     println(f"d65 OK: mojibake avg_logp $junkScore%.2f, $below of $nDocs below it")
 
+    // 7. d51 repetition score (native gram path): full corpus, sane range
+    val repScored = CorpusOps.repetitionScore(docs, "doc_id", "text", n = 2).cache()
+    timed("d51 repetitionScore @50k docs")(repScored.count())
+    val repBad = repScored.where(col("dup_fraction") < 0 || col("dup_fraction") > 1).count()
+    assert(repBad == 0, "dup_fraction must stay in [0,1]")
+    repScored.unpersist()
+    println("d51 OK: native gram path over 50k docs")
+
+    // 8. e43 SemDeDup at 20k vectors: planted x2-scaled dups (cosine
+    // exactly 1, provably same cluster) — survivors must be EXACTLY the
+    // originals, each planted source reporting exactly its one dup
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val nVec = emb.count()
+    val plantedEmb = emb.where(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 1000000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val nPlantedEmb = plantedEmb.count()
+    val sem = DedupOps.semanticDedup(
+      emb.unionByName(plantedEmb), "vec_id", "embedding",
+      kClusters = 64, threshold = 0.99).cache()
+    val nSurv = timed(s"e43 semanticDedup @${nVec + nPlantedEmb} vectors")(sem.count())
+    assert(nSurv == nVec, s"survivors must be exactly the originals: $nSurv vs $nVec")
+    val wrongDups = sem.where(
+      (col("vec_id") % 10 === 0 && col("n_dups") =!= 1) ||
+      (col("vec_id") % 10 =!= 0 && col("n_dups") =!= 0)).count()
+    assert(wrongDups == 0, s"$wrongDups survivors have a wrong n_dups")
+    sem.unpersist(); emb.unpersist()
+    println(s"e43 OK: $nPlantedEmb planted dups all dropped, n_dups exact")
+
+    // 9. d66 contamination score at 50k docs: every truncated-variant
+    // source must score > 0; the corpus-wide hit count stays plausible
+    val testSide = docs.where(col("doc_id") % 50 === 0).select(
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), lit(1),
+        greatest(size(split(trim(col("text")), "\\s+")) - 1, lit(1)))).as("text"))
+    val contam = CorpusOps.contaminationScore(docs.select("doc_id", "text"),
+      testSide, "doc_id", "text", n = 8).cache()
+    val nContam = timed("d66 contaminationScore @50k docs")(contam.count())
+    assert(nContam == nDocs, "every doc must be scored")
+    val missedSources = contam.where(
+      col("doc_id") % 50 === 0 && col("n_grams") >= 9 && col("n_shared") === 0).count()
+    assert(missedSources == 0, s"$missedSources truncation sources scored 0")
+    contam.unpersist()
+    println("d66 OK: all truncation sources detected over 50k docs")
+
     println("ALL CORPUS SCALE PROBES DONE")
     spark.stop()
   }
