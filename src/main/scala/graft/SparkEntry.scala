@@ -940,6 +940,38 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    "s49_stream_cdc_replicate" -> ((s, dir) => {
+      // CDC replication, the classic changelog consumer: DML commits on
+      // the source (append → upsert → COW delete) stream as row-level
+      // changes (read-changes=true) and foreachBatch(applyChanges) keeps
+      // a mirror table exactly equal — per-key fold to the last commit in
+      // the batch, delete propagation, update absorption via merge.
+      val wh = java.nio.file.Files.createTempDirectory("graft-s49").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val base = t(s, dir, "orders").where("o_orderkey % 10 = 3")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val src = cat.createTable("default.cdc_src",
+        SparkSchemaConverter.fromSpark(base.schema))
+      val tgt = cat.createTable("default.cdc_tgt",
+        SparkSchemaConverter.fromSpark(base.schema))
+      src.append(base)
+      src.upsert(s, base.where("o_orderkey % 20 = 3")
+        .selectExpr("o_orderkey", "o_totalprice + 10 AS o_totalprice",
+          "o_orderstatus"), Seq("o_orderkey"))
+      src.delete(s, Seq(EqPred("o_orderstatus", "F")))
+      val cp = java.nio.file.Files.createTempDirectory("graft-s49-cp").toString
+      val q = s.readStream.format("graft").option("read-changes", "true")
+        .load(s"$wh/default/cdc_src")
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.streaming.StreamingOps.applyChanges(s, batch, tgt,
+            Seq("o_orderkey"))
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      tgt.refresh().toDF(s).orderBy("o_orderkey")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -1928,6 +1960,16 @@ object SparkEntry {
 
     "s48_stream_to_table" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300 ORDER BY doc_id",
+
+    "s49_stream_cdc_replicate" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |              FROM orders WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice + 10
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM base WHERE o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "d64_tfidf_keywords" ->
       s"""WITH occ AS (

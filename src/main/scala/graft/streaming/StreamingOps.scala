@@ -424,6 +424,13 @@ object StreamingOps {
           val moreDeleted = tasksS.filter(t => pPaths(t.filePath) &&
             pByPath(t.filePath).deleteFiles.map(_.filePath).toSet !=
               t.deleteFiles.map(_.filePath).toSet)
+          // this commit's NEW delete files per carried file (applicability
+          // is per-task, so carried files only gain deletes committed here)
+          val newDeletes = moreDeleted.map { t =>
+            val old = pByPath(t.filePath).deleteFiles.map(_.filePath).toSet
+            t.filePath -> t.deleteFiles.filterNot(d => old(d.filePath))
+          }.toMap
+          val eqIdSets = newDeletes.values.flatten.map(_.equalityIds.toSet).toSet
           if (removed.isEmpty && added.isEmpty && moreDeleted.isEmpty) None
           else if (removed.isEmpty && moreDeleted.isEmpty) {
             // adds-only commit under a non-append operation: same map-only
@@ -431,6 +438,42 @@ object StreamingOps {
             // still pay a full shuffle of the inserts
             Some(stamp(scanS.materializeTasks(spark, added)
               .withColumn("_change_type", lit("insert"))))
+          } else if (removed.isEmpty &&
+              newDeletes.values.flatten.forall(_.content == 2) &&
+              eqIdSets.size == 1 && eqIdSets.head.nonEmpty &&
+              eqIdSets.head.forall(id =>
+                table.metadata.currentSchema.fieldById(id).isDefined)) {
+            // MOR upsert/equality-delete commit (the dominant CDC shape
+            // after pure appends): rows can only disappear by the NEW
+            // equality-delete keys, so the deletes are the parent-live
+            // rows of the affected files that match those keys — one
+            // broadcast semi join, no exceptAll shuffle of wide rows.
+            // Same-sequence scoping means the new keys never hide this
+            // commit's own added files, so the inserts stay map-only.
+            // NB unlike the exceptAll path this emits delete+insert even
+            // for an update that rewrote a row to an identical value —
+            // the delete-file semantics, matching what a changelog
+            // consumer keyed on the equality ids expects.
+            val idCols = eqIdSets.head.toSeq.sorted
+              .map(id => table.metadata.currentSchema.fieldById(id).get.name)
+            val delFiles = newDeletes.values.flatten.toSeq.distinctBy(_.filePath)
+            val keyFrame = spark.read.parquet(delFiles.map(_.filePath): _*)
+              .select(idCols.map(c => col(c).as(s"__d_$c")): _*).distinct()
+            val keys =
+              if (delFiles.map(_.fileSizeInBytes).sum <= 32L * 1024 * 1024)
+                broadcast(keyFrame)
+              else keyFrame
+            val parentLive = scanP.materializeTasks(spark,
+              tasksP.filter(t => newDeletes.contains(t.filePath)))
+            // equality deletes treat NULL as a matching value (Iceberg
+            // semantics), so the semi join is null-safe per column
+            val cond = idCols.map(c => parentLive(c) <=> keys(s"__d_$c"))
+              .reduce(_ && _)
+            val del = parentLive.join(keys, cond, "left_semi")
+              .withColumn("_change_type", lit("delete"))
+            val ins = scanS.materializeTasks(spark, added)
+              .withColumn("_change_type", lit("insert"))
+            Some(stamp(del.unionAll(ins)))
           } else {
             val oldAffected = scanP.materializeTasks(spark,
               removed ++ tasksP.filter(t => moreDeleted.exists(_.filePath == t.filePath)))
@@ -464,6 +507,66 @@ object StreamingOps {
     }
     last
   }
+
+  /**
+   * Apply ONE batch of row-level changes (the `_change_type` /
+   * `_commit_snapshot_id` / `_commit_sequence` frame produced by
+   * [[changesBetween]] or the streaming `read-changes=true` source) to a
+   * mirror table, keyed by `keys` — the changelog-replication consumer
+   * (`foreachBatch(applyChanges(...))` on the CDC stream, or
+   * [[replicateChanges]] for the batch loop).
+   *
+   * A batch may span several commits, so the fold is per key: only the
+   * LAST commit touching a key decides its fate — an insert there upserts
+   * the row, a delete with no re-insert removes it. Within one commit an
+   * update surfaces as delete(old)+insert(new) on the same key, which the
+   * upsert absorbs. Keys must be unique in the source table (the contract
+   * its own upsert enforces); a duplicate source key in the final fold is
+   * rejected loudly by merge rather than applied nondeterministically.
+   *
+   * Scale shape: one shuffle of the BATCH on the key columns for the
+   * fold, then two merges whose target planning prunes by the batch's key
+   * bounds — a CDC batch touching one day of a 100 TB mirror reads and
+   * rewrites that day's files, never the table (merge-on-read mode on the
+   * mirror keeps even that write O(changed rows)).
+   */
+  def applyChanges(spark: SparkSession, changes: DataFrame, target: Table,
+                   keys: Seq[String]): Unit = {
+    import graft.table.{WhenMatched, WhenNotMatched}
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "applyChanges requires key columns")
+    val metaCols = Seq("_change_type", "_commit_snapshot_id", "_commit_sequence")
+    val latest = changes
+      .withColumn("__latest_seq",
+        max(col("_commit_sequence")).over(Window.partitionBy(keys.map(col): _*)))
+      .where(col("_commit_sequence") === col("__latest_seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts = latest.where(col("_change_type") === "insert")
+        .drop("__latest_seq").drop(metaCols: _*)
+      val deletes = latest.where(col("_change_type") === "delete")
+        .drop("__latest_seq").drop(metaCols: _*)
+        .join(upserts.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      if (!deletes.isEmpty)
+        target.merge(spark, deletes, keys,
+          whenMatched = WhenMatched.Delete,
+          whenNotMatched = WhenNotMatched.Ignore)
+      if (!upserts.isEmpty)
+        target.merge(spark, upserts, keys)
+    } finally latest.unpersist()
+  }
+
+  /** Drive [[applyChanges]] over every commit of `source` made since
+    * `fromSnapshotId` — the batch CDC-replication loop (one mirror merge
+    * per source commit; the continuous form is the `read-changes=true`
+    * stream + `foreachBatch(applyChanges)`). Returns the last replicated
+    * snapshot id to checkpoint for the next run. */
+  def replicateChanges(spark: SparkSession, source: Table, target: Table,
+                       keys: Seq[String],
+                       fromSnapshotId: Option[Long] = None): Option[Long] =
+    processAvailableChanges(spark, source, fromSnapshotId) { (changes, _) =>
+      applyChanges(spark, changes, target, keys)
+    }
 
   /** Drive a consumer over every commit made since `fromSnapshotId`,
     * invoking `process(batchDf, snapshotId)` once per snapshot in commit

@@ -683,4 +683,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.flatMap(_._2).toSet == changes(None).map(c => (c._1, c._2, c._3)))
     assert(seen.toMap.apply(sids(3)).isEmpty && seen.toMap.apply(sids(4)).isEmpty)
   }
+
+  test("replicateChanges mirrors DML commits and resumes from a checkpoint") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false)))
+    val src = cat.createTable("repl_src", schema)
+    val tgt = cat.createTable("repl_tgt", schema)
+    def mirror() = tgt.refresh().toDF(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    def live() = src.refresh().toDF(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+
+    src.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"))
+    src.upsert(spark, Seq((2L, "B2"), (4L, "d")).toDF("id", "k"), Seq("id"))
+    src.delete(spark, Seq(graft.table.EqPred("id", 1L)))
+    val ckpt = StreamingOps.replicateChanges(spark, src, tgt, Seq("id"))
+    assert(ckpt == src.currentSnapshotId)
+    assert(mirror() == live() && mirror() == Set(2L -> "B2", 3L -> "c", 4L -> "d"))
+
+    // resume from the checkpoint: only the two new commits replay
+    src.refresh().upsert(spark, Seq((3L, "C3"), (5L, "e")).toDF("id", "k"), Seq("id"))
+    src.delete(spark, Seq(graft.table.EqPred("id", 4L)))
+    val ckpt2 = StreamingOps.replicateChanges(spark, src, tgt, Seq("id"), ckpt)
+    assert(ckpt2 == src.currentSnapshotId)
+    assert(mirror() == live() &&
+      mirror() == Set(2L -> "B2", 3L -> "C3", 5L -> "e"))
+    // idempotent past the checkpoint: nothing new, mirror untouched
+    val before = tgt.refresh().currentSnapshotId
+    assert(StreamingOps.replicateChanges(spark, src, tgt, Seq("id"), ckpt2) == ckpt2)
+    assert(tgt.refresh().currentSnapshotId == before)
+  }
+
+  test("applyChanges folds a multi-commit batch per key to the last commit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false)))
+    val tgt = cat.createTable("fold_tgt", schema)
+    tgt.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    def chg(id: Long, k: String, op: String, seq: Long) =
+      (id, k, op, 0L, seq)
+    // one batch spanning three commits:
+    //  id 1: updated at seq 1, DELETED at seq 2       -> gone
+    //  id 2: deleted at seq 1, re-INSERTED at seq 2   -> k = "B2"
+    //  id 3: inserted at seq 1, updated at seq 2      -> k = "c2"
+    //  id 4: inserted at seq 3 only                   -> k = "d"
+    val batch = Seq(
+      chg(1L, "a1", "insert", 1L), chg(1L, "a", "delete", 1L),
+      chg(1L, "a1", "delete", 2L),
+      chg(2L, "b", "delete", 1L),
+      chg(2L, "B2", "insert", 2L),
+      chg(3L, "c", "insert", 1L),
+      chg(3L, "c", "delete", 2L), chg(3L, "c2", "insert", 2L),
+      chg(4L, "d", "insert", 3L))
+      .toDF("id", "k", "_change_type", "_commit_snapshot_id", "_commit_sequence")
+    StreamingOps.applyChanges(spark, batch, tgt, Seq("id"))
+    assert(tgt.refresh().toDF(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      Set(2L -> "B2", 3L -> "c2", 4L -> "d"))
+  }
 }
