@@ -763,7 +763,10 @@ object SparkEntry {
       val ev =
         if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+        else
+          // timestamp[us] testdata reads as TIMESTAMP_NTZ, but watermarks
+          // require TIMESTAMP; the session tz is UTC so the cast is exact
+          raw.withColumn("ts", col("ts").cast("timestamp"))
       val out = graft.streaming.StreamingOps
         .windowedCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
       val sink = s"stream_win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1487,11 +1490,11 @@ object SparkEntry {
        |      i -> {'p': i, 'h': md5(array_to_string(t[i:i+$w-1], ' '))})) AS u
        |    FROM toks) z
        |), firsts AS (
-       |  SELECT h, MIN(doc_id*1000000+p) AS fk FROM occ GROUP BY h
+       |  SELECT h, MIN({'i': doc_id, 'p': p}) AS fk FROM occ GROUP BY h
        |), dups AS (
        |  SELECT o.doc_id, o.p AS s, o.p + $w - 1 AS e
        |  FROM occ o JOIN firsts f ON o.h = f.h
-       |  WHERE o.doc_id*1000000+o.p <> f.fk
+       |  WHERE {'i': o.doc_id, 'p': o.p} <> f.fk
        |), isl AS (
        |  SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ni
@@ -2077,12 +2080,12 @@ object SparkEntry {
         |), f2 AS (
         |  SELECT doc_id, l.idx AS idx, l.line AS line FROM flat
         |), firsts AS (
-        |  SELECT line, MIN(doc_id * 1000000 + idx) AS first_k
+        |  SELECT line, MIN({'i': doc_id, 'p': idx}) AS first_k
         |  FROM f2 WHERE len(line) > 0 GROUP BY line
         |), kept AS (
         |  SELECT f.doc_id, f.idx, f.line
         |  FROM f2 f JOIN firsts fi ON f.line = fi.line
-        |  WHERE len(f.line) > 0 AND f.doc_id * 1000000 + f.idx = fi.first_k
+        |  WHERE len(f.line) > 0 AND {'i': f.doc_id, 'p': f.idx} = fi.first_k
         |  UNION ALL
         |  SELECT doc_id, idx, line FROM f2 WHERE len(line) = 0
         |), totals AS (

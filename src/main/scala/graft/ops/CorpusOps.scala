@@ -39,14 +39,18 @@ object CorpusOps {
    * `lines_dropped`.
    *
    * 100 TB design: first-occurrence keys are a map-side-combinable
-   * `min` aggregate per distinct line (the shuffle ships one candidate
-   * per line per map partition, not one per occurrence — a header
-   * repeated 10⁹ times costs its distinct self, not its copies). The
-   * exploded corpus then joins that first-occurrence set on the line
-   * hash; empty lines are structural, always kept, and never shuffled
-   * (they would otherwise be the hottest key in the corpus). Reassembly
-   * groups by document — the id-hash shuffle — and sorts each doc's
-   * surviving lines in memory (docs are bounded; the corpus is not).
+   * `min` over the `(id, idx)` STRUCT — struct ordering is
+   * lexicographic, so the key works for ANY orderable id type (string
+   * doc ids, ids past 2⁶³/10⁶, documents longer than 10⁶ lines — all
+   * of which silently corrupt an arithmetic-packed long key). The
+   * shuffle ships one candidate per distinct line per map partition,
+   * keyed by the 16-byte `md5(line)` — raw line text never rides a
+   * shuffle. The exploded corpus then joins that first-occurrence set
+   * on the same hash; empty lines are structural, always kept, and
+   * never shuffled (they would otherwise be the hottest key in the
+   * corpus). Reassembly groups by document — the id-hash shuffle — and
+   * sorts each doc's surviving lines in memory (docs are bounded; the
+   * corpus is not).
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
@@ -55,13 +59,14 @@ object CorpusOps {
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .select(col(idCol), (col("pos") + 1).as("idx"), col("col").as("line"))
     val content = lines.where(length(col("line")) > 0)
-    // first occurrence per line: one combinable aggregate, keyed compactly
-    val firstKey = (col(idCol).cast("long") * lit(1000000L) + col("idx")).as("k")
-    val firsts = content.select(col("line"), firstKey)
-      .groupBy("line").agg(min("k").as("first_k"))
+      .withColumn("lh", md5(col("line").cast("binary")))
+    // first occurrence per line: one combinable struct-min aggregate
+    val firstKey = struct(col(idCol), col("idx"))
+    val firsts = content.select(col("lh"), firstKey.as("k"))
+      .groupBy("lh").agg(min("k").as("first_k"))
     val kept = content
-      .join(firsts, "line")
-      .where(col(idCol).cast("long") * lit(1000000L) + col("idx") === col("first_k"))
+      .join(firsts, "lh")
+      .where(firstKey === col("first_k"))
       .select(col(idCol), col("idx"), col("line"))
       .unionByName(lines.where(length(col("line")) === 0)) // structural lines stay
     val totals = lines.groupBy(idCol).agg(count(lit(1)).as("lines_total"))
@@ -182,19 +187,69 @@ object CorpusOps {
    * training pipelines truncate mid-document rather than waste budget;
    * callers wanting strict fit subtract one doc's worth).
    *
-   * 100 TB design: one hash partition on the stratum + a window inside
-   * each — no global sort (same shape as [[packSequences]]). Ordering is
-   * total and deterministic: (quality DESC, id ASC).
+   * 100 TB design: TWO-PHASE, so no stratum is ever sorted whole in one
+   * task. Phase 1 buckets each stratum by quality range (`numBuckets`
+   * equal-width slices of [min,max] quality — bucketing only needs to be
+   * monotone in the sort order, so double rounding cannot change results)
+   * and computes per-bucket token totals plus a running total over the
+   * tiny strata×buckets stats table. Every bucket whose cumulative total
+   * stays under the budget is kept WHOLE (map-only filter, never sorted);
+   * buckets starting at or past the budget are dropped whole; exactly ONE
+   * budget-straddling bucket per stratum pays a window sort — ~1/numBuckets
+   * of the stratum, not the stratum. Degenerate quality distributions
+   * (constant, non-numeric, all-NaN) collapse to one bucket and behave
+   * exactly like the single-window plan. The keep decision itself is exact
+   * integer token arithmetic; doubles appear only in bucket ASSIGNMENT.
+   * Ordering is total and deterministic: (quality DESC NULLS LAST, id ASC).
    */
   def selectWithinBudget(df: DataFrame, idCol: String, strataCol: String,
                          qualityCol: String, tokensCol: String,
-                         budgetPerStratum: Long): DataFrame = {
-    val w = Window.partitionBy(strataCol)
+                         budgetPerStratum: Long, numBuckets: Int = 64): DataFrame = {
+    val outCols = df.columns.toSeq.map(col)
+    val qd = col(qualityCol).cast("double")
+    // per-stratum quality range over finite values (NaN sorts above every
+    // double in Spark, so it maps to the top bucket explicitly, and an
+    // all-NaN/null stratum leaves the range null → single-bucket fallback)
+    val qFinite = when(isnan(qd), lit(null).cast("double")).otherwise(qd)
+    val range = df.groupBy(strataCol)
+      .agg(min(qFinite).as("_q_min"), max(qFinite).as("_q_max"))
+    val span = col("_q_max") - col("_q_min")
+    val bRaw = floor((col("_q_max") - qd) / span * numBuckets)
+    val bucket =
+      when(col(qualityCol).isNull, lit(numBuckets.toLong + 1L)) // sorts last
+        .when(isnan(qd), lit(0L)) // sorts first (Spark: NaN > any double)
+        .otherwise(coalesce(
+          least(greatest(bRaw, lit(0L)), lit(numBuckets.toLong - 1L)),
+          lit(0L)))
+    val withB = df.join(broadcast(range), Seq(strataCol))
+      .withColumn("_b", bucket)
+      .drop("_q_min", "_q_max")
+    // strata × buckets rows: token totals and the running total across
+    // buckets in quality order — tiny, broadcast back to the corpus
+    val cumW = Window.partitionBy(strataCol).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = withB.groupBy(col(strataCol), col("_b"))
+      .agg(sum(col(tokensCol).cast("long")).as("_btoks"))
+      .withColumn("_cum", sum("_btoks").over(cumW))
+      .withColumn("_cum_before", col("_cum") - col("_btoks"))
+      .drop("_btoks")
+    val tagged = withB.join(broadcast(stats), Seq(strataCol, "_b"))
+    // keep-whole: every doc's before-it total < its bucket's end < budget
+    // (null-token docs drop here too — the windowed form's null arithmetic
+    // always excluded them)
+    val keepAll = tagged.where(
+      col("_cum") < budgetPerStratum && col(tokensCol).isNotNull)
+    // the one straddling bucket per stratum: exact windowed decision,
+    // offset by the tokens in the (whole-kept) buckets before it
+    val straddle = tagged.where(
+      col("_cum") >= budgetPerStratum && col("_cum_before") < budgetPerStratum)
+    val w = Window.partitionBy(col(strataCol), col("_b"))
       .orderBy(col(qualityCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
-      .where(col("cum_tokens") - col(tokensCol) < budgetPerStratum)
-      .drop("cum_tokens")
+    val straddleKept = straddle
+      .withColumn("_run", sum(col(tokensCol).cast("long")).over(w))
+      .where(col("_cum_before") + col("_run") - col(tokensCol) < budgetPerStratum)
+    keepAll.select(outCols: _*).unionByName(straddleKept.select(outCols: _*))
   }
 
   /**

@@ -92,6 +92,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("selectWithinBudget: two-phase bucketed plan equals the single-window reference") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus: quality ties, zero-token docs,
+    // a null quality, several strata of very different sizes
+    val rows = (1 to 500).map { i =>
+      val lang = if (i % 7 == 0) "fr" else if (i % 11 == 0) "de" else "en"
+      val q: java.lang.Double =
+        if (i == 123) null
+        else java.lang.Double.valueOf(((i * 2654435761L) % 97).toDouble / 10.0)
+      val tok = if (i % 53 == 0) 0L else ((i * 40503L) % 300) + 1L
+      (i.toLong, lang, q, tok)
+    }
+    val docs = rows.toDF("id", "lang", "q", "tok")
+    // the old exact single-window semantics, inline as the oracle
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("q").desc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = docs.withColumn("c", sum(col("tok")).over(w))
+      .where(col("c") - col("tok") < 3000L)
+      .select("id").as[Long].collect().toSet
+    for (buckets <- Seq(1, 3, 64)) {
+      val got = CorpusOps.selectWithinBudget(
+        docs, "id", "lang", "q", "tok", 3000L, numBuckets = buckets)
+        .select("id").as[Long].collect()
+      assert(got.length == got.distinct.length, s"dup rows at numBuckets=$buckets")
+      assert(got.toSet == want, s"mismatch at numBuckets=$buckets")
+    }
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i => (i.toLong, s"doc number $i content", if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "text", "lang")
@@ -246,5 +276,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, "boiler\nalpha\n\nbeta", 4L, 0L),
       (2L, "gamma", 1L, 1L),
       (3L, "", 0L, 1L)))
+  }
+
+  test("dedupLines: string doc ids dedup correctly (no silent null-key loss)") {
+    // an arithmetic id*1e6+idx key casts string ids to NULL and drops
+    // every content line; the struct key orders any id type
+    val docs = Seq(
+      ("alpha", "boiler\nkeep-a"),
+      ("beta", "boiler\nkeep-b")).toDF("doc_id", "text")
+    val out = CorpusOps.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("alpha", "boiler\nkeep-a", 0L),
+      ("beta", "keep-b", 1L)))
+  }
+
+  test("dedupLines: a >1e6-line document does not bleed into the next id's key space") {
+    // packed keys collide here: (id=1, idx=1000002) and (id=2, idx=2)
+    // both packed to 2000002 — first-bearer attribution went to BOTH;
+    // the lexicographic struct key keeps doc 1's copy and drops doc 2's
+    val big = (1 to 1000010)
+      .map(i => if (i == 1000002) "shared-line" else s"u$i").mkString("\n")
+    val docs = Seq((1L, big), (2L, "other\nshared-line\nmore")).toDF("doc_id", "text")
+    val out = CorpusOps.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1000010L, 0L), (2L, 2L, 1L)))
   }
 }
