@@ -11,7 +11,15 @@ val cat = new HadoopCatalog(wh)
 val schema = Schema(0, Seq(NestedField(1,"event_id",ILong), NestedField(2,"ts",ITimestamp), NestedField(3,"event_type",IString), NestedField(4,"value",IDouble)))
 val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "ts_hour", "hour")))
 val t = cat.createTable("events", schema, partitionSpec = spec)
-val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").selectExpr("event_id","cast(timestamp_micros(cast(ts/1000 as long)) as timestamp_ntz) as ts","event_type","value").limit(500)
+// events.ts has been INT64 TIMESTAMP(NANOS) in some testdata generations
+// (readable only via nanosAsLong) and plain timestamp[us] in others —
+// adapt by the schema actually read, like SparkEntry.t()
+val rawEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+val tsExpr =
+  if (rawEvents.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    "cast(timestamp_micros(cast(ts/1000 as long)) as timestamp_ntz) as ts"
+  else "cast(ts as timestamp_ntz) as ts"
+val src = rawEvents.selectExpr("event_id", tsExpr, "event_type", "value").limit(500)
 t.append(src)
 println("HOUR-PARTITIONED APPEND OK; files=" + t.scan().planFiles().size + " rows=" + t.toDF(spark).count())
 println("partitions sample=" + t.scan().planFiles().take(3).map(_.file.partition).mkString(","))
