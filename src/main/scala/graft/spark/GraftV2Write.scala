@@ -243,7 +243,7 @@ private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFact
   override def commit(): WriterCommitMessage = {
     open.values.foreach { o => o.writer.close(); closed += ((o.path, o.partition)) }
     open.clear()
-    val files = closed.toSeq.map { case (p, partition) =>
+    val all = closed.toSeq.map { case (p, partition) =>
       val fs = p.getFileSystem(conf)
       val stats = ParquetStats.read(conf, p)
       DataFile(
@@ -255,7 +255,15 @@ private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFact
         lowerBounds = stats.lowerBounds,
         upperBounds = stats.upperBounds,
         nullCounts = stats.nullCounts)
-    }.filter(_.recordCount > 0L)
+    }
+    // zero-record files are dropped from the commit AND deleted — leaving
+    // them on disk orphans them until removeOrphanFiles (the abort path
+    // already deletes everything it wrote)
+    val (files, empty) = all.partition(_.recordCount > 0L)
+    empty.foreach { d =>
+      val p = new Path(d.filePath)
+      try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => }
+    }
     GraftWriteCommit(files)
   }
 
