@@ -975,6 +975,38 @@ object SparkEntry {
       tgt.refresh().toDF(s).orderBy("o_orderkey")
     }),
 
+    "s50_stream_sessionize" -> ((s, dir) => {
+      // event-time sessionization on a STREAM: Spark's native
+      // session_window state store (merging windows, watermark eviction)
+      // — the streaming mirror of q18_sessionize. APPEND mode emits only
+      // watermark-closed sessions, so state is provably bounded by the
+      // open sessions; the oracle applies the same cutoff (session_end <=
+      // final watermark) to a batch gaps-and-islands rebuild. Session
+      // semantics pinned by the oracle: an event exactly `gap` after the
+      // previous one starts a NEW session (windows [t, t+gap) merge only
+      // when they OVERLAP), which is q18's `> gap` test shifted to `>=`.
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev =
+        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      val out = graft.streaming.StreamingOps
+        .sessionWindows(ev, "ts", "user_id", "30 minutes", "10 minutes")
+      val sink = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -1368,6 +1400,19 @@ object SparkEntry {
           k = 5, nlist = 16, nprobe = 16)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    "e44_knn_graph" -> ((s, dir) => {
+      // the all-pairs neighbor graph at the provably-exact setting
+      // (nprobe = nlist ⇒ every pair meets exactly once through the
+      // neighbor's unique cell) — oracle is the brute-force cross join;
+      // approximate nprobe recall is spec-tested
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 16)
+        .select(col("src_id"), col("nbr_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("src_id", "rank")
     }),
 
     "e43_semantic_dedup" -> ((s, dir) => {
@@ -1974,6 +2019,25 @@ object SparkEntry {
         |FROM base WHERE o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
 
+    "s50_stream_sessionize" ->
+      """WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS wm
+        |            FROM events),
+        |e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, ts, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |             OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |         FROM m),
+        |g AS (SELECT user_id, sid, min(ts) AS session_start,
+        |        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |        COUNT(*) AS n_events
+        |      FROM sess GROUP BY 1, 2)
+        |SELECT session_start, session_end, user_id, n_events
+        |FROM g, mx WHERE session_end <= wm
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "d64_tfidf_keywords" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest($ToksSql) AS token FROM documents
@@ -2213,6 +2277,15 @@ object SparkEntry {
     "e38_knn_lsh" -> KnnOracleSql,
     // full-probe IVF == brute force (see the query's doc)
     "e40_knn_ivf" -> KnnOracleSql,
+
+    "e44_knn_graph" ->
+      """WITH s AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |   list_cosine_similarity(b.embedding, a.embedding) AS c
+        | FROM embeddings a CROSS JOIN embeddings b
+        | WHERE a.vec_id <> b.vec_id)
+        |SELECT src_id, nbr_id,
+        | CAST(row_number() OVER (PARTITION BY src_id ORDER BY c DESC, nbr_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 3 ORDER BY src_id, rank""".stripMargin,
 
     "d34_minhash_pairs" ->
       s"""WITH corpus AS (

@@ -73,6 +73,49 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /**
+   * All-pairs k-NN GRAPH over the corpus — every vector's top-k nearest
+   * neighbors among all OTHER vectors: the primitive under SemDeDup-style
+   * semantic clustering, graph-based near-dup mining, and label
+   * propagation. Unlike the query-batch paths, BOTH sides are the corpus,
+   * so nothing is broadcast:
+   *
+   *  1. TRAIN: the same bounded-sample spherical k-means as [[topKIvf]].
+   *  2. ASSIGN: every vector → its nearest-centroid cell (map-only).
+   *  3. PROBE: every vector → its `nprobe` nearest cells (map-only
+   *     explode).
+   *  4. JOIN: probes ⋈ assignments on the cell id — a SHUFFLE hash join;
+   *     both sides hash-partition by cell, so the comparison volume is
+   *     ~|corpus|·nprobe/nlist per vector and no single task ever holds
+   *     the corpus. A hot cell splits under AQE skew handling; `nlist`
+   *     scales with the corpus so cells stay executor-sized.
+   *  5. RERANK: exact cosine + per-vector top-k window.
+   *
+   * Self-pairs are excluded. At nprobe == nlist every (a,b) pair meets
+   * exactly once (b lives in exactly ONE cell and a probes every cell),
+   * so the graph provably equals brute force — the oracle-checked
+   * configuration; approximate nprobe settings are recall-tested in the
+   * spec. Output: (src_id, nbr_id, cosine, rank), rank 1..k per src.
+   */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, nlist: Int = 16, nprobe: Int = 4,
+               trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    val sample: Array[Array[Float]] = corpus.select(col(vecCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centers = trainKmeans(sample, nlist, iters = 10, seed)
+    val cells = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
+      GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"))
+    val probes = corpus.select(col(idCol).as("src_id"), col(vecCol).as("qvec"),
+      explode(GraftFunctions.nearest_centroids(col(vecCol), centers, nprobe)).as("cell"))
+    val scored = cells.join(probes, Seq("cell"))
+      .where(col("src_id") =!= col("nbr_id"))
+      .select(col("src_id"), col("nbr_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Deterministic spherical k-means on a driver-side sample: seeded
     * distinct-point init, cosine assignment, mean re-centering. */
   private[ops] def trainKmeans(sample: Array[Array[Float]], kCenters: Int,

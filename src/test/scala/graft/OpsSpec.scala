@@ -527,6 +527,29 @@ class OpsSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("knnGraph: full probe equals the brute-force neighbor graph; recall degrades gracefully") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    // brute-force graph via the query-batch path with corpus as queries,
+    // self-pairs re-ranked away
+    val self = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val bf = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        self, "qid", "qvec", k = 4)
+      .where($"query_id" =!= $"vec_id") // self is always rank 1 (cos=1)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val full = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 8)
+      .select($"src_id", $"nbr_id").as[(Long, Long)].collect()
+    assert(full.length == full.distinct.length)
+    assert(full.toSet == bf)
+    val approx = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 4)
+      .select($"src_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val recall = bf.count(approx.contains).toDouble / bf.size
+    assert(recall >= 0.5, s"knnGraph recall $recall")
+    // approximate results are a subset of valid pairs, never fabricated ids
+    assert(approx.forall { case (a, b) => a != b })
+  }
+
   test("multimodal: ImageIO decodes real BMP pixels bit-exactly; frame sampling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     // BMP corpus: real 24-bit files, decoded by javax.imageio on executors
