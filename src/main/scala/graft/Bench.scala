@@ -21,7 +21,11 @@ object Bench {
     // round-9 headline: fuzzy decontamination (banded MinHash corpus ×
     // broadcast test side — the heaviest new operator), and the
     // dynamic-partition overwrite (executor-side V2 fanout writer)
-    "d56_fuzzy_decontaminate", "g51_dynamic_overwrite")
+    "d56_fuzzy_decontaminate", "g51_dynamic_overwrite",
+    // round-10 headline: the all-pairs kNN graph (IVF-celled shuffle
+    // self-join) and exact-substring duplicate-span audit (native
+    // positional-gram expressions + struct-min first-occurrence keys)
+    "e44_knn_graph", "d62_dup_span_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

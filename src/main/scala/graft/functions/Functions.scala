@@ -729,6 +729,135 @@ case class BloomMightContain(child: Expression,
   override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
 }
 
+/** Bounded buffer for [[TopKByScore]]: the k best (score DESC, id ASC)
+  * pairs seen so far, held in a primitive-array binary heap whose ROOT is
+  * the worst kept pair — a full-buffer insert is ONE primitive compare in
+  * the common reject case, O(log k) on evict, and the per-row hot path
+  * allocates nothing. NaN ranks above every double (Spark sort order). */
+final class TopKBuffer(val k: Int) {
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+
+  // (s1,i1) ranks strictly worse than (s2,i2): lower score, or same score
+  // and larger id
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val i = ids(a); ids(a) = ids(b); ids(b) = i
+  }
+
+  def add(score: Double, id: Long): Unit = {
+    if (n < k) {
+      scores(n) = score; ids(n) = id; n += 1
+      var i = n - 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) { swap(i, p); i = p }
+        else i = 0
+      }
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+  }
+
+  def merge(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** Best-first (score DESC, id ASC). */
+  def sortedPairs: Array[(Double, Long)] = {
+    val out = Array.tabulate(n)(i => (scores(i), ids(i)))
+    scala.util.Sorting.stableSort(out, (a: (Double, Long), b: (Double, Long)) => {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c < 0 else a._2 < b._2
+    })
+    out
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 * n)
+    bb.putInt(k).putInt(n)
+    var i = 0
+    while (i < n) { bb.putDouble(scores(i)).putLong(ids(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TopKBuffer {
+  def fromBytes(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new TopKBuffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { b.add(bb.getDouble, bb.getLong); i += 1 }
+    b
+  }
+}
+
+/** Map-side-combining top-k: `top_k_by(score, id, k)` aggregates to the k
+  * best (score DESC, id ASC) pairs as `array<struct<score,id>>`, best
+  * first. The streaming-friendly replacement for the
+  * `row_number() OVER (ORDER BY score DESC) <= k` window at scale: the
+  * window SORTS every candidate row behind a shuffle of all of them,
+  * while this buffer reduces each map partition to ≤ k pairs per group
+  * BEFORE the shuffle (ObjectHashAggregate partial merge) — for an ANN
+  * candidate set of |corpus|·nprobe rows, the exchange carries
+  * groups×k×16 bytes instead of the candidates. */
+case class TopKByScore(score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[TopKBuffer]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(k >= 1, s"top_k_by needs k >= 1, got $k")
+  override def left: Expression = score
+  override def right: Expression = id
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_k_by expects (double, bigint), got (${score.dataType}, ${id.dataType})")
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def update(b: TopKBuffer, input: org.apache.spark.sql.catalyst.InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) b.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = { b.merge(o); b }
+  override def eval(b: TopKBuffer): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      b.sortedPairs.map { case (s, i) =>
+        org.apache.spark.sql.catalyst.InternalRow(s, i)
+      })
+  override def serialize(b: TopKBuffer): Array[Byte] = b.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = TopKBuffer.fromBytes(bytes)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by"
+  override def withNewMutableAggBufferOffset(n: Int): TopKByScore =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKByScore =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKByScore =
+    copy(score = l, id = r)
+}
+
 object GraftFunctions {
   def iceberg_bucket(n: Int, c: Column): Column =
     ColumnBridge.column(IcebergBucket(expression(c), n))
@@ -765,6 +894,9 @@ object GraftFunctions {
     ColumnBridge.column(DotProduct(expression(a), expression(b)))
   def sq8_dot(v: Column, q: Column, mins: Array[Float], steps: Array[Float]): Column =
     ColumnBridge.column(Sq8Dot(expression(v), expression(q), mins, steps))
+  def top_k_by(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKByScore(expression(score), expression(id), k).toAggregateExpression())
 
   /** Deterministic seeded hyperplanes for [[HyperplaneSig]] (xorshift64,
     * no RNG state shared with anything else). */

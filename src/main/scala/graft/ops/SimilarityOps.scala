@@ -35,8 +35,7 @@ object SimilarityOps {
         queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, "query_id", "vec_id", k)
   }
 
   /**
@@ -69,8 +68,7 @@ object SimilarityOps {
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, "query_id", "vec_id", k)
   }
 
   /**
@@ -89,7 +87,9 @@ object SimilarityOps {
    *     ~|corpus|·nprobe/nlist per vector and no single task ever holds
    *     the corpus. A hot cell splits under AQE skew handling; `nlist`
    *     scales with the corpus so cells stay executor-sized.
-   *  5. RERANK: exact cosine + per-vector top-k window.
+   *  5. RERANK: exact cosine + per-vector top-k via the map-side-
+   *     combining [[GraftFunctions.top_k_by]] aggregate (the exchange
+   *     after scoring carries vectors×k pairs, not the candidate set).
    *
    * Self-pairs are excluded. At nprobe == nlist every (a,b) pair meets
    * exactly once (b lives in exactly ONE cell and a probes every cell),
@@ -112,9 +112,21 @@ object SimilarityOps {
       .where(col("src_id") =!= col("nbr_id"))
       .select(col("src_id"), col("nbr_id"),
         GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
-    val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, "src_id", "nbr_id", k)
   }
+
+  /** Top-k per group via the map-side-combining [[GraftFunctions.top_k_by]]
+    * aggregate — each map partition reduces to ≤ k pairs per group BEFORE
+    * the shuffle, vs a `row_number` window that sorts every candidate row
+    * behind an exchange of all of them. Output mirrors the window form:
+    * (group, id, cosine, rank), rank 1..k by (cosine DESC, id ASC). */
+  private def topK(scored: DataFrame, groupCol: String, idCol: String,
+                   k: Int): DataFrame =
+    scored.groupBy(groupCol)
+      .agg(GraftFunctions.top_k_by(col("cosine"), col(idCol), k).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /** Deterministic spherical k-means on a driver-side sample: seeded
     * distinct-point init, cosine assignment, mean re-centering. */
@@ -266,8 +278,7 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
       .groupBy("query_id", "vec_id").agg(max("cosine").as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, "query_id", "vec_id", k)
   }
 
   /** All XOR masks over `nbits` bit positions with popcount <= probeBits,

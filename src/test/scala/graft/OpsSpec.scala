@@ -527,6 +527,35 @@ class OpsSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("TopKBuffer: heap keeps exactly the k best with window-identical ordering") {
+    val rng = new java.util.Random(7)
+    val pairs = Array.fill(5000)((rng.nextInt(1000) / 500.0, rng.nextLong() % 10000))
+    val b = new graft.functions.TopKBuffer(16)
+    pairs.foreach { case (s, i) => b.add(s, i) }
+    val want = pairs.toSeq.distinct
+      .sortWith((a, c) => a._1 > c._1 || (a._1 == c._1 && a._2 < c._2))
+    // reference: sort all, dedup exact pairs NOT applied — buffer keeps
+    // duplicates too, so compare against the plain sorted prefix
+    val wantAll = pairs.toSeq
+      .sortWith((a, c) => a._1 > c._1 || (a._1 == c._1 && a._2 < c._2)).take(16)
+    assert(b.sortedPairs.toSeq == wantAll, s"distinct-ref head=${want.take(3)}")
+    // serde round trip preserves content
+    val rt = graft.functions.TopKBuffer.fromBytes(b.toBytes)
+    assert(rt.sortedPairs.toSeq == wantAll)
+    // merge of two disjoint halves equals the single-pass buffer
+    val (h1, h2) = pairs.splitAt(2500)
+    val b1 = new graft.functions.TopKBuffer(16)
+    val b2 = new graft.functions.TopKBuffer(16)
+    h1.foreach { case (s, i) => b1.add(s, i) }
+    h2.foreach { case (s, i) => b2.add(s, i) }
+    b1.merge(b2)
+    assert(b1.sortedPairs.toSeq == wantAll)
+    // NaN ranks first (Spark sort order); fewer inputs than k is fine
+    val bn = new graft.functions.TopKBuffer(4)
+    bn.add(0.5, 1L); bn.add(Double.NaN, 2L); bn.add(0.9, 3L)
+    assert(bn.sortedPairs.map(_._2).toSeq == Seq(2L, 3L, 1L))
+  }
+
   test("knnGraph: full probe equals the brute-force neighbor graph; recall degrades gracefully") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
     // brute-force graph via the query-batch path with corpus as queries,
