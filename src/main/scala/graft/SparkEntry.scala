@@ -7,7 +7,7 @@ import graft.ops.{CorpusOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.sql.GraftSql
 import graft.table.{EqPred, LtPred}
 import graft.types.SparkSchemaConverter
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1248,6 +1248,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d67_domain_blocklist" -> ((s, dir) => {
+      // URL/domain blocklist cleaning: deterministic synthetic urls (so
+      // the oracle replays them), subdomain-suffix matching against a
+      // blocklist — both blocked hosts here are SUBDOMAIN matches, which
+      // exact-host filters miss
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(array(lit("ads.tracker.net"), lit("example.com"),
+            lit("sub.spam.bad"), lit("goodsite.org"), lit("www.example.com")),
+            (col("doc_id") % 5 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string")).as("url"))
+      val block = s.createDataFrame(
+        java.util.Arrays.asList(Row("tracker.net"), Row("spam.bad")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      CorpusOps.domainBlocklist(urls, "doc_id", "url", block)
+        .select(col("doc_id"), col("host"), col("blocked_domains"))
+        .orderBy("doc_id")
+    }),
+
     "d49_stratified_sample" -> ((s, dir) => {
       // per-stratum deterministic rates: downsample English to 2/16,
       // default strata keep 4/16 — membership depends only on content
@@ -2476,6 +2497,26 @@ object SparkEntry {
          | CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
          | CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
          |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "d67_domain_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://' || (['ads.tracker.net', 'example.com', 'sub.spam.bad',
+        |                  'goodsite.org', 'www.example.com'])[(doc_id % 5 + 1)::INT]
+        |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents),
+        |h AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+        | FROM d),
+        |s AS (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, len(string_split(host, '.'))),
+        |         i -> array_to_string(string_split(host, '.')[i:], '.'))) AS suf
+        |      FROM h),
+        |m AS (SELECT doc_id,
+        |        array_to_string(list_sort(list(suf)), ',') AS blocked_domains
+        |      FROM s WHERE suf IN ('tracker.net', 'spam.bad') GROUP BY doc_id)
+        |SELECT h.doc_id, h.host, m.blocked_domains
+        |FROM h LEFT JOIN m ON h.doc_id = m.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
 
     "d49_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -253,6 +253,43 @@ object CorpusOps {
   }
 
   /**
+   * URL/domain blocklist filtering — the C4/RefinedWeb "bad domains" pass:
+   * a document whose url's host equals a blocklisted domain OR any of its
+   * subdomains is flagged (`ads.tracker.net` matches a `tracker.net`
+   * entry). Output: the input plus `host` and `blocked_domains` (the
+   * matched entries, sorted and comma-joined; NULL for clean documents) —
+   * callers filter on `blocked_domains IS NULL`.
+   *
+   * Host extraction is one shared regexp (scheme://HOST, stopping at
+   * `/:?#`), lowercased, so both engines parse identically; suffix
+   * candidates are the host's label-suffixes (`a.b.c` → `a.b.c`, `b.c`,
+   * `c`), bounded by the label count.
+   *
+   * 100 TB design: the corpus never rides a shuffle. Only `(id, suffix)`
+   * pairs (bytes, not documents) join the blocklist — a plain equi-join
+   * that broadcasts whichever side is small (a blocklist of millions of
+   * domains stays a shuffle join and still never touches document text) —
+   * and the tiny per-id match set joins back onto the corpus by id.
+   */
+  def domainBlocklist(df: DataFrame, idCol: String, urlCol: String,
+                      blocklist: DataFrame,
+                      domainCol: String = "domain"): DataFrame = {
+    val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+    val withHost = df.withColumn("host",
+      lower(regexp_extract(col(urlCol), hostRe, 1)))
+    val labels = split(col("host"), "\\.")
+    val suffixes = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + lit(1)), "."))
+    val pairs = withHost.select(col(idCol), explode(suffixes).as("__suf"))
+    val matches = pairs
+      .join(blocklist.select(col(domainCol).as("__suf")), Seq("__suf"))
+      .groupBy(idCol)
+      .agg(concat_ws(",", sort_array(collect_list(col("__suf"))))
+        .as("blocked_domains"))
+    withHost.join(matches, Seq(idCol), "left")
+  }
+
+  /**
    * Deterministic stratified sampling: each stratum keeps the documents
    * whose content-hash first hex digit falls in its allowed set (so rates
    * are multiples of 1/16). Like [[graft.SparkEntry]]'s d43 sample but

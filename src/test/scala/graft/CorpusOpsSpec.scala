@@ -122,6 +122,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("domainBlocklist: subdomain suffix matching, multi-match, clean and schemeless hosts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://ads.tracker.net/x"),        // subdomain of a blocked domain
+      (2L, "https://x.spam.bad/p?q=1"),          // matches TWO entries
+      (3L, "https://goodsite.org/ok"),           // clean
+      (4L, "HTTPS://TRACKER.NET:8080/y"),        // exact host, case+port
+      (5L, "not a url at all")).toDF("id", "url")
+    val block = Seq("tracker.net", "spam.bad", "x.spam.bad").toDF("domain")
+    val out = CorpusOps.domainBlocklist(docs, "id", "url", block)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2), Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, "ads.tracker.net", Some("tracker.net")),
+      (2L, "x.spam.bad", Some("spam.bad,x.spam.bad")),
+      (3L, "goodsite.org", None),
+      (4L, "tracker.net", Some("tracker.net")),
+      (5L, "", None)))
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     val docs = (0 until 400).map(i => (i.toLong, s"doc number $i content", if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "text", "lang")
