@@ -1534,6 +1534,22 @@ object SparkEntry {
       MultimodalOps.sampleFrames(media, frameBytes = 64, stride = 2)
         .groupBy("media_id", "kind").agg(n().as("n_frames"))
         .orderBy("media_id")
+    }),
+
+    "m42_image_neardup" -> ((s, dir) => {
+      // perceptual image dedup through the REAL codec: every 7th doc's
+      // image is planted again 2× upscaled (different bytes — exact
+      // hashing misses it; identical 8×8 average-hash — floor(floor(2a)/2)
+      // = floor(a), so the sampling grid sees the same pixels). The
+      // oracle recomputes each image's 64 hash bits from the pixel
+      // formula as pure integer SQL, so the codec→hash→group pipeline is
+      // graded end to end.
+      val docs = t(s, dir, "documents")
+      val base = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+      val ups = MultimodalOps.syntheticImageCorpusScaled(
+        docs.where("doc_id % 7 = 0"), "doc_id", scale = 2, idOffset = 1000000L)
+      MultimodalOps.imageNearDup(base.unionByName(ups))
+        .orderBy("keep_id", "dup_id")
     })
   )
 
@@ -2674,6 +2690,45 @@ object SparkEntry {
         |  greatest(CAST(floor((strlen(text) - 1) / 64.0) AS INT), 0) + 1 AS n_total
         | FROM documents)
         |SELECT media_id, kind, CAST((n_total + 1) // 2 AS BIGINT) AS n_frames
-        |FROM f ORDER BY media_id""".stripMargin
+        |FROM f ORDER BY media_id""".stripMargin,
+
+    // each image's 64 average-hash bits recomputed from the pixel formula
+    // as integer SQL (grid sample in the UPSCALED space floored back to
+    // source coords; bit i = 64·gray_i > Σ gray); hash groups keyed by
+    // the bit STRING, so the partition — not a particular hash encoding —
+    // is what must match the codec-side result
+    "m42_image_neardup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, doc_id % 6 + 3 AS w0,
+        |         doc_id % 4 + 2 AS h0, 1 AS sc FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, doc_id % 6 + 3, doc_id % 4 + 2, 2
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), cells AS (
+        |  SELECT media_id, src, w0, g.i AS i,
+        |    ((g.i % 8) * (w0 * sc) // 8) // sc AS sx,
+        |    ((g.i // 8) * (h0 * sc) // 8) // sc AS sy
+        |  FROM imgs CROSS JOIN generate_series(0, 63) AS g(i)
+        |), grays AS (
+        |  SELECT media_id, i,
+        |      299 * ((src*31 + ((sy*w0 + sx)*3 + 0)*7) % 256)
+        |    + 587 * ((src*31 + ((sy*w0 + sx)*3 + 1)*7) % 256)
+        |    + 114 * ((src*31 + ((sy*w0 + sx)*3 + 2)*7) % 256) AS g1000
+        |  FROM cells
+        |), sums AS (
+        |  SELECT media_id, SUM(g1000) AS s FROM grays GROUP BY 1
+        |), hashes AS (
+        |  SELECT g.media_id,
+        |    string_agg(CASE WHEN 64 * g.g1000 > s.s THEN '1' ELSE '0' END,
+        |               '' ORDER BY g.i) AS hs
+        |  FROM grays g JOIN sums s USING (media_id) GROUP BY g.media_id
+        |), firsts AS (
+        |  SELECT hs, min(media_id) AS keep_id, COUNT(*) AS n
+        |  FROM hashes GROUP BY hs
+        |)
+        |SELECT f.keep_id, h.media_id AS dup_id
+        |FROM hashes h JOIN firsts f USING (hs)
+        |WHERE f.n > 1 AND h.media_id <> f.keep_id
+        |ORDER BY f.keep_id, dup_id""".stripMargin
   )
 }

@@ -124,8 +124,17 @@ object MediaFixtures {
   def channelValue(id: Long, w: Int, x: Int, y: Int, c: Int): Int =
     Math.floorMod(id * 31L + ((y.toLong * w + x) * 3L + c) * 7L, 256L).toInt
 
-  def bmpForId(id: Long): Array[Byte] = {
-    val w = widthFor(id); val h = heightFor(id)
+  def bmpForId(id: Long): Array[Byte] = bmpForIdScaled(id, 1)
+
+  /** The same logical image as [[bmpForId]] upscaled `scale`× by pixel
+    * duplication (nearest-neighbor): pixel'(x, y, c) =
+    * channelValue(id, w, x/scale, y/scale, c). Bytes differ from the
+    * original at every resolution, but any sampling grid that floors
+    * coordinates sees the identical pixel values — the planted
+    * "perceptual duplicate" for m42. */
+  def bmpForIdScaled(id: Long, scale: Int): Array[Byte] = {
+    val w0 = widthFor(id); val h0 = heightFor(id)
+    val w = w0 * scale; val h = h0 * scale
     val rowStride = (w * 3 + 3) & ~3 // each pixel row padded to 4 bytes
     val dataSize = rowStride * h
     val fileSize = 54 + dataSize
@@ -141,9 +150,9 @@ object MediaFixtures {
     while (row >= 0) {
       var x = 0
       while (x < w) { // BMP stores BGR
-        buf.put(channelValue(id, w, x, row, 2).toByte)
-        buf.put(channelValue(id, w, x, row, 1).toByte)
-        buf.put(channelValue(id, w, x, row, 0).toByte)
+        buf.put(channelValue(id, w0, x / scale, row / scale, 2).toByte)
+        buf.put(channelValue(id, w0, x / scale, row / scale, 1).toByte)
+        buf.put(channelValue(id, w0, x / scale, row / scale, 0).toByte)
         x += 1
       }
       var pad = rowStride - w * 3
@@ -152,6 +161,78 @@ object MediaFixtures {
     }
     buf.array()
   }
+}
+
+/** Static call targets for the image perceptual hash. */
+object MediaAHashUtil {
+  /** 64-bit average-hash over an 8×8 nearest-neighbor downsample of the
+    * DECODED image (javax.imageio — real codec, not the fixture formula):
+    * integer grayscale g1000 = 299·R + 587·G + 114·B at the 64 grid
+    * samples (sx = gx·w/8 floor), bit i set iff 64·g1000ᵢ > Σ g1000
+    * (strict, ties → 0). All-integer, so an SQL oracle reproduces the
+    * partition into equal-hash groups exactly; invariant to uniform
+    * brightness/contrast-preserving rescales and to nearest-neighbor
+    * upscaling (floor(floor(s·a)/s) = floor(a)). Null for undecodable
+    * bytes. */
+  def aHash64(content: Array[Byte]): java.lang.Long = {
+    if (content == null || content.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    val g = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val sx = (i % 8) * w / 8
+      val sy = (i / 8) * h / 8
+      val argb = img.getRGB(sx, sy)
+      val v = 299L * ((argb >> 16) & 0xff) + 587L * ((argb >> 8) & 0xff) +
+        114L * (argb & 0xff)
+      g(i) = v; sum += v
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * g(i) > sum) hash |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  def aHashOrNull(kind: UTF8String, content: Array[Byte]): java.lang.Long =
+    if (kind == null || kind.toString != "image") null else aHash64(content)
+}
+
+/** `image_ahash(kind, content)` as a native codegen expression — the
+  * perceptual-hash mirror of [[DecodeFeaturesExpr]]: real codec decode on
+  * executors, inside WholeStageCodegen, null for non-image kinds and
+  * undecodable bytes. */
+case class ImageAHashExpr(kind: Expression, content: Expression)
+    extends BinaryExpression {
+  override def left: Expression = kind
+  override def right: Expression = content
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_ahash"
+
+  override def nullSafeEval(k: Any, c: Any): Any =
+    MediaAHashUtil.aHashOrNull(k.asInstanceOf[UTF8String], c.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hash = ctx.freshName("ahash")
+    nullSafeCodeGen(ctx, ev, (k, c) => {
+      s"""java.lang.Long $hash = graft.ops.MediaAHashUtil.aHashOrNull($k, $c);
+         |if ($hash == null) { ${ev.isNull} = true; } else { ${ev.value} = $hash.longValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ImageAHashExpr =
+    copy(kind = l, content = r)
 }
 
 /** `synthetic_bmp(id)` as a native codegen expression: long → BMP bytes.
@@ -164,6 +245,20 @@ case class SyntheticBmpExpr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, id => s"graft.ops.MediaFixtures.bmpForId($id)")
   override protected def withNewChildInternal(c: Expression): SyntheticBmpExpr = copy(child = c)
+}
+
+/** `synthetic_bmp_scaled(id)`: the `scale`× pixel-duplication upscale of
+  * [[SyntheticBmpExpr]]'s image — different bytes, same logical picture. */
+case class SyntheticBmpScaledExpr(child: Expression, scale: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "synthetic_bmp_scaled"
+  override def nullSafeEval(id: Any): Any =
+    MediaFixtures.bmpForIdScaled(id.asInstanceOf[Long], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.ops.MediaFixtures.bmpForIdScaled($id, $scale)")
+  override protected def withNewChildInternal(c: Expression): SyntheticBmpScaledExpr =
+    copy(child = c)
 }
 
 /** Media decode as a native expression: (kind, content) → array<float>.
@@ -217,6 +312,59 @@ object MultimodalOps {
         (pmod(id, lit(6)) + 3).cast("int").as("width"),
         (pmod(id, lit(4)) + 2).cast("int").as("height"),
         lit("bmp").as("format")).as("meta"))
+  }
+
+  /** [[syntheticImageCorpus]] upscaled `scale`× by pixel duplication, with
+    * `media_id = id + idOffset` — the planted perceptual duplicates for
+    * [[imageNearDup]]: byte-different, picture-identical. */
+  def syntheticImageCorpusScaled(docs: DataFrame, idCol: String, scale: Int,
+                                 idOffset: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val id = col(idCol).cast("long")
+    docs.select(
+      (id + idOffset).as("media_id"),
+      lit("image").as("kind"),
+      ColumnBridge.column(SyntheticBmpScaledExpr(ColumnBridge.expression(id), scale))
+        .as("content"),
+      struct(
+        ((pmod(id, lit(6)) + 3) * scale).cast("int").as("width"),
+        ((pmod(id, lit(4)) + 2) * scale).cast("int").as("height"),
+        lit("bmp").as("format")).as("meta"))
+  }
+
+  /** (media_id, kind, ahash): [[MediaAHashUtil.aHash64]] over the decoded
+    * image — map-only, fully codegen; NULL ahash for non-images and
+    * undecodable bytes. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val contentOrEmpty = coalesce(col("content"), lit(Array.emptyByteArray))
+    media.select(
+      col("media_id").cast("long").as("media_id"),
+      col("kind"),
+      ColumnBridge.column(ImageAHashExpr(
+        ColumnBridge.expression(col("kind")),
+        ColumnBridge.expression(contentOrEmpty))).as("ahash"))
+  }
+
+  /** Perceptual image near-dup: images whose 64-bit average-hash matches an
+    * earlier image (min media_id per hash group is canonical) — catches
+    * byte-different re-encodes/upscales that exact content hashing misses.
+    * Output: (keep_id, dup_id) pairs, one per duplicate.
+    *
+    * 100 TB design: exactly the d30 exact-dedup shape — hash is computed
+    * map-side next to the decode (images never ride a shuffle; 8 bytes per
+    * image do), first-occurrence is a combinable min per hash, and dups
+    * emerge from an equi-join on the hash. Near-miss (Hamming ≤ r)
+    * matching would reuse the d35 SimHash band-join machinery over the
+    * same column. */
+  def imageNearDup(media: DataFrame): DataFrame = {
+    val hashed = imageAHash(media).where(col("ahash").isNotNull)
+    val firsts = hashed.groupBy("ahash")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    hashed.join(firsts, Seq("ahash"))
+      .where(col("media_id") =!= col("keep_id"))
+      .select(col("keep_id"), col("media_id").as("dup_id"))
   }
 
   /** Synthesize a media corpus from the documents table (text bytes stand

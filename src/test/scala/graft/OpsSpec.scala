@@ -626,4 +626,38 @@ class OpsSpec extends AnyFunSuite {
     assert(perDoc.forall(_.getLong(1) >= 1))
     assert(frames.columns.toSeq == Seq("media_id", "kind", "frame_no", "frame"))
   }
+
+  test("image aHash: upscale-invariant through the real codec; near-dup pairs planted and found") {
+    // per-image: the 2x pixel-duplication upscale decodes to different
+    // bytes but the identical 64-bit average-hash
+    for (id <- Seq(0L, 3L, 11L, 42L)) {
+      val h1 = graft.ops.MediaAHashUtil.aHash64(MediaFixtures.bmpForId(id))
+      val h2 = graft.ops.MediaAHashUtil.aHash64(MediaFixtures.bmpForIdScaled(id, 2))
+      val h3 = graft.ops.MediaAHashUtil.aHash64(MediaFixtures.bmpForIdScaled(id, 3))
+      assert(h1 != null && h1 == h2 && h1 == h3, s"id=$id")
+      // bytes really differ (exact hashing would NOT find these)
+      assert(!java.util.Arrays.equals(
+        MediaFixtures.bmpForId(id), MediaFixtures.bmpForIdScaled(id, 2)))
+    }
+    // undecodable bytes and non-image kinds hash to null
+    assert(graft.ops.MediaAHashUtil.aHash64(Array[Byte](9, 9, 9)) == null)
+    assert(graft.ops.MediaAHashUtil.aHashOrNull(
+      org.apache.spark.unsafe.types.UTF8String.fromString("video"),
+      MediaFixtures.bmpForId(1L)) == null)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
+    val base = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+    val ups = MultimodalOps.syntheticImageCorpusScaled(
+      docs.where("doc_id % 7 = 0"), "doc_id", scale = 2, idOffset = 1000000L)
+    val pairs = MultimodalOps.imageNearDup(base.unionByName(ups))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.where("doc_id % 7 = 0").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    // every planted upscale is found, attributed to its original (organic
+    // collisions among the tiny fixtures may add pairs; planted must hold)
+    assert(planted.forall { case (k, d) =>
+      pairs.contains((k, d)) || pairs.exists(_._2 == d)
+    })
+    assert(pairs.nonEmpty)
+  }
 }
