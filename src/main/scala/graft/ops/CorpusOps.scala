@@ -198,57 +198,73 @@ object CorpusOps {
    * budget-straddling bucket per stratum pays a window sort — ~1/numBuckets
    * of the stratum, not the stratum. Degenerate quality distributions
    * (constant, non-numeric, all-NaN) collapse to one bucket and behave
-   * exactly like the single-window plan. The keep decision itself is exact
-   * integer token arithmetic; doubles appear only in bucket ASSIGNMENT.
-   * Ordering is total and deterministic: (quality DESC NULLS LAST, id ASC).
+   * exactly like the single-window plan. Token totals are summed in the
+   * column's own numeric type (long for integral tokens — exact integer
+   * arithmetic; fractional token columns keep their native precision, same
+   * as the windowed form); doubles appear only in bucket ASSIGNMENT.
+   * NULL strata form their own budgeted group, exactly as
+   * `Window.partitionBy` treats them (the internal joins go through a
+   * struct-wrapped key, which is null-safe). Ordering is total and
+   * deterministic: (quality DESC NULLS LAST, id ASC).
    */
   def selectWithinBudget(df: DataFrame, idCol: String, strataCol: String,
                          qualityCol: String, tokensCol: String,
                          budgetPerStratum: Long, numBuckets: Int = 64): DataFrame = {
+    val reserved = Seq("__swb_s", "__swb_b", "__swb_cum", "__swb_cum_before",
+      "__swb_run", "__swb_q_min", "__swb_q_max", "__swb_btoks")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input must not contain reserved working columns: ${clash.mkString(", ")}")
     val outCols = df.columns.toSeq.map(col)
+    // null-safe stratum key: struct field comparison treats NULL == NULL,
+    // so an equi-join on the wrapped key keeps null-stratum rows as their
+    // own group instead of silently dropping them
+    val withS = df.withColumn("__swb_s", struct(col(strataCol)))
     val qd = col(qualityCol).cast("double")
     // per-stratum quality range over finite values (NaN sorts above every
     // double in Spark, so it maps to the top bucket explicitly, and an
     // all-NaN/null stratum leaves the range null → single-bucket fallback)
     val qFinite = when(isnan(qd), lit(null).cast("double")).otherwise(qd)
-    val range = df.groupBy(strataCol)
-      .agg(min(qFinite).as("_q_min"), max(qFinite).as("_q_max"))
-    val span = col("_q_max") - col("_q_min")
-    val bRaw = floor((col("_q_max") - qd) / span * numBuckets)
+    val range = withS.groupBy(col("__swb_s"))
+      .agg(min(qFinite).as("__swb_q_min"), max(qFinite).as("__swb_q_max"))
+    val span = col("__swb_q_max") - col("__swb_q_min")
+    val bRaw = floor((col("__swb_q_max") - qd) / span * numBuckets)
     val bucket =
       when(col(qualityCol).isNull, lit(numBuckets.toLong + 1L)) // sorts last
         .when(isnan(qd), lit(0L)) // sorts first (Spark: NaN > any double)
         .otherwise(coalesce(
           least(greatest(bRaw, lit(0L)), lit(numBuckets.toLong - 1L)),
           lit(0L)))
-    val withB = df.join(broadcast(range), Seq(strataCol))
-      .withColumn("_b", bucket)
-      .drop("_q_min", "_q_max")
+    val withB = withS.join(broadcast(range), Seq("__swb_s"))
+      .withColumn("__swb_b", bucket)
+      .drop("__swb_q_min", "__swb_q_max")
     // strata × buckets rows: token totals and the running total across
     // buckets in quality order — tiny, broadcast back to the corpus
-    val cumW = Window.partitionBy(strataCol).orderBy(col("_b").asc)
+    val cumW = Window.partitionBy(col("__swb_s")).orderBy(col("__swb_b").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val stats = withB.groupBy(col(strataCol), col("_b"))
-      .agg(sum(col(tokensCol).cast("long")).as("_btoks"))
-      .withColumn("_cum", sum("_btoks").over(cumW))
-      .withColumn("_cum_before", col("_cum") - col("_btoks"))
-      .drop("_btoks")
-    val tagged = withB.join(broadcast(stats), Seq(strataCol, "_b"))
+    val stats = withB.groupBy(col("__swb_s"), col("__swb_b"))
+      .agg(sum(col(tokensCol)).as("__swb_btoks"))
+      .withColumn("__swb_cum", sum("__swb_btoks").over(cumW))
+      .withColumn("__swb_cum_before", col("__swb_cum") - col("__swb_btoks"))
+      .drop("__swb_btoks")
+    val tagged = withB.join(broadcast(stats), Seq("__swb_s", "__swb_b"))
     // keep-whole: every doc's before-it total < its bucket's end < budget
     // (null-token docs drop here too — the windowed form's null arithmetic
     // always excluded them)
     val keepAll = tagged.where(
-      col("_cum") < budgetPerStratum && col(tokensCol).isNotNull)
+      col("__swb_cum") < budgetPerStratum && col(tokensCol).isNotNull)
     // the one straddling bucket per stratum: exact windowed decision,
     // offset by the tokens in the (whole-kept) buckets before it
     val straddle = tagged.where(
-      col("_cum") >= budgetPerStratum && col("_cum_before") < budgetPerStratum)
-    val w = Window.partitionBy(col(strataCol), col("_b"))
+      col("__swb_cum") >= budgetPerStratum &&
+        col("__swb_cum_before") < budgetPerStratum)
+    val w = Window.partitionBy(col("__swb_s"), col("__swb_b"))
       .orderBy(col(qualityCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val straddleKept = straddle
-      .withColumn("_run", sum(col(tokensCol).cast("long")).over(w))
-      .where(col("_cum_before") + col("_run") - col(tokensCol) < budgetPerStratum)
+      .withColumn("__swb_run", sum(col(tokensCol)).over(w))
+      .where(col("__swb_cum_before") + col("__swb_run") - col(tokensCol)
+        < budgetPerStratum)
     keepAll.select(outCols: _*).unionByName(straddleKept.select(outCols: _*))
   }
 
@@ -258,7 +274,11 @@ object CorpusOps {
    * subdomains is flagged (`ads.tracker.net` matches a `tracker.net`
    * entry). Output: the input plus `host` and `blocked_domains` (the
    * matched entries, sorted and comma-joined; NULL for clean documents) —
-   * callers filter on `blocked_domains IS NULL`.
+   * callers filter on `blocked_domains IS NULL`. The names `host` and
+   * `blocked_domains` are part of the output contract, so the input must
+   * not already contain them (rejected loudly). Duplicate blocklist rows
+   * are harmless: the list is deduplicated before joining and matches are
+   * collected as a set.
    *
    * Host extraction is one shared regexp (scheme://HOST, stopping at
    * `/:?#`), lowercased, so both engines parse identically; suffix
@@ -274,6 +294,9 @@ object CorpusOps {
   def domainBlocklist(df: DataFrame, idCol: String, urlCol: String,
                       blocklist: DataFrame,
                       domainCol: String = "domain"): DataFrame = {
+    val clash = df.columns.filter(Seq("host", "blocked_domains").contains)
+    require(clash.isEmpty,
+      s"input must not contain output-contract columns: ${clash.mkString(", ")}")
     val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
     val withHost = df.withColumn("host",
       lower(regexp_extract(col(urlCol), hostRe, 1)))
@@ -282,9 +305,9 @@ object CorpusOps {
       i => array_join(slice(labels, i, size(labels) - i + lit(1)), "."))
     val pairs = withHost.select(col(idCol), explode(suffixes).as("__suf"))
     val matches = pairs
-      .join(blocklist.select(col(domainCol).as("__suf")), Seq("__suf"))
+      .join(blocklist.select(col(domainCol).as("__suf")).distinct(), Seq("__suf"))
       .groupBy(idCol)
-      .agg(concat_ws(",", sort_array(collect_list(col("__suf"))))
+      .agg(concat_ws(",", sort_array(collect_set(col("__suf"))))
         .as("blocked_domains"))
     withHost.join(matches, Seq(idCol), "left")
   }

@@ -95,9 +95,11 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("selectWithinBudget: two-phase bucketed plan equals the single-window reference") {
     import spark.implicits._
     // deterministic pseudo-random corpus: quality ties, zero-token docs,
-    // a null quality, several strata of very different sizes
+    // a null quality, a NULL stratum (its own budgeted group, like
+    // Window.partitionBy), several strata of very different sizes
     val rows = (1 to 500).map { i =>
-      val lang = if (i % 7 == 0) "fr" else if (i % 11 == 0) "de" else "en"
+      val lang = if (i % 13 == 0) null
+        else if (i % 7 == 0) "fr" else if (i % 11 == 0) "de" else "en"
       val q: java.lang.Double =
         if (i == 123) null
         else java.lang.Double.valueOf(((i * 2654435761L) % 97).toDouble / 10.0)
@@ -122,6 +124,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("selectWithinBudget: fractional tokens sum in native type (no truncation)") {
+    import spark.implicits._
+    // windowed reference sums doubles natively; per-row long truncation
+    // would keep an extra doc (0.9+0.9+0.9 truncates to 0)
+    val docs = Seq(
+      (1L, "en", 10, 0.9), (2L, "en", 9, 0.9), (3L, "en", 8, 0.9),
+      (4L, "en", 7, 0.9)).toDF("id", "lang", "q", "tok")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("q").desc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = docs.withColumn("c", sum(col("tok")).over(w))
+      .where(col("c") - col("tok") < 2L).select("id").as[Long].collect().toSet
+    for (buckets <- Seq(1, 64)) {
+      val got = CorpusOps.selectWithinBudget(
+        docs, "id", "lang", "q", "tok", 2L, numBuckets = buckets)
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"mismatch at numBuckets=$buckets")
+    }
+  }
+
+  test("selectWithinBudget: reserved working columns rejected loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", 1, 1L, 0L)).toDF("id", "lang", "q", "tok", "__swb_b")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.selectWithinBudget(docs, "id", "lang", "q", "tok", 10L)
+    }
+    assert(e.getMessage.contains("__swb_b"))
+  }
+
   test("domainBlocklist: subdomain suffix matching, multi-match, clean and schemeless hosts") {
     import spark.implicits._
     val docs = Seq(
@@ -140,6 +172,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, "goodsite.org", None),
       (4L, "tracker.net", Some("tracker.net")),
       (5L, "", None)))
+  }
+
+  test("domainBlocklist: duplicate blocklist rows do not multiply matches") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://ads.tracker.net/x")).toDF("id", "url")
+    val block = Seq("tracker.net", "tracker.net", "tracker.net").toDF("domain")
+    val out = CorpusOps.domainBlocklist(docs, "id", "url", block).collect()
+    assert(out.length == 1 && out(0).getString(3) == "tracker.net")
+  }
+
+  test("domainBlocklist: output-contract column collision rejected loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://a.b/x", "pre")).toDF("id", "url", "host")
+    val block = Seq("b").toDF("domain")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.domainBlocklist(docs, "id", "url", block)
+    }
+    assert(e.getMessage.contains("host"))
   }
 
   test("stratifiedSample is deterministic and respects per-stratum rates") {
