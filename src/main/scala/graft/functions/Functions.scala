@@ -729,12 +729,23 @@ case class BloomMightContain(child: Expression,
   override protected def withNewChildInternal(c: Expression): BloomMightContain = copy(child = c)
 }
 
+/** Common surface of the two [[TopKByScore]] buffers: the primitive-long
+  * fast path ([[TopKBuffer]]) and the generic-id path ([[TopKAnyBuffer]]).
+  * A given aggregate instance only ever creates one of the two (dispatch
+  * on the resolved id type), so cross-merges cannot occur. */
+sealed trait TopKBuf {
+  def addAny(score: Double, id: Any): Unit
+  def mergeIn(other: TopKBuf): Unit
+  /** Best-first (score DESC, id ASC) as struct<score,id> rows. */
+  def sortedRows: Array[org.apache.spark.sql.catalyst.InternalRow]
+}
+
 /** Bounded buffer for [[TopKByScore]]: the k best (score DESC, id ASC)
   * pairs seen so far, held in a primitive-array binary heap whose ROOT is
   * the worst kept pair — a full-buffer insert is ONE primitive compare in
   * the common reject case, O(log k) on evict, and the per-row hot path
   * allocates nothing. NaN ranks above every double (Spark sort order). */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int) extends TopKBuf {
   private val scores = new Array[Double](k)
   private val ids = new Array[Long](k)
   private var n = 0
@@ -779,6 +790,15 @@ final class TopKBuffer(val k: Int) {
     while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
   }
 
+  override def addAny(score: Double, id: Any): Unit =
+    add(score, id.asInstanceOf[Long])
+  override def mergeIn(other: TopKBuf): Unit =
+    merge(other.asInstanceOf[TopKBuffer])
+  override def sortedRows: Array[org.apache.spark.sql.catalyst.InternalRow] =
+    sortedPairs.map { case (s, i) =>
+      org.apache.spark.sql.catalyst.InternalRow(s, i)
+    }
+
   /** Best-first (score DESC, id ASC). */
   def sortedPairs: Array[(Double, Long)] = {
     val out = Array.tabulate(n)(i => (scores(i), ids(i)))
@@ -809,6 +829,66 @@ object TopKBuffer {
   }
 }
 
+/** Generic-id variant of [[TopKBuffer]] for any ORDERABLE id type (string,
+  * int, decimal, struct, …): same binary heap, ids held as Spark internal
+  * values and tie-broken by the type's interpreted ordering. Scores stay a
+  * primitive array; only the id slot boxes — the right trade for the
+  * string-doc-id corpora this path exists for. Serialization is handled by
+  * the aggregate (UnsafeProjection over the result schema), which knows
+  * the id type. */
+final class TopKAnyBuffer(val k: Int, ord: Ordering[Any]) extends TopKBuf {
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Any](k)
+  private var n = 0
+
+  @inline private def worse(s1: Double, i1: Any, s2: Double, i2: Any): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && ord.compare(i1, i2) > 0)
+  }
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val i = ids(a); ids(a) = ids(b); ids(b) = i
+  }
+
+  override def addAny(score: Double, id: Any): Unit = {
+    if (n < k) {
+      scores(n) = score; ids(n) = id; n += 1
+      var i = n - 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) { swap(i, p); i = p }
+        else i = 0
+      }
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+  }
+
+  override def mergeIn(other: TopKBuf): Unit = {
+    val o = other.asInstanceOf[TopKAnyBuffer]
+    var i = 0
+    while (i < o.n) { addAny(o.scores(i), o.ids(i)); i += 1 }
+  }
+
+  override def sortedRows: Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val idx = Array.range(0, n).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(scores(b), scores(a))
+      if (c != 0) c < 0 else ord.compare(ids(a), ids(b)) < 0
+    }
+    idx.map(i => org.apache.spark.sql.catalyst.InternalRow(scores(i), ids(i)))
+  }
+}
+
 /** Map-side-combining top-k: `top_k_by(score, id, k)` aggregates to the k
   * best (score DESC, id ASC) pairs as `array<struct<score,id>>`, best
   * first. The streaming-friendly replacement for the
@@ -820,34 +900,68 @@ object TopKBuffer {
   * groups×k×16 bytes instead of the candidates. */
 case class TopKByScore(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[TopKBuffer]
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[TopKBuf]
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
   require(k >= 1, s"top_k_by needs k >= 1, got $k")
   override def left: Expression = score
   override def right: Expression = id
+  // long ids take the primitive-array fast path (zero allocation per row);
+  // every other orderable type goes through the generic buffer
+  @transient private lazy val isLongId = id.dataType == LongType
+  @transient private lazy val idOrdering =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(id.dataType)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType)
+    if (score.dataType == DoubleType &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(id.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"top_k_by expects (double, bigint), got (${score.dataType}, ${id.dataType})")
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
-  override def update(b: TopKBuffer, input: org.apache.spark.sql.catalyst.InternalRow): TopKBuffer = {
+      s"top_k_by expects (double, <orderable id>), got (${score.dataType}, ${id.dataType})")
+  override def createAggregationBuffer(): TopKBuf =
+    if (isLongId) new TopKBuffer(k) else new TopKAnyBuffer(k, idOrdering)
+  override def update(b: TopKBuf, input: org.apache.spark.sql.catalyst.InternalRow): TopKBuf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) b.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    // copyValue: eval may return a value backed by a reused row buffer
+    // (UTF8String over an UnsafeRow); the heap retains it across rows
+    if (s != null && i != null)
+      b.addAny(s.asInstanceOf[Double],
+        org.apache.spark.sql.catalyst.InternalRow.copyValue(i))
     b
   }
-  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = { b.merge(o); b }
-  override def eval(b: TopKBuffer): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      b.sortedPairs.map { case (s, i) =>
-        org.apache.spark.sql.catalyst.InternalRow(s, i)
-      })
-  override def serialize(b: TopKBuffer): Array[Byte] = b.toBytes
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = TopKBuffer.fromBytes(bytes)
+  override def merge(b: TopKBuf, o: TopKBuf): TopKBuf = { b.mergeIn(o); b }
+  override def eval(b: TopKBuf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(b.sortedRows)
+  // the long path keeps its compact primitive layout; generic ids
+  // serialize as one UnsafeRow over the result schema (type-agnostic)
+  @transient private lazy val serProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      Array[DataType](dataType))
+  override def serialize(b: TopKBuf): Array[Byte] = b match {
+    case p: TopKBuffer => p.toBytes
+    case a: TopKAnyBuffer =>
+      serProj(org.apache.spark.sql.catalyst.InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.sortedRows)))
+        .copy().getBytes
+  }
+  override def deserialize(bytes: Array[Byte]): TopKBuf =
+    if (isLongId) TopKBuffer.fromBytes(bytes)
+    else {
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      val arr = row.getArray(0)
+      val b = new TopKAnyBuffer(k, idOrdering)
+      var i = 0
+      while (i < arr.numElements()) {
+        val st = arr.getStruct(i, 2)
+        b.addAny(st.getDouble(0),
+          org.apache.spark.sql.catalyst.InternalRow.copyValue(st.get(1, id.dataType)))
+        i += 1
+      }
+      b
+    }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
-    StructField("id", LongType, nullable = false))), containsNull = false)
+    StructField("id", id.dataType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_by"
   override def withNewMutableAggBufferOffset(n: Int): TopKByScore =

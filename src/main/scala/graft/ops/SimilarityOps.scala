@@ -52,15 +52,21 @@ object SimilarityOps {
    *     those cells' vectors are scored (|corpus|·nprobe/nlist comparisons).
    *
    * Same output shape as [[topKBruteForce]]; recall grows with nprobe.
+   *
+   * `nlist = 0` (the default) auto-sizes to `max(16, ceil(sqrt(n)))` from
+   * one cheap corpus count — the standard IVF rule that keeps the cell
+   * join's comparison volume ~|corpus|^1.5·nprobe instead of quadratic
+   * when callers forget to scale the cell count with the corpus.
    */
   def topKIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              k: Int, nlist: Int = 0, nprobe: Int = 4,
               trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    val nl = resolveNlist(nlist, corpus)
     val sample: Array[Array[Float]] = corpus.select(col(corpusVec))
       .limit(trainSample).collect()
       .map(_.getSeq[Float](0).toArray)
-    val centers = trainKmeans(sample, nlist, iters = 10, seed)
+    val centers = trainKmeans(sample, nl, iters = 10, seed)
     val cells = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"),
       GraftFunctions.nearest_centroid(col(corpusVec), centers).as("cell"))
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
@@ -85,8 +91,11 @@ object SimilarityOps {
    *  4. JOIN: probes ⋈ assignments on the cell id — a SHUFFLE hash join;
    *     both sides hash-partition by cell, so the comparison volume is
    *     ~|corpus|·nprobe/nlist per vector and no single task ever holds
-   *     the corpus. A hot cell splits under AQE skew handling; `nlist`
-   *     scales with the corpus so cells stay executor-sized.
+   *     the corpus. A hot cell splits under AQE skew handling; `nlist = 0`
+   *     (the default) auto-sizes to `max(16, ceil(sqrt(n)))` from one
+   *     cheap corpus count, so cells stay executor-sized and the join
+   *     stays sub-quadratic without the caller having to re-tune per
+   *     corpus.
    *  5. RERANK: exact cosine + per-vector top-k via the map-side-
    *     combining [[GraftFunctions.top_k_by]] aggregate (the exchange
    *     after scoring carries vectors×k pairs, not the candidate set).
@@ -98,12 +107,13 @@ object SimilarityOps {
    * spec. Output: (src_id, nbr_id, cosine, rank), rank 1..k per src.
    */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
-               k: Int, nlist: Int = 16, nprobe: Int = 4,
+               k: Int, nlist: Int = 0, nprobe: Int = 4,
                trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    val nl = resolveNlist(nlist, corpus)
     val sample: Array[Array[Float]] = corpus.select(col(vecCol))
       .limit(trainSample).collect()
       .map(_.getSeq[Float](0).toArray)
-    val centers = trainKmeans(sample, nlist, iters = 10, seed)
+    val centers = trainKmeans(sample, nl, iters = 10, seed)
     val cells = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
       GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"))
     val probes = corpus.select(col(idCol).as("src_id"), col(vecCol).as("qvec"),
@@ -127,6 +137,15 @@ object SimilarityOps {
       .select(col(groupCol), posexplode(col("__topk")))
       .select(col(groupCol), col("col.id").as(idCol),
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+
+  /** `nlist = 0` → `max(16, ceil(sqrt(n)))` via one corpus count (cheap:
+    * column-pruned parquet count, or metadata-only on a graft scan). An
+    * explicit positive nlist is passed through; anything else is loud. */
+  private def resolveNlist(nlist: Int, corpus: DataFrame): Int = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
+    if (nlist > 0) nlist
+    else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+  }
 
   /** Deterministic spherical k-means on a driver-side sample: seeded
     * distinct-point init, cosine assignment, mean re-centering. */

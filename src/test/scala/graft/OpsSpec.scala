@@ -556,6 +556,43 @@ class OpsSpec extends AnyFunSuite {
     assert(bn.sortedPairs.map(_._2).toSeq == Seq(2L, 3L, 1L))
   }
 
+  test("top_k_by: string ids take the generic buffer and match the window reference") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    // string doc ids — the common real-world corpus shape the long-only
+    // fast path used to reject with a TypeCheckFailure
+    val sc = emb.select(concat(lit("doc-"), format_string("%04d", $"vec_id")).as("sid"),
+      $"embedding")
+    val queries = sc.limit(4).select($"sid".as("qid"), $"embedding".as("qvec"))
+    val got = SimilarityOps.topKBruteForce(sc, "sid", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(String, String, Int)].collect().toSet
+    val scored = sc.select($"sid".as("vec_id"), $"embedding".as("cvec"))
+      .crossJoin(broadcast(queries.select($"qid".as("query_id"), $"qvec")))
+      .select($"query_id", $"vec_id",
+        graft.functions.GraftFunctions.cosine_similarity($"cvec", $"qvec").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    val want = scored.withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(String, String, Int)].collect().toSet
+    assert(got == want)
+    // repartitioned input forces partial buffers through serialize/merge
+    val gotShuffled = SimilarityOps.topKBruteForce(sc.repartition(13), "sid",
+        "embedding", queries, "qid", "qvec", k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(String, String, Int)].collect().toSet
+    assert(gotShuffled == want)
+    // non-orderable id types stay loudly rejected
+    val bad = sc.select($"sid", map(lit("a"), lit(1)).as("m"), $"embedding")
+    val e = intercept[Exception] {
+      bad.groupBy("sid")
+        .agg(graft.functions.GraftFunctions.top_k_by(lit(1.0), $"m", 2))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("top_k_by"))
+  }
+
   test("knnGraph: full probe equals the brute-force neighbor graph; recall degrades gracefully") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
     // brute-force graph via the query-batch path with corpus as queries,
@@ -577,6 +614,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"knnGraph recall $recall")
     // approximate results are a subset of valid pairs, never fabricated ids
     assert(approx.forall { case (a, b) => a != b })
+    // auto nlist (nlist = 0): 200 vectors → max(16, ceil(sqrt(200))) = 16
+    // cells; at nprobe = 16 that is a full probe, so auto must equal brute
+    // force — pins the sqrt rule without depending on kmeans geometry
+    val auto = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+        k = 3, nprobe = 16)
+      .select($"src_id", $"nbr_id").as[(Long, Long)].collect()
+    assert(auto.toSet == bf, "auto-nlist full probe must equal brute force")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnGraph(emb, "vec_id", "embedding", k = 3, nlist = -1)
+    }
+    assert(e.getMessage.contains("auto"))
   }
 
   test("multimodal: ImageIO decodes real BMP pixels bit-exactly; frame sampling") {
