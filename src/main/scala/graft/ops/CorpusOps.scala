@@ -343,17 +343,21 @@ object CorpusOps {
    * 100 TB design: sharding is a hash partition (one shuffle); ordering
    * is per-shard (window inside each hash partition), never a global
    * sort. `numShards` scales with the corpus — shards are the unit of
-   * training-file output, so they are sized to fit an executor (the
-   * two-nibble key space caps at 256; at larger shard counts widen the
-   * prefix — each nibble is another 16x).
+   * training-file output, so they are sized to fit an executor: the
+   * four-nibble key space supports up to 65,536 shards (~1.5 GB/shard at
+   * 100 TB). The leading four hex digits are the shard key;
+   * [[resampleMix]] deliberately reads digits 9-16, so the two hash uses
+   * stay independent.
    */
   def shuffleShards(df: DataFrame, idCol: String, seed: String,
                     numShards: Int): DataFrame = {
-    require(numShards >= 1 && numShards <= 256, "numShards must be in [1, 256]")
+    require(numShards >= 1 && numShards <= 65536,
+      "numShards must be in [1, 65536]")
     val hex = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
     val digits = "0123456789abcdef"
     val nib = (i: Int) => instr(lit(digits), substring(hex, i, 1)) - 1
-    val shard = pmod(nib(1) * 16 + nib(2), lit(numShards)).cast("int").as("shard")
+    val shard = pmod(((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4),
+      lit(numShards)).cast("int").as("shard")
     val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
     df.withColumn("shuffle_key", hex)
       .withColumn("shard", shard)

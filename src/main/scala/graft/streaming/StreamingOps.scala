@@ -547,11 +547,25 @@ object StreamingOps {
       val deletes = latest.where(col("_change_type") === "delete")
         .drop("__latest_seq").drop(metaCols: _*)
         .join(upserts.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      if (!deletes.isEmpty)
+      // ONE probe job on the persisted batch decides both merges (not one
+      // isEmpty job per branch — at high trigger rates those doubled the
+      // per-batch driver job count). A delete row survives the upsert-key
+      // anti join iff its key saw no insert at the latest sequence, so
+      // n_del is exactly the post-anti delete count.
+      val probe = latest.groupBy(keys.map(col): _*)
+        .agg(
+          sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("__ins"),
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("__del"))
+        .agg(
+          coalesce(sum(col("__ins")), lit(0L)),
+          coalesce(sum(when(col("__ins") === 0L, col("__del")).otherwise(0L)), lit(0L)))
+        .collect()(0)
+      val (nUpserts, nDeletes) = (probe.getLong(0), probe.getLong(1))
+      if (nDeletes > 0)
         target.merge(spark, deletes, keys,
           whenMatched = WhenMatched.Delete,
           whenNotMatched = WhenNotMatched.Ignore)
-      if (!upserts.isEmpty)
+      if (nUpserts > 0)
         target.merge(spark, upserts, keys)
     } finally latest.unpersist()
   }

@@ -275,6 +275,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), "must not global-sort")
   }
 
+  test("shuffleShards: uniform occupancy at 4,096 shards (widened key space)") {
+    import spark.implicits._
+    // the four-nibble key space must spread 100k ids over 4,096 shards
+    // with Poisson-like occupancy (λ≈24.4): every shard hit, no hot shard
+    val docs = spark.range(100000L).toDF("doc_id")
+    val counts = graft.ops.CorpusOps.shuffleShards(docs, "doc_id", "u1", 4096)
+      .groupBy("shard").count().as[(Int, Long)].collect()
+    assert(counts.length == 4096, s"only ${counts.length}/4096 shards occupied")
+    val max = counts.map(_._2).max
+    assert(max <= 60L, s"hot shard: $max docs vs λ≈24.4")
+    // cap honored loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.shuffleShards(docs, "doc_id", "u1", 65537)
+    }
+    assert(e.getMessage.contains("65536"))
+  }
+
   test("resampleMix: exact copy counts per weight, map-only plan") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "up" else "down"))

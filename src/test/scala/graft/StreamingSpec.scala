@@ -747,4 +747,57 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toSet ==
       Set(2L -> "B2", 3L -> "c2", 4L -> "d"))
   }
+
+  test("applyChanges: one probe execution per batch; absorbed deletes skip the delete merge") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false)))
+    val tgt = cat.createTable("probe_tgt", schema)
+    tgt.append(Seq((1L, "a")).toDF("id", "k"))
+
+    // count query executions (each Spark action = one) during the call
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        n.incrementAndGet()
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    def drain(): Unit = { // listener events are async; settle before reading
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (System.nanoTime() < deadline && n.get != last) {
+        last = n.get; Thread.sleep(150)
+      }
+    }
+
+    // empty batch: exactly ONE execution (the single fold probe — the old
+    // shape ran one isEmpty job per merge branch), and no commit at all
+    spark.listenerManager.register(listener)
+    try {
+      val before = tgt.currentSnapshotId
+      val empty = Seq.empty[(Long, String, String, Long, Long)]
+        .toDF("id", "k", "_change_type", "_commit_snapshot_id", "_commit_sequence")
+      StreamingOps.applyChanges(spark, empty, tgt, Seq("id"))
+      drain()
+      assert(n.get == 1, s"expected 1 probe execution on an empty batch, saw ${n.get}")
+      assert(tgt.refresh().currentSnapshotId == before, "empty batch must not commit")
+    } finally spark.listenerManager.unregister(listener)
+
+    // absorbed delete (delete+re-insert on the same key): the delete merge
+    // is skipped, so exactly one commit lands and the row is the re-insert
+    val snapsBefore = tgt.refresh().snapshots.size
+    val absorbed = Seq(
+      (1L, "a", "delete", 0L, 1L),
+      (1L, "A2", "insert", 0L, 1L))
+      .toDF("id", "k", "_change_type", "_commit_snapshot_id", "_commit_sequence")
+    StreamingOps.applyChanges(spark, absorbed, tgt, Seq("id"))
+    assert(tgt.refresh().snapshots.size == snapsBefore + 1,
+      "absorbed deletes must skip the delete merge (one commit only)")
+    assert(tgt.refresh().toDF(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet == Set(1L -> "A2"))
+  }
 }
