@@ -25,7 +25,11 @@ object Bench {
     // round-10 headline: the all-pairs kNN graph (IVF-celled shuffle
     // self-join) and exact-substring duplicate-span audit (native
     // positional-gram expressions + struct-min first-occurrence keys)
-    "e44_knn_graph", "d62_dup_span_stats")
+    "e44_knn_graph", "d62_dup_span_stats",
+    // round-11: the approximate kNN-graph config (auto sqrt-nlist,
+    // nprobe 4) — the volume a real 100 TB run pays, vs the exact
+    // entry's brute-force-equivalent oracle config
+    "e44_knn_graph_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1007,6 +1007,42 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    "s51_stream_upsert" -> ((s, dir) => {
+      // the V2 streaming UPSERT sink end to end: merge-keys toTable onto
+      // a PARTITIONED catalog table — each source commit becomes one
+      // epoch (max-snapshots-per-trigger=1) committed as one atomic MOR
+      // row delta: executor-fanout data files plus global equality
+      // deletes on doc_id, so the second commit's re-emitted keys replace
+      // the first commit's rows (last-wins), including rows whose lang
+      // PARTITION moved. Result must equal the batch fold of the two
+      // frames.
+      val wh = java.nio.file.Files.createTempDirectory("graft-s51").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val cName = s"s51c${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.spark.GraftSparkCatalog.register(s, cName, cat)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val src = cat.createTable("default.src",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      src.append(docs)
+      // re-emit every third doc with bumped n_chars and a forced lang
+      // move ('xx') — the upsert must relocate them across partitions
+      src.refresh().append(docs.where("doc_id % 3 = 0")
+        .selectExpr("doc_id", "'xx' AS lang", "n_chars + 1000 AS n_chars"))
+      s.sql(s"CREATE TABLE $cName.default.out (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) PARTITIONED BY (lang)")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-s51-cp").toString
+      val q = s.readStream.format("graft")
+        .option("max-snapshots-per-trigger", "1")
+        .load(s"$wh/default/src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("merge-keys", "doc_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cName.default.out")
+      q.awaitTermination()
+      cat.loadTable("default.out").toDF(s)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -1431,6 +1467,20 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.knnGraph(emb, "vec_id", "embedding",
           k = 3, nlist = 16, nprobe = 16)
+        .select(col("src_id"), col("nbr_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("src_id", "rank")
+    }),
+
+    "e44_knn_graph_approx" -> ((s, dir) => {
+      // the kNN graph at the setting a 100 TB run would actually use:
+      // auto nlist (sqrt rule) with nprobe 4 — candidate volume
+      // ~|corpus|·4/sqrt(n) per vector instead of the exact config's
+      // brute-force-equivalent volume. No SQL oracle (results depend on
+      // kmeans geometry) → driver's rows-only check; recall vs brute
+      // force is pinned in OpsSpec ("knnGraph: full probe equals...")
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.knnGraph(emb, "vec_id", "embedding", k = 3, nprobe = 4)
         .select(col("src_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("src_id", "rank")
@@ -2056,6 +2106,12 @@ object SparkEntry {
         |FROM base WHERE o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
 
+    "s51_stream_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "s50_stream_sessionize" ->
       """WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS wm
         |            FROM events),
@@ -2146,8 +2202,10 @@ object SparkEntry {
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, lang, hex,
-        |    CAST(((strpos('0123456789abcdef', substr(hex, 1, 1)) - 1) * 16
-        |        + (strpos('0123456789abcdef', substr(hex, 2, 1)) - 1)) % 8 AS INT) AS shard
+        |    CAST(((((strpos('0123456789abcdef', substr(hex, 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(hex, 2, 1)) - 1)) * 16
+        |        + (strpos('0123456789abcdef', substr(hex, 3, 1)) - 1)) * 16
+        |        + (strpos('0123456789abcdef', substr(hex, 4, 1)) - 1)) % 8 AS INT) AS shard
         |  FROM h
         |)
         |SELECT doc_id, lang, shard,

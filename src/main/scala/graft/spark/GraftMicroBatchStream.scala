@@ -22,7 +22,7 @@ case class GraftStreamOffset(seq: Long) extends Offset {
 /**
  * DataSource V2 micro-batch stream over a graft table — the native
  * `spark.readStream.format("graft")` path (the V1 `Source` remains as the
- * fallback for CDC mode and via `v1-source=true`).
+ * fallback via `v1-source=true`).
  *
  * Why V2: offsets travel THROUGH the API (`latestOffset(start, limit)`
  * receives the last committed offset), so rate limiting is stateless —
@@ -30,6 +30,18 @@ case class GraftStreamOffset(seq: Long) extends Offset {
  * each file of a micro-batch is its own [[InputPartition]], read directly
  * on executors without any driver-side DataFrame rebinding (the V1 path
  * needed a private[sql] bridge to re-tag a batch plan as streaming).
+ *
+ * CDC mode (`read-changes=true`): the stream schema gains `_change_type` /
+ * `_commit_snapshot_id` / `_commit_sequence` and every commit shape
+ * streams as row-level changes with [[graft.streaming.StreamingOps
+ * .changesBetween]]'s exact semantics. Append commits — the dominant CDC
+ * shape — plan as their own added files with CONSTANT change metadata
+ * (pure executor-side reads, zero extra IO); every other shape
+ * materializes its per-commit diff once to scratch parquet under the
+ * table's `_cdc_scratch/` (a distributed job, never a driver collect) and
+ * streams those files; scratch is deleted as soon as the engine commits
+ * the batch. Offsets stay the table sequence number, so a V1 CDC
+ * checkpoint resumes under V2 unchanged.
  *
  * Semantics match the V1 source exactly: append-commit consumption along
  * MAIN's published ancestry (branch-staged WAP commits never stream),
@@ -65,6 +77,8 @@ class GraftMicroBatchStream(
   }
   private val skipNonAppends =
     parameters.get("skip-non-appends").exists(_.toBoolean)
+  private val readChanges =
+    parameters.get("read-changes").exists(_.toBoolean)
   private val maxSnapshotsPerTrigger: Option[Int] =
     parameters.get("max-snapshots-per-trigger").map(_.toInt)
   private val maxRowsPerTrigger: Option[Long] =
@@ -89,8 +103,24 @@ class GraftMicroBatchStream(
   override def initialOffset(): Offset = GraftStreamOffset(startSeq)
   override def deserializeOffset(json: String): Offset = GraftStreamOffset(json.toLong)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+
+  // CDC scratch per materialized commit sequence: the dir plus its data
+  // files. Doubles as a plan cache — the engine re-invokes
+  // planInputPartitions for the same range during physical planning, and
+  // each diff must be materialized exactly once. Deleted as soon as the
+  // engine commits an end offset at or past the sequence (and on stop).
+  private val scratch =
+    scala.collection.concurrent.TrieMap.empty[Long, (Path, Seq[String])]
+  private def dropScratch(upToSeq: Long): Unit =
+    scratch.keys.filter(_ <= upToSeq).foreach { k =>
+      scratch.remove(k).foreach { case (dir, _) =>
+        try dir.getFileSystem(conf).delete(dir, true) catch { case _: Exception => }
+      }
+    }
+
+  override def commit(end: Offset): Unit =
+    dropScratch(end.asInstanceOf[GraftStreamOffset].seq)
+  override def stop(): Unit = dropScratch(Long.MaxValue)
 
   override def latestOffset(): Offset =
     latestOffset(GraftStreamOffset(startSeq), ReadLimit.allAvailable())
@@ -161,6 +191,12 @@ class GraftMicroBatchStream(
       .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
     val meta = t.metadata
     val confSer = new SerializableHadoopConf(conf)
+    if (readChanges) {
+      val fromId =
+        if (fromSeq == Long.MinValue) None
+        else ancestry.find(_.sequenceNumber == fromSeq).map(_.snapshotId)
+      return planChangePartitions(t, snaps, fromId, confSer)
+    }
     snaps.flatMap { s =>
       s.operation.getOrElse("append") match {
         case "append" =>
@@ -176,6 +212,59 @@ class GraftMicroBatchStream(
             "(CDC), or set skip-non-appends=true to stream appended rows only")
       }
     }.toArray
+  }
+
+  /** CDC partitions for one batch, commit by commit in sequence order.
+    * Append commits stream their own added files with constant change
+    * metadata — no extra IO, no diff. Metadata-only `replace` commits
+    * provably change nothing. Every other shape gets the EXACT
+    * [[graft.streaming.StreamingOps.changesBetween]] per-commit diff,
+    * materialized once to `_cdc_scratch/` parquet by a distributed job
+    * (the diff is a join/exceptAll — per-partition readers cannot express
+    * it) and streamed from there; the scratch files carry the full CDC
+    * row including the metadata columns, written and read under the
+    * pinned stream schema. */
+  private def planChangePartitions(t: GTable, snaps: Seq[graft.meta.Snapshot],
+                                   startId: Option[Long],
+                                   confSer: SerializableHadoopConf): Array[InputPartition] = {
+    val meta = t.metadata
+    val cdcJson = GraftMicroBatchStream.schemaJson(streamSchema)
+    var prevId: Option[Long] = startId
+    val parts = Array.newBuilder[InputPartition]
+    snaps.foreach { s =>
+      val op = s.operation.getOrElse("append")
+      if (s.summary.get("operation").contains("replace")) {
+        // metadata-only reorganization: no row changes by construction
+      } else if (op == "append") {
+        t.scan(Some(s.snapshotId)).addedFiles().foreach { task =>
+          val writeSchema = meta.schemaById(task.schemaId).getOrElse(meta.currentSchema)
+          parts += GraftStreamInputPartition(task.filePath,
+            GraftMicroBatchStream.schemaJson(writeSchema), confSer,
+            cdcMeta = Some(CdcMeta("insert", s.snapshotId, s.sequenceNumber)))
+        }
+      } else {
+        val files = scratch.get(s.sequenceNumber) match {
+          case Some((_, fs)) => fs // already materialized for this commit
+          case None =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val diff = graft.streaming.StreamingOps.changesBetween(
+              spark, t, prevId, Some(s.snapshotId))
+            val dir = new Path(t.location,
+              s"_cdc_scratch/${java.util.UUID.randomUUID().toString}")
+            diff.write.parquet(dir.toString)
+            val fs = dir.getFileSystem(conf).listStatus(dir)
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+                && st.getLen > 0)
+              .map(_.getPath.toString).toSeq
+            scratch.put(s.sequenceNumber, (dir, fs))
+            fs
+        }
+        files.foreach(f =>
+          parts += GraftStreamInputPartition(f, cdcJson, confSer))
+      }
+      prevId = Some(s.snapshotId)
+    }
+    parts.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -210,6 +299,26 @@ object GraftMicroBatchStream {
       parameters, streamSchema, t.hadoopConf)
   import org.json4s.jackson.JsonMethods
 
+  /** The CDC metadata columns, in output order. */
+  private[spark] val CdcMetaNames =
+    Seq("_change_type", "_commit_snapshot_id", "_commit_sequence")
+
+  /** The pinned stream schema of a CDC read: the data schema plus the
+    * change-metadata fields. Their synthetic ids extend the data schema's
+    * id space; scratch diff files are written and read under this same
+    * schema, so id-based projection stays consistent within the query. */
+  private[spark] def cdcSchema(s: Schema): Schema = {
+    val base = math.max(s.highestFieldId, 0)
+    s.copy(fields = s.fields ++ Seq(
+      NestedField(base + 1, "_change_type", IString, required = true),
+      NestedField(base + 2, "_commit_snapshot_id", ILong, required = true),
+      NestedField(base + 3, "_commit_sequence", ILong, required = true)))
+  }
+
+  /** The data-only prefix of a [[cdcSchema]]. */
+  private[spark] def dataSchemaOf(cdc: Schema): Schema =
+    cdc.copy(fields = cdc.fields.filterNot(f => CdcMetaNames.contains(f.name)))
+
   private[spark] def schemaJson(s: Schema): String =
     JsonMethods.compact(JsonMethods.render(graft.meta.MetadataJson.schemaToJson(s)))
   private[spark] def schemaOf(json: String): Schema =
@@ -234,17 +343,33 @@ object GraftMicroBatchStream {
   }
 }
 
+/** Constant change metadata of an append-commit CDC partition: every row
+  * of the file streams as this (changeType, snapshotId, sequence). */
+case class CdcMeta(changeType: String, snapshotId: Long, sequence: Long)
+
 /** One data file of one append commit, with the schema that WROTE it (for
-  * field-id projection to the pinned stream schema). */
+  * field-id projection to the pinned stream schema). `cdcMeta` set means
+  * the file is a data file streamed in CDC mode: the reader appends the
+  * constant metadata columns to each row. */
 case class GraftStreamInputPartition(
     filePath: String,
     writeSchemaJson: String,
-    conf: SerializableHadoopConf) extends InputPartition
+    conf: SerializableHadoopConf,
+    cdcMeta: Option[CdcMeta] = None) extends InputPartition
 
 case class GraftStreamReaderFactory(streamSchemaJson: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftStreamInputPartition]
-    new GraftGroupReader(p, GraftMicroBatchStream.schemaOf(streamSchemaJson))
+    val streamSchema = GraftMicroBatchStream.schemaOf(streamSchemaJson)
+    p.cdcMeta match {
+      case None => new GraftGroupReader(p, streamSchema)
+      case Some(m) =>
+        // data file in CDC mode: project the DATA columns from the file,
+        // append the commit-constant metadata columns per row
+        new GraftGroupReader(p, GraftMicroBatchStream.dataSchemaOf(streamSchema),
+          extra = Array[Any](UTF8String.fromString(m.changeType),
+            m.snapshotId, m.sequence))
+    }
   }
 }
 
@@ -257,7 +382,8 @@ case class GraftStreamReaderFactory(streamSchemaJson: String) extends PartitionR
  * applicable deletes by construction (see TableScan.addedFiles), so no
  * delete application is needed here.
  */
-class GraftGroupReader(part: GraftStreamInputPartition, streamSchema: Schema)
+class GraftGroupReader(part: GraftStreamInputPartition, streamSchema: Schema,
+                       extra: Array[Any] = Array.empty)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
@@ -305,7 +431,7 @@ class GraftGroupReader(part: GraftStreamInputPartition, streamSchema: Schema)
   override def next(): Boolean = { current = reader.read(); current != null }
 
   override def get(): InternalRow = {
-    val row = new GenericInternalRow(plans.length)
+    val row = new GenericInternalRow(plans.length + extra.length)
     var i = 0
     while (i < plans.length) {
       val (cf, w) = plans(i)
@@ -318,6 +444,8 @@ class GraftGroupReader(part: GraftStreamInputPartition, streamSchema: Schema)
       row.update(i, v)
       i += 1
     }
+    var j = 0
+    while (j < extra.length) { row.update(plans.length + j, extra(j)); j += 1 }
     row
   }
 

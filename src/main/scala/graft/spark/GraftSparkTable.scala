@@ -50,8 +50,16 @@ class GraftSparkTable(
 
   override def name(): String = graftTable.ident.toString
 
-  override def schema(): StructType =
-    SparkSchemaConverter.toSpark(graftTable.currentSchema)
+  /** CDC path loads (`format("graft").option("read-changes", true)
+    * .load(dir)`) resolve with the change-metadata columns appended, so
+    * the V2 stream's rows type-check against the relation. Such an
+    * instance only ever backs that streaming read. */
+  override def schema(): StructType = {
+    val base = SparkSchemaConverter.toSpark(graftTable.currentSchema)
+    if (streamOptions.get("read-changes").exists(_.toBoolean))
+      GraftStreamSource.withChangeColumns(base)
+    else base
+  }
 
   override def capabilities(): java.util.Set[TableCapability] = {
     // BATCH_WRITE rides alongside V1_BATCH_WRITE only to satisfy the
@@ -65,12 +73,14 @@ class GraftSparkTable(
     // micro-batch streaming goes native V2 when the table can re-resolve
     // per trigger — by path (format("graft").load(dir)) or through its own
     // catalog (spark.readStream.table("cat.db.t")) — and the executor-side
-    // row reader covers the schema; for path reads, CDC mode (read-changes)
-    // and the v1-source escape hatch stay on the V1 Source, which Spark
-    // falls back to automatically when this capability is absent
+    // row reader covers the schema. CDC mode (read-changes) is V2 for
+    // path-resolved reads (the form it documents); the v1-source escape
+    // hatch stays on the V1 Source, which Spark falls back to
+    // automatically when this capability is absent
     val resolvable = streamOptions.contains("path") || graftTable.catalog.isDefined
+    val cdc = streamOptions.get("read-changes").exists(_.toBoolean)
     if (resolvable &&
-        !streamOptions.get("read-changes").exists(_.toBoolean) &&
+        (!cdc || streamOptions.contains("path")) &&
         !streamOptions.get("v1-source").exists(_.toBoolean) &&
         GraftMicroBatchStream.streamable(graftTable.currentSchema))
       caps.add(TableCapability.MICRO_BATCH_READ)
@@ -170,7 +180,19 @@ class GraftSparkTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pinnedSnapshotId.isDefined)
       throw new UnsupportedFeatureError("cannot write to a time-travel table")
-    new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+    // SupportsStreamingUpdateAsAppend is advertised ONLY with merge-keys:
+    // then Update output mode reaches the sink as per-epoch appends and
+    // each epoch UPSERTS — exactly update mode's "changed rows per
+    // trigger" contract. Without merge-keys, update-as-append would
+    // silently accumulate stale versions, so Spark's own rejection stands.
+    if (info.options.containsKey("merge-keys"))
+      new GraftWriteBuilder(info)
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else new GraftWriteBuilder(info)
+  }
+
+  private class GraftWriteBuilder(info: LogicalWriteInfo)
+      extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       private var overwriteAll = false
       private var overwriteFilters: Option[Array[Filter]] = None
       private var dynamic = false
@@ -192,6 +214,26 @@ class GraftSparkTable(
       }
       override def build(): Write =
         if (dynamic) new GraftDynamicOverwriteWrite(graftTable, info.schema())
+        else if (info.options.containsKey("merge-keys")) {
+          // the upsert write is returned DIRECTLY (not V1Write-wrapped):
+          // V2Writes.prepareQuery reads RequiresDistributionAndOrdering
+          // off the Write that build() returns — a wrapper would make the
+          // strict key clustering the NULL/duplicate-key checks rely on
+          // silently inert. (Batch writes with this option fail loudly in
+          // toBatch; merge-keys is a streaming-only option.)
+          if (graftTable.catalog.isEmpty)
+            throw new UnsupportedFeatureError(
+              "streaming writes need a catalog-backed table (per-epoch commits)")
+          if (overwriteAll)
+            throw new UnsupportedFeatureError(
+              "merge-keys upsert needs Append or Update output mode; " +
+                "Complete mode already replaces the table each epoch")
+          val mergeKeys = info.options.get("merge-keys")
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          new GraftStreamingUpsertWrite(graftTable, info.schema(),
+            info.queryId(), mergeKeys,
+            Option(info.options.get("branch")).getOrElse("main"))
+        }
         else new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
@@ -209,16 +251,17 @@ class GraftSparkTable(
             }
 
           /** writeStream.toTable: Append mode arrives plain, Complete mode
-            * arrives through truncate() (replace-per-epoch). Update-mode
-            * upserts stay on the V1 `format("graft")` sink, which writes
-            * equality deletes from whole-DataFrame batches. */
+            * arrives through truncate() (replace-per-epoch). Merge-keys
+            * upserts never reach here — build() returns
+            * [[GraftStreamingUpsertWrite]] directly so its distribution
+            * requirement is visible to the planner. Note the V1Write
+            * wrapper hides [[GraftStreamingWrite]]'s own (best-effort)
+            * clustering request from V2Writes.prepareQuery — harmless for
+            * plain appends: the fanout writer is correct under any
+            * distribution, and per-epoch file count stays bounded by
+            * tasks × touched partitions of one epoch. */
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-            if (info.options.containsKey("merge-keys"))
-              throw new UnsupportedFeatureError(
-                "merge-keys upsert streams through the V1 sink: " +
-                  "writeStream.format(\"graft\").option(\"warehouse\", …)" +
-                  ".option(\"table\", …).option(\"merge-keys\", …)")
             if (graftTable.catalog.isEmpty)
               throw new UnsupportedFeatureError(
                 "streaming writes need a catalog-backed table (per-epoch commits)")
@@ -227,7 +270,6 @@ class GraftSparkTable(
               branch = Option(info.options.get("branch")).getOrElse("main"))
           }
         }
-    }
   }
 
   // -------------------------------------------------------------- delete
@@ -288,15 +330,18 @@ private[spark] class GraftV1Scan(
       throw new UnsupportedFeatureError(
         "cannot stream a time-travel table: a pinned snapshot has no commit " +
           "sequence to consume; use starting-snapshot-id or branch")
-    if (streamOptions.get("read-changes").exists(_.toBoolean))
+    val cdc = streamOptions.get("read-changes").exists(_.toBoolean)
+    if (cdc && !streamOptions.contains("path"))
       throw new UnsupportedFeatureError(
         "CDC streaming (read-changes) runs through the path-based reader: " +
           "spark.readStream.format(\"graft\").option(\"read-changes\", \"true\").load(dir)")
+    def streamSchema(s: graft.types.Schema): graft.types.Schema =
+      if (cdc) GraftMicroBatchStream.cdcSchema(s) else s
     streamOptions.get("path") match {
       case Some(dir) =>
-        GraftMicroBatchStream.forPath(dir, streamOptions, gt.currentSchema)
+        GraftMicroBatchStream.forPath(dir, streamOptions, streamSchema(gt.currentSchema))
       case None if gt.catalog.isDefined =>
-        GraftMicroBatchStream.forCatalogTable(gt, streamOptions, gt.currentSchema)
+        GraftMicroBatchStream.forCatalogTable(gt, streamOptions, streamSchema(gt.currentSchema))
       case None => throw new UnsupportedFeatureError(
         "streaming read requires a path-resolved table " +
           "(readStream.format(\"graft\").load(dir)) or a catalog table " +

@@ -92,6 +92,27 @@ private[spark] object GraftV2Write {
       }
     }
 
+  /** Hadoop conf wired for [[ParquetWriteSupport]] writing `schema` —
+    * identical knobs for data files and equality-delete (key-only) files. */
+  def parquetConf(sconf: SerializableHadoopConf, schema: StructType): Configuration = {
+    val c = new Configuration(sconf.value)
+    ParquetWriteSupport.setSchema(schema, c)
+    c.set("spark.sql.parquet.writeLegacyFormat", "false")
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    c
+  }
+
+  private[spark] class RowWriterBuilder(out: org.apache.parquet.io.OutputFile)
+    extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](out) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport().asInstanceOf[WriteSupport[InternalRow]]
+  }
+
   /** Build the serializable writer factory for one write of `gt`. */
   def factory(gt: GTable, writeSchema: StructType, dataDir: String): GraftWriterFactory = {
     val schema = gt.currentSchema
@@ -168,21 +189,35 @@ private[spark] object GraftV2Write {
 private[spark] final case class GraftWriteCommit(files: Seq[DataFile])
   extends WriterCommitMessage
 
+/** Per-task upsert configuration for [[GraftUpsertFanoutWriter]]: which
+  * write-schema ordinals form the merge key, and the field ids the
+  * resulting equality-delete files declare. */
+private[spark] final case class UpsertSpec(keyNames: Seq[String],
+                                           keyOrdinals: Seq[Int],
+                                           keyIds: Seq[Int]) extends Serializable
+
 /** Serializable factory: one [[GraftFanoutWriter]] per task (and per epoch
-  * for streaming). */
+  * for streaming); with an [[UpsertSpec]], a [[GraftUpsertFanoutWriter]]
+  * that also emits equality-delete files for the batch's keys. */
 private[spark] final case class GraftWriterFactory(
     dataDir: String,
     writeSchema: StructType,
     sconf: SerializableHadoopConf,
     partFields: Seq[GraftV2Write.PartFieldEval],
-    targetFileRows: Long)
+    targetFileRows: Long,
+    upsert: Option[UpsertSpec] = None)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
+  private def make(uid: String): DataWriter[InternalRow] = upsert match {
+    case Some(spec) => new GraftUpsertFanoutWriter(uid, this, spec)
+    case None => new GraftFanoutWriter(uid, this)
+  }
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftFanoutWriter(s"$partitionId-$taskId", this)
+    make(s"$partitionId-$taskId")
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftFanoutWriter(s"$epochId-$partitionId-$taskId", this)
+    make(s"$epochId-$partitionId-$taskId")
 }
 
 /** Executor-side fanout writer: routes each row to the parquet writer of
@@ -192,17 +227,7 @@ private[spark] final case class GraftWriterFactory(
 private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFactory)
   extends DataWriter[InternalRow] {
 
-  private val conf: Configuration = {
-    val c = new Configuration(f.sconf.value)
-    ParquetWriteSupport.setSchema(f.writeSchema, c)
-    c.set("spark.sql.parquet.writeLegacyFormat", "false")
-    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-    c.set("spark.sql.parquet.fieldId.write.enabled", "false")
-    c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-    c
-  }
+  private val conf: Configuration = GraftV2Write.parquetConf(f.sconf, f.writeSchema)
 
   private final class Open(val path: Path, val writer: ParquetWriter[InternalRow],
                            val partition: Map[String, String]) { var rows = 0L }
@@ -211,17 +236,10 @@ private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFact
   private val closed = mutable.Buffer.empty[(Path, Map[String, String])]
   private var fileNo = 0
 
-  private class RowWriterBuilder(out: org.apache.parquet.io.OutputFile)
-    extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](out) {
-    override def self(): RowWriterBuilder = this
-    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
-      new ParquetWriteSupport().asInstanceOf[WriteSupport[InternalRow]]
-  }
-
   private def newOpen(tuple: Seq[String]): Open = {
     val p = new Path(f.dataDir, s"part-$taskUid-$fileNo.parquet")
     fileNo += 1
-    val w = new RowWriterBuilder(HadoopOutputFile.fromPath(p, conf))
+    val w = new GraftV2Write.RowWriterBuilder(HadoopOutputFile.fromPath(p, conf))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
@@ -275,6 +293,109 @@ private[spark] final class GraftFanoutWriter(taskUid: String, f: GraftWriterFact
   }
 
   override def close(): Unit = ()
+}
+
+/** Upsert-mode task writer: data rows fan out to partition files exactly
+  * like [[GraftFanoutWriter]], and the merge KEY of every row is also
+  * written to per-task equality-delete parquet files (key columns only,
+  * global partition scope — the same shape [[graft.table.AppendUtil
+  * .writeEqualityDeletes]] produces for the batch upsert). The write
+  * requests a strict clustering + ordering on the keys, so same-key rows
+  * are task-local AND adjacent: NULL keys and duplicate keys in one epoch
+  * are rejected loudly with O(1) per-row state, matching
+  * [[graft.table.Table.upsert]]'s batch-side contract. */
+private[spark] final class GraftUpsertFanoutWriter(taskUid: String,
+    f: GraftWriterFactory, spec: UpsertSpec)
+  extends DataWriter[InternalRow] {
+
+  private val data = new GraftFanoutWriter(taskUid, f)
+  private val keySchema = StructType(spec.keyOrdinals.map(f.writeSchema.fields(_)).toArray)
+  private val keyConf: Configuration = GraftV2Write.parquetConf(f.sconf, keySchema)
+  private val keyProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+    spec.keyOrdinals.zip(keySchema.fields).map { case (ord, fl) =>
+      org.apache.spark.sql.catalyst.expressions.BoundReference(ord, fl.dataType,
+        nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+    })
+  private var prevKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+  private var eqWriter: ParquetWriter[InternalRow] = null
+  private var eqPath: Path = null
+  private var eqRows = 0L
+  private var eqFileNo = 0
+  private val eqClosed = mutable.Buffer.empty[Path]
+
+  private def rollEq(): Unit = {
+    eqPath = new Path(f.dataDir, s"eqdel-$taskUid-$eqFileNo.parquet")
+    eqFileNo += 1
+    eqWriter = new GraftV2Write.RowWriterBuilder(HadoopOutputFile.fromPath(eqPath, keyConf))
+      .withConf(keyConf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    eqRows = 0L
+  }
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < spec.keyOrdinals.length) {
+      if (row.isNullAt(spec.keyOrdinals(i)))
+        throw new graft.InvalidDataError(
+          s"upsert key contains NULL (keys: ${spec.keyNames.mkString(", ")}): " +
+            "filter null-key rows out of the stream first")
+      i += 1
+    }
+    val key = keyProj(row)
+    if (prevKey != null && key == prevKey)
+      throw new graft.InvalidDataError(
+        "streaming upsert epoch has duplicate keys: reduce to one row per key " +
+          "per trigger first (last-wins is undefined within a batch)")
+    prevKey = key.copy()
+    if (eqWriter == null) rollEq()
+    eqWriter.write(key)
+    eqRows += 1
+    if (eqRows >= f.targetFileRows) {
+      eqWriter.close(); eqClosed += eqPath; eqWriter = null
+    }
+    data.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (eqWriter != null) { eqWriter.close(); eqClosed += eqPath; eqWriter = null }
+    val keyNameSet = spec.keyNames.toSet
+    val eqFiles = eqClosed.toSeq.flatMap { p =>
+      val fs = p.getFileSystem(keyConf)
+      val stats = ParquetStats.read(keyConf, p)
+      if (stats.recordCount == 0L) {
+        try fs.delete(p, false) catch { case _: Exception => }
+        None
+      } else Some(DataFile(
+        filePath = p.toString,
+        fileFormat = "PARQUET",
+        partition = Map.empty,
+        recordCount = stats.recordCount,
+        fileSizeInBytes = fs.getFileStatus(p).getLen,
+        lowerBounds = stats.lowerBounds.view.filterKeys(keyNameSet).toMap,
+        upperBounds = stats.upperBounds.view.filterKeys(keyNameSet).toMap,
+        content = 2,
+        equalityIds = spec.keyIds))
+    }
+    val dataFiles = data.commit() match {
+      case GraftWriteCommit(files) => files
+      case _ => Nil
+    }
+    GraftWriteCommit(dataFiles ++ eqFiles)
+  }
+
+  override def abort(): Unit = {
+    if (eqWriter != null) {
+      try eqWriter.close() catch { case _: Exception => }
+      eqClosed += eqPath; eqWriter = null
+    }
+    eqClosed.foreach { p =>
+      try p.getFileSystem(keyConf).delete(p, false) catch { case _: Exception => }
+    }
+    data.abort()
+  }
+
+  override def close(): Unit = data.close()
 }
 
 /**
@@ -338,6 +459,78 @@ private[spark] final class GraftStreamingWrite(
     GraftV2Write.deleteFiles(gt.hadoopConf, messages.toSeq.filter(_ != null))
 
   override def description(): String = s"graft streaming write ${gt.ident}"
+}
+
+/**
+ * Native V2 streaming UPSERT sink (`writeStream.option("merge-keys", …)
+ * .toTable("cat.db.t")`, Append or Update output mode): each micro-batch
+ * epoch lands as ONE atomic MOR row delta — executors fan data rows out
+ * to partition files AND write the epoch's merge keys as global
+ * equality-delete files, the driver commits metadata only. Same sequence
+ * semantics as [[graft.table.Table.upsert]] (deletes apply strictly below
+ * the commit's sequence, so the epoch replaces prior versions of its keys
+ * without reading or rewriting any existing data — O(epoch) regardless of
+ * table size), same replay bookkeeping as [[GraftStreamingWrite]].
+ *
+ * The write demands a STRICT clustering by the key columns plus a
+ * key-ascending ordering: same-key rows meet in one task adjacently, so
+ * the per-task writer rejects NULL and duplicate keys with O(1) state —
+ * the streaming analogue of the batch upsert's driver-side checks.
+ */
+private[spark] final class GraftStreamingUpsertWrite(
+    gt: GTable, writeSchema: StructType, queryId: String,
+    keys: Seq[String], branch: String)
+  extends Write with org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with RequiresDistributionAndOrdering {
+
+  private val keyFields = keys.map(k => gt.currentSchema.fieldByName(k).getOrElse(
+    throw new graft.InvalidDataError(s"merge key not in table schema: $k")))
+  private val keyOrdinals = keys.map { k =>
+    val i = writeSchema.fieldNames.indexOf(k)
+    if (i < 0) throw new graft.InvalidDataError(s"merge key missing from write schema: $k")
+    i
+  }
+  // era the files are written under — CAS retries pin the manifests to it
+  private val writeSchemaId = gt.metadata.currentSchemaId
+  private val writeSpecId = gt.metadata.defaultSpecId
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      keys.map(k => org.apache.spark.sql.connector.expressions.Expressions.column(k):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    keys.map(k => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(k),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  override def distributionStrictlyRequired(): Boolean = true
+
+  private val dataDir = new Path(gt.location,
+    s"data/${java.util.UUID.randomUUID().toString}").toString
+
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftV2Write.factory(gt, writeSchema, dataDir)
+      .copy(upsert = Some(UpsertSpec(keys, keyOrdinals, keyFields.map(_.id))))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val t = gt.refresh()
+    val replayed = graft.streaming.StreamingOps
+      .lastCommittedBatchId(t, queryId).exists(_ >= epochId)
+    if (replayed) { GraftV2Write.deleteFiles(t.hadoopConf, messages.toSeq); return }
+    val summary = Map(
+      "streaming-query-id" -> queryId,
+      "streaming-batch-id" -> epochId.toString)
+    val (delFiles, dataFiles) = GraftV2Write.collectFiles(messages).partition(_.content == 2)
+    t.commitRowDelta(delFiles, dataFiles, summary, toBranch = branch,
+      writeSchemaId = Some(writeSchemaId), writeSpecId = Some(writeSpecId))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftV2Write.deleteFiles(gt.hadoopConf, messages.toSeq.filter(_ != null))
+
+  override def description(): String =
+    s"graft streaming upsert ${gt.ident} on (${keys.mkString(", ")})"
 }
 
 /**

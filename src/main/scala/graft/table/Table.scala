@@ -2048,6 +2048,41 @@ final class Table(
       extraSummary, toBranch = toBranch)
   }
 
+  /** File-level MOR row delta (the V2 streaming UPSERT sink's per-epoch
+    * commit): equality-delete + data files were already written by the
+    * executors; this commits metadata only — the file-level analogue of
+    * [[upsert]], sharing its sequence semantics (deletes and data take the
+    * commit's sequence, equality deletes apply strictly below it). The
+    * write-era schema/spec ids pin the manifests when a CAS retry lands on
+    * evolved metadata. Empty epochs commit nothing. */
+  private[graft] def commitRowDelta(deleteFiles: Seq[graft.manifest.DataFile],
+                                    dataFiles: Seq[graft.manifest.DataFile],
+                                    extraSummary: Map[String, String] = Map.empty,
+                                    toBranch: String = "main",
+                                    writeSchemaId: Option[Int] = None,
+                                    writeSpecId: Option[Int] = None): Unit = {
+    val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
+    if (deleteFiles.isEmpty && dataFiles.isEmpty) return
+    val commitUuid = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val base = if (attempt == 0) meta else cat.currentMetadata(ident)
+      try {
+        meta = cat.commitTable(ident, base,
+          buildMorDmlMetadata(base, deleteFiles, dataFiles, s"$commitUuid-$attempt",
+            "overwrite", extraSummary,
+            writeSchemaId = writeSchemaId, writeSpecId = writeSpecId,
+            toBranch = toBranch))
+        committed = true
+      } catch {
+        case e: CommitConflictError =>
+          attempt += 1
+          if (attempt > 5) { discardFiles(deleteFiles ++ dataFiles); throw e }
+      }
+    }
+  }
+
   /** File-level full replacement (a Complete-mode streaming epoch): one
     * snapshot that removes every live file and adds `files`. An EMPTY
     * `files` still commits — Complete mode's contract is "the table equals

@@ -58,7 +58,7 @@ class StreamingV2Spec extends AnyFunSuite {
     } finally q1.stop()
   }
 
-  test("CDC mode (read-changes) stays on the V1 source") {
+  test("CDC mode (read-changes) engages the V2 stream; v1-source falls back") {
     import spark.implicits._
     val (dir, tbl) = mkTable("graft-v2-cdc", idSchema)
     tbl.append(Seq(1L).toDF("id"))
@@ -66,10 +66,56 @@ class StreamingV2Spec extends AnyFunSuite {
       .writeStream.format("memory").queryName("v2_cdc").outputMode("append").start()
     try {
       q.processAllAvailable()
-      assert(sourceDescription(q).startsWith("GraftStreamSource"))
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"),
+        s"CDC must ride the V2 stream now, got: ${sourceDescription(q)}")
       assert(spark.table("v2_cdc").select("_change_type").collect()
         .map(_.getString(0)).toSeq == Seq("insert"))
     } finally q.stop()
+
+    val q1 = spark.readStream.format("graft").option("read-changes", "true")
+      .option("v1-source", "true").load(dir)
+      .writeStream.format("memory").queryName("v2_cdc_v1").outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      assert(sourceDescription(q1).startsWith("GraftStreamSource"),
+        s"v1-source=true must keep CDC on the V1 source, got: ${sourceDescription(q1)}")
+      assert(spark.table("v2_cdc_v1").select("_change_type").collect()
+        .map(_.getString(0)).toSeq == Seq("insert"))
+    } finally q1.stop()
+  }
+
+  test("V2 CDC streams every commit shape; scratch diffs are cleaned up after commit") {
+    import spark.implicits._
+    val kvSchema = Schema(0, Seq(
+      NestedField(1, "id", ILong, required = false),
+      NestedField(2, "k", IString, required = false)))
+    val (dir, tbl) = mkTable("graft-v2-cdc-shapes", kvSchema)
+    // three commit shapes: append (direct file partitions), equality-delete
+    // upsert and a COW delete (both through the scratch diff path)
+    tbl.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k"))
+    tbl.upsert(spark, Seq((2L, "B2"), (4L, "d")).toDF("id", "k"), Seq("id"))
+    tbl.delete(spark, Seq(graft.table.EqPred("id", 1L)))
+
+    val q = spark.readStream.format("graft").option("read-changes", "true").load(dir)
+      .writeStream.format("memory").queryName("v2_cdc_shapes").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sourceDescription(q).startsWith("GraftMicroBatchStream"))
+      val rows = spark.table("v2_cdc_shapes")
+        .select("id", "k", "_change_type", "_commit_sequence")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      // commit 1 (seq 1): three inserts; commit 2 (seq 2): delete(2,b) +
+      // inserts (2,B2),(4,d); commit 3 (seq 3): delete(1,a)
+      assert(rows == Set(
+        (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 1L),
+        (2L, "b", "delete", 2L), (2L, "B2", "insert", 2L), (4L, "d", "insert", 2L),
+        (1L, "a", "delete", 3L)))
+    } finally q.stop()
+    // stop (and per-batch commits before it) must reclaim every scratch diff
+    val scratch = new java.io.File(dir, "_cdc_scratch")
+    assert(!scratch.exists() || scratch.listFiles().isEmpty,
+      s"scratch not cleaned: ${Option(scratch.listFiles()).map(_.toSeq).getOrElse(Nil)}")
   }
 
   test("a schema the V2 row reader cannot produce falls back to V1 and still streams") {

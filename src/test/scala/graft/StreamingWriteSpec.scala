@@ -9,7 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
  * [[graft.spark.GraftStreamingWrite]]): per-epoch atomic commits from
  * executor-written files, exactly-once across restarts via the stable
  * query id, partition fanout, Complete-mode replace-per-epoch, WAP branch
- * staging, and the loud rejections (merge-keys, Update mode).
+ * staging — and the V2 streaming UPSERT ([[graft.spark.
+ * GraftStreamingUpsertWrite]]): merge-keys epochs as MOR row deltas,
+ * update-as-append aggregates, loud NULL/duplicate-key rejection.
  */
 class StreamingWriteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -137,22 +139,100 @@ class StreamingWriteSpec extends AnyFunSuite {
     assert(t.toDF(spark).count() == 2L)
   }
 
-  test("merge-keys and Update mode are rejected loudly on the V2 path") {
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("merge-keys toTable upserts each epoch via V2 equality deletes, exactly once") {
+    import spark.implicits._
+    val (wh, cat, c) = fixture()
+    val src = cat.createTable("default.src", schema)
+    spark.sql(s"CREATE TABLE $c.default.outu (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    src.append(Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang"))
+    val ckpt = cp()
+
+    def run(): Unit = drain(
+      spark.readStream.format("graft").load(s"$wh/default/src")
+        .writeStream.option("checkpointLocation", ckpt).option("merge-keys", "id"),
+      s"$c.default.outu")
+
+    run()
+    def state(): Map[Long, String] = cat.loadTable("default.outu").toDF(spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == Map(1L -> "en", 2L -> "de", 3L -> "en"))
+    // the commit is a MOR row delta: equality deletes landed with the data
+    val out = cat.loadTable("default.outu")
+    val upsertSnap = out.snapshots.last
+    assert(upsertSnap.summary.get("added-equality-deletes").exists(_.toLong > 0))
+    assert(upsertSnap.summary.contains("streaming-batch-id"))
+    val snaps0 = out.snapshots.length
+
+    // replay with nothing new: no new snapshots, no duplicates
+    run()
+    assert(cat.loadTable("default.outu").snapshots.length == snaps0)
+
+    // same keys re-arrive with new values (2 moves de→fr): last wins, the
+    // partition move included — prior versions die by equality delete
+    src.refresh().append(Seq((2L, "fr"), (4L, "en")).toDF("id", "lang"))
+    run()
+    assert(state() == Map(1L -> "en", 2L -> "fr", 3L -> "en", 4L -> "en"))
+  }
+
+  test("update-mode aggregate with merge-keys converges to the batch result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.count
+    val (wh, cat, c) = fixture()
+    val src = cat.createTable("default.src", schema)
+    cat.createTable("default.aggu", Schema(0, Seq(
+      NestedField(1, "lang", IString), NestedField(2, "n", ILong))))
+    src.append(Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang"))
+    val ckpt = cp()
+
+    def run(): Unit = drain(
+      spark.readStream.format("graft").load(s"$wh/default/src")
+        .groupBy("lang").agg(count("*").as("n"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt).option("merge-keys", "lang"),
+      s"$c.default.aggu")
+
+    run()
+    def agg(): Map[String, Long] = cat.loadTable("default.aggu").toDF(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg() == Map("en" -> 2L, "de" -> 1L))
+    // update mode only emits CHANGED aggregates; the upsert folds them in
+    src.refresh().append(Seq((4L, "en"), (5L, "fr")).toDF("id", "lang"))
+    run()
+    assert(agg() == Map("en" -> 3L, "de" -> 1L, "fr" -> 1L))
+  }
+
+  test("streaming upsert rejects NULL and duplicate keys in an epoch loudly") {
+    import spark.implicits._
+    val (wh, cat, c) = fixture()
+    val src = cat.createTable("default.src", schema)
+    cat.createTable("default.outd", schema)
+    src.append(Seq((1L, "en"), (1L, "de")).toDF("id", "lang")) // dup key
+    val exD = intercept[Exception] {
+      drain(spark.readStream.format("graft").load(s"$wh/default/src")
+        .writeStream.option("checkpointLocation", cp()).option("merge-keys", "id"),
+        s"$c.default.outd")
+    }
+    assert(messages(exD).exists(_.contains("duplicate keys")))
+
+    val src2 = cat.createTable("default.src2", schema)
+    src2.append(Seq((null.asInstanceOf[java.lang.Long], "en")).toDF("id", "lang"))
+    val exN = intercept[Exception] {
+      drain(spark.readStream.format("graft").load(s"$wh/default/src2")
+        .writeStream.option("checkpointLocation", cp()).option("merge-keys", "id"),
+        s"$c.default.outd")
+    }
+    assert(messages(exN).exists(_.contains("NULL")))
+  }
+
+  test("update mode WITHOUT merge-keys stays rejected (no silent accumulation)") {
     import spark.implicits._
     val (wh, cat, c) = fixture()
     val src = cat.createTable("default.src", schema)
     cat.createTable("default.outr", schema)
     src.append(Seq((1L, "en")).toDF("id", "lang"))
-
-    val ex = intercept[Exception] {
-      drain(spark.readStream.format("graft").load(s"$wh/default/src")
-        .writeStream.option("checkpointLocation", cp()).option("merge-keys", "id"),
-        s"$c.default.outr")
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("merge-keys")))
-
     val exU = intercept[Exception] {
       drain(spark.readStream.format("graft").load(s"$wh/default/src")
         .writeStream.outputMode("update").option("checkpointLocation", cp()),
