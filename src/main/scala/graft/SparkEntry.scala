@@ -1600,6 +1600,27 @@ object SparkEntry {
         docs.where("doc_id % 7 = 0"), "doc_id", scale = 2, idOffset = 1000000L)
       MultimodalOps.imageNearDup(base.unionByName(ups))
         .orderBy("keep_id", "dup_id")
+    }),
+
+    "m43_image_neardup_hamming" -> ((s, dir) => {
+      // NEAR-MISS perceptual dedup through the REAL codec: every 11th
+      // doc's image re-enters 4× upscaled with three hash-grid sample
+      // pixels forced white (at scale 4 each of the 64 grid cells samples
+      // a DISTINCT pixel, so the bumps hit exactly cells 0/27/54; the
+      // shifted mean may flip borderline bits too). Exact-hash equality
+      // (m42) misses these; the d35 band join over the ahash — provably
+      // exact at Hamming ≤ 3 by pigeonhole over 4×16-bit chunks — finds
+      // every pair. The oracle recomputes both hash sets from the pixel
+      // formula in integer SQL and takes brute-force Hamming pairs, so
+      // the band join is graded against an independent computation.
+      val docs = t(s, dir, "documents")
+      val base = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+      val bumped = MultimodalOps.syntheticImageCorpusBumped(
+        docs.where("doc_id % 11 = 0"), "doc_id", scale = 4,
+        idOffset = 2000000L, cells = Seq(0, 27, 54))
+      MultimodalOps.imageNearDupPairs(base.unionByName(bumped), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2787,6 +2808,39 @@ object SparkEntry {
         |SELECT f.keep_id, h.media_id AS dup_id
         |FROM hashes h JOIN firsts f USING (hs)
         |WHERE f.n > 1 AND h.media_id <> f.keep_id
-        |ORDER BY f.keep_id, dup_id""".stripMargin
+        |ORDER BY f.keep_id, dup_id""".stripMargin,
+
+    "m43_image_neardup_hamming" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, doc_id % 6 + 3 AS w0,
+        |         doc_id % 4 + 2 AS h0, FALSE AS bumped FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, doc_id % 6 + 3, doc_id % 4 + 2, TRUE
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), cells AS (
+        |  SELECT media_id, src, w0, bumped, g.i AS i,
+        |    ((g.i % 8) * w0) // 8 AS bx,
+        |    ((g.i // 8) * h0) // 8 AS by
+        |  FROM imgs CROSS JOIN generate_series(0, 63) AS g(i)
+        |), grays AS (
+        |  SELECT media_id, i,
+        |    CASE WHEN bumped AND i IN (0, 27, 54) THEN 255000
+        |    ELSE 299 * ((src*31 + ((by*w0 + bx)*3 + 0)*7) % 256)
+        |       + 587 * ((src*31 + ((by*w0 + bx)*3 + 1)*7) % 256)
+        |       + 114 * ((src*31 + ((by*w0 + bx)*3 + 2)*7) % 256) END AS g1000
+        |  FROM cells
+        |), sums AS (
+        |  SELECT media_id, SUM(g1000) AS s FROM grays GROUP BY 1
+        |), hashes AS (
+        |  SELECT g.media_id,
+        |    string_agg(CASE WHEN 64 * g.g1000 > s.s THEN '1' ELSE '0' END,
+        |               '' ORDER BY g.i) AS hs
+        |  FROM grays g JOIN sums s USING (media_id) GROUP BY g.media_id
+        |)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(hamming(a.hs, b.hs) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        |WHERE hamming(a.hs, b.hs) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

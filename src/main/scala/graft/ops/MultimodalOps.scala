@@ -132,9 +132,22 @@ object MediaFixtures {
     * original at every resolution, but any sampling grid that floors
     * coordinates sees the identical pixel values — the planted
     * "perceptual duplicate" for m42. */
-  def bmpForIdScaled(id: Long, scale: Int): Array[Byte] = {
+  def bmpForIdScaled(id: Long, scale: Int): Array[Byte] =
+    bmpForIdBumped(id, scale, Array.emptyIntArray)
+
+  /** [[bmpForIdScaled]] with the pixels SAMPLED by the given 8×8
+    * average-hash grid cells forced to white — the planted NEAR-MISS
+    * perceptual duplicate for m43: at `scale >= 8 / min(w0, h0)` (scale 4
+    * covers every fixture size) each grid cell samples a DISTINCT pixel,
+    * so a bumped cell's bit is forced to 1 while every other cell keeps
+    * its base sample; only the changed mean can flip other (borderline)
+    * bits. The resulting hash is a few bits from the original — invisible
+    * to exact-hash equality, found by the Hamming band join. */
+  def bmpForIdBumped(id: Long, scale: Int, bumpCells: Array[Int]): Array[Byte] = {
     val w0 = widthFor(id); val h0 = heightFor(id)
     val w = w0 * scale; val h = h0 * scale
+    // scaled positions the hash grid samples for the bumped cells
+    val bumped = bumpCells.map(i => ((i % 8) * w / 8, (i / 8) * h / 8)).toSet
     val rowStride = (w * 3 + 3) & ~3 // each pixel row padded to 4 bytes
     val dataSize = rowStride * h
     val fileSize = 54 + dataSize
@@ -150,9 +163,13 @@ object MediaFixtures {
     while (row >= 0) {
       var x = 0
       while (x < w) { // BMP stores BGR
-        buf.put(channelValue(id, w0, x / scale, row / scale, 2).toByte)
-        buf.put(channelValue(id, w0, x / scale, row / scale, 1).toByte)
-        buf.put(channelValue(id, w0, x / scale, row / scale, 0).toByte)
+        if (bumped.contains((x, row))) {
+          buf.put(255.toByte).put(255.toByte).put(255.toByte)
+        } else {
+          buf.put(channelValue(id, w0, x / scale, row / scale, 2).toByte)
+          buf.put(channelValue(id, w0, x / scale, row / scale, 1).toByte)
+          buf.put(channelValue(id, w0, x / scale, row / scale, 0).toByte)
+        }
         x += 1
       }
       var pad = rowStride - w * 3
@@ -261,6 +278,24 @@ case class SyntheticBmpScaledExpr(child: Expression, scale: Int)
     copy(child = c)
 }
 
+/** `synthetic_bmp_bumped(id)`: the scaled upscale with chosen hash-grid
+  * sample pixels forced white — the planted near-miss re-encode for m43. */
+case class SyntheticBmpBumpedExpr(child: Expression, scale: Int, cells: Seq[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "synthetic_bmp_bumped"
+  private val cellsArr = cells.toArray
+  override def nullSafeEval(id: Any): Any =
+    MediaFixtures.bmpForIdBumped(id.asInstanceOf[Long], scale, cellsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bumpCells", cellsArr, "int[]")
+    defineCodeGen(ctx, ev,
+      id => s"graft.ops.MediaFixtures.bmpForIdBumped($id, $scale, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): SyntheticBmpBumpedExpr =
+    copy(child = c)
+}
+
 /** Media decode as a native expression: (kind, content) → array<float>.
   * The decoder object rides along as a codegen reference, so the multimodal
   * path stays inside WholeStageCodegen — no RDD drop-out, no per-row
@@ -332,6 +367,24 @@ object MultimodalOps {
         lit("bmp").as("format")).as("meta"))
   }
 
+  /** [[syntheticImageCorpusScaled]] with the pixels sampled by `cells`
+    * forced white ([[MediaFixtures.bmpForIdBumped]]) — planted NEAR-MISS
+    * perceptual duplicates: a few ahash bits away from the original. */
+  def syntheticImageCorpusBumped(docs: DataFrame, idCol: String, scale: Int,
+                                 idOffset: Long, cells: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val id = col(idCol).cast("long")
+    docs.select(
+      (id + idOffset).as("media_id"),
+      lit("image").as("kind"),
+      ColumnBridge.column(SyntheticBmpBumpedExpr(
+        ColumnBridge.expression(id), scale, cells)).as("content"),
+      struct(
+        ((pmod(id, lit(6)) + 3) * scale).cast("int").as("width"),
+        ((pmod(id, lit(4)) + 2) * scale).cast("int").as("height"),
+        lit("bmp").as("format")).as("meta"))
+  }
+
   /** (media_id, kind, ahash): [[MediaAHashUtil.aHash64]] over the decoded
     * image — map-only, fully codegen; NULL ahash for non-images and
     * undecodable bytes. */
@@ -355,8 +408,7 @@ object MultimodalOps {
     * map-side next to the decode (images never ride a shuffle; 8 bytes per
     * image do), first-occurrence is a combinable min per hash, and dups
     * emerge from an equi-join on the hash. Near-miss (Hamming ≤ r)
-    * matching would reuse the d35 SimHash band-join machinery over the
-    * same column. */
+    * matching is [[imageNearDupPairs]]. */
   def imageNearDup(media: DataFrame): DataFrame = {
     val hashed = imageAHash(media).where(col("ahash").isNotNull)
     val firsts = hashed.groupBy("ahash")
@@ -365,6 +417,23 @@ object MultimodalOps {
     hashed.join(firsts, Seq("ahash"))
       .where(col("media_id") =!= col("keep_id"))
       .select(col("keep_id"), col("media_id").as("dup_id"))
+  }
+
+  /** NEAR-MISS perceptual image dedup: pairs of images whose 64-bit
+    * average-hashes are within `maxHamming` bits — catches re-encodes
+    * that shift a few grid cells (quality changes, small edits) where
+    * [[imageNearDup]]'s exact-hash equality misses them. Output:
+    * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * 100 TB design: the d35 SimHash machinery over the ahash column —
+    * hashes computed map-side next to the decode (images never ride a
+    * shuffle; 8 bytes per image do), then [[DedupOps.hamming64Pairs]]'
+    * 4×16-bit band join, EXACT at `maxHamming <= 3` by pigeonhole. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    val hashed = imageAHash(media).where(col("ahash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("ahash").as("sim"))
+    DedupOps.hamming64Pairs(hashed, maxHamming, maxBucket)
   }
 
   /** Synthesize a media corpus from the documents table (text bytes stand

@@ -61,5 +61,35 @@ object KnnGraphProbe {
         .agg(GraftFunctions.top_k_by(col("cosine"), col("nbr_id"), 3).as("t"))
         .write.mode("overwrite").format("noop").save()
     }
+
+    // auto-nlist (sqrt rule) candidate volume: the cell join must stay
+    // sub-quadratic as the corpus grows — candidate pairs ≈ n²·nprobe/nlist,
+    // so auto nlist=ceil(sqrt(n)) gives ~n^1.5·nprobe
+    val n = emb.count()
+    val autoNlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    for ((label, nlist, nprobe) <- Seq(
+        ("fixed nlist=16 nprobe=4", 16, 4),
+        (s"auto nlist=$autoNlist nprobe=4", autoNlist, 4))) {
+      val sample2 = emb.select(col("embedding")).limit(4096).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val m = SimilarityOps.getClass.getDeclaredMethods.find(_.getName == "trainKmeans").get
+      m.setAccessible(true)
+      val ctr = m.invoke(SimilarityOps, sample2, Integer.valueOf(nlist),
+        Integer.valueOf(10), java.lang.Long.valueOf(42L)).asInstanceOf[Array[Array[Float]]]
+      val cells2 = emb.select(col("vec_id").as("nbr_id"),
+        GraftFunctions.nearest_centroid(col("embedding"), ctr).as("cell"))
+      val probes2 = emb.select(col("vec_id").as("src_id"),
+        explode(GraftFunctions.nearest_centroids(col("embedding"), ctr, nprobe)).as("cell"))
+      val cand = timed(s"candidates: $label") {
+        cells2.join(probes2, Seq("cell")).where(col("src_id") =!= col("nbr_id")).count()
+      }
+      println(f"CANDIDATES $label: $cand%,d of n^2=${n * n}%,d " +
+        f"(${cand.toDouble / (n.toDouble * n)}%.4f of quadratic)")
+      timed(s"full knnGraph: $label") {
+        SimilarityOps.knnGraph(emb, "vec_id", "embedding", k = 3,
+            nlist = nlist, nprobe = nprobe)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
   }
 }

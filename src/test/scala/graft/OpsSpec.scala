@@ -708,4 +708,41 @@ class OpsSpec extends AnyFunSuite {
     })
     assert(pairs.nonEmpty)
   }
+
+  test("imageNearDupPairs: Hamming band join equals brute force; bumps flip only their cells") {
+    // a bumped cell's sampled pixel goes white at scale 4, where every
+    // grid cell samples a DISTINCT pixel: the bumped bits are forced to 1
+    // and only the shifted mean can flip other (borderline) bits
+    for (id <- Seq(0L, 3L, 11L, 42L)) {
+      val h0 = graft.ops.MediaAHashUtil.aHash64(MediaFixtures.bmpForIdScaled(id, 4))
+      val hb = graft.ops.MediaAHashUtil.aHash64(
+        MediaFixtures.bmpForIdBumped(id, 4, Array(0, 27, 54)))
+      assert(h0 != null && hb != null)
+      for (c <- Seq(0, 27, 54))
+        assert((hb.longValue() >> c & 1L) == 1L, s"id=$id cell $c not forced to 1")
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val base = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+    val bumped = MultimodalOps.syntheticImageCorpusBumped(
+      docs.where("doc_id % 11 = 0"), "doc_id", scale = 4,
+      idOffset = 2000000L, cells = Seq(0, 27, 54))
+    val corpus = base.unionByName(bumped)
+    val got = MultimodalOps.imageNearDupPairs(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the collected hashes — the band join must be EXACT
+    // at Hamming <= 3 (pigeonhole over the 4x16-bit chunks)
+    val hashes = MultimodalOps.imageAHash(corpus).where("ahash is not null")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    // the planted near-misses produce pairs the exact-hash op cannot see
+    val exact = MultimodalOps.imageNearDup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nearOnly = got.filter(p => p._3 > 0 && !exact.contains((p._1, p._2)))
+    assert(nearOnly.nonEmpty, "expected near-miss pairs beyond exact-hash equality")
+  }
 }
