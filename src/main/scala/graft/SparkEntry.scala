@@ -1305,6 +1305,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d68_normalize_text" -> ((s, dir) => {
+      // Canonical text cleanup: markup strip, control/zero-width removal,
+      // Unicode NFC, whitespace collapse. The corpus text is clean ASCII,
+      // so noise is injected deterministically — a tag, a zero-width
+      // space (U+200B), a decomposed e+combining-acute (NFC composes to
+      // é), and ragged whitespace — and the oracle injects the identical
+      // bytes and normalizes with DuckDB's own nfc_normalize.
+      val noisy = concat(col("text"),
+        lit(" <b>bold</b>\u200Bjoined  cafe\u0301 \t x"))
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextOps.normalizeText(noisy).as("norm_text"),
+          length(TextOps.normalizeText(noisy)).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "d49_stratified_sample" -> ((s, dir) => {
       // per-stratum deterministic rates: downsample English to 2/16,
       // default strata keep 4/16 — membership depends only on content
@@ -1537,6 +1553,20 @@ object SparkEntry {
       SimilarityOps.topKSq8(
           emb, "vec_id", "embedding",
           emb.where("vec_id < 8"), "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "e45_knn_pq" -> ((s, dir) => {
+      // Product quantization with per-vector residual-bound exact
+      // re-ranking: |dot − adc| ≤ ||q||·||v − v̂||, so the candidate
+      // threshold provably admits every true top-k vector — exact at ANY
+      // codebook quality. Oracle: the brute-force MIPS top-5 in DuckDB.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKPq(
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding", k = 5, dim = 64,
+          m = 8, ksub = 16)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -2613,6 +2643,25 @@ object SparkEntry {
         |FROM h LEFT JOIN m ON h.doc_id = m.doc_id
         |ORDER BY h.doc_id""".stripMargin,
 
+    // same injected noise built with chr() (DuckDB string literals don't
+    // process escapes): U+200B zero-width space, combining acute U+0301,
+    // a tab; NFC via DuckDB's own nfc_normalize. The control-char class
+    // is spelled as RE2-portable explicit ranges, mirroring the Spark op.
+    "d68_normalize_text" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    nfc_normalize(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' <b>bold</b>' || chr(8203) || 'joined  cafe'
+        |               || chr(769) || ' ' || chr(9) || ' x',
+        |          '<[^>]*>', ' ', 'g'),
+        |        '[\p{Cf}\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', ' ', 'g')),
+        |    '\s+', ' ', 'g')) AS norm_text
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "d49_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(CAST(length(text) AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
@@ -2732,6 +2781,16 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
 
     "e41_knn_sq8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ is provably exact (per-vector residual bound), so its oracle is
+    // the same brute-force MIPS top-5 as e41.
+    "e45_knn_pq" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
         |        FROM embeddings e CROSS JOIN q)

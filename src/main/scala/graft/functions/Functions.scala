@@ -170,6 +170,93 @@ object BucketUtil {
     }
     sig
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** PQ-encode a float vector: per subspace, pick the L2-nearest centroid;
+    * returns (codes: byte[m], resid: double) with resid = ||v − v̂||, the
+    * norm of the full concatenated residual (v̂ = chosen centroids). The
+    * codebook is flattened — centroid `c` of subspace `s` starts at
+    * `(s*ksub + c) * dsub`. Dimensions past the vector length read as 0. */
+  def pqEncode(vec: ArrayData, codebooks: Array[Float], m: Int, ksub: Int,
+               dsub: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val codes = new Array[Byte](m)
+    var residSq = 0.0
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = s * dsub + i
+          val x = (if (idx < vec.numElements()) vec.getFloat(idx) else 0f).toDouble -
+            codebooks(base + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best.toByte
+      residSq += bestD
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](codes, math.sqrt(residSq)))
+  }
+
+  /** Per-query ADC lookup table: `lut[s*ksub + c] = dot(codebook[s][c],
+    * q_s)` in double. Built once per query row; each corpus pair then
+    * costs `m` array lookups instead of a `dim`-length dot. */
+  def pqLut(q: ArrayData, codebooks: Array[Float], m: Int, ksub: Int,
+            dsub: Int): ArrayData = {
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = s * dsub + i
+          d += codebooks(base + i).toDouble *
+            (if (idx < q.numElements()) q.getFloat(idx) else 0f)
+          i += 1
+        }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(lut)
+  }
+
+  /** Unicode-normalize a UTF8String; already-normalized input (the common
+    * case) returns the original bytes after the quick-check, skipping the
+    * normalize pass and the re-encode. */
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
+  /** Asymmetric PQ distance: Σ_s lut[s*ksub + codes[s]] = dot(v̂, q).
+    * |pqAdc − dot(v, q)| ≤ ||q||·resid by Cauchy–Schwarz on q·(v − v̂). */
+  def pqAdc(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
+    var d = 0.0
+    var s = 0
+    while (s < codes.length) {
+      d += lut.getDouble(s * ksub + (codes(s) & 0xff))
+      s += 1
+    }
+    d
+  }
 }
 
 /**
@@ -328,6 +415,71 @@ case class Sq8Dot(left: Expression, right: Expression,
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Dot =
+    copy(left = l, right = r)
+}
+
+/** PQ encoding of a float vector → struct(codes: binary, resid: double).
+  * The flattened codebook rides along as a codegen reference object; at
+  * 100 TB the OUTPUT of this map pass is what you'd persist (m bytes +
+  * 8 per vector vs 4·dim), and scans of the encoded column replace scans
+  * of the raw vectors. See [[BucketUtil.pqEncode]]. */
+case class PqEncode(child: Expression, codebooks: Array[Float],
+                    m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("resid", DoubleType, nullable = false)))
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    BucketUtil.pqEncode(v.asInstanceOf[ArrayData], codebooks, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.BucketUtil.pqEncode($v, $cb, $m, $ksub, $dsub)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** Per-query PQ lookup table (array<double> of m·ksub centroid dots) —
+  * computed once per query row so the per-pair ADC is m lookups. */
+case class PqLut(child: Expression, codebooks: Array[Float],
+                 m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(q: Any): Any =
+    BucketUtil.pqLut(q.asInstanceOf[ArrayData], codebooks, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev,
+      q => s"graft.functions.BucketUtil.pqLut($q, $cb, $m, $ksub, $dsub)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
+/** Asymmetric PQ distance from code bytes + a query's lookup table.
+  * See [[BucketUtil.pqAdc]] for the error bound. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    BucketUtil.pqAdc(codes.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, l) => s"graft.functions.BucketUtil.pqAdc($c, $l, $ksub)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
     copy(left = l, right = r)
 }
 
@@ -545,6 +697,26 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
 }
 
 /** 64-bit FNV-1a text fingerprint (codegen'd). */
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) via `java.text.Normalizer` —
+  * Spark has no built-in for it. Already-normalized text (the overwhelming
+  * common case) short-circuits on the `isNormalized` quick check. NFC
+  * output is oracle-portable (DuckDB `nfc_normalize`); the K forms are
+  * Spark-side only. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unsupported normalization form: $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+  override def nullSafeEval(v: Any): Any =
+    BucketUtil.unicodeNormalize(v.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.BucketUtil.unicodeNormalize($c, "$form")""")
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+}
+
 case class TextFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "text_fingerprint"
@@ -981,6 +1153,10 @@ object GraftFunctions {
     ColumnBridge.column(CosineSimilarity(expression(a), expression(b)))
   def epoch_micros(c: Column): Column =
     ColumnBridge.column(EpochMicros(expression(c)))
+  /** Unicode normalization — form in {NFC, NFD, NFKC, NFKD}. */
+  def unicode_normalize(c: Column, form: String): Column =
+    ColumnBridge.column(UnicodeNormalize(expression(c), form))
+
   def text_fingerprint(c: Column): Column =
     ColumnBridge.column(TextFingerprint(expression(c)))
   def text_shingles(c: Column, n: Int): Column =
@@ -1008,6 +1184,20 @@ object GraftFunctions {
     ColumnBridge.column(DotProduct(expression(a), expression(b)))
   def sq8_dot(v: Column, q: Column, mins: Array[Float], steps: Array[Float]): Column =
     ColumnBridge.column(Sq8Dot(expression(v), expression(q), mins, steps))
+
+  /** PQ-encode a vector column → struct(codes: binary, resid: double). */
+  def pq_encode(v: Column, codebooks: Array[Float], m: Int, ksub: Int,
+                dsub: Int): Column =
+    ColumnBridge.column(PqEncode(expression(v), codebooks, m, ksub, dsub))
+
+  /** Per-query PQ ADC lookup table (array<double>, length m·ksub). */
+  def pq_lut(q: Column, codebooks: Array[Float], m: Int, ksub: Int,
+             dsub: Int): Column =
+    ColumnBridge.column(PqLut(expression(q), codebooks, m, ksub, dsub))
+
+  /** Asymmetric PQ distance from code bytes + a query's lookup table. */
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    ColumnBridge.column(PqAdc(expression(codes), expression(lut), ksub))
   def top_k_by(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKByScore(expression(score), expression(id), k).toAggregateExpression())

@@ -132,11 +132,17 @@ object SimilarityOps {
     * (group, id, cosine, rank), rank 1..k by (cosine DESC, id ASC). */
   private def topK(scored: DataFrame, groupCol: String, idCol: String,
                    k: Int): DataFrame =
+    topKBy(scored, groupCol, idCol, "cosine", k)
+
+  /** Same as [[topK]] with the score column name parameterized (the MIPS
+    * paths rank by raw dot product, not cosine). */
+  private def topKBy(scored: DataFrame, groupCol: String, idCol: String,
+                     scoreCol: String, k: Int): DataFrame =
     scored.groupBy(groupCol)
-      .agg(GraftFunctions.top_k_by(col("cosine"), col(idCol), k).as("__topk"))
+      .agg(GraftFunctions.top_k_by(col(scoreCol), col(idCol), k).as("__topk"))
       .select(col(groupCol), posexplode(col("__topk")))
       .select(col(groupCol), col("col.id").as(idCol),
-        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+        col("col.score").as(scoreCol), (col("pos") + 1).cast("int").as("rank"))
 
   /** `nlist = 0` → `max(16, ceil(sqrt(n)))` via one corpus count (cheap:
     * column-pruned parquet count, or metadata-only on a graft scan). An
@@ -194,6 +200,59 @@ object SimilarityOps {
       for (c <- 0 until n if counts(c) > 0; i <- 0 until dim)
         centers(c)(i) = (sums(c)(i) / counts(c)).toFloat
     }
+    centers
+  }
+
+  /** Deterministic EUCLIDEAN k-means on a driver-side sample — the PQ
+    * codebook trainer. Same seeded distinct-point init as [[trainKmeans]];
+    * L2 assignment because the PQ error bound is in terms of the L2
+    * residual `||v − v̂||` (which the codebook should minimize). Returns
+    * exactly `kCenters` centers: when the sample has fewer distinct points
+    * the tail repeats center 0 (every code stays decodable — repeated
+    * centers are merely never chosen by argmin). */
+  private[ops] def trainKmeansL2(sample: Array[Array[Float]], kCenters: Int,
+                                 iters: Int, seed: Long): Array[Array[Float]] = {
+    require(sample.nonEmpty, "PQ training requires a non-empty sample")
+    val dim = sample.head.length
+    var x = seed
+    def nextIdx(bound: Int): Int = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (((x >>> 1) % bound).toInt + bound) % bound
+    }
+    val n = math.min(kCenters, sample.length)
+    val centers = Array.tabulate(kCenters)(_ => new Array[Float](dim))
+    val picked = scala.collection.mutable.Set[Int]()
+    for (c <- 0 until n) {
+      var i = nextIdx(sample.length)
+      while (picked.contains(i)) i = (i + 1) % sample.length
+      picked += i
+      System.arraycopy(sample(i), 0, centers(c), 0, dim)
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(n)(new Array[Double](dim))
+      val counts = new Array[Int](n)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < n) {
+          val d = d2(v, centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      for (c <- 0 until n if counts(c) > 0; i <- 0 until dim)
+        centers(c)(i) = (sums(c)(i) / counts(c)).toFloat
+    }
+    for (c <- n until kCenters)
+      System.arraycopy(centers(0), 0, centers(c), 0, dim)
     centers
   }
 
@@ -269,6 +328,86 @@ object SimilarityOps {
       GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
     val w2 = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id").asc)
     rescored.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+  }
+
+  /**
+   * Product-quantized (PQ) top-k by INNER PRODUCT with per-vector
+   * error-bounded exact re-ranking — like [[topKSq8]], PROVABLY exact at
+   * every setting; codebook quality only changes how many candidates the
+   * bound admits, never the answer:
+   *
+   *  1. TRAIN: the vector splits into `m` subspaces of `dim/m` dims; each
+   *     subspace gets a `ksub`-centroid EUCLIDEAN k-means codebook from a
+   *     bounded driver-side sample (codebooks are m·ksub·dsub floats — KBs,
+   *     broadcast as codegen reference objects).
+   *  2. ENCODE: one map pass turns each corpus vector into `m` code bytes
+   *     plus its residual norm `resid = ||v − v̂||` (codegen'd expression).
+   *     At 100 TB this output is a STORED column: m+8 bytes/vector vs
+   *     4·dim — a 16–32× scan-IO reduction, recomputed only on re-train.
+   *  3. SCORE: each query precomputes its ADC lookup table once (m·ksub
+   *     centroid dots); every (query, vector) pair then costs `m` array
+   *     lookups — `pq_adc` = dot(v̂, q) exactly, in double.
+   *  4. BOUND: |dot(v,q) − adc| ≤ ||q||·resid by Cauchy–Schwarz — a
+   *     PER-VECTOR bound (tighter than SQ8's uniform per-query E(q)).
+   *     τ = the k-th largest LOWER bound (adc − ||q||·resid) per query;
+   *     only vectors whose UPPER bound reaches τ can be in the true
+   *     top-k, since the true k-th best dot is ≥ τ.
+   *  5. RESCORE: exact dot over the admitted candidates only; final
+   *     top-k via the map-side-combining [[GraftFunctions.top_k_by]]
+   *     aggregate (τ is computed the same way — no `row_number` window
+   *     ever sees the full cross product behind an exchange).
+   *
+   * The scored frame is traversed twice (once for τ, once for the
+   * candidate filter) — two scans of the m-byte codes, which at scale is
+   * still far cheaper than one scan of the raw vectors. Output shape
+   * matches [[topKSq8]]: (query_id, vec_id, dot, rank), ties on id.
+   */
+  def topKPq(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+             trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
+    val dsub = dim / m
+    val sample: Array[Array[Float]] = corpus.select(col(corpusVec))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Float](0).padTo(dim, 0f).toArray)
+    val codebooks = new Array[Float](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val centers = trainKmeansL2(sub, ksub, iters = 10, seed + s)
+      for (c <- 0 until ksub)
+        System.arraycopy(centers(c), 0, codebooks, (s * ksub + c) * dsub, dsub)
+    }
+    val enc = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"),
+        GraftFunctions.pq_encode(col(corpusVec), codebooks, m, ksub, dsub).as("__pq"))
+      .select(col("vec_id"), col("cvec"),
+        col("__pq.codes").as("codes"), col("__pq.resid").as("resid"))
+    val qdf = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      GraftFunctions.pq_lut(col(queryVec), codebooks, m, ksub, dsub).as("lut"),
+      sqrt(GraftFunctions.dot_product(col(queryVec), col(queryVec))).as("qnorm"))
+    val bounded = enc.crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("vec_id"), col("cvec"), col("qvec"),
+        GraftFunctions.pq_adc(col("codes"), col("lut"), ksub).as("adc"),
+        // epsilon absorbs double rounding in the lut sums — only ever ADDS
+        // candidates, never drops one
+        (col("qnorm") * col("resid") + lit(1e-6)).as("err"))
+    // τ per query = k-th largest lower bound, via the same combining
+    // aggregate as the final rank (absent when the corpus holds fewer than
+    // k vectors — then everything is a candidate anyway)
+    val taus = bounded
+      .groupBy("query_id")
+      .agg(GraftFunctions.top_k_by(col("adc") - col("err"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"),
+        when(size(col("__tk")) >= k,
+          element_at(col("__tk"), k).getField("score")).as("tau"))
+    val candidates = bounded
+      .join(broadcast(taus), Seq("query_id"), "left")
+      .where(col("tau").isNull || col("adc") + col("err") >= col("tau"))
+    val rescored = candidates.select(col("query_id"), col("vec_id"),
+      GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
+    topKBy(rescored, "query_id", "vec_id", "dot", k)
   }
 
   /** LSH-bucketed approximate top-k with multi-probe. Same output shape as

@@ -185,4 +185,41 @@ object TextOps {
     * faster than md5 for fingerprint-only pipelines; not oracle-portable. */
   def fingerprint(text: Column): Column =
     graft.functions.GraftFunctions.text_fingerprint(text)
+
+  // ------------------------------------------------------- normalization
+
+  /** Unicode normalization (custom codegen expression — Spark has no
+    * built-in). `form` ∈ {NFC, NFD, NFKC, NFKD}; NFC is the
+    * oracle-portable one (DuckDB `nfc_normalize`). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    graft.functions.GraftFunctions.unicode_normalize(text, form)
+
+  /**
+   * Canonical text cleanup for training corpora — the pass every pipeline
+   * runs before hashing/dedup so that byte-level noise (tags, control
+   * chars, decomposed accents, ragged whitespace) doesn't defeat
+   * content-identity: strip markup tags, drop control and zero-width
+   * format characters, Unicode-NFC, collapse whitespace runs, trim.
+   *
+   * Map-only and fully inside whole-stage codegen (regexp chain + the
+   * `unicode_normalize` expression) — composes with any downstream op at
+   * any scale. Order matters and is fixed: tags before whitespace (tag
+   * removal introduces spaces), NFC before collapse (composition can't
+   * create whitespace but removal of format chars can join words — they
+   * become a single space instead, the conservative choice for token
+   * boundaries).
+   */
+  def normalizeText(text: Column, stripMarkup: Boolean = true,
+                    lowercase: Boolean = false): Column = {
+    val tagless = if (stripMarkup) regexp_replace(text, "<[^>]*>", " ") else text
+    // control chars (minus \t \n \r, handled as whitespace below) spelled
+    // as explicit ranges — portable to RE2-family engines, which lack
+    // Java's [..&&[^..]] class intersection — plus \p{Cf} format chars
+    // (zero-width space/joiner, BOM, bidi marks)
+    val noCtl = regexp_replace(tagless,
+      "[\\p{Cf}\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", " ")
+    val nfc = unicodeNormalize(noCtl, "NFC")
+    val collapsed = trim(regexp_replace(nfc, "\\s+", " "))
+    if (lowercase) lower(collapsed) else collapsed
+  }
 }

@@ -37,6 +37,33 @@ class OpsSpec extends AnyFunSuite {
     assert(r(5L).getInt(4) <= 1) // punctuation soup scores low
   }
 
+  test("normalizeText: markup, controls, NFC, whitespace, idempotence") {
+    val df = Seq(
+      (1L, "a \u0000 <b>bold</b>\ttext here"),          // NUL + tag + tab
+      (2L, "zero\u200Bwidth and cafe\u0301 accents"),  // Cf + decomposed
+      (3L, "  already clean  "),
+      (4L, "caf\u00e9")                                 // precomposed stays
+    ).toDF("id", "text")
+    val out = df.select($"id", TextOps.normalizeText($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a bold text here")
+    // ZWSP is a word-JOINER in display but we conservatively break tokens
+    assert(out(2L) == "zero width and caf\u00e9 accents")
+    assert(out(2L).contains("caf\u00e9") && !out(2L).contains("\u0301"))
+    assert(out(3L) == "already clean")
+    assert(out(4L) == "caf\u00e9")
+    // idempotent: a normalized corpus re-normalizes to itself
+    val once = df.select(TextOps.normalizeText($"text").as("t"))
+    val twice = once.select(TextOps.normalizeText($"t").as("t"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+    // lowercase + no-markup-strip variants
+    val v = df.where($"id" === 1L).select(
+      TextOps.normalizeText($"text", stripMarkup = false, lowercase = true))
+      .collect().head.getString(0)
+    assert(v == "a <b>bold</b> text here")
+  }
+
   test("fingerprint: deterministic, content-sensitive") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello worle")).toDF("id", "text")
     val fps = df.select(TextOps.fingerprint($"text")).collect().map(_.getLong(0))
@@ -487,6 +514,50 @@ class OpsSpec extends AnyFunSuite {
     assert(sq8 == exact, "SQ8 must be EXACT, not approximate")
     // and the candidate bound actually prunes: fewer rescored rows than corpus×queries
     // (sanity only at this scale; the invariant above is the real check)
+  }
+
+  test("PQ top-k equals exact MIPS top-k regardless of codebook quality") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val scored = emb.select($"vec_id", $"embedding").crossJoin(
+        broadcast(queries))
+      .select($"qid".as("query_id"), $"vec_id",
+        graft.functions.GraftFunctions.dot_product($"embedding", $"qvec").as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"dot".desc, $"vec_id".asc)
+    val exact = scored.withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val pq = SimilarityOps.topKPq(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, m = 8, ksub = 16)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pq == exact, "PQ must be EXACT, not approximate")
+    // a DELIBERATELY terrible codebook (2 centroids/subspace from an
+    // 8-vector sample) must still be exact — only the candidate volume,
+    // never the answer, depends on codebook quality
+    val pqBad = SimilarityOps.topKPq(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, m = 4, ksub = 2,
+        trainSample = 8, seed = 7L)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pqBad == exact, "PQ exactness must not depend on training")
+  }
+
+  test("PQ top-k: string corpus ids; corpus smaller than k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(3)
+      .select(concat(lit("doc-"), $"vec_id").as("sid"), $"embedding")
+    val queries = emb.limit(2).select($"sid".as("qid"), $"embedding".as("qvec"))
+    val got = SimilarityOps.topKPq(emb, "sid", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, m = 8, ksub = 4)
+      .select("query_id", "vec_id", "rank").as[(String, String, Int)].collect().toSet
+    // 3-vector corpus, k=5 → τ is absent, every vector ranks
+    assert(got.size == 6)
+    val exact = emb.crossJoin(broadcast(queries))
+      .select($"qid".as("query_id"), $"sid".as("vec_id"),
+        graft.functions.GraftFunctions.dot_product($"embedding", $"qvec").as("dot"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy($"dot".desc, $"vec_id".asc)))
+      .select("query_id", "vec_id", "rank").as[(String, String, Int)].collect().toSet
+    assert(got == exact)
   }
 
   test("multi-probe masks: combinatorial generation, safe at large nbits") {
