@@ -28,8 +28,10 @@ object Bench {
     "e44_knn_graph", "d62_dup_span_stats",
     // round-11: the approximate kNN-graph config (auto sqrt-nlist,
     // nprobe 4) — the volume a real 100 TB run pays, vs the exact
-    // entry's brute-force-equivalent oracle config
-    "e44_knn_graph_approx")
+    // entry's brute-force-equivalent oracle config; the PQ exact top-k
+    // (code-byte ADC + residual-bound re-rank); and the real-codec
+    // video scene-cut detector (map-only frame hash + bounded window)
+    "e44_knn_graph_approx", "e45_knn_pq", "m44_video_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1043,6 +1043,31 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    "s52_stream_decontaminate" -> ((s, dir) => {
+      // in-flight decontamination: the documents table streams through a
+      // MAP-ONLY membership probe of the (static) benchmark suite's
+      // 8-gram set — no join, no state store in the micro-batch. The
+      // suite is d47's planted construction (every 5th doc minus its
+      // last token), so the flags must equal the batch ngramOverlap
+      // verdict row for row.
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val test = t(s, dir, "documents").where("doc_id % 5 = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      val flagged = graft.streaming.StreamingOps
+        .decontaminateStream(raw, "text", test, "text", n = 8)
+      val sink = s"s52_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = flagged.select(col("doc_id"), col("contaminated"))
+        .writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -1651,6 +1676,38 @@ object SparkEntry {
       MultimodalOps.imageNearDupPairs(base.unionByName(bumped), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "m44_video_scene_cuts" -> ((s, dir) => {
+      // Shot-boundary detection through the REAL codec: 3-scene synthetic
+      // videos (4 identical frames per scene, scene s's image id steps by
+      // 12 so geometry is constant), per-frame average-hash, cut where
+      // consecutive hashes differ. The oracle recomputes every frame hash
+      // from the pixel formula in integer SQL and diffs consecutive
+      // bitstrings — codec, slicing, and window all graded independently.
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+      val vids = MultimodalOps.syntheticVideoCorpus(docs, "doc_id",
+        scenes = 3, framesPerScene = 4)
+      MultimodalOps.videoSceneCuts(vids, nFrames = 12, minHamming = 1)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("media_id", "frame_no")
+    }),
+
+    "m45_audio_silence" -> ((s, dir) => {
+      // silence/VAD segmentation through the REAL audio codec: synthetic
+      // 16-bit PCM WAVs with planted silent 100-sample blocks, per-frame
+      // Σ|sample| in one codegen expression, islands-merge into segments.
+      // The oracle recomputes every sample from the PCM formula in
+      // integer SQL — codec, framing, and merge graded independently.
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val clips = MultimodalOps.syntheticAudioCorpus(docs, "doc_id")
+      MultimodalOps.audioSilenceSegments(clips, frameSamples = 100,
+          maxSilenceEnergy = 0L)
+        .select(col("media_id"), col("seg_no"), col("silent"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("n_frames"), col("energy"))
+        .orderBy("media_id", "seg_no")
     })
   )
 
@@ -2469,6 +2526,27 @@ object SparkEntry {
 
     "d47_decontaminate" -> DecontaminateOracleSql,
 
+    // the streaming probe must agree with the batch gram-join verdict
+    "s52_stream_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |grams AS (
+         | SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+         |     i -> md5(array_to_string(t[i:i+7], ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         | FROM toks),
+         |testg AS (
+         | SELECT DISTINCT unnest(list_distinct(
+         |   CASE WHEN len(tm) >= 8 THEN list_transform(range(1, len(tm) - 6),
+         |     i -> md5(array_to_string(tm[i:i+7], ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         | FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
+         |       FROM toks WHERE doc_id % 5 = 0)),
+         |cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN testg USING (gram))
+         |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "d66_contamination_score" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
          |gs AS (
@@ -2900,6 +2978,72 @@ object SparkEntry {
         |  CAST(hamming(a.hs, b.hs) AS BIGINT) AS hamming
         |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
         |WHERE hamming(a.hs, b.hs) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // every frame hash rebuilt from the pixel formula (frame f's image id
+    // = media_id + (f // 4) * 12), then consecutive-frame bitstring diffs
+    "m44_video_scene_cuts" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 3 AS w0, doc_id % 4 + 2 AS h0
+        |  FROM documents WHERE doc_id < 300
+        |), frames AS (
+        |  SELECT media_id, w0, h0, fr.f AS f, media_id + (fr.f // 4) * 12 AS src
+        |  FROM vids CROSS JOIN generate_series(0, 11) AS fr(f)
+        |), cells AS (
+        |  SELECT media_id, f, src, w0, g.i AS i,
+        |    ((g.i % 8) * w0) // 8 AS sx, ((g.i // 8) * h0) // 8 AS sy
+        |  FROM frames CROSS JOIN generate_series(0, 63) AS g(i)
+        |), grays AS (
+        |  SELECT media_id, f, i,
+        |      299 * ((src*31 + ((sy*w0 + sx)*3 + 0)*7) % 256)
+        |    + 587 * ((src*31 + ((sy*w0 + sx)*3 + 1)*7) % 256)
+        |    + 114 * ((src*31 + ((sy*w0 + sx)*3 + 2)*7) % 256) AS g1000
+        |  FROM cells
+        |), sums AS (
+        |  SELECT media_id, f, SUM(g1000) AS s FROM grays GROUP BY 1, 2
+        |), hashes AS (
+        |  SELECT g.media_id, g.f,
+        |    string_agg(CASE WHEN 64 * g.g1000 > s.s THEN '1' ELSE '0' END,
+        |               '' ORDER BY g.i) AS hs
+        |  FROM grays g JOIN sums s ON g.media_id = s.media_id AND g.f = s.f
+        |  GROUP BY g.media_id, g.f
+        |), ham AS (
+        |  SELECT media_id, f AS frame_no,
+        |    hamming(lag(hs) OVER (PARTITION BY media_id ORDER BY f), hs) AS hd
+        |  FROM hashes
+        |)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(hd AS BIGINT) AS hamming
+        |FROM ham WHERE hd >= 1 ORDER BY media_id, frame_no""".stripMargin,
+
+    // every PCM sample rebuilt from the fixture formula; frame energies,
+    // silence flags, and the gaps-and-islands merge all recomputed in SQL
+    "m45_audio_silence" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id < 200
+        |), samples AS (
+        |  SELECT media_id, i.i // 100 AS f,
+        |    ABS((media_id*31 + i.i*7) % 2000 - 1000) AS a
+        |  FROM clips CROSS JOIN generate_series(0, 1599) AS i(i)
+        |), en AS (
+        |  SELECT media_id, f, ((f + media_id) % 3 = 0) AS silent,
+        |    CASE WHEN (f + media_id) % 3 = 0 THEN 0 ELSE SUM(a) END AS energy
+        |  FROM samples GROUP BY media_id, f
+        |), chgs AS (
+        |  SELECT media_id, f, silent, energy,
+        |    CASE WHEN lag(silent) OVER w IS NULL
+        |           OR lag(silent) OVER w <> silent THEN 1 ELSE 0 END AS chg
+        |  FROM en WINDOW w AS (PARTITION BY media_id ORDER BY f)
+        |), segs AS (
+        |  SELECT media_id, f, silent, energy,
+        |    SUM(chg) OVER (PARTITION BY media_id ORDER BY f) - 1 AS seg_no
+        |  FROM chgs
+        |)
+        |SELECT media_id, CAST(seg_no AS BIGINT) AS seg_no, silent,
+        |  CAST(MIN(f) AS BIGINT) AS start_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(energy) AS BIGINT) AS energy
+        |FROM segs GROUP BY media_id, seg_no, silent
+        |ORDER BY media_id, seg_no""".stripMargin
   )
 }

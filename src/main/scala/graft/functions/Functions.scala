@@ -246,6 +246,19 @@ object BucketUtil {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
+  /** True iff any element of `arr` is in `set` — one probe per element
+    * against a prebuilt hash set (the set is NOT rebuilt per row, unlike
+    * `arrays_overlap` against a literal array). */
+  def anyInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) return true
+      i += 1
+    }
+    false
+  }
+
   /** Asymmetric PQ distance: Σ_s lut[s*ksub + codes[s]] = dot(v̂, q).
     * |pqAdc − dot(v, q)| ≤ ||q||·resid by Cauchy–Schwarz on q·(v − v̂). */
   def pqAdc(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
@@ -416,6 +429,35 @@ case class Sq8Dot(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Dot =
     copy(left = l, right = r)
+}
+
+/** `any_in_set(arr)`: does any element of a string array belong to a
+  * driver-built membership set? The set rides the serialized plan as ONE
+  * shared reference object (built once, probed per row — never rebuilt
+  * like `arrays_overlap`'s per-row set over a literal array), which is
+  * what makes a map-only stream-side contamination probe practical: no
+  * join, no state, no shuffle in the micro-batch. */
+case class AnyInSet(child: Expression, elems: Array[String])
+    extends UnaryExpression {
+  // built once per (de)serialized expression instance, shared across rows
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
+    elems.foreach(e => s.add(UTF8String.fromString(e)))
+    s
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "any_in_set"
+
+  override def nullSafeEval(arr: Any): Any =
+    BucketUtil.anyInSet(arr.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sref = ctx.addReferenceObj("set", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, a => s"graft.functions.BucketUtil.anyInSet($a, $sref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): AnyInSet =
+    copy(child = c)
 }
 
 /** PQ encoding of a float vector → struct(codes: binary, resid: double).
@@ -1184,6 +1226,10 @@ object GraftFunctions {
     ColumnBridge.column(DotProduct(expression(a), expression(b)))
   def sq8_dot(v: Column, q: Column, mins: Array[Float], steps: Array[Float]): Column =
     ColumnBridge.column(Sq8Dot(expression(v), expression(q), mins, steps))
+
+  /** True iff any element of a string-array column is in `elems`. */
+  def any_in_set(arr: Column, elems: Array[String]): Column =
+    ColumnBridge.column(AnyInSet(expression(arr), elems))
 
   /** PQ-encode a vector column → struct(codes: binary, resid: double). */
   def pq_encode(v: Column, codebooks: Array[Float], m: Int, ksub: Int,

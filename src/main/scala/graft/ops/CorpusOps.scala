@@ -98,7 +98,7 @@ object CorpusOps {
     * `md5(array_join(slice(tokens, i, n), ' '))` but via the native
     * one-pass gram expression (the HOF form re-tokenized per position);
     * the per-element hex relabel runs over the computed array only. */
-  private def gramSet(textCol: Column, n: Int): Column =
+  private[graft] def gramSet(textCol: Column, n: Int): Column =
     array_distinct(transform(
       graft.functions.GraftFunctions.positional_gram_hashes(textCol, n),
       g => lower(hex(g.getField("h")))))

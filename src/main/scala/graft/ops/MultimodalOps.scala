@@ -178,6 +178,60 @@ object MediaFixtures {
     }
     buf.array()
   }
+
+  /** Synthetic 16-bit mono little-endian WAV (8 kHz, 1600 samples):
+    * sample `i` belongs to the 100-sample block `b = i / 100`; blocks
+    * with `(b + id) % 3 == 0` are SILENT (all zeros), other samples are
+    * `(id*31 + i*7) % 2000 − 1000` — deterministic integer PCM an SQL
+    * oracle recomputes exactly (WAV stores raw PCM after the 44-byte
+    * header, and the decoder reads it back bit-for-bit). */
+  def wavForId(id: Long): Array[Byte] = {
+    val sampleRate = 8000
+    val n = 1600
+    val dataBytes = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)             // PCM
+      .putShort(1)             // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)  // byte rate
+      .putShort(2)             // block align
+      .putShort(16)            // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      val silent = Math.floorMod(i / 100 + id, 3L) == 0L
+      val s =
+        if (silent) 0
+        else (Math.floorMod(id * 31L + i * 7L, 2000L) - 1000L).toInt
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** A synthetic fixed-frame-size "video": `scenes × framesPerScene`
+    * concatenated BMP frames. All frames share one geometry (scene base
+    * ids step by 12 = lcm(6, 4), so width/height never change — the
+    * fixed-size-frame container the slicing in `videoSceneCuts` assumes),
+    * and frames WITHIN a scene are identical while scene boundaries
+    * switch to a different deterministic image. Frame f's image id is
+    * `id + (f / framesPerScene) * 12` — exactly reproducible by an SQL
+    * oracle via [[channelValue]]. */
+  def videoForId(id: Long, scenes: Int, framesPerScene: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var s = 0
+    while (s < scenes) {
+      val frame = bmpForId(id + s * 12L)
+      var f = 0
+      while (f < framesPerScene) { out.write(frame); f += 1 }
+      s += 1
+    }
+    out.toByteArray
+  }
 }
 
 /** Static call targets for the image perceptual hash. */
@@ -228,6 +282,85 @@ object MediaAHashUtil {
   * perceptual-hash mirror of [[DecodeFeaturesExpr]]: real codec decode on
   * executors, inside WholeStageCodegen, null for non-image kinds and
   * undecodable bytes. */
+/** Static call targets for audio frame analysis. */
+object MediaAudioUtil {
+  /** Per-frame Σ|sample| over the FIRST channel of a decoded audio blob
+    * (javax.sound — real codec, not the fixture formula), `frameSamples`
+    * samples per frame, trailing partial frame dropped. All-integer, so
+    * an SQL oracle reproduces the energies exactly from known PCM. Null
+    * for undecodable bytes / non-16-bit-LE formats. */
+  def frameEnergies(content: Array[Byte],
+                    frameSamples: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (content == null || content.isEmpty) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return null
+        val bytes = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val samples = if (frameSize > 0) bytes.length / frameSize else 0
+        val nFrames = samples / frameSamples
+        val out = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0L
+          var k = 0
+          while (k < frameSamples) {
+            val i = (f * frameSamples + k) * frameSize
+            val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            sum += math.abs(s.toInt)
+            k += 1
+          }
+          out(f) = sum
+          f += 1
+        }
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+}
+
+/** `audio_frame_energies(content)`: per-frame Σ|sample| through the real
+  * audio codec — the map-only front half of silence/VAD segmentation. */
+case class AudioFrameEnergiesExpr(child: Expression, frameSamples: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_frame_energies"
+
+  override def nullSafeEval(c: Any): Any =
+    MediaAudioUtil.frameEnergies(c.asInstanceOf[Array[Byte]], frameSamples)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val e = ctx.freshName("energies")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $e =
+         |  graft.ops.MediaAudioUtil.frameEnergies($c, $frameSamples);
+         |if ($e == null) { ${ev.isNull} = true; } else { ${ev.value} = $e; }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): AudioFrameEnergiesExpr =
+    copy(child = c)
+}
+
+/** `synthetic_wav(id)`: [[MediaFixtures.wavForId]] as a codegen'd column. */
+case class SyntheticWavExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "synthetic_wav"
+  override def nullSafeEval(id: Any): Any =
+    MediaFixtures.wavForId(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.ops.MediaFixtures.wavForId($id)")
+  override protected def withNewChildInternal(c: Expression): SyntheticWavExpr =
+    copy(child = c)
+}
+
 case class ImageAHashExpr(kind: Expression, content: Expression)
     extends BinaryExpression {
   override def left: Expression = kind
@@ -262,6 +395,21 @@ case class SyntheticBmpExpr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, id => s"graft.ops.MediaFixtures.bmpForId($id)")
   override protected def withNewChildInternal(c: Expression): SyntheticBmpExpr = copy(child = c)
+}
+
+/** `synthetic_video(id)`: [[MediaFixtures.videoForId]] as a codegen'd
+  * column — one fixed-frame-size multi-scene BMP concatenation per row. */
+case class SyntheticVideoExpr(child: Expression, scenes: Int, framesPerScene: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "synthetic_video"
+  override def nullSafeEval(id: Any): Any =
+    MediaFixtures.videoForId(id.asInstanceOf[Long], scenes, framesPerScene)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      id => s"graft.ops.MediaFixtures.videoForId($id, $scenes, $framesPerScene)")
+  override protected def withNewChildInternal(c: Expression): SyntheticVideoExpr =
+    copy(child = c)
 }
 
 /** `synthetic_bmp_scaled(id)`: the `scale`× pixel-duplication upscale of
@@ -467,6 +615,124 @@ object MultimodalOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(DecodeFeaturesExpr(
       ColumnBridge.expression(kind), ColumnBridge.expression(content), decoder))
+  }
+
+  /** Real-format "video" corpus: one fixed-frame-size multi-scene BMP
+    * concatenation per row of `docs` ([[MediaFixtures.videoForId]] —
+    * deterministic pixels an SQL oracle can recompute). Map-only, fully
+    * codegen. */
+  def syntheticVideoCorpus(docs: DataFrame, idCol: String, scenes: Int,
+                           framesPerScene: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val id = col(idCol).cast("long")
+    docs.select(
+      id.as("media_id"),
+      lit("video").as("kind"),
+      ColumnBridge.column(SyntheticVideoExpr(ColumnBridge.expression(id),
+        scenes, framesPerScene)).as("content"),
+      struct(
+        (pmod(id, lit(6)) + 3).cast("int").as("width"),
+        (pmod(id, lit(4)) + 2).cast("int").as("height"),
+        lit("bmpseq").as("format")).as("meta"))
+  }
+
+  /**
+   * Scene-cut detection over fixed-frame-size video blobs: slice each blob
+   * into `nFrames` equal frames, perceptual-hash every frame through the
+   * REAL image codec ([[MediaAHashUtil.aHash64]]), and emit a cut wherever
+   * consecutive frames' hashes differ by ≥ `minHamming` bits — the
+   * classic hash-difference shot-boundary detector.
+   *
+   * 100 TB design: slicing + per-frame hashing is MAP-ONLY (the frame
+   * explode multiplies rows, never shuffles, and only 8 hash bytes per
+   * frame survive the projection — pixels never ride a shuffle). The
+   * consecutive-frame comparison windows per `media_id` ordered by
+   * `frame_no` — state bounded by frames-per-video, never the corpus; a
+   * corpus-wide sort never happens because the hash pass already dropped
+   * the payload. A real container format swaps the equal-size slice for a
+   * parser expression; everything downstream is format-agnostic.
+   *
+   * Output: (media_id, frame_no, hamming) — one row per detected cut
+   * (frame_no = first frame of the new scene).
+   */
+  def videoSceneCuts(media: DataFrame, nFrames: Int,
+                     minHamming: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(nFrames >= 2, s"nFrames must be >= 2, got $nFrames")
+    val frames = expr(
+      s"""transform(sequence(0, ${nFrames - 1}),
+         |  f -> substring(content, f * (length(content) div $nFrames) + 1,
+         |                 length(content) div $nFrames))""".stripMargin)
+    val hashed = media
+      .select(col("media_id"), posexplode(frames).as(Seq("frame_no", "frame")))
+      .select(col("media_id"), col("frame_no"),
+        ColumnBridge.column(ImageAHashExpr(
+          ColumnBridge.expression(lit("image")),
+          ColumnBridge.expression(col("frame")))).as("ahash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    hashed
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("hamming", bit_count(col("ahash").bitwiseXOR(col("prev"))))
+      .where(col("hamming") >= minHamming)
+      .select(col("media_id"), col("frame_no"), col("hamming"))
+  }
+
+  /** Real-format audio corpus: one valid 16-bit PCM WAV per row of `docs`
+    * ([[MediaFixtures.wavForId]] — deterministic samples an SQL oracle can
+    * recompute). Map-only, fully codegen. */
+  def syntheticAudioCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val id = col(idCol).cast("long")
+    docs.select(
+      id.as("media_id"),
+      lit("audio").as("kind"),
+      ColumnBridge.column(SyntheticWavExpr(ColumnBridge.expression(id))).as("content"),
+      struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit("wav").as("format")).as("meta"))
+  }
+
+  /**
+   * Silence/VAD segmentation over audio blobs: decode through the REAL
+   * codec ([[MediaAudioUtil.frameEnergies]]), call a frame silent when its
+   * Σ|sample| ≤ `maxSilenceEnergy`, and merge consecutive same-state
+   * frames into segments — the trim/split primitive speech pipelines run
+   * before transcription or training-chunk extraction.
+   *
+   * 100 TB design: decode + per-frame energy is ONE map-only codegen
+   * expression per blob (pixels→samples never leave the task; only
+   * 8 bytes per frame survive into the explode). The islands merge
+   * windows per `media_id` ordered by `frame_no` — state bounded by
+   * frames-per-clip, never the corpus.
+   *
+   * Output: (media_id, seg_no, silent, start_frame, n_frames, energy) —
+   * seg_no 0-based per clip, energy = Σ over the segment's frames.
+   */
+  def audioSilenceSegments(media: DataFrame, frameSamples: Int = 100,
+                           maxSilenceEnergy: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val energies = ColumnBridge.column(AudioFrameEnergiesExpr(
+      ColumnBridge.expression(coalesce(col("content"), lit(Array.emptyByteArray))),
+      frameSamples))
+    val frames = media
+      .select(col("media_id"), posexplode(energies).as(Seq("frame_no", "energy")))
+      .withColumn("silent", col("energy") <= maxSilenceEnergy)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    frames
+      .withColumn("__chg",
+        when(lag(col("silent"), 1).over(w).isNull ||
+          lag(col("silent"), 1).over(w) =!= col("silent"), 1).otherwise(0))
+      .withColumn("seg_no", sum(col("__chg")).over(w) - 1)
+      .groupBy("media_id", "seg_no")
+      .agg(first(col("silent")).as("silent"),
+        min(col("frame_no")).as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy"))
+      .select(col("media_id"), col("seg_no"), col("silent"),
+        col("start_frame"), col("n_frames"), col("energy"))
   }
 
   /** Frame sampling as pure column ops: split the blob into fixed-size

@@ -308,26 +308,29 @@ object SimilarityOps {
       .crossJoin(broadcast(qdf))
       .select(col("query_id"), col("vec_id"), col("cvec"), col("qvec"),
         GraftFunctions.sq8_dot(col("cvec"), col("qvec"), mins, steps).as("approx"))
-    val w = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
-    val ranked = scored.withColumn("__rk", row_number().over(w))
-    // τ per query (absent when the corpus holds fewer than k vectors —
-    // then everything is a candidate anyway)
-    val taus = ranked.where(col("__rk") === k)
-      .select(col("query_id"), col("approx").as("tau"))
+    // τ per query = the k-th best quantized score, via the map-side-
+    // combining top_k_by aggregate — the exchange carries ≤ k pairs per
+    // query, where the old row_number window shuffled and sorted the whole
+    // corpus × queries product. τ is absent when the corpus holds fewer
+    // than k vectors — then everything is a candidate anyway.
+    val taus = scored.groupBy("query_id")
+      .agg(GraftFunctions.top_k_by(col("approx"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"),
+        when(size(col("__tk")) >= k,
+          element_at(col("__tk"), k).getField("score")).as("tau"))
     // E(q) in double, plus an epsilon absorbing float rounding in the
     // quantize/dequantize round-trip (only ADDS candidates, never drops)
     val errs = qdf.select(col("query_id"),
       (aggregate(
         zip_with(col("qvec"), lit(steps), (q, s) => abs(q).cast("double") * s.cast("double")),
         lit(0.0), (acc, x) => acc + x) / 2.0 + lit(1e-6)).as("err"))
-    val candidates = ranked
+    val candidates = scored
       .join(broadcast(taus), Seq("query_id"), "left")
       .join(broadcast(errs), Seq("query_id"))
       .where(col("tau").isNull || col("approx") >= col("tau") - lit(2.0) * col("err"))
     val rescored = candidates.select(col("query_id"), col("vec_id"),
       GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
-    val w2 = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id").asc)
-    rescored.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+    topKBy(rescored, "query_id", "vec_id", "dot", k)
   }
 
   /**

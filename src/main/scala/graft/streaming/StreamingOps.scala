@@ -24,6 +24,42 @@ import org.apache.spark.sql.functions._
  */
 object StreamingOps {
 
+  /**
+   * In-flight benchmark decontamination: flag every streamed document that
+   * shares a word `n`-gram with the (static, small) test/benchmark suite —
+   * the streaming counterpart of [[graft.ops.CorpusOps.ngramOverlap]],
+   * for ingestion pipelines that must drop contaminated documents BEFORE
+   * they ever land in the corpus.
+   *
+   * The test side is driver-collected ONCE into a membership set that
+   * rides the plan as a shared reference object; the stream side is then
+   * a MAP-ONLY probe per micro-batch (`any_in_set` over the doc's
+   * distinct gram hashes) — no stream-static join, no state store, no
+   * shuffle, so it composes with any downstream streaming op and adds
+   * zero latency classes. That driver set is bounded by `maxTestGrams`
+   * (a benchmark suite is tiny next to the corpus — the guard is LOUD,
+   * not truncating); a test side too big for memory belongs in batch
+   * ([[graft.ops.CorpusOps.ngramOverlapBloom]]) instead.
+   *
+   * Returns the input with a `contaminated` boolean appended. Works on
+   * batch frames too (the probe is mode-agnostic).
+   */
+  def decontaminateStream(stream: DataFrame, textCol: String,
+                          test: DataFrame, testTextCol: String, n: Int = 8,
+                          maxTestGrams: Int = 1 << 22): DataFrame = {
+    val grams = test
+      .select(explode(graft.ops.CorpusOps.gramSet(col(testTextCol), n)).as("gram"))
+      .distinct().limit(maxTestGrams + 1)
+      .collect().map(_.getString(0))
+    if (grams.length > maxTestGrams)
+      throw new graft.InvalidDataError(
+        s"test suite exceeds $maxTestGrams distinct $n-grams; " +
+          "decontaminate in batch (ngramOverlap/ngramOverlapBloom) instead")
+    stream.withColumn("contaminated",
+      graft.functions.GraftFunctions.any_in_set(
+        graft.ops.CorpusOps.gramSet(col(textCol), n), grams))
+  }
+
   /** Tumbling-window event counts with late-data handling: rows later than
     * `watermark` past the max seen `tsCol` are dropped and their windows
     * finalized (state bounded). Works on batch and streaming frames. */

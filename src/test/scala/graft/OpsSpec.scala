@@ -816,4 +816,67 @@ class OpsSpec extends AnyFunSuite {
     val nearOnly = got.filter(p => p._3 > 0 && !exact.contains((p._1, p._2)))
     assert(nearOnly.nonEmpty, "expected near-miss pairs beyond exact-hash equality")
   }
+
+  test("videoSceneCuts: cuts exactly at scene boundaries, via the real codec") {
+    val ids = Seq(1L, 2L, 5L, 10L)
+    val docs = ids.toDF("doc_id")
+    val vids = MultimodalOps.syntheticVideoCorpus(docs, "doc_id",
+      scenes = 3, framesPerScene = 4)
+    val cuts = MultimodalOps.videoSceneCuts(vids, nFrames = 12, minHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // ground truth: a cut at a scene boundary iff the two scene images
+    // hash differently (computed through the single-image path, which the
+    // band-join spec already grades against brute force)
+    val sceneIds = ids.flatMap(id => Seq(id, id + 12, id + 24)).distinct
+    val hmap = MultimodalOps.imageAHash(
+        MultimodalOps.syntheticImageCorpus(sceneIds.toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = ids.flatMap { id =>
+      Seq((id, 4, java.lang.Long.bitCount(hmap(id) ^ hmap(id + 12))),
+          (id, 8, java.lang.Long.bitCount(hmap(id + 12) ^ hmap(id + 24))))
+    }.collect { case (id, f, d) if d >= 1 => (id, f, d) }.toSet
+    assert(want.nonEmpty, "fixture degenerate: no differing scene hashes")
+    assert(cuts == want)
+    // identical intra-scene frames never cut — every cut is a boundary
+    assert(cuts.forall { case (_, f, _) => f == 4 || f == 8 })
+    // the frame explode + hash stays map-side: only the bounded per-video
+    // window shuffles, and it shuffles 8-byte hashes, not pixels
+    val plan = MultimodalOps.videoSceneCuts(vids, nFrames = 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+  }
+
+  test("audioSilenceSegments: real-codec energies match the PCM formula") {
+    val ids = Seq(0L, 1L, 7L)
+    val clips = MultimodalOps.syntheticAudioCorpus(ids.toDF("doc_id"), "doc_id")
+    val got = MultimodalOps.audioSilenceSegments(clips)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+    // independent recomputation from the fixture's PCM formula
+    def energy(id: Long, f: Int): Long =
+      if ((f + id) % 3 == 0) 0L
+      else (f * 100 until (f + 1) * 100)
+        .map(i => math.abs(Math.floorMod(id * 31 + i * 7L, 2000L) - 1000L)).sum
+    val want = ids.flatMap { id =>
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Boolean, Int, Long, Long)]
+      for (f <- 0 until 16) {
+        val s = (f + id) % 3 == 0
+        val e = energy(id, f)
+        if (segs.isEmpty || segs.last._3 != s)
+          segs += ((id, segs.size.toLong, s, f, 1L, e))
+        else {
+          val l = segs.last
+          segs(segs.size - 1) = (id, l._2, s, l._4, l._5 + 1, l._6 + e)
+        }
+      }
+      segs
+    }.toSet
+    assert(got == want)
+    // undecodable bytes (text as "audio") produce no segments, not garbage
+    val junk = MultimodalOps.syntheticCorpus(
+      Seq((1L, "not audio at all")).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("kind", lit("audio"))
+    assert(MultimodalOps.audioSilenceSegments(junk).count() == 0)
+  }
 }

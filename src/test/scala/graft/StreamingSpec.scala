@@ -36,6 +36,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("decontaminateStream flags exactly the docs sharing a test n-gram") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val contaminated = "one two three four five six seven eight and tail"
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val short = "too short"
+    val test = Seq("prefix one two three four five six seven eight more")
+      .toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val flagged = StreamingOps.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), "text", test, "text", n = 8)
+    mem.addData((1L, contaminated), (2L, clean), (3L, short))
+    val q = flagged.select("doc_id", "contaminated")
+      .writeStream.format("memory").queryName("s52spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s52spec").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+    // batch form must agree with ngramOverlap's contaminated-id set
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val suite = docs.where("doc_id % 5 = 0").select(
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+        .as("text"))
+    val probe = StreamingOps.decontaminateStream(docs, "text", suite, "text")
+      .where(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    val joined = graft.ops.CorpusOps.ngramOverlap(docs, suite, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(probe == joined)
+    // oversized suites fail loudly instead of silently truncating
+    assertThrows[graft.InvalidDataError](
+      StreamingOps.decontaminateStream(docs, "text", docs, "text",
+        maxTestGrams = 10))
+  }
+
   test("sessionWindows closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
