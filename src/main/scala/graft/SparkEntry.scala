@@ -1330,6 +1330,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d69_quality_classifier" -> ((s, dir) => {
+      // linear classifier inference at corpus scale: the vocabulary rides
+      // the plan as one shared hash map, scoring is map-only codegen.
+      // Dyadic weights (multiples of 1/16) keep double sums exact in any
+      // summation order, so the oracle's join-and-sum is bitwise equal.
+      val w = Map("the" -> 0.25, "and" -> 0.25, "of" -> 0.125, "to" -> 0.125,
+        "a" -> 0.0625, "in" -> 0.0625, "is" -> 0.25, "it" -> 0.125,
+        "for" -> 0.125, "with" -> 0.0625)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.classifierScore(col("text"), w, bias = -1.0).as("score"))
+        .withColumn("keep", col("score") > 0)
+        .orderBy("doc_id")
+    }),
+
     "d68_normalize_text" -> ((s, dir) => {
       // Canonical text cleanup: markup strip, control/zero-width removal,
       // Unicode NFC, whitespace collapse. The corpus text is clean ASCII,
@@ -2720,6 +2735,19 @@ object SparkEntry {
         |SELECT h.doc_id, h.host, m.blocked_domains
         |FROM h LEFT JOIN m ON h.doc_id = m.doc_id
         |ORDER BY h.doc_id""".stripMargin,
+
+    "d69_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |tw AS (SELECT doc_id, lower(unnest(t)) AS tok FROM toks),
+         |w(tok, wt) AS (VALUES ('the', 0.25), ('and', 0.25), ('of', 0.125),
+         |  ('to', 0.125), ('a', 0.0625), ('in', 0.0625), ('is', 0.25),
+         |  ('it', 0.125), ('for', 0.125), ('with', 0.0625)),
+         |sc AS (SELECT tw.doc_id, SUM(COALESCE(w.wt, 0)) AS sw
+         |       FROM tw LEFT JOIN w USING (tok) GROUP BY tw.doc_id)
+         |SELECT d.doc_id, CAST(-1.0 + COALESCE(sc.sw, 0) AS DOUBLE) AS score,
+         |  (-1.0 + COALESCE(sc.sw, 0)) > 0 AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // same injected noise built with chr() (DuckDB string literals don't
     // process escapes): U+200B zero-width space, combining acute U+0301,

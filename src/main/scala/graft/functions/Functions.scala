@@ -246,6 +246,22 @@ object BucketUtil {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
+  /** `bias + Σ weights(lowercase(tok))` over a token array — one probe
+    * per token against a prebuilt hash map; tokens outside the vocabulary
+    * contribute 0. Each occurrence counts (bag-of-words). */
+  def tokenWeightSum(arr: ArrayData, weights: java.util.HashMap[UTF8String, java.lang.Double],
+                     bias: Double): Double = {
+    var sum = bias
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val w = weights.get(arr.getUTF8String(i).toLowerCase)
+      if (w != null) sum += w.doubleValue()
+      i += 1
+    }
+    sum
+  }
+
   /** True iff any element of `arr` is in `set` — one probe per element
     * against a prebuilt hash set (the set is NOT rebuilt per row, unlike
     * `arrays_overlap` against a literal array). */
@@ -429,6 +445,41 @@ case class Sq8Dot(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Dot =
     copy(left = l, right = r)
+}
+
+/** `token_weight_sum(toks)`: a linear (fasttext-style) model score —
+  * `bias + Σ weight(lower(tok))` with the vocabulary riding the plan as
+  * ONE shared reference object (a 100k-term vocabulary ships once per
+  * plan, not once per row or task closure). Map-only: classifier
+  * inference over a corpus never joins or shuffles. */
+case class TokenWeightSum(child: Expression, vocab: Array[String],
+                          vals: Array[Double], bias: Double)
+    extends UnaryExpression {
+  require(vocab.length == vals.length, "vocab/vals length mismatch")
+  @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      math.max(16, vocab.length * 2))
+    var i = 0
+    while (i < vocab.length) {
+      m.put(UTF8String.fromString(vocab(i).toLowerCase), vals(i))
+      i += 1
+    }
+    m
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "token_weight_sum"
+
+  override def nullSafeEval(arr: Any): Any =
+    BucketUtil.tokenWeightSum(arr.asInstanceOf[ArrayData], map, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("weights", map, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.BucketUtil.tokenWeightSum($a, $mref, $bias)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenWeightSum =
+    copy(child = c)
 }
 
 /** `any_in_set(arr)`: does any element of a string array belong to a
@@ -1230,6 +1281,11 @@ object GraftFunctions {
   /** True iff any element of a string-array column is in `elems`. */
   def any_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(AnyInSet(expression(arr), elems))
+
+  /** Linear-model score over a token-array column: bias + Σ weight(tok). */
+  def token_weight_sum(toks: Column, vocab: Array[String], vals: Array[Double],
+                       bias: Double): Column =
+    ColumnBridge.column(TokenWeightSum(expression(toks), vocab, vals, bias))
 
   /** PQ-encode a vector column → struct(codes: binary, resid: double). */
   def pq_encode(v: Column, codebooks: Array[Float], m: Int, ksub: Int,

@@ -186,6 +186,28 @@ object TextOps {
   def fingerprint(text: Column): Column =
     graft.functions.GraftFunctions.text_fingerprint(text)
 
+  // ------------------------------------------- linear quality classifier
+
+  /**
+   * Linear (fasttext-style) classifier inference: `bias +
+   * Σ weight(lower(token))` over the document's tokens, unknown tokens
+   * contributing 0 — how production pipelines apply a trained quality /
+   * topic / toxicity model at corpus scale. The vocabulary ships once per
+   * plan as a shared hash map ([[graft.functions.TokenWeightSum]]), so
+   * scoring is MAP-ONLY whole-stage codegen: no join against a weights
+   * table, no shuffle, no per-row vocabulary rebuild.
+   *
+   * Returns the raw linear score (margin). Thresholding (`score > 0`) and
+   * calibration (sigmoid) are caller-side one-liners; the margin is kept
+   * raw so integer/dyadic weight sets stay bitwise-reproducible across
+   * engines.
+   */
+  def classifierScore(text: Column, weights: Map[String, Double],
+                      bias: Double = 0.0): Column = {
+    val (vocab, vals) = weights.toArray.sortBy(_._1).unzip
+    graft.functions.GraftFunctions.token_weight_sum(tokens(text), vocab, vals, bias)
+  }
+
   // ------------------------------------------------------- normalization
 
   /** Unicode normalization (custom codegen expression — Spark has no

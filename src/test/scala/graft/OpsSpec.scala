@@ -64,6 +64,24 @@ class OpsSpec extends AnyFunSuite {
     assert(v == "a <b>bold</b> text here")
   }
 
+  test("classifierScore: linear margin over tokens, case-folded, map-only") {
+    val w = Map("the" -> 0.25, "cat" -> 0.5, "bad" -> -1.0)
+    val df = Seq(
+      (1L, "The cat sat on the mat"),   // 0.25 + 0.5 + 0.25 = 1.0
+      (2L, "BAD bad Bad"),              // -3.0
+      (3L, ""),                         // bias only
+      (4L, "nothing matches here")      // bias only
+    ).toDF("id", "text")
+    val got = df.select($"id", TextOps.classifierScore($"text", w, bias = -0.5))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> -3.5, 3L -> -0.5, 4L -> -0.5))
+    // vocab keys are case-folded too
+    val got2 = df.where($"id" === 1L)
+      .select(TextOps.classifierScore($"text", Map("THE" -> 1.0)))
+      .collect().head.getDouble(0)
+    assert(got2 == 2.0)
+  }
+
   test("fingerprint: deterministic, content-sensitive") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello worle")).toDF("id", "text")
     val fps = df.select(TextOps.fingerprint($"text")).collect().map(_.getLong(0))
