@@ -114,11 +114,29 @@ object SimilarityOps {
       .limit(trainSample).collect()
       .map(_.getSeq[Float](0).toArray)
     val centers = trainKmeans(sample, nl, iters = 10, seed)
+    // SALT the cell key when there are fewer cells than the cluster has
+    // cores: a join on `nl` distinct keys bottoms out at `nl` reducers no
+    // matter how many exist — local[32] masks this (16 keys ≈ 32
+    // partitions; A/B showed no local delta), but 1000 executors against
+    // a hand-set nlist=16 would idle 98% of the cluster, and AQE splits
+    // by SIZE skew, not key cardinality. Each PROBE row takes one
+    // deterministic salt; each assignment row replicates to all salts, so
+    // every (probe, neighbor) pair still meets exactly once and the pair
+    // set is UNCHANGED. The assignment side is the one replicated because
+    // it is the smaller side by ×nprobe (n rows vs n×nprobe probe rows);
+    // salts = 1 (zero overhead) whenever nl already exceeds ~4×
+    // parallelism, which the auto-sqrt(n) nlist does at any real corpus.
+    val parts = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val salts = math.min(64, math.max(1, (4 * parts + nl - 1) / nl))
     val cells = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"),
-      GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"))
+        GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"))
+      .withColumn("__salt", explode(lit((0 until salts).toArray)))
     val probes = corpus.select(col(idCol).as("src_id"), col(vecCol).as("qvec"),
-      explode(GraftFunctions.nearest_centroids(col(vecCol), centers, nprobe)).as("cell"))
-    val scored = cells.join(probes, Seq("cell"))
+        explode(GraftFunctions.nearest_centroids(col(vecCol), centers, nprobe)).as("cell"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("src_id")), lit(salts.toLong)).cast("int"))
+    val scored = cells.join(probes, Seq("cell", "__salt"))
       .where(col("src_id") =!= col("nbr_id"))
       .select(col("src_id"), col("nbr_id"),
         GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
@@ -210,7 +228,7 @@ object SimilarityOps {
     * exactly `kCenters` centers: when the sample has fewer distinct points
     * the tail repeats center 0 (every code stays decodable — repeated
     * centers are merely never chosen by argmin). */
-  private[ops] def trainKmeansL2(sample: Array[Array[Float]], kCenters: Int,
+  private[graft] def trainKmeansL2(sample: Array[Array[Float]], kCenters: Int,
                                  iters: Int, seed: Long): Array[Array[Float]] = {
     require(sample.nonEmpty, "PQ training requires a non-empty sample")
     val dim = sample.head.length
@@ -364,6 +382,13 @@ object SimilarityOps {
    * candidate filter) — two scans of the m-byte codes, which at scale is
    * still far cheaper than one scan of the raw vectors. Output shape
    * matches [[topKSq8]]: (query_id, vec_id, dot, rank), ties on id.
+   *
+   * PRUNING POWER tracks how compressible the corpus is (SCALE.md r11):
+   * near-uniform random unit vectors are incompressible (avg residual
+   * ≈ 0.76·‖v‖ at m=8 — the bound admits ~100% of the corpus and the
+   * path degrades gracefully to brute force plus an encode pass), while
+   * a 64-cluster corpus quantizes to avg residual 0.27 and the bound
+   * admits ~8% of the cross product. Real embedding corpora cluster.
    */
   def topKPq(corpus: DataFrame, corpusId: String, corpusVec: String,
              queries: DataFrame, queryId: String, queryVec: String,
