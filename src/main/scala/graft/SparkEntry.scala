@@ -1597,6 +1597,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e46_knn_ivfpq" -> ((s, dir) => {
+      // the composed IVF+PQ index at full probe: cell recall is the only
+      // approximation and nprobe = nlist removes it, so the result
+      // provably equals the brute-force MIPS top-5 (shared oracle).
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKIvfPq(
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding", k = 5, dim = 64,
+          nlist = 16, nprobe = 16, m = 8, ksub = 16)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e45_knn_pq" -> ((s, dir) => {
       // Product quantization with per-vector residual-bound exact
       // re-ranking: |dot − adc| ≤ ||q||·||v − v̂||, so the candidate
@@ -2887,6 +2900,16 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
 
     "e41_knn_sq8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVFPQ at nprobe=nlist probes every cell and the PQ bound never
+    // drops a probed candidate → the brute-force MIPS top-5 oracle.
+    "e46_knn_ivfpq" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
         |        FROM embeddings e CROSS JOIN q)

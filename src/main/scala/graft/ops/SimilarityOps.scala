@@ -438,6 +438,78 @@ object SimilarityOps {
     topKBy(rescored, "query_id", "vec_id", "dot", k)
   }
 
+  /**
+   * IVF+PQ top-k — the canonical billion-scale ANN architecture (an
+   * inverted file prunes WHICH vectors are scored; product quantization
+   * prunes HOW MUCH of each vector is read), composed from the same
+   * pieces as [[topKIvf]] and [[topKPq]]:
+   *
+   *  1. TRAIN: IVF cell centers (bounded-sample spherical k-means) and
+   *     per-subspace PQ codebooks (bounded-sample Euclidean k-means).
+   *  2. ENCODE: ONE map pass emits (cell, codes, resid) per vector — at
+   *     100 TB this is the stored index column: 4 + m + 8 bytes/vector.
+   *  3. PROBE: each query explodes into its `nprobe` nearest cells and
+   *     only those cells' codes are ADC-scored (lookup-table dots).
+   *  4. BOUND + RESCORE: within the probed candidates, the per-vector
+   *     residual bound (see [[topKPq]]) picks τ and admits only vectors
+   *     whose upper bound reaches it; those are exactly re-scored.
+   *
+   * Semantics: EXACTLY the top-k among the PROBED cells' vectors (the PQ
+   * bound never loses a probed candidate); cell recall is the only
+   * approximation, governed by nprobe exactly as in [[topKIvf]]. At
+   * nprobe = nlist every vector is probed, so the result provably equals
+   * brute force — the oracle-checked configuration. Unlike FAISS-style
+   * IVFPQ this encodes raw vectors, not per-cell residuals — the
+   * exactness bound needs no re-derivation and codes are reusable across
+   * re-clusterings; residual encoding would only tighten compression.
+   */
+  def topKIvfPq(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int, dim: Int, nlist: Int = 0, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16,
+                trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
+    val nl = resolveNlist(nlist, corpus)
+    val dsub = dim / m
+    val sample: Array[Array[Float]] = corpus.select(col(corpusVec))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Float](0).padTo(dim, 0f).toArray)
+    val centers = trainKmeans(sample, nl, iters = 10, seed)
+    val codebooks = new Array[Float](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val cs = trainKmeansL2(sub, ksub, iters = 10, seed + s)
+      for (c <- 0 until ksub)
+        System.arraycopy(cs(c), 0, codebooks, (s * ksub + c) * dsub, dsub)
+    }
+    val enc = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"),
+        GraftFunctions.nearest_centroid(col(corpusVec), centers).as("cell"),
+        GraftFunctions.pq_encode(col(corpusVec), codebooks, m, ksub, dsub).as("__pq"))
+      .select(col("vec_id"), col("cvec"), col("cell"),
+        col("__pq.codes").as("codes"), col("__pq.resid").as("resid"))
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+        explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"),
+        GraftFunctions.pq_lut(col(queryVec), codebooks, m, ksub, dsub).as("lut"),
+        sqrt(GraftFunctions.dot_product(col(queryVec), col(queryVec))).as("qnorm"))
+    val bounded = enc.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), col("cvec"), col("qvec"),
+        GraftFunctions.pq_adc(col("codes"), col("lut"), ksub).as("adc"),
+        (col("qnorm") * col("resid") + lit(1e-6)).as("err"))
+    val taus = bounded.groupBy("query_id")
+      .agg(GraftFunctions.top_k_by(col("adc") - col("err"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"),
+        when(size(col("__tk")) >= k,
+          element_at(col("__tk"), k).getField("score")).as("tau"))
+    val candidates = bounded
+      .join(broadcast(taus), Seq("query_id"), "left")
+      .where(col("tau").isNull || col("adc") + col("err") >= col("tau"))
+    val rescored = candidates.select(col("query_id"), col("vec_id"),
+      GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
+    topKBy(rescored, "query_id", "vec_id", "dot", k)
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe. Same output shape as
     * the brute-force path; recall depends on nbits/probeBits. */
   def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,

@@ -559,6 +559,32 @@ class OpsSpec extends AnyFunSuite {
     assert(pqBad == exact, "PQ exactness must not depend on training")
   }
 
+  test("IVFPQ top-k: full probe equals exact MIPS; partial probe keeps recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val scored = emb.select($"vec_id", $"embedding").crossJoin(broadcast(queries))
+      .select($"qid".as("query_id"), $"vec_id",
+        graft.functions.GraftFunctions.dot_product($"embedding", $"qvec").as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"dot".desc, $"vec_id".asc)
+    val exact = scored.withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // nprobe = nlist probes every cell; the PQ bound never drops a probed
+    // candidate, so the composed path must equal brute force exactly
+    val full = SimilarityOps.topKIvfPq(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, nlist = 16, nprobe = 16,
+        m = 8, ksub = 16)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact, "IVFPQ at full probe must be EXACT")
+    // partial probe: only cell recall is approximate
+    val approx = SimilarityOps.topKIvfPq(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, nlist = 16, nprobe = 8,
+        m = 8, ksub = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count { case (q, v, _) => approx.contains((q, v)) }.toDouble / exact.size
+    assert(recall >= 0.5, s"IVFPQ recall $recall")
+  }
+
   test("PQ top-k: string corpus ids; corpus smaller than k") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(3)
       .select(concat(lit("doc-"), $"vec_id").as("sid"), $"embedding")
