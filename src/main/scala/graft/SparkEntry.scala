@@ -1361,6 +1361,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d70_winnow_fingerprints" -> ((s, dir) => {
+      // MOSS winnowing (k=5 grams, w=4 windows): map-only per-row HOF
+      // selection of each window's (min hash, rightmost pos); guaranteed
+      // to fingerprint any shared k+w-1 = 8-word run at ~2/(w+1) density.
+      // The oracle re-winnows every document with a SQL window min over
+      // the identical 41-char hash++reflected-pos sort key.
+      DedupOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4)
+        .orderBy("doc_id", "fp_pos")
+    }),
+
+    "d71_winnow_overlap" -> ((s, dir) => {
+      // plagiarism pairs over the winnowed subset: corpus plus planted
+      // 12-word prefix copies (deterministic doc_id shift) meet on
+      // fp_hash only — the full gram stream never rides the shuffle
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("copied prefix: "),
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " "))
+            .as("text"))
+      DedupOps.winnowOverlapPairs(docs.unionByName(planted),
+          "doc_id", "text", k = 5, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d72_strip_html" -> ((s, dir) => {
+      // full HTML extraction: script/style BODIES dropped (tag-only
+      // stripping would leak raw JS as prose), comments out, tags →
+      // spaces, entities decoded (&amp; last), whitespace collapsed. Page
+      // chrome wraps the corpus text identically in both engines so the
+      // extractor chain is graded end-to-end.
+      val page = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x=1; if(x<2){x++;}</script>" +
+          "</head><body><p class=\"c\">"),
+        col("text"),
+        lit("</p><!-- trailing comment --><div>A &amp;amp; B &lt;tag&gt; " +
+          "&quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+      t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), TextOps.stripHtml(page).as("clean_text"),
+          length(TextOps.stripHtml(page)).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "d49_stratified_sample" -> ((s, dir) => {
       // per-stratum deterministic rates: downsample English to 2/16,
       // default strata keep 4/16 — membership depends only on content
@@ -1749,6 +1794,32 @@ object SparkEntry {
   /** Shared CTE chain for the exact-substring span-dedup oracles (d62/d63):
     * positional word-`w`-gram occurrences → global keep-first → duplicated
     * ranges → merged islands per doc. Mirrors [[DedupOps.duplicateSpans]]. */
+  /** Shared CTE chain for the winnowing oracles (d70/d71): positional
+    * `k`-gram md5s → 41-char `hash ++ reflected-pos` sort keys → per-window
+    * min over `w` consecutive grams (the robust-winnowing rightmost-min
+    * tie rule, one string compare) → distinct selections per document.
+    * Mirrors [[graft.ops.DedupOps.winnowFingerprints]] exactly; `corpus`
+    * names the CTE/table holding `(doc_id, text)`. */
+  private def winnowCtes(k: Int, w: Int, corpus: String): String =
+    s"""toks AS (SELECT doc_id, $ToksSql AS t FROM $corpus),
+       |occ AS (
+       |  SELECT doc_id, u.p AS p, u.h AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-$k+1,0)+1),
+       |      i -> {'p': i, 'h': md5(array_to_string(t[i:i+${k - 1}], ' '))})) AS u
+       |    FROM toks) z
+       |), keys AS (
+       |  SELECT doc_id, p,
+       |    h || lpad(CAST(999999999 - p AS VARCHAR), 9, '0') AS kk FROM occ
+       |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM occ GROUP BY 1),
+       |sel AS (
+       |  SELECT doc_id, p, min(kk) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS kk
+       |  FROM keys
+       |), dist AS (
+       |  SELECT DISTINCT s.doc_id, s.kk FROM sel s JOIN cnt USING (doc_id)
+       |  WHERE s.p <= greatest(cnt.n - ${w - 1}, 1)
+       |)""".stripMargin
+
   private def spanCtes(w: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $ToksSql AS t FROM documents
@@ -2780,6 +2851,52 @@ object SparkEntry {
         | FROM documents WHERE doc_id < 200)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "d70_winnow_fingerprints" ->
+      s"""WITH ${winnowCtes(5, 4, "documents")}
+         |SELECT doc_id,
+         |  CAST(999999999 - CAST(substr(kk, 33, 9) AS BIGINT) AS BIGINT) AS fp_pos,
+         |  substr(kk, 1, 32) AS fp_hash
+         |FROM dist ORDER BY doc_id, fp_pos""".stripMargin,
+
+    "d71_winnow_overlap" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    'copied prefix: ' || array_to_string(t[1:12], ' ') AS text
+         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents) pl
+         |  WHERE doc_id % 7 = 0
+         |), ${winnowCtes(5, 4, "corpus")},
+         |fp AS (SELECT DISTINCT doc_id, substr(kk, 1, 32) AS fp_hash FROM dist)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d72_strip_html" ->
+      """WITH page AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style><script type="text/javascript">var x=1; if(x<2){x++;}</script></head><body><p class="c">'
+        |  || text ||
+        |  '</p><!-- trailing comment --><div>A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>' AS h
+        | FROM documents WHERE doc_id < 300),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        | FROM page)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "d49_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_docs,

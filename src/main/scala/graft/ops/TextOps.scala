@@ -231,6 +231,32 @@ object TextOps {
    * become a single space instead, the conservative choice for token
    * boundaries).
    */
+  /**
+   * Full HTML → training-text extraction — the C4/CCNet "strip the page
+   * chrome" pass, stronger than [[normalizeText]]'s bare tag removal:
+   * `<script>`/`<style>` elements are dropped WITH their bodies (raw
+   * JavaScript and CSS are the worst boilerplate leak in web corpora —
+   * tag-only stripping keeps `var x=1;` as if it were prose), HTML
+   * comments go, remaining tags become spaces, the five XML entities plus
+   * `&nbsp;` decode, and whitespace collapses.
+   *
+   * Map-only regexp/replace chain inside whole-stage codegen. Patterns
+   * use inline `(?is)` flags and no backreferences, so they mean the same
+   * thing to Java regex and RE2-family engines (DuckDB oracle). Entity
+   * decode order is fixed with `&amp;` LAST — `&amp;lt;` must yield the
+   * literal text `&lt;`, not `<`.
+   */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def normalizeText(text: Column, stripMarkup: Boolean = true,
                     lowercase: Boolean = false): Column = {
     val tagless = if (stripMarkup) regexp_replace(text, "<[^>]*>", " ") else text

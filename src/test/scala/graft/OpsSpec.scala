@@ -923,4 +923,69 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("kind", lit("audio"))
     assert(MultimodalOps.audioSilenceSegments(junk).count() == 0)
   }
+
+  test("winnowFingerprints: exact MOSS selection vs a plain-Scala reference") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // independent reimplementation: k-gram md5s, per-window min with the
+    // (hash asc, position desc) robust-winnowing tie rule, distinct
+    def winnow(text: String, k: Int, w: Int): Set[(Long, String)] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val grams = (0 to toks.length - k)
+        .map(i => (i + 1, md5hex(toks.slice(i, i + k).mkString(" "))))
+      (1 to math.max(grams.length - w + 1, 1)).map { s =>
+        grams.slice(s - 1, math.min(s - 1 + w, grams.length))
+          .minBy { case (p, h) => (h, -p) }
+      }.map { case (p, h) => (p.toLong, h) }.toSet
+    }
+    val texts = Seq(
+      (1L, "a b c d e f g h i j a b c d e"), // repeated run → shared grams
+      (2L, "x y z a b c d e f q"),
+      (3L, "one two"),                        // < k tokens: no fingerprints
+      (4L, "p q r s t"),                      // exactly k: the one gram
+      (5L, ""))
+    val got = DedupOps.winnowFingerprints(
+        texts.toDF("id", "text"), "id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    for ((id, text) <- texts)
+      assert(got.getOrElse(id, Set.empty) == winnow(text, 5, 4), s"doc $id")
+    // the winnowing guarantee: any two docs sharing a k+w-1 = 8-word run
+    // select at least one common fingerprint hash
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val fps = DedupOps.winnowFingerprints(
+        Seq((10L, s"xx yy $shared zz"), (11L, s"$shared pp qq rr"))
+          .toDF("id", "text"), "id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert((fps.filter(_._1 == 10L).map(_._2).toSet &
+      fps.filter(_._1 == 11L).map(_._2).toSet).nonEmpty)
+  }
+
+  test("winnowOverlapPairs: shared-run docs pair, disjoint docs do not") {
+    val docs = Seq(
+      (1L, "the small cat sat on the very large warm mat today ok"),
+      (2L, "intro words the small cat sat on the very large warm mat today ok trailing"),
+      (3L, "completely different text with nothing matching at all here now"))
+      .toDF("id", "text")
+    val pairs = DedupOps.winnowOverlapPairs(docs, "id", "text",
+        k = 5, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("stripHtml: script/style bodies, comments, tags, entities, idempotent prose") {
+    val df = Seq(
+      (1L, "<html><head><style>p{x}</style><script>var i=0; if(i<3){i++}" +
+        "</script></head><body><p>Hello <b>world</b></p><!-- c --></body></html>"),
+      (2L, "A &amp;amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      (3L, "plain text stays")).toDF("id", "text")
+    val out = df.select($"id", TextOps.stripHtml($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello world") // script/style BODIES gone, not kept as prose
+    assert(out(2L) == "A &amp; B <tag> \"q\" 's' end") // &amp;amp; decodes once
+    assert(out(3L) == "plain text stays")
+  }
 }
