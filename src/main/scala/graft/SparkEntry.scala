@@ -1781,6 +1781,23 @@ object SparkEntry {
           col("start_frame").cast("long").as("start_frame"),
           col("n_frames"), col("energy"))
         .orderBy("media_id", "seg_no")
+    }),
+
+    "m46_audio_neardup" -> ((s, dir) => {
+      // acoustic near-dup via the energy-envelope fingerprint: planted
+      // 2x-volume remasters (same recording, different master — every
+      // sample comparison preserved) collide at Hamming 0 through the
+      // REAL codec; the oracle rebuilds every PCM sample, frame energy,
+      // and fingerprint bit in integer SQL and cross-checks all pairs.
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val base = MultimodalOps.syntheticAudioCorpus(docs, "doc_id")
+      val remastered = MultimodalOps.syntheticAudioCorpusGain(
+        docs.where(col("doc_id") % 9 === 0), "doc_id", gain = 2,
+        idOffset = 4000000L)
+      MultimodalOps.audioNearDupPairs(base.unionByName(remastered),
+          frameSamples = 25, maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3212,6 +3229,37 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
         |  CAST(SUM(energy) AS BIGINT) AS energy
         |FROM segs GROUP BY media_id, seg_no, silent
-        |ORDER BY media_id, seg_no""".stripMargin
+        |ORDER BY media_id, seg_no""".stripMargin,
+
+    // every PCM sample, frame energy, and sign-of-delta fingerprint bit
+    // rebuilt in integer SQL; ALL pairs cross-checked (the band join is
+    // exact at Hamming <= 3 by pigeonhole, so full enumeration agrees)
+    "m46_audio_neardup" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 1 AS gain
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS media_id, doc_id AS src, 2 AS gain
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 9 = 0
+        |), en AS (
+        |  SELECT media_id, i.i // 25 AS f,
+        |    SUM(CASE WHEN (i.i // 100 + src) % 3 = 0 THEN 0
+        |             ELSE gain * ABS((src*31 + i.i*7) % 2000 - 1000) END) AS e
+        |  FROM clips CROSS JOIN generate_series(0, 1599) AS i(i)
+        |  GROUP BY media_id, f
+        |), fp AS (
+        |  SELECT media_id,
+        |    SUM(CASE WHEN nxt > e THEN 1::BIGINT << f ELSE 0::BIGINT END) AS fp
+        |  FROM (SELECT media_id, f, e,
+        |          lead(e) OVER (PARTITION BY media_id ORDER BY f) AS nxt
+        |        FROM en)
+        |  WHERE nxt IS NOT NULL
+        |  GROUP BY media_id
+        |)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -185,7 +185,15 @@ object MediaFixtures {
     * `(id*31 + i*7) % 2000 − 1000` — deterministic integer PCM an SQL
     * oracle recomputes exactly (WAV stores raw PCM after the 44-byte
     * header, and the decoder reads it back bit-for-bit). */
-  def wavForId(id: Long): Array[Byte] = {
+  def wavForId(id: Long): Array[Byte] = wavForIdGain(id, 1)
+
+  /** [[wavForId]] with every PCM sample multiplied by `gain` — the
+    * volume-changed re-encode of the same recording (|sample| ≤ 1000, so
+    * gains up to 32 never clip 16-bit). Positive gain preserves every
+    * sample-magnitude comparison, which is exactly the invariance the
+    * energy-envelope fingerprint claims. */
+  def wavForIdGain(id: Long, gain: Int): Array[Byte] = {
+    require(gain >= 1 && gain <= 32, s"gain must be in [1, 32], got $gain")
     val sampleRate = 8000
     val n = 1600
     val dataBytes = n * 2
@@ -206,7 +214,7 @@ object MediaFixtures {
       val silent = Math.floorMod(i / 100 + id, 3L) == 0L
       val s =
         if (silent) 0
-        else (Math.floorMod(id * 31L + i * 7L, 2000L) - 1000L).toInt
+        else (Math.floorMod(id * 31L + i * 7L, 2000L) - 1000L).toInt * gain
       buf.putShort(s.toShort)
       i += 1
     }
@@ -348,15 +356,16 @@ case class AudioFrameEnergiesExpr(child: Expression, frameSamples: Int)
     copy(child = c)
 }
 
-/** `synthetic_wav(id)`: [[MediaFixtures.wavForId]] as a codegen'd column. */
-case class SyntheticWavExpr(child: Expression)
+/** `synthetic_wav(id)`: [[MediaFixtures.wavForIdGain]] as a codegen'd
+  * column (`gain` = 1 is the base fixture). */
+case class SyntheticWavExpr(child: Expression, gain: Int = 1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "synthetic_wav"
   override def nullSafeEval(id: Any): Any =
-    MediaFixtures.wavForId(id.asInstanceOf[Long])
+    MediaFixtures.wavForIdGain(id.asInstanceOf[Long], gain)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, id => s"graft.ops.MediaFixtures.wavForId($id)")
+    defineCodeGen(ctx, ev, id => s"graft.ops.MediaFixtures.wavForIdGain($id, $gain)")
   override protected def withNewChildInternal(c: Expression): SyntheticWavExpr =
     copy(child = c)
 }
@@ -733,6 +742,70 @@ object MultimodalOps {
         sum(col("energy")).as("energy"))
       .select(col("media_id"), col("seg_no"), col("silent"),
         col("start_frame"), col("n_frames"), col("energy"))
+  }
+
+  /** [[syntheticAudioCorpus]] re-encoded at `gain`× volume and re-keyed by
+    * `idOffset` — the planted same-recording-different-master copy for the
+    * m46 oracle (gain preserves every sample comparison, so the energy
+    * fingerprint is identical by construction). */
+  def syntheticAudioCorpusGain(docs: DataFrame, idCol: String, gain: Int,
+                               idOffset: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val id = col(idCol).cast("long")
+    docs.select(
+      (id + idOffset).as("media_id"),
+      lit("audio").as("kind"),
+      ColumnBridge.column(SyntheticWavExpr(ColumnBridge.expression(id), gain))
+        .as("content"),
+      struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit("wav").as("format")).as("meta"))
+  }
+
+  /**
+   * Energy-envelope acoustic fingerprint — the time-domain form of the
+   * Haitsma–Kallman sign-of-band-energy-difference fingerprint: frame the
+   * clip, take Σ|sample| per frame through the REAL codec, and set bit
+   * `f` iff `energy(f+1) > energy(f)`. The bits depend only on the SHAPE
+   * of the loudness envelope, so any positive remaster gain (the most
+   * common audio re-encode difference) yields the identical fingerprint;
+   * integer-exact end to end, so an SQL oracle rebuilds every bit.
+   *
+   * Output: (media_id, n_frames, fp) for decodable clips of 2..64 frames
+   * (bits need `n_frames − 1 ≤ 63`; frame undecodable/oversized clips are
+   * dropped, mirroring [[imageAHash]]'s null contract).
+   *
+   * 100 TB design: decode → energies → bit-fold is ONE map-only codegen
+   * chain per blob; 8 bytes per clip survive it. No shuffle here at all —
+   * pairing cost lives entirely in [[audioNearDupPairs]]' band join.
+   */
+  def audioEnergyFingerprint(media: DataFrame, frameSamples: Int = 25): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val energies = ColumnBridge.column(AudioFrameEnergiesExpr(
+      ColumnBridge.expression(coalesce(col("content"), lit(Array.emptyByteArray))),
+      frameSamples))
+    media
+      .select(col("media_id"), energies.as("__e"))
+      .where(size(col("__e")).between(2, 64))
+      .select(col("media_id"),
+        size(col("__e")).as("n_frames"),
+        aggregate(sequence(lit(0), size(col("__e")) - 2), lit(0L),
+          (acc, f) => acc + when(
+            element_at(col("__e"), f + 2) > element_at(col("__e"), f + 1),
+            call_function("shiftleft", lit(1L), f)).otherwise(0L)).as("fp"))
+  }
+
+  /** Near-duplicate audio pairs over the energy-envelope fingerprint:
+    * [[DedupOps.hamming64Pairs]]' 4×16-bit band join, EXACT at
+    * `maxHamming <= 3` by pigeonhole. Clips never ride the shuffle — the
+    * 8-byte fingerprints do. Volume-changed copies collide at Hamming 0;
+    * clips with a few reshaped frames land within the radius. */
+  def audioNearDupPairs(media: DataFrame, frameSamples: Int = 25,
+                        maxHamming: Int = 3,
+                        maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    val fp = audioEnergyFingerprint(media, frameSamples)
+      .select(col("media_id").as("doc_id"), col("fp").as("sim"))
+    DedupOps.hamming64Pairs(fp, maxHamming, maxBucket)
   }
 
   /** Frame sampling as pure column ops: split the blob into fixed-size

@@ -924,6 +924,41 @@ class OpsSpec extends AnyFunSuite {
     assert(MultimodalOps.audioSilenceSegments(junk).count() == 0)
   }
 
+  test("audioEnergyFingerprint: exact bits vs PCM formula, gain-invariant") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ids = Seq(3L, 7L, 12L)
+    def corpus(gain: Int, offset: Long) = {
+      val rows = ids.map { id =>
+        Row(id + offset, "audio", MediaFixtures.wavForIdGain(id, gain), null)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        StructType(Seq(StructField("media_id", LongType),
+          StructField("kind", StringType), StructField("content", BinaryType),
+          StructField("meta", StringType))))
+    }
+    val fp1 = MultimodalOps.audioEnergyFingerprint(corpus(1, 0L), frameSamples = 25)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // independent recompute from the fixture's PCM formula
+    def energy(id: Long, f: Int): Long =
+      (f * 25 until (f + 1) * 25).map { i =>
+        if (Math.floorMod(i / 100 + id, 3L) == 0L) 0L
+        else math.abs(Math.floorMod(id * 31 + i * 7L, 2000L) - 1000L)
+      }.sum
+    for (id <- ids) {
+      val e = (0 until 64).map(f => energy(id, f))
+      val want = (0 to 62).map(f => if (e(f + 1) > e(f)) 1L << f else 0L).sum
+      assert(fp1(id) == ((64, want)), s"clip $id")
+    }
+    // volume remaster (gain 2): identical fingerprint, so near-dup pairs
+    // find every (id, id+offset) at Hamming 0
+    val both = corpus(1, 0L).unionByName(corpus(2, 1000L))
+    val pairs = MultimodalOps.audioNearDupPairs(both, frameSamples = 25,
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.map(id => (id, id + 1000L)).toSet.subsetOf(pairs))
+  }
+
   test("winnowFingerprints: exact MOSS selection vs a plain-Scala reference") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
