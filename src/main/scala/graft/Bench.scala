@@ -31,7 +31,11 @@ object Bench {
     // entry's brute-force-equivalent oracle config; the PQ exact top-k
     // (code-byte ADC + residual-bound re-rank); and the real-codec
     // video scene-cut detector (map-only frame hash + bounded window)
-    "e44_knn_graph_approx", "e45_knn_pq", "m44_video_scene_cuts")
+    "e44_knn_graph_approx", "e45_knn_pq", "m44_video_scene_cuts",
+    // round-11 late additions: winnowing fingerprint extraction (the
+    // compute-bound map-only HOF chain — sizes the per-row text path)
+    // and its fingerprint-subset overlap join
+    "d70_winnow_fingerprints", "d71_winnow_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -998,6 +998,22 @@ class OpsSpec extends AnyFunSuite {
       fps.filter(_._1 == 11L).map(_._2).toSet).nonEmpty)
   }
 
+  test("winnowFingerprints/stripHtml/audioEnergyFingerprint are shuffle-free map plans") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plans = Seq(
+      DedupOps.winnowFingerprints(docs, "doc_id", "text", 5, 4),
+      docs.select(TextOps.stripHtml($"text")),
+      MultimodalOps.audioEnergyFingerprint(
+        MultimodalOps.syntheticAudioCorpus(docs, "doc_id"), 25))
+    for (p <- plans) {
+      val exchanges = p.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"map-only op grew a shuffle:\n${p.queryExecution.executedPlan}")
+    }
+  }
+
   test("winnowOverlapPairs: shared-run docs pair, disjoint docs do not") {
     val docs = Seq(
       (1L, "the small cat sat on the very large warm mat today ok"),
