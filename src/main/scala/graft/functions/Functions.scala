@@ -765,6 +765,82 @@ object GramUtil {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** One-pass MOSS winnowing selections: word-`k`-gram md5s, then the
+    * classic monotonic-deque sliding-window minimum over `w` consecutive
+    * grams — O(grams) total, vs the composed HOF form's O(grams × w)
+    * interpreted `array_min(slice(...))` per window (higher-order
+    * functions never enter whole-stage codegen). Tie rule: (hash asc,
+    * position desc) — pushing pops `<=`-equal hashes, so the RIGHTMOST
+    * minimal gram survives, the robust-winnowing rule. Output: distinct
+    * `(p, h)` selections in document order; `< k` tokens → empty, `<= w`
+    * grams → the single whole-document window. A selected index cannot
+    * recur non-consecutively (a smaller later gram that evicts it
+    * outlives it in every window they share), so consecutive-duplicate
+    * suppression IS global distinctness. */
+  def winnowSelections(s: UTF8String, k: Int,
+                       w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val trimmed = s.toString.trim
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+    if (toks.length < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val n = toks.length - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Array[Byte]](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      hashes(i) = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var j = 0
+      while (j < 16) {
+        val d = (a(j) & 0xff) - (b(j) & 0xff)
+        if (d != 0) return d
+        j += 1
+      }
+      0
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def row(idx: Int) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](idx + 1, hashes(idx)))
+    if (n <= w) {
+      var best = 0
+      var j = 1
+      while (j < n) { if (cmp(hashes(j), hashes(best)) <= 0) best = j; j += 1 }
+      out += row(best)
+    } else {
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0
+      var last = -1
+      var idx = 0
+      var sWin = 0
+      while (sWin <= n - w) {
+        while (idx <= sWin + w - 1) {
+          while (tail > head && cmp(hashes(idx), hashes(dq(tail - 1))) <= 0) tail -= 1
+          dq(tail) = idx
+          tail += 1
+          idx += 1
+        }
+        while (dq(head) < sWin) head += 1
+        if (dq(head) != last) { out += row(dq(head)); last = dq(head) }
+        sWin += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 case class PositionalGramHashes(child: Expression, w: Int) extends UnaryExpression {
@@ -777,6 +853,22 @@ case class PositionalGramHashes(child: Expression, w: Int) extends UnaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.positionalGramHashes($c, $w)")
   override protected def withNewChildInternal(c: Expression): PositionalGramHashes = copy(child = c)
+}
+
+/** `winnow_fingerprints(text)`: [[GramUtil.winnowSelections]] as a
+  * codegen'd column — one deque pass per document. */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p", IntegerType, nullable = false),
+    StructField("h", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullSafeEval(v: Any): Any =
+    GramUtil.winnowSelections(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.winnowSelections($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprintsExpr =
+    copy(child = c)
 }
 
 case class CharTrigrams(child: Expression) extends UnaryExpression {
@@ -1256,6 +1348,8 @@ object GraftFunctions {
     ColumnBridge.column(TextShingles(expression(c), n))
   def positional_gram_hashes(c: Column, w: Int): Column =
     ColumnBridge.column(PositionalGramHashes(expression(c), w))
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprintsExpr(expression(c), k, w))
   def char_trigrams(c: Column): Column =
     ColumnBridge.column(CharTrigrams(expression(c)))
   def minhash_signature(c: Column, k: Int): Column =
