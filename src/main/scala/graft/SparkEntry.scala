@@ -1330,6 +1330,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d73_canonical_urls" -> ((s, dir) => {
+      // URL canonicalization before URL-keyed dedup: mixed-case hosts,
+      // default ports, fragments, trailing slashes, tracking params, and
+      // unsorted query params all collapse to one key; the canonical
+      // group count proves fetch-variants of the same page meet. The
+      // oracle replays every rule in SQL over the identical synth urls.
+      val variants = array(
+        lit("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+        lit("https://News.site.org:443/path/"),
+        lit("https://news.site.org/path"),
+        lit("http://example.com/a/b?a=1&b=2&utm_campaign=z&gclid=123"),
+        lit("https://shop.io//"),
+        lit("ftp://files.host:21/x"),
+        lit("https://example.com/?fbclid=abc&x=1"),
+        lit("not a url at all"))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        element_at(variants, (col("doc_id") % 8 + 1).cast("int")).as("url"))
+      urls.select(col("doc_id"), col("url"),
+          CorpusOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
+
     "d69_quality_classifier" -> ((s, dir) => {
       // linear classifier inference at corpus scale: the vocabulary rides
       // the plan as one shared hash map, scoring is map-only codegen.
@@ -2816,6 +2838,47 @@ object SparkEntry {
          | CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
          | CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
          |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "d73_canonical_urls" ->
+      """WITH d AS (SELECT doc_id,
+        |  (['HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag',
+        |    'https://News.site.org:443/path/',
+        |    'https://news.site.org/path',
+        |    'http://example.com/a/b?a=1&b=2&utm_campaign=z&gclid=123',
+        |    'https://shop.io//',
+        |    'ftp://files.host:21/x',
+        |    'https://example.com/?fbclid=abc&x=1',
+        |    'not a url at all'])[(doc_id % 8 + 1)::INT] AS url
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM d
+        |), p AS (
+        |  SELECT doc_id, url,
+        |    coalesce(lower(regexp_extract(nf,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
+        |    coalesce(lower(regexp_extract(nf,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '') AS auth0,
+        |    regexp_replace(coalesce(regexp_extract(nf,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/+$', '') AS path0,
+        |    coalesce(regexp_extract(nf, '\?([^#]*)', 1), '') AS query
+        |  FROM s1
+        |), c AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+        |         ELSE auth0 END AS auth,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|gclid|fbclid)(=.*)?$'))), '&'), '') AS q
+        |  FROM p
+        |)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN url
+        |       ELSE scheme || '://' || auth || path ||
+        |            CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canonical_url
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "d67_domain_blocklist" ->
       """WITH d AS (SELECT doc_id,

@@ -313,6 +313,42 @@ object CorpusOps {
   }
 
   /**
+   * URL canonicalization — the normalization pass BEFORE URL-keyed exact
+   * dedup (the same crawl page is fetched as `HTTP://Example.COM:80/a?b=2&a=1`
+   * and `http://example.com/a?a=1&b=2`; byte-equality misses every such
+   * pair): lowercase scheme and authority, strip the fragment, strip
+   * default ports (`:80` http / `:443` https), trim trailing path slashes
+   * (empty path → `/`), drop tracking parameters (`utm_*`, `gclid`,
+   * `fbclid`), and SORT the surviving query parameters. Strings that
+   * don't parse as `scheme://…` pass through untouched (they can't be
+   * normalized, only dropped — a caller policy).
+   *
+   * Map-only column expression (regexp + small-array HOFs per row, no
+   * shuffle); every rule is a regex/list operation with identical
+   * semantics in an SQL oracle, so canonical keys are engine-portable —
+   * the property URL dedup at 100 TB depends on.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path0 = regexp_replace(
+      regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=.*)?$"))
+    val q = array_join(array_sort(params), "&")
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), auth, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /**
    * Deterministic stratified sampling: each stratum keeps the documents
    * whose content-hash first hex digit falls in its allowed set (so rates
    * are multiples of 1/16). Like [[graft.SparkEntry]]'s d43 sample but

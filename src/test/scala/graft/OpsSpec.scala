@@ -1027,6 +1027,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("canonicalizeUrl: fetch-variants of one page collapse to one key") {
+    val urls = Seq(
+      (1L, "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://example.com/a/b?a=1&b=2&utm_campaign=z"),
+      (3L, "https://News.site.org:443/path/"),
+      (4L, "https://news.site.org/path"),
+      (5L, "ftp://files.host:21/x"), // non-http scheme keeps its port
+      (6L, "not a url at all"),      // unparseable passes through
+      (7L, "https://shop.io//"),
+      (8L, "https://shop.io")).toDF("id", "url")
+    val out = urls.select($"id", CorpusOps.canonicalizeUrl($"url"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "http://example.com/a/b?a=1&b=2")
+    assert(out(1L) == out(2L)) // the dedup key property
+    assert(out(3L) == "https://news.site.org/path" && out(3L) == out(4L))
+    assert(out(5L) == "ftp://files.host:21/x")
+    assert(out(6L) == "not a url at all")
+    assert(out(7L) == "https://shop.io/" && out(7L) == out(8L))
+  }
+
   test("stripHtml: script/style bodies, comments, tags, entities, idempotent prose") {
     val df = Seq(
       (1L, "<html><head><style>p{x}</style><script>var i=0; if(i<3){i++}" +
