@@ -61,6 +61,46 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(tbl.snapshots.map(_.sequenceNumber).sorted.toSeq == (1L to 10L))
   }
 
+  test("parallel mixed DML: racing MOR upserts on disjoint keys + appends lose nothing") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    cat.createTable("c6", schema, properties = Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    // 3 upsert threads own disjoint key ranges t*100..t*100+4 and write 3
+    // generations each (so every later generation equality-deletes its
+    // own earlier rows under CAS contention); 1 append thread adds fresh
+    // ids 900+. All ops commute, so the final state is deterministic.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        try {
+          val h = cat.loadTable("c6")
+          for (gen <- 0 until 3)
+            h.upsert(spark,
+              (0 until 5).map(i => ((t * 100 + i).toLong, s"t$t-g$gen"))
+                .toDF("id", "k"), Seq("id"))
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    } :+ new Thread(() => {
+      try {
+        val h = cat.loadTable("c6")
+        for (i <- 0 until 4)
+          h.append(Seq(((900 + i).toLong, "fresh")).toDF("id", "k"))
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"concurrent DML threw: ${failures.peek()}")
+    val got = cat.loadTable("c6").toDF(spark).as[(Long, String)].collect().toSet
+    val want = (for (t <- 0 until 3; i <- 0 until 5)
+      yield ((t * 100 + i).toLong, s"t$t-g2")).toSet ++
+      (0 until 4).map(i => ((900 + i).toLong, "fresh")).toSet
+    assert(got == want,
+      s"lost/duplicated rows: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("overwriteWhere from a stale handle re-plans: concurrent append to the replaced partition is removed") {
     import spark.implicits._
     val cat = new MemoryCatalog()
