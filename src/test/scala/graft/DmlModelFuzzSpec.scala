@@ -36,10 +36,16 @@ class DmlModelFuzzSpec extends AnyFunSuite {
   }
 
   private def runSequence(mode: String, formatVersion: String, seed: Long,
-                          nOps: Int): Unit = {
+                          nOps: Int, partitioned: Boolean = false): Unit = {
     import spark.implicits._
     val cat = new MemoryCatalog()
-    var tbl = cat.createTable(s"fuzz_${mode.take(3)}_$seed", schema,
+    val spec =
+      if (partitioned)
+        graft.meta.PartitionSpec(0,
+          Seq(graft.meta.PartitionField(2, 1000, "grp", "identity")))
+      else graft.meta.PartitionSpec.Unpartitioned
+    var tbl = cat.createTable(s"fuzz_${mode.take(3)}_p${partitioned}_$seed",
+      schema, partitionSpec = spec,
       properties = Map(
         "write.delete.mode" -> mode,
         "write.update.mode" -> mode,
@@ -107,4 +113,13 @@ class DmlModelFuzzSpec extends AnyFunSuite {
   } test(s"random DML sequence matches the model ($mode, v$fv, seed $seed)") {
     runSequence(mode, fv, seed, 20)
   }
+
+  // identity-partitioned on grp: the same sequences drive partition-tuple
+  // fanout on write and partition pruning inside every group-predicate
+  // delete/update — file layouts and prune paths the unpartitioned runs
+  // never touch
+  for ((mode, fv) <- Seq(("copy-on-write", "2"), ("merge-on-read", "3")))
+    test(s"random DML sequence matches the model ($mode, v$fv, partitioned)") {
+      runSequence(mode, fv, seed = 42L, nOps = 20, partitioned = true)
+    }
 }
