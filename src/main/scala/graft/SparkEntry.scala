@@ -1582,6 +1582,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e47_knn_ivf_index" -> ((s, dir) => {
+      // PERSISTED IVF index: train+assign once, store centroids AND
+      // cell-partitioned assignments in real catalog tables, reload both
+      // from storage, then probe. Full probe (nprobe = nlist) keeps it
+      // provably exact, so the float parquet round trip and the
+      // index-table scan path are graded against the same brute-force
+      // oracle as e40's recompute-per-call form.
+      val emb = t(s, dir, "embeddings")
+      val (centroids, assignments) =
+        SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16)
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val cTbl = cat.createTable("ivf_centroids",
+        SparkSchemaConverter.fromSpark(centroids.schema))
+      cTbl.append(centroids)
+      val aSchema = SparkSchemaConverter.fromSpark(assignments.schema)
+      val aTbl = cat.createTable("ivf_assignments", aSchema,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          aSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
+      aTbl.append(assignments)
+      SimilarityOps.topKIvfFromIndex(
+          cat.loadTable("ivf_centroids").toDF(s),
+          cat.loadTable("ivf_assignments").toDF(s),
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e44_knn_graph" -> ((s, dir) => {
       // the all-pairs neighbor graph at the provably-exact setting
       // (nprobe = nlist ⇒ every pair meets exactly once through the
@@ -2618,6 +2647,10 @@ object SparkEntry {
     "e38_knn_lsh" -> KnnOracleSql,
     // full-probe IVF == brute force (see the query's doc)
     "e40_knn_ivf" -> KnnOracleSql,
+
+    // the persisted-index probe is exact at full probe, so the same
+    // brute-force oracle grades the index round trip
+    "e47_knn_ivf_index" -> KnnOracleSql,
 
     "e44_knn_graph" ->
       """WITH s AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,

@@ -78,6 +78,79 @@ object SimilarityOps {
   }
 
   /**
+   * Build a PERSISTED IVF index — the production shape [[topKIvf]]'s
+   * one-shot form amortizes away: train + assign are the only passes
+   * that touch the corpus, so building ONCE and probing many query
+   * batches turns the per-call corpus scan into an index-table scan.
+   * Returns two DataFrames to store (ideally in graft tables):
+   *
+   *  - centroids: `(cell int, center array<float>)` — `nlist` rows, the
+   *    trained codebook (tiny; collected once per probing session);
+   *  - assignments: `(vec_id, cell, cvec)` — one row per corpus vector.
+   *    Identity-partition the table by `cell` and low-`nprobe` probes
+   *    PARTITION-PRUNE the scan itself: a query batch probing 4 of 256
+   *    cells reads ~1.6% of a 100 TB index from storage, which no
+   *    recompute-per-call plan can do.
+   *
+   * Floats round-trip parquet bit-exactly, so a reloaded index scores
+   * identically to the in-memory one (e47 proves it through a real
+   * catalog-table round trip against the brute-force oracle).
+   */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 0, trainSample: Int = 4096,
+                    seed: Long = 42L): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nl = resolveNlist(nlist, corpus)
+    val sample: Array[Array[Float]] = corpus.select(col(vecCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centers = trainKmeans(sample, nl, iters = 10, seed)
+    // nullable array elements: the encoder's non-null element type does
+    // not survive a cast against parquet-convention table schemas
+    val centroids = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center")
+      .select(col("cell"), col("center").cast("array<float>").as("center"))
+    val assignments = corpus.select(col(idCol).as("vec_id"),
+      GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"),
+      col(vecCol).as("cvec"))
+    (centroids, assignments)
+  }
+
+  /** Probe a persisted IVF index ([[buildIvfIndex]]'s two tables, read
+    * back from storage): same probe → cell join → exact-rerank plan as
+    * [[topKIvf]] steps 3–5, but the assignment side is a table scan —
+    * partition-prunable on `cell` — instead of a corpus recompute. Full
+    * probe (`nprobe` = cell count) is provably exact, like [[topKIvf]]. */
+  def topKIvfFromIndex(centroids: DataFrame, assignments: DataFrame,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, nprobe: Int = 4): DataFrame = {
+    val centers: Array[Array[Float]] = centroids.select("cell", "center")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    require(centers.nonEmpty, "centroids table is empty")
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"))
+    // STATIC cell pruning: the probed cell set is bounded by the CELL
+    // COUNT (≤ nlist distinct values, whatever the query batch size), so
+    // collecting it is O(nlist) and turns the join's implicit cell
+    // restriction into an explicit IN filter the scan can push down — on
+    // a cell-identity-partitioned index table, manifest pruning then
+    // skips every unprobed partition's files before a byte is read. A
+    // full probe collects all cells and the filter is a no-op.
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned =
+      if (probedCells.length >= centers.length) assignments
+      else assignments.where(col("cell").isin(probedCells.map(Int.box): _*))
+    val scored = pruned
+      .select(col("cell"), col("vec_id"), col("cvec"))
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    topK(scored, "query_id", "vec_id", k)
+  }
+
+  /**
    * All-pairs k-NN GRAPH over the corpus — every vector's top-k nearest
    * neighbors among all OTHER vectors: the primitive under SemDeDup-style
    * semantic clustering, graph-based near-dup mining, and label

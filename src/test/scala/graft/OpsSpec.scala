@@ -1027,6 +1027,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("persisted IVF index: table round trip exact at full probe, cell partitions prune") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (centroids, assignments) =
+      SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val wh = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val cTbl = cat.createTable("cent", graft.types.SparkSchemaConverter.fromSpark(centroids.schema))
+    cTbl.append(centroids)
+    val aSchema = graft.types.SparkSchemaConverter.fromSpark(assignments.schema)
+    val aTbl = cat.createTable("assign", aSchema,
+      partitionSpec = graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(
+        aSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
+    aTbl.append(assignments)
+    val queries = emb.where("vec_id < 4")
+    // full probe through the STORED index == the one-shot in-memory form
+    val fromIndex = SimilarityOps.topKIvfFromIndex(
+        cTbl.toDF(spark), aTbl.toDF(spark), queries, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = SimilarityOps.topKIvf(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+    // the scale claim: a cell predicate prunes index FILES via the
+    // identity partition — low-nprobe probes read a fraction of storage
+    val allFiles = aTbl.scan().planFiles().size
+    val oneCell = aTbl.scan(predicates = Seq(graft.table.EqPred("cell", 0)))
+      .planFiles().size
+    assert(oneCell < allFiles,
+      s"cell partition did not prune: $oneCell of $allFiles files")
+  }
+
   test("canonicalizeUrl: fetch-variants of one page collapse to one key") {
     val urls = Seq(
       (1L, "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
