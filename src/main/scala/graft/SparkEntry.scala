@@ -1797,7 +1797,13 @@ object SparkEntry {
       val bumped = MultimodalOps.syntheticImageCorpusBumped(
         docs.where("doc_id % 11 = 0"), "doc_id", scale = 4,
         idOffset = 2000000L, cells = Seq(0, 27, 54))
-      MultimodalOps.imageNearDupPairs(base.unionByName(bumped), maxHamming = 3)
+      // maxBucket uncapped for the oracle config: the synthetic corpus
+      // grows hash classes past the default boilerplate cap at larger sf
+      // (caught by an sf0.1 cross-check — capped Spark dropped pairs the
+      // full-enumeration oracle keeps); the exactness claim is the
+      // UNCAPPED band join's, and the cap stays the production default
+      MultimodalOps.imageNearDupPairs(base.unionByName(bumped), maxHamming = 3,
+          maxBucket = 1 << 20)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     }),
