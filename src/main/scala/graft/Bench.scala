@@ -35,7 +35,13 @@ object Bench {
     // round-11 late additions: winnowing fingerprint extraction (the
     // compute-bound map-only HOF chain — sizes the per-row text path)
     // and its fingerprint-subset overlap join
-    "d70_winnow_fingerprints", "d71_winnow_overlap")
+    "d70_winnow_fingerprints", "d71_winnow_overlap",
+    // round-11 temporal joins + clustering: the sorted-union as-of join
+    // (one exchange, |L|+|R| sort — no candidate explosion), the
+    // bucketized point-in-interval range join, and a full-corpus
+    // fixed-point k-means Lloyd round (map-only assign + k combinable
+    // aggregate buffers on the exchange)
+    "j01_asof_join", "j02_range_join", "e48_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

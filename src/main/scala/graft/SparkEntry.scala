@@ -3,7 +3,7 @@ package graft
 import graft.catalog.{HadoopCatalog, MemoryCatalog}
 import graft.functions.GraftFunctions
 import graft.meta.{PartitionField, PartitionSpec}
-import graft.ops.{CorpusOps, DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, JoinOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.sql.GraftSql
 import graft.table.{EqPred, LtPred}
 import graft.types.SparkSchemaConverter
@@ -1350,6 +1350,67 @@ object SparkEntry {
       urls.select(col("doc_id"), col("url"),
           CorpusOps.canonicalizeUrl(col("url")).as("canonical_url"))
         .orderBy("doc_id")
+    }),
+
+    "j01_asof_join" -> ((s, dir) => {
+      // keyed as-of join (pandas merge_asof / kdb aj semantics — an
+      // operator Spark's own algebra lacks): every event picks the latest
+      // same-user quote at-or-before its timestamp via the sorted-union
+      // running-window plan — ONE exchange on user_id, |L|+|R| rows
+      // sorted, no join candidate explosion. Event 0 quotes itself
+      // (equal-timestamp inclusive bound). Oracle: DuckDB's native ASOF
+      // LEFT JOIN over the identical deduped quote table.
+      val ev = t(s, dir, "events")
+      val quotes = ev.where("event_id % 7 = 0")
+        .groupBy("user_id", "ts").agg(max("value").as("quote"))
+      JoinOps.asofJoin(ev.select("event_id", "user_id", "ts", "value"),
+          quotes, "ts", "ts", by = Seq("user_id"))
+        .select(col("event_id"), col("right_quote").as("quote"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("right_ts").cast("timestamp"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    "e48_kmeans" -> ((s, dir) => {
+      // distributed spherical k-means over the FULL corpus: deterministic
+      // init (k lowest ids), one Lloyd update whose centroid means are
+      // fixed-point integer sums — bitwise reproducible under ANY
+      // partitioning, which is what lets a cross-engine oracle replay the
+      // identical centroids. The oracle recomputes init -> assign ->
+      // integer-sum update -> reassign entirely in SQL.
+      SimilarityOps.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 1)
+        .orderBy("vec_id")
+    }),
+
+    "d74_inverted_index" -> ((s, dir) => {
+      // positional inverted index with df bounds: postings shuffle once on
+      // (term, doc); document frequency is a combinable per-term count that
+      // joins back (no per-term window — that would sort every stopword
+      // posting in one task). positions_csv makes the list bitwise
+      // hash-comparable across engines.
+      CorpusOps.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 3L, maxDf = 450L)
+        .select(col("term"), col("df"), col("doc_id"), col("tf"),
+          array_join(col("positions"), ",").as("positions_csv"))
+        .orderBy("term", "doc_id")
+    }),
+
+    "j02_range_join" -> ((s, dir) => {
+      // point-in-interval range join without a cartesian: every 53rd event
+      // opens a 2-hour per-user window; events falling inside match. The
+      // plan bins both sides at the window length (7200 s) so each true
+      // pair meets on exactly one (user, bin) equi-key — the bucketized
+      // alternative to the BroadcastNestedLoop plan Spark picks for a raw
+      // BETWEEN predicate. Oracle: the raw BETWEEN join (exact same pairs).
+      val ev = t(s, dir, "events")
+      val markers = ev.where("event_id % 53 = 0").select(
+        col("event_id").as("marker_id"), col("user_id"),
+        col("ts").as("lo"), (col("ts") + expr("INTERVAL 2 HOURS")).as("hi"))
+      JoinOps.rangeJoin(ev.select("event_id", "user_id", "ts"), "ts",
+          markers, "lo", "hi", binWidth = 7200.0, by = Seq("user_id"))
+        .select(col("event_id"), col("marker_id"), col("user_id"))
+        .orderBy("event_id", "marker_id")
     }),
 
     "d69_quality_classifier" -> ((s, dir) => {
@@ -2918,6 +2979,68 @@ object SparkEntry {
         |       ELSE scheme || '://' || auth || path ||
         |            CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canonical_url
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "j01_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events),
+        |r AS (SELECT user_id, ts, max(value) AS quote FROM events
+        |      WHERE event_id % 7 = 0 GROUP BY 1, 2)
+        |SELECT l.event_id, r.quote,
+        |  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "e48_kmeans" ->
+      """WITH c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+        |         embedding AS ce
+        |  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+        |a0 AS (
+        |  SELECT vec_id, embedding, cl FROM (
+        |    SELECT e.vec_id, e.embedding, c.cl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cl) AS rn
+        |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+        |dims AS (
+        |  SELECT cl, unnest(range(1, len(embedding)+1)) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM a0),
+        |sums AS (
+        |  SELECT cl, dim,
+        |         sum(CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS s,
+        |         count(*) AS cnt
+        |  FROM dims GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT cl,
+        |    list(CAST(CAST(s AS DOUBLE) / 16777216.0 / cnt AS FLOAT) ORDER BY dim) AS ce
+        |  FROM sums GROUP BY cl)
+        |SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+        |  SELECT e.vec_id, c.cl,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cl) AS rn
+        |  FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "d74_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS term,
+        |               CAST(unnest(range(1, len(t)+1)) AS INT) AS pos FROM toks),
+        |g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |             array_to_string(list(pos ORDER BY pos), ',') AS positions_csv
+        |      FROM pos GROUP BY 1, 2),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1
+        |      HAVING count(*) >= 3 AND count(*) <= 450)
+        |SELECT g.term, f.df, g.doc_id, g.tf, g.positions_csv
+        |FROM g JOIN f ON g.term = f.term
+        |ORDER BY g.term, g.doc_id""".stripMargin,
+
+    "j02_range_join" ->
+      """WITH iv AS (SELECT event_id AS marker_id, user_id, ts AS lo,
+        |              ts + INTERVAL 2 HOUR AS hi
+        |            FROM events WHERE event_id % 53 = 0)
+        |SELECT p.event_id, iv.marker_id, p.user_id
+        |FROM events p JOIN iv
+        |  ON p.user_id = iv.user_id AND p.ts BETWEEN iv.lo AND iv.hi
+        |ORDER BY p.event_id, iv.marker_id""".stripMargin,
 
     "d67_domain_blocklist" ->
       """WITH d AS (SELECT doc_id,

@@ -1329,6 +1329,111 @@ case class TopKByScore(score: Expression, id: Expression, k: Int,
     copy(score = l, id = r)
 }
 
+/** Mutable buffer for [[VectorSumFixed]]: per-dimension fixed-point sums
+  * plus the row count. Allocated lazily at the first vector (dimension is
+  * data-driven). */
+final class VecSumBuf {
+  var sums: Array[Long] = null
+  var count: Long = 0L
+}
+
+/** Fixed-point vector sum: `vector_sum_fixed(vec, scaleBits)` accumulates
+  * `floor(x_i · 2^scaleBits)` per dimension into `array<bigint>` sums plus
+  * a row count. Integer addition is associative-commutative, so the result
+  * is BITWISE IDENTICAL under any partitioning / partial-aggregation order
+  * — unlike a double sum, whose low bits depend on Spark's merge order.
+  * This is the deterministic accumulator behind reproducible distributed
+  * k-means centroid updates: quantization error is 2^-scaleBits per
+  * element (1e-7 absolute at the default 24 bits for unit-norm
+  * embeddings), and overflow needs > 2^(63-scaleBits) total magnitude —
+  * ~5.5e11 unit-scale rows per group at 24 bits, far past any per-cluster
+  * corpus. Map-side combining: the exchange carries one `dim`-long array
+  * per (group, map partition), never the vectors. */
+case class VectorSumFixed(vec: Expression, scaleBits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[VecSumBuf]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(scaleBits >= 0 && scaleBits <= 48,
+    s"vector_sum_fixed needs scaleBits in [0, 48], got $scaleBits")
+  override def child: Expression = vec
+  private val scale = (1L << scaleBits).toDouble
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vec.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_sum_fixed expects array<float>, got $other")
+    }
+  override def createAggregationBuffer(): VecSumBuf = new VecSumBuf
+  override def update(b: VecSumBuf, input: org.apache.spark.sql.catalyst.InternalRow): VecSumBuf = {
+    val v = vec.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      if (b.sums == null) b.sums = new Array[Long](n)
+      require(b.sums.length == n,
+        s"vector_sum_fixed: ragged vectors (${b.sums.length} vs $n dims)")
+      var i = 0
+      while (i < n) {
+        b.sums(i) += math.floor(arr.getFloat(i).toDouble * scale).toLong
+        i += 1
+      }
+      b.count += 1
+    }
+    b
+  }
+  override def merge(b: VecSumBuf, o: VecSumBuf): VecSumBuf = {
+    if (o.sums != null) {
+      if (b.sums == null) b.sums = new Array[Long](o.sums.length)
+      require(b.sums.length == o.sums.length,
+        s"vector_sum_fixed: ragged vectors (${b.sums.length} vs ${o.sums.length} dims)")
+      var i = 0
+      while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
+      b.count += o.count
+    }
+    b
+  }
+  override def eval(b: VecSumBuf): Any = {
+    val arr = if (b.sums == null) Array.empty[Long] else b.sums
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr.map(Long.box)),
+      b.count)
+  }
+  override def serialize(b: VecSumBuf): Array[Byte] = {
+    val n = if (b.sums == null) 0 else b.sums.length
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * n + 8)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putLong(b.sums(i)); i += 1 }
+    bb.putLong(b.count)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): VecSumBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new VecSumBuf
+    if (n > 0) {
+      b.sums = new Array[Long](n)
+      var i = 0
+      while (i < n) { b.sums(i) = bb.getLong; i += 1 }
+    }
+    b.count = bb.getLong
+    b
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "vector_sum_fixed"
+  override def withNewMutableAggBufferOffset(n: Int): VectorSumFixed =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VectorSumFixed =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): VectorSumFixed =
+    copy(vec = c)
+}
+
 object GraftFunctions {
   def iceberg_bucket(n: Int, c: Column): Column =
     ColumnBridge.column(IcebergBucket(expression(c), n))
@@ -1397,6 +1502,12 @@ object GraftFunctions {
   def top_k_by(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKByScore(expression(score), expression(id), k).toAggregateExpression())
+
+  /** Exact fixed-point vector sum → struct(sums array<bigint>, n bigint);
+    * bitwise-reproducible under any partitioning (see [[VectorSumFixed]]). */
+  def vector_sum_fixed(vec: Column, scaleBits: Int = 24): Column =
+    ColumnBridge.column(
+      VectorSumFixed(expression(vec), scaleBits).toAggregateExpression())
 
   /** Deterministic seeded hyperplanes for [[HyperplaneSig]] (xorshift64,
     * no RNG state shared with anything else). */

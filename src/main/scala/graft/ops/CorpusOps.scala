@@ -470,6 +470,43 @@ object CorpusOps {
       col("doc_freq"), col("tfidf"))
   }
 
+  /**
+   * Positional inverted index — the retrieval-side complement of the
+   * corpus stats above: one posting row per `(term, document)` with term
+   * frequency, 1-based token positions (phrase/proximity queries need
+   * them), and the term's document frequency. `minDf`/`maxDf` bound the
+   * vocabulary at both ends: hapaxes below `minDf` are index bloat,
+   * stopwords above `maxDf` are scan bloat.
+   *
+   * 100 TB design: the posting build is ONE shuffle on `(term, doc)` of
+   * `(term, position)` pairs — positions aggregate into per-doc lists
+   * that are bounded by document length, never corpus size. Document
+   * frequency is a separate map-side-combinable count per term (a
+   * vocabulary-sized table, shrunk FURTHER by the df filters before it
+   * joins), and the final join keys on `term`, where AQE broadcast-joins
+   * the df table when the surviving vocabulary is small. No windows: a
+   * `count over (partition by term)` window would sort every posting of
+   * the hottest stopword in one task — exactly the skew `maxDf` exists
+   * to cut, created by the operator that implements it.
+   */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf, got ($minDf, $maxDf)")
+    val posed = df
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
+      .select(col(idCol), col("col").as("term"),
+        (col("pos") + 1).cast("int").as("pos"))
+    val postings = posed.groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    val docFreq = postings.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    postings.join(docFreq, "term")
+      .select(col("term"), col("df"), col(idCol), col("tf"), col("positions"))
+  }
+
   /** Global token vocabulary, top `k` by frequency (ties broken by token
     * text for determinism). Partial aggregation combines per-partition
     * counts map-side; the final top-k is TakeOrderedAndProject — no global

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, NumericType, TimestampNTZType, TimestampType}
+
+/**
+ * Temporal join operators Spark's relational algebra does not ship:
+ * the keyed as-of join (nearest-earlier/-later match, the pandas
+ * `merge_asof` / kdb `aj` semantics) and the point-in-interval range
+ * join. Both are declared against the DataFrame API as single-pass
+ * plans — no UDFs, no driver collects, no cartesian products — so
+ * Catalyst/AQE keep pushdown, whole-stage codegen, and skew handling.
+ */
+object JoinOps {
+
+  private val TsCol = "__asof_ts"
+  private val SideCol = "__asof_side"
+  private val RPayCol = "__asof_r"
+  private val LPayCol = "__asof_l"
+
+  /**
+   * Keyed as-of join: for every left row, attach the single right row
+   * with the greatest `rightTime <= leftTime` (`direction = "backward"`,
+   * the default — "the state as of this event") or the smallest
+   * `rightTime >= leftTime` (`"forward"`), matching within the same
+   * `by` key group. Equal timestamps match in both directions. Left
+   * rows keep their row count (left-outer semantics); unmatched — or
+   * matched farther than `tolerance` in the time column's native
+   * numeric units (µs for timestamps) — get NULL right fields. Right
+   * columns surface prefixed with `rightPrefix`.
+   *
+   * Spark-first plan — the sorted-union trick, NOT a join: both sides
+   * union into one timeline tagged left/right, ONE hash exchange on the
+   * `by` key and one sort by `(by, time, side)`; a running
+   * `last(right_payload, ignoreNulls)` window then carries the latest
+   * right state forward (backward direction; the forward direction
+   * reverses the sort). That is the information-theoretic minimum for
+   * this operator: an equi-join formulation needs the same shuffle PLUS
+   * a per-pair predicate explosion, and a windowed `row_number` over
+   * joined candidates sorts |L|·|R| rows per key instead of |L|+|R|.
+   *
+   * 100 TB design: the exchange carries each row once; the window
+   * state is a single struct per partition (no per-key buffering, no
+   * frame scan), so memory is O(1) per task regardless of key size.
+   * Skewed keys land one sort task per hot key — the cost floor for
+   * ordered-per-key semantics; pre-filter or split hot keys upstream
+   * if one key dominates a partition.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftTime: String, rightTime: String,
+               by: Seq[String],
+               direction: String = "backward",
+               tolerance: Option[Double] = None,
+               rightPrefix: String = "right_"): DataFrame = {
+    require(by.nonEmpty,
+      "asofJoin needs at least one `by` key: an un-keyed global as-of is a " +
+        "single total order — range-partition the time column and carry " +
+        "boundaries explicitly instead")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val reserved = Seq(TsCol, SideCol, RPayCol, LPayCol)
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input uses reserved working column(s) ${reserved.mkString(", ")}")
+    val rightPayload = right.columns.filterNot(by.contains).toSeq
+    val outNames = rightPayload.map(rightPrefix + _)
+    require(!outNames.exists(left.columns.contains),
+      s"prefixed right column(s) ${outNames.filter(left.columns.contains).mkString(", ")} " +
+        "collide with left columns — pick a different rightPrefix")
+
+    val byCols = by.map(col)
+    val r2 = right.select(byCols ++ Seq(
+      col(rightTime).as(TsCol), lit(0).as(SideCol),
+      struct(rightPayload.map(col): _*).as(RPayCol)): _*)
+    val l2 = left.select(byCols ++ Seq(
+      col(leftTime).as(TsCol), lit(1).as(SideCol),
+      struct(left.columns.map(col).toSeq: _*).as(LPayCol)): _*)
+    val unioned = l2
+      .withColumn(RPayCol, lit(null).cast(r2.schema(RPayCol).dataType))
+      .unionByName(r2.withColumn(LPayCol,
+        lit(null).cast(l2.schema(LPayCol).dataType)))
+
+    // right rows sort FIRST inside an equal-timestamp group (side 0 < 1),
+    // so an equal-time right row is visible to the left row — the
+    // standard inclusive as-of bound on both directions
+    val ordered =
+      if (direction == "backward") Seq(col(TsCol).asc, col(SideCol).asc)
+      else Seq(col(TsCol).desc, col(SideCol).asc)
+    val w = Window.partitionBy(byCols: _*).orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn(RPayCol, last(RPayCol, ignoreNulls = true).over(w))
+      .where(col(SideCol) === 1)
+
+    val withinTol = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        val diff = abs(toNum(col(TsCol), left.schema(leftTime).dataType) -
+          toNum(col(RPayCol)(rightTime), right.schema(rightTime).dataType))
+        carried.withColumn(RPayCol,
+          when(diff <= lit(tol), col(RPayCol)))
+    }
+    withinTol.select(
+      left.columns.map(c => col(s"$LPayCol.$c").as(c)).toSeq ++
+        rightPayload.zip(outNames).map { case (c, o) => col(s"$RPayCol.$c").as(o) }: _*)
+  }
+
+  /** Numeric view of a time column for tolerance arithmetic: timestamps
+    * (both zone flavors — parquet NTZ included) compare in epoch-µs,
+    * numerics in their own units. */
+  private def toNum(c: Column, dt: DataType): Column =
+    dt match {
+      case TimestampType => unix_micros(c).cast("double")
+      case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast("double")
+      case _: NumericType => c.cast("double")
+      case other => throw new IllegalArgumentException(
+        s"asofJoin tolerance needs a timestamp or numeric time column, got $other")
+    }
+
+  /**
+   * Point-in-interval range join: every `(point, interval)` pair with
+   * `start <= point <= end` (inclusive both ends), optionally also
+   * matching on equi `by` keys. Output = point columns ++ interval
+   * columns (names must be disjoint), inner-join semantics.
+   *
+   * Spark-first plan — bucketized equi-join, NOT a cartesian-filter:
+   * both sides bin the number line at `binWidth`; an interval explodes
+   * to the bins it covers (a `sequence(...)` explode — bounded by
+   * `maxBinsPerInterval`, loudly erroring on an interval that would
+   * explode past it), a point lands in exactly ONE bin, so each true
+   * pair meets exactly once and no distinct/dedup pass is needed. The
+   * bin becomes an ordinary equi-join key: hash exchange both sides,
+   * AQE handles skewed bins, and the containment predicate evaluates
+   * only on same-bin candidates — |candidates| ≈ |pairs| when binWidth
+   * tracks the median interval length, vs |P|·|I| for the
+   * BroadcastNestedLoop plan Spark itself picks for a raw range
+   * predicate.
+   *
+   * 100 TB design: pick `binWidth` near the median interval length —
+   * shorter bins multiply the interval explode, longer bins multiply
+   * same-bin false candidates. Both sides stream through the exchange
+   * once; nothing is collected or broadcast, so |I| may be corpus-sized.
+   */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                binWidth: Double,
+                by: Seq[String] = Nil,
+                maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- by.toSet
+    require(overlap.isEmpty,
+      s"point/interval column name collision: ${overlap.mkString(", ")}")
+    val bin = "__range_bin"
+    require(!(points.columns ++ intervals.columns).contains(bin),
+      s"input uses reserved working column $bin")
+
+    // timestamps (either zone flavor) bin on epoch SECONDS — binWidth is
+    // in seconds for time columns, native units for numerics
+    def binOf(dt: DataType, c: Column): Column = {
+      val num = dt match {
+        case TimestampType => c.cast("double")
+        case TimestampNTZType => c.cast(TimestampType).cast("double")
+        case _: NumericType => c.cast("double")
+        case other => throw new IllegalArgumentException(
+          s"rangeJoin needs timestamp or numeric bounds, got $other")
+      }
+      floor(num / binWidth).cast("long")
+    }
+    val p2 = points.withColumn(bin,
+      binOf(points.schema(pointCol).dataType, col(pointCol)))
+    val loBin = binOf(intervals.schema(startCol).dataType, col(startCol))
+    val hiBin = binOf(intervals.schema(endCol).dataType, col(endCol))
+    val i2 = intervals
+      .withColumn(bin, explode(when(hiBin - loBin < lit(maxBinsPerInterval.toLong),
+        sequence(loBin, hiBin)).otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins of " +
+          s"width $binWidth (start="), col(startCol).cast("string"),
+        lit(", end="), col(endCol).cast("string"),
+        lit(") — raise binWidth or maxBinsPerInterval"))))))
+    p2.join(i2, by :+ bin)
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop(bin)
+  }
+}

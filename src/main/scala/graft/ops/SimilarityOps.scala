@@ -637,4 +637,75 @@ object SimilarityOps {
     (1 to p).foreach(k => choose(0, k, 0))
     out.toSeq
   }
+
+  /** Result of [[kmeansFit]]: final centroids (index = cluster id) plus the
+    * per-row assignments `(idCol, cluster bigint)`. */
+  case class KmeansModel(centroids: Array[Array[Float]], assignments: DataFrame)
+
+  /**
+   * Distributed spherical k-means over the FULL corpus (vs the bounded
+   * driver-side sample [[trainKmeans]] uses for IVF training): Lloyd
+   * iterations where each round is
+   *
+   *  1. ASSIGN — nearest centroid by cosine via the codegen'd
+   *     `nearest_centroid` expression, centroids riding the plan as
+   *     literals (k·dim·4 bytes). Map-only.
+   *  2. UPDATE — per-cluster mean via [[graft.functions.VectorSumFixed]]:
+   *     fixed-point integer sums, so the new centroids are BITWISE
+   *     REPRODUCIBLE under any partitioning / executor count — double
+   *     sums would make every run's clustering drift with the partial-
+   *     aggregation order, which is how k-means jobs become
+   *     unreproducible at cluster scale. The exchange carries k groups ×
+   *     one (dim longs + count) buffer per map partition — never vectors.
+   *
+   * Init is deterministic: the `k` lowest-id vectors (no RNG — corpus
+   * order is already arbitrary, and a seeded sample would make the oracle
+   * unreplayable). Empty clusters keep their previous centroid. Cosine
+   * assignment is scale-invariant in the centroid, so the plain mean
+   * needs no re-normalization (argmax cos(x, c) = argmax cos(x, c/‖c‖)).
+   *
+   * 100 TB design: per iteration, one map-only pass + one combinable
+   * aggregate whose shuffle is k×(dim·8+8) bytes per map partition;
+   * driver state is k×dim floats. `iters` is a hard, explicit job count —
+   * no convergence loop that could run unbounded on shifting data.
+   */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int = 1, scaleBits: Int = 24): KmeansModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val init: Array[Array[Float]] = df.orderBy(col(idCol)).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(init.length == k,
+      s"corpus has only ${init.length} rows for k = $k")
+    val scale = (1L << scaleBits).toDouble
+    var centers = init
+    var it = 0
+    while (it < iters) {
+      val sums = df.groupBy(
+          GraftFunctions.nearest_centroid(col(vecCol), centers).as("cl"))
+        .agg(GraftFunctions.vector_sum_fixed(col(vecCol), scaleBits).as("s"))
+        .collect()
+      val next = centers.clone()
+      sums.foreach { r =>
+        val cl = r.getInt(0)
+        val st = r.getStruct(1)
+        val dims = st.getSeq[Long](0)
+        val n = st.getLong(1)
+        if (n > 0)
+          next(cl) = dims.map(v => ((v.toDouble / scale) / n).toFloat).toArray
+      }
+      centers = next
+      it += 1
+    }
+    KmeansModel(centers,
+      df.select(col(idCol),
+        GraftFunctions.nearest_centroid(col(vecCol), centers)
+          .cast("long").as("cluster")))
+  }
+
+  /** [[kmeansFit]] returning just the assignments DataFrame. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 1, scaleBits: Int = 24): DataFrame =
+    kmeansFit(df, idCol, vecCol, k, iters, scaleBits).assignments
 }

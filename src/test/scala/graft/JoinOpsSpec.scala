@@ -1,0 +1,224 @@
+package graft
+
+import graft.ops.JoinOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of and range joins: semantics vs brute-force reference on constructed
+  * data, direction/tolerance behavior, and the plan-shape guarantees (one
+  * exchange per side, no nested-loop/cartesian fallback). */
+class JoinOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val trades = Seq(
+    // (trade_id, sym, t, qty)
+    (1L, "A", 10L, 5.0),
+    (2L, "A", 25L, 6.0),
+    (3L, "A", 30L, 7.0), // equal-time quote must match
+    (4L, "B", 12L, 8.0),
+    (5L, "B", 9L, 9.0),  // before any B quote -> no match
+    (6L, "C", 50L, 1.0)  // sym with no quotes at all
+  ).toDF("trade_id", "sym", "t", "qty")
+
+  private val quotes = Seq(
+    // (sym, t, px)
+    ("A", 8L, 100.0),
+    ("A", 20L, 101.0),
+    ("A", 30L, 102.0),
+    ("B", 10L, 200.0),
+    ("B", 40L, 201.0)
+  ).toDF("sym", "t", "px")
+
+  test("asofJoin backward: latest at-or-before per key, left rows kept") {
+    val r = JoinOps.asofJoin(trades, quotes, "t", "t", by = Seq("sym"))
+      .select("trade_id", "right_t", "right_px")
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)).map(_.asInstanceOf[Long]), Option(x.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(r.size == 6, "left-outer: every trade survives")
+    assert(r(1L) == (Some(8L), Some(100.0)))
+    assert(r(2L) == (Some(20L), Some(101.0)))
+    assert(r(3L) == (Some(30L), Some(102.0)), "equal timestamp matches (inclusive)")
+    assert(r(4L) == (Some(10L), Some(200.0)))
+    assert(r(5L) == (None, None), "no earlier quote -> null")
+    assert(r(6L) == (None, None), "key with no right rows -> null")
+  }
+
+  test("asofJoin forward: earliest at-or-after per key") {
+    val r = JoinOps.asofJoin(trades, quotes, "t", "t",
+        by = Seq("sym"), direction = "forward")
+      .select("trade_id", "right_t")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(r(1L) == Some(20L))
+    assert(r(2L) == Some(30L))
+    assert(r(3L) == Some(30L), "equal timestamp matches forward too")
+    assert(r(4L) == Some(40L))
+    assert(r(5L) == Some(10L))
+    assert(r(6L) == None)
+  }
+
+  test("asofJoin tolerance boundary is inclusive") {
+    val r = JoinOps.asofJoin(trades, quotes, "t", "t",
+        by = Seq("sym"), tolerance = Some(5.0))
+      .select("trade_id", "right_t")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(r(1L) == Some(8L), "lag 2 <= 5 kept")
+    assert(r(2L) == Some(20L), "lag exactly 5 kept (inclusive)")
+  }
+
+  test("asofJoin tolerance nulls matches beyond the bound") {
+    val r = JoinOps.asofJoin(trades, quotes, "t", "t",
+        by = Seq("sym"), tolerance = Some(4.0))
+      .select("trade_id", "right_t")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(r(1L) == Some(8L), "lag 2 <= 4")
+    assert(r(2L) == None, "lag 5 > 4 nulled")
+    assert(r(3L) == Some(30L), "lag 0")
+  }
+
+  test("asofJoin matches a brute-force reference on the real events table") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val right = ev.where("event_id % 7 = 0")
+      .groupBy("user_id", "ts").agg(max("value").as("quote"))
+    val got = JoinOps.asofJoin(ev, right, "ts", "ts", by = Seq("user_id"))
+      .select("event_id", "right_ts", "right_quote")
+    // brute force: per left row, max right ts <= left ts, then its quote
+    val best = ev.alias("l").join(right.alias("r"),
+        $"l.user_id" === $"r.user_id" && $"r.ts" <= $"l.ts", "left")
+      .groupBy($"l.event_id".as("event_id"))
+      .agg(max(when($"r.ts".isNotNull, struct($"r.ts", $"r.quote"))).as("m"))
+      .select($"event_id", $"m.ts".as("right_ts"), $"m.quote".as("right_quote"))
+    assert(got.exceptAll(best).isEmpty && best.exceptAll(got).isEmpty,
+      "sorted-union as-of != brute-force reference")
+  }
+
+  /** Every physical node of the final executed plan, recursing through the
+    * AQE shell and its leaf-node QueryStage wrappers (whose inner plans
+    * `collect` does not traverse). */
+  private def allNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(q.plan)
+        case _ => Nil
+      }))
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  test("asofJoin plan: one shuffle total, a window, and NO join node") {
+    val nodes = allNodes(
+      JoinOps.asofJoin(trades, quotes, "t", "t", by = Seq("sym")))
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"as-of must not compile to a join:\n${nodes.head}")
+    val shuffles = nodes.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    assert(shuffles == 1,
+      s"expected exactly one hash exchange (the union shuffles once):\n${nodes.head}")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the running-state window:\n${nodes.head}")
+  }
+
+  test("asofJoin guards: empty by, reserved names, prefix collisions") {
+    intercept[IllegalArgumentException] {
+      JoinOps.asofJoin(trades, quotes, "t", "t", by = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      JoinOps.asofJoin(trades.withColumn("__asof_ts", lit(1)), quotes,
+        "t", "t", by = Seq("sym"))
+    }
+    intercept[IllegalArgumentException] {
+      // right payload (t, px) prefixed with "" collides with left's t
+      JoinOps.asofJoin(trades, quotes, "t", "t", by = Seq("sym"),
+        rightPrefix = "")
+    }
+  }
+
+  private val pts = Seq(
+    (1L, 0.5), (2L, 10.0), (3L, 10.5), (4L, 25.0), (5L, 99.9), (6L, 100.1)
+  ).toDF("pid", "x")
+  private val ivs = Seq(
+    // spans multiple bins at width 10; boundaries inclusive
+    (100L, 0.0, 10.0),
+    (101L, 10.0, 30.0),
+    (102L, 95.0, 100.0)
+  ).toDF("iid", "lo", "hi")
+
+  test("rangeJoin: exact pairs, inclusive bounds, multi-bin intervals meet once") {
+    val got = JoinOps.rangeJoin(pts, "x", ivs, "lo", "hi", binWidth = 10.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = Set((1L, 100L), (2L, 100L), (2L, 101L), (3L, 101L),
+      (4L, 101L), (5L, 102L))
+    assert(got == want)
+    // no duplicate pair from an interval spanning several bins
+    val cnt = JoinOps.rangeJoin(pts, "x", ivs, "lo", "hi", binWidth = 3.0)
+      .groupBy("pid", "iid").count().where($"count" > 1).count()
+    assert(cnt == 0, "a pair met in more than one bin")
+    // bin width invariance
+    val gotWide = JoinOps.rangeJoin(pts, "x", ivs, "lo", "hi", binWidth = 1000.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(gotWide == want)
+  }
+
+  test("rangeJoin honors equi keys and errors on oversized intervals") {
+    val kp = pts.withColumn("k", ($"pid" % 2).cast("int"))
+    val ki = ivs.withColumn("k", ($"iid" % 2).cast("int"))
+    val got = JoinOps.rangeJoin(kp, "x", ki, "lo", "hi",
+        binWidth = 10.0, by = Seq("k"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = kp.alias("p").join(ki.alias("i"),
+        $"p.k" === $"i.k" && $"p.x" >= $"i.lo" && $"p.x" <= $"i.hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == brute, "keyed range join != brute-force predicate join")
+    assert(got.nonEmpty && got != // keys actually restrict something
+      JoinOps.rangeJoin(pts, "x", ivs, "lo", "hi", binWidth = 10.0)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet)
+    val err = intercept[Exception] {
+      JoinOps.rangeJoin(pts, "x", ivs, "lo", "hi",
+        binWidth = 10.0, maxBinsPerInterval = 2).count()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("rangeJoin plan: sort-merge/hash equi join on the bin, no nested loop") {
+    val nodes = allNodes(
+      JoinOps.rangeJoin(pts, "x", ivs, "lo", "hi", binWidth = 10.0))
+    val nested = nodes.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, s"range join fell back to a nested loop:\n${nodes.head}")
+    val equi = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(equi.nonEmpty, s"expected an equi join on the bin key:\n${nodes.head}")
+  }
+
+  test("rangeJoin on timestamps bins in seconds") {
+    val p = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")))
+      .toDF("pid", "ts")
+    val iv = Seq((9L,
+      java.sql.Timestamp.valueOf("2024-01-01 09:30:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+      .toDF("iid", "lo", "hi")
+    val got = JoinOps.rangeJoin(p, "ts", iv, "lo", "hi", binWidth = 3600.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 9L)))
+  }
+}
