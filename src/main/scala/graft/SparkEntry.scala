@@ -1413,6 +1413,36 @@ object SparkEntry {
         .orderBy("event_id", "marker_id")
     }),
 
+    "j03_skew_join" -> ((s, dir) => {
+      // salted large-large equi-join: each left row takes ONE deterministic
+      // salt, the right side replicates to all salts, so hot keys split
+      // across `salts` reducers and the result set-equals the plain join —
+      // which is exactly what the oracle runs.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      JoinOps.skewJoin(o, c, on = Seq("custkey"), salts = 8)
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(n().as("n_orders"), sumd(d2(col("o_totalprice"))).as("revenue"))
+        .select(col("mktsegment"), col("n_orders"), col("revenue"))
+        .orderBy("mktsegment")
+    }),
+
+    "e49_mean_pool" -> ((s, dir) => {
+      // chunk -> document embedding pooling through the fixed-point sum:
+      // pooled vectors are bitwise reproducible under any partitioning, so
+      // the oracle can recompute them float-for-float in SQL; the compare
+      // re-encodes each float to its floor(x * 2^24) integer.
+      val pooled = SimilarityOps.meanPool(
+        t(s, dir, "embeddings"), "label", "embedding")
+      pooled.select(col("label").cast("long").as("label"), col("n"),
+          concat_ws(",", transform(col("pooled"),
+            x => floor(x.cast("double") * lit(16777216.0))
+              .cast("long").cast("string"))).as("pooled_fp_csv"))
+        .orderBy("label")
+    }),
+
     "d69_quality_classifier" -> ((s, dir) => {
       // linear classifier inference at corpus scale: the vocabulary rides
       // the plan as one shared hash map, scoring is map-only codegen.
@@ -3032,6 +3062,28 @@ object SparkEntry {
         |SELECT g.term, f.df, g.doc_id, g.tf, g.positions_csv
         |FROM g JOIN f ON g.term = f.term
         |ORDER BY g.term, g.doc_id""".stripMargin,
+
+    "j03_skew_join" ->
+      """SELECT c.c_mktsegment AS mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e49_mean_pool" ->
+      """WITH dims AS (SELECT label, unnest(range(1, len(embedding)+1)) AS dim,
+        |                     unnest(embedding) AS x FROM embeddings),
+        |sums AS (SELECT label, dim,
+        |           sum(CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS s,
+        |           count(*) AS cnt
+        |         FROM dims GROUP BY 1, 2),
+        |p AS (SELECT label, dim,
+        |        CAST(CAST(s AS DOUBLE) / 16777216.0 / cnt AS FLOAT) AS px, cnt
+        |      FROM sums)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(max(cnt) AS BIGINT) AS n,
+        |  array_to_string(list(CAST(CAST(floor(CAST(px AS DOUBLE) * 16777216.0)
+        |    AS BIGINT) AS VARCHAR) ORDER BY dim), ',') AS pooled_fp_csv
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
 
     "j02_range_join" ->
       """WITH iv AS (SELECT event_id AS marker_id, user_id, ts AS lo,

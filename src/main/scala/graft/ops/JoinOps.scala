@@ -183,4 +183,37 @@ object JoinOps {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(bin)
   }
+
+  /**
+   * Salted equi-join for skewed keys: INNER join that splits every key —
+   * hot ones included — across `salts` reducers. Each left row takes ONE
+   * deterministic salt (a hash of the whole row, so identical duplicates
+   * still spread only if the engine's hash collides — by row content, not
+   * position, keeping the result replay-stable); each right row
+   * replicates to ALL `salts`, so every true pair meets exactly once and
+   * the result set-equals the plain join.
+   *
+   * When to use at 100 TB: a hash join on a key where one value holds a
+   * double-digit share puts that share on ONE reducer; AQE's skew-join
+   * splitting handles the LEFT side automatically but cannot split a
+   * build side that must be co-located. Salting trades `salts`× right-side
+   * shuffle volume for `salts`× parallelism on every key — pick salts ≈
+   * (hot-key share × cluster cores) / average-task rows, and keep the
+   * smaller table on the right (its replication is the whole cost). Inner
+   * joins only: outer semantics would need unmatched-row bookkeeping
+   * across salt replicas.
+   */
+  def skewJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+               salts: Int = 8): DataFrame = {
+    require(on.nonEmpty, "skewJoin needs at least one join column")
+    require(salts >= 1 && salts <= 4096, s"salts must be in [1, 4096], got $salts")
+    val salt = "__skew_salt"
+    require(!(left.columns ++ right.columns).contains(salt),
+      s"input uses reserved working column $salt")
+    val l2 = left.withColumn(salt,
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts.toLong)))
+    val r2 = right.withColumn(salt,
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l2.join(r2, on :+ salt).drop(salt)
+  }
 }

@@ -708,4 +708,28 @@ object SimilarityOps {
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
              iters: Int = 1, scaleBits: Int = 24): DataFrame =
     kmeansFit(df, idCol, vecCol, k, iters, scaleBits).assignments
+
+  /**
+   * Mean-pool embeddings per group — the chunk→document (or
+   * passage→page, frame→clip) embedding aggregation step of a retrieval
+   * pipeline. Accumulates through [[graft.functions.VectorSumFixed]], so
+   * the pooled vector is BITWISE REPRODUCIBLE under any partitioning —
+   * a plain `avg` of floats drifts in the low bits with Spark's
+   * partial-aggregation order, which then flips downstream ANN ranking
+   * ties between runs.
+   *
+   * Output: `(groupCol, n bigint, pooled array<float>)`. One
+   * map-side-combining aggregate; the exchange carries one
+   * (dim·8+8)-byte buffer per (group, map partition), never the vectors.
+   */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+               scaleBits: Int = 24): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    df.groupBy(col(groupCol))
+      .agg(GraftFunctions.vector_sum_fixed(col(vecCol), scaleBits).as("__s"))
+      .select(col(groupCol), col("__s.n").as("n"),
+        transform(col("__s.sums"),
+          s => ((s.cast("double") / scale) / col("__s.n")).cast("float"))
+          .as("pooled"))
+  }
 }

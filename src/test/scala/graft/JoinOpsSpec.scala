@@ -209,6 +209,25 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(equi.nonEmpty, s"expected an equi join on the bin key:\n${nodes.head}")
   }
 
+  test("skewJoin set-equals the plain inner join, each pair exactly once") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey".as("custkey"), $"o_totalprice")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    val salted = JoinOps.skewJoin(o, c, on = Seq("custkey"), salts = 8)
+    val plain = o.join(c, Seq("custkey"))
+    assert(salted.count() == plain.count(), "replication must not duplicate pairs")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // a single hot key still splits across salts and stays correct
+    val hotL = o.withColumn("custkey", lit(1L))
+    val hotR = c.limit(1).withColumn("custkey", lit(1L))
+    val hot = JoinOps.skewJoin(hotL, hotR, on = Seq("custkey"), salts = 4)
+    assert(hot.count() == hotL.count())
+    intercept[IllegalArgumentException] {
+      JoinOps.skewJoin(o, c, on = Nil)
+    }
+  }
+
   test("rangeJoin on timestamps bins in seconds") {
     val p = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
       (2L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")))

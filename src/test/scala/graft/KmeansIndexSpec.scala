@@ -126,6 +126,23 @@ class KmeansIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("meanPool: exact mean, bitwise stable across partitionings") {
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),
+      (1, Array(0.5f, 0.5f))).toDF("label", "embedding")
+    val r = SimilarityOps.meanPool(df, "label", "embedding")
+      .orderBy("label")
+      .as[(Int, Long, Seq[Float])].collect().toSeq
+    assert(r == Seq((0, 2L, Seq(0.5f, 0.5f)), (1, 1L, Seq(0.5f, 0.5f))))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = SimilarityOps.meanPool(emb.repartition(1), "label", "embedding")
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    val b = SimilarityOps.meanPool(emb.repartition(5, $"vec_id"),
+        "label", "embedding")
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    assert(a == b, "pooled floats must not depend on partitioning")
+  }
+
   test("invertedIndex plan has no window (stopword-skew guard)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = CorpusOps.invertedIndex(docs, "doc_id", "text", minDf = 3L)
