@@ -63,6 +63,23 @@ object JoinScaleProbe {
     println(s"range join: $cand same-bin candidates -> $pairs true pairs " +
       f"(${pairs.toDouble / math.max(cand, 1)}%.2f selectivity)")
 
+    // corpus-scale as-of: 6M lineitems (sf1) pick the latest same-part
+    // price change at-or-before their ship date — 200k keys, |L|+|R|
+    // ~7.4M rows through the one exchange
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+        "l_extendedprice")
+    println(s"lineitem: ${li.count()}")
+    val priceChanges = li.where("l_linenumber = 1")
+      .groupBy("l_partkey", "l_shipdate")
+      .agg(max("l_extendedprice").as("px"))
+      .withColumnRenamed("l_shipdate", "chg_date")
+    for (i <- 1 to 2) timed(s"asof lineitem 6M #$i") {
+      JoinOps.asofJoin(li, priceChanges, "l_shipdate", "chg_date",
+          by = Seq("l_partkey"))
+        .write.mode("overwrite").format("noop").save()
+    }
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     println(s"embeddings: ${emb.count()}")
     for (i <- 1 to 2) timed(s"kmeans k=64 iters=2 #$i") {
