@@ -1413,6 +1413,47 @@ object SparkEntry {
         .orderBy("event_id", "marker_id")
     }),
 
+    "s53_stream_asof_enrich" -> ((s, dir) => {
+      // streaming as-of enrichment: the events table streams through
+      // foreachBatch, each micro-batch as-of joined to the static quote
+      // table. Batch-invariant (the match depends only on the row and the
+      // static right side), so the drained result must equal j01's batch
+      // as-of — the shared oracle.
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = (if (batchSchema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw).select("event_id", "user_id", "ts", "value")
+      val quotes = t(s, dir, "events").where("event_id % 7 = 0")
+        .groupBy("user_id", "ts").agg(max("value").as("quote"))
+      val out = java.nio.file.Files.createTempDirectory("graft-s53").toString
+      val q = graft.streaming.StreamingOps.asofEnrichStream(
+        ev, quotes, "ts", "ts", Seq("user_id"), s"$out/data", s"$out/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$out/data")
+        .select(col("event_id"), col("right_quote").as("quote"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("right_ts").cast("timestamp"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    "d75_corpus_diff" -> ((s, dir) => {
+      // snapshot diff between two corpus generations: removals (every
+      // 17th), edits (every 13th survivor), additions (every 11th,
+      // re-keyed) — classified by a hash-only full-outer join; unchanged
+      // rows (the corpus) never reach the output.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val base = docs.where("doc_id % 17 != 0")
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = docs.where("doc_id % 11 = 0")
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      CorpusOps.corpusDiff(docs, base.unionByName(added), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "j03_skew_join" -> ((s, dir) => {
       // salted large-large equi-join: each left row takes ONE deterministic
       // salt, the right side replicates to all salts, so hot keys split
@@ -2016,6 +2057,18 @@ object SparkEntry {
   /** Exact top-5 cosine kNN — the shared oracle for e37 (brute force) and
     * the exactness-by-construction configs of e38 (full-radius multi-probe
     * LSH) and e40 (full-probe IVF). */
+  /** Shared by j01 (batch as-of) and s53 (the same enrichment driven
+    * through the streaming foreachBatch path — batch-invariant against a
+    * static right side, so the result must be identical). */
+  private lazy val AsofOracleSql: String =
+    """WITH l AS (SELECT event_id, user_id, ts, value FROM events),
+      |r AS (SELECT user_id, ts, max(value) AS quote FROM events
+      |      WHERE event_id % 7 = 0 GROUP BY 1, 2)
+      |SELECT l.event_id, r.quote,
+      |  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id""".stripMargin
+
   private val KnnOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
       | s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS c
@@ -3010,14 +3063,28 @@ object SparkEntry {
         |            CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canonical_url
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    "j01_asof_join" ->
-      """WITH l AS (SELECT event_id, user_id, ts, value FROM events),
-        |r AS (SELECT user_id, ts, max(value) AS quote FROM events
-        |      WHERE event_id % 7 = 0 GROUP BY 1, 2)
-        |SELECT l.event_id, r.quote,
-        |  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY event_id""".stripMargin,
+    "j01_asof_join" -> AsofOracleSql,
+
+    // the streaming drain is batch-invariant against a static right side,
+    // so it grades against the identical as-of oracle
+    "s53_stream_asof_enrich" -> AsofOracleSql,
+
+    "d75_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 != 0),
+        |added AS (SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |neww AS (SELECT * FROM base UNION ALL SELECT * FROM added),
+        |j AS (SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n.text THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN neww n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
 
     "e48_kmeans" ->
       """WITH c0 AS (

@@ -507,6 +507,37 @@ object CorpusOps {
       .select(col("term"), col("df"), col(idCol), col("tf"), col("positions"))
   }
 
+  /**
+   * Corpus snapshot diff — the incremental-pipeline primitive: compare
+   * two generations of a corpus by id and content hash, classifying every
+   * id as `added` (new only), `removed` (old only), `changed` (both, text
+   * differs), or `unchanged`. Downstream stages re-run on
+   * `added ∪ changed` and retract `removed` instead of reprocessing the
+   * corpus.
+   *
+   * 100 TB design: both sides project to `(id, md5(text))` BEFORE the
+   * full-outer join, so the shuffle carries 16-byte hashes, never
+   * documents; the join is a plain hash equi-join on id (AQE-split on
+   * skew). Emitting `unchanged` rows is optional — at pipeline scale the
+   * unchanged class is ~the whole corpus, so the default drops it and
+   * the diff's output is O(churn), not O(corpus).
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String,
+                 includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__old_id"),
+      md5(col(textCol).cast("binary")).as("__old_h"))
+    val n = newDf.select(col(idCol).as("__new_id"),
+      md5(col(textCol).cast("binary")).as("__new_h"))
+    val joined = o.join(n, col("__old_id") === col("__new_id"), "full_outer")
+      .select(coalesce(col("__new_id"), col("__old_id")).as(idCol),
+        when(col("__old_id").isNull, lit("added"))
+          .when(col("__new_id").isNull, lit("removed"))
+          .when(col("__old_h") =!= col("__new_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    if (includeUnchanged) joined else joined.where(col("status") =!= "unchanged")
+  }
+
   /** Global token vocabulary, top `k` by frequency (ties broken by token
     * text for determinism). Partial aggregation combines per-partition
     * counts map-side; the final top-k is TakeOrderedAndProject — no global

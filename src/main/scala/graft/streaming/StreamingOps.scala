@@ -60,6 +60,35 @@ object StreamingOps {
         graft.ops.CorpusOps.gramSet(col(textCol), n), grams))
   }
 
+  /**
+   * Streaming as-of enrichment against a STATIC right table: every
+   * streamed row is joined to the latest right row at-or-before its time
+   * ([[graft.ops.JoinOps.asofJoin]] semantics), per micro-batch via
+   * `foreachBatch`, appending enriched parquet to `outPath`.
+   *
+   * Why per-batch is CORRECT here and not an approximation: against a
+   * static right side the as-of match depends only on the single left
+   * row and the right table — never on other stream rows — so any
+   * micro-batch slicing produces the identical global result (the
+   * StreamingSpec asserts drain == batch asofJoin row-for-row). The
+   * sorted-union window runs inside each batch: state is the batch, not
+   * the stream, so there is no growing state store. A right side that
+   * itself streams needs MultiWatermark interval-join semantics — out of
+   * scope, use Spark's stream-stream join with time bounds for that.
+   */
+  def asofEnrichStream(stream: DataFrame, right: DataFrame,
+                       leftTime: String, rightTime: String, by: Seq[String],
+                       outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.JoinOps.asofJoin(batch, right, leftTime, rightTime, by)
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Tumbling-window event counts with late-data handling: rows later than
     * `watermark` past the max seen `tsCol` are dropped and their windows
     * finalized (state bounded). Works on batch and streaming frames. */

@@ -391,4 +391,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((1L, 1000010L, 0L), (2L, 2L, 1L)))
   }
+
+  test("corpusDiff classifies added/removed/changed; unchanged dropped by default") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val got = CorpusOps.corpusDiff(old, neu, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    val all = CorpusOps.corpusDiff(old, neu, "doc_id", "text",
+        includeUnchanged = true)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(all == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    // the diff plan shuffles hashes, not documents: no text column
+    // survives past the scans
+    val plan = CorpusOps.corpusDiff(old, neu, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("text#") ||
+      plan.indexOf("md5") < plan.indexOf("Join"),
+      s"text must reduce to md5 before the join:\n$plan")
+  }
 }

@@ -17,6 +17,35 @@ object CdcExpireProbe {
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("asofEnrichStream drain equals the batch as-of join across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val stream = mem.toDF().toDF("trade_id", "sym", "t", "qty")
+    val quotes = Seq(("A", 8L, 100.0), ("A", 20L, 101.0), ("B", 10L, 200.0))
+      .toDF("sym", "t", "px")
+    val out = java.nio.file.Files.createTempDirectory("graft-asof-stream").toString
+    // rows split across two micro-batches INSIDE a key's timeline — the
+    // batch-invariance claim under test
+    mem.addData((1L, "A", 10L, 5.0), (4L, "B", 12L, 8.0))
+    val q1 = StreamingOps.asofEnrichStream(stream, quotes, "t", "t",
+      Seq("sym"), s"$out/data", s"$out/ckpt")
+    q1.awaitTermination()
+    mem.addData((2L, "A", 25L, 6.0), (5L, "B", 9L, 9.0))
+    val q2 = StreamingOps.asofEnrichStream(stream, quotes, "t", "t",
+      Seq("sym"), s"$out/data", s"$out/ckpt")
+    q2.awaitTermination()
+    val drained = spark.read.parquet(s"$out/data")
+    val batch = graft.ops.JoinOps.asofJoin(
+      Seq((1L, "A", 10L, 5.0), (4L, "B", 12L, 8.0),
+        (2L, "A", 25L, 6.0), (5L, "B", 9L, 9.0))
+        .toDF("trade_id", "sym", "t", "qty"),
+      quotes, "t", "t", Seq("sym"))
+    assert(drained.count() == 4)
+    assert(drained.exceptAll(batch).isEmpty && batch.exceptAll(drained).isEmpty,
+      "streamed as-of enrichment must equal the batch join")
+  }
+
   test("windowedCounts over a real stream with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
