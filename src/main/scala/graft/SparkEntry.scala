@@ -1413,6 +1413,23 @@ object SparkEntry {
         .orderBy("event_id", "marker_id")
     }),
 
+    "j04_asof_nearest" -> ((s, dir) => {
+      // nearest-direction as-of: whichever of the backward/forward match
+      // is closer wins (backward on ties) — both directional carries run
+      // over the SAME hash partitioning, so it is still ONE exchange, two
+      // in-partition sorts. Oracle: two DuckDB ASOF joins + the same
+      // closest-wins CASE.
+      val ev = t(s, dir, "events")
+      val quotes = ev.where("event_id % 7 = 0")
+        .groupBy("user_id", "ts").agg(max("value").as("quote"))
+      JoinOps.asofJoin(ev.select("event_id", "user_id", "ts", "value"),
+          quotes, "ts", "ts", by = Seq("user_id"), direction = "nearest")
+        .select(col("event_id"), col("right_quote").as("quote"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("right_ts").cast("timestamp"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
     "s53_stream_asof_enrich" -> ((s, dir) => {
       // streaming as-of enrichment: the events table streams through
       // foreachBatch, each micro-batch as-of joined to the static quote
@@ -3064,6 +3081,26 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "j01_asof_join" -> AsofOracleSql,
+
+    "j04_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events),
+        |r AS (SELECT user_id, ts, max(value) AS quote FROM events
+        |      WHERE event_id % 7 = 0 GROUP BY 1, 2),
+        |b AS (SELECT l.event_id, l.ts, r.ts AS bts, r.quote AS bq
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.quote AS fq
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.event_id,
+        |  CASE WHEN fq IS NULL THEN bq WHEN bq IS NULL THEN fq
+        |       WHEN (epoch_us(b.ts) - epoch_us(b.bts))
+        |            <= (epoch_us(f.fts) - epoch_us(b.ts))
+        |       THEN bq ELSE fq END AS quote,
+        |  CAST(epoch_us(b.ts) - (CASE WHEN fq IS NULL THEN epoch_us(b.bts)
+        |       WHEN bq IS NULL THEN epoch_us(f.fts)
+        |       WHEN (epoch_us(b.ts) - epoch_us(b.bts))
+        |            <= (epoch_us(f.fts) - epoch_us(b.ts))
+        |       THEN epoch_us(b.bts) ELSE epoch_us(f.fts) END) AS BIGINT) AS lag_us
+        |FROM b JOIN f USING (event_id) ORDER BY event_id""".stripMargin,
 
     // the streaming drain is batch-invariant against a static right side,
     // so it grades against the identical as-of oracle

@@ -23,13 +23,16 @@ object JoinOps {
   /**
    * Keyed as-of join: for every left row, attach the single right row
    * with the greatest `rightTime <= leftTime` (`direction = "backward"`,
-   * the default — "the state as of this event") or the smallest
-   * `rightTime >= leftTime` (`"forward"`), matching within the same
-   * `by` key group. Equal timestamps match in both directions. Left
-   * rows keep their row count (left-outer semantics); unmatched — or
-   * matched farther than `tolerance` in the time column's native
-   * numeric units (µs for timestamps) — get NULL right fields. Right
-   * columns surface prefixed with `rightPrefix`.
+   * the default — "the state as of this event"), the smallest
+   * `rightTime >= leftTime` (`"forward"`), or whichever of the two is
+   * closer (`"nearest"`, backward wins ties), matching within the same
+   * `by` key group. Equal timestamps match unless
+   * `allowExactMatches = false` (the pandas `merge_asof` flag — strict
+   * inequality on both directions). Left rows keep their row count
+   * (left-outer semantics); unmatched — or matched farther than
+   * `tolerance` in the time column's native numeric units (µs for
+   * timestamps) — get NULL right fields. Right columns surface prefixed
+   * with `rightPrefix`.
    *
    * Spark-first plan — the sorted-union trick, NOT a join: both sides
    * union into one timeline tagged left/right, ONE hash exchange on the
@@ -53,14 +56,15 @@ object JoinOps {
                by: Seq[String],
                direction: String = "backward",
                tolerance: Option[Double] = None,
+               allowExactMatches: Boolean = true,
                rightPrefix: String = "right_"): DataFrame = {
     require(by.nonEmpty,
       "asofJoin needs at least one `by` key: an un-keyed global as-of is a " +
         "single total order — range-partition the time column and carry " +
         "boundaries explicitly instead")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
-    val reserved = Seq(TsCol, SideCol, RPayCol, LPayCol)
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val reserved = Seq(TsCol, SideCol, RPayCol, LPayCol, "__asof_bw")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"input uses reserved working column(s) ${reserved.mkString(", ")}")
     val rightPayload = right.columns.filterNot(by.contains).toSeq
@@ -81,25 +85,47 @@ object JoinOps {
       .unionByName(r2.withColumn(LPayCol,
         lit(null).cast(l2.schema(LPayCol).dataType)))
 
-    // right rows sort FIRST inside an equal-timestamp group (side 0 < 1),
-    // so an equal-time right row is visible to the left row — the
-    // standard inclusive as-of bound on both directions
-    val ordered =
-      if (direction == "backward") Seq(col(TsCol).asc, col(SideCol).asc)
-      else Seq(col(TsCol).desc, col(SideCol).asc)
-    val w = Window.partitionBy(byCols: _*).orderBy(ordered: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn(RPayCol, last(RPayCol, ignoreNulls = true).over(w))
-      .where(col(SideCol) === 1)
+    // with exact matches allowed, right rows sort FIRST inside an
+    // equal-timestamp group (the running state includes them before the
+    // left row is evaluated); allowExactMatches=false flips the
+    // tie-order so an equal-time right row is NOT yet visible — the
+    // pandas allow_exact_matches=False semantics, same single sort
+    def orderedFor(dir: String) = {
+      val ts = if (dir == "backward") col(TsCol).asc else col(TsCol).desc
+      val side = if (allowExactMatches) col(SideCol).asc else col(SideCol).desc
+      Seq(ts, side)
+    }
+    def carry(dir: String): Column =
+      last(RPayCol, ignoreNulls = true).over(
+        Window.partitionBy(byCols: _*).orderBy(orderedFor(dir): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def rDiff(pay: Column): Column =
+      abs(toNum(col(TsCol), left.schema(leftTime).dataType) -
+        toNum(pay(rightTime), right.schema(rightTime).dataType))
+    // nearest = both directional carries over the SAME partitioning (one
+    // exchange, two in-partition sorts), closest match wins, backward on
+    // a tie — then the left rows filter out
+    val carried = (direction match {
+      case "nearest" =>
+        val bw = "__asof_bw"
+        unioned
+          .withColumn(bw, carry("backward"))
+          .withColumn(RPayCol, {
+            val fw = carry("forward")
+            when(fw.isNull, col(bw))
+              .when(col(bw).isNull, fw)
+              .when(rDiff(col(bw)) <= rDiff(fw), col(bw))
+              .otherwise(fw)
+          })
+          .drop(bw)
+      case dir => unioned.withColumn(RPayCol, carry(dir))
+    }).where(col(SideCol) === 1)
 
     val withinTol = tolerance match {
       case None => carried
       case Some(tol) =>
-        val diff = abs(toNum(col(TsCol), left.schema(leftTime).dataType) -
-          toNum(col(RPayCol)(rightTime), right.schema(rightTime).dataType))
         carried.withColumn(RPayCol,
-          when(diff <= lit(tol), col(RPayCol)))
+          when(rDiff(col(RPayCol)) <= lit(tol), col(RPayCol)))
     }
     withinTol.select(
       left.columns.map(c => col(s"$LPayCol.$c").as(c)).toSeq ++

@@ -59,6 +59,45 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(r(6L) == None)
   }
 
+  test("asofJoin nearest: closest match wins, backward on ties, one exchange") {
+    val r = JoinOps.asofJoin(trades, quotes, "t", "t",
+        by = Seq("sym"), direction = "nearest")
+      .select("trade_id", "right_t")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(r(1L) == Some(8L), "bw diff 2 beats fw diff 10")
+    assert(r(2L) == Some(20L), "bw 5 == fw 5 -> backward wins the tie")
+    assert(r(3L) == Some(30L), "exact match")
+    assert(r(4L) == Some(10L), "bw 2 beats fw 28")
+    assert(r(5L) == Some(10L), "no backward -> forward")
+    assert(r(6L) == None)
+    val nodes = allNodes(JoinOps.asofJoin(trades, quotes, "t", "t",
+      by = Seq("sym"), direction = "nearest"))
+    val shuffles = nodes.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    assert(shuffles == 1,
+      s"nearest must reuse ONE exchange for both directional sorts:\n${nodes.head}")
+  }
+
+  test("asofJoin allowExactMatches=false excludes equal timestamps") {
+    val r = JoinOps.asofJoin(trades, quotes, "t", "t",
+        by = Seq("sym"), allowExactMatches = false)
+      .select("trade_id", "right_t")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(r(3L) == Some(20L), "t=30 must NOT match the t=30 quote strictly")
+    assert(r(1L) == Some(8L), "strictly-earlier matches unaffected")
+    val f = JoinOps.asofJoin(trades, quotes, "t", "t",
+        by = Seq("sym"), direction = "forward", allowExactMatches = false)
+      .select("trade_id", "right_t")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(f(3L) == None, "t=30 forward-strict has no later quote")
+    assert(f(2L) == Some(30L))
+  }
+
   test("asofJoin tolerance boundary is inclusive") {
     val r = JoinOps.asofJoin(trades, quotes, "t", "t",
         by = Seq("sym"), tolerance = Some(5.0))
