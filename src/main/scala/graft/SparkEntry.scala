@@ -1471,6 +1471,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "j05_interval_join" -> ((s, dir) => {
+      // interval-overlap join (4 h marker windows × 1 h activity windows,
+      // un-keyed): binned equi-join with the meet-once rule — a pair's
+      // only counted bin is the one holding the intersection start, so no
+      // distinct pass re-shuffles the candidates. Oracle: the raw overlap
+      // predicate join.
+      val ev = t(s, dir, "events")
+      val a = ev.where("event_id % 53 = 0").select(
+        col("event_id").as("a_id"), col("ts").as("a_lo"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("a_hi"))
+      val b = ev.where("event_id % 13 = 0").select(
+        col("event_id").as("b_id"), col("ts").as("b_lo"),
+        (col("ts") + expr("INTERVAL 1 HOURS")).as("b_hi"))
+      JoinOps.intervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          binWidth = 4 * 3600.0)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "j03_skew_join" -> ((s, dir) => {
       // salted large-large equi-join: each left row takes ONE deterministic
       // salt, the right side replicates to all salts, so hot keys split
@@ -3166,6 +3185,17 @@ object SparkEntry {
         |SELECT g.term, f.df, g.doc_id, g.tf, g.positions_csv
         |FROM g JOIN f ON g.term = f.term
         |ORDER BY g.term, g.doc_id""".stripMargin,
+
+    "j05_interval_join" ->
+      """WITH a AS (SELECT event_id AS a_id, ts AS a_lo,
+        |             ts + INTERVAL 4 HOUR AS a_hi
+        |           FROM events WHERE event_id % 53 = 0),
+        |b AS (SELECT event_id AS b_id, ts AS b_lo,
+        |        ts + INTERVAL 1 HOUR AS b_hi
+        |      FROM events WHERE event_id % 13 = 0)
+        |SELECT a.a_id, b.b_id FROM a JOIN b
+        |  ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+        |ORDER BY a.a_id, b.b_id""".stripMargin,
 
     "j03_skew_join" ->
       """SELECT c.c_mktsegment AS mktsegment,

@@ -211,6 +211,69 @@ object JoinOps {
   }
 
   /**
+   * Interval-overlap join: every `(a, b)` pair whose intervals intersect —
+   * `aStart <= bEnd AND bStart <= aEnd`, all bounds inclusive — optionally
+   * also matching equi `by` keys. Output = a columns ++ b columns (names
+   * disjoint), inner semantics.
+   *
+   * Spark-first plan — the same bin trick as [[rangeJoin]], plus a
+   * MEET-ONCE rule instead of a distinct pass: both sides explode to
+   * covered bins and equi-join on the bin, but a pair of overlapping
+   * multi-bin intervals shares SEVERAL bins, so candidates additionally
+   * require `bin == max(binOf(aStart), binOf(bStart))` — the bin holding
+   * the intersection's start, which exactly one shared bin satisfies
+   * (floor is monotone, so the max of the start bins IS the intersection
+   * start's bin). No `dropDuplicates` — a distinct over the join output
+   * would shuffle the full candidate set a second time.
+   *
+   * 100 TB design: identical economics to [[rangeJoin]] — binWidth near
+   * the median interval length, both sides stream once, AQE splits hot
+   * bins. A long-interval side multiplies its explode by span/binWidth
+   * (bounded by `maxBinsPerInterval`, loud error past it).
+   */
+  def intervalJoin(a: DataFrame, aStart: String, aEnd: String,
+                   b: DataFrame, bStart: String, bEnd: String,
+                   binWidth: Double,
+                   by: Seq[String] = Nil,
+                   maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val overlapCols = a.columns.toSet.intersect(b.columns.toSet) -- by.toSet
+    require(overlapCols.isEmpty,
+      s"a/b column name collision: ${overlapCols.mkString(", ")}")
+    val bin = "__iv_bin"
+    require(!(a.columns ++ b.columns).contains(bin),
+      s"input uses reserved working column $bin")
+
+    def num(dt: DataType, c: Column): Column = dt match {
+      case TimestampType => c.cast("double")
+      case TimestampNTZType => c.cast(TimestampType).cast("double")
+      case _: NumericType => c.cast("double")
+      case other => throw new IllegalArgumentException(
+        s"intervalJoin needs timestamp or numeric bounds, got $other")
+    }
+    def binOf(dt: DataType, c: Column): Column =
+      floor(num(dt, c) / binWidth).cast("long")
+    def binsOf(df: DataFrame, lo: String, hi: String): Column = {
+      val loB = binOf(df.schema(lo).dataType, col(lo))
+      val hiB = binOf(df.schema(hi).dataType, col(hi))
+      explode(when(hiB - loB < lit(maxBinsPerInterval.toLong),
+        sequence(loB, hiB)).otherwise(raise_error(concat(
+        lit(s"intervalJoin: interval spans more than $maxBinsPerInterval bins " +
+          s"of width $binWidth (start="), col(lo).cast("string"),
+        lit(", end="), col(hi).cast("string"),
+        lit(") — raise binWidth or maxBinsPerInterval")))))
+    }
+    val a2 = a.withColumn(bin, binsOf(a, aStart, aEnd))
+    val b2 = b.withColumn(bin, binsOf(b, bStart, bEnd))
+    val aLoBin = binOf(a.schema(aStart).dataType, col(aStart))
+    val bLoBin = binOf(b.schema(bStart).dataType, col(bStart))
+    a2.join(b2, by :+ bin)
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col(bin) === greatest(aLoBin, bLoBin))
+      .drop(bin)
+  }
+
+  /**
    * Salted equi-join for skewed keys: INNER join that splits every key —
    * hot ones included — across `salts` reducers. Each left row takes ONE
    * deterministic salt (a hash of the whole row, so identical duplicates

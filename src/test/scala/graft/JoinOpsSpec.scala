@@ -248,6 +248,29 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(equi.nonEmpty, s"expected an equi join on the bin key:\n${nodes.head}")
   }
 
+  test("intervalJoin: overlap pairs meet exactly once across bin widths") {
+    val as = Seq((1L, 0.0, 10.0), (2L, 5.0, 50.0), (3L, 60.0, 61.0))
+      .toDF("a_id", "a_lo", "a_hi")
+    val bs = Seq((10L, 8.0, 9.0), (11L, 49.0, 70.0), (12L, 52.0, 55.0))
+      .toDF("b_id", "b_lo", "b_hi")
+    val want = Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
+    for (bw <- Seq(2.0, 10.0, 500.0)) {
+      val got = JoinOps.intervalJoin(as, "a_lo", "a_hi", bs, "b_lo", "b_hi",
+          binWidth = bw)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"multi-bin overlap counted twice at binWidth=$bw")
+      assert(got.toSet == want, s"pair drift at binWidth=$bw")
+    }
+    // touching endpoints overlap (inclusive bounds)
+    val t = JoinOps.intervalJoin(
+        Seq((1L, 0.0, 5.0)).toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+        Seq((2L, 5.0, 9.0)).toDF("b_id", "b_lo", "b_hi"), "b_lo", "b_hi",
+        binWidth = 3.0)
+      .count()
+    assert(t == 1)
+  }
+
   test("skewJoin set-equals the plain inner join, each pair exactly once") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select($"o_orderkey", $"o_custkey".as("custkey"), $"o_totalprice")

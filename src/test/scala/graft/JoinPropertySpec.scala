@@ -119,6 +119,33 @@ class JoinPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin equals the overlap predicate join for random intervals") {
+    for (seed <- 1 to 5) {
+      def gen(n: Int, s: Long) = Gen.listOfN(n, for {
+        lo <- Gen.choose(-100.0, 100.0)
+        len <- Gen.choose(0.0, 50.0)
+      } yield (lo, lo + len)).pureApply(Gen.Parameters.default, Seed(s))
+        .zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      val as = gen(20, 700L + seed)
+      val bs = gen(25, 800L + seed)
+      val want = (for {
+        (aid, alo, ahi) <- as
+        (bid, blo, bhi) <- bs
+        if alo <= bhi && blo <= ahi
+      } yield (aid, bid)).toSet
+      val aDf = as.toDF("a_id", "a_lo", "a_hi")
+      val bDf = bs.toDF("b_id", "b_lo", "b_hi")
+      for (bw <- Seq(4.0, 30.0, 1000.0)) {
+        val got = JoinOps.intervalJoin(aDf, "a_lo", "a_hi",
+            bDf, "b_lo", "b_hi", binWidth = bw)
+          .select("a_id", "b_id").as[(Long, Long)].collect()
+        assert(got.length == got.toSet.size,
+          s"duplicate overlap pairs at binWidth=$bw seed=$seed")
+        assert(got.toSet == want, s"overlap drift at binWidth=$bw seed=$seed")
+      }
+    }
+  }
+
   test("skewJoin equals the plain join for random multiplicities and salts") {
     for (seed <- 1 to 3) {
       val ls = Gen.listOfN(50, Gen.choose(0, 6))
