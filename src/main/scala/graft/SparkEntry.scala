@@ -1976,6 +1976,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "m47_image_dup_clusters" -> ((s, dir) => {
+      // m43's perceptual pairs composed into dedup clusters: banded
+      // Hamming pairs -> iterative min-label components, the image-side
+      // analogue of d45. The oracle recomputes every hash independently
+      // and takes components via a recursive reach over brute-force
+      // pairs, so BOTH the band join and the propagation are graded.
+      val docs = t(s, dir, "documents")
+      val base = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+      val bumped = MultimodalOps.syntheticImageCorpusBumped(
+        docs.where("doc_id % 11 = 0"), "doc_id", scale = 4,
+        idOffset = 2000000L, cells = Seq(0, 27, 54))
+      val pairs = MultimodalOps.imageNearDupPairs(base.unionByName(bumped),
+        maxHamming = 3, maxBucket = 1 << 20)
+      DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
+        .orderBy("id")
+    }),
+
     "m44_video_scene_cuts" -> ((s, dir) => {
       // Shot-boundary detection through the REAL codec: 3-scene synthetic
       // videos (4 identical frames per scene, scene s's image id steps by
@@ -2093,6 +2110,38 @@ object SparkEntry {
   /** Exact top-5 cosine kNN — the shared oracle for e37 (brute force) and
     * the exactness-by-construction configs of e38 (full-radius multi-probe
     * LSH) and e40 (full-probe IVF). */
+  /** Shared CTE chain for the image-hash oracles (m43 pairs, m47
+    * clusters): the synthetic corpus + its bumped re-encodes, per-cell
+    * grayscale from the pixel formula in integer SQL, and the 64-bit
+    * average-hash as a bitstring — everything up to `hashes`. */
+  private lazy val ImageHashCtes: String =
+    """imgs AS (
+      |  SELECT doc_id AS media_id, doc_id AS src, doc_id % 6 + 3 AS w0,
+      |         doc_id % 4 + 2 AS h0, FALSE AS bumped FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, doc_id, doc_id % 6 + 3, doc_id % 4 + 2, TRUE
+      |  FROM documents WHERE doc_id % 11 = 0
+      |), cells AS (
+      |  SELECT media_id, src, w0, bumped, g.i AS i,
+      |    ((g.i % 8) * w0) // 8 AS bx,
+      |    ((g.i // 8) * h0) // 8 AS by
+      |  FROM imgs CROSS JOIN generate_series(0, 63) AS g(i)
+      |), grays AS (
+      |  SELECT media_id, i,
+      |    CASE WHEN bumped AND i IN (0, 27, 54) THEN 255000
+      |    ELSE 299 * ((src*31 + ((by*w0 + bx)*3 + 0)*7) % 256)
+      |       + 587 * ((src*31 + ((by*w0 + bx)*3 + 1)*7) % 256)
+      |       + 114 * ((src*31 + ((by*w0 + bx)*3 + 2)*7) % 256) END AS g1000
+      |  FROM cells
+      |), sums AS (
+      |  SELECT media_id, SUM(g1000) AS s FROM grays GROUP BY 1
+      |), hashes AS (
+      |  SELECT g.media_id,
+      |    string_agg(CASE WHEN 64 * g.g1000 > s.s THEN '1' ELSE '0' END,
+      |               '' ORDER BY g.i) AS hs
+      |  FROM grays g JOIN sums s USING (media_id) GROUP BY g.media_id
+      |)""".stripMargin
+
   /** Shared by j01 (batch as-of) and s53 (the same enrichment driven
     * through the streaming foreachBatch path — batch-invariant against a
     * static right side, so the result must be identical). */
@@ -3544,37 +3593,31 @@ object SparkEntry {
         |ORDER BY f.keep_id, dup_id""".stripMargin,
 
     "m43_image_neardup_hamming" ->
-      """WITH imgs AS (
-        |  SELECT doc_id AS media_id, doc_id AS src, doc_id % 6 + 3 AS w0,
-        |         doc_id % 4 + 2 AS h0, FALSE AS bumped FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, doc_id, doc_id % 6 + 3, doc_id % 4 + 2, TRUE
-        |  FROM documents WHERE doc_id % 11 = 0
-        |), cells AS (
-        |  SELECT media_id, src, w0, bumped, g.i AS i,
-        |    ((g.i % 8) * w0) // 8 AS bx,
-        |    ((g.i // 8) * h0) // 8 AS by
-        |  FROM imgs CROSS JOIN generate_series(0, 63) AS g(i)
-        |), grays AS (
-        |  SELECT media_id, i,
-        |    CASE WHEN bumped AND i IN (0, 27, 54) THEN 255000
-        |    ELSE 299 * ((src*31 + ((by*w0 + bx)*3 + 0)*7) % 256)
-        |       + 587 * ((src*31 + ((by*w0 + bx)*3 + 1)*7) % 256)
-        |       + 114 * ((src*31 + ((by*w0 + bx)*3 + 2)*7) % 256) END AS g1000
-        |  FROM cells
-        |), sums AS (
-        |  SELECT media_id, SUM(g1000) AS s FROM grays GROUP BY 1
-        |), hashes AS (
-        |  SELECT g.media_id,
-        |    string_agg(CASE WHEN 64 * g.g1000 > s.s THEN '1' ELSE '0' END,
-        |               '' ORDER BY g.i) AS hs
-        |  FROM grays g JOIN sums s USING (media_id) GROUP BY g.media_id
-        |)
+      s"""WITH $ImageHashCtes
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  CAST(hamming(a.hs, b.hs) AS BIGINT) AS hamming
         |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
         |WHERE hamming(a.hs, b.hs) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same independent hash recomputation, then the clusters the pairs
+    // imply — min-id components via a recursive reach
+    "m47_image_dup_clusters" ->
+      s"""WITH RECURSIVE $ImageHashCtes,
+        |pairs AS MATERIALIZED (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        |  WHERE hamming(a.hs, b.hs) <= 3
+        |), edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+        |)
+        |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // every frame hash rebuilt from the pixel formula (frame f's image id
     // = media_id + (f // 4) * 12), then consecutive-frame bitstring diffs

@@ -241,9 +241,30 @@ class OpsSpec extends AnyFunSuite {
     }
     val before = cachedCount
     for (_ <- 1 to 3) DedupOps.connectedComponents(pairs).count()
-    // repeated calls must not pin cache entries for the context's lifetime
-    assert(cachedCount <= before,
-      s"cache grew from $before to $cachedCount persistent RDDs")
+    // repeated calls must not pin cache entries for the context's
+    // lifetime; the ContextCleaner reaps dropped checkpoint blocks
+    // ASYNCHRONOUSLY, so poll instead of asserting a racy instant
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var now = cachedCount
+    while (now > before && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      now = cachedCount
+    }
+    assert(now <= before,
+      s"cache grew from $before to $now persistent RDDs and stayed there")
+  }
+
+  test("connectedComponents survives a deep-diameter chain (lineage truncation)") {
+    // a 40-node path graph needs ~log-diameter+ rounds of min-label
+    // propagation; before per-round lineage truncation the analyzed plan
+    // doubled per round (each round references the previous labels frame
+    // twice) and a >10-round graph OOM'd the DRIVER in Catalyst — found
+    // by m47's image-hash collision chains, regression-locked here
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = DedupOps.connectedComponents(chain, maxIter = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 40 && cc.values.forall(_ == 0L),
+      "the whole chain must collapse to component 0")
   }
 
   test("native simhash is bit-exact with the composed HOF form") {
