@@ -255,16 +255,24 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("connectedComponents survives a deep-diameter chain (lineage truncation)") {
-    // a 40-node path graph needs ~log-diameter+ rounds of min-label
-    // propagation; before per-round lineage truncation the analyzed plan
-    // doubled per round (each round references the previous labels frame
-    // twice) and a >10-round graph OOM'd the DRIVER in Catalyst — found
-    // by m47's image-hash collision chains, regression-locked here
+    // a 40-node path graph: one-hop propagation alone would need ~40
+    // rounds; pointer jumping doubles reach per round, so it must
+    // converge within ~log2(40)+slack. Before per-round lineage
+    // truncation the analyzed plan doubled per round (each round
+    // references the previous labels frame twice) and a >10-round graph
+    // OOM'd the DRIVER in Catalyst — found by m47's image-hash collision
+    // chains, regression-locked here via the tight maxIter
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = DedupOps.connectedComponents(chain, maxIter = 64).collect()
+    val cc = DedupOps.connectedComponents(chain, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 40 && cc.values.forall(_ == 0L),
       "the whole chain must collapse to component 0")
+    // non-convergence is LOUD — silent capping would hand downstream
+    // dedup labels that split one component into several
+    val err = intercept[graft.InvalidDataError] {
+      DedupOps.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
   }
 
   test("native simhash is bit-exact with the composed HOF form") {
