@@ -1471,6 +1471,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d76_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval: every 97th document's first-4-token prefix becomes
+      // a query against the full corpus; text never rides a shuffle (the
+      // corpus compacts to integer postings), query terms broadcast, and
+      // per-query top-k goes through the map-side-combining top_k_by
+      // aggregate. Scores round to 6 decimals BEFORE ranking so rank is
+      // engine-reproducible (ties break on doc_id, which the oracle
+      // replicates). k1 = 1.25 is DYADIC: every constant in the score is
+      // an exact double, so both engines evaluate the same formula on
+      // identical operands.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where("doc_id % 97 = 0")
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 4), " ").as("qtext"))
+      CorpusOps.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
+    "d77_lm_cross_score" -> ((s, dir) => {
+      // cross-corpus perplexity filter (CCNet recipe): train the trigram
+      // LM on the trusted third of the corpus, score EVERY document
+      // against it with Laplace smoothing — unseen trigrams hit the
+      // count-0 floor instead of vanishing from the average like the
+      // self-trained d65 form. Model broadcast; one partial-aggregated
+      // avg per doc is the only exchange.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val model = TextOps.trainCharTrigramLm(docs.where("doc_id % 3 = 0"), "text")
+      TextOps.scoreWithLm(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    "e50_random_projection" -> ((s, dir) => {
+      // JL random projection 64 -> 16 dims: map-only, zero shuffle, zero
+      // model state — the ±1 matrix recomputes from (i, j, seed) by exact
+      // integer arithmetic the oracle replays in SQL. Inputs quantize to
+      // 16 fractional bits first so every ±term is a small dyadic and the
+      // 64-term sum is EXACT in any summation order (the same
+      // reproducibility trick as e49's fixed-point pooling) — both
+      // engines then produce the bitwise-identical double. `+ 0.0`
+      // normalizes -0.0 after rounding.
+      val quantized = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(65536.0)) / lit(65536.0))
+          .as("embedding"))
+      SimilarityOps.randomProject(quantized, "vec_id",
+          "embedding", outDim = 16, seed = 7L)
+        .select(col("vec_id"), posexplode(col("projection")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          (round(col("col"), 6) + lit(0.0)).as("val"))
+        .orderBy("vec_id", "dim")
+    }),
+
     "j05_interval_join" -> ((s, dir) => {
       // interval-overlap join (4 h marker windows × 1 h activity windows,
       // un-keyed): binned equi-join with the meet-once rule — a pair's
@@ -3190,6 +3243,89 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN neww n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
+
+    // dyadic k1 = 1.25 / b = 0.75: every constant is an exact double, so
+    // both engines evaluate identical operands; scores round to 6 BEFORE
+    // ranking, ties break on doc_id
+    "d76_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+        |occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM occ GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+        |         CAST((SELECT sum(tf) FROM tf) AS DOUBLE) /
+        |         CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t[1:4]) AS term
+        |       FROM toks WHERE doc_id % 97 = 0),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |ts AS (SELECT qt.query_id, tf.doc_id,
+        |         ln(1.0 + (st.n - CAST(dfreq.df AS DOUBLE) + 0.5) /
+        |                  (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+        |         (CAST(tf.tf AS DOUBLE) * 2.25) /
+        |         (CAST(tf.tf AS DOUBLE) + 1.25 *
+        |           (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS s
+        |       FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+        |         JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, ROUND(SUM(s), 6) AS score
+        |       FROM ts GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM sc)
+        |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // model trains on the doc_id % 3 = 0 third; Laplace floor for unseen
+    "d77_lm_cross_score" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-2,0)+1),
+        |    i -> text[i:i+2])) AS tri
+        |  FROM documents
+        |), m AS (
+        |  SELECT tri, CAST(count(*) AS BIGINT) AS c FROM occ
+        |  WHERE doc_id % 3 = 0 GROUP BY 1
+        |), st AS (
+        |  SELECT CAST((SELECT sum(c) FROM m) AS BIGINT) AS t,
+        |         CAST((SELECT count(*) FROM m) AS BIGINT) AS v
+        |), sc AS (
+        |  SELECT o.doc_id, COUNT(*) AS n_trigrams,
+        |    ROUND(AVG(ln((CAST(COALESCE(m.c, 0) AS DOUBLE) + 1.0) /
+        |      CAST(st.t + st.v AS DOUBLE))), 6) AS avg_logp
+        |  FROM occ o LEFT JOIN m USING (tri) CROSS JOIN st
+        |  GROUP BY o.doc_id
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  sc.avg_logp
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // inputs quantize to 16 fractional bits so the 64-term ±sum is exact
+    // dyadic arithmetic in ANY summation order — both engines produce the
+    // bitwise-identical double before the shared ROUND; the sign hash is
+    // two minstd LCG steps in exact BIGINT arithmetic (seed 7 -> +8)
+    "e50_random_projection" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> floor(CAST(x AS DOUBLE) * 65536.0) / 65536.0) AS v
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT vec_id, v, unnest(range(0, 16)) AS j FROM q
+        |), cells AS (
+        |  SELECT vec_id, j, unnest(range(0, len(v))) AS i, v FROM dims
+        |), terms AS (
+        |  SELECT vec_id, j,
+        |    v[CAST(i AS INT) + 1] *
+        |    (CASE WHEN (16807 * ((16807 * ((i * 4099 + j * 8191 + 8)
+        |        % 2147483647)) % 2147483647)) % 2147483647 < 1073741823
+        |      THEN -1.0 ELSE 1.0 END) AS s
+        |  FROM cells
+        |)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |  ROUND(SUM(s) / 4.0, 6) + 0 AS val
+        |FROM terms GROUP BY vec_id, j
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "e48_kmeans" ->
       """WITH c0 AS (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,9 +226,10 @@ object SimilarityOps {
     topKBy(scored, groupCol, idCol, "cosine", k)
 
   /** Same as [[topK]] with the score column name parameterized (the MIPS
-    * paths rank by raw dot product, not cosine). */
-  private def topKBy(scored: DataFrame, groupCol: String, idCol: String,
-                     scoreCol: String, k: Int): DataFrame =
+    * paths rank by raw dot product, not cosine; BM25 retrieval in
+    * [[CorpusOps.bm25TopK]] ranks by the rounded BM25 sum). */
+  private[ops] def topKBy(scored: DataFrame, groupCol: String, idCol: String,
+                          scoreCol: String, k: Int): DataFrame =
     scored.groupBy(groupCol)
       .agg(GraftFunctions.top_k_by(col(scoreCol), col(idCol), k).as("__topk"))
       .select(col(groupCol), posexplode(col("__topk")))
@@ -731,5 +732,50 @@ object SimilarityOps {
         transform(col("__s.sums"),
           s => ((s.cast("double") / scale) / col("__s.n")).cast("float"))
           .as("pooled"))
+  }
+
+  /** Deterministic ±1 sign for projection cell `(i, j)`: two minstd LCG
+    * steps over the mixed index, high-half sign bit (the low bit of an
+    * LCG alternates). Exact 64-bit integer arithmetic with every operand
+    * `< 2^45`, so the same formula evaluates identically in ANSI SQL —
+    * the model "matrix" is pure code, nothing is shipped or stored. */
+  private def projSign(i: Column, j: Column, seed: Long): Column = {
+    val m = 2147483647L
+    val h1 = (lit(16807L) * ((i.cast("long") * lit(4099L) +
+      j.cast("long") * lit(8191L) + lit(seed + 1L)) % lit(m))) % lit(m)
+    val h2 = (lit(16807L) * h1) % lit(m)
+    when(h2 < lit(m / 2), lit(-1.0d)).otherwise(lit(1.0d))
+  }
+
+  /**
+   * Random-projection dimensionality reduction (sparse
+   * Johnson–Lindenstrauss): `out[j] = Σ_i sign(h(i,j))·vec[i] / √outDim`
+   * with a hash-derived ±1 matrix — distance-preserving in expectation,
+   * and the cheap front-end that makes downstream LSH banding, coarse
+   * clustering, and near-dup sketches affordable when the source
+   * embeddings are wide.
+   *
+   * 100 TB design: ZERO shuffle and zero model state — a map-only pass
+   * of O(inDim·outDim) fused arithmetic per row; the projection matrix
+   * is recomputed from `(i, j, seed)` wherever the row lives, so there
+   * is no broadcast to version or invalidate, and any two jobs with the
+   * same seed project into the same space (append-only corpora project
+   * new rows consistently forever).
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    require(seed >= 0, s"seed must be >= 0, got $seed")
+    val vec = col(vecCol)
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), size(vec) - 1), lit(0.0d),
+        (acc, i) => acc +
+          element_at(vec, i + 1).cast("double") * projSign(i, j, seed))
+        / lit(scale))
+    // empty vectors project to NULL (sequence(0, -1) would otherwise
+    // count DOWN and index element 0)
+    df.select(col(idCol),
+      when(size(vec) > 0, proj).as("projection"))
   }
 }

@@ -270,4 +270,49 @@ object TextOps {
     val collapsed = trim(regexp_replace(nfc, "\\s+", " "))
     if (lowercase) lower(collapsed) else collapsed
   }
+
+  /**
+   * Train a character-trigram unigram LM as a TABLE `(tri, c)` — the
+   * cross-corpus form of [[lmQualityScore]]'s self-training: train once on
+   * a trusted high-quality corpus (the CCNet recipe trains on Wikipedia),
+   * persist the model, then [[scoreWithLm]] any number of crawl shards
+   * against it. One combinable count per distinct trigram; the model is
+   * vocabulary-sized (≤ |charset|³ rows), never corpus-sized.
+   */
+  def trainCharTrigramLm(df: org.apache.spark.sql.DataFrame,
+                         textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+
+  /**
+   * Score documents against a trained trigram model with Laplace
+   * smoothing: `avg ln((c(tri) + 1) / (total + V))`, unseen trigrams
+   * scoring the `c = 0` floor — cross-corpus scoring MUST smooth, unlike
+   * the self-trained [[lmQualityScore]] where every trigram is in-model
+   * by construction. Docs shorter than 3 chars score NULL
+   * (`n_trigrams = 0`).
+   *
+   * 100 TB design: the model and its two scalar stats are BROADCAST (the
+   * model is vocabulary-sized); scoring is a map-side join plus one
+   * partial-aggregated avg per document — the only exchange carries
+   * per-document `(sum, count)` partials.
+   */
+  def scoreWithLm(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stats = model.agg(sum("c").as("t"), count(lit(1)).as("v"))
+    val occ = df.select(col(idCol),
+      explode(charTrigrams(col(textCol))).as("tri"))
+    val scored = occ
+      .join(broadcast(model), Seq("tri"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("t") + col("v")).cast("double"))), 6).as("avg_logp"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_logp"))
+  }
 }

@@ -1120,4 +1120,116 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == "A &amp; B <tag> \"q\" 's' end") // &amp;amp; decodes once
     assert(out(3L) == "plain text stays")
   }
+
+  test("bm25TopK: matches a plain-Scala BM25 reference; rare terms outrank stopwords") {
+    val corpus = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "banana banana banana banana banana banana"),
+      (3L, "apple zebra"),
+      (4L, "the the the the the the the the"),
+      (5L, "zebra quagga okapi"),
+      (6L, "")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple zebra"), (200L, "banana")).toDF("qid", "qtext")
+    val got = CorpusOps.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 3, k1 = 1.25, b = 0.75)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+    // plain-Scala reference on the same corpus
+    val docs = Map(
+      1L -> Seq("apple", "banana", "cherry", "apple"),
+      2L -> Seq.fill(6)("banana"),
+      3L -> Seq("apple", "zebra"),
+      4L -> Seq.fill(8)("the"),
+      5L -> Seq("zebra", "quagga", "okapi"),
+      6L -> Seq.empty[String])
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    def df(t: String) = docs.values.count(_.contains(t)).toDouble
+    def bm25(q: Seq[String], d: Seq[String]): Double = {
+      val dl = d.size.toDouble
+      val s = q.distinct.filter(t => d.contains(t)).map { t =>
+        val tf = d.count(_ == t).toDouble
+        math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      math.rint(s * 1e6) / 1e6
+    }
+    val q1 = Seq("apple", "zebra")
+    val expect1 = docs.toSeq.map { case (id, d) => (id, bm25(q1, d)) }
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(3)
+    expect1.zipWithIndex.foreach { case ((id, s), i) =>
+      val (gid, gs) = got((100L, i + 1))
+      assert(gid == id && math.abs(gs - s) < 1e-9, s"rank ${i + 1}: got ($gid,$gs) want ($id,$s)")
+    }
+    // doc 3 (short, both rare terms) must beat doc 1 (one term, longer)
+    assert(got((100L, 1))._1 == 3L)
+    // banana query: doc 2 saturates tf but wins; doc 1 second
+    assert(got((200L, 1))._1 == 2L && got((200L, 2))._1 == 1L)
+    // stopword-only doc 4 and empty doc 6 never surface for these queries
+    assert(!got.values.exists(v => v._1 == 4L || v._1 == 6L))
+  }
+
+  test("trainCharTrigramLm/scoreWithLm: Laplace floor for unseen, cross-corpus parity") {
+    val clean = Seq((1L, "abcabc"), (2L, "abcd")).toDF("doc_id", "text")
+    val model = TextOps.trainCharTrigramLm(clean, "text")
+    val m = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // trigrams of abcabc: abc bca cab abc ; of abcd: abc bcd
+    assert(m == Map("abc" -> 3L, "bca" -> 1L, "cab" -> 1L, "bcd" -> 1L))
+    val t = m.values.sum.toDouble // 6
+    val v = m.size.toDouble       // 4
+    val test = Seq((10L, "abc"), (11L, "xyz"), (12L, "ab"), (13L, "abcx"))
+      .toDF("doc_id", "text")
+    val out = TextOps.scoreWithLm(test, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    def lp(c: Long) = math.log((c + 1.0) / (t + v))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(10L) == ((1L, r6(lp(3)))))           // in-model trigram
+    assert(out(11L) == ((1L, r6(lp(0)))))           // unseen -> count-0 floor
+    assert(out(12L)._1 == 0L && out(12L)._2.isNaN)  // too short -> NULL score
+    assert(out(13L) == ((2L, r6((lp(3) + lp(0)) / 2.0)))) // mixed
+    // the floor scores strictly below every in-model trigram
+    assert(out(11L)._2 < out(10L)._2)
+  }
+
+  test("randomProject: plain-Scala parity, partition-invariance, zero shuffle") {
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.tabulate(8)(i => ((id * 31 + i * 17) % 13 - 6).toFloat / 4f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = SimilarityOps.randomProject(df, "vec_id", "embedding",
+        outDim = 4, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    // the exact formula, re-derived in plain Scala
+    def sign(i: Int, j: Int): Double = {
+      val m = 2147483647L
+      val h1 = (16807L * ((i * 4099L + j * 8191L + 8L) % m)) % m
+      if ((16807L * h1) % m < m / 2) -1.0 else 1.0
+    }
+    vecs.foreach { case (id, v) =>
+      val want = Array.tabulate(4) { j =>
+        v.indices.map(i => v(i).toDouble * sign(i, j)).sum / 2.0
+      }
+      assert(out(id).toArray.sameElements(want), s"vec $id")
+    }
+    // signs are roughly balanced (not constant, not alternating-degenerate)
+    val signs = for (i <- 0 until 64; j <- 0 until 16) yield sign(i, j)
+    val neg = signs.count(_ < 0)
+    assert(neg > 64 * 16 * 3 / 10 && neg < 64 * 16 * 7 / 10, s"neg=$neg")
+    // partitioning does not change the (exact dyadic) values
+    val re = SimilarityOps.randomProject(df.repartition(7), "vec_id",
+        "embedding", outDim = 4, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs.forall { case (id, _) => re(id) == out(id) })
+    // empty vector -> NULL projection, and the plan is map-only
+    val empty = Seq((99L, Array.empty[Float])).toDF("vec_id", "embedding")
+    assert(SimilarityOps.randomProject(empty, "vec_id", "embedding", 4)
+      .collect().head.isNullAt(1))
+    val plan = SimilarityOps.randomProject(df, "vec_id", "embedding", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
 }
