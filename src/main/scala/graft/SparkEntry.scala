@@ -3,7 +3,7 @@ package graft
 import graft.catalog.{HadoopCatalog, MemoryCatalog}
 import graft.functions.GraftFunctions
 import graft.meta.{PartitionField, PartitionSpec}
-import graft.ops.{CorpusOps, DedupOps, JoinOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, GraphOps, JoinOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.sql.GraftSql
 import graft.table.{EqPred, LtPred}
 import graft.types.SparkSchemaConverter
@@ -1500,6 +1500,21 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val model = TextOps.trainCharTrigramLm(docs.where("doc_id % 3 = 0"), "text")
       TextOps.scoreWithLm(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    "d78_pagerank" -> ((s, dir) => {
+      // link-graph authority over a deterministic synthetic web: every doc
+      // links to two modular hubs, so low-id docs accumulate rank. 3 power
+      // iterations, damping 7/8 (DYADIC — 1-d is exact, so both engines
+      // iterate on identical constants); ranks round to 6 at output only.
+      val docs = t(s, dir, "documents").select("doc_id")
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 13) % 101).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 97).as("dst")))
+      GraphOps.pageRank(edges, "src", "dst", iters = 3, damping = 0.875)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
     }),
 
@@ -3299,6 +3314,38 @@ object SparkEntry {
         |  sc.avg_logp
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // 3 unrolled power iterations; damping 7/8 keeps 1-d exact in doubles
+    "d78_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 7 + 13) % 101 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents)
+        |), outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS o FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        |d1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |c1 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |       JOIN r0 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id, 0.125 / nn.n + 0.875 * (COALESCE(c1.c, 0) + d1.dm / nn.n) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.id = c1.id CROSS JOIN nn CROSS JOIN d1),
+        |d2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r1
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |c2 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |       JOIN r1 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id, 0.125 / nn.n + 0.875 * (COALESCE(c2.c, 0) + d2.dm / nn.n) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.id = c2.id CROSS JOIN nn CROSS JOIN d2),
+        |d3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r2
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |c3 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |       JOIN r2 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id, 0.125 / nn.n + 0.875 * (COALESCE(c3.c, 0) + d3.dm / nn.n) AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.id = c3.id CROSS JOIN nn CROSS JOIN d3)
+        |SELECT id AS doc_id, ROUND(r, 6) AS rank FROM r3
+        |ORDER BY doc_id""".stripMargin,
 
     // inputs quantize to 16 fractional bits so the 64-term ±sum is exact
     // dyadic arithmetic in ANY summation order — both engines produce the

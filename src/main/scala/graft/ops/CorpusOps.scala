@@ -589,52 +589,73 @@ object CorpusOps {
   }
 
   /**
-   * BM25 retrieval over the corpus — the scoring-side complement of
-   * [[invertedIndex]]: for each query, the `k` highest-BM25 documents
-   * (Robertson idf `ln(1 + (N - df + 0.5)/(df + 0.5))`, tf saturation
-   * `k1`, length normalization `b`). The standard lexical-retrieval
-   * baseline for RAG corpus curation and hard-negative mining.
+   * Build a BM25 index — `(postings, stats)` DataFrames to persist
+   * (ideally as graft tables, the [[SimilarityOps.buildIvfIndex]]
+   * pattern): `postings(doc_id, term, tf, dl)` carries the per-document
+   * length ON the posting row so search never joins a separate length
+   * table, and `stats` is one row `(n, avgdl)`.
    *
    * 100 TB design: document TEXT never rides a shuffle — the corpus
-   * reduces to integer posting rows `(doc, term, tf)` in one combinable
-   * aggregate, and document length re-aggregates that compacted table
-   * (Catalyst reuses the postings exchange across the three consumers).
-   * The query term set is tiny by construction and BROADCAST, so
-   * candidate generation is a map-side semi-join: only postings whose
-   * term appears in some query survive, and per-term document frequency
-   * is counted over exactly those postings. Per-query top-k goes through
-   * the map-side-combining `top_k_by` aggregate — the exchange carries
-   * queries×k pairs, not the candidate set. Scores are rounded to 6
-   * decimals BEFORE ranking so the rank is reproducible across engines
-   * and partitionings (ties break on document id).
+   * reduces to integer posting rows in one combinable aggregate, and the
+   * in-partition window that stamps `dl` re-keys that COMPACTED table,
+   * not the text. `stats` is a single map-only pass (count + token-count
+   * sum, both combinable). The build reads the corpus exactly twice
+   * (postings, stats); persisting the result makes every subsequent
+   * query batch scan the compact index instead of the corpus — the same
+   * amortization as the persisted IVF index.
    */
-  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, queryIdCol: String, queryTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and b in [0,1], got ($k1, $b)")
+  def bm25Index(corpus: DataFrame, idCol: String,
+                textCol: String): (DataFrame, DataFrame) = {
     val occ = corpus.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
-    val tf = occ.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val postings = occ.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
     // N counts ALL documents (empty ones have no postings but still dilute
-    // avgdl); total token count is exact integer arithmetic until the one
-    // double division both engines perform identically
-    val stats = corpus.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum("dl").as("tot_tokens")))
+    // avgdl); token totals stay exact integers until the one double
+    // division both engines perform identically
+    val stats = corpus
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("tot_tokens"))
       .select(col("n_docs").cast("double").as("n"),
-        (col("tot_tokens").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+        (coalesce(col("tot_tokens"), lit(0L)).cast("double") /
+          col("n_docs").cast("double")).as("avgdl"))
+    (postings, stats)
+  }
+
+  /**
+   * BM25 search over a built (ideally persisted) index: for each query,
+   * the `k` highest-BM25 documents (Robertson idf
+   * `ln(1 + (N - df + 0.5)/(df + 0.5))`, tf saturation `k1`, length
+   * normalization `b`). The standard lexical-retrieval baseline for RAG
+   * corpus curation and hard-negative mining.
+   *
+   * 100 TB design: the query term set is tiny by construction and
+   * BROADCAST, so candidate generation is a map-side semi-join — only
+   * postings whose term appears in some query survive, and per-term
+   * document frequency is counted over exactly those postings (the
+   * index's two scans are of the COMPACT postings table, with the term
+   * filter pushable to its scan when persisted). Per-query top-k goes
+   * through the map-side-combining `top_k_by` aggregate — the exchange
+   * carries queries×k pairs, not the candidate set. Scores are rounded
+   * to 6 decimals BEFORE ranking so the rank is reproducible across
+   * engines and partitionings (ties break on document id).
+   */
+  def bm25Search(postings: DataFrame, stats: DataFrame,
+                 queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and b in [0,1], got ($k1, $b)")
     val qterms = queries.select(col(queryIdCol).as("query_id"),
         explode(TextOps.tokens(col(queryTextCol))).as("term"))
       .distinct()
     val qvocab = qterms.select("term").distinct()
     // df per query term: every posting containing the term survives the
     // vocabulary semi-join, so a per-term count IS the document frequency
-    val dfreq = tf.join(broadcast(qvocab), Seq("term"))
+    val dfreq = postings.join(broadcast(qvocab), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val termScore = tf
+    val termScore = postings
       .join(broadcast(qterms), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
@@ -647,5 +668,14 @@ object CorpusOps {
     val scored = termScore.groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("__s")), 6).as("score"))
     SimilarityOps.topKBy(scored, "query_id", "doc_id", "score", k)
+  }
+
+  /** One-shot convenience: [[bm25Index]] + [[bm25Search]]. Fine for a
+    * single query batch; repeated batches should persist the index. */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, stats) = bm25Index(corpus, idCol, textCol)
+    bm25Search(postings, stats, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 }

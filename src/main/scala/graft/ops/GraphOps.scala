@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Link-graph operators for web-corpus curation. PageRank is the classic
+ * page-authority signal (OPIC/harmonic-centrality variants rank Common
+ * Crawl's frontier; a rank floor is a standard crawl-corpus quality
+ * filter) — [[DedupOps.connectedComponents]]'s iterative machinery,
+ * applied to a directed graph with per-round mass redistribution.
+ */
+object GraphOps {
+
+  /**
+   * PageRank over a directed edge list: `iters` power iterations of
+   * `rank' = (1-d)/N + d·(Σ_in rank/outdeg + danglingMass/N)` with
+   * uniform teleport and uniform dangling-mass redistribution (the
+   * standard treatment — a node with no out-links donates its rank to
+   * everyone, else total mass leaks). Parallel edges collapse first;
+   * nodes are everything appearing as src OR dst.
+   *
+   * 100 TB design: the edge table (joined once with out-degrees) is
+   * PERSISTED and reused across iterations; each iteration is one
+   * shuffle of `(dst, contribution)` pairs into a combinable sum — rank
+   * state is O(nodes), never O(edges), and the dangling mass is a
+   * one-row broadcast, not a driver scalar. Every round truncates the
+   * Catalyst plan with the same persisted-RDD-leaf trick as
+   * [[DedupOps.connectedComponents]] (each round references the
+   * previous ranks twice — contributions + dangling — so the analyzed
+   * plan would otherwise double per round), forced eagerly so the
+   * previous round's cache can be dropped deterministically.
+   *
+   * Returns `(id, rank)` with ranks summing to 1 (up to float wobble).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val spark = edges.sparkSession
+    def persistedLeaf(df: DataFrame): DataFrame = {
+      val leaf = spark.createDataFrame(df.rdd, df.schema)
+      leaf.persist(StorageLevel.MEMORY_AND_DISK)
+      leaf.count() // force NOW: a lazy leaf would re-chain through every
+                   // previously-unpersisted round when finally executed
+      leaf
+    }
+    val eDist = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val outDeg = eDist.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // out-degree rides the edge row, so iterations never re-join it
+      val ew = persistedLeaf(eDist.join(outDeg, "src")
+        .select(col("src"), col("dst"), col("outdeg")))
+      val nodes = persistedLeaf(
+        eDist.select(col("src").as("id"))
+          .unionAll(eDist.select(col("dst").as("id"))).distinct())
+      // dangling = nodes with no out-edges (they appear only as dst)
+      val dangling = persistedLeaf(
+        nodes.join(ew.select(col("src").as("id")).distinct(), Seq("id"),
+          "left_anti"))
+      try {
+        val n = nodes.count().toDouble
+        var ranks = persistedLeaf(
+          nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank")))
+        var i = 0
+        while (i < iters) {
+          val contribs = ew.join(ranks, ew("src") === ranks("id"))
+            .select(col("dst").as("id"),
+              (col("rank") / col("outdeg").cast("double")).as("c"))
+            .groupBy("id").agg(sum("c").as("c"))
+          val dm = dangling.join(ranks, Seq("id"))
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          val next = persistedLeaf(
+            nodes.join(contribs, Seq("id"), "left")
+              .crossJoin(broadcast(dm))
+              .select(col("id"),
+                (lit((1.0 - damping)) / lit(n) + lit(damping) *
+                  (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)))
+                  .as("rank")))
+          ranks.unpersist()
+          ranks = next
+          i += 1
+        }
+        // re-materialize off the cache so the entry can be dropped
+        val result = ranks.localCheckpoint(true)
+        ranks.unpersist()
+        result
+      } finally {
+        ew.unpersist(); nodes.unpersist(); dangling.unpersist()
+      }
+    } finally eDist.unpersist()
+  }
+}

@@ -1169,6 +1169,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got((200L, 1))._1 == 2L && got((200L, 2))._1 == 1L)
     // stopword-only doc 4 and empty doc 6 never surface for these queries
     assert(!got.values.exists(v => v._1 == 4L || v._1 == 6L))
+
+    // production path: persist the index, reload, search — identical
+    // results, and the search plan reads the COMPACT tables, not the corpus
+    val (postings, stats) = CorpusOps.bm25Index(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val viaIndex = CorpusOps.bm25Search(
+        spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"),
+        queries, "qid", "qtext", k = 3, k1 = 1.25, b = 0.75)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(viaIndex == got)
+    // dl rides the posting row: doc 1 has 4 tokens on every posting
+    val p1 = postings.where("doc_id = 1").collect()
+    assert(p1.length == 3 && p1.forall(_.getAs[Long]("dl") == 4L))
   }
 
   test("trainCharTrigramLm/scoreWithLm: Laplace floor for unseen, cross-corpus parity") {
@@ -1192,6 +1209,40 @@ class OpsSpec extends AnyFunSuite {
     assert(out(13L) == ((2L, r6((lp(3) + lp(0)) / 2.0)))) // mixed
     // the floor scores strictly below every in-model trigram
     assert(out(11L)._2 < out(10L)._2)
+  }
+
+  test("pageRank: plain-Scala power-iteration parity, dangling mass conserved") {
+    // 1 <-> 2 hub pair, 3/4 feed 1, 5 is DANGLING (only appears as dst)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L),
+      (3L, 1L) /* parallel edge collapses */).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, "src", "dst", iters = 5, damping = 0.875)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // reference: same formula, plain Scala
+    val e = Set((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L))
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n = nodes.size.toDouble
+    val d = 0.875
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val r0 = r
+      // toSeq everywhere: mapping a Set through the rank fn would DEDUPE
+      // equal contributions (nodes 3 and 4 contribute identical values)
+      val dm = nodes.toSeq.filterNot(out.contains).map(r0).sum
+      r = nodes.toSeq.map { v =>
+        val c = e.toSeq.filter(_._2 == v).map { case (s, _) => r0(s) / out(s) }.sum
+        v -> ((1.0 - d) / n + d * (c + dm / n))
+      }.toMap
+    }
+    assert(got.keySet == nodes)
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+    // mass conserved and the in-hub 1 dominates
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) == got.values.max)
+    assert(got(4L) == got.values.min) // nothing links to 4
   }
 
   test("randomProject: plain-Scala parity, partition-invariance, zero shuffle") {
