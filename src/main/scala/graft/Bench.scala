@@ -41,7 +41,12 @@ object Bench {
     // bucketized point-in-interval range join, and a full-corpus
     // fixed-point k-means Lloyd round (map-only assign + k combinable
     // aggregate buffers on the exchange)
-    "j01_asof_join", "j02_range_join", "e48_kmeans")
+    "j01_asof_join", "j02_range_join", "e48_kmeans",
+    // round-11 retrieval + graph: one-shot BM25 (postings build + broadcast
+    // query-term search + top_k_by) and 3 PageRank power iterations over
+    // the synthetic link graph (per-iteration combinable contribution sums
+    // on persisted plan-truncated leaves)
+    "d76_bm25_topk", "d78_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

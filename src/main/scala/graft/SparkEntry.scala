@@ -1068,6 +1068,31 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s54_stream_lm_score" -> ((s, dir) => {
+      // in-flight perplexity filtering: the trigram LM trains in batch on
+      // the trusted third (d77's model), is CAPTURED driver-side
+      // (vocabulary-sized), and scores the document stream through a
+      // MAP-ONLY codegen expression — no join, no state store in the
+      // micro-batch. Graded by the identical d77 oracle: map-only scoring
+      // is batch-invariant by construction.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val model = TextOps.trainCharTrigramLm(docs.where("doc_id % 3 = 0"), "text")
+      val (counts, denom) = TextOps.collectLmModel(model)
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select("doc_id", "text")
+      val scored = raw.select(col("doc_id"),
+          TextOps.scoreWithLmLocal(col("text"), counts, denom).as("__s"))
+        .select(col("doc_id"), col("__s.n_trigrams").as("n_trigrams"),
+          round(col("__s.avg_logp"), 6).as("avg_logp"))
+      val sink = s"s54_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = scored.writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -2999,6 +3024,31 @@ object SparkEntry {
          |FROM acc ORDER BY doc_id""".stripMargin,
 
     "d47_decontaminate" -> DecontaminateOracleSql,
+
+    // map-only LM scoring is batch-invariant: the stream grades against
+    // the batch cross-corpus oracle verbatim (see d77)
+    "s54_stream_lm_score" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-2,0)+1),
+        |    i -> text[i:i+2])) AS tri
+        |  FROM documents
+        |), m AS (
+        |  SELECT tri, CAST(count(*) AS BIGINT) AS c FROM occ
+        |  WHERE doc_id % 3 = 0 GROUP BY 1
+        |), st AS (
+        |  SELECT CAST((SELECT sum(c) FROM m) AS BIGINT) AS t,
+        |         CAST((SELECT count(*) FROM m) AS BIGINT) AS v
+        |), sc AS (
+        |  SELECT o.doc_id, COUNT(*) AS n_trigrams,
+        |    ROUND(AVG(ln((CAST(COALESCE(m.c, 0) AS DOUBLE) + 1.0) /
+        |      CAST(st.t + st.v AS DOUBLE))), 6) AS avg_logp
+        |  FROM occ o LEFT JOIN m USING (tri) CROSS JOIN st
+        |  GROUP BY o.doc_id
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  sc.avg_logp
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the streaming probe must agree with the batch gram-join verdict
     "s52_stream_decontaminate" ->

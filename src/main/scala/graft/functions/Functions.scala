@@ -262,6 +262,32 @@ object BucketUtil {
     sum
   }
 
+  /** Laplace-smoothed mean trigram log-likelihood against a prebuilt count
+    * map: `avg ln((c + 1) / denom)` over the row's trigram array, unseen
+    * trigrams probing to the count-0 floor. One map probe per trigram,
+    * no join, no state — the stream-safe form of cross-corpus LM scoring.
+    * Empty array → (0, null). */
+  def lmAvgLogP(arr: ArrayData,
+                counts: java.util.HashMap[UTF8String, java.lang.Long],
+                denom: Double): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, null))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val c = counts.get(arr.getUTF8String(i))
+      val cv = if (c == null) 0L else c.longValue()
+      sum += Math.log((cv + 1.0) / denom)
+      i += 1
+    }
+    // unrounded: callers round with Spark's round() so the convention
+    // matches the batch scoreWithLm / the SQL oracle exactly
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, sum / n))
+  }
+
   /** True iff any element of `arr` is in `set` — one probe per element
     * against a prebuilt hash set (the set is NOT rebuilt per row, unlike
     * `arrays_overlap` against a literal array). */
@@ -508,6 +534,48 @@ case class AnyInSet(child: Expression, elems: Array[String])
   }
 
   override protected def withNewChildInternal(c: Expression): AnyInSet =
+    copy(child = c)
+}
+
+/** `lm_avg_logp(tris)`: Laplace-smoothed mean trigram log-likelihood
+  * against a TRAINED count model that rides the serialized plan as one
+  * shared reference object — the map-only, stream-safe form of
+  * cross-corpus LM scoring ([[graft.ops.TextOps.scoreWithLm]] is the
+  * broadcast-join batch form; this one needs no join and no state, so a
+  * micro-batch scores documents where they arrive). `denom = total + V`
+  * is precomputed at train time. Output: struct(n_trigrams, avg_logp),
+  * (0, null) for docs too short to have trigrams. */
+case class LmAvgLogP(child: Expression, tris: Array[String],
+                     counts: Array[Long], denom: Double)
+    extends UnaryExpression {
+  require(tris.length == counts.length, "tris/counts length mismatch")
+  require(denom > 0, s"denom must be positive, got $denom")
+  // built once per (de)serialized expression instance, shared across rows
+  @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      math.max(16, tris.length * 2))
+    var i = 0
+    while (i < tris.length) {
+      m.put(UTF8String.fromString(tris(i)), counts(i))
+      i += 1
+    }
+    m
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("avg_logp", DoubleType, nullable = true)))
+  override def prettyName: String = "lm_avg_logp"
+
+  override def nullSafeEval(arr: Any): Any =
+    BucketUtil.lmAvgLogP(arr.asInstanceOf[ArrayData], map, denom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("lmCounts", map, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.BucketUtil.lmAvgLogP($a, $mref, $denom)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LmAvgLogP =
     copy(child = c)
 }
 
@@ -1480,6 +1548,13 @@ object GraftFunctions {
   /** True iff any element of a string-array column is in `elems`. */
   def any_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(AnyInSet(expression(arr), elems))
+
+  /** Mean Laplace-smoothed trigram log-likelihood vs a trained count map:
+    * struct(n_trigrams, avg_logp), map-only (see [[LmAvgLogP]]). */
+  def lm_avg_logp(tris: Column, model: Array[(String, Long)],
+                  denom: Double): Column =
+    ColumnBridge.column(LmAvgLogP(expression(tris),
+      model.map(_._1), model.map(_._2), denom))
 
   /** Linear-model score over a token-array column: bias + Σ weight(tok). */
   def token_weight_sum(toks: Column, vocab: Array[String], vals: Array[Double],

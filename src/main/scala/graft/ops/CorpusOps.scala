@@ -640,12 +640,21 @@ object CorpusOps {
    * carries queries×k pairs, not the candidate set. Scores are rounded
    * to 6 decimals BEFORE ranking so the rank is reproducible across
    * engines and partitionings (ties break on document id).
+   *
+   * `maxDf` is the query-time stopword cut — THE candidate-volume lever
+   * at scale: candidates = Σ_{query terms} df(term), so one term the
+   * whole corpus contains drags |corpus| rows into the score no matter
+   * how tiny its idf (`ln(1 + ~0.5/df)` ≈ 0). Terms with `df > maxDf`
+   * are dropped from scoring entirely (measured at sf1: 59% of the
+   * postings table matched some query term unpruned; see SCALE.md).
    */
   def bm25Search(postings: DataFrame, stats: DataFrame,
                  queries: DataFrame, queryIdCol: String, queryTextCol: String,
-                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k: Int, k1: Double = 1.2, b: Double = 0.75,
+                 maxDf: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and b in [0,1], got ($k1, $b)")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val qterms = queries.select(col(queryIdCol).as("query_id"),
         explode(TextOps.tokens(col(queryTextCol))).as("term"))
       .distinct()
@@ -654,9 +663,12 @@ object CorpusOps {
     // vocabulary semi-join, so a per-term count IS the document frequency
     val dfreq = postings.join(broadcast(qvocab), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    // dfreq joins FIRST: the inner join against the (already df-pruned)
+    // term list is what cuts candidate volume before per-query fan-out
     val termScore = postings
-      .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         (log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) /
@@ -674,8 +686,10 @@ object CorpusOps {
     * single query batch; repeated batches should persist the index. */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = Long.MaxValue): DataFrame = {
     val (postings, stats) = bm25Index(corpus, idCol, textCol)
-    bm25Search(postings, stats, queries, queryIdCol, queryTextCol, k, k1, b)
+    bm25Search(postings, stats, queries, queryIdCol, queryTextCol, k, k1, b,
+      maxDf)
   }
 }

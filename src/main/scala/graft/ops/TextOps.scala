@@ -315,4 +315,27 @@ object TextOps {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         col("avg_logp"))
   }
+
+  /** Driver-side capture of a [[trainCharTrigramLm]] model for map-only
+    * scoring: sorted `(tri, count)` pairs plus the Laplace denominator
+    * `total + V`. The collect is VOCABULARY-sized (≤ |charset|³ rows) —
+    * the same boundedness argument as the classifier vocabulary and the
+    * k-means training samples, and exactly what "ship the trained model
+    * to the scoring job" means operationally. */
+  def collectLmModel(model: org.apache.spark.sql.DataFrame): (Array[(String, Long)], Double) = {
+    val rows = model.select(col("tri"), col("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = rows.iterator.map(_._2).sum
+    (rows, (total + rows.length).toDouble)
+  }
+
+  /** Map-only (stream-safe) form of [[scoreWithLm]]: the captured model
+    * rides the plan as one shared hash map, scoring is a single codegen
+    * pass per row — no join, no state, no shuffle, so a micro-batch
+    * scores documents where they arrive. Returns
+    * `struct(n_trigrams, avg_logp)` (avg unrounded; round to match the
+    * batch form's convention). */
+  def scoreWithLmLocal(text: Column, model: Array[(String, Long)],
+                       denom: Double): Column =
+    graft.functions.GraftFunctions.lm_avg_logp(charTrigrams(text), model, denom)
 }

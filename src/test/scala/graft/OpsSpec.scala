@@ -1186,6 +1186,18 @@ class OpsSpec extends AnyFunSuite {
     // dl rides the posting row: doc 1 has 4 tokens on every posting
     val p1 = postings.where("doc_id = 1").collect()
     assert(p1.length == 3 && p1.forall(_.getAs[Long]("dl") == 4L))
+
+    // maxDf stopword cut: apple/zebra/banana all have df = 2, so maxDf = 1
+    // drops every query term from scoring — no candidates at all — while
+    // maxDf = 2 changes nothing
+    assert(CorpusOps.bm25TopK(corpus, "doc_id", "text", queries,
+      "qid", "qtext", k = 3, k1 = 1.25, b = 0.75, maxDf = 1L).count() == 0)
+    val atDf2 = CorpusOps.bm25TopK(corpus, "doc_id", "text", queries,
+        "qid", "qtext", k = 3, k1 = 1.25, b = 0.75, maxDf = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(atDf2 == got)
   }
 
   test("trainCharTrigramLm/scoreWithLm: Laplace floor for unseen, cross-corpus parity") {
@@ -1209,6 +1221,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(13L) == ((2L, r6((lp(3) + lp(0)) / 2.0)))) // mixed
     // the floor scores strictly below every in-model trigram
     assert(out(11L)._2 < out(10L)._2)
+
+    // the captured map-only (stream-safe) form scores identically to the
+    // broadcast-join batch form, with a shuffle-free plan
+    val (counts, denom) = TextOps.collectLmModel(model)
+    assert(denom == t + v)
+    val local = test.select($"doc_id",
+      TextOps.scoreWithLmLocal($"text", counts, denom).as("s"))
+    val localOut = local.collect().map(r => r.getLong(0) -> {
+      val s = r.getStruct(1)
+      (s.getLong(0), if (s.isNullAt(1)) Double.NaN else r6(s.getDouble(1)))
+    }).toMap
+    assert(Seq(10L, 11L, 13L).forall(id => localOut(id) == out(id)))
+    assert(localOut(12L)._1 == 0L && localOut(12L)._2.isNaN)
+    val lplan = local.queryExecution.executedPlan.toString
+    assert(!lplan.contains("Exchange"), s"expected map-only plan:\n$lplan")
   }
 
   test("pageRank: plain-Scala power-iteration parity, dangling mass conserved") {

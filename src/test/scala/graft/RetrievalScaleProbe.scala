@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.{CorpusOps, GraphOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** sf1-scale timing + plan sanity for BM25 retrieval, PageRank, and the
+  * map-only LM scorer (not part of the suite): run with
+  * `Test/runMain graft.RetrievalScaleProbe /tmp/sf1`. */
+object RetrievalScaleProbe {
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"TIMER $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    println(s"documents: ${docs.count()}")
+
+    // ---- BM25: build once (persisted), search many query batches
+    val tmp = java.nio.file.Files.createTempDirectory("bm25probe").toString
+    timed("bm25 index build+write") {
+      val (postings, stats) = CorpusOps.bm25Index(docs, "doc_id", "text")
+      postings.write.parquet(s"$tmp/postings")
+      stats.write.parquet(s"$tmp/stats")
+    }
+    val postings = spark.read.parquet(s"$tmp/postings")
+    val stats = spark.read.parquet(s"$tmp/stats")
+    println(s"postings: ${postings.count()}")
+    val queries = docs.where("doc_id % 97 = 0")
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 4), " ").as("qtext"))
+    println(s"queries: ${queries.count()}")
+    for (i <- 1 to 2) timed(s"bm25 search (persisted index) #$i") {
+      CorpusOps.bm25Search(postings, stats, queries, "query_id", "qtext", k = 10)
+        .write.mode("overwrite").format("noop").save()
+    }
+    timed("bm25 one-shot (no index reuse)") {
+      CorpusOps.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // candidate volume: how selective is the broadcast term semi-join,
+    // and how much does the query-time stopword cut (maxDf) recover?
+    val qvocab = queries
+      .select(explode(TextOps.tokens(col("qtext"))).as("term")).distinct()
+    val cand = postings.join(broadcast(qvocab), Seq("term")).count()
+    println(s"candidate postings: $cand of ${postings.count()}")
+    // query-term df at sf1 is bimodal: ~half are sf1 copy markers
+    // (df = 5000, one copy each), the rest organic corpus-wide terms
+    // (df >= 32k) — the cut keeps the informative markers only
+    val maxDf = 10000L
+    val dfq = postings.join(broadcast(qvocab), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val candPruned = postings
+      .join(broadcast(dfq.where(col("df") <= maxDf)), Seq("term")).count()
+    println(s"candidate postings at maxDf=$maxDf: $candPruned")
+    for (i <- 1 to 2) timed(s"bm25 search maxDf=$maxDf #$i") {
+      CorpusOps.bm25Search(postings, stats, queries, "query_id", "qtext",
+          k = 10, maxDf = maxDf)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // ---- PageRank: 100k-edge synthetic web, 3 and 10 iterations
+    val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 13) % 101).as("dst"))
+      .unionByName(docs.select(col("doc_id").as("src"),
+        (col("doc_id") % 97).as("dst")))
+    for (iters <- Seq(3, 10)) timed(s"pagerank iters=$iters") {
+      val pr = GraphOps.pageRank(edges, "src", "dst", iters = iters,
+        damping = 0.875)
+      val total = pr.agg(sum("rank")).collect()(0).getDouble(0)
+      println(f"  rank mass after $iters iters: $total%.9f")
+    }
+
+    // ---- map-only LM scoring: captured-model expression over the corpus
+    val model = TextOps.trainCharTrigramLm(
+      docs.where("doc_id % 3 = 0"), "text")
+    val (counts, denom) = timed("lm model collect")(
+      TextOps.collectLmModel(model))
+    println(s"lm vocab: ${counts.length}")
+    for (i <- 1 to 2) timed(s"lm map-only scoring #$i") {
+      docs.select(col("doc_id"),
+          TextOps.scoreWithLmLocal(col("text"), counts, denom).as("s"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    timed("lm broadcast-join scoring") {
+      TextOps.scoreWithLm(docs, "doc_id", "text", model)
+        .write.mode("overwrite").format("noop").save()
+    }
+  }
+}
