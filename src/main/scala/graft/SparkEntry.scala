@@ -1528,6 +1528,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d80_bpe_tokens" -> ((s, dir) => {
+      // real subword token accounting: BPE merges train on a bounded
+      // driver sample (tokenizer training is always sample-based), then
+      // one map-only codegen pass re-tokenizes the corpus — the honest
+      // budget denominator vs whitespace counts. BPE inference is not
+      // SQL-expressible, so the driver records the rows-only check; the
+      // algorithm is spec-verified against hand-traced merges and the
+      // lossless-roundtrip property (OpsSpec).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val merges = TextOps.trainBpe(docs, "text", numMerges = 200)
+      docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(TextOps.bpeEncode(col("text"), merges)).cast("long")
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "d79_heavy_hitters" -> ((s, dir) => {
+      // exact stopword detection via sketch-then-verify: one Misra-Gries
+      // aggregate (<= 64 entries per map partition on the exchange, never
+      // the vocabulary) finds candidates with a no-false-negative
+      // guarantee at the 1/64 threshold; an isin-pushed exact recount
+      // plus integer threshold cnt*64 >= n makes the output exact — the
+      // oracle is the plain GROUP BY/HAVING it sketches around.
+      val occ = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      CorpusOps.heavyHitters(occ, "term", num = 1L, den = 64L)
+        .orderBy("term")
+    }),
+
     "d78_pagerank" -> ((s, dir) => {
       // link-graph authority over a deterministic synthetic web: every doc
       // links to two modular hubs, so low-id docs accumulate rank. 3 power
@@ -3364,6 +3394,16 @@ object SparkEntry {
         |  sc.avg_logp
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the sketch is exactness-preserving at the threshold, so the oracle
+    // is the plain counting query
+    "d79_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+        |occ AS (SELECT unnest(t) AS term FROM toks),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM occ),
+        |g AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1)
+        |SELECT term, cnt FROM g CROSS JOIN n WHERE cnt * 64 >= n.n
+        |ORDER BY term""".stripMargin,
 
     // 3 unrolled power iterations; damping 7/8 keeps 1-d exact in doubles
     "d78_pagerank" ->

@@ -1397,6 +1397,134 @@ case class TopKByScore(score: Expression, id: Expression, k: Int,
     copy(score = l, id = r)
 }
 
+/** Mutable buffer for [[MisraGries]]: at most `k` tracked terms with
+  * lower-bound counts, plus the exact total of non-null rows seen. The
+  * classic guarantee: any term with true frequency > n/(k+1) is still
+  * tracked at the end, under both row updates and summary merges
+  * (Agarwal et al., "Mergeable Summaries": union counts, then subtract
+  * the (k+1)-th largest and drop non-positive). */
+final class MgBuffer(val k: Int) {
+  val counts = new java.util.HashMap[UTF8String, java.lang.Long](k * 2)
+  var n: Long = 0L
+
+  def addOne(term: UTF8String): Unit = {
+    n += 1
+    val cur = counts.get(term)
+    if (cur != null) counts.put(term, cur + 1L)
+    else if (counts.size < k) counts.put(term.clone(), 1L)
+    else {
+      // decrement-all step: O(k), amortized against prior increments
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  def mergeIn(other: MgBuffer): Unit = {
+    n += other.n
+    val oit = other.counts.entrySet().iterator()
+    while (oit.hasNext) {
+      val e = oit.next()
+      val cur = counts.get(e.getKey)
+      if (cur != null) counts.put(e.getKey, cur + e.getValue)
+      else counts.put(e.getKey, e.getValue)
+    }
+    if (counts.size > k) {
+      // subtract the (k+1)-th largest count from everything
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val vit = counts.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - k - 1)
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+  }
+}
+
+/** `misra_gries(term, k)`: one-pass mergeable heavy-hitter summary —
+  * struct(n, items: array<struct<term, cnt>>), items sorted by term. Each
+  * map partition reduces to ≤ k entries BEFORE the exchange (partial
+  * merge), so finding frequent-term candidates costs one combinable
+  * aggregate instead of a full-vocabulary shuffle; every term with true
+  * frequency > n/(k+1) is guaranteed present (cnt is a lower bound — pair
+  * with an exact recount of the ≤ k candidates for exact output, see
+  * [[graft.ops.CorpusOps.heavyHitters]]). */
+case class MisraGries(term: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[MgBuffer]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(k >= 1, s"misra_gries needs k >= 1, got $k")
+  override def child: Expression = term
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (term.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"misra_gries expects a string term, got ${term.dataType}")
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
+  override def update(b: MgBuffer, input: org.apache.spark.sql.catalyst.InternalRow): MgBuffer = {
+    val t = term.eval(input)
+    if (t != null) b.addOne(t.asInstanceOf[UTF8String])
+    b
+  }
+  override def merge(b: MgBuffer, o: MgBuffer): MgBuffer = { b.mergeIn(o); b }
+  private def itemRows(b: MgBuffer): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val entries = new Array[(UTF8String, Long)](b.counts.size)
+    var i = 0
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue.longValue())
+      i += 1
+    }
+    entries.sortWith((a, b) => a._1.compareTo(b._1) < 0)
+      .map(e => org.apache.spark.sql.catalyst.InternalRow(e._1, e._2))
+  }
+  override def eval(b: MgBuffer): Any =
+    org.apache.spark.sql.catalyst.InternalRow(b.n,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(itemRows(b)))
+  @transient private lazy val serProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      Array[DataType](dataType))
+  override def serialize(b: MgBuffer): Array[Byte] =
+    serProj(org.apache.spark.sql.catalyst.InternalRow(eval(b))).copy().getBytes
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val st = row.getStruct(0, 2)
+    val b = new MgBuffer(k)
+    b.n = st.getLong(0)
+    val arr = st.getArray(1)
+    var i = 0
+    while (i < arr.numElements()) {
+      val item = arr.getStruct(i, 2)
+      b.counts.put(item.getUTF8String(0).clone(), item.getLong(1))
+      i += 1
+    }
+    b
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+  override def withNewMutableAggBufferOffset(n: Int): MisraGries =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MisraGries =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): MisraGries =
+    copy(term = c)
+}
+
 /** Mutable buffer for [[VectorSumFixed]]: per-dimension fixed-point sums
   * plus the row count. Allocated lazily at the first vector (dimension is
   * data-driven). */
@@ -1548,6 +1676,18 @@ object GraftFunctions {
   /** True iff any element of a string-array column is in `elems`. */
   def any_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(AnyInSet(expression(arr), elems))
+
+  /** BPE subword tokens from trained merges (see [[BpeEncode]]):
+    * array<string>, map-only, model as one shared plan reference. */
+  def bpe_encode(text: Column, merges: Array[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(expression(text),
+      merges.map(_._1), merges.map(_._2)))
+
+  /** One-pass mergeable heavy-hitter summary (see [[MisraGries]]):
+    * struct(n, items array<struct<term, cnt>>), ≤ k items. */
+  def misra_gries(term: Column, k: Int): Column =
+    ColumnBridge.column(MisraGries(expression(term), k)
+      .toAggregateExpression())
 
   /** Mean Laplace-smoothed trigram log-likelihood vs a trained count map:
     * struct(n_trigrams, avg_logp), map-only (see [[LmAvgLogP]]). */

@@ -682,6 +682,54 @@ object CorpusOps {
     SimilarityOps.topKBy(scored, "query_id", "doc_id", "score", k)
   }
 
+  /**
+   * EXACT heavy hitters without a full-vocabulary shuffle: every value of
+   * `termCol` whose exact count satisfies `cnt·den ≥ n·num` (frequency
+   * ≥ num/den of the non-null rows) with its exact count — the corpus
+   * stopword/boilerplate/hot-key detector.
+   *
+   * Two passes, the sketch-then-verify shape:
+   *  1. CANDIDATES: one [[graft.functions.MisraGries]] aggregate — each
+   *     map partition reduces to ≤ `capacity` entries BEFORE the
+   *     exchange, so the shuffle carries ≤ capacity·partitions tiny
+   *     rows, never the vocabulary. MG guarantees every term with
+   *     frequency > n/(capacity+1) survives; `capacity ≥ den/num` makes
+   *     false negatives impossible AT the threshold. The ≤ capacity
+   *     candidates (bounded by construction) come to the driver.
+   *  2. EXACT RECOUNT: one combinable count over rows matching the
+   *     candidate set — an `isin` literal filter, PUSHABLE to the scan —
+   *     then the exact integer threshold `cnt·den ≥ n·num` (no float
+   *     frequency compare). Output is exact and deterministic, so a
+   *     plain GROUP BY/HAVING oracle grades it.
+   */
+  def heavyHitters(df: DataFrame, termCol: String,
+                   num: Long = 1L, den: Long = 100L,
+                   capacity: Int = 0): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"threshold must satisfy 1 <= num <= den, got $num/$den")
+    val k =
+      if (capacity > 0) capacity
+      else math.max(16, math.ceil(den.toDouble / num).toInt)
+    require(k >= den / num,
+      s"capacity $k cannot guarantee threshold $num/$den (need >= ${den / num})")
+    val row = df.agg(graft.functions.GraftFunctions
+      .misra_gries(col(termCol), k).as("s")).head()
+    val s = row.getStruct(0)
+    val n = s.getLong(0)
+    val cands = s.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    if (n == 0 || cands.isEmpty)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(termCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    df.where(col(termCol).isin(cands: _*))
+      .groupBy(termCol).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(den) >= lit(n) * lit(num))
+  }
+
   /** One-shot convenience: [[bm25Index]] + [[bm25Search]]. Fine for a
     * single query batch; repeated batches should persist the index. */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,

@@ -338,4 +338,28 @@ object TextOps {
   def scoreWithLmLocal(text: Column, model: Array[(String, Long)],
                        denom: Double): Column =
     graft.functions.GraftFunctions.lm_avg_logp(charTrigrams(text), model, denom)
+
+  /** Train BPE merges on a bounded driver-side corpus sample (tokenizer
+    * training is always sample-based; the sample, not the corpus, bounds
+    * driver memory — the [[graft.ops.SimilarityOps.topKIvf]] argument).
+    * Returns the ordered merge list — persist it like any model
+    * artifact; [[bpeEncode]] applies it anywhere, batch or stream. */
+  def trainBpe(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, sampleDocs: Int = 2048): Array[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(sampleDocs >= 1, s"sampleDocs must be >= 1, got $sampleDocs")
+    val texts = corpus.select(col(textCol)).where(col(textCol).isNotNull)
+      .limit(sampleDocs).collect().map(_.getString(0))
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach(_.trim.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    graft.functions.BpeUtil.train(freq.toMap, numMerges)
+  }
+
+  /** BPE subword tokens (`array<string>`, `</w>`-marked) via a map-only
+    * codegen expression — the REAL token count for budget ops
+    * ([[graft.ops.CorpusOps.selectWithinBudget]], `packSequences`):
+    * whitespace counts undercount code/CJK/URLs badly. */
+  def bpeEncode(text: Column, merges: Array[(String, String)]): Column =
+    graft.functions.GraftFunctions.bpe_encode(text, merges)
 }

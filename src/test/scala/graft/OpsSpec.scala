@@ -1238,6 +1238,86 @@ class OpsSpec extends AnyFunSuite {
     assert(!lplan.contains("Exchange"), s"expected map-only plan:\n$lplan")
   }
 
+  test("BPE: hand-traced merges, lossless roundtrip, Zipf compression, stream-safe plan") {
+    import graft.functions.BpeUtil
+    // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3 — the
+    // Sennrich paper's classic example shape
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = BpeUtil.train(freq, numMerges = 10)
+    // first merge must be the most frequent pair: (e,s) with count 9
+    // (newest x6 + widest x3); then (es,t) 9, then (est,</w>) 9
+    assert(merges.take(3).toSeq == Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+    val ranks = {
+      val m = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+      m
+    }
+    // "lowest" was never a training word but reuses learned subwords:
+    // rank order applies (e,s)(es,t)(est,</w>) then (l,o)(lo,w)
+    assert(BpeUtil.encodeWord("lowest", ranks).toSeq == Seq("low", "est</w>"))
+    // lossless roundtrip on arbitrary words incl. unseen characters
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest", "zzz", "a",
+        "née", "x1y2")) {
+      val subs = BpeUtil.encodeWord(w, ranks)
+      assert(subs.mkString.stripSuffix("</w>") == w, s"roundtrip of $w")
+    }
+
+    // column form over a DataFrame: counts consistent + deterministic
+    val docs = Seq((1L, "low lower newest"), (2L, ""), (3L, "newest newest"))
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        TextOps.bpeEncode($"text", merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(2L).isEmpty)
+    // "newest" is a whole learned unit after 10 merges
+    assert(out(3L) == Seq("newest</w>", "newest</w>"))
+    // "lower" shares low but e/r stay characters
+    assert(out(1L) == Seq("low</w>", "low", "e", "r", "</w>", "newest</w>"))
+    // trained-corpus text compresses well below characters
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val m2 = TextOps.trainBpe(real, "text", numMerges = 200)
+    val stats = real.select(
+        size(TextOps.bpeEncode($"text", m2)).as("bpe"),
+        length($"text").as("chars"),
+        size(TextOps.tokens($"text")).as("ws"))
+      .agg(sum("bpe"), sum("chars"), sum("ws")).collect()(0)
+    val (bpe, chars, ws) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    assert(bpe < chars / 2, s"BPE $bpe should compress chars $chars")
+    assert(bpe >= ws, s"BPE $bpe can never go below one token per word $ws")
+    // map-only: no exchange in the encode plan
+    val plan = real.select(TextOps.bpeEncode($"text", m2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected map-only plan:\n$plan")
+  }
+
+  test("heavyHitters: exact at the threshold, partition-invariant, minimal capacity") {
+    // 1000 rows: "a" x400, "b" x200, "c" x100 (exactly 1/10), "d" x99
+    // (just under), 201 singletons
+    val toks = Seq.fill(400)("a") ++ Seq.fill(200)("b") ++
+      Seq.fill(100)("c") ++ Seq.fill(99)("d") ++
+      (0 until 201).map(i => s"x$i")
+    assert(toks.size == 1000)
+    val df = toks.toDF("term")
+    def run(d: org.apache.spark.sql.DataFrame, cap: Int = 0) =
+      CorpusOps.heavyHitters(d, "term", num = 1L, den = 10L, capacity = cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("a" -> 400L, "b" -> 200L, "c" -> 100L)
+    assert(run(df) == want)                    // c (exactly n/10) in, d out
+    assert(run(df.repartition(13)) == want)    // summary-merge invariance
+    assert(run(df.repartition(1)) == want)
+    assert(run(df, cap = 10) == want)          // minimal guaranteed capacity
+    // capacity below the guarantee is rejected loudly, not silently lossy
+    intercept[IllegalArgumentException](run(df, cap = 5))
+    // nulls are not rows: threshold denominator counts non-null only
+    val withNulls = df.unionByName(
+      Seq.fill(9000)(null.asInstanceOf[String]).toDF("term"))
+    assert(run(withNulls) == want)
+    // empty input -> empty output with the right schema
+    val empty = run(df.where("term = 'nope'"))
+    assert(empty.isEmpty)
+  }
+
   test("pageRank: plain-Scala power-iteration parity, dangling mass conserved") {
     // 1 <-> 2 hub pair, 3/4 feed 1, 5 is DANGLING (only appears as dst)
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L),
