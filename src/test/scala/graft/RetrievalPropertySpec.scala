@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.CorpusOps
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks for BM25 retrieval and heavy hitters: random
+  * corpora vs plain-Scala references. Deterministic: generators run from
+  * fixed seeds. */
+class RetrievalPropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // small Zipf-ish vocabulary: low word indexes are much more likely
+  private val genWord: Gen[String] =
+    Gen.frequency(
+      (8, Gen.choose(0, 2)), (4, Gen.choose(3, 8)), (1, Gen.choose(9, 29)))
+      .map(i => s"w$i")
+
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    docs <- Gen.listOfN(n, Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, genWord).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def bm25Reference(docs: Seq[(Long, String)],
+                            queries: Seq[(Long, String)], k: Int,
+                            maxDf: Long): Map[(Long, Int), (Long, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = docs.size.toDouble
+    val tot = toks.values.map(_.size).sum
+    val avgdl = tot.toDouble / n
+    def df(t: String) = toks.values.count(_.contains(t)).toLong
+    val out = scala.collection.mutable.Map.empty[(Long, Int), (Long, Double)]
+    queries.foreach { case (qid, qtext) =>
+      val qts = qtext.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .filter(t => df(t) >= 1 && df(t) <= maxDf)
+      val scored = toks.toSeq.flatMap { case (docId, d) =>
+        val s = qts.filter(d.contains).map { t =>
+          val tf = d.count(_ == t).toDouble
+          val dfl = df(t).toDouble
+          math.log(1.0 + (n - dfl + 0.5) / (dfl + 0.5)) *
+            (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * d.size / avgdl))
+        }.sum
+        if (s == 0.0) None else Some((docId, math.rint(s * 1e6) / 1e6))
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .foreach { case ((id, s), r) => out((qid, r + 1)) = (id, s) }
+    }
+    out.toMap
+  }
+
+  test("bm25TopK equals the reference on random corpora, with and without maxDf") {
+    for (seed <- 1 to 4) {
+      val docs = genDocs.pureApply(Gen.Parameters.default, Seed(500L + seed))
+      val queries = docs.filter(_._1 % 3 == 0).take(5)
+        .map { case (id, t) =>
+          (id + 1000L, t.split("\\s+").take(3).mkString(" "))
+        }
+        .filter(_._2.nonEmpty)
+      if (queries.nonEmpty) {
+        val corpusDf = docs.toDF("doc_id", "text")
+        val queriesDf = queries.toDF("qid", "qtext")
+        for (maxDf <- Seq(Long.MaxValue, math.max(1L, docs.size / 2L))) {
+          val want = bm25Reference(docs, queries, k = 4, maxDf)
+          val got = CorpusOps.bm25TopK(corpusDf, "doc_id", "text",
+              queriesDf, "qid", "qtext", k = 4, k1 = 1.25, b = 0.75,
+              maxDf = maxDf)
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(3)) ->
+              (r.getLong(1), r.getDouble(2)))
+            .toMap
+          assert(got.keySet == want.keySet,
+            s"result keys drifted (seed=$seed maxDf=$maxDf): " +
+              s"got ${got.keySet.toSeq.sorted}, want ${want.keySet.toSeq.sorted}")
+          for ((key, (wid, ws)) <- want) {
+            val (gid, gs) = got(key)
+            assert(gid == wid && math.abs(gs - ws) < 1e-9,
+              s"seed=$seed maxDf=$maxDf $key: got ($gid,$gs) want ($wid,$ws)")
+          }
+        }
+      }
+    }
+  }
+
+  test("heavyHitters equals the exact filter on random multisets and thresholds") {
+    for (seed <- 1 to 4) {
+      val terms = Gen.listOfN(300, genWord)
+        .pureApply(Gen.Parameters.default, Seed(700L + seed))
+      val df = terms.toDF("term")
+      for ((num, den) <- Seq((1L, 20L), (1L, 8L), (3L, 100L))) {
+        val n = terms.size.toLong
+        val want = terms.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter { case (_, c) => c * den >= n * num }.toMap
+        val got = CorpusOps.heavyHitters(df, "term", num, den)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed=$seed threshold=$num/$den")
+        // partition-invariance of the mergeable sketch
+        val got7 = CorpusOps.heavyHitters(df.repartition(7), "term", num, den)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got7 == want, s"seed=$seed threshold=$num/$den repartitioned")
+      }
+    }
+  }
+}
