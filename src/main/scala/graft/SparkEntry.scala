@@ -885,6 +885,21 @@ object SparkEntry {
         .select("doc_id", "text", "n_tokens_kept").orderBy("doc_id")
     }),
 
+    "d81_decontaminate_spans" -> ((s, dir) => {
+      // span-level decontamination: the planted benchmark suite (every 5th
+      // doc minus its last token, d47's construction) is cut OUT of every
+      // document — the leaked passage goes, the rest of the page stays.
+      // Test grams broadcast; no keep-first (test text leaves every doc).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val test = docs.where("doc_id % 5 = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      DedupOps.removeContaminatedSpans(docs, "doc_id", "text", test, "text",
+          w = 8)
+        .select("doc_id", "text", "n_tokens_kept").orderBy("doc_id")
+    }),
+
     "d60_shuffle_shards" -> ((s, dir) => {
       // reproducible global shuffle into 8 training shards: layout depends
       // only on (seed, doc_id) — any engine derives the identical order
@@ -1571,6 +1586,22 @@ object SparkEntry {
       GraphOps.pageRank(edges, "src", "dst", iters = 3, damping = 0.875)
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
+    }),
+
+    "e51_mmr_rerank" -> ((s, dir) => {
+      // MMR diversity re-ranking at lambda = 1: the similarity penalty has
+      // weight ZERO, so the greedy selection provably reproduces exact
+      // top-k order — graded by the same SQL as e37 (the e38/e40
+      // exact-at-oracle-config pattern). Diversity behavior (lambda < 1)
+      // is spec-verified on constructed near-duplicate corpora.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKDiverse(
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, candidates = 32, lambda = 1.0)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     "e50_random_projection" -> ((s, dir) => {
@@ -2829,6 +2860,44 @@ object SparkEntry {
          |  CAST(len(kept) AS BIGINT) AS n_tokens_kept
          |FROM cut ORDER BY doc_id""".stripMargin,
 
+    // same islands/cut chain as d63, but hits = membership in the planted
+    // test suite's gram set instead of keep-first duplication
+    "d81_decontaminate_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $ToksSql AS t FROM documents
+         |), occ AS (
+         |  SELECT doc_id, u.p AS p, u.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-8+1,0)+1),
+         |      i -> {'p': i, 'h': md5(array_to_string(t[i:i+7], ' '))})) AS u
+         |    FROM toks) z
+         |), tt AS (
+         |  SELECT t[1:greatest(len(t)-1, 1)] AS tm FROM toks WHERE doc_id % 5 = 0
+         |), tg AS (
+         |  SELECT DISTINCT md5(array_to_string(tm[i:i+7], ' ')) AS h FROM (
+         |    SELECT tm, unnest(range(1, greatest(len(tm)-8+1,0)+1)) AS i FROM tt) z
+         |), hits AS (
+         |  SELECT o.doc_id, o.p AS s, o.p + 7 AS e FROM occ o JOIN tg USING (h)
+         |), isl AS (
+         |  SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ni
+         |  FROM hits
+         |), isl2 AS (
+         |  SELECT doc_id, s, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl
+         |), merged AS (
+         |  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me FROM isl2 GROUP BY doc_id, island
+         |), spanlist AS (
+         |  SELECT doc_id, list({'ms': ms, 'me': me}) AS spans FROM merged GROUP BY doc_id
+         |), cut AS (
+         |  SELECT t.doc_id,
+         |    list_filter(t.t, (x, i) ->
+         |      len(list_filter(COALESCE(s.spans, []), sp -> sp.ms <= i AND i <= sp.me)) = 0) AS kept
+         |  FROM toks t LEFT JOIN spanlist s ON t.doc_id = s.doc_id
+         |)
+         |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS text,
+         |  CAST(len(kept) AS BIGINT) AS n_tokens_kept
+         |FROM cut ORDER BY doc_id""".stripMargin,
+
     "d60_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, lang, md5('r9:' || CAST(doc_id AS VARCHAR)) AS hex
@@ -3009,6 +3078,9 @@ object SparkEntry {
     // the persisted-index probe is exact at full probe, so the same
     // brute-force oracle grades the index round trip
     "e47_knn_ivf_index" -> KnnOracleSql,
+
+    // MMR at lambda = 1 == exact top-k (zero-weight similarity penalty)
+    "e51_mmr_rerank" -> KnnOracleSql,
 
     "e44_knn_graph" ->
       """WITH s AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,

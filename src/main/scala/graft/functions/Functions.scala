@@ -262,6 +262,61 @@ object BucketUtil {
     sum
   }
 
+  /** Greedy MMR over a best-first-sorted candidate array (see
+    * [[MmrSelect]]): each round picks the unselected candidate maximizing
+    * `λ·score − (1−λ)·max cos(v, selected)`, ties on position. Returns
+    * the selected 0-based positions in selection order. At `λ = 1` the
+    * similarity term has weight 0, so selection IS array order (plain
+    * top-k) — the oracle configuration. */
+  def mmrSelect(arr: ArrayData, k: Int,
+                lambda: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val take = math.min(k, n)
+    val scores = new Array[Double](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val st = arr.getStruct(i, 2)
+      scores(i) = st.getDouble(0)
+      vecs(i) = st.getArray(1)
+      i += 1
+    }
+    val selected = new Array[Any](take)
+    val picked = new Array[Boolean](n)
+    // maxSim(i) = max cosine to any selected vector; every unpicked slot
+    // is refreshed after each pick, so past round 0 it is always real
+    val maxSim = new Array[Double](n)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bestVal = Double.NegativeInfinity
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          val value =
+            if (r == 0) scores(j)
+            else lambda * scores(j) - (1.0 - lambda) * maxSim(j)
+          if (value > bestVal) { bestVal = value; best = j }
+        }
+        j += 1
+      }
+      picked(best) = true
+      selected(r) = best
+      if (r + 1 < take) {
+        var m = 0
+        while (m < n) {
+          if (!picked(m)) {
+            val s = cosineFloat(vecs(m), vecs(best))
+            if (r == 0 || s > maxSim(m)) maxSim(m) = s
+          }
+          m += 1
+        }
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(selected)
+  }
+
   /** Laplace-smoothed mean trigram log-likelihood against a prebuilt count
     * map: `avg ln((c + 1) / denom)` over the row's trigram array, unseen
     * trigrams probing to the count-0 floor. One map probe per trigram,
@@ -431,6 +486,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
+}
+
+/** `mmr_select(candidates, k, lambda)`: greedy Maximal Marginal Relevance
+  * over a candidate array SORTED best-first — each round picks the
+  * unselected candidate maximizing `λ·score − (1−λ)·max cos(v, selected)`
+  * (ties break on array position, i.e. on the caller's (score desc, id
+  * asc) sort). Input: `array<struct<score double, vec array<float>>>`;
+  * output: the selected POSITIONS (0-based) in selection order —
+  * type-agnostic, the caller zips ids back. O(k·C·dim) per group over a
+  * BOUNDED candidate array; at `λ = 1` selection is provably plain top-k
+  * order (the oracle config). */
+case class MmrSelect(child: Expression, k: Int, lambda: Double)
+    extends UnaryExpression {
+  require(k >= 1, s"mmr_select needs k >= 1, got $k")
+  require(lambda >= 0.0 && lambda <= 1.0,
+    s"lambda must be in [0, 1], got $lambda")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "mmr_select"
+
+  override def nullSafeEval(v: Any): Any =
+    BucketUtil.mmrSelect(v.asInstanceOf[ArrayData], k, lambda)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BucketUtil.mmrSelect($c, $k, $lambda)")
+
+  override protected def withNewChildInternal(c: Expression): MmrSelect =
+    copy(child = c)
 }
 
 /** Inner product of two float vectors (codegen'd; MIPS scoring). */
@@ -1676,6 +1759,11 @@ object GraftFunctions {
   /** True iff any element of a string-array column is in `elems`. */
   def any_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(AnyInSet(expression(arr), elems))
+
+  /** Greedy MMR positions over a best-first candidate array (see
+    * [[MmrSelect]]): array<int>, selection order. */
+  def mmr_select(candidates: Column, k: Int, lambda: Double): Column =
+    ColumnBridge.column(MmrSelect(expression(candidates), k, lambda))
 
   /** BPE subword tokens from trained merges (see [[BpeEncode]]):
     * array<string>, map-only, model as one shared plan reference. */

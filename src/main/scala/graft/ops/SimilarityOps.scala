@@ -734,6 +734,51 @@ object SimilarityOps {
           .as("pooled"))
   }
 
+  /**
+   * MMR-diversified top-k: brute-force candidates re-ranked by greedy
+   * Maximal Marginal Relevance (Carbonell & Goldstein) — each pick
+   * maximizes `λ·cosine(query) − (1−λ)·max cosine(already picked)`, so
+   * near-duplicate corpus entries stop crowding out diverse results; the
+   * standard retrieval-diversity pass for curating varied training
+   * examples / RAG contexts from redundant corpora.
+   *
+   * 100 TB design: candidate generation is the exact top-`candidates`
+   * path (map-side-combining `top_k_by` — the exchange carries
+   * queries×C pairs); candidate VECTORS join back by id and the greedy
+   * selection runs inside one codegen expression per query over a
+   * BOUNDED C-element array (O(k·C·dim)) — no pairwise corpus work, no
+   * driver loop. The candidate array sorts (score desc, id asc) before
+   * selection, so ties are deterministic; at `λ = 1` the similarity
+   * term has weight zero and the output provably equals [[topKBruteForce]]
+   * (the oracle configuration).
+   */
+  def topKDiverse(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  k: Int, candidates: Int = 50,
+                  lambda: Double = 0.5): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val cand = topKBruteForce(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, candidates)
+    val withVec = cand.join(
+      corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("__v")),
+      Seq("vec_id"))
+    val packed = withVec.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        (-col("cosine")).as("ns"), col("vec_id").as("id"),
+        struct(col("cosine").as("score"), col("__v").as("vec")).as("sv"))))
+        .as("__cand"))
+    packed
+      .select(col("query_id"),
+        col("__cand"),
+        GraftFunctions.mmr_select(
+          expr("transform(__cand, c -> c.sv)"), k, lambda).as("__sel"))
+      .select(col("query_id"), col("__cand"), posexplode(col("__sel")))
+      .select(col("query_id"),
+        expr("__cand[col].id").as("vec_id"),
+        expr("__cand[col].sv.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic ±1 sign for projection cell `(i, j)`: two minstd LCG
     * steps over the mixed index, high-half sign bit (the low bit of an
     * LCG alternates). Exact 64-bit integer arithmetic with every operand

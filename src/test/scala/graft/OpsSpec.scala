@@ -1238,6 +1238,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!lplan.contains("Exchange"), s"expected map-only plan:\n$lplan")
   }
 
+  test("contaminatedSpans: leaked passages cut from every doc, rest survives") {
+    val leak = (1 to 10).map(i => s"q$i").mkString(" ") // 10-token benchmark item
+    val corpus = Seq(
+      (1L, s"intro text here $leak outro text tail words"), // leak mid-doc
+      (2L, s"$leak"),                                       // doc IS the leak
+      (3L, "totally clean document with original words"),   // untouched
+      (4L, s"$leak and again $leak")                        // two hits merge/cut
+    ).toDF("doc_id", "text")
+    val test = Seq(leak).toDF("text")
+
+    val spans = DedupOps.contaminatedSpans(corpus, "doc_id", "text", test,
+        "text", w = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 1: leak occupies tokens 4..13 -> grams 4..6 start there, span 4..13
+    assert(spans.contains((1L, 4, 13)))
+    // doc 2: the whole doc
+    assert(spans.contains((2L, 1, 10)))
+    // doc 3 clean
+    assert(!spans.exists(_._1 == 3L))
+
+    val out = DedupOps.removeContaminatedSpans(corpus, "doc_id", "text",
+        test, "text", w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("intro text here outro text tail words", 7L)))
+    assert(out(2L) == (("", 0L)))
+    assert(out(3L) == (("totally clean document with original words", 6L)))
+    // doc 4: both leak occurrences go; the 2-token bridge has no
+    // 8-gram fully inside a leak so it stays
+    assert(out(4L) == (("and again", 2L)))
+  }
+
   test("BPE: hand-traced merges, lossless roundtrip, Zipf compression, stream-safe plan") {
     import graft.functions.BpeUtil
     // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3 — the
@@ -1350,6 +1381,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
     assert(got(1L) == got.values.max)
     assert(got(4L) == got.values.min) // nothing links to 4
+  }
+
+  test("topKDiverse: lambda=1 equals exact top-k; lambda<1 trades score for diversity") {
+    // lambda = 1 reproduces topKBruteForce exactly on the real fixture
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where("vec_id < 4")
+    val plain = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val mmr1 = SimilarityOps.topKDiverse(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, candidates = 24, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(mmr1 == plain)
+
+    // constructed diversity case: a at 10 deg, b at 20 deg (crowds a),
+    // c at 80 deg; query at 0 deg. Plain top-2 = (a, b); at lambda=0.3
+    // the redundancy penalty flips the second pick to c.
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq((10L, v(10)), (20L, v(20)), (80L, v(80)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((0L, v(0))).toDF("vec_id", "embedding")
+    def picks(lambda: Double) = SimilarityOps.topKDiverse(
+        corpus, "vec_id", "embedding", query, "vec_id", "embedding",
+        k = 2, candidates = 3, lambda = lambda)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(picks(1.0) == Seq(10L, 20L))
+    assert(picks(0.3) == Seq(10L, 80L))
   }
 
   test("randomProject: plain-Scala parity, partition-invariance, zero shuffle") {
