@@ -269,7 +269,8 @@ object MetadataJson {
         "snapshot-id" -> JInt(BigInt(s.snapshotId)),
         "statistics-path" -> JString(s.statisticsPath),
         "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)),
-        "file-footer-size-in-bytes" -> JInt(BigInt(s.fileFooterSizeInBytes))))),
+        "file-footer-size-in-bytes" -> JInt(BigInt(s.fileFooterSizeInBytes)),
+        "blob-metadata" -> JArray(s.blobMetadata.toList.map(blobMetaToJson))))),
       "partition-statistics" -> JArray(m.partitionStatistics.toList.map(s => JObject(
         "snapshot-id" -> JInt(BigInt(s.snapshotId)),
         "statistics-path" -> JString(s.statisticsPath),
@@ -347,7 +348,11 @@ object MetadataJson {
         case JArray(xs) => xs.map(s => StatisticsFile(
           longOf(s \ "snapshot-id"), strOf(s \ "statistics-path"),
           longOf(s \ "file-size-in-bytes"),
-          (s \ "file-footer-size-in-bytes") match { case JInt(i) => i.toLong; case _ => 0L }))
+          (s \ "file-footer-size-in-bytes") match { case JInt(i) => i.toLong; case _ => 0L },
+          (s \ "blob-metadata") match {
+            case JArray(bs) => bs.map(blobMetaFromJson)
+            case _ => Nil
+          }))
         case _ => Nil
       },
       partitionStatistics = (j \ "partition-statistics") match {
@@ -365,6 +370,32 @@ object MetadataJson {
   def read(s: String): TableMetadata = fromJson(JsonMethods.parse(s))
 
   // ---------------------------------------------------------------- utils
+
+  /** Spec-shaped statistics blob metadata (type / snapshot-id /
+    * sequence-number / fields / properties) to and from the generic map
+    * carried on [[StatisticsFile]]. */
+  private def blobMetaToJson(m: Map[String, Any]): JValue = JObject(
+    "type" -> JString(m.getOrElse("type", "").toString),
+    "snapshot-id" -> JInt(BigInt(m.getOrElse("snapshot-id", 0L).toString)),
+    "sequence-number" -> JInt(BigInt(m.getOrElse("sequence-number", 0L).toString)),
+    "fields" -> JArray(m.getOrElse("fields", Seq.empty[Int])
+      .asInstanceOf[Seq[Int]].toList.map(JInt(_))),
+    "properties" -> JObject(m.getOrElse("properties", Map.empty[String, String])
+      .asInstanceOf[Map[String, String]].toList
+      .map { case (k, v) => k -> (JString(v): JValue) }))
+
+  private def blobMetaFromJson(j: JValue): Map[String, Any] = Map(
+    "type" -> strOf(j \ "type"),
+    "snapshot-id" -> longOf(j \ "snapshot-id"),
+    "sequence-number" -> longOf(j \ "sequence-number"),
+    "fields" -> ((j \ "fields") match {
+      case JArray(xs) => xs.map(intOf)
+      case _ => Seq.empty[Int]
+    }),
+    "properties" -> ((j \ "properties") match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }))
 
   private def intOf(j: JValue): Int = j match {
     case JInt(i) => i.toInt

@@ -31,7 +31,7 @@ private[spark] object GraftProcedures {
 
   def list: Array[String] = Array("compact", "expire_snapshots",
     "rewrite_manifests", "remove_orphan_files", "rollback", "fast_forward",
-    "zorder", "maintain", "add_files", "cherrypick_snapshot")
+    "zorder", "maintain", "add_files", "cherrypick_snapshot", "analyze")
 
   def load(backing: GCatalog, name: String): Option[UnboundProcedure] = {
     def t(input: InternalRow): GTable =
@@ -93,6 +93,16 @@ private[spark] object GraftProcedures {
             .map(_.getPath.toString).toSeq
           tbl.addFiles(spark, files)
           s"added ${files.size} files"
+        }))
+      case "analyze" => Some(proc(name,
+        Seq(p("table", StringType),
+          p("columns", StringType, Some("''")),
+          p("approx", BooleanType, Some("true"))),
+        in => {
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val sf = t(in).analyze(spark, cols, in.getBoolean(2))
+          s"analyzed ${sf.blobMetadata.size} columns -> ${sf.statisticsPath}"
         }))
       case _ => None
     }

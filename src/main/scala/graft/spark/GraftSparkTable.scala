@@ -374,6 +374,36 @@ private[spark] class GraftV1Scan(
         if (plannedTasks.forall(_.deleteFiles.isEmpty))
           java.util.OptionalLong.of(plannedTasks.map(_.recordCount).sum)
         else java.util.OptionalLong.empty()
+      // ANALYZE-written NDVs (Table.analyze) surface as DSv2 column
+      // statistics — the ndv property is read straight off the committed
+      // blob metadata, no Puffin IO at plan time. CBO join estimation
+      // sees real distinct counts.
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val snap = snapshotId.orElse(gt.currentSnapshot.map(_.snapshotId))
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        for {
+          sid <- snap.toSeq
+          sf <- gt.statisticsForSnapshot(sid)
+          bm <- sf.blobMetadata
+          fields = bm.getOrElse("fields", Seq.empty[Int]).asInstanceOf[Seq[Int]]
+          if fields.size == 1
+          props = bm.getOrElse("properties", Map.empty[String, String])
+            .asInstanceOf[Map[String, String]]
+          ndv <- props.get("ndv").flatMap(s => scala.util.Try(s.toLong).toOption)
+          name <- gt.currentSchema.fields.find(_.id == fields.head).map(_.name)
+          if required.fieldNames.contains(name)
+        } out.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(ndv)
+          })
+        out
+      }
     }
 
   override def readSchema(): StructType = required

@@ -1374,6 +1374,76 @@ final class Table(
         lastUpdatedMs = System.currentTimeMillis()))
     }
 
+  /**
+   * ANALYZE: compute per-column NDV for the CURRENT snapshot, write it as
+   * a Puffin statistics file, and commit a `statistics` metadata entry
+   * (replacing any prior entry for the same snapshot — re-analyzing is
+   * idempotent per snapshot). Each eligible (primitive-typed) column gets
+   * one blob: custom type `graft-ndv-v1` (an 8-byte big-endian count —
+   * no external sketch library is shipped, so no foreign blob format is
+   * claimed) with the spec's interop `"ndv"` PROPERTY, which is the part
+   * stats-consuming engines actually read. The scan's
+   * `estimateStatistics` surfaces these as DSv2 column statistics, so
+   * Spark's CBO sees real distinct counts.
+   *
+   * 100 TB design: `approx = true` (default) computes every column's NDV
+   * in ONE combinable pass (HyperLogLog++ partial buffers on the
+   * exchange, ±`rsd`); `approx = false` is exact but expands rows
+   * × columns behind one shuffle per distinct aggregate — affordable
+   * only on dimension-sized tables.
+   */
+  def analyze(spark: SparkSession, columns: Seq[String] = Nil,
+              approx: Boolean = true, rsd: Double = 0.05): StatisticsFile = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count_distinct}
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new InvalidDataError("cannot analyze a table with no snapshot"))
+    val schema = meta.currentSchema
+    val eligible = schema.fields
+      .filter(f => columns.isEmpty || columns.contains(f.name))
+      .filter(f => f.fieldType.isPrimitive)
+    require(eligible.nonEmpty, "no primitive columns to analyze")
+    if (columns.nonEmpty) {
+      val missing = columns.filterNot(c => eligible.exists(_.name == c))
+      require(missing.isEmpty,
+        s"column(s) not analyzable (missing or non-primitive): ${missing.mkString(", ")}")
+    }
+    val df = toDF(spark)
+    val aggs = eligible.map(f =>
+      (if (approx) approx_count_distinct(col(f.name), rsd)
+       else count_distinct(col(f.name))).as(f.name))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val ndvs = eligible.zipWithIndex.map { case (f, i) => f -> row.getLong(i) }
+
+    val blobs = ndvs.map { case (f, ndv) =>
+      val bytes = java.nio.ByteBuffer.allocate(8).putLong(ndv).array()
+      graft.puffin.Puffin.Blob("graft-ndv-v1", Seq(f.id),
+        snap.snapshotId, snap.sequenceNumber, bytes,
+        Map("ndv" -> ndv.toString))
+    }
+    val metadataDir = new Path(meta.location, "metadata")
+    val fs = metadataDir.getFileSystem(hadoopConf)
+    val statsPath = new Path(metadataDir,
+      s"stats-${snap.snapshotId}-${java.util.UUID.randomUUID()}.puffin")
+    val (fileLen, blobMetas) = graft.puffin.Puffin.write(fs, statsPath, blobs,
+      Map("created-by" -> "graft analyze"))
+    val footerSize = fileLen - 4L - blobs.map(_.data.length.toLong).sum
+    val entry = StatisticsFile(
+      snap.snapshotId, statsPath.toString, fileLen, footerSize,
+      blobMetas.map(m => Map[String, Any](
+        "type" -> m.blobType,
+        "snapshot-id" -> m.snapshotId,
+        "sequence-number" -> m.sequenceNumber,
+        "fields" -> m.fields,
+        "properties" -> m.properties)))
+    commitWithRetry() { base =>
+      Some(base.copy(
+        statistics = base.statistics.filterNot(_.snapshotId == snap.snapshotId)
+          :+ entry,
+        lastUpdatedMs = System.currentTimeMillis()))
+    }
+    entry
+  }
+
   /** Roll the table back to an earlier snapshot (metadata-only; the
     * abandoned snapshots stay until [[expireSnapshots]]). */
   def rollback(snapshotId: Long): Unit = {

@@ -1,0 +1,117 @@
+package graft
+
+import graft.catalog.MemoryCatalog
+import graft.spark.GraftSparkCatalog
+import graft.types._
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANALYZE: per-column NDV statistics as Puffin files + metadata
+  * `statistics` entries, surfaced through DSv2 column statistics. */
+class AnalyzeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = Schema(0, Seq(
+    NestedField(1, "id", ILong, required = false),
+    NestedField(2, "grp", IInt, required = false),
+    NestedField(3, "name", IString, required = false)))
+
+  test("analyze writes exact NDVs, replaces per snapshot, survives reload") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("an", schema)
+    tbl.append((1L to 100L).map(i => (i, (i % 7).toInt, s"n${i % 13}"))
+      .toDF("id", "grp", "name"))
+
+    val sf = tbl.analyze(spark, approx = false)
+    assert(sf.snapshotId == tbl.currentSnapshot.get.snapshotId)
+    def ndvs(s: graft.meta.StatisticsFile): Map[Int, Long] =
+      s.blobMetadata.map { bm =>
+        bm("fields").asInstanceOf[Seq[Int]].head ->
+          bm("properties").asInstanceOf[Map[String, String]]("ndv").toLong
+      }.toMap
+    assert(ndvs(sf) == Map(1 -> 100L, 2 -> 7L, 3 -> 13L))
+
+    // the Puffin file is real: footer parses, blob payloads carry the NDV
+    val p = new Path(sf.statisticsPath)
+    val fs = p.getFileSystem(tbl.hadoopConf)
+    assert(fs.getFileStatus(p).getLen == sf.fileSizeInBytes)
+    val (metas, _) = graft.puffin.Puffin.readFooter(fs, p)
+    assert(metas.map(_.blobType).distinct == Seq("graft-ndv-v1"))
+    val idBlob = metas.find(_.fields == Seq(1)).get
+    val bytes = graft.puffin.Puffin.readBlob(fs, p, idBlob.offset, idBlob.length)
+    assert(java.nio.ByteBuffer.wrap(bytes).getLong == 100L)
+
+    // re-analyze the same snapshot: REPLACES, never accumulates
+    tbl.analyze(spark, approx = false)
+    assert(tbl.statistics.size == 1)
+
+    // a new snapshot gets its own entry; the old one stays
+    tbl.append(Seq((101L, 99, "brandnew")).toDF("id", "grp", "name"))
+    tbl.analyze(spark, approx = false)
+    assert(tbl.statistics.size == 2)
+    val latest = tbl.statisticsForSnapshot(tbl.currentSnapshot.get.snapshotId)
+    assert(ndvs(latest.head) == Map(1 -> 101L, 2 -> 8L, 3 -> 14L))
+
+    // metadata JSON round-trip preserves the blob metadata
+    val json = graft.meta.MetadataJson.write(cat.currentMetadata(tbl.ident))
+    val re = graft.meta.MetadataJson.read(json)
+    assert(re.statistics.size == 2)
+    assert(ndvs(re.statisticsForSnapshot(sf.snapshotId).head) ==
+      Map(1 -> 100L, 2 -> 7L, 3 -> 13L))
+
+    // approximate mode lands within HLL tolerance
+    val approxSf = tbl.analyze(spark, approx = true)
+    val a = ndvs(approxSf)
+    assert(math.abs(a(1) - 101L) <= 12, s"approx ndv drifted: $a")
+  }
+
+  test("column selection and error surface") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("an2", schema)
+    tbl.append(Seq((1L, 1, "x")).toDF("id", "grp", "name"))
+    val sf = tbl.analyze(spark, columns = Seq("grp"), approx = false)
+    assert(sf.blobMetadata.size == 1 &&
+      sf.blobMetadata.head("fields").asInstanceOf[Seq[Int]] == Seq(2))
+    intercept[IllegalArgumentException](
+      tbl.analyze(spark, columns = Seq("nope")))
+    val empty = cat.createTable("an3", schema)
+    intercept[InvalidDataError](empty.analyze(spark))
+  }
+
+  test("SQL CALL analyze + DSv2 column statistics expose the NDVs") {
+    val cat = new MemoryCatalog(name = "anmem")
+    GraftSparkCatalog.register(spark, "gan", cat)
+    cat.createNamespace(Seq("db"), ifNotExists = true)
+    spark.sql("CREATE TABLE gan.db.t (k BIGINT, label STRING)")
+    spark.sql("INSERT INTO gan.db.t VALUES (0, 'a'), (1, 'b'), (2, 'a'), (3, 'b')")
+    val msg = spark.sql(
+      "CALL gan.system.analyze(table => 'db.t', approx => false)")
+      .collect().head.getString(0)
+    assert(msg.startsWith("analyzed 2 columns"))
+    val gt = cat.loadTable("db.t")
+    val stats = gt.statisticsForSnapshot(gt.currentSnapshot.get.snapshotId)
+    assert(stats.nonEmpty)
+
+    // the V2 relation's scan reports the analyzed distinct counts
+    val rel = spark.table("gan.db.t").queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    // relation may be V1-bridged; drive the scan builder directly instead
+    val sparkTable = new graft.spark.GraftSparkTable(gt)
+    val scan = sparkTable.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val cs = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    val byName = cs.entrySet().iterator()
+    var found = Map.empty[String, Long]
+    while (byName.hasNext) {
+      val e = byName.next()
+      found += e.getKey.fieldNames().mkString(".") ->
+        e.getValue.distinctCount().getAsLong
+    }
+    assert(found == Map("k" -> 4L, "label" -> 2L), s"got $found; rel=$rel")
+  }
+}
