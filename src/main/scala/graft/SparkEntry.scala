@@ -513,6 +513,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g53_analyze_stats" -> ((s, dir) => {
+      // ANALYZE end-to-end: customer loads into a graft table, exact NDV
+      // statistics commit as a Puffin-backed metadata entry, and the query
+      // emits the COMMITTED blob properties — the oracle recomputes every
+      // column's distinct count from the raw parquet, so the whole
+      // write-stats-then-read-stats loop is driver-graded.
+      import s.implicits._
+      val cat = new MemoryCatalog()
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      val tbl = cat.createTable("cust_an",
+        SparkSchemaConverter.fromSpark(cust.schema))
+      tbl.append(cust)
+      val sf = tbl.analyze(s, approx = false)
+      val fieldName = tbl.currentSchema.fields.map(f => f.id -> f.name).toMap
+      sf.blobMetadata.map { bm =>
+        (fieldName(bm("fields").asInstanceOf[Seq[Int]].head),
+          bm("properties").asInstanceOf[Map[String, String]]("ndv").toLong)
+      }.toSeq.toDF("column_name", "ndv").orderBy("column_name")
+    }),
+
     "g48_dsv2_sql" -> ((s, dir) => {
       // native DSv2 TableCatalog: the ENTIRE flow below is Spark SQL routed
       // through spark.sql.catalog.* — CREATE TABLE with a bucket transform,
@@ -2649,6 +2670,17 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 9 AND l_quantity >= 25.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the committed Puffin-statistics NDVs must equal raw count distincts
+    "g53_analyze_stats" ->
+      """SELECT 'c_acctbal' AS column_name, CAST(count(DISTINCT c_acctbal) AS BIGINT) AS ndv FROM customer
+        |UNION ALL
+        |SELECT 'c_custkey', CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer
+        |ORDER BY column_name""".stripMargin,
 
     "g46_v3_deletion_vectors" ->
       """SELECT l_returnflag, COUNT(*) AS n_items, COUNT(*) AS n_rowids,

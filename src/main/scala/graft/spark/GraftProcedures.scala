@@ -31,7 +31,8 @@ private[spark] object GraftProcedures {
 
   def list: Array[String] = Array("compact", "expire_snapshots",
     "rewrite_manifests", "remove_orphan_files", "rollback", "fast_forward",
-    "zorder", "maintain", "add_files", "cherrypick_snapshot", "analyze")
+    "zorder", "maintain", "add_files", "cherrypick_snapshot", "analyze",
+    "analyze_partitions")
 
   def load(backing: GCatalog, name: String): Option[UnboundProcedure] = {
     def t(input: InternalRow): GTable =
@@ -103,6 +104,12 @@ private[spark] object GraftProcedures {
             .map(_.trim).filter(_.nonEmpty).toSeq
           val sf = t(in).analyze(spark, cols, in.getBoolean(2))
           s"analyzed ${sf.blobMetadata.size} columns -> ${sf.statisticsPath}"
+        }))
+      case "analyze_partitions" => Some(proc(name,
+        Seq(p("table", StringType)),
+        in => {
+          val pf = t(in).analyzePartitions(spark)
+          s"partition stats -> ${pf.statisticsPath}"
         }))
       case _ => None
     }

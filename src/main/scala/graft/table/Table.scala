@@ -1444,6 +1444,44 @@ final class Table(
     entry
   }
 
+  /**
+   * Partition-statistics companion of [[analyze]]: the per-partition
+   * roll-up (file/record/byte counts, the `partitions` metadata table's
+   * content) persisted as ONE parquet file under `metadata/` plus a
+   * `partition-statistics` metadata entry for the current snapshot
+   * (replaced on re-run). Query planners read the persisted roll-up
+   * instead of re-walking manifests — at 100 TB the manifest walk is a
+   * distributed job, the stats file is one small scan.
+   */
+  def analyzePartitions(spark: SparkSession): PartitionStatisticsFile = {
+    val snap = meta.currentSnapshot.getOrElse(
+      throw new InvalidDataError("cannot analyze a table with no snapshot"))
+    val rollup = MetadataTables.partitions(spark, this)
+    val metadataDir = new Path(meta.location, "metadata")
+    val statsPath = new Path(metadataDir,
+      s"partition-stats-${snap.snapshotId}-${java.util.UUID.randomUUID()}.parquet")
+    val tmp = new Path(metadataDir,
+      s".partition-stats-tmp-${java.util.UUID.randomUUID()}")
+    rollup.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val fs = metadataDir.getFileSystem(hadoopConf)
+    val part = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .head.getPath
+    if (!fs.rename(part, statsPath))
+      throw new GraftError(s"could not move partition stats to $statsPath")
+    fs.delete(tmp, true)
+    val entry = PartitionStatisticsFile(snap.snapshotId, statsPath.toString,
+      fs.getFileStatus(statsPath).getLen)
+    commitWithRetry() { base =>
+      Some(base.copy(
+        partitionStatistics =
+          base.partitionStatistics.filterNot(_.snapshotId == snap.snapshotId)
+            :+ entry,
+        lastUpdatedMs = System.currentTimeMillis()))
+    }
+    entry
+  }
+
   /** Roll the table back to an earlier snapshot (metadata-only; the
     * abandoned snapshots stay until [[expireSnapshots]]). */
   def rollback(snapshotId: Long): Unit = {

@@ -66,6 +66,30 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(math.abs(a(1) - 101L) <= 12, s"approx ndv drifted: $a")
   }
 
+  test("analyzePartitions persists the partitions roll-up and reloads") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("anp", schema,
+      partitionSpec = graft.meta.PartitionSpec(0, Seq(
+        graft.meta.PartitionField(2, 1000, "grp", "identity"))))
+    tbl.append((1L to 60L).map(i => (i, (i % 3).toInt, s"n$i"))
+      .toDF("id", "grp", "name"))
+    val pf = tbl.analyzePartitions(spark)
+    assert(pf.snapshotId == tbl.currentSnapshot.get.snapshotId)
+    assert(tbl.partitionStatistics.size == 1)
+    // the persisted file IS the partitions metadata table's content
+    val persisted = spark.read.parquet(pf.statisticsPath)
+      .collect().map(r => r.getAs[Map[String, String]]("partition")("grp") ->
+        r.getAs[Long]("record_count")).toMap
+    assert(persisted == Map("0" -> 20L, "1" -> 20L, "2" -> 20L))
+    // re-run replaces; a new snapshot appends its own entry
+    tbl.analyzePartitions(spark)
+    assert(tbl.partitionStatistics.size == 1)
+    tbl.append(Seq((61L, 0, "x")).toDF("id", "grp", "name"))
+    tbl.analyzePartitions(spark)
+    assert(tbl.partitionStatistics.size == 2)
+  }
+
   test("column selection and error surface") {
     import spark.implicits._
     val cat = new MemoryCatalog()
