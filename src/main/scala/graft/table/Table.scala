@@ -1555,6 +1555,7 @@ final class Table(
   private def expireSnapshotsCommit(olderThanMs: Long,
                                     retainLast: Int): (Seq[Snapshot], Seq[Snapshot]) = {
     var committedSplit: (Seq[Snapshot], Seq[Snapshot]) = (Nil, Nil)
+    var droppedStats: Seq[String] = Nil
     commitWithRetry() { base =>
       val byTime = base.snapshots.sortBy(_.timestampMs)
       val protectedIds: Set[Long] =
@@ -1564,11 +1565,32 @@ final class Table(
         s.timestampMs < olderThanMs && !protectedIds.contains(s.snapshotId))
       committedSplit = (expired, remaining)
       if (expired.isEmpty) None
-      else Some(base.copy(
-        snapshots = remaining,
-        snapshotLog = base.snapshotLog.filter(e =>
-          remaining.exists(_.snapshotId == e.snapshotId)),
-        lastUpdatedMs = System.currentTimeMillis()))
+      else {
+        // statistics entries follow their snapshot out of the metadata —
+        // a stale entry would reference a snapshot id that no longer
+        // exists, and its Puffin/parquet would linger forever (the orphan
+        // sweep deliberately never touches non-Avro metadata files)
+        val expiredIds = expired.map(_.snapshotId).toSet
+        droppedStats =
+          base.statistics.filter(s => expiredIds.contains(s.snapshotId))
+            .map(_.statisticsPath) ++
+          base.partitionStatistics.filter(p => expiredIds.contains(p.snapshotId))
+            .map(_.statisticsPath)
+        Some(base.copy(
+          snapshots = remaining,
+          snapshotLog = base.snapshotLog.filter(e =>
+            remaining.exists(_.snapshotId == e.snapshotId)),
+          statistics = base.statistics.filterNot(s =>
+            expiredIds.contains(s.snapshotId)),
+          partitionStatistics = base.partitionStatistics.filterNot(p =>
+            expiredIds.contains(p.snapshotId)),
+          lastUpdatedMs = System.currentTimeMillis()))
+      }
+    }
+    // stats files are one-per-analyzed-snapshot: driver-side deletes
+    if (droppedStats.nonEmpty) {
+      val fs = new Path(meta.location).getFileSystem(hadoopConf)
+      droppedStats.foreach(p => fs.delete(new Path(p), false))
     }
     committedSplit
   }

@@ -90,6 +90,27 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(tbl.partitionStatistics.size == 2)
   }
 
+  test("expireSnapshots drops expired snapshots' statistics entries and files") {
+    import spark.implicits._
+    val cat = new MemoryCatalog()
+    val tbl = cat.createTable("anx", schema)
+    tbl.append(Seq((1L, 1, "a")).toDF("id", "grp", "name"))
+    tbl.analyze(spark, approx = false)
+    val oldStats = tbl.statistics.head
+    Thread.sleep(5)
+    tbl.append(Seq((2L, 2, "b")).toDF("id", "grp", "name"))
+    tbl.analyze(spark, approx = false)
+    val cutoff = System.currentTimeMillis() + 1
+    Thread.sleep(5)
+    tbl.expireSnapshots(cutoff, retainLast = 1)
+    // only the live snapshot's entry survives, and the expired snapshot's
+    // Puffin file is gone from disk
+    assert(tbl.statistics.map(_.snapshotId) ==
+      Seq(tbl.currentSnapshot.get.snapshotId))
+    val p = new Path(oldStats.statisticsPath)
+    assert(!p.getFileSystem(tbl.hadoopConf).exists(p))
+  }
+
   test("column selection and error surface") {
     import spark.implicits._
     val cat = new MemoryCatalog()
