@@ -146,6 +146,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         s => t.refresh().filesDF(s).where(org.apache.spark.sql.functions.col("content") =!= 0)))
       case "metadata_log_entries" => Some(new GraftMetadataSparkTable(label,
         t.refresh().metadataLogEntriesDF(_)))
+      case "statistics" => Some(new GraftMetadataSparkTable(label,
+        t.refresh().statisticsDF(_)))
+      case "partition_statistics" => Some(new GraftMetadataSparkTable(label,
+        t.refresh().partitionStatisticsDF(_)))
       case _ => None
     }
   }

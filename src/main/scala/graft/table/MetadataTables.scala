@@ -112,6 +112,49 @@ object MetadataTables {
     df(spark, schema, rows)
   }
 
+  /** Committed table-statistics files ([[Table.analyze]]): one row per
+    * statistics entry, blob metadata flattened to (type, fields,
+    * properties) structs — `properties['ndv']` is the interop distinct
+    * count. Metadata-only, nothing is read from the Puffin files. */
+  def statisticsTable(spark: SparkSession, table: Table): DataFrame = {
+    val blobType = StructType(Seq(
+      StructField("type", StringType, nullable = false),
+      StructField("fields", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("properties", MapType(StringType, StringType), nullable = false)))
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("statistics_path", StringType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("file_footer_size_in_bytes", LongType, nullable = false),
+      StructField("blob_metadata", ArrayType(blobType, containsNull = false), nullable = false)))
+    val rows = table.statistics.sortBy(s => (s.snapshotId, s.statisticsPath))
+      .map { s =>
+        Row(s.snapshotId, s.statisticsPath, s.fileSizeInBytes,
+          s.fileFooterSizeInBytes,
+          s.blobMetadata.map { bm =>
+            Row(bm.getOrElse("type", "").toString,
+              bm.getOrElse("fields", Seq.empty[Int]).asInstanceOf[Seq[Int]],
+              bm.getOrElse("properties", Map.empty[String, String])
+                .asInstanceOf[Map[String, String]])
+          })
+      }
+    df(spark, schema, rows)
+  }
+
+  /** Committed partition-statistics files ([[Table.analyzePartitions]]):
+    * one row per entry. The roll-up content itself is the referenced
+    * parquet file — read it with `spark.read.parquet(statistics_path)`. */
+  def partitionStatisticsTable(spark: SparkSession, table: Table): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("statistics_path", StringType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false)))
+    val rows = table.partitionStatistics
+      .sortBy(s => (s.snapshotId, s.statisticsPath))
+      .map(s => Row(s.snapshotId, s.statisticsPath, s.fileSizeInBytes))
+    df(spark, schema, rows)
+  }
+
   /** Entry-level view of the current snapshot's manifests (Iceberg's
     * `t.entries`): one row per manifest entry INCLUDING the tombstoned
     * ones (`status = 2`) — this is where "which commit deleted that file"

@@ -120,6 +120,8 @@ final class Table(
   def allManifestsDF(spark: SparkSession): DataFrame = MetadataTables.allManifests(spark, this)
   def allFilesDF(spark: SparkSession): DataFrame = MetadataTables.allFiles(spark, this)
   def metadataLogEntriesDF(spark: SparkSession): DataFrame = MetadataTables.metadataLogEntries(spark, this)
+  def statisticsDF(spark: SparkSession): DataFrame = MetadataTables.statisticsTable(spark, this)
+  def partitionStatisticsDF(spark: SparkSession): DataFrame = MetadataTables.partitionStatisticsTable(spark, this)
 
   // ------------------------------------------------------------ write path
 

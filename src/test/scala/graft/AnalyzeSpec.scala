@@ -158,5 +158,16 @@ class AnalyzeSpec extends AnyFunSuite {
         e.getValue.distinctCount().getAsLong
     }
     assert(found == Map("k" -> 4L, "label" -> 2L), s"got $found; rel=$rel")
+
+    // SQL metadata tables surface the committed statistics entries
+    val stRows = spark.sql(
+      "SELECT snapshot_id, blob_metadata FROM gan.db.t.statistics").collect()
+    assert(stRows.length == 1 &&
+      stRows.head.getLong(0) == gt.currentSnapshot.get.snapshotId)
+    val blobs = stRows.head.getSeq[org.apache.spark.sql.Row](1)
+    assert(blobs.map(_.getAs[Map[String, String]]("properties")("ndv")).sorted
+      == Seq("2", "4"))
+    spark.sql("CALL gan.system.analyze_partitions(table => 'db.t')").collect()
+    assert(spark.sql("SELECT * FROM gan.db.t.partition_statistics").count() == 1)
   }
 }
