@@ -1609,6 +1609,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "e52_knn_binary" -> ((s, dir) => {
+      // 1-bit binary quantization: sign-bit words (32x compression) rank
+      // candidates by Hamming, top-32 re-score with exact cosine. Every
+      // stage before the final cosine is exact integer arithmetic with id
+      // tie-breaks, so this REAL ANN config (not a degenerate-exact one)
+      // replays deterministically in the oracle.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKBinaryQuant(
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, rerank = 32)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e51_mmr_rerank" -> ((s, dir) => {
       // MMR diversity re-ranking at lambda = 1: the similarity penalty has
       // weight ZERO, so the greedy selection provably reproduces exact
@@ -3113,6 +3129,37 @@ object SparkEntry {
 
     // MMR at lambda = 1 == exact top-k (zero-weight similarity penalty)
     "e51_mmr_rerank" -> KnnOracleSql,
+
+    // full binary-quantization replay: sign words -> integer Hamming
+    // candidates (id tie-breaks) -> exact-cosine rerank
+    "e52_knn_binary" ->
+      """WITH enc AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(0, (len(embedding)+31)//32), j ->
+        |      CAST(COALESCE(list_sum(list_transform(
+        |        range(j*32, least(j*32+32, len(embedding))),
+        |        i -> CASE WHEN embedding[CAST(i AS INT)+1] > 0
+        |          THEN CAST(2.0 ** (i - j*32) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)) AS w
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, w AS qw FROM enc WHERE vec_id < 8
+        |), ham AS (
+        |  SELECT q.query_id, e.vec_id, e.embedding, q.qv,
+        |    CAST(COALESCE(list_sum(list_transform(range(len(e.w)),
+        |      i -> bit_count(xor(e.w[CAST(i AS INT)+1], q.qw[CAST(i AS INT)+1])))), 0) AS BIGINT) AS ham
+        |  FROM enc e CROSS JOIN q
+        |), cand AS (
+        |  SELECT query_id, vec_id, embedding, qv,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) AS hr
+        |  FROM ham
+        |), rr AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM cand WHERE hr <= 32
+        |)
+        |SELECT query_id, vec_id, rank FROM rr WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "e44_knn_graph" ->
       """WITH s AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,

@@ -779,6 +779,63 @@ object SimilarityOps {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Sign-bit words of a float vector: word `j` packs dimensions
+    * `[32j, 32j+32)` as `Σ 2^(i−32j) · [v_i > 0]` — exact integer
+    * arithmetic (`pow(2, ≤31)` is an exact double), replayable verbatim
+    * in SQL. 32-bit words, not 64: a 2^63 term overflows BIGINT in
+    * engines that check (DuckDB), and exactness is the point. */
+  private def signWords(vec: Column): Column =
+    transform(sequence(lit(0), ((size(vec) + 31) / 32).cast("int") - 1), j =>
+      aggregate(sequence(j * 32, least(j * 32 + 31, size(vec) - 1)), lit(0L),
+        (acc, i) => acc + when(element_at(vec, i + 1) > 0f,
+          pow(lit(2.0), i - j * 32).cast("long")).otherwise(lit(0L))))
+
+  /** Hamming distance between two sign-word arrays. */
+  private def hammingWords(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /**
+   * Binary-quantization top-k (1-bit BQ, the Lucene/faiss `SQ1` shape):
+   * every vector compresses to its SIGN BITS — 4 bytes per 32 dims, a
+   * 32× reduction over float32 — Hamming distance over the packed words
+   * ranks candidates (one xor+popcount per word vs 32 multiply-adds),
+   * and the top `rerank` candidates re-score with exact cosine.
+   *
+   * 100 TB design: the candidate pass streams ONLY the packed words
+   * (8 bytes per 64-dim vector vs 256) against the broadcast query
+   * words, and per-query top-rerank rides the map-side-combining
+   * `top_k_by` aggregate; full vectors are touched again only for the
+   * queries×rerank candidate rows. The encode output is what you
+   * persist at scale (the PQ-index argument): re-encoding is one
+   * map-only pass. Every stage before the final cosine is EXACT integer
+   * arithmetic with id tie-breaks, so the whole pipeline — not just a
+   * degenerate configuration — replays deterministically in the SQL
+   * oracle; `rerank >= |corpus|` provably equals [[topKBruteForce]].
+   */
+  def topKBinaryQuant(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int, rerank: Int = 32): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cw = corpus.select(col(corpusId).as("vec_id"),
+      signWords(col(corpusVec)).as("w"))
+    val qw = queries.select(col(queryId).as("query_id"),
+      signWords(col(queryVec)).as("qw"))
+    val ham = cw.crossJoin(broadcast(qw))
+      .select(col("query_id"), col("vec_id"),
+        (-hammingWords(col("w"), col("qw")).cast("double")).as("neg_ham"))
+    val cand = topKBy(ham, "query_id", "vec_id", "neg_ham", rerank)
+      .select("query_id", "vec_id")
+    val rescored = cand
+      .join(corpus.select(col(corpusId).as("vec_id"),
+        col(corpusVec).as("cvec")), Seq("vec_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    topK(rescored, "query_id", "vec_id", k)
+  }
+
   /** Deterministic ±1 sign for projection cell `(i, j)`: two minstd LCG
     * steps over the mixed index, high-half sign bit (the low bit of an
     * LCG alternates). Exact 64-bit integer arithmetic with every operand

@@ -1383,6 +1383,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == got.values.min) // nothing links to 4
   }
 
+  test("topKBinaryQuant: exact at full rerank depth; useful recall at depth 32") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count().toInt
+    val q = emb.where("vec_id < 4")
+    val plain = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // rerank depth = corpus size: candidates are ALL vectors, the cosine
+    // rerank IS brute force
+    val full = SimilarityOps.topKBinaryQuant(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == plain)
+    // the real config: sign-bit Hamming candidates at depth 32 keep most
+    // of the true top-5
+    val bq = SimilarityOps.topKBinaryQuant(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, rerank = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = plain.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.keys.toSeq.map(qid =>
+      (bq(qid) & truth(qid)).size.toDouble / truth(qid).size).sum / truth.size
+    assert(recall >= 0.5, s"BQ recall collapsed: $recall")
+    // each query returns exactly k distinct ids, self always found (its
+    // Hamming distance to itself is 0 and cosine is 1)
+    assert(bq.values.forall(_.size == 5))
+    assert(bq.forall { case (qid, ids) => ids.contains(qid) })
+  }
+
   test("topKDiverse: lambda=1 equals exact top-k; lambda<1 trades score for diversity") {
     // lambda = 1 reproduces topKBruteForce exactly on the real fixture
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
