@@ -200,6 +200,51 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q21_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2's correlated-min shape over the lineitem-derived catalog
+      // (the fixture has no partsupp): per part, the supplier offering its
+      // lowest observed price — struct-min picks (cost asc, suppkey asc)
+      // in ONE combinable aggregate instead of a per-part window sort;
+      // dimension joins broadcast.
+      val cost = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val best = cost.groupBy("l_partkey")
+        .agg(min(struct(col("cost"), col("l_suppkey"))).as("b"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("b.cost").as("best_cost"), col("b.l_suppkey").as("s_suppkey"))
+      best
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_size") < 8).select("p_partkey", "p_brand")), Seq("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey")), Seq("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+          Seq("s_nationkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name"), col("best_cost"))
+        .orderBy("p_partkey")
+    }),
+
+    "q22_idle_customers" -> ((s, dir) => {
+      // TPC-H Q22's shape: above-average-balance customers with no
+      // FULFILLED order (every fixture customer has some order, so the
+      // anti-join keys on status-F orders to stay selective). The average
+      // compare is EXACT — bal·n > Σbal in decimal/integer arithmetic, no
+      // float average whose last bit depends on sum order.
+      val cust = t(s, dir, "customer")
+      val pos = cust.where(col("c_acctbal") > 0)
+        .agg(sum(d2(col("c_acctbal"))).as("tot"), n().as("n_pos"))
+      cust.crossJoin(broadcast(pos))
+        .where(d2(col("c_acctbal")) * col("n_pos") > col("tot"))
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("int").as("c_nationkey"))
+        .agg(n().as("n_custs"), sumd(d2(col("c_acctbal"))).as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
     "q16_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -2500,6 +2545,41 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n_parts FROM part
         |WHERE p_size > (SELECT CAST(SUM(p_size) AS DOUBLE) / COUNT(*) FROM part)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q21_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2
+        |), best AS (
+        |  SELECT l_partkey, cost, l_suppkey,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY cost ASC, l_suppkey ASC) AS rn
+        |  FROM cost
+        |)
+        |SELECT b.l_partkey AS p_partkey, p.p_brand, s.s_name, nt.n_name,
+        |  b.cost AS best_cost
+        |FROM best b
+        |JOIN part p ON b.l_partkey = p.p_partkey AND p.p_size < 8
+        |JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        |JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+        |WHERE b.rn = 1
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0
+        |), sel AS (
+        |  SELECT c.c_nationkey, c.c_acctbal FROM customer c CROSS JOIN pos
+        |  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.tot
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |)
+        |SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
