@@ -46,7 +46,12 @@ object Bench {
     // query-term search + top_k_by) and 3 PageRank power iterations over
     // the synthetic link graph (per-iteration combinable contribution sums
     // on persisted plan-truncated leaves)
-    "d76_bm25_topk", "d78_pagerank")
+    "d76_bm25_topk", "d78_pagerank",
+    // round-11 late: exact heavy hitters (one mergeable Misra-Gries pass +
+    // isin-pushed recount), span-level decontamination (positional grams
+    // vs a broadcast test-gram set), and 1-bit binary-quantization top-k
+    // (8-byte sign words on the candidate scan)
+    "d79_heavy_hitters", "d81_decontaminate_spans", "e52_knn_binary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
