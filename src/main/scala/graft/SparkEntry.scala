@@ -1149,6 +1149,34 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s55_stream_heavy_hitters" -> ((s, dir) => {
+      // streaming heavy hitters: the Misra-Gries aggregate runs as a
+      // STREAMING aggregation (complete mode, one global group — state is
+      // ONE <=64-entry buffer, and micro-batch folding exercises exactly
+      // the mergeable-summaries rule the batch spec pins). The drained
+      // candidates feed the same isin-pushed exact batch recount, so the
+      // stream grades against d79's plain GROUP BY/HAVING oracle verbatim.
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val toks = raw.select(explode(TextOps.tokens(col("text"))).as("term"))
+      val sink = s"s55_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = toks
+        .agg(GraftFunctions.misra_gries(col("term"), 64).as("mg"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val mg = s.table(sink).select(col("mg")).head().getStruct(0)
+      val total = mg.getLong(0)
+      val cands = mg.getSeq[Row](1).map(_.getString(0))
+      val occ = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      occ.where(col("term").isin(cands: _*))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * lit(64L) >= lit(total))
+        .orderBy("term")
+    }),
+
     "s54_stream_lm_score" -> ((s, dir) => {
       // in-flight perplexity filtering: the trigram LM trains in batch on
       // the trusted third (d77's model), is CAPTURED driver-side
@@ -3285,6 +3313,17 @@ object SparkEntry {
          |FROM acc ORDER BY doc_id""".stripMargin,
 
     "d47_decontaminate" -> DecontaminateOracleSql,
+
+    // the streaming MG sketch preserves the no-false-negative guarantee
+    // under micro-batch folding, so the exact recount equals the batch
+    // counting query (d79's oracle)
+    "s55_stream_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+        |occ AS (SELECT unnest(t) AS term FROM toks),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM occ),
+        |g AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1)
+        |SELECT term, cnt FROM g CROSS JOIN n WHERE cnt * 64 >= n.n
+        |ORDER BY term""".stripMargin,
 
     // map-only LM scoring is batch-invariant: the stream grades against
     // the batch cross-corpus oracle verbatim (see d77)

@@ -326,9 +326,11 @@ object BucketUtil {
                 counts: java.util.HashMap[UTF8String, java.lang.Long],
                 denom: Double): org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
-    if (n == 0)
+    // empty doc, or an EMPTY MODEL (denom = 0): null score, like the
+    // broadcast-join batch form — not a crash
+    if (n == 0 || denom <= 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](0L, null))
+        Array[Any](n.toLong, null))
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -632,7 +634,7 @@ case class LmAvgLogP(child: Expression, tris: Array[String],
                      counts: Array[Long], denom: Double)
     extends UnaryExpression {
   require(tris.length == counts.length, "tris/counts length mismatch")
-  require(denom > 0, s"denom must be positive, got $denom")
+  require(denom >= 0, s"denom must be non-negative, got $denom")
   // built once per (de)serialized expression instance, shared across rows
   @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Long] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Long](

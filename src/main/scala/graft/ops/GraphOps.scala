@@ -39,14 +39,7 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val spark = edges.sparkSession
-    def persistedLeaf(df: DataFrame): DataFrame = {
-      val leaf = spark.createDataFrame(df.rdd, df.schema)
-      leaf.persist(StorageLevel.MEMORY_AND_DISK)
-      leaf.count() // force NOW: a lazy leaf would re-chain through every
-                   // previously-unpersisted round when finally executed
-      leaf
-    }
+    def persistedLeaf(df: DataFrame): DataFrame = IterPlan.persistedLeaf(df)
     val eDist = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -62,10 +55,12 @@ object GraphOps {
       val dangling = persistedLeaf(
         nodes.join(ew.select(col("src").as("id")).distinct(), Seq("id"),
           "left_anti"))
+      // nodes was just force-counted by persistedLeaf; this count reads
+      // the fresh cache entry
+      val n = nodes.count().toDouble
+      var ranks = persistedLeaf(
+        nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank")))
       try {
-        val n = nodes.count().toDouble
-        var ranks = persistedLeaf(
-          nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank")))
         var i = 0
         while (i < iters) {
           val contribs = ew.join(ranks, ew("src") === ranks("id"))
@@ -87,9 +82,11 @@ object GraphOps {
         }
         // re-materialize off the cache so the entry can be dropped
         val result = ranks.localCheckpoint(true)
-        ranks.unpersist()
         result
       } finally {
+        // also covers mid-iteration failures: the CURRENT ranks leaf is
+        // always the one persisted entry not yet released
+        ranks.unpersist()
         ew.unpersist(); nodes.unpersist(); dangling.unpersist()
       }
     } finally eDist.unpersist()

@@ -784,11 +784,17 @@ object SimilarityOps {
     * arithmetic (`pow(2, ≤31)` is an exact double), replayable verbatim
     * in SQL. 32-bit words, not 64: a 2^63 term overflows BIGINT in
     * engines that check (DuckDB), and exactness is the point. */
-  private def signWords(vec: Column): Column =
-    transform(sequence(lit(0), ((size(vec) + 31) / 32).cast("int") - 1), j =>
+  private def signWords(vec: Column): Column = {
+    val words = transform(sequence(lit(0), ((size(vec) + 31) / 32).cast("int") - 1), j =>
       aggregate(sequence(j * 32, least(j * 32 + 31, size(vec) - 1)), lit(0L),
         (acc, i) => acc + when(element_at(vec, i + 1) > 0f,
           pow(lit(2.0), i - j * 32).cast("long")).otherwise(lit(0L))))
+    // empty vectors encode to NULL (sequence(0, -1) would count DOWN and
+    // index element 0 — the randomProject hazard); a NULL word array makes
+    // the Hamming score NULL, which top_k_by skips, so unencodable rows
+    // simply never become candidates
+    when(size(vec) > 0, words)
+  }
 
   /** Hamming distance between two sign-word arrays. */
   private def hammingWords(a: Column, b: Column): Column =

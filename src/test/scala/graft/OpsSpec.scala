@@ -1236,6 +1236,18 @@ class OpsSpec extends AnyFunSuite {
     assert(localOut(12L)._1 == 0L && localOut(12L)._2.isNaN)
     val lplan = local.queryExecution.executedPlan.toString
     assert(!lplan.contains("Exchange"), s"expected map-only plan:\n$lplan")
+
+    // an EMPTY trained model (nothing long enough to train on) degrades
+    // to null scores like the batch form — not a crash
+    val emptyModel = TextOps.trainCharTrigramLm(
+      Seq((1L, "ab")).toDF("doc_id", "text"), "text")
+    val (ec, ed) = TextOps.collectLmModel(emptyModel)
+    assert(ec.isEmpty && ed == 0.0)
+    val degraded = test.select($"doc_id",
+        TextOps.scoreWithLmLocal($"text", ec, ed).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(degraded(10L).getLong(0) == 1L && degraded(10L).isNullAt(1))
+    assert(degraded(12L).getLong(0) == 0L && degraded(12L).isNullAt(1))
   }
 
   test("contaminatedSpans: leaked passages cut from every doc, rest survives") {
@@ -1411,6 +1423,14 @@ class OpsSpec extends AnyFunSuite {
     // Hamming distance to itself is 0 and cosine is 1)
     assert(bq.values.forall(_.size == 5))
     assert(bq.forall { case (qid, ids) => ids.contains(qid) })
+    // empty corpus vectors are unencodable: they silently never become
+    // candidates (no sequence(0,-1) crash), everything else still ranks
+    val withEmpty = emb.limit(50).select($"vec_id", $"embedding")
+      .unionByName(Seq((9999L, Array.empty[Float])).toDF("vec_id", "embedding"))
+    val r = SimilarityOps.topKBinaryQuant(withEmpty, "vec_id", "embedding",
+        withEmpty.where("vec_id = 0"), "vec_id", "embedding", k = 3, rerank = 8)
+      .collect().map(_.getLong(1))
+    assert(r.length == 3 && !r.contains(9999L))
   }
 
   test("topKDiverse: lambda=1 equals exact top-k; lambda<1 trades score for diversity") {
