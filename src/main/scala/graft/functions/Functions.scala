@@ -345,6 +345,19 @@ object BucketUtil {
       Array[Any](n.toLong, sum / n))
   }
 
+  /** Hamming distance between two packed sign-word arrays: one
+    * XOR + popcount per word. */
+  def hammingWords(a: ArrayData, b: ArrayData): Long = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    sum
+  }
+
   /** True iff any element of `arr` is in `set` — one probe per element
     * against a prebuilt hash set (the set is NOT rebuilt per row, unlike
     * `arrays_overlap` against a literal array). */
@@ -516,6 +529,25 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
 
   override protected def withNewChildInternal(c: Expression): MmrSelect =
     copy(child = c)
+}
+
+/** Hamming distance between two packed sign-word arrays (codegen'd): one
+  * XOR + popcount per word — the 1-bit-quantization scoring kernel. The
+  * HOF `aggregate(zip_with(...))` form it replaces never enters
+  * whole-stage codegen and allocates a zipped array per pair. */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_words"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BucketUtil.hammingWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BucketUtil.hammingWords($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingWords =
+    copy(left = l, right = r)
 }
 
 /** Inner product of two float vectors (codegen'd; MIPS scoring). */
@@ -1761,6 +1793,10 @@ object GraftFunctions {
   /** True iff any element of a string-array column is in `elems`. */
   def any_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(AnyInSet(expression(arr), elems))
+
+  /** Hamming distance over packed sign-word arrays (see [[HammingWords]]). */
+  def hamming_words(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingWords(expression(a), expression(b)))
 
   /** Greedy MMR positions over a best-first candidate array (see
     * [[MmrSelect]]): array<int>, selection order. */

@@ -796,10 +796,12 @@ object SimilarityOps {
     when(size(vec) > 0, words)
   }
 
-  /** Hamming distance between two sign-word arrays. */
+  /** Hamming distance between two sign-word arrays — the codegen kernel
+    * (one xor+popcount per word inside WholeStageCodegen); the HOF
+    * `aggregate(zip_with(...))` form stayed interpreted and lost to the
+    * codegen cosine at in-cache scale (measured at sf1, SCALE.md). */
   private def hammingWords(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    GraftFunctions.hamming_words(a, b)
 
   /**
    * Binary-quantization top-k (1-bit BQ, the Lucene/faiss `SQ1` shape):
@@ -819,12 +821,29 @@ object SimilarityOps {
    * degenerate configuration — replays deterministically in the SQL
    * oracle; `rerank >= |corpus|` provably equals [[topKBruteForce]].
    */
+  /** Sign-bit encode of a vector column: `(id, sign_words array<bigint>)`
+    * — the PERSISTED artifact of binary quantization (4 bytes per 32
+    * dims). Encoding is the expensive half of a one-shot
+    * [[topKBinaryQuant]] call (measured at sf1, SCALE.md); building this
+    * table once and passing it as `encoded` turns every later query
+    * batch into pure xor+popcount over 8-byte words. */
+  def encodeBinary(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), signWords(col(vecCol)).as("sign_words"))
+
   def topKBinaryQuant(corpus: DataFrame, corpusId: String, corpusVec: String,
                       queries: DataFrame, queryId: String, queryVec: String,
-                      k: Int, rerank: Int = 32): DataFrame = {
+                      k: Int, rerank: Int = 32,
+                      encoded: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val cw = corpus.select(col(corpusId).as("vec_id"),
-      signWords(col(corpusVec)).as("w"))
+    // encoded: an [[encodeBinary]] output (idCol, sign_words) — ideally a
+    // persisted table, so the corpus vectors are only touched for the
+    // queries×rerank candidate rows
+    val cw = encoded match {
+      case Some(e) => e.select(col(corpusId).as("vec_id"),
+        col("sign_words").as("w"))
+      case None => corpus.select(col(corpusId).as("vec_id"),
+        signWords(col(corpusVec)).as("w"))
+    }
     val qw = queries.select(col(queryId).as("query_id"),
       signWords(col(queryVec)).as("qw"))
     val ham = cw.crossJoin(broadcast(qw))

@@ -65,6 +65,34 @@ object RetrievalScaleProbe {
         .write.mode("overwrite").format("noop").save()
     }
 
+    // ---- 1-bit binary quantization vs brute force at 20k x 64-d
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = emb.where("vec_id % 431 = 0")
+    println(s"bq queries: ${qv.count()}")
+    for (i <- 1 to 2) timed(s"bq top-10 rerank=64 #$i") {
+      graft.ops.SimilarityOps.topKBinaryQuant(emb, "vec_id", "embedding",
+          qv, "vec_id", "embedding", k = 10, rerank = 64)
+        .write.mode("overwrite").format("noop").save()
+    }
+    for (i <- 1 to 2) timed(s"brute-force top-10 #$i") {
+      graft.ops.SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+          qv, "vec_id", "embedding", k = 10)
+        .write.mode("overwrite").format("noop").save()
+    }
+    // production shape: the encode persists once, search reads 8-byte words
+    val btmp = java.nio.file.Files.createTempDirectory("bqprobe").toString
+    timed("bq encode+write") {
+      graft.ops.SimilarityOps.encodeBinary(emb, "vec_id", "embedding")
+        .write.parquet(s"$btmp/enc")
+    }
+    val enc = spark.read.parquet(s"$btmp/enc")
+    for (i <- 1 to 2) timed(s"bq search (persisted encodes) #$i") {
+      graft.ops.SimilarityOps.topKBinaryQuant(emb, "vec_id", "embedding",
+          qv, "vec_id", "embedding", k = 10, rerank = 64,
+          encoded = Some(enc))
+        .write.mode("overwrite").format("noop").save()
+    }
+
     // ---- PageRank: 100k-edge synthetic web, 3 and 10 iterations
     val edges = docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 7 + 13) % 101).as("dst"))
