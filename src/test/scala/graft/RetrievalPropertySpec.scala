@@ -86,6 +86,54 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topKDiverse equals a plain-Scala greedy MMR reference on random vectors") {
+    import graft.ops.SimilarityOps
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    for (seed <- 1 to 4) {
+      val gen = Gen.listOfN(25, Gen.listOfN(6, Gen.choose(-1.0, 1.0)))
+      val vecs = gen.pureApply(Gen.Parameters.default, Seed(900L + seed))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+      val corpus = vecs.toDF("vec_id", "embedding")
+      val query = Seq((1000L, vecs.head._2)).toDF("vec_id", "embedding")
+      for (lambda <- Seq(1.0, 0.7, 0.3)) {
+        val got = SimilarityOps.topKDiverse(corpus, "vec_id", "embedding",
+            query, "vec_id", "embedding", k = 6, candidates = 25, lambda)
+          .orderBy("rank").collect().map(_.getLong(1)).toSeq
+
+        // reference: sort candidates (score desc, id asc), greedy MMR with
+        // position tie-break — the documented algorithm re-derived
+        val scored = vecs.map { case (id, v) => (id, v, cos(v, vecs.head._2)) }
+          .sortBy { case (id, _, s) => (-s, id) }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSim = Array.fill(scored.size)(0.0)
+        for (r <- 0 until 6) {
+          var best = -1
+          var bestVal = Double.NegativeInfinity
+          for (j <- scored.indices if !picked.contains(j)) {
+            val v = if (r == 0) scored(j)._3
+              else lambda * scored(j)._3 - (1.0 - lambda) * maxSim(j)
+            if (v > bestVal) { bestVal = v; best = j }
+          }
+          picked += best
+          for (m <- scored.indices if !picked.contains(m)) {
+            val s = cos(scored(m)._2, scored(best)._2)
+            if (r == 0 || s > maxSim(m)) maxSim(m) = s
+          }
+        }
+        val want = picked.map(scored(_)._1).toSeq
+        assert(got == want, s"seed=$seed lambda=$lambda: got $got want $want")
+      }
+    }
+  }
+
   test("heavyHitters equals the exact filter on random multisets and thresholds") {
     for (seed <- 1 to 4) {
       val terms = Gen.listOfN(300, genWord)
