@@ -134,6 +134,37 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank matches the reference on random graphs with dangling nodes") {
+    import graft.ops.GraphOps
+    for (seed <- 1 to 3) {
+      val edges = Gen.listOfN(60, for {
+        a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 24L)
+      } yield (a, b)).pureApply(Gen.Parameters.default, Seed(1100L + seed))
+        .distinct
+      val got = GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst",
+          iters = 4, damping = 0.875)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      val e = edges.toSet
+      val nodes = e.toSeq.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val out = e.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val n = nodes.size.toDouble
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 4) {
+        val r0 = r
+        val dm = nodes.filterNot(out.contains).map(r0).sum
+        r = nodes.map { v =>
+          val c = e.toSeq.filter(_._2 == v).map { case (s, _) => r0(s) / out(s) }.sum
+          v -> (0.125 / n + 0.875 * (c + dm / n))
+        }.toMap
+      }
+      assert(got.keySet == nodes.toSet, s"seed=$seed node set")
+      nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-10,
+        s"seed=$seed node $v: ${got(v)} vs ${r(v)}"))
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"seed=$seed mass")
+    }
+  }
+
   test("heavyHitters equals the exact filter on random multisets and thresholds") {
     for (seed <- 1 to 4) {
       val terms = Gen.listOfN(300, genWord)
