@@ -3243,11 +3243,13 @@ object SparkEntry {
     "e52_knn_binary" ->
       """WITH enc AS (
         |  SELECT vec_id, embedding,
+        |    CASE WHEN len(embedding) > 0 THEN
         |    list_transform(range(0, (len(embedding)+31)//32), j ->
         |      CAST(COALESCE(list_sum(list_transform(
         |        range(j*32, least(j*32+32, len(embedding))),
         |        i -> CASE WHEN embedding[CAST(i AS INT)+1] > 0
-        |          THEN CAST(2.0 ** (i - j*32) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)) AS w
+        |          THEN CAST(2.0 ** (i - j*32) AS BIGINT) ELSE 0 END)), 0) AS BIGINT))
+        |    ELSE NULL END AS w
         |  FROM embeddings
         |), q AS (
         |  SELECT vec_id AS query_id, embedding AS qv, w AS qw FROM enc WHERE vec_id < 8
@@ -3256,6 +3258,7 @@ object SparkEntry {
         |    CAST(COALESCE(list_sum(list_transform(range(len(e.w)),
         |      i -> bit_count(xor(e.w[CAST(i AS INT)+1], q.qw[CAST(i AS INT)+1])))), 0) AS BIGINT) AS ham
         |  FROM enc e CROSS JOIN q
+        |  WHERE e.w IS NOT NULL AND q.qw IS NOT NULL
         |), cand AS (
         |  SELECT query_id, vec_id, embedding, qv,
         |    row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) AS hr

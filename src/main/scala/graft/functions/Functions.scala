@@ -300,6 +300,16 @@ object BucketUtil {
         }
         j += 1
       }
+      // NaN-poisoned candidates (NaN score, or a NaN embedding element
+      // propagating through λ·score − (1−λ)·maxSim) never win the strict
+      // `>` — if EVERY unpicked value is NaN, best stays -1. Degrade to
+      // the first unpicked index (array order = best-first) instead of
+      // letting one bad row crash the whole task.
+      if (best == -1) {
+        var f = 0
+        while (f < n && picked(f)) f += 1
+        best = f
+      }
       picked(best) = true
       selected(r) = best
       if (r + 1 < take) {

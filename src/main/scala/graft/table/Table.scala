@@ -1559,6 +1559,10 @@ final class Table(
     var committedSplit: (Seq[Snapshot], Seq[Snapshot]) = (Nil, Nil)
     var droppedStats: Seq[String] = Nil
     commitWithRetry() { base =>
+      // reset per attempt: a failed attempt's droppedStats must not drive
+      // deletes when the retry finds nothing left to expire (a concurrent
+      // expire/rollback may have re-protected those snapshots' stats files)
+      droppedStats = Nil
       val byTime = base.snapshots.sortBy(_.timestampMs)
       val protectedIds: Set[Long] =
         byTime.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
