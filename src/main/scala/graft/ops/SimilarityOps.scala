@@ -63,9 +63,7 @@ object SimilarityOps {
               k: Int, nlist: Int = 0, nprobe: Int = 4,
               trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
     val nl = resolveNlist(nlist, corpus)
-    val sample: Array[Array[Float]] = corpus.select(col(corpusVec))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = sampleVectors(corpus, corpusVec, trainSample)
     val centers = trainKmeans(sample, nl, iters = 10, seed)
     val cells = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"),
       GraftFunctions.nearest_centroid(col(corpusVec), centers).as("cell"))
@@ -102,9 +100,7 @@ object SimilarityOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nl = resolveNlist(nlist, corpus)
-    val sample: Array[Array[Float]] = corpus.select(col(vecCol))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = sampleVectors(corpus, vecCol, trainSample)
     val centers = trainKmeans(sample, nl, iters = 10, seed)
     // nullable array elements: the encoder's non-null element type does
     // not survive a cast against parquet-convention table schemas
@@ -183,9 +179,7 @@ object SimilarityOps {
                k: Int, nlist: Int = 0, nprobe: Int = 4,
                trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
     val nl = resolveNlist(nlist, corpus)
-    val sample: Array[Array[Float]] = corpus.select(col(vecCol))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = sampleVectors(corpus, vecCol, trainSample)
     val centers = trainKmeans(sample, nl, iters = 10, seed)
     // SALT the cell key when there are fewer cells than the cluster has
     // cores: a join on `nl` distinct keys bottoms out at `nl` reducers no
@@ -235,6 +229,30 @@ object SimilarityOps {
       .select(col(groupCol), posexplode(col("__topk")))
       .select(col(groupCol), col("col.id").as(idCol),
         col("col.score").as(scoreCol), (col("pos") + 1).cast("int").as("rank"))
+
+  /**
+   * Deterministic PSEUDO-RANDOM training sample of up to `n` vectors —
+   * the trainer front-end for every codebook in this file (IVF cells,
+   * PQ subspaces, semantic-dedup clusters).
+   *
+   * NOT `limit(n)`: a bare limit takes the FIRST n rows, and at 100 TB
+   * corpus layout follows ingest time/source — a codebook trained on one
+   * source's prefix quantizes the rest of the corpus badly, so IVF/PQ
+   * pruning power quietly collapses corpus-wide (results stay correct —
+   * full probes and the residual bounds are unconditional — but the plan
+   * degrades toward brute force). Ordering by `xxhash64(vector)` makes
+   * the sample a uniform draw over the corpus REGARDLESS of physical
+   * layout, while staying RNG-free: the same corpus always yields the
+   * same sample (and the same trained model), independent of
+   * partitioning and row order. `orderBy(hash).limit(n)` plans as
+   * `TakeOrderedAndProject` — a per-partition partial top-n merged on
+   * the driver, never a global sort.
+   */
+  private[ops] def sampleVectors(corpus: DataFrame, vecCol: String,
+                                 n: Int): Array[Array[Float]] =
+    corpus.select(col(vecCol).as("__v")).where(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__v")))
+      .limit(n).collect().map(_.getSeq[Float](0).toArray)
 
   /** `nlist = 0` → `max(16, ceil(sqrt(n)))` via one corpus count (cheap:
     * column-pruned parquet count, or metadata-only on a graft scan). An
@@ -471,9 +489,8 @@ object SimilarityOps {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
     val dsub = dim / m
-    val sample: Array[Array[Float]] = corpus.select(col(corpusVec))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Float](0).padTo(dim, 0f).toArray)
+    val sample: Array[Array[Float]] =
+      sampleVectors(corpus, corpusVec, trainSample).map(_.padTo(dim, 0f))
     val codebooks = new Array[Float](m * ksub * dsub)
     for (s <- 0 until m) {
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
@@ -546,9 +563,8 @@ object SimilarityOps {
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
     val nl = resolveNlist(nlist, corpus)
     val dsub = dim / m
-    val sample: Array[Array[Float]] = corpus.select(col(corpusVec))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Float](0).padTo(dim, 0f).toArray)
+    val sample: Array[Array[Float]] =
+      sampleVectors(corpus, corpusVec, trainSample).map(_.padTo(dim, 0f))
     val centers = trainKmeans(sample, nl, iters = 10, seed)
     val codebooks = new Array[Float](m * ksub * dsub)
     for (s <- 0 until m) {

@@ -276,13 +276,42 @@ object TextOps {
    * cross-corpus form of [[lmQualityScore]]'s self-training: train once on
    * a trusted high-quality corpus (the CCNet recipe trains on Wikipedia),
    * persist the model, then [[scoreWithLm]] any number of crawl shards
-   * against it. One combinable count per distinct trigram; the model is
-   * vocabulary-sized (≤ |charset|³ rows), never corpus-sized.
+   * against it. One combinable count per distinct trigram.
+   *
+   * The model is vocabulary-sized, but "vocabulary" is NOT small on a
+   * multilingual web corpus: CJK charsets run to tens of thousands of
+   * code points, and observed distinct char trigrams reach 10⁸–10⁹ —
+   * enough to break the driver capture ([[collectLmModel]]) and the
+   * scoring broadcast. Cap the model AT TRAIN TIME:
+   *
+   *  - `minCount` drops trigrams seen fewer than `minCount` times — the
+   *    Zipf tail IS the junk the perplexity filter exists to flag, and a
+   *    pruned trigram simply scores at the Laplace count-0 floor, exactly
+   *    like any other unseen trigram (`minCount = 1` keeps everything:
+   *    bitwise-identical to the uncapped model);
+   *  - `maxVocab` keeps only the top-`maxVocab` trigrams by count (ties
+   *    broken on the trigram string, so the cut is deterministic and
+   *    engine-reproducible); `0` = unlimited. The top-V cut is a
+   *    per-partition partial top-V merged on the driver
+   *    (`TakeOrderedAndProject`) — never a global sort.
+   *
+   * Both caps only shrink `c`/`V` in the Laplace score — [[scoreWithLm]]
+   * and [[scoreWithLmLocal]] need no changes to consume a pruned model.
    */
   def trainCharTrigramLm(df: org.apache.spark.sql.DataFrame,
-                         textCol: String): org.apache.spark.sql.DataFrame =
-    df.select(explode(charTrigrams(col(textCol))).as("tri"))
+                         textCol: String, minCount: Long = 1L,
+                         maxVocab: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxVocab >= 0, s"maxVocab must be >= 0 (0 = unlimited), got $maxVocab")
+    val counts = df.select(explode(charTrigrams(col(textCol))).as("tri"))
       .groupBy("tri").agg(count(lit(1)).as("c"))
+    val floored =
+      if (minCount > 1L) counts.where(col("c") >= minCount) else counts
+    if (maxVocab > 0)
+      floored.orderBy(col("c").desc, col("tri").asc).limit(maxVocab)
+        .select("tri", "c")
+    else floored
+  }
 
   /**
    * Score documents against a trained trigram model with Laplace
@@ -318,13 +347,26 @@ object TextOps {
 
   /** Driver-side capture of a [[trainCharTrigramLm]] model for map-only
     * scoring: sorted `(tri, count)` pairs plus the Laplace denominator
-    * `total + V`. The collect is VOCABULARY-sized (≤ |charset|³ rows) —
-    * the same boundedness argument as the classifier vocabulary and the
-    * k-means training samples, and exactly what "ship the trained model
-    * to the scoring job" means operationally. */
-  def collectLmModel(model: org.apache.spark.sql.DataFrame): (Array[(String, Long)], Double) = {
-    val rows = model.select(col("tri"), col("c")).collect()
+    * `total + V`.
+    *
+    * The collect is MODEL-sized, and the guard is LOUD, not truncating
+    * (the [[graft.streaming.StreamingOps.decontaminateStream]]
+    * `maxTestGrams` pattern): a multilingual corpus can produce 10⁸+
+    * distinct char trigrams, and silently capturing that is a driver
+    * OOM at 100 TB. A model over `maxModelRows` must be pruned at train
+    * time (`minCount` / `maxVocab` on [[trainCharTrigramLm]]) — pruning
+    * is part of the MODEL, not a capture-time truncation, so batch
+    * ([[scoreWithLm]]) and stream ([[scoreWithLmLocal]]) score against
+    * identical tables. */
+  def collectLmModel(model: org.apache.spark.sql.DataFrame,
+                     maxModelRows: Int = 1 << 22): (Array[(String, Long)], Double) = {
+    require(maxModelRows >= 1, s"maxModelRows must be >= 1, got $maxModelRows")
+    val rows = model.select(col("tri"), col("c")).limit(maxModelRows + 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    if (rows.length > maxModelRows)
+      throw new graft.InvalidDataError(
+        s"trigram LM model exceeds $maxModelRows rows; prune at train time " +
+          "(trainCharTrigramLm minCount/maxVocab) before capturing")
     val total = rows.iterator.map(_._2).sum
     (rows, (total + rows.length).toDouble)
   }
@@ -342,6 +384,14 @@ object TextOps {
   /** Train BPE merges on a bounded driver-side corpus sample (tokenizer
     * training is always sample-based; the sample, not the corpus, bounds
     * driver memory — the [[graft.ops.SimilarityOps.topKIvf]] argument).
+    * The sample is a deterministic hash-ordered draw, not `limit(n)`:
+    * the first n rows of a source-clustered 100 TB corpus would train a
+    * one-source vocabulary (the
+    * [[graft.ops.SimilarityOps.sampleVectors]] argument); ordering by
+    * `xxhash64(text)` samples uniformly over the corpus while staying
+    * RNG-free and layout-independent. Training consumes the sample as a
+    * word-frequency MAP, so the draw's order never affects the merges —
+    * only its membership does.
     * Returns the ordered merge list — persist it like any model
     * artifact; [[bpeEncode]] applies it anywhere, batch or stream. */
   def trainBpe(corpus: org.apache.spark.sql.DataFrame, textCol: String,
@@ -349,6 +399,7 @@ object TextOps {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(sampleDocs >= 1, s"sampleDocs must be >= 1, got $sampleDocs")
     val texts = corpus.select(col(textCol)).where(col(textCol).isNotNull)
+      .orderBy(xxhash64(col(textCol)))
       .limit(sampleDocs).collect().map(_.getString(0))
     val freq = scala.collection.mutable.HashMap.empty[String, Long]
     texts.foreach(_.trim.split("\\s+").filter(_.nonEmpty)

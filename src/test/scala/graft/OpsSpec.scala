@@ -1250,6 +1250,65 @@ class OpsSpec extends AnyFunSuite {
     assert(degraded(12L).getLong(0) == 0L && degraded(12L).isNullAt(1))
   }
 
+  test("mmrSelect: NaN-poisoned candidates degrade to array order, never crash") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val good = new GenericArrayData(Array(1f, 0f))
+    val bad = new GenericArrayData(Array(Float.NaN, 1f))
+    // one clean candidate + two whose scores are NaN: after the clean pick,
+    // every remaining value is NaN and the strict > never selects — the
+    // guard must fall back to array order instead of indexing picked(-1)
+    val arr = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](0.9d, good)),
+      new GenericInternalRow(Array[Any](Double.NaN, bad)),
+      new GenericInternalRow(Array[Any](Double.NaN, bad))))
+    val sel = graft.functions.BucketUtil.mmrSelect(arr, 3, 0.5)
+    val picks = (0 until sel.numElements()).map(sel.getInt)
+    assert(picks == Seq(0, 1, 2))
+  }
+
+  test("trainCharTrigramLm caps: minCount/maxVocab prune, collectLmModel guards") {
+    val corpus = Seq((1L, "abcabc"), (2L, "abcd")).toDF("doc_id", "text")
+    // trigram counts: abc->3, bca->1, cab->1, bcd->1
+
+    // prune threshold 1 == unpruned (bitwise-identical model)
+    val unpruned = TextOps.trainCharTrigramLm(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pruned1 = TextOps.trainCharTrigramLm(corpus, "text", minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned1 == unpruned)
+
+    // minCount drops the singleton tail
+    val floored = TextOps.trainCharTrigramLm(corpus, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(floored == Map("abc" -> 3L))
+
+    // maxVocab keeps top-V by (count desc, trigram asc) — deterministic cut
+    val topV = TextOps.trainCharTrigramLm(corpus, "text", maxVocab = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(topV == Map("abc" -> 3L, "bca" -> 1L))
+
+    // a pruned model scores through the UNCHANGED consumers: pruned
+    // trigrams hit the Laplace count-0 floor like any unseen trigram
+    val scored = TextOps.scoreWithLm(
+        Seq((10L, "bca")).toDF("doc_id", "text"), "doc_id", "text",
+        TextOps.trainCharTrigramLm(corpus, "text", minCount = 2L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(scored(10L) == r6(math.log(1.0 / (3 + 1)))) // t=3, V=1, c(bca)=0
+
+    // the capture guard is LOUD, not truncating: an over-vocabulary model
+    // must be pruned at train time, not silently cut at capture
+    val model = TextOps.trainCharTrigramLm(corpus, "text") // 4 rows
+    val e = intercept[graft.InvalidDataError] {
+      TextOps.collectLmModel(model, maxModelRows = 3)
+    }
+    assert(e.getMessage.contains("prune at train time"))
+    // at or under the bound the capture is complete and exact
+    val (rows, denom) = TextOps.collectLmModel(model, maxModelRows = 4)
+    assert(rows.length == 4 && denom == 10.0) // total 6 + V 4
+  }
+
   test("contaminatedSpans: leaked passages cut from every doc, rest survives") {
     val leak = (1 to 10).map(i => s"q$i").mkString(" ") // 10-token benchmark item
     val corpus = Seq(
