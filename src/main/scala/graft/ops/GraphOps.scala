@@ -22,15 +22,23 @@ object GraphOps {
    * nodes are everything appearing as src OR dst.
    *
    * 100 TB design: the edge table (joined once with out-degrees) is
-   * PERSISTED and reused across iterations; each iteration is one
-   * shuffle of `(dst, contribution)` pairs into a combinable sum — rank
-   * state is O(nodes), never O(edges), and the dangling mass is a
-   * one-row broadcast, not a driver scalar. Every round truncates the
+   * PERSISTED and reused across iterations; each iteration is EXACTLY
+   * TWO driver actions (asserted by a listener spec): the leaf
+   * conversion of the next ranks, and ONE aggregate that doubles as
+   * both the eager cache materialization of that leaf AND the next
+   * round's dangling-mass computation — scanning the fresh leaf for
+   * its dangling rows populates the cache as a side effect, so the
+   * separate per-iteration `count()` and the broadcast-build of the
+   * old one-row dm frame are both gone. The dangling mass enters the
+   * update as a LITERAL (one bounded double off a one-row aggregate —
+   * the same boundedness as a one-row broadcast, same addends, so
+   * ranks are numerically unchanged). Every round truncates the
    * Catalyst plan with the same persisted-RDD-leaf trick as
    * [[DedupOps.connectedComponents]] (each round references the
    * previous ranks twice — contributions + dangling — so the analyzed
-   * plan would otherwise double per round), forced eagerly so the
-   * previous round's cache can be dropped deterministically.
+   * plan would otherwise double per round); materialization stays
+   * eager (via the dm aggregate) so the previous round's cache can be
+   * dropped deterministically.
    *
    * Returns `(id, rank)` with ranks summing to 1 (up to float wobble).
    */
@@ -39,7 +47,8 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    def persistedLeaf(df: DataFrame): DataFrame = IterPlan.persistedLeaf(df)
+    def persistedLeaf(df: DataFrame, eager: Boolean = true): DataFrame =
+      IterPlan.persistedLeaf(df, eager)
     val eDist = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -58,26 +67,41 @@ object GraphOps {
       // nodes was just force-counted by persistedLeaf; this count reads
       // the fresh cache entry
       val n = nodes.count().toDouble
-      var ranks = persistedLeaf(
+      // Materialize a new ranks leaf AND read off its dangling mass in
+      // ONE action: the aggregate's scan of the fresh (lazily persisted)
+      // leaf populates the cache exactly like persistedLeaf's eager
+      // count did, and its one-row result is the NEXT round's dm — so
+      // an iteration costs two driver actions total (leaf conversion +
+      // this aggregate), with no separate count and no broadcast build.
+      // The previous leaf is still cached while this runs, so the lazy
+      // leaf never re-chains through released rounds.
+      def materializeWithDm(df: DataFrame): (DataFrame, Double) = {
+        val leaf = persistedLeaf(df, eager = false)
+        val dm = dangling.join(leaf, Seq("id"))
+          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        (leaf, dm)
+      }
+      var (ranks, dm) = materializeWithDm(
         nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank")))
       try {
         var i = 0
         while (i < iters) {
+          // one combinable contribution shuffle; dm enters as a literal
+          // (same addends and sum as the former one-row broadcast, so
+          // ranks are numerically unchanged)
           val contribs = ew.join(ranks, ew("src") === ranks("id"))
             .select(col("dst").as("id"),
               (col("rank") / col("outdeg").cast("double")).as("c"))
             .groupBy("id").agg(sum("c").as("c"))
-          val dm = dangling.join(ranks, Seq("id"))
-            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-          val next = persistedLeaf(
+          val (next, dmNext) = materializeWithDm(
             nodes.join(contribs, Seq("id"), "left")
-              .crossJoin(broadcast(dm))
               .select(col("id"),
                 (lit((1.0 - damping)) / lit(n) + lit(damping) *
-                  (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)))
+                  (coalesce(col("c"), lit(0.0)) + lit(dm) / lit(n)))
                   .as("rank")))
           ranks.unpersist()
           ranks = next
+          dm = dmNext
           i += 1
         }
         // re-materialize off the cache so the entry can be dropped

@@ -1454,6 +1454,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == got.values.min) // nothing links to 4
   }
 
+  test("pageRank: exactly two driver actions per iteration") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L))
+      .toDF("src", "dst")
+    // count driver ACTIONS (query executions) — under AQE one action spans
+    // several Spark jobs, so QueryExecutionListener is the stable unit;
+    // events flow through the async bus, so poll until the count settles
+    def actionsFor(iters: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val names = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = { names.add(funcName); counter.incrementAndGet() }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            error: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        GraphOps.pageRank(edges, "src", "dst", iters = iters).count()
+        var last = -1
+        while (counter.get != last) { last = counter.get; Thread.sleep(200) }
+        info(s"iters=$iters actions: " + scala.jdk.CollectionConverters
+          .CollectionHasAsScala(names).asScala.groupBy(identity)
+          .map { case (k, v) => s"$k=${v.size}" }.mkString(", "))
+        counter.get
+      } finally spark.listenerManager.unregister(l)
+    }
+    val oneIter = actionsFor(1)
+    val fourIters = actionsFor(4)
+    // setup + teardown actions are identical across runs; the delta is the
+    // per-iteration cost: dangling-mass aggregate + next-ranks leaf = 2
+    assert(fourIters - oneIter == 6,
+      s"expected 2 actions/iteration (delta 6), got ${fourIters - oneIter} " +
+        s"($oneIter @ 1 iter, $fourIters @ 4 iters)")
+  }
+
   test("topKBinaryQuant: exact at full rerank depth; useful recall at depth 32") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count().toInt

@@ -25,14 +25,15 @@ object SampleBiasProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-    // 4 "sources": source s shifts dims [16s, 16s+16) by +2, so sources
+    // 8 "sources": source s shifts dims [8s, 8s+8) by +2, so sources
     // occupy geometrically distinct regions; the corpus is laid out
-    // source-contiguously (repartition(1) + sort), so limit(n) sees ONLY
-    // source 0 — the ingest-ordered 100 TB layout in miniature
-    val sourced = (0 until 4).map { s =>
+    // source-contiguously (repartition(1) + sort), so a 4096-row head
+    // sample sees ~2 of 8 sources — the ingest-ordered 100 TB layout in
+    // miniature
+    val sourced = (0 until 8).map { s =>
       emb.select(
         (col("vec_id") + lit(s * 10000000L)).as("vec_id"),
-        expr(s"transform(embedding, (x, i) -> CAST(x + (CASE WHEN i >= ${s * 16} AND i < ${s * 16 + 16} THEN 2.0 ELSE 0.0 END) AS FLOAT))")
+        expr(s"transform(embedding, (x, i) -> CAST(x + (CASE WHEN i >= ${s * 8} AND i < ${s * 8 + 8} THEN 2.0 ELSE 0.0 END) AS FLOAT))")
           .as("embedding"),
         lit(s).as("source"))
     }.reduce(_ unionByName _)
@@ -53,6 +54,7 @@ object SampleBiasProbe {
       corpus.select(col("embedding")).limit(k).collect()
         .map(_.getSeq[Float](0).toArray)
 
+    val nQueries = queries.count()
     for ((label, sample) <- Seq(
         "head-of-corpus limit(4096)" -> headSample(4096),
         "hash-ordered sampleVectors(4096)" ->
@@ -60,24 +62,31 @@ object SampleBiasProbe {
       val centers = SimilarityOps.trainKmeans(sample, nl, iters = 10, 42L)
       val cells = corpus.select(col("vec_id"), col("embedding"),
         GraftFunctions.nearest_centroid(col("embedding"), centers).as("cell"))
-      val probes = queries.select(col("qid"), col("qvec"),
-        explode(GraftFunctions.nearest_centroids(col("qvec"), centers, 4)).as("cell"))
-      val candVolume = cells.join(probes, Seq("cell")).count()
-      val got = cells.join(broadcast(probes), Seq("cell"))
-        .select(col("qid").as("query_id"), col("vec_id"),
-          GraftFunctions.cosine_similarity(col("embedding"), col("qvec")).as("cosine"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-            .orderBy(col("cosine").desc, col("vec_id"))))
-        .where("rank <= 5")
-        .select("query_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall = (got & truth).size.toDouble / truth.size
+        .persist()
       val biggestCell = cells.groupBy("cell").count()
         .agg(max("count")).head().getLong(0)
-      println(f"PROBE $label: nlist=$nl recall@5=$recall%.3f " +
-        f"candidateRows=$candVolume (${candVolume.toDouble / (16 * n)}%.3f of brute) " +
-        f"maxCell=$biggestCell (${biggestCell.toDouble / n}%.3f of corpus)")
+      for (nprobe <- Seq(4, 8, 16)) {
+        val probes = queries.select(col("qid"), col("qvec"),
+          explode(GraftFunctions.nearest_centroids(col("qvec"), centers, nprobe)).as("cell"))
+        val scored = cells.join(broadcast(probes), Seq("cell"))
+          .select(col("qid").as("query_id"), col("vec_id"),
+            GraftFunctions.cosine_similarity(col("embedding"), col("qvec")).as("cosine"))
+          .persist()
+        val candVolume = scored.count()
+        val got = scored
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .where("rank <= 5")
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        scored.unpersist()
+        val recall = (got & truth).size.toDouble / truth.size
+        println(f"PROBE $label nprobe=$nprobe: nlist=$nl recall@5=$recall%.3f " +
+          f"candidateRows=$candVolume (${candVolume.toDouble / (nQueries * n)}%.3f of brute) " +
+          f"maxCell=$biggestCell (${biggestCell.toDouble / n}%.3f of corpus)")
+      }
+      cells.unpersist()
     }
     queries.unpersist(); corpus.unpersist()
   }
