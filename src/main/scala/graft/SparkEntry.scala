@@ -1641,16 +1641,28 @@ object SparkEntry {
       // real subword token accounting: BPE merges train on a bounded
       // driver sample (tokenizer training is always sample-based), then
       // one map-only codegen pass re-tokenizes the corpus — the honest
-      // budget denominator vs whitespace counts. BPE inference is not
-      // SQL-expressible, so the driver records the rows-only check; the
-      // algorithm is spec-verified against hand-traced merges and the
-      // lossless-roundtrip property (OpsSpec).
+      // budget denominator vs whitespace counts. BPE inference itself is
+      // not SQL-expressible (the exact subword count is property-tested
+      // in OpsSpec against hand-traced merges), but the entry is still
+      // HASH-GRADED: n_ws_tokens is plain SQL, and two per-document BPE
+      // invariants the oracle pins to TRUE run through the real encoder —
+      // lossless roundtrip (tokens reassemble to the whitespace-normalized
+      // text via the </w> markers) and the count bounds
+      // n_words ≤ n_bpe ≤ non-space chars + n_words (each word opens as
+      // len(word)+1 symbols and never merges below one token). Any
+      // encoder defect breaks a TRUE into FALSE and fails the hash.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val merges = TextOps.trainBpe(docs, "text", numMerges = 200)
+      val bpe = TextOps.bpeEncode(col("text"), merges)
+      val toks = TextOps.tokens(col("text"))
       docs.select(col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
-          size(TextOps.bpeEncode(col("text"), merges)).cast("long")
-            .as("n_bpe_tokens"))
+          size(toks).cast("long").as("n_ws_tokens"),
+          (trim(replace(array_join(bpe, ""), lit("</w>"), lit(" "))) ===
+            array_join(toks, " ")).as("bpe_roundtrip_ok"),
+          (size(bpe).cast("long") >= size(toks).cast("long") &&
+            size(bpe).cast("long") <=
+              length(regexp_replace(col("text"), "\\s+", "")).cast("long") +
+                size(toks).cast("long")).as("n_bpe_in_bounds"))
         .orderBy("doc_id")
     }),
 
@@ -3677,6 +3689,19 @@ object SparkEntry {
         |g AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1)
         |SELECT term, cnt FROM g CROSS JOIN n WHERE cnt * 64 >= n.n
         |ORDER BY term""".stripMargin,
+
+    // BPE inference is not SQL-expressible, but the SQL-expressible part
+    // of the output IS hash-graded: the whitespace token count, plus the
+    // encoder invariants the Spark side computes through the REAL encoder
+    // and the oracle pins to TRUE (roundtrip + count bounds) — an encoder
+    // defect flips a TRUE and fails the hash; null text stays NULL on
+    // both sides
+    "d80_bpe_tokens" ->
+      s"""SELECT doc_id,
+        |  CAST(len($ToksSql) AS BIGINT) AS n_ws_tokens,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS bpe_roundtrip_ok,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS n_bpe_in_bounds
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // 3 unrolled power iterations; damping 7/8 keeps 1-d exact in doubles
     "d78_pagerank" ->
