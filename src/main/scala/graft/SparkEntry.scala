@@ -2055,6 +2055,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e53_knn_ivf_index_incremental" -> ((s, dir) => {
+      // INCREMENTAL index maintenance: build the persisted IVF index on
+      // 80% of the corpus, then cell-assign the remaining 20% delta under
+      // the EXISTING centroids (assignToIndex — map-only) and append it
+      // to the assignments table. Assignment is a pure per-vector
+      // function of the codebook, so the grown index equals a fresh full
+      // re-assignment, and at full probe the reloaded two-commit table
+      // is provably exact — graded against the same brute-force oracle
+      // as e40/e47 over the WHOLE corpus.
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where("vec_id % 5 != 0")
+      val delta = emb.where("vec_id % 5 = 0")
+      val (centroids, baseAssign) =
+        SimilarityOps.buildIvfIndex(base, "vec_id", "embedding", nlist = 16)
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-inc-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val cTbl = cat.createTable("ivf_centroids",
+        SparkSchemaConverter.fromSpark(centroids.schema))
+      cTbl.append(centroids)
+      val aSchema = SparkSchemaConverter.fromSpark(baseAssign.schema)
+      val aTbl = cat.createTable("ivf_assignments", aSchema,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          aSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
+      aTbl.append(baseAssign)
+      // the incremental append: delta assigned under the PERSISTED
+      // centroids (read back from the table, like a later job would)
+      val reloadedCentroids = cat.loadTable("ivf_centroids").toDF(s)
+      aTbl.append(SimilarityOps.assignToIndex(
+        delta, "vec_id", "embedding", reloadedCentroids))
+      SimilarityOps.topKIvfFromIndex(
+          reloadedCentroids,
+          cat.loadTable("ivf_assignments").toDF(s),
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e44_knn_graph" -> ((s, dir) => {
       // the all-pairs neighbor graph at the provably-exact setting
       // (nprobe = nlist ⇒ every pair meets exactly once through the
@@ -3246,6 +3284,7 @@ object SparkEntry {
     // the persisted-index probe is exact at full probe, so the same
     // brute-force oracle grades the index round trip
     "e47_knn_ivf_index" -> KnnOracleSql,
+    "e53_knn_ivf_index_incremental" -> KnnOracleSql,
 
     // MMR at lambda = 1 == exact top-k (zero-weight similarity penalty)
     "e51_mmr_rerank" -> KnnOracleSql,

@@ -113,6 +113,41 @@ object SimilarityOps {
     (centroids, assignments)
   }
 
+  /** Collect a [[buildIvfIndex]] centroids table (cell-indexed codebook)
+    * to the driver — `nlist` rows by construction, the bounded artifact
+    * every probe/assign session loads once. */
+  private def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
+    val centers: Array[Array[Float]] = centroids.select("cell", "center")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    require(centers.nonEmpty, "centroids table is empty")
+    centers
+  }
+
+  /**
+   * Assign a DELTA of new vectors to an EXISTING index's cells — the
+   * incremental-maintenance half of [[buildIvfIndex]]: appending the
+   * returned `(vec_id, cell, cvec)` rows to the persisted assignments
+   * table keeps the index exactly equivalent to a fresh re-assignment of
+   * the whole corpus under the SAME centroids (cell assignment is a pure
+   * per-vector function of the codebook), so the index never silently
+   * staleness-drifts as the corpus grows. Map-only — one codegen pass
+   * over the delta, no shuffle, and since it is a pure projection it
+   * works unchanged on a STREAMING frame
+   * ([[graft.streaming.StreamingOps.ivfIndexStream]] wires it into a
+   * foreachBatch append).
+   *
+   * Re-TRAINING (new centroids when the data distribution drifts far
+   * from the codebook) is deliberately a rebuild, not an increment:
+   * changed centroids invalidate every existing assignment.
+   */
+  def assignToIndex(delta: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame): DataFrame = {
+    val centers = collectCentroids(centroids)
+    delta.select(col(idCol).as("vec_id"),
+      GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"),
+      col(vecCol).as("cvec"))
+  }
+
   /** Probe a persisted IVF index ([[buildIvfIndex]]'s two tables, read
     * back from storage): same probe → cell join → exact-rerank plan as
     * [[topKIvf]] steps 3–5, but the assignment side is a table scan —
@@ -121,9 +156,7 @@ object SimilarityOps {
   def topKIvfFromIndex(centroids: DataFrame, assignments: DataFrame,
                        queries: DataFrame, queryId: String, queryVec: String,
                        k: Int, nprobe: Int = 4): DataFrame = {
-    val centers: Array[Array[Float]] = centroids.select("cell", "center")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
-    require(centers.nonEmpty, "centroids table is empty")
+    val centers = collectCentroids(centroids)
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
       explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"))
     // STATIC cell pruning: the probed cell set is bounded by the CELL

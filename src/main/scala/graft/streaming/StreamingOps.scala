@@ -215,6 +215,25 @@ object StreamingOps {
   }
 
   /**
+   * Streaming MAINTENANCE of a persisted IVF index
+   * ([[graft.ops.SimilarityOps.buildIvfIndex]]'s assignments table): as
+   * new vectors arrive, each micro-batch is cell-assigned under the
+   * index's EXISTING centroids (a map-only codegen projection — the
+   * codebook rides the plan) and appended as one atomic commit, so the
+   * index stays exactly equivalent to a full re-assignment of the grown
+   * corpus and probes keep partition-pruning by cell. Exactly-once per
+   * batch via [[appendStream]]'s recorded batch ids. Retraining on
+   * distribution drift is a rebuild, not a stream — see
+   * [[graft.ops.SimilarityOps.assignToIndex]].
+   */
+  def ivfIndexStream(stream: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, assignmentsTable: Table,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    appendStream(
+      graft.ops.SimilarityOps.assignToIndex(stream, idCol, vecCol, centroids),
+      assignmentsTable, checkpointDir)
+
+  /**
    * Streaming UPSERT into a graft table (CDC shape): each micro-batch
    * commits equality-delete files on `keys` plus the batch as new data
    * files, atomically — later batches override earlier rows with the same

@@ -1088,6 +1088,51 @@ class OpsSpec extends AnyFunSuite {
       s"cell partition did not prune: $oneCell of $allFiles files")
   }
 
+  test("incremental IVF index: delta append equals full re-assignment, pruning survives") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.where("vec_id % 4 != 0")
+    val delta = emb.where("vec_id % 4 = 0")
+    val (centroids, baseAssign) =
+      SimilarityOps.buildIvfIndex(base, "vec_id", "embedding", nlist = 8)
+    val wh = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val cTbl = cat.createTable("cent",
+      graft.types.SparkSchemaConverter.fromSpark(centroids.schema))
+    cTbl.append(centroids)
+    val aSchema = graft.types.SparkSchemaConverter.fromSpark(baseAssign.schema)
+    val aTbl = cat.createTable("assign", aSchema,
+      partitionSpec = graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(
+        aSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
+    aTbl.append(baseAssign)
+    // the incremental append: assignment is a pure function of the
+    // persisted codebook, so the grown table must EQUAL a from-scratch
+    // re-assignment of the whole corpus under the same centroids
+    aTbl.append(SimilarityOps.assignToIndex(
+      delta, "vec_id", "embedding", cTbl.toDF(spark)))
+    val incr = aTbl.toDF(spark).select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toSet
+    val full = SimilarityOps.assignToIndex(emb, "vec_id", "embedding", cTbl.toDF(spark))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(incr == full && incr.size == emb.count())
+    // full probe over the two-commit index == brute force over the union
+    val queries = emb.where("vec_id < 4")
+    val fromIndex = SimilarityOps.topKIvfFromIndex(
+        cTbl.toDF(spark), aTbl.toDF(spark), queries, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val brute = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == brute && fromIndex.nonEmpty)
+    // the scale claim survives growth: a cell predicate still prunes
+    // index FILES after the incremental commit
+    val allFiles = aTbl.scan().planFiles().size
+    val oneCell = aTbl.scan(predicates = Seq(graft.table.EqPred("cell", 0)))
+      .planFiles().size
+    assert(oneCell < allFiles,
+      s"cell partition did not prune after delta commit: $oneCell of $allFiles files")
+  }
+
   test("canonicalizeUrl: fetch-variants of one page collapse to one key") {
     val urls = Seq(
       (1L, "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),

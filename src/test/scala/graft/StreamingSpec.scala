@@ -220,6 +220,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(tbl.snapshots.forall(_.summary.contains("streaming-batch-id")))
   }
 
+  test("ivfIndexStream: streamed deltas keep the index equal to a full re-assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic 4-dim vectors; first 30 are the indexed base corpus,
+    // the last 10 arrive as two streamed micro-batches
+    val all = (0L until 40L).map(i =>
+      (i, Seq(i.toFloat, (i % 3).toFloat, ((i * 7) % 5).toFloat, 1f)))
+    // cast normalizes the encoder's non-null element type: the table's
+    // parquet read path always yields nullable elements (the
+    // buildIvfIndex centroids-cast argument)
+    val baseDf = all.take(30).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val (centroids, baseAssign) =
+      graft.ops.SimilarityOps.buildIvfIndex(baseDf, "vec_id", "embedding", nlist = 4)
+    val cat = new MemoryCatalog()
+    val cTbl = cat.createTable("ivf_cent",
+      graft.types.SparkSchemaConverter.fromSpark(centroids.schema))
+    cTbl.append(centroids)
+    val aTbl = cat.createTable("ivf_assign",
+      graft.types.SparkSchemaConverter.fromSpark(baseAssign.schema))
+    aTbl.append(baseAssign)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    val q = StreamingOps.ivfIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cTbl.toDF(spark), aTbl, ckpt)
+    try {
+      mem.addData(all.slice(30, 35): _*)
+      q.processAllAvailable()
+      mem.addData(all.slice(35, 40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streamed index equals a from-scratch assignment of the grown
+    // corpus under the same (persisted) centroids — no staleness drift
+    val incr = aTbl.refresh().toDF(spark).select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toSet
+    val full = graft.ops.SimilarityOps.assignToIndex(
+        all.toDF("vec_id", "embedding"), "vec_id", "embedding", cTbl.toDF(spark))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(incr == full && incr.size == 40)
+    // each micro-batch was one atomic commit with its batch id recorded
+    assert(StreamingOps.lastCommittedBatchId(aTbl).contains(1L))
+  }
+
   test("streaming WAP: micro-batches stage on a branch until fastForward") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
