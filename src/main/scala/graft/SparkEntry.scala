@@ -1624,6 +1624,38 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "d82_bm25_index" -> ((s, dir) => {
+      // PERSISTED BM25 index round trip — the e47 treatment for lexical
+      // retrieval: postings land in a TERM-BUCKETED graft table (16
+      // murmur3 buckets) plus a one-row stats table; search runs against
+      // the RELOADED tables with the query vocabulary pushed as a
+      // term-IN filter, so manifest pruning skips unprobed bucket
+      // partitions before reading index bytes (file counts asserted in
+      // OpsSpec). Same queries/constants as the recompute-per-call d76,
+      // graded by the same oracle — the storage round trip and the scan
+      // path are what this entry adds.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where("doc_id % 97 = 0")
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 4), " ").as("qtext"))
+      val (postings, stats) = CorpusOps.bm25Index(docs, "doc_id", "text")
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val pSchema = SparkSchemaConverter.fromSpark(postings.schema)
+      val pTbl = cat.createTable("bm25_postings", pSchema,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          pSchema.fieldByName("term").get.id, 1000, "term_bucket", "bucket[16]"))))
+      pTbl.append(postings)
+      val sTbl = cat.createTable("bm25_stats",
+        SparkSchemaConverter.fromSpark(stats.schema))
+      sTbl.append(stats)
+      CorpusOps.bm25SearchIndexed(
+          cat.loadTable("bm25_postings").toDF(s),
+          cat.loadTable("bm25_stats").toDF(s),
+          queries, "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
     "d77_lm_cross_score" -> ((s, dir) => {
       // cross-corpus perplexity filter (CCNet recipe): train the trigram
       // LM on the trusted third of the corpus, score EVERY document
@@ -2363,6 +2395,39 @@ object SparkEntry {
   private val ToksSql =
     "CASE WHEN length(trim(text))=0 THEN CAST([] AS VARCHAR[]) " +
       "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  /** Shared BM25 oracle (d76 one-shot, d82 persisted-index round trip —
+    * both must produce the identical ranking): Robertson idf, dyadic
+    * k1 = 1.25 / b = 0.75, scores rounded to 6 BEFORE ranking, ties on
+    * doc_id. */
+  private lazy val Bm25OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+      |occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM occ GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+      |         CAST((SELECT sum(tf) FROM tf) AS DOUBLE) /
+      |         CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t[1:4]) AS term
+      |       FROM toks WHERE doc_id % 97 = 0),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+      |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      |ts AS (SELECT qt.query_id, tf.doc_id,
+      |         ln(1.0 + (st.n - CAST(dfreq.df AS DOUBLE) + 0.5) /
+      |                  (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+      |         (CAST(tf.tf AS DOUBLE) * 2.25) /
+      |         (CAST(tf.tf AS DOUBLE) + 1.25 *
+      |           (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS s
+      |       FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+      |         JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st),
+      |sc AS (SELECT query_id, doc_id, ROUND(SUM(s), 6) AS score
+      |       FROM ts GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM sc)
+      |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Shared CTE chain for the exact-substring span-dedup oracles (d62/d63):
     * positional word-`w`-gram occurrences → global keep-first → duplicated
@@ -3666,34 +3731,12 @@ object SparkEntry {
     // dyadic k1 = 1.25 / b = 0.75: every constant is an exact double, so
     // both engines evaluate identical operands; scores round to 6 BEFORE
     // ranking, ties break on doc_id
-    "d76_bm25_topk" ->
-      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
-        |occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM occ GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
-        |         CAST((SELECT sum(tf) FROM tf) AS DOUBLE) /
-        |         CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
-        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t[1:4]) AS term
-        |       FROM toks WHERE doc_id % 97 = 0),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
-        |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
-        |ts AS (SELECT qt.query_id, tf.doc_id,
-        |         ln(1.0 + (st.n - CAST(dfreq.df AS DOUBLE) + 0.5) /
-        |                  (CAST(dfreq.df AS DOUBLE) + 0.5)) *
-        |         (CAST(tf.tf AS DOUBLE) * 2.25) /
-        |         (CAST(tf.tf AS DOUBLE) + 1.25 *
-        |           (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS s
-        |       FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
-        |         JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st),
-        |sc AS (SELECT query_id, doc_id, ROUND(SUM(s), 6) AS score
-        |       FROM ts GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, score,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM sc)
-        |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "d76_bm25_topk" -> Bm25OracleSql,
+
+    // the persisted-index path (term-bucketed graft tables + pushed
+    // vocabulary filter) must return EXACTLY what the recompute form
+    // does — same oracle
+    "d82_bm25_index" -> Bm25OracleSql,
 
     // model trains on the doc_id % 3 = 0 third; Laplace floor for unseen
     "d77_lm_cross_score" ->

@@ -730,6 +730,40 @@ object CorpusOps {
       .where(col("cnt") * lit(den) >= lit(n) * lit(num))
   }
 
+  /**
+   * [[bm25Search]] against a PERSISTED index with the query vocabulary
+   * pushed into the postings SCAN — the e47 treatment for lexical
+   * retrieval: the distinct query terms (tiny by construction — they
+   * come from the query batch, and the guard is LOUD, not truncating)
+   * become an explicit `term IN (...)` filter, so on a term-bucketed
+   * graft postings table manifest pruning skips every bucket partition
+   * no query term hashes into BEFORE a byte of the index is read. The
+   * semi-join inside [[bm25Search]] did the same pruning logically, but
+   * a join key restriction never reaches file planning — the literal
+   * filter does. Results are identical: per-term document frequencies
+   * count postings CONTAINING the term, which the vocabulary filter
+   * never touches.
+   */
+  def bm25SearchIndexed(postings: DataFrame, stats: DataFrame,
+                        queries: DataFrame, queryIdCol: String,
+                        queryTextCol: String,
+                        k: Int, k1: Double = 1.2, b: Double = 0.75,
+                        maxDf: Long = Long.MaxValue,
+                        maxQueryTerms: Int = 1 << 16): DataFrame = {
+    require(maxQueryTerms >= 1, s"maxQueryTerms must be >= 1, got $maxQueryTerms")
+    val vocab = queries
+      .select(explode(TextOps.tokens(col(queryTextCol))).as("term"))
+      .distinct().limit(maxQueryTerms + 1)
+      .collect().map(_.getString(0)).sorted
+    if (vocab.length > maxQueryTerms)
+      throw new graft.InvalidDataError(
+        s"query batch exceeds $maxQueryTerms distinct terms; split the " +
+          "batch or use bm25Search without scan pushdown")
+    val pruned = postings.where(col("term").isin(vocab.toSeq: _*))
+    bm25Search(pruned, stats, queries, queryIdCol, queryTextCol, k, k1, b,
+      maxDf)
+  }
+
   /** One-shot convenience: [[bm25Index]] + [[bm25Search]]. Fine for a
     * single query batch; repeated batches should persist the index. */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,

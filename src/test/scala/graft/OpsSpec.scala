@@ -1245,6 +1245,49 @@ class OpsSpec extends AnyFunSuite {
     assert(atDf2 == got)
   }
 
+  test("persisted BM25 index: bucket round trip exact, query vocabulary prunes files") {
+    val corpus = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "banana banana banana banana banana banana"),
+      (3L, "apple zebra"),
+      (4L, "the the the the the the the the"),
+      (5L, "zebra quagga okapi"),
+      (6L, "date elderberry fig grape hazelnut")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple zebra"), (200L, "banana")).toDF("qid", "qtext")
+    val (postings, stats) = CorpusOps.bm25Index(corpus, "doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft-bm25-spec").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val pSchema = graft.types.SparkSchemaConverter.fromSpark(postings.schema)
+    val pTbl = cat.createTable("postings", pSchema,
+      partitionSpec = graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(
+        pSchema.fieldByName("term").get.id, 1000, "term_bucket", "bucket[8]"))))
+    pTbl.append(postings)
+    val sTbl = cat.createTable("stats",
+      graft.types.SparkSchemaConverter.fromSpark(stats.schema))
+    sTbl.append(stats)
+    // search through the RELOADED index == search over the in-memory frames
+    val indexed = CorpusOps.bm25SearchIndexed(pTbl.toDF(spark), sTbl.toDF(spark),
+        queries, "qid", "qtext", k = 3, k1 = 1.25, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = CorpusOps.bm25Search(postings, stats,
+        queries, "qid", "qtext", k = 3, k1 = 1.25, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(indexed == direct && indexed.nonEmpty)
+    // the scale claim: the pushed term-IN filter prunes index FILES via
+    // the bucket partition — a query batch reads a fraction of storage
+    val allFiles = pTbl.scan().planFiles().size
+    val probed = pTbl.scan(predicates = Seq(graft.table.InPred("term",
+      Seq("apple", "zebra", "banana")))).planFiles().size
+    assert(probed < allFiles,
+      s"term buckets did not prune: $probed of $allFiles files")
+    // the vocabulary guard is LOUD, not truncating
+    val e = intercept[graft.InvalidDataError] {
+      CorpusOps.bm25SearchIndexed(pTbl.toDF(spark), sTbl.toDF(spark),
+        queries, "qid", "qtext", k = 3, maxQueryTerms = 1)
+    }
+    assert(e.getMessage.contains("distinct terms"))
+  }
+
   test("trainCharTrigramLm/scoreWithLm: Laplace floor for unseen, cross-corpus parity") {
     val clean = Seq((1L, "abcabc"), (2L, "abcd")).toDF("doc_id", "text")
     val model = TextOps.trainCharTrigramLm(clean, "text")
