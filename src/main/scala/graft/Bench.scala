@@ -22,15 +22,17 @@ object Bench {
     // broadcast test side — the heaviest new operator), and the
     // dynamic-partition overwrite (executor-side V2 fanout writer)
     "d56_fuzzy_decontaminate", "g51_dynamic_overwrite",
-    // round-10 headline: the all-pairs kNN graph (IVF-celled shuffle
-    // self-join) and exact-substring duplicate-span audit (native
+    // round-10 headline: exact-substring duplicate-span audit (native
     // positional-gram expressions + struct-min first-occurrence keys)
-    "e44_knn_graph", "d62_dup_span_stats",
-    // round-11: the approximate kNN-graph config (auto sqrt-nlist,
-    // nprobe 4) — the volume a real 100 TB run pays, vs the exact
-    // entry's brute-force-equivalent oracle config; the PQ exact top-k
-    // (code-byte ADC + residual-bound re-rank); and the real-codec
-    // video scene-cut detector (map-only frame hash + bounded window)
+    "d62_dup_span_stats",
+    // round-11/12: the kNN graph benches at the APPROX config only (auto
+    // sqrt-nlist, nprobe 4 — the volume a real 100 TB run pays); the
+    // exact nprobe=nlist config stays the CORRECTNESS oracle but its
+    // by-construction brute-force-equivalent volume would dominate
+    // bench totals as sf grows, drowning the signal of every other
+    // query (r11 verdict item). Plus the PQ exact top-k (code-byte ADC
+    // + residual-bound re-rank) and the real-codec video scene-cut
+    // detector (map-only frame hash + bounded window)
     "e44_knn_graph_approx", "e45_knn_pq", "m44_video_scene_cuts",
     // round-11 late additions: winnowing fingerprint extraction (the
     // compute-bound map-only HOF chain — sizes the per-row text path)
@@ -51,7 +53,11 @@ object Bench {
     // isin-pushed recount), span-level decontamination (positional grams
     // vs a broadcast test-gram set), and 1-bit binary-quantization top-k
     // (8-byte sign words on the candidate scan)
-    "d79_heavy_hitters", "d81_decontaminate_spans", "e52_knn_binary")
+    "d79_heavy_hitters", "d81_decontaminate_spans", "e52_knn_binary",
+    // round-12: the persisted BM25 index round trip — build + term-
+    // bucketed table write + reload + vocabulary-pruned search (the
+    // amortized shape repeated query batches pay off against)
+    "d82_bm25_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,21 +24,23 @@ object GraphOps {
    * 100 TB design: the edge table (joined once with out-degrees) is
    * PERSISTED and reused across iterations; each iteration is EXACTLY
    * TWO driver actions (asserted by a listener spec): the leaf
-   * conversion of the next ranks, and ONE aggregate that doubles as
-   * both the eager cache materialization of that leaf AND the next
-   * round's dangling-mass computation — scanning the fresh leaf for
-   * its dangling rows populates the cache as a side effect, so the
-   * separate per-iteration `count()` and the broadcast-build of the
-   * old one-row dm frame are both gone. The dangling mass enters the
-   * update as a LITERAL (one bounded double off a one-row aggregate —
-   * the same boundedness as a one-row broadcast, same addends, so
-   * ranks are numerically unchanged). Every round truncates the
-   * Catalyst plan with the same persisted-RDD-leaf trick as
-   * [[DedupOps.connectedComponents]] (each round references the
-   * previous ranks twice — contributions + dangling — so the analyzed
-   * plan would otherwise double per round); materialization stays
-   * eager (via the dm aggregate) so the previous round's cache can be
-   * dropped deterministically.
+   * conversion of the next ranks, and ONE join-free aggregate that
+   * doubles as both the eager cache materialization of that leaf AND
+   * the next round's dangling-mass computation. The rank state carries
+   * a `has_out` flag stamped ONCE at setup, so the dangling mass is a
+   * map-side-combinable `sum(when(!has_out, rank))` over the fresh
+   * leaf — one O(nodes) scan that populates the cache as a side
+   * effect; the separate per-iteration `count()`, the dangling
+   * anti-join, and the broadcast-build of the old one-row dm frame are
+   * all gone. The dangling mass enters the update as a LITERAL (one
+   * bounded double off a one-row aggregate — the same boundedness as a
+   * one-row broadcast, same addends, so ranks are numerically
+   * unchanged). Every round truncates the Catalyst plan with the same
+   * persisted-RDD-leaf trick as [[DedupOps.connectedComponents]] (each
+   * round references the previous ranks twice — contributions +
+   * dangling — so the analyzed plan would otherwise double per round);
+   * materialization stays eager (via the dm aggregate) so the previous
+   * round's cache can be dropped deterministically.
    *
    * Returns `(id, rank)` with ranks summing to 1 (up to float wobble).
    */
@@ -57,13 +59,15 @@ object GraphOps {
       // out-degree rides the edge row, so iterations never re-join it
       val ew = persistedLeaf(eDist.join(outDeg, "src")
         .select(col("src"), col("dst"), col("outdeg")))
+      // node state carries a has_out flag stamped ONCE: the per-round
+      // dangling-mass read is then a join-free scan of the rank leaf
+      // (dangling = nodes appearing only as dst)
       val nodes = persistedLeaf(
         eDist.select(col("src").as("id"))
-          .unionAll(eDist.select(col("dst").as("id"))).distinct())
-      // dangling = nodes with no out-edges (they appear only as dst)
-      val dangling = persistedLeaf(
-        nodes.join(ew.select(col("src").as("id")).distinct(), Seq("id"),
-          "left_anti"))
+          .unionAll(eDist.select(col("dst").as("id"))).distinct()
+          .join(ew.select(col("src").as("id"), lit(true).as("__has_out"))
+            .distinct(), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__has_out"), lit(false)).as("has_out")))
       // nodes was just force-counted by persistedLeaf; this count reads
       // the fresh cache entry
       val n = nodes.count().toDouble
@@ -72,17 +76,18 @@ object GraphOps {
       // leaf populates the cache exactly like persistedLeaf's eager
       // count did, and its one-row result is the NEXT round's dm — so
       // an iteration costs two driver actions total (leaf conversion +
-      // this aggregate), with no separate count and no broadcast build.
-      // The previous leaf is still cached while this runs, so the lazy
-      // leaf never re-chains through released rounds.
+      // this aggregate), with no separate count, no join, and no
+      // broadcast build. The previous leaf is still cached while this
+      // runs, so the lazy leaf never re-chains through released rounds.
       def materializeWithDm(df: DataFrame): (DataFrame, Double) = {
         val leaf = persistedLeaf(df, eager = false)
-        val dm = dangling.join(leaf, Seq("id"))
-          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        val dm = leaf
+          .agg(coalesce(sum(when(!col("has_out"), col("rank"))), lit(0.0)))
+          .head().getDouble(0)
         (leaf, dm)
       }
       var (ranks, dm) = materializeWithDm(
-        nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank")))
+        nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"), col("has_out")))
       try {
         var i = 0
         while (i < iters) {
@@ -98,20 +103,21 @@ object GraphOps {
               .select(col("id"),
                 (lit((1.0 - damping)) / lit(n) + lit(damping) *
                   (coalesce(col("c"), lit(0.0)) + lit(dm) / lit(n)))
-                  .as("rank")))
+                  .as("rank"),
+                col("has_out")))
           ranks.unpersist()
           ranks = next
           dm = dmNext
           i += 1
         }
         // re-materialize off the cache so the entry can be dropped
-        val result = ranks.localCheckpoint(true)
+        val result = ranks.select(col("id"), col("rank")).localCheckpoint(true)
         result
       } finally {
         // also covers mid-iteration failures: the CURRENT ranks leaf is
         // always the one persisted entry not yet released
         ranks.unpersist()
-        ew.unpersist(); nodes.unpersist(); dangling.unpersist()
+        ew.unpersist(); nodes.unpersist()
       }
     } finally eDist.unpersist()
   }

@@ -40,7 +40,7 @@ object SampleBiasProbe {
     val corpus = sourced.repartition(1).sortWithinPartitions("source", "vec_id")
       .persist()
     val n = corpus.count()
-    println(s"corpus=$n (4 sources, source-contiguous layout)")
+    println(s"corpus=$n (8 sources, source-contiguous layout)")
 
     val queries = corpus.where("vec_id % 10000000 < 4") // 4 per source
       .select(col("vec_id").as("qid"), col("embedding").as("qvec")).persist()
