@@ -1726,6 +1726,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d83_hits" -> ((s, dir) => {
+      // HITS hubs/authorities over the same synthetic link graph as d78:
+      // unnormalized integer iteration (every intermediate value is an
+      // exact double) with ONE L1 normalization at output — the only
+      // inexact step, shared with the oracle. 2 iterations unrolled in
+      // the oracle SQL.
+      val docs = t(s, dir, "documents").select("doc_id")
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 13) % 101).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 97).as("dst")))
+      GraphOps.hits(edges, "src", "dst", iters = 2)
+        .select(col("id").as("doc_id"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("doc_id")
+    }),
+
+    "d84_personalized_pagerank" -> ((s, dir) => {
+      // topic-sensitive PageRank: teleport mass lands on a 4-doc seed
+      // core (t = 1/4 — DYADIC, so every teleport term is exact) instead
+      // of uniformly; dangling mass re-enters through the seeds. Same
+      // graph and damping-7/8 conventions as d78; 3 unrolled iterations
+      // in the oracle.
+      val docs = t(s, dir, "documents").select("doc_id")
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 13) % 101).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 97).as("dst")))
+      GraphOps.personalizedPageRank(edges, "src", "dst",
+          Seq(3L, 5L, 7L, 11L), iters = 3, damping = 0.875)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     "e52_knn_binary" -> ((s, dir) => {
       // 1-bit binary quantization: sign-bit words (32x compression) rank
       // candidates by Hamming, top-32 re-score with exact cosine. Every
@@ -3784,6 +3818,69 @@ object SparkEntry {
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS bpe_roundtrip_ok,
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS n_bpe_in_bounds
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 2 unrolled HITS rounds, unnormalized integer iteration; the final
+    // L1 division is the only inexact step
+    "d83_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 7 + 13) % 101 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents)
+        |), nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT id, 1.0 AS h FROM nodes),
+        |a1 AS (SELECT n.id, COALESCE(x.s, 0) AS a FROM nodes n LEFT JOIN
+        |       (SELECT e.dst AS id, SUM(h0.h) AS s FROM e
+        |        JOIN h0 ON e.src = h0.id GROUP BY 1) x ON n.id = x.id),
+        |h1 AS (SELECT n.id, COALESCE(x.s, 0) AS h FROM nodes n LEFT JOIN
+        |       (SELECT e.src AS id, SUM(a1.a) AS s FROM e
+        |        JOIN a1 ON e.dst = a1.id GROUP BY 1) x ON n.id = x.id),
+        |a2 AS (SELECT n.id, COALESCE(x.s, 0) AS a FROM nodes n LEFT JOIN
+        |       (SELECT e.dst AS id, SUM(h1.h) AS s FROM e
+        |        JOIN h1 ON e.src = h1.id GROUP BY 1) x ON n.id = x.id),
+        |h2 AS (SELECT n.id, COALESCE(x.s, 0) AS h FROM nodes n LEFT JOIN
+        |       (SELECT e.src AS id, SUM(a2.a) AS s FROM e
+        |        JOIN a2 ON e.dst = a2.id GROUP BY 1) x ON n.id = x.id),
+        |sums AS (SELECT (SELECT SUM(h) FROM h2) AS sh,
+        |                (SELECT SUM(a) FROM a2) AS sa)
+        |SELECT h2.id AS doc_id, ROUND(h2.h / sums.sh, 6) AS hub,
+        |  ROUND(a2.a / sums.sa, 6) AS auth
+        |FROM h2 JOIN a2 ON h2.id = a2.id CROSS JOIN sums
+        |ORDER BY doc_id""".stripMargin,
+
+    // personalized teleport t = 1/4 on the seed core (dyadic); dangling
+    // mass re-enters through the seeds; 3 unrolled iterations
+    "d84_personalized_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 7 + 13) % 101 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id AS src, doc_id % 97 AS dst FROM documents)
+        |), outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS o FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |tp AS (SELECT id, CASE WHEN id IN (3, 5, 7, 11) THEN 0.25 ELSE 0.0 END AS t
+        |       FROM nodes),
+        |r0 AS (SELECT id, t AS r FROM tp),
+        |d1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |c1 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |       JOIN r0 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
+        |r1 AS (SELECT tp.id, 0.125 * tp.t + 0.875 * (COALESCE(c1.c, 0) + d1.dm * tp.t) AS r
+        |       FROM tp LEFT JOIN c1 ON tp.id = c1.id CROSS JOIN d1),
+        |d2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r1
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |c2 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |       JOIN r1 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
+        |r2 AS (SELECT tp.id, 0.125 * tp.t + 0.875 * (COALESCE(c2.c, 0) + d2.dm * tp.t) AS r
+        |       FROM tp LEFT JOIN c2 ON tp.id = c2.id CROSS JOIN d2),
+        |d3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r2
+        |       WHERE id NOT IN (SELECT src FROM e)),
+        |c3 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |       JOIN r2 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
+        |r3 AS (SELECT tp.id, 0.125 * tp.t + 0.875 * (COALESCE(c3.c, 0) + d3.dm * tp.t) AS r
+        |       FROM tp LEFT JOIN c3 ON tp.id = c3.id CROSS JOIN d3)
+        |SELECT id AS doc_id, ROUND(r, 6) AS rank FROM r3
+        |ORDER BY doc_id""".stripMargin,
 
     // 3 unrolled power iterations; damping 7/8 keeps 1-d exact in doubles
     "d78_pagerank" ->

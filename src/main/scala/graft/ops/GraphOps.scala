@@ -121,4 +121,164 @@ object GraphOps {
       }
     } finally eDist.unpersist()
   }
+
+  /**
+   * Personalized (topic-sensitive) PageRank: teleport lands on a SEED
+   * SET instead of every node — `rank' = (1-d)·t(v) + d·(Σ_in
+   * rank/outdeg + danglingMass·t(v))` with `t(v) = 1/|seeds|` for seed
+   * nodes and 0 elsewhere (dangling mass re-enters through the seeds,
+   * the standard choice that keeps total mass 1). The crawl-curation
+   * use: authority relative to a trusted topic core (seed hosts),
+   * rather than global popularity.
+   *
+   * Seeds are a driver-side literal list BY DESIGN — a topic core is
+   * tiny next to the graph (the classifier-vocabulary argument), and
+   * an `isin` literal keeps the teleport column a map-only expression
+   * on the rank state: the iteration machinery (persisted edges,
+   * plan-truncating leaves, the join-free piggybacked dangling-mass
+   * aggregate, 2 driver actions per round) is EXACTLY [[pageRank]]'s.
+   * Seeds absent from the graph contribute teleport mass nowhere and
+   * total mass shrinks accordingly — callers get what they asked for;
+   * pass graph nodes.
+   *
+   * Returns `(id, rank)`; ranks sum to 1 when every seed is a graph
+   * node.
+   */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Any], iters: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    def persistedLeaf(df: DataFrame, eager: Boolean = true): DataFrame =
+      IterPlan.persistedLeaf(df, eager)
+    val nSeeds = seeds.distinct.length.toDouble
+    val eDist = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val outDeg = eDist.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ew = persistedLeaf(eDist.join(outDeg, "src")
+        .select(col("src"), col("dst"), col("outdeg")))
+      // node state: teleport weight t (1/|seeds| on seeds, else 0) and
+      // the has_out dangling flag, both stamped once
+      val nodes = persistedLeaf(
+        eDist.select(col("src").as("id"))
+          .unionAll(eDist.select(col("dst").as("id"))).distinct()
+          .join(ew.select(col("src").as("id"), lit(true).as("__has_out"))
+            .distinct(), Seq("id"), "left")
+          .select(col("id"),
+            when(col("id").isin(seeds.distinct: _*), lit(1.0) / lit(nSeeds))
+              .otherwise(lit(0.0)).as("t"),
+            coalesce(col("__has_out"), lit(false)).as("has_out")))
+      def materializeWithDm(df: DataFrame): (DataFrame, Double) = {
+        val leaf = persistedLeaf(df, eager = false)
+        val dm = leaf
+          .agg(coalesce(sum(when(!col("has_out"), col("rank"))), lit(0.0)))
+          .head().getDouble(0)
+        (leaf, dm)
+      }
+      // rank0 = the teleport vector itself (the standard PPR start)
+      var (ranks, dm) = materializeWithDm(
+        nodes.select(col("id"), col("t").as("rank"), col("t"), col("has_out")))
+      try {
+        var i = 0
+        while (i < iters) {
+          val contribs = ew.join(ranks, ew("src") === ranks("id"))
+            .select(col("dst").as("id"),
+              (col("rank") / col("outdeg").cast("double")).as("c"))
+            .groupBy("id").agg(sum("c").as("c"))
+          val (next, dmNext) = materializeWithDm(
+            nodes.join(contribs, Seq("id"), "left")
+              .select(col("id"),
+                (lit(1.0 - damping) * col("t") + lit(damping) *
+                  (coalesce(col("c"), lit(0.0)) + lit(dm) * col("t")))
+                  .as("rank"),
+                col("t"), col("has_out")))
+          ranks.unpersist()
+          ranks = next
+          dm = dmNext
+          i += 1
+        }
+        ranks.select(col("id"), col("rank")).localCheckpoint(true)
+      } finally {
+        ranks.unpersist()
+        ew.unpersist(); nodes.unpersist()
+      }
+    } finally eDist.unpersist()
+  }
+
+  /**
+   * HITS hubs and authorities (Kleinberg): `auth(v) = Σ_{u→v} hub(u)`,
+   * then `hub(u) = Σ_{u→v} auth(v)` per iteration, UNNORMALIZED during
+   * iteration and L1-normalized once at output. Running unnormalized is
+   * what makes the op engine-reproducible: starting from hub = 1 every
+   * intermediate value is an INTEGER represented exactly in doubles (no
+   * per-round norm divisions whose rounding could diverge between
+   * engines), so the one final division is the only inexact step.
+   * Values grow like (max degree)^iters — with the default small
+   * iteration count (HITS converges in spirit after a few rounds) they
+   * stay far under 2^53; the require bounds it loudly.
+   *
+   * 100 TB design: [[pageRank]]'s machinery — persisted degree-stamped
+   * edges reused across rounds, one plan-truncating leaf per round, and
+   * per round TWO combinable aggregate shuffles (the auth pass and the
+   * hub pass — HITS is inherently two-sided; the auth subtree feeding
+   * both the hub pass and the output dedupes via exchange reuse inside
+   * the single materializing action).
+   *
+   * Returns `(id, hub, auth)`, each column summing to 1.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1, 8] (unnormalized integer growth), got $iters")
+    def persistedLeaf(df: DataFrame): DataFrame = IterPlan.persistedLeaf(df)
+    val eDist = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ew = persistedLeaf(eDist)
+      val nodes = persistedLeaf(
+        eDist.select(col("src").as("id"))
+          .unionAll(eDist.select(col("dst").as("id"))).distinct())
+      var state = persistedLeaf(
+        nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth")))
+      try {
+        var i = 0
+        while (i < iters) {
+          val auth = nodes.join(
+              ew.join(state, ew("src") === state("id"))
+                .select(col("dst").as("id"), col("hub").as("v"))
+                .groupBy("id").agg(sum("v").as("va")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("va"), lit(0.0)).as("auth"))
+          val next = persistedLeaf(
+            auth.join(
+                ew.join(auth, ew("dst") === auth("id"))
+                  .select(col("src").as("id"), col("auth").as("v"))
+                  .groupBy("id").agg(sum("v").as("vh")),
+                Seq("id"), "left")
+              .select(col("id"), coalesce(col("vh"), lit(0.0)).as("hub"),
+                col("auth")))
+          state.unpersist()
+          state = next
+          i += 1
+        }
+        val sums = state.agg(sum("hub").as("sh"), sum("auth").as("sa")).head()
+        val (sh, sa) = (sums.getDouble(0), sums.getDouble(1))
+        // a graph can lack hubs or authorities entirely (no edges after
+        // dedup is impossible here — nodes come from edges — but a
+        // bipartite degenerate side can zero one sum); keep 0/0 as 0
+        state.select(col("id"),
+            (if (sh == 0.0) lit(0.0) else col("hub") / lit(sh)).as("hub"),
+            (if (sa == 0.0) lit(0.0) else col("auth") / lit(sa)).as("auth"))
+          .localCheckpoint(true)
+      } finally {
+        state.unpersist()
+        ew.unpersist(); nodes.unpersist()
+      }
+    } finally eDist.unpersist()
+  }
 }

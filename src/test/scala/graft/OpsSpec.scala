@@ -1542,6 +1542,77 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == got.values.min) // nothing links to 4
   }
 
+  test("personalizedPageRank: plain-Scala parity; seeds absorb the teleport") {
+    // 1 <-> 2 hub pair, 3/4 feed 1, 5 is DANGLING
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(3L, 4L)
+    val got = GraphOps.personalizedPageRank(edges, "src", "dst",
+        seeds.map(_.asInstanceOf[Any]), iters = 5, damping = 0.875)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val e = Set((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L))
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val d = 0.875
+    def t(v: Long) = if (seeds.contains(v)) 1.0 / seeds.size else 0.0
+    var r = nodes.map(v => v -> t(v)).toMap
+    for (_ <- 1 to 5) {
+      val r0 = r
+      val dm = nodes.toSeq.filterNot(out.contains).map(r0).sum
+      r = nodes.toSeq.map { v =>
+        val c = e.toSeq.filter(_._2 == v).map { case (s, _) => r0(s) / out(s) }.sum
+        v -> ((1.0 - d) * t(v) + d * (c + dm * t(v)))
+      }.toMap
+    }
+    assert(got.keySet == nodes)
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+    // mass conserved (all seeds are graph nodes), and the seed-adjacent
+    // hub outranks the global-PageRank favourite ordering change: node 1
+    // collects the seeds' teleport directly
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) == got.values.max)
+    // a node unreachable from the seeds except via teleport decay gets
+    // strictly less than under uniform PageRank's floor
+    assert(got(2L) > 0.0 && got(5L) > 0.0)
+  }
+
+  test("hits: plain-Scala parity; hubs and authorities separate") {
+    // 3 and 4 point at both 1 and 2 (pure hubs); 1 and 2 are authorities;
+    // 5 dangles off 1
+    val edges = Seq((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (1L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val e = Set((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (1L, 5L))
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      auth = nodes.toSeq.map(v =>
+        v -> e.toSeq.filter(_._2 == v).map(ed => hub(ed._1)).sum).toMap
+      hub = nodes.toSeq.map(v =>
+        v -> e.toSeq.filter(_._1 == v).map(ed => auth(ed._2)).sum).toMap
+    }
+    val sh = hub.values.sum
+    val sa = auth.values.sum
+    assert(got.keySet == nodes)
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - hub(v) / sh) < 1e-12, s"hub $v")
+      assert(math.abs(got(v)._2 - auth(v) / sa) < 1e-12, s"auth $v")
+    }
+    // structure: 3/4 are the top hubs with ZERO authority; 1/2 the top
+    // authorities; normalized columns each sum to 1
+    assert(got(3L)._1 == got.values.map(_._1).max && got(3L)._2 == 0.0)
+    assert(got(4L)._1 == got(3L)._1)
+    assert(got(1L)._2 == got.values.map(_._2).max)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("pageRank: exactly two driver actions per iteration") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L))
       .toDF("src", "dst")
