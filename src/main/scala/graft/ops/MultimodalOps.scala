@@ -571,7 +571,10 @@ object MultimodalOps {
     val firsts = hashed.groupBy("ahash")
       .agg(min("media_id").as("keep_id"), count(lit(1)).as("n"))
       .where(col("n") > 1)
-    hashed.join(firsts, Seq("ahash"))
+    // SHUFFLE_HASH, firsts as build (the duplicateSpans argument — an
+    // implicit broadcast at small scale serialized this join onto the
+    // input partitions, 3x at sf1; SCALE.md r12)
+    hashed.join(firsts.hint("shuffle_hash"), Seq("ahash"))
       .where(col("media_id") =!= col("keep_id"))
       .select(col("keep_id"), col("media_id").as("dup_id"))
   }

@@ -236,7 +236,15 @@ object SimilarityOps {
         explode(GraftFunctions.nearest_centroids(col(vecCol), centers, nprobe)).as("cell"))
       .withColumn("__salt",
         pmod(xxhash64(col("src_id")), lit(salts.toLong)).cast("int"))
-    val scored = cells.join(probes, Seq("cell", "__salt"))
+    // SHUFFLE_HASH hint: the documented plan — both sides hash-partition
+    // by cell, the n-row assignment side builds per-partition maps. Left
+    // to itself AQE sees two "small" inputs at test scale and broadcasts
+    // one side, which silently serializes the O(n²·nprobe/nlist) pair
+    // loop onto the INPUT's partition count (one parquet file = one
+    // core; measured 5x slower at sf1, SCALE.md). At real scale neither
+    // side is broadcastable and the hint simply pins the strategy the
+    // shuffle would pick anyway.
+    val scored = cells.hint("shuffle_hash").join(probes, Seq("cell", "__salt"))
       .where(col("src_id") =!= col("nbr_id"))
       .select(col("src_id"), col("nbr_id"),
         GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
@@ -297,7 +305,17 @@ object SimilarityOps {
   }
 
   /** Deterministic spherical k-means on a driver-side sample: seeded
-    * distinct-point init, cosine assignment, mean re-centering. */
+    * distinct-point init, cosine assignment, mean re-centering.
+    *
+    * The assignment pass is CHUNK-PARALLEL with a FIXED chunk count:
+    * training is O(sample·k·dim·iters) and k grows as sqrt(corpus)
+    * under the auto-nlist rule, so at 20k vectors the single-threaded
+    * loop was already the dominant cost of the whole approximate
+    * kNN-graph query (measured at sf1, SCALE.md). Per-chunk partial
+    * sums combine in chunk-INDEX order, so the result stays BITWISE
+    * deterministic — independent of cores and scheduling — exactly like
+    * the sequential form (the [[kmeansFit]] reproducibility argument,
+    * solved here by fixed association instead of fixed-point). */
   private[ops] def trainKmeans(sample: Array[Array[Float]], kCenters: Int,
                                iters: Int, seed: Long): Array[Array[Float]] = {
     require(sample.nonEmpty, "IVF training requires a non-empty sample")
@@ -326,9 +344,7 @@ object SimilarityOps {
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
     for (_ <- 0 until iters) {
-      val sums = Array.fill(n)(new Array[Double](dim))
-      val counts = new Array[Int](n)
-      sample.foreach { v =>
+      val (sums, counts) = chunkedAssign(sample, dim, n) { v =>
         var best = 0; var bestSim = Double.NegativeInfinity
         var c = 0
         while (c < n) {
@@ -336,14 +352,57 @@ object SimilarityOps {
           if (s > bestSim) { bestSim = s; best = c }
           c += 1
         }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        best
       }
       for (c <- 0 until n if counts(c) > 0; i <- 0 until dim)
         centers(c)(i) = (sums(c)(i) / counts(c)).toFloat
     }
     centers
+  }
+
+  /** One Lloyd assignment-and-sum pass, parallel over a FIXED 64 chunks
+    * of the sample (index-ordered combine ⇒ bitwise-deterministic sums
+    * regardless of core count). `assign` returns the center index for a
+    * vector; within a chunk, accumulation is sequential in sample
+    * order. */
+  private def chunkedAssign(sample: Array[Array[Float]], dim: Int, n: Int)(
+      assign: Array[Float] => Int): (Array[Array[Double]], Array[Int]) = {
+    val chunks = 64
+    val per = (sample.length + chunks - 1) / chunks
+    val parts = (0 until chunks).toArray
+    val results = new Array[(Array[Array[Double]], Array[Int])](chunks)
+    import scala.collection.parallel.CollectionConverters._
+    parts.par.foreach { ci =>
+      val lo = ci * per
+      val hi = math.min(sample.length, lo + per)
+      val s = Array.fill(n)(new Array[Double](dim))
+      val cnt = new Array[Int](n)
+      var j = lo
+      while (j < hi) {
+        val v = sample(j)
+        val best = assign(v)
+        cnt(best) += 1
+        var i = 0
+        while (i < dim) { s(best)(i) += v(i); i += 1 }
+        j += 1
+      }
+      results(ci) = (s, cnt)
+    }
+    val sums = Array.fill(n)(new Array[Double](dim))
+    val counts = new Array[Int](n)
+    var ci = 0
+    while (ci < chunks) {
+      val (s, cnt) = results(ci)
+      var c = 0
+      while (c < n) {
+        counts(c) += cnt(c)
+        var i = 0
+        while (i < dim) { sums(c)(i) += s(c)(i); i += 1 }
+        c += 1
+      }
+      ci += 1
+    }
+    (sums, counts)
   }
 
   /** Deterministic EUCLIDEAN k-means on a driver-side sample — the PQ
@@ -377,9 +436,7 @@ object SimilarityOps {
       s
     }
     for (_ <- 0 until iters) {
-      val sums = Array.fill(n)(new Array[Double](dim))
-      val counts = new Array[Int](n)
-      sample.foreach { v =>
+      val (sums, counts) = chunkedAssign(sample, dim, n) { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < n) {
@@ -387,9 +444,7 @@ object SimilarityOps {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        best
       }
       for (c <- 0 until n if counts(c) > 0; i <- 0 until dim)
         centers(c)(i) = (sums(c)(i) / counts(c)).toFloat
