@@ -65,7 +65,7 @@ object CorpusOps {
     val firsts = content.select(col("lh"), firstKey.as("k"))
       .groupBy("lh").agg(min("k").as("first_k"))
     val kept = content
-      .join(firsts, "lh")
+      .join(firsts.hint("shuffle_hash"), "lh")
       .where(firstKey === col("first_k"))
       .select(col(idCol), col("idx"), col("line"))
       .unionByName(lines.where(length(col("line")) === 0)) // structural lines stay
