@@ -759,7 +759,17 @@ object CorpusOps {
       throw new graft.InvalidDataError(
         s"query batch exceeds $maxQueryTerms distinct terms; split the " +
           "batch or use bm25Search without scan pushdown")
+    // re-key the pruned postings by doc BEFORE scoring: the persisted
+    // table streams TERM-major (that is what bucket pruning needs), but
+    // the (query_id, doc_id) score aggregate wants DOC-major locality —
+    // term-major input scatters each group across the whole stream, the
+    // partial-agg hash map overflows, and the exchange carries the
+    // candidate volume instead of the group count (measured 2x at sf1
+    // with stopword-heavy queries, SCALE.md r12). The repartition
+    // shuffles the COMPACT pruned index — O(matched postings), always
+    // <= the candidate stream it tames.
     val pruned = postings.where(col("term").isin(vocab.toSeq: _*))
+      .repartition(col("doc_id"))
     bm25Search(pruned, stats, queries, queryIdCol, queryTextCol, k, k1, b,
       maxDf)
   }
