@@ -1649,9 +1649,11 @@ object SparkEntry {
       val sTbl = cat.createTable("bm25_stats",
         SparkSchemaConverter.fromSpark(stats.schema))
       sTbl.append(stats)
+      // DSv2 loads so the pushed term-IN filter prunes bucket partitions
+      // in the EXECUTED plan (the e47 argument)
       CorpusOps.bm25SearchIndexed(
-          cat.loadTable("bm25_postings").toDF(s),
-          cat.loadTable("bm25_stats").toDF(s),
+          s.read.format("graft").load(pTbl.location),
+          s.read.format("graft").load(sTbl.location),
           queries, "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
         .orderBy("query_id", "rank")
     }),
@@ -2112,9 +2114,13 @@ object SparkEntry {
         partitionSpec = PartitionSpec(0, Seq(PartitionField(
           aSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
       aTbl.append(assignments)
+      // DSv2 loads, NOT Table.toDF: the probe's cell-IN filter reaches
+      // the scan through pushFilters and prunes manifest entries in the
+      // EXECUTED plan — toDF applies .where after file planning, so the
+      // pruning would only be logical there
       SimilarityOps.topKIvfFromIndex(
-          cat.loadTable("ivf_centroids").toDF(s),
-          cat.loadTable("ivf_assignments").toDF(s),
+          s.read.format("graft").load(cTbl.location),
+          s.read.format("graft").load(aTbl.location),
           emb.where("vec_id < 8"), "vec_id", "embedding",
           k = 5, nprobe = 16)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
@@ -2146,13 +2152,14 @@ object SparkEntry {
           aSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
       aTbl.append(baseAssign)
       // the incremental append: delta assigned under the PERSISTED
-      // centroids (read back from the table, like a later job would)
-      val reloadedCentroids = cat.loadTable("ivf_centroids").toDF(s)
+      // centroids (read back from the table, like a later job would);
+      // DSv2 loads so probe filters prune files in the executed plan
+      val reloadedCentroids = s.read.format("graft").load(cTbl.location)
       aTbl.append(SimilarityOps.assignToIndex(
         delta, "vec_id", "embedding", reloadedCentroids))
       SimilarityOps.topKIvfFromIndex(
           reloadedCentroids,
-          cat.loadTable("ivf_assignments").toDF(s),
+          s.read.format("graft").load(aTbl.location),
           emb.where("vec_id < 8"), "vec_id", "embedding",
           k = 5, nprobe = 16)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))

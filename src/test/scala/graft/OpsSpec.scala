@@ -1131,6 +1131,15 @@ class OpsSpec extends AnyFunSuite {
       .planFiles().size
     assert(oneCell < allFiles,
       s"cell partition did not prune after delta commit: $oneCell of $allFiles files")
+    // and the pruning happens in the EXECUTED plan through the DSv2 read
+    // path (what the e47/e53 entries use): the cell filter must reach the
+    // graft scan as a pushed filter — GraftV1Scan plans files WITH the
+    // pushed predicates, so together with the file-count assertion above
+    // this proves the query's own plan prunes, not just the scan API
+    val dsv2Plan = spark.read.format("graft").load(aTbl.location)
+      .where($"cell" === 0).queryExecution.executedPlan.toString
+    assert(dsv2Plan.contains("PushedFilters: [IsNotNull(cell), EqualTo(cell,0)]"),
+      s"cell filter not pushed into the DSv2 scan:\n$dsv2Plan")
   }
 
   test("canonicalizeUrl: fetch-variants of one page collapse to one key") {
