@@ -2127,6 +2127,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e54_range_search" -> ((s, dir) => {
+      // cosine RANGE search — "everything at least this similar",
+      // however many that is (the dedup/recall-sweep complement to
+      // top-k). Exact by construction: one map-side pass against the
+      // broadcast query batch, threshold filter per row, no per-query
+      // state. Threshold 0.9 sits in a gap of the fixture's cosine
+      // distribution (organic pairs stay clear of it — the e39
+      // argument), so engine float wobble cannot flip membership;
+      // every query matches at least itself at cosine 1.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.rangeSearch(emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding", threshold = 0.9)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "vec_id")
+    }),
+
     "e53_knn_ivf_index_incremental" -> ((s, dir) => {
       // INCREMENTAL index maintenance: build the persisted IVF index on
       // 80% of the corpus, then cell-assign the remaining 20% delta under
@@ -3391,6 +3408,14 @@ object SparkEntry {
     // brute-force oracle grades the index round trip
     "e47_knn_ivf_index" -> KnnOracleSql,
     "e53_knn_ivf_index_incremental" -> KnnOracleSql,
+
+    "e54_range_search" ->
+      """SELECT q.vec_id AS query_id, c.vec_id,
+        |  ROUND(list_cosine_similarity(c.embedding, q.embedding), 6) AS cosine
+        |FROM embeddings c
+        |CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+        |WHERE list_cosine_similarity(c.embedding, q.embedding) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
 
     // MMR at lambda = 1 == exact top-k (zero-weight similarity penalty)
     "e51_mmr_rerank" -> KnnOracleSql,

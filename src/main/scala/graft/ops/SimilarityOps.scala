@@ -76,6 +76,41 @@ object SimilarityOps {
   }
 
   /**
+   * RANGE search: every corpus vector with `cosine >= threshold` to each
+   * query — the third member of the similarity-search triple (top-k =
+   * [[topKBruteForce]]/[[topKIvf]], all-pairs graph = [[knnGraph]],
+   * range = this). Retrieval wants top-k; DEDUP and recall-sweep
+   * tooling want range: "everything at least this similar", however
+   * many or few that is.
+   *
+   * 100 TB design: one map-side pass of the corpus against the
+   * BROADCAST query batch (the [[topKBruteForce]] argument), and since
+   * the threshold filter is per-row there is no per-query state at all
+   * — no top-k buffer, no exchange except the output's own. An IVF
+   * variant would prune candidates but make results depend on kmeans
+   * geometry; range semantics exist precisely to be exhaustive, so this
+   * stays exact by construction.
+   *
+   * Output: (query_id, vec_id, cosine), unranked — callers sort or
+   * aggregate as needed. Self-pairs are NOT excluded (a query that is
+   * also a corpus vector matches itself at cosine 1); exclude by id
+   * downstream when unwanted.
+   */
+  def rangeSearch(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  threshold: Double): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .crossJoin(broadcast(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /**
    * Build a PERSISTED IVF index — the production shape [[topKIvf]]'s
    * one-shot form amortizes away: train + assign are the only passes
    * that touch the corpus, so building ONCE and probing many query

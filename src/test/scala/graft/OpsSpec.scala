@@ -1088,6 +1088,34 @@ class OpsSpec extends AnyFunSuite {
       s"cell partition did not prune: $oneCell of $allFiles files")
   }
 
+  test("rangeSearch: exact threshold semantics vs plain-Scala cosine") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where("vec_id < 4")
+    val got = SimilarityOps.rangeSearch(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // plain-Scala reference over the full cross product
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      q <- vecs.keys if q < 4
+      c <- vecs.keys if cos(vecs(c), vecs(q)) >= 0.5
+    } yield (q, c)).toSet
+    assert(got == want && got.nonEmpty)
+    // every query matches itself at cosine 1
+    assert((0L until 4L).forall(q => got.contains((q, q))))
+    // tightening the threshold can only shrink the result
+    val tight = SimilarityOps.rangeSearch(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(got))
+  }
+
   test("incremental IVF index: delta append equals full re-assignment, pruning survives") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = emb.where("vec_id % 4 != 0")
