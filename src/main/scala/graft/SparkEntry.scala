@@ -1124,6 +1124,29 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    "s56_stream_range_alert" -> ((s, dir) => {
+      // continuous similarity alerting: arriving vectors score MAP-ONLY
+      // against the broadcast (static) alert set — rangeSearch's exact
+      // per-row cosine threshold, no state store, no join state — so
+      // near-matches flag in-flight (the streaming face of e54; same
+      // wobble-safe 0.9 threshold). Per-row semantics make any
+      // micro-batch slicing equal the batch answer, graded by the same
+      // oracle as e54.
+      val batchSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val queries = t(s, dir, "embeddings").where("vec_id < 8")
+      val alerts = SimilarityOps.rangeSearch(raw, "vec_id", "embedding",
+        queries, "vec_id", "embedding", threshold = 0.9)
+      val sink = s"s56_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = alerts
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("query_id", "vec_id")
+    }),
+
     "s52_stream_decontaminate" -> ((s, dir) => {
       // in-flight decontamination: the documents table streams through a
       // MAP-ONLY membership probe of the (static) benchmark suite's
@@ -3410,6 +3433,16 @@ object SparkEntry {
     "e53_knn_ivf_index_incremental" -> KnnOracleSql,
 
     "e54_range_search" ->
+      """SELECT q.vec_id AS query_id, c.vec_id,
+        |  ROUND(list_cosine_similarity(c.embedding, q.embedding), 6) AS cosine
+        |FROM embeddings c
+        |CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+        |WHERE list_cosine_similarity(c.embedding, q.embedding) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+
+    // per-row threshold semantics are micro-batch-invariant, so the
+    // streamed alerts grade against the batch range-search oracle
+    "s56_stream_range_alert" ->
       """SELECT q.vec_id AS query_id, c.vec_id,
         |  ROUND(list_cosine_similarity(c.embedding, q.embedding), 6) AS cosine
         |FROM embeddings c

@@ -220,6 +220,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(tbl.snapshots.forall(_.summary.contains("streaming-batch-id")))
   }
 
+  test("streaming range alert: drain equals batch rangeSearch across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0L until 20L).map(i =>
+      (i, Seq(math.cos(i * 0.2).toFloat, math.sin(i * 0.2).toFloat)))
+    val queries = all.take(2).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val alerts = graft.ops.SimilarityOps.rangeSearch(stream, "vec_id", "embedding",
+      queries, "vec_id", "embedding", threshold = 0.8)
+    val q = alerts.writeStream.format("memory").queryName("range_alerts").start()
+    try {
+      mem.addData(all.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val drained = spark.table("range_alerts")
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val batch = graft.ops.SimilarityOps.rangeSearch(
+        all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        queries, "vec_id", "embedding", threshold = 0.8)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(drained == batch && drained.nonEmpty)
+    // per-row semantics: self-matches at cosine 1 and only
+    // angle-near vectors alert
+    assert(drained.contains((0L, 0L)) && drained.contains((1L, 1L)))
+  }
+
   test("ivfIndexStream: streamed deltas keep the index equal to a full re-assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
