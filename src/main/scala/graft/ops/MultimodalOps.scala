@@ -564,8 +564,12 @@ object MultimodalOps {
     * 100 TB design: exactly the d30 exact-dedup shape — hash is computed
     * map-side next to the decode (images never ride a shuffle; 8 bytes per
     * image do), first-occurrence is a combinable min per hash, and dups
-    * emerge from an equi-join on the hash. Near-miss (Hamming ≤ r)
-    * matching is [[imageNearDupPairs]]. */
+    * emerge from an equi-join on the hash. The hash subtree appears on
+    * both join sides, so a one-shot call DECODES TWICE — at scale,
+    * persist [[imageAHash]]'s output once (the e52 `encodeBinary` / e47
+    * index argument: 16 bytes a row) and feed the join from the stored
+    * column; the decode then happens exactly once per corpus ever.
+    * Near-miss (Hamming ≤ r) matching is [[imageNearDupPairs]]. */
   def imageNearDup(media: DataFrame): DataFrame = {
     val hashed = imageAHash(media).where(col("ahash").isNotNull)
     val firsts = hashed.groupBy("ahash")

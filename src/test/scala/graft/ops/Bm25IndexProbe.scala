@@ -118,5 +118,28 @@ object Bm25IndexProbe {
         "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
         .write.mode("overwrite").format("noop").save()
     }
+    // write-path decomposition
+    timed("bm25Index compute only (noop)") {
+      val (p2, _) = CorpusOps.bm25Index(docs, "doc_id", "text")
+      p2.write.mode("overwrite").format("noop").save()
+    }
+    timed("raw parquet write of postings") {
+      val (p2, _) = CorpusOps.bm25Index(docs, "doc_id", "text")
+      p2.write.mode("overwrite").parquet("/tmp/bm25-raw-postings")
+    }
+    timed("graft append to bucketed table (2nd table)") {
+      val (p2, _) = CorpusOps.bm25Index(docs, "doc_id", "text")
+      val pSchema2 = SparkSchemaConverter.fromSpark(p2.schema)
+      val p3 = cat.createTable("postings2", pSchema2,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          pSchema2.fieldByName("term").get.id, 1000, "term_bucket", "bucket[16]"))))
+      p3.append(p2)
+    }
+    timed("graft append unpartitioned (3rd table)") {
+      val (p2, _) = CorpusOps.bm25Index(docs, "doc_id", "text")
+      val p4 = cat.createTable("postings3",
+        SparkSchemaConverter.fromSpark(p2.schema))
+      p4.append(p2)
+    }
   }
 }
