@@ -165,6 +165,72 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank matches the reference on random graphs and seed sets") {
+    import graft.ops.GraphOps
+    for (seed <- 1 to 3) {
+      val edges = Gen.listOfN(60, for {
+        a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 24L)
+      } yield (a, b)).pureApply(Gen.Parameters.default, Seed(2100L + seed))
+        .distinct
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // seed core: a deterministic subset of actual graph nodes
+      val core = nodes.sorted.take(math.max(1, nodes.size / 5))
+      val got = GraphOps.personalizedPageRank(edges.toDF("src", "dst"),
+          "src", "dst", core.map(_.asInstanceOf[Any]), iters = 4, damping = 0.875)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      val e = edges.toSet
+      val out = e.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      def t(v: Long) = if (core.contains(v)) 1.0 / core.size else 0.0
+      var r = nodes.map(v => v -> t(v)).toMap
+      for (_ <- 1 to 4) {
+        val r0 = r
+        val dm = nodes.filterNot(out.contains).map(r0).sum
+        r = nodes.map { v =>
+          val c = e.toSeq.filter(_._2 == v).map { case (s, _) => r0(s) / out(s) }.sum
+          v -> (0.125 * t(v) + 0.875 * (c + dm * t(v)))
+        }.toMap
+      }
+      assert(got.keySet == nodes.toSet, s"seed=$seed node set")
+      nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-10,
+        s"seed=$seed node $v: ${got(v)} vs ${r(v)}"))
+      // every seed is a graph node, so mass is conserved
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"seed=$seed mass")
+    }
+  }
+
+  test("hits matches the reference on random graphs") {
+    import graft.ops.GraphOps
+    for (seed <- 1 to 3) {
+      val edges = Gen.listOfN(60, for {
+        a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 24L)
+      } yield (a, b)).pureApply(Gen.Parameters.default, Seed(3100L + seed))
+        .distinct
+      val got = GraphOps.hits(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+      val e = edges.toSet
+      val nodes = e.toSeq.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var hub = nodes.map(_ -> 1.0).toMap
+      var auth = nodes.map(_ -> 1.0).toMap
+      for (_ <- 1 to 3) {
+        auth = nodes.map(v =>
+          v -> e.toSeq.filter(_._2 == v).map(ed => hub(ed._1)).sum).toMap
+        hub = nodes.map(v =>
+          v -> e.toSeq.filter(_._1 == v).map(ed => auth(ed._2)).sum).toMap
+      }
+      val sh = hub.values.sum
+      val sa = auth.values.sum
+      assert(got.keySet == nodes.toSet, s"seed=$seed node set")
+      nodes.foreach { v =>
+        assert(math.abs(got(v)._1 - (if (sh == 0) 0.0 else hub(v) / sh)) < 1e-10,
+          s"seed=$seed hub $v")
+        assert(math.abs(got(v)._2 - (if (sa == 0) 0.0 else auth(v) / sa)) < 1e-10,
+          s"seed=$seed auth $v")
+      }
+    }
+  }
+
   test("heavyHitters equals the exact filter on random multisets and thresholds") {
     for (seed <- 1 to 4) {
       val terms = Gen.listOfN(300, genWord)
