@@ -1751,6 +1751,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d85_sentences" -> ((s, dir) => {
+      // sentence segmentation: one greedy lookbehind-free regex
+      // ([^.!?]+[.!?]*) both engines interpret identically — each doc
+      // explodes to ordered (sent_idx, sentence, n_tokens) rows, the
+      // boundary unit for sentence-aligned chunking and per-sentence
+      // quality filtering. Map-only until the output's own exchange.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      docs.select(col("doc_id"),
+          posexplode(TextOps.sentences(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("sent_idx"),
+          col("col").as("sentence"),
+          size(TextOps.tokens(col("col"))).cast("long").as("n_tokens"))
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     "d83_hits" -> ((s, dir) => {
       // HITS hubs/authorities over the same synthetic link graph as d78:
       // unnormalized integer iteration (every intermediate value is an
@@ -3883,6 +3898,26 @@ object SparkEntry {
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS bpe_roundtrip_ok,
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS n_bpe_in_bounds
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same greedy lookbehind-free sentence rule; n_tokens reuses ToksSql
+    // over the sentence
+    "d85_sentences" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |      s -> length(s) > 0) AS l
+        |  FROM documents
+        |), sents AS (
+        |  SELECT doc_id, unnest(l) AS sentence,
+        |    CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS sent_idx
+        |  FROM base
+        |)
+        |SELECT doc_id, sent_idx, sentence,
+        |  CAST(len(CASE WHEN length(trim(sentence))=0 THEN CAST([] AS VARCHAR[])
+        |    ELSE regexp_split_to_array(trim(sentence), '\s+') END) AS BIGINT)
+        |    AS n_tokens
+        |FROM sents ORDER BY doc_id, sent_idx""".stripMargin,
 
     // 2 unrolled HITS rounds, unnormalized integer iteration; the final
     // L1 division is the only inexact step

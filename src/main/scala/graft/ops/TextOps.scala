@@ -116,6 +116,24 @@ object TextOps {
   /** Stable content hash for exact dedup (md5 hex — cheap, engine-portable). */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
+  /**
+   * Sentence segmentation — the boundary unit for sentence-aligned
+   * chunking, per-sentence quality filtering, and citation spans. The
+   * rule is deliberately a single greedy regex with NO lookbehind, so it
+   * means the same thing to Java regex and RE2-family engines (the
+   * DuckDB oracle): each sentence is a maximal run of non-terminator
+   * characters plus its trailing `[.!?]` run (`[^.!?]+[.!?]*`), trimmed,
+   * empties dropped. Terminator-only prefixes ("...") attach to no
+   * sentence and vanish — the conservative choice for a heuristic
+   * splitter (abbreviation handling belongs to a model, not a regex).
+   * Map-only; output `array<string>` preserves order.
+   */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+
   // ------------------------------------------- character-LM quality score
 
   /** Character trigrams of a document WITH multiplicity (positions

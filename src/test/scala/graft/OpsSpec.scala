@@ -1088,6 +1088,25 @@ class OpsSpec extends AnyFunSuite {
       s"cell partition did not prune: $oneCell of $allFiles files")
   }
 
+  test("sentences: greedy terminator-run segmentation, order preserved") {
+    val df = Seq(
+      (1L, "Hello world. Second one! Third?"),
+      (2L, "No terminator at all"),
+      (3L, "Multi!!! Runs... collapse? yes."),
+      (4L, "...leading dots vanish. tail"),
+      (5L, ""),
+      (6L, "   ")).toDF("id", "text")
+    val got = df.select($"id", TextOps.sentences($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("Hello world.", "Second one!", "Third?"))
+    assert(got(2L) == List("No terminator at all"))
+    // terminator RUNS stay with their sentence; mid-run splits never occur
+    assert(got(3L) == List("Multi!!!", "Runs...", "collapse?", "yes."))
+    // a terminator-only prefix attaches to no sentence
+    assert(got(4L) == List("leading dots vanish.", "tail"))
+    assert(got(5L).isEmpty && got(6L).isEmpty)
+  }
+
   test("rangeSearch: exact threshold semantics vs plain-Scala cosine") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.where("vec_id < 4")
