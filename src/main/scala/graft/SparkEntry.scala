@@ -1751,6 +1751,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d86_sentence_chunks" -> ((s, dir) => {
+      // sentence-aligned RAG chunking: sentences never split; each joins
+      // the chunk its cumulative-token prefix falls in (floor division —
+      // exact integer arithmetic both engines replay). Per-doc window +
+      // (doc, chunk) group, both bounded by the document.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      CorpusOps.chunkBySentences(docs, "doc_id", "text", chunkTokens = 64)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "d85_sentences" -> ((s, dir) => {
       // sentence segmentation: one greedy lookbehind-free regex
       // ([^.!?]+[.!?]*) both engines interpret identically — each doc
@@ -3898,6 +3908,39 @@ object SparkEntry {
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS bpe_roundtrip_ok,
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS n_bpe_in_bounds
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same sentence rule; chunk assignment is exact integer floor
+    // division over the per-doc prefix sum
+    "d86_sentence_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |      s -> length(s) > 0) AS l
+        |  FROM documents
+        |), sents AS (
+        |  SELECT doc_id, unnest(l) AS sentence,
+        |    CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS sent_idx
+        |  FROM base
+        |), tok AS (
+        |  SELECT doc_id, sent_idx, sentence,
+        |    CAST(len(CASE WHEN length(trim(sentence))=0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(sentence), '\s+') END) AS BIGINT)
+        |      AS n_toks
+        |  FROM sents
+        |), asg AS (
+        |  SELECT doc_id, sent_idx, sentence, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 64 AS BIGINT)
+        |      AS chunk_idx
+        |  FROM tok
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  string_agg(sentence, ' ' ORDER BY sent_idx) AS text,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |FROM asg GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // same greedy lookbehind-free sentence rule; n_tokens reuses ToksSql
     // over the sentence

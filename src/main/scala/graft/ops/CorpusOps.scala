@@ -91,6 +91,47 @@ object CorpusOps {
       .withColumn("chunk_id", floor(col("start_offset") / ctxLen))
   }
 
+  /**
+   * Sentence-aligned chunking — RAG-style windows that never split a
+   * sentence: documents segment with [[TextOps.sentences]], and each
+   * sentence joins the chunk its CUMULATIVE-token prefix falls in
+   * (`chunk_idx = floor(tokens_before / chunkTokens)`). Boundary
+   * alignment is exact integer arithmetic, so the chunking is
+   * deterministic and engine-replayable; a chunk can overflow by at
+   * most its boundary-straddling sentence (the price of alignment —
+   * greedy repacking would need a sequential fold no SQL engine
+   * replays). [[chunkDocuments]] is the token-exact fixed-window
+   * alternative when mid-sentence cuts are acceptable.
+   *
+   * 100 TB design: the per-sentence prefix sum windows PER DOCUMENT
+   * (state bounded by the document, never the corpus), and the chunk
+   * re-assembly groups on (doc, chunk) — the same two bounded exchanges
+   * as [[chunkDocuments]].
+   *
+   * Output: `(idCol, chunk_idx, text, n_sentences, n_tokens)`.
+   */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 128): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val sents = df.select(col(idCol),
+        posexplode(TextOps.sentences(col(textCol))))
+      .select(col(idCol), (col("pos") + 1).as("sent_idx"),
+        col("col").as("sentence"),
+        size(TextOps.tokens(col("col"))).cast("long").as("n_toks"))
+    val w = Window.partitionBy(idCol).orderBy("sent_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = sents.withColumn("chunk_idx",
+      (coalesce(sum("n_toks").over(w), lit(0L)) / lit(chunkTokens.toLong))
+        .cast("long"))
+    assigned.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          s => s.getField("sentence")), " ").as("text"),
+        count(lit(1)).as("n_sentences"),
+        sum("n_toks").as("n_tokens"))
+  }
+
   /** Word n-grams of `textCol`, hashed to md5 hex (32 bytes ride the
     * shuffle instead of unbounded gram strings); empty when the document
     * has fewer than `n` tokens. */

@@ -1107,6 +1107,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L).isEmpty && got(6L).isEmpty)
   }
 
+  test("chunkBySentences: boundary-aligned packing, sentences never split") {
+    // sentences of 3/4/5/4 tokens; budget 8:
+    // prefixes 0,3,7,12 -> chunks 0,0,0,1 (the 5-token sentence starting
+    // at prefix 7 < 8 joins chunk 0 and overflows it — the documented
+    // alignment trade)
+    val df = Seq(
+      (1L, "one two three. a b c d! p q r s t? tail w x y."),
+      (2L, "short.")).toDF("id", "text")
+    val got = CorpusOps.chunkBySentences(df, "id", "text", chunkTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((1L, 0L)) == (("one two three. a b c d! p q r s t?", 3L, 12L)))
+    assert(got((1L, 1L)) == (("tail w x y.", 1L, 4L)))
+    assert(got((2L, 0L)) == (("short.", 1L, 1L)))
+    assert(got.size == 3)
+    // reassembling chunks in order reproduces the segmented document
+    val rejoined = got.toSeq.filter(_._1._1 == 1L).sortBy(_._1._2)
+      .map(_._2._1).mkString(" ")
+    assert(rejoined == "one two three. a b c d! p q r s t? tail w x y.")
+  }
+
   test("rangeSearch: exact threshold semantics vs plain-Scala cosine") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.where("vec_id < 4")
