@@ -1751,6 +1751,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d87_dedup_keep_best" -> ((s, dir) => {
+      // keep-BEST exact dedup: every third document re-arrives from a
+      // "second source" (new id, different priority metadata, identical
+      // text); the survivor per content hash maximizes priority, ties on
+      // the smaller id — the multi-source ingestion rule where keep-first
+      // would discard the better-provenanced copy. One struct-min on the
+      // digest + a semi-join; text never shuffles.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs
+        .select(col("doc_id"), col("text"), (col("doc_id") % 7).as("priority"))
+        .unionByName(docs.where("doc_id % 3 = 0")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            ((col("doc_id") + 1000000L) % 7).as("priority")))
+      DedupOps.exactDedupKeepBest(corpus, "doc_id", "text", "priority")
+        .orderBy("doc_id")
+    }),
+
     "d86_sentence_chunks" -> ((s, dir) => {
       // sentence-aligned RAG chunking: sentences never split; each joins
       // the chunk its cumulative-token prefix falls in (floor division —
@@ -3908,6 +3925,24 @@ object SparkEntry {
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS bpe_roundtrip_ok,
         |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS n_bpe_in_bounds
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // winner per md5(text): max priority, ties min id — replayed as a
+    // struct-free argmin over (-priority, doc_id)
+    "d87_dedup_keep_best" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, doc_id % 7 AS priority FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text,
+        |    (doc_id + 1000000) % 7 AS priority
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), ranked AS (
+        |  SELECT doc_id, text, priority,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY priority DESC, doc_id ASC) AS rn
+        |  FROM corpus
+        |)
+        |SELECT doc_id, text, priority FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // same sentence rule; chunk assignment is exact integer floor
     // division over the per-doc prefix sum

@@ -1107,6 +1107,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L).isEmpty && got(6L).isEmpty)
   }
 
+  test("exactDedupKeepBest: max score wins, ties on min id, null scores lose") {
+    val df = Seq(
+      (1L, "same text", 2.0),
+      (2L, "same text", 5.0),  // best copy
+      (3L, "same text", 5.0),  // tie: larger id loses
+      (4L, "unique", 0.0),
+      (5L, "other", Double.NaN)).toDF("id", "text", "score")
+      .withColumn("score", when(col("id") === 5L, lit(null)).otherwise(col("score")))
+    val got = DedupOps.exactDedupKeepBest(df, "id", "text", "score")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L, 5L))
+    // null vs non-null in one group: the non-null copy wins
+    val mixed = Seq((10L, "x", None: Option[Double]), (11L, "x", Some(1.0)))
+      .toDF("id", "text", "score")
+    val got2 = DedupOps.exactDedupKeepBest(mixed, "id", "text", "score")
+      .select("id").as[Long].collect().toSet
+    assert(got2 == Set(11L))
+  }
+
   test("chunkBySentences: boundary-aligned packing, sentences never split") {
     // sentences of 3/4/5/4 tokens; budget 8:
     // prefixes 0,3,7,12 -> chunks 0,0,0,1 (the 5-token sentence starting
