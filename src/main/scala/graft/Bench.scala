@@ -57,7 +57,11 @@ object Bench {
     // round-12: the persisted BM25 index round trip — build + term-
     // bucketed table write + reload + vocabulary-pruned search (the
     // amortized shape repeated query batches pay off against)
-    "d82_bm25_index")
+    "d82_bm25_index",
+    // round-12 late: histogram-exact per-group percentiles (no corpus
+    // sort), the Matryoshka prefix-rank/full-rerank two-stage top-k,
+    // and LOCF grid resampling (generated left side + sorted-union as-of)
+    "d88_length_quantiles", "e55_knn_matryoshka", "j06_locf_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

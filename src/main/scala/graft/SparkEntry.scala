@@ -1147,6 +1147,32 @@ object SparkEntry {
       s.table(sink).orderBy("query_id", "vec_id")
     }),
 
+    "s57_stream_quantiles" -> ((s, dir) => {
+      // streaming length-distribution report: the state of a streaming
+      // groupBy(lang, ntok) count IS the histogram — bounded by the value
+      // domain, not the corpus (the d88 argument, in-flight). The drained
+      // histogram feeds the identical integer-exact percentile readoff,
+      // so the stream grades against d88's batch oracle verbatim;
+      // counting is micro-batch-associative by construction.
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val hist = raw
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+        .where(col("ntok").isNotNull)
+        .groupBy("lang", "ntok").agg(count(lit(1)).as("cnt"))
+      val sink = s"s57_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = hist
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      CorpusOps.quantilesFromHistogram(s.table(sink), "lang", "ntok", "cnt",
+          Seq(50, 90, 99))
+        .withColumnRenamed("n_rows", "n_docs")
+        .orderBy("lang")
+    }),
+
     "s52_stream_decontaminate" -> ((s, dir) => {
       // in-flight decontamination: the documents table streams through a
       // MAP-ONLY membership probe of the (static) benchmark suite's
@@ -1751,6 +1777,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d88_length_quantiles" -> ((s, dir) => {
+      // exact per-language token-count percentiles WITHOUT sorting the
+      // corpus: histogram first (one partial-agg shuffle of O(distinct
+      // (lang, ntok)) rows), percentile read off the running count with a
+      // window over those few rows — integer-exact inverted-CDF
+      // definition (`cum*100 >= total*p`) both engines replay bitwise.
+      val docs = t(s, dir, "documents")
+      CorpusOps.groupQuantiles(
+          docs.select(col("lang"),
+            TextOps.tokenCount(col("text")).as("ntok")),
+          "lang", col("ntok"))
+        .withColumnRenamed("n_rows", "n_docs")
+        .orderBy("lang")
+    }),
+
+    "d89_dup_source_matrix" -> ((s, dir) => {
+      // cross-source near-duplicate matrix over the same planted corpus
+      // as d34 (synthetic near-dups keep their original's source via
+      // doc_id % 1000000): d34's pair stream re-joins the narrow
+      // (id, source) projection and folds into source x source counts —
+      // the report that says WHICH sources mirror each other.
+      val src = t(s, dir, "documents")
+        .select(col("doc_id").as("__oid"), col("source"))
+      val corpus = corpusWithNearDups(s, dir)
+        .join(src, col("doc_id") % 1000000L === col("__oid"))
+        .select("doc_id", "text", "source")
+      DedupOps.nearDupSourceMatrix(corpus, "doc_id", "text", "source",
+          bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
+        .orderBy("source_lo", "source_hi")
+    }),
+
     "d87_dedup_keep_best" -> ((s, dir) => {
       // keep-BEST exact dedup: every third document re-arrives from a
       // "second source" (new id, different priority metadata, identical
@@ -1897,6 +1954,22 @@ object SparkEntry {
           binWidth = 4 * 3600.0)
         .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")
+    }),
+
+    "j06_locf_resample" -> ((s, dir) => {
+      // hourly grid per user with last-observation-carried-forward: the
+      // irregular-events -> regular-series alignment every feature
+      // snapshot needs. Grid generation is a distributed explode off one
+      // broadcast bounds row; the carry is the sorted-union as-of plan
+      // (one exchange). Events pre-aggregate to (user, ts) -> max(value)
+      // so the carry is order-independent (the j01 treatment). Oracle:
+      // DuckDB generate_series grid + native ASOF LEFT JOIN.
+      val ev = t(s, dir, "events")
+      val obs = ev.groupBy("user_id", "ts").agg(max("value").as("value"))
+      JoinOps.resampleLocf(obs, "ts", "user_id", Seq("value"),
+          step = "1 hour", truncUnit = "hour")
+        .select(col("user_id"), col("ts"), col("locf_value").as("value"))
+        .orderBy("user_id", "ts")
     }),
 
     "j03_skew_join" -> ((s, dir) => {
@@ -2207,6 +2280,26 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "vec_id")
+    }),
+
+    "e55_knn_matryoshka" -> ((s, dir) => {
+      // Matryoshka two-stage top-k: candidates ranked on the first 16 of
+      // 64 dims (map-only broadcast pass, top_k_by combine), shortlist of
+      // 32 re-ranked on the full vector. BOTH stages are deterministic
+      // (score desc, id asc), so the oracle replays the REAL approximate
+      // configuration in SQL — not a degenerate exact one. Honesty note:
+      // recall vs brute force is meaningful only on MRL-shaped data
+      // (prefix-heavy); this fixture's isotropic vectors give a prefix
+      // only ~sqrt(16/64) of the signal, so recall here is ~0.5 by
+      // construction — OpsSpec property-tests >=0.9 recall on
+      // prefix-heavy vectors, the data shape the operator targets.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKMatryoshka(emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, prefixDims = 16, nCandidates = 32)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     "e53_knn_ivf_index_incremental" -> ((s, dir) => {
@@ -3482,6 +3575,21 @@ object SparkEntry {
         |WHERE list_cosine_similarity(c.embedding, q.embedding) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
 
+    // full replay of the REAL two-stage approximate configuration:
+    // prefix-cosine shortlist (tc desc, id) of 32, full-cosine re-rank
+    "e55_knn_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id,
+        |   list_cosine_similarity(e.embedding[1:16], q.qe[1:16]) AS tc,
+        |   list_cosine_similarity(e.embedding, q.qe) AS fc
+        |  FROM embeddings e CROSS JOIN q),
+        | cand AS (SELECT query_id, vec_id, fc,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY tc DESC, vec_id) AS cr
+        |  FROM s)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY fc DESC, vec_id) AS BIGINT) AS rank
+        |FROM cand WHERE cr <= 32 QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // per-row threshold semantics are micro-batch-invariant, so the
     // streamed alerts grade against the batch range-search oracle
     "s56_stream_range_alert" ->
@@ -3559,6 +3667,63 @@ object SparkEntry {
          |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    "d88_length_quantiles" ->
+      s"""WITH h AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v,
+         |  count(*) AS cnt FROM documents GROUP BY 1, 2),
+         |c AS (SELECT lang, v,
+         |  sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |  sum(cnt) OVER (PARTITION BY lang) AS total FROM h)
+         |SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+         | min(CASE WHEN cum*100 >= total*50 THEN v END) AS p50,
+         | min(CASE WHEN cum*100 >= total*90 THEN v END) AS p90,
+         | min(CASE WHEN cum*100 >= total*99 THEN v END) AS p99
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the streamed histogram is count-associative, so it grades against
+    // d88's batch quantile oracle verbatim
+    "s57_stream_quantiles" ->
+      s"""WITH h AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v,
+         |  count(*) AS cnt FROM documents GROUP BY 1, 2),
+         |c AS (SELECT lang, v,
+         |  sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |  sum(cnt) OVER (PARTITION BY lang) AS total FROM h)
+         |SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+         | min(CASE WHEN cum*100 >= total*50 THEN v END) AS p50,
+         | min(CASE WHEN cum*100 >= total*90 THEN v END) AS p90,
+         | min(CASE WHEN cum*100 >= total*99 THEN v END) AS p99
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // d34's exact all-pairs oracle, folded to source x source counts via
+    // the synthetic-id -> original-source rule (doc_id % 1000000)
+    "d89_dup_source_matrix" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0
+         |), sh AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(toks) - 3, 0) + 1),
+         |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM corpus)
+         |), pairs AS (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         | WHERE jaccard >= 0.7)
+         |SELECT least(da.source, db.source) AS source_lo,
+         |       greatest(da.source, db.source) AS source_hi,
+         |       count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON p.id_a % 1000000 = da.doc_id
+         |JOIN documents db ON p.id_b % 1000000 = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d46_pack_sequences" ->
       s"""WITH tc AS (SELECT doc_id, source,
@@ -4173,6 +4338,17 @@ object SparkEntry {
         |SELECT a.a_id, b.b_id FROM a JOIN b
         |  ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
         |ORDER BY a.a_id, b.b_id""".stripMargin,
+
+    "j06_locf_resample" ->
+      """WITH e AS (SELECT user_id, ts, max(value) AS value
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS t0, max(ts) AS t1 FROM e),
+        |g AS (SELECT k.user_id,
+        |        unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS ts
+        |      FROM (SELECT DISTINCT user_id FROM e) k CROSS JOIN b)
+        |SELECT g.user_id, g.ts, e.value
+        |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.ts >= e.ts
+        |ORDER BY 1, 2""".stripMargin,
 
     "j03_skew_join" ->
       """SELECT c.c_mktsegment AS mktsegment,

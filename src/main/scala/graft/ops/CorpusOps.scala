@@ -825,4 +825,59 @@ object CorpusOps {
     bm25Search(postings, stats, queries, queryIdCol, queryTextCol, k, k1, b,
       maxDf)
   }
+
+  /**
+   * EXACT per-group percentiles of an integer-valued metric (token
+   * counts, char lengths, chunk counts — the length-distribution report
+   * every corpus curation round starts from), computed WITHOUT sorting
+   * the corpus: the values are first folded into a per-group HISTOGRAM
+   * (one partial-aggregated shuffle of O(distinct (group, value)) rows —
+   * token counts at any corpus size occupy a few thousand distinct
+   * values), and the percentile is then read off the histogram's running
+   * count with a window over those few rows. `approx_percentile` trades
+   * accuracy for exactly this shape; a small integer value domain makes
+   * the exact form just as cheap, and integer-exact semantics let a SQL
+   * oracle replay it bitwise.
+   *
+   * Percentile definition (the inverted-CDF / `quantile_disc` lower
+   * convention): `p`-th percentile = smallest value whose cumulative
+   * count reaches `ceil(total·p/100)`, evaluated in integer arithmetic
+   * (`cum·100 >= total·p`) so no float division enters the comparison.
+   *
+   * Returns one row per group: (`groupCol`, n_rows, p<p1>, p<p2>, ...).
+   * NULL values are excluded from both the histogram and the total.
+   */
+  def groupQuantiles(df: DataFrame, groupCol: String, value: Column,
+                     percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val hist = df.select(col(groupCol).as("__grp"), value.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__grp", "__v").agg(count(lit(1)).as("__cnt"))
+    quantilesFromHistogram(hist, "__grp", "__v", "__cnt", percentiles)
+      .withColumnRenamed("__grp", groupCol)
+  }
+
+  /** The percentile-readoff stage of [[groupQuantiles]], exposed so a
+    * histogram maintained ELSEWHERE (a streaming `groupBy(group, value)`
+    * count — whose state is the histogram itself, bounded by the value
+    * domain rather than the corpus — or a persisted stats table) grades
+    * through the identical arithmetic. Input: one row per (group, value)
+    * with its count. */
+  def quantilesFromHistogram(hist: DataFrame, groupCol: String,
+                             valueCol: String, countCol: String,
+                             percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    // both windows share the exchange on the group; they run over the
+    // HISTOGRAM (distinct values per group), never the input rows
+    val wCum = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("__cum", sum(countCol).over(wCum))
+      .withColumn("__total", sum(countCol).over(wAll))
+    val pAggs = percentiles.map(p =>
+      min(when(col("__cum") * 100 >= col("__total") * p, col(valueCol))).as(s"p$p"))
+    cum.groupBy(col(groupCol))
+      .agg(max("__total").as("n_rows"), pAggs: _*)
+  }
 }

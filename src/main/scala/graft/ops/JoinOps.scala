@@ -132,6 +132,52 @@ object JoinOps {
         rightPayload.zip(outNames).map { case (c, o) => col(s"$RPayCol.$c").as(o) }: _*)
   }
 
+  /**
+   * Time-grid resampling with last-observation-carried-forward: one row
+   * per `(key, grid point)` on a regular `step` grid spanning
+   * [`date_trunc(truncUnit, min(time))`, `max(time)`], each carrying the
+   * latest at-or-before observation's payload (NULL before a key's first
+   * observation) — the standard irregular-events → regular-series
+   * alignment step (feature snapshots for training, gap-filled metric
+   * series), i.e. [[asofJoin]] against a GENERATED left side.
+   *
+   * Scale shape: the bounds are ONE one-row aggregate broadcast to the
+   * key list; the grid materializes distributed — each key row explodes
+   * its own `sequence(t0, t1, step)`, so grid generation is map-side
+   * over the distinct-key frame and never a driver loop. The carry
+   * itself is the sorted-union as-of plan: ONE exchange on the key
+   * carrying |grid| + |events| rows, O(1) window state. Grid volume is
+   * |keys| x |steps| — pick `step` so that product is O(|events|), the
+   * same sizing rule as any resample. The plan reads `events` three
+   * times (keys, bounds, carry) — the two prepasses prune to the
+   * key/time columns, but callers resampling an already-hot frame
+   * should persist it first.
+   *
+   * Events sharing a `(key, time)` tuple are indistinguishable to the
+   * carry and make it order-dependent — pre-aggregate duplicates (the
+   * j01 `max(value)` treatment) if the source allows them.
+   *
+   * Output: key, `tsCol` (grid point), and each requested `valueCols`
+   * prefixed `locf_`.
+   */
+  def resampleLocf(events: DataFrame, tsCol: String, keyCol: String,
+                   valueCols: Seq[String], step: String = "1 hour",
+                   truncUnit: String = "hour"): DataFrame = {
+    require(valueCols.nonEmpty, "resampleLocf needs at least one value column")
+    val bounds = events.agg(
+      date_trunc(truncUnit, min(col(tsCol))).as("__t0"),
+      max(col(tsCol)).as("__t1"))
+    val grid = events.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("__t0"), col("__t1"), expr(s"interval $step")))
+          .as(tsCol))
+    asofJoin(grid,
+        events.select((keyCol +: tsCol +: valueCols).map(col): _*),
+        tsCol, tsCol, by = Seq(keyCol), rightPrefix = "locf_")
+      .select(col(keyCol) +: col(tsCol) +: valueCols.map(c => col(s"locf_$c")): _*)
+  }
+
   /** Numeric view of a time column for tolerance arithmetic: timestamps
     * (both zone flavors — parquet NTZ included) compare in epoch-µs,
     * numerics in their own units. */

@@ -111,6 +111,52 @@ object SimilarityOps {
   }
 
   /**
+   * Matryoshka two-stage top-k: rank candidates on the embedding's first
+   * `prefixDims` dimensions, then re-rank the per-query shortlist on the
+   * full vector — the retrieval recipe matryoshka-representation-trained
+   * embedding models are built for (prefixes of an MRL embedding are
+   * themselves valid lower-dimensional embeddings).
+   *
+   * Scale shape: stage 1 is [[topKBruteForce]]'s broadcast map-only pass
+   * but touching `prefixDims/dim` of each vector's floats (with the
+   * prefix stored as its own column — the natural MRL layout — the scan
+   * reads only that column: a 16-of-64 prefix cuts stage-1 I/O and
+   * FLOPs 4x); map-side `top_k_by` combining reduces the exchange to
+   * `nCandidates` rows per query. Stage 2 re-reads full vectors for the
+   * `|queries|·nCandidates` shortlist ONLY (one hash join on the
+   * candidate ids — AQE broadcasts the shortlist side) and rescores.
+   * Both stages are deterministic (score desc, id asc), so the exact SQL
+   * replay grades the REAL approximate configuration, not a degenerate
+   * exact one; recall vs brute force at mismatched prefixes is
+   * property-tested separately.
+   *
+   * Output shape matches [[topKBruteForce]]: (query_id, vec_id, cosine,
+   * rank) with rank 1..k by full-vector cosine.
+   */
+  def topKMatryoshka(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, prefixDims: Int, nCandidates: Int = 0): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    val nCand = if (nCandidates <= 0) 4 * k else nCandidates
+    require(nCand >= k, s"nCandidates ($nCand) must be >= k ($k)")
+    val q = broadcast(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec")))
+    val c = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+    val stage1 = c.crossJoin(q)
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(
+          slice(col("cvec"), 1, prefixDims),
+          slice(col("qvec"), 1, prefixDims)).as("cosine"))
+    val shortlist = topK(stage1, "query_id", "vec_id", nCand)
+      .select("query_id", "vec_id")
+    val rescored = c.join(broadcast(shortlist), Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    topK(rescored, "query_id", "vec_id", k)
+  }
+
+  /**
    * Build a PERSISTED IVF index — the production shape [[topKIvf]]'s
    * one-shot form amortizes away: train + assign are the only passes
    * that touch the corpus, so building ONCE and probing many query

@@ -411,4 +411,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       plan.indexOf("md5") < plan.indexOf("Join"),
       s"text must reduce to md5 before the join:\n$plan")
   }
+
+  test("groupQuantiles: inverted-CDF percentiles match a plain-Scala reference; nulls excluded") {
+    // deterministic skewed values with repeats
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 37)
+      yield (g, java.lang.Long.valueOf(((i * i * 7 + g.hashCode.abs) % 23).toLong))
+    val withNulls = rows ++ Seq(("a", null.asInstanceOf[java.lang.Long]),
+      ("b", null.asInstanceOf[java.lang.Long]))
+    val df = withNulls.toDF("g", "v")
+    val ps = Seq(1, 50, 90, 99, 100)
+    val got = CorpusOps.groupQuantiles(df, "g", col("v"), ps)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), ps.indices.map(i => r.getLong(2 + i))))
+      .toMap
+    // reference: p-th percentile = sorted(ceil(total*p/100) - 1)
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2.longValue).sorted)
+    for ((g, vs) <- byG) {
+      val (n, qs) = got(g)
+      assert(n == vs.size, s"null rows must not count for $g")
+      for ((p, q) <- ps.zip(qs)) {
+        val want = vs((vs.size * p + 99) / 100 - 1)
+        assert(q == want, s"group $g p$p: got $q want $want")
+      }
+    }
+    // the percentile window runs over the histogram, not the input: the
+    // aggregate below the window must be the (group, value) count
+    val plan = CorpusOps.groupQuantiles(df, "g", col("v"), ps)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"), s"expected a window over the histogram:\n$plan")
+  }
 }

@@ -302,4 +302,29 @@ class JoinOpsSpec extends AnyFunSuite {
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 9L)))
   }
+
+  test("resampleLocf: hourly grid spans trunc(min)..max, carries across gaps, null before first obs") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:30:00", 1.0),
+      (1L, "2024-01-01 02:15:00", 2.0),
+      (2L, "2024-01-01 03:45:00", 9.0))
+      .toDF("uid", "s", "v")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"), col("v"))
+    val r = JoinOps.resampleLocf(ev, "ts", "uid", Seq("v"))
+      .orderBy("uid", "ts")
+      .collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).toString,
+        Option(x.get(2)).map(_.asInstanceOf[Double])))
+      .toSeq
+    // grid: 00:00..03:00 (t0 = trunc(00:30), t1 = 03:45) x 2 keys = 8 rows
+    assert(r == Seq(
+      (1L, "2024-01-01 00:00:00.0", None),       // before uid 1's first obs
+      (1L, "2024-01-01 01:00:00.0", Some(1.0)),
+      (1L, "2024-01-01 02:00:00.0", Some(1.0)),  // gap hour carries forward
+      (1L, "2024-01-01 03:00:00.0", Some(2.0)),
+      (2L, "2024-01-01 00:00:00.0", None),
+      (2L, "2024-01-01 01:00:00.0", None),
+      (2L, "2024-01-01 02:00:00.0", None),
+      (2L, "2024-01-01 03:00:00.0", None)))      // 03:45 obs is after 03:00
+  }
 }

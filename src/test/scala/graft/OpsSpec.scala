@@ -543,6 +543,58 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall") // multiprobe-2 on 8 bits
   }
 
+  test("matryoshka top-k: full prefix equals brute force; 16-dim prefix keeps recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // degenerate config: prefix = full dim and a shortlist >= corpus means
+    // stage 1 IS brute force and stage 2 re-ranks everything -> identical
+    val full = SimilarityOps.topKMatryoshka(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, prefixDims = 64, nCandidates = 100000)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact, "prefix=dim + unbounded shortlist must equal brute force")
+    // Recall needs MRL-SHAPED data (information concentrated in the
+    // prefix) — on the isotropic random fixture a 16-of-64 prefix
+    // correlates only ~sqrt(16/64) with the full cosine and recall is
+    // ~0.5 by construction, which says nothing about the operator. Build
+    // prefix-heavy vectors: strong first 16 dims, small noise tail.
+    def mrlVec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.tabulate(64)(d => (if (d < 16) r.nextGaussian() else 0.1 * r.nextGaussian()).toFloat)
+    }
+    val mrlCorpus = (0 until 300).map(i => (i.toLong, mrlVec(i))).toDF("vec_id", "embedding")
+    val mrlQueries = (0 until 5).map(i => (i.toLong, mrlVec(i))).toDF("qid", "qvec")
+    val mrlExact = SimilarityOps.topKBruteForce(mrlCorpus, "vec_id", "embedding",
+        mrlQueries, "qid", "qvec", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val mrl = SimilarityOps.topKMatryoshka(mrlCorpus, "vec_id", "embedding",
+        mrlQueries, "qid", "qvec", k = 5, prefixDims = 16, nCandidates = 32)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = mrlExact.count(mrl.contains).toDouble / mrlExact.size
+    assert(recall >= 0.9, s"matryoshka recall on prefix-heavy data: $recall")
+  }
+
+  test("nearDupSourceMatrix: pairs fold to symmetric source counts") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, base, "srcA"),
+      (2L, base, "srcB"),            // cross-source dup with 1
+      (3L, base, "srcB"),            // J=1 dup of 1 and 2 (banding-certain)
+      (4L, "one two three four five six seven eight nine ten", "srcC"),
+      (5L, "one two three four five six seven eight nine ten", "srcC") // intra-source dup
+    ).toDF("id", "text", "src")
+    val m = DedupOps.nearDupSourceMatrix(df, "id", "text", "src")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B, (4,5) C-C
+    assert(m == Map(
+      ("srcA", "srcB") -> 2L,
+      ("srcB", "srcB") -> 1L,
+      ("srcC", "srcC") -> 1L))
+  }
+
   test("SQ8 top-k equals exact MIPS top-k (error-bounded candidates)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
