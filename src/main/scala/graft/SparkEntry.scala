@@ -350,6 +350,36 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g54_compact_roundtrip" -> ((s, dir) => {
+      // compaction (`rewrite_data_files`) graded through the oracle: four
+      // micro-appends fragment the table (the streaming-ingest shape that
+      // unbounds scan task counts at 100 TB), bin-pack rewrites them, and
+      // the aggregate must be bit-identical to reading the source rows —
+      // a row-preserving rewrite, verified end-to-end. The entry itself
+      // asserts files actually shrank and the pre-compact snapshot still
+      // serves the small files (time travel across maintenance).
+      val wh = java.nio.file.Files.createTempDirectory("graft-compact-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val li = t(s, dir, "lineitem").where("l_orderkey % 3 = 0")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val tbl = cat.createTable("li_compact",
+        SparkSchemaConverter.fromSpark(li.schema))
+      for (i <- 0 until 4)
+        tbl.append(li.where(col("l_orderkey") % 4 === i))
+      val pre = tbl.currentSnapshotId.get
+      val nBefore = tbl.scan().planFiles().size
+      val rowsBefore = tbl.toDF(s).count()
+      tbl.compact(s, smallFileBytes = 1L << 30, minInputFiles = 2)
+      val nAfter = tbl.refresh().scan().planFiles().size
+      require(nAfter < nBefore, s"compaction must shrink files ($nBefore -> $nAfter)")
+      require(tbl.toDF(s, Some(pre)).count() == rowsBefore,
+        "pre-compact snapshot must still serve the small files")
+      tbl.toDF(s)
+        .groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g27_partition_prune" -> ((s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-verify-wh").toString
       val cat = new HadoopCatalog(wh)
@@ -2265,6 +2295,68 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e56_knn_pq_index" -> ((s, dir) => {
+      // PERSISTED PQ index: train+encode once, store the m*ksub codebook
+      // AND the compact (vec_id, codes, resid) column in real catalog
+      // tables, reload both from storage, then search — the ADC pass
+      // scans the codes table (m ints + a double per vector), and only
+      // bound-admitted candidates join back to the base table for the
+      // exact re-rank. The residual bound is unconditional, so the round
+      // trip grades against the same brute-force MIPS oracle as e45's
+      // recompute-per-call form at ANY codebook quality.
+      val emb = t(s, dir, "embeddings")
+      val (codebook, codes) = SimilarityOps.buildPqIndex(
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+      val wh = java.nio.file.Files.createTempDirectory("graft-pq-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val cbTbl = cat.createTable("pq_codebook",
+        SparkSchemaConverter.fromSpark(codebook.schema))
+      cbTbl.append(codebook)
+      val cdTbl = cat.createTable("pq_codes",
+        SparkSchemaConverter.fromSpark(codes.schema))
+      cdTbl.append(codes)
+      SimilarityOps.topKPqFromIndex(
+          s.read.format("graft").load(cbTbl.location),
+          s.read.format("graft").load(cdTbl.location),
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "e57_knn_pq_index_incremental" -> ((s, dir) => {
+      // INCREMENTAL PQ maintenance: codebook trains on 80% of the corpus,
+      // the remaining 20% delta encodes under the PERSISTED codebook
+      // (encodeToPqIndex — map-only) and appends to the codes table.
+      // The residual bound is unconditional, so the two-commit index
+      // searches provably exact over the WHOLE corpus even though the
+      // codebook never saw the delta — graded by the same MIPS oracle
+      // as e45/e56.
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where("vec_id % 5 != 0")
+      val delta = emb.where("vec_id % 5 = 0")
+      val (codebook, baseCodes) = SimilarityOps.buildPqIndex(
+        base, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+      val wh = java.nio.file.Files.createTempDirectory("graft-pq-inc-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val cbTbl = cat.createTable("pq_codebook",
+        SparkSchemaConverter.fromSpark(codebook.schema))
+      cbTbl.append(codebook)
+      val cdTbl = cat.createTable("pq_codes",
+        SparkSchemaConverter.fromSpark(baseCodes.schema))
+      cdTbl.append(baseCodes)
+      val reloadedCb = s.read.format("graft").load(cbTbl.location)
+      cdTbl.append(SimilarityOps.encodeToPqIndex(
+        delta, "vec_id", "embedding", reloadedCb))
+      SimilarityOps.topKPqFromIndex(
+          reloadedCb,
+          s.read.format("graft").load(cdTbl.location),
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e54_range_search" -> ((s, dir) => {
       // cosine RANGE search — "everything at least this similar",
       // however many that is (the dedup/recall-sweep complement to
@@ -3022,6 +3114,14 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 7 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // compaction is row-preserving, so the compacted table must replay
+    // the plain source aggregate
+    "g54_compact_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 3 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g27_partition_prune" ->
@@ -4618,6 +4718,26 @@ object SparkEntry {
     // PQ is provably exact (per-vector residual bound), so its oracle is
     // the same brute-force MIPS top-5 as e41.
     "e45_knn_pq" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the persisted-index search is exact under the same unconditional
+    // residual bound, so the identical MIPS oracle grades the round trip
+    "e56_knn_pq_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the bound is codebook-unconditional, so the incrementally-grown
+    // index still grades against the brute-force MIPS oracle
+    "e57_knn_pq_index_incremental" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
         |        FROM embeddings e CROSS JOIN q)

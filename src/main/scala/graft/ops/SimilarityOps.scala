@@ -658,15 +658,8 @@ object SimilarityOps {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
     val dsub = dim / m
-    val sample: Array[Array[Float]] =
-      sampleVectors(corpus, corpusVec, trainSample).map(_.padTo(dim, 0f))
-    val codebooks = new Array[Float](m * ksub * dsub)
-    for (s <- 0 until m) {
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      val centers = trainKmeansL2(sub, ksub, iters = 10, seed + s)
-      for (c <- 0 until ksub)
-        System.arraycopy(centers(c), 0, codebooks, (s * ksub + c) * dsub, dsub)
-    }
+    val codebooks = trainPqCodebooks(corpus, corpusVec, dim, m, ksub,
+      trainSample, seed)
     val enc = corpus
       .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"),
         GraftFunctions.pq_encode(col(corpusVec), codebooks, m, ksub, dsub).as("__pq"))
@@ -695,6 +688,150 @@ object SimilarityOps {
       .where(col("tau").isNull || col("adc") + col("err") >= col("tau"))
     val rescored = candidates.select(col("query_id"), col("vec_id"),
       GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
+    topKBy(rescored, "query_id", "vec_id", "dot", k)
+  }
+
+  /** Per-subspace PQ codebook trainer shared by the one-shot and
+    * persisted-index paths: Euclidean k-means per subspace over ONE
+    * deterministic hash-ordered sample, packed `(s*ksub + c)*dsub`. */
+  private def trainPqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
+                               m: Int, ksub: Int, trainSample: Int,
+                               seed: Long): Array[Float] = {
+    val dsub = dim / m
+    val sample: Array[Array[Float]] =
+      sampleVectors(corpus, vecCol, trainSample).map(_.padTo(dim, 0f))
+    val codebooks = new Array[Float](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val centers = trainKmeansL2(sub, ksub, iters = 10, seed + s)
+      for (c <- 0 until ksub)
+        System.arraycopy(centers(c), 0, codebooks, (s * ksub + c) * dsub, dsub)
+    }
+    codebooks
+  }
+
+  /**
+   * Build a PERSISTED PQ index — [[buildIvfIndex]]'s treatment for the
+   * compressed-scan half of ANN. Returns two DataFrames to store:
+   *
+   *  - codebook: `(subspace int, code int, center array<float>)` —
+   *    `m*ksub` rows, the trained quantizer (tiny; collected once per
+   *    search session);
+   *  - codes: `(vec_id, codes array<int>, resid double)` — the stored
+   *    index column: the scan a query batch pays is these few bytes per
+   *    vector, NOT the raw embeddings. Raw vectors stay in the base
+   *    table and are touched only for the bound-admitted candidates.
+   *
+   * Floats/ints/doubles round-trip parquet bit-exactly, so a reloaded
+   * index admits and ranks identically to the in-memory one; with the
+   * unconditional residual bound the search stays provably exact at any
+   * codebook quality (e56 proves it through a catalog round trip against
+   * the brute-force MIPS oracle).
+   */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, m: Int = 8, ksub: Int = 16,
+                   trainSample: Int = 4096, seed: Long = 42L)
+      : (DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val cb = trainPqCodebooks(corpus, vecCol, dim, m, ksub, trainSample, seed)
+    val rows = for (s <- 0 until m; c <- 0 until ksub)
+      yield (s, c, cb.slice((s * ksub + c) * dsub, (s * ksub + c + 1) * dsub).toSeq)
+    val codebook = rows.toDF("subspace", "code", "center")
+      .select(col("subspace"), col("code"),
+        col("center").cast("array<float>").as("center"))
+    val codes = corpus
+      .select(col(idCol).as("vec_id"),
+        GraftFunctions.pq_encode(col(vecCol), cb, m, ksub, dsub).as("__pq"))
+      .select(col("vec_id"), col("__pq.codes").as("codes"),
+        col("__pq.resid").as("resid"))
+    (codebook, codes)
+  }
+
+  /** Collect a [[buildPqIndex]] codebook table back to the packed driver
+    * array — `m*ksub` rows by construction. Returns (codebooks, m, ksub,
+    * dsub). */
+  private def collectPqCodebooks(codebook: DataFrame): (Array[Float], Int, Int, Int) = {
+    val rows = codebook.select("subspace", "code", "center").collect()
+    require(rows.nonEmpty, "PQ codebook table is empty")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.head.getSeq[Float](2).size
+    require(rows.length == m * ksub, s"codebook must hold m*ksub rows, " +
+      s"got ${rows.length} for m=$m ksub=$ksub")
+    val cb = new Array[Float](m * ksub * dsub)
+    rows.foreach { r =>
+      val c = r.getSeq[Float](2)
+      require(c.size == dsub, "ragged codebook centers")
+      c.copyToArray(cb, (r.getInt(0) * ksub + r.getInt(1)) * dsub)
+    }
+    (cb, m, ksub, dsub)
+  }
+
+  /**
+   * Encode a DELTA of new vectors against an EXISTING PQ codebook — the
+   * incremental-maintenance half of [[buildPqIndex]], mirroring
+   * [[assignToIndex]] for IVF: appending the returned `(vec_id, codes,
+   * resid)` rows keeps the codes table complete as the corpus grows, and
+   * because the residual bound is UNCONDITIONAL the search stays provably
+   * exact even though the codebook never saw the delta's distribution
+   * (compression quality degrades, candidate counts grow, correctness
+   * does not — the e45 argument). Map-only; a pure projection, so it
+   * works unchanged in a streaming foreachBatch append. Re-training is
+   * deliberately a rebuild: a changed codebook invalidates every code.
+   */
+  def encodeToPqIndex(delta: DataFrame, idCol: String, vecCol: String,
+                      codebook: DataFrame): DataFrame = {
+    val (cb, m, ksub, dsub) = collectPqCodebooks(codebook)
+    delta
+      .select(col(idCol).as("vec_id"),
+        GraftFunctions.pq_encode(col(vecCol), cb, m, ksub, dsub).as("__pq"))
+      .select(col("vec_id"), col("__pq.codes").as("codes"),
+        col("__pq.resid").as("resid"))
+  }
+
+  /**
+   * Search a persisted PQ index ([[buildPqIndex]]'s two tables, read back
+   * from storage): the ADC + residual-bound candidate pass runs over the
+   * COMPACT codes table (m ints + a double per vector — the whole point
+   * of storing the index), and only bound-admitted candidates join back
+   * to the base table for the exact dot-product re-rank (a hash join on
+   * vec_id; AQE broadcasts the candidate side). Same unconditional
+   * Cauchy-Schwarz bound as [[topKPq]], so the result provably equals
+   * brute-force MIPS at any codebook quality.
+   */
+  def topKPqFromIndex(codebook: DataFrame, codes: DataFrame,
+                      corpus: DataFrame, corpusId: String, corpusVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int): DataFrame = {
+    val (cb, m, ksub, dsub) = collectPqCodebooks(codebook)
+    val qdf = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      GraftFunctions.pq_lut(col(queryVec), cb, m, ksub, dsub).as("lut"),
+      sqrt(GraftFunctions.dot_product(col(queryVec), col(queryVec))).as("qnorm")))
+    val bounded = codes.crossJoin(qdf)
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.pq_adc(col("codes"), col("lut"), ksub).as("adc"),
+        (col("qnorm") * col("resid") + lit(1e-6)).as("err"))
+    val taus = bounded
+      .groupBy("query_id")
+      .agg(GraftFunctions.top_k_by(col("adc") - col("err"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"),
+        when(size(col("__tk")) >= k,
+          element_at(col("__tk"), k).getField("score")).as("tau"))
+    val candidates = bounded
+      .join(broadcast(taus), Seq("query_id"), "left")
+      .where(col("tau").isNull || col("adc") + col("err") >= col("tau"))
+      .select("query_id", "vec_id")
+    val rescored = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .join(qdf.select(col("query_id"), col("qvec")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
     topKBy(rescored, "query_id", "vec_id", "dot", k)
   }
 

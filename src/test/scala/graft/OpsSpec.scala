@@ -1140,6 +1140,30 @@ class OpsSpec extends AnyFunSuite {
       s"cell partition did not prune: $oneCell of $allFiles files")
   }
 
+  test("persisted PQ index: table round trip equals one-shot PQ; codes table carries no vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (codebook, codes) = SimilarityOps.buildPqIndex(
+      emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+    // the stored index column is compact BY SCHEMA: codes + resid only —
+    // the raw embedding never lands in the index table
+    assert(codes.schema.fieldNames.toSet == Set("vec_id", "codes", "resid"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val cbTbl = cat.createTable("cb", graft.types.SparkSchemaConverter.fromSpark(codebook.schema))
+    cbTbl.append(codebook)
+    val cdTbl = cat.createTable("cd", graft.types.SparkSchemaConverter.fromSpark(codes.schema))
+    cdTbl.append(codes)
+    val queries = emb.where("vec_id < 4")
+    val fromIndex = SimilarityOps.topKPqFromIndex(
+        cbTbl.toDF(spark), cdTbl.toDF(spark), emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = SimilarityOps.topKPq(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+  }
+
   test("sentences: greedy terminator-run segmentation, order preserved") {
     val df = Seq(
       (1L, "Hello world. Second one! Third?"),
