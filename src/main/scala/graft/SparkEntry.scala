@@ -1807,6 +1807,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d90_boilerplate" -> ((s, dir) => {
+      // C4-style boilerplate removal: the fixture's docs are each ONE
+      // unique sentence, so boilerplate is PLANTED — half the docs carry
+      // a shared footer, a (disjoint) sixth a shared banner. Both cross
+      // the maxDocs=50 frequency bar and must vanish from every carrier
+      // while the unique original sentence survives verbatim; sentence
+      // text shuffles only inside its own doc's rebuild group, the
+      // cross-corpus frequency rides 8-byte hashes.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(". All rights reserved.")))
+          .when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(". Subscribe to our newsletter.")))
+          .otherwise(col("text")).as("text"))
+      CorpusOps.removeBoilerplate(corpus, "doc_id", "text", maxDocs = 50)
+        .orderBy("doc_id")
+    }),
+
     "d88_length_quantiles" -> ((s, dir) => {
       // exact per-language token-count percentiles WITHOUT sorting the
       // corpus: histogram first (one partial-agg shuffle of O(distinct
@@ -1984,6 +2003,25 @@ object SparkEntry {
           binWidth = 4 * 3600.0)
         .select(col("a_id"), col("b_id"))
         .orderBy("a_id", "b_id")
+    }),
+
+    "j07_asof_tolerance" -> ((s, dir) => {
+      // j01 with a STALENESS BOUND — the point-in-time-correctness flag
+      // every feature-store as-of needs: a match older than 10 minutes
+      // is no feature, it's leakage of a dead state. Same sorted-union
+      // plan; the tolerance check is a per-row filter on the carried
+      // struct, so cost is unchanged. Oracle: DuckDB ASOF + the same
+      // cutoff CASE.
+      val ev = t(s, dir, "events")
+      val quotes = ev.where("event_id % 7 = 0")
+        .groupBy("user_id", "ts").agg(max("value").as("quote"))
+      JoinOps.asofJoin(ev.select("event_id", "user_id", "ts", "value"),
+          quotes, "ts", "ts", by = Seq("user_id"),
+          tolerance = Some(600e6)) // 10 min in epoch-µs
+        .select(col("event_id"), col("right_quote").as("quote"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("right_ts").cast("timestamp"))).as("lag_us"))
+        .orderBy("event_id")
     }),
 
     "j06_locf_resample" -> ((s, dir) => {
@@ -2661,6 +2699,22 @@ object SparkEntry {
         .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("media_id", "frame_no")
+    }),
+
+    "m48_video_neardup" -> ((s, dir) => {
+      // video-level near-dup by frame-fingerprint overlap: scene s of
+      // video v renders image id v + s*12, so videos 12 apart share two
+      // of three scenes bit-exactly — the planted true positives. Pairs
+      // need >= 2 shared distinct frame hashes; the oracle rebuilds
+      // every frame hash from the pixel formula and replays the same
+      // distinct-overlap join and maxFrameDf stopword cut.
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+      val vids = MultimodalOps.syntheticVideoCorpus(docs, "doc_id",
+        scenes = 3, framesPerScene = 4)
+      MultimodalOps.videoNearDupPairs(vids, nFrames = 12, minShared = 2,
+          maxFrameDf = 1000)
+        .select(col("id_a"), col("id_b"), col("n_shared").cast("long").as("n_shared"))
+        .orderBy("id_a", "id_b")
     }),
 
     "m45_audio_silence" -> ((s, dir) => {
@@ -3768,6 +3822,25 @@ object SparkEntry {
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
 
+    "d90_boilerplate" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN text || '. All rights reserved.'
+        |       WHEN doc_id % 3 = 0 THEN text || '. Subscribe to our newsletter.'
+        |       ELSE text END AS text FROM documents),
+        |base AS (SELECT doc_id, list_filter(list_transform(
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |    s -> length(s) > 0) AS l FROM corpus),
+        |sents AS (SELECT doc_id, unnest(l) AS s,
+        |  CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos FROM base),
+        |freq AS (SELECT s, count(DISTINCT doc_id) AS nd FROM sents GROUP BY s),
+        |kept AS (SELECT doc_id, pos, sents.s FROM sents
+        |         JOIN freq USING (s) WHERE nd <= 50),
+        |rebuilt AS (SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS text_clean,
+        |            count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        | CAST(len(b.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "d88_length_quantiles" ->
       s"""WITH h AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v,
          |  count(*) AS cnt FROM documents GROUP BY 1, 2),
@@ -4439,6 +4512,20 @@ object SparkEntry {
         |  ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
         |ORDER BY a.a_id, b.b_id""".stripMargin,
 
+    "j07_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events),
+        |r AS (SELECT user_id, ts, max(value) AS quote FROM events
+        |      WHERE event_id % 7 = 0 GROUP BY 1, 2),
+        |j AS (SELECT l.event_id, l.ts, r.ts AS rts, r.quote
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id,
+        |  CASE WHEN rts IS NULL OR epoch_us(ts) - epoch_us(rts) > 600000000
+        |       THEN NULL ELSE quote END AS quote,
+        |  CASE WHEN rts IS NULL OR epoch_us(ts) - epoch_us(rts) > 600000000
+        |       THEN NULL
+        |       ELSE CAST(epoch_us(ts) - epoch_us(rts) AS BIGINT) END AS lag_us
+        |FROM j ORDER BY event_id""".stripMargin,
+
     "j06_locf_resample" ->
       """WITH e AS (SELECT user_id, ts, max(value) AS value
         |           FROM events GROUP BY 1, 2),
@@ -4878,6 +4965,47 @@ object SparkEntry {
         |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
         |  CAST(hd AS BIGINT) AS hamming
         |FROM ham WHERE hd >= 1 ORDER BY media_id, frame_no""".stripMargin,
+
+    // same per-frame hash recomputation as m44, then the distinct-set
+    // overlap join with the maxFrameDf cut (no hash exceeds it here)
+    "m48_video_neardup" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 3 AS w0, doc_id % 4 + 2 AS h0
+        |  FROM documents WHERE doc_id < 300
+        |), frames AS (
+        |  SELECT media_id, w0, h0, fr.f AS f, media_id + (fr.f // 4) * 12 AS src
+        |  FROM vids CROSS JOIN generate_series(0, 11) AS fr(f)
+        |), cells AS (
+        |  SELECT media_id, f, src, w0, g.i AS i,
+        |    ((g.i % 8) * w0) // 8 AS sx, ((g.i // 8) * h0) // 8 AS sy
+        |  FROM frames CROSS JOIN generate_series(0, 63) AS g(i)
+        |), grays AS (
+        |  SELECT media_id, f, i,
+        |      299 * ((src*31 + ((sy*w0 + sx)*3 + 0)*7) % 256)
+        |    + 587 * ((src*31 + ((sy*w0 + sx)*3 + 1)*7) % 256)
+        |    + 114 * ((src*31 + ((sy*w0 + sx)*3 + 2)*7) % 256) AS g1000
+        |  FROM cells
+        |), sums AS (
+        |  SELECT media_id, f, SUM(g1000) AS s FROM grays GROUP BY 1, 2
+        |), hashes AS (
+        |  SELECT g.media_id, g.f,
+        |    string_agg(CASE WHEN 64 * g.g1000 > s.s THEN '1' ELSE '0' END,
+        |               '' ORDER BY g.i) AS hs
+        |  FROM grays g JOIN sums s ON g.media_id = s.media_id AND g.f = s.f
+        |  GROUP BY g.media_id, g.f
+        |), fh AS (
+        |  SELECT DISTINCT media_id, hs FROM hashes
+        |), rare AS (
+        |  SELECT hs FROM fh GROUP BY hs HAVING count(*) <= 1000
+        |), pf AS (
+        |  SELECT fh.media_id, fh.hs FROM fh JOIN rare USING (hs)
+        |), ol AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS n_shared
+        |  FROM pf a JOIN pf b ON a.hs = b.hs AND a.media_id < b.media_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM ol WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     // every PCM sample rebuilt from the fixture formula; frame energies,
     // silence flags, and the gaps-and-islands merge all recomputed in SQL

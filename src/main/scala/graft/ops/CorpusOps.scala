@@ -856,6 +856,51 @@ object CorpusOps {
       .withColumnRenamed("__grp", groupCol)
   }
 
+  /**
+   * C4-style boilerplate removal at sentence granularity: a sentence
+   * appearing in MORE THAN `maxDocs` distinct documents is boilerplate
+   * (navigation text, footers, cookie banners — content no single
+   * author wrote for this page) and is dropped from EVERY document;
+   * each document's surviving sentences re-join in order. Documents
+   * whose sentences are all boilerplate survive with empty text (the
+   * caller's length filter is the right place to drop them).
+   *
+   * Scale shape: sentence TEXT shuffles only inside its own document's
+   * rebuild group (bounded by the document); the cross-corpus frequency
+   * count rides 8-byte sentence hashes — (hash, doc) distinct, then one
+   * partial-agg count. The boilerplate set joins back by hash (a plain
+   * equi-join: its size is bounded by |sentences|/maxDocs, so no
+   * broadcast assumption), and the verdict never touches rows outside
+   * the flagged hashes.
+   *
+   * Returns (`idCol`, text_clean, n_dropped) — one row per input doc.
+   */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        maxDocs: Long): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val sents = df.select(col(idCol), posexplode(TextOps.sentences(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("__sent"),
+        xxhash64(col("col")).as("__h"))
+    val boiler = sents.select(col("__h"), col(idCol)).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") > maxDocs)
+      .select("__h")
+    val kept = sents.join(boiler, Seq("__h"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__sent")))),
+          x => x.getField("__sent")), " ").as("text_clean"),
+        count(lit(1)).as("__n_kept"))
+    df.select(col(idCol),
+        size(TextOps.sentences(col(textCol))).cast("long").as("__n_sents"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("__n_sents") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** The percentile-readoff stage of [[groupQuantiles]], exposed so a
     * histogram maintained ELSEWHERE (a streaming `groupBy(group, value)`
     * count — whose state is the histogram itself, bounded by the value

@@ -673,18 +673,8 @@ object MultimodalOps {
    */
   def videoSceneCuts(media: DataFrame, nFrames: Int,
                      minHamming: Int = 1): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     require(nFrames >= 2, s"nFrames must be >= 2, got $nFrames")
-    val frames = expr(
-      s"""transform(sequence(0, ${nFrames - 1}),
-         |  f -> substring(content, f * (length(content) div $nFrames) + 1,
-         |                 length(content) div $nFrames))""".stripMargin)
-    val hashed = media
-      .select(col("media_id"), posexplode(frames).as(Seq("frame_no", "frame")))
-      .select(col("media_id"), col("frame_no"),
-        ColumnBridge.column(ImageAHashExpr(
-          ColumnBridge.expression(lit("image")),
-          ColumnBridge.expression(col("frame")))).as("ahash"))
+    val hashed = frameHashes(media, nFrames)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_no")
     hashed
@@ -693,6 +683,59 @@ object MultimodalOps {
       .withColumn("hamming", bit_count(col("ahash").bitwiseXOR(col("prev"))))
       .where(col("hamming") >= minHamming)
       .select(col("media_id"), col("frame_no"), col("hamming"))
+  }
+
+  /** Equal-size frame slicing + per-frame perceptual hash — the map-only
+    * head shared by [[videoSceneCuts]] and [[videoNearDupPairs]]: only
+    * 8 hash bytes per frame survive the projection, pixels never ride a
+    * shuffle. Undecodable frames hash to null. */
+  private def frameHashes(media: DataFrame, nFrames: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val frames = expr(
+      s"""transform(sequence(0, ${nFrames - 1}),
+         |  f -> substring(content, f * (length(content) div $nFrames) + 1,
+         |                 length(content) div $nFrames))""".stripMargin)
+    media
+      .select(col("media_id"), posexplode(frames).as(Seq("frame_no", "frame")))
+      .select(col("media_id"), col("frame_no"),
+        ColumnBridge.column(ImageAHashExpr(
+          ColumnBridge.expression(lit("image")),
+          ColumnBridge.expression(col("frame")))).as("ahash"))
+  }
+
+  /**
+   * Video near-duplicate pairs by frame-fingerprint overlap: two videos
+   * pair when they share at least `minShared` DISTINCT frame hashes —
+   * the re-upload/trim/re-encode dedup signal for video corpora (a
+   * trimmed copy keeps most of the original's frames; a different video
+   * shares none). The set-overlap analogue of the winnowing overlap
+   * join (d71), at video granularity.
+   *
+   * 100 TB design: per-video hashing is the map-only [[frameHashes]]
+   * head; the overlap join carries (media_id, 8-byte hash) rows only.
+   * Frame hashes appearing in more than `maxFrameDf` videos are dropped
+   * BEFORE the self-join — a black/title-card frame shared by half the
+   * corpus is no near-dup evidence (the BM25 `maxDf` stopword argument)
+   * and would otherwise go quadratic in that bucket.
+   *
+   * Output: (id_a, id_b, n_shared) with id_a < id_b.
+   */
+  def videoNearDupPairs(media: DataFrame, nFrames: Int, minShared: Int = 2,
+                        maxFrameDf: Int = 1000): DataFrame = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    require(minShared >= 1 && maxFrameDf >= 1,
+      s"minShared/maxFrameDf must be >= 1, got $minShared/$maxFrameDf")
+    val fh = frameHashes(media, nFrames)
+      .where(col("ahash").isNotNull)
+      .select("media_id", "ahash").distinct()
+    val rare = fh.groupBy("ahash").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxFrameDf).select("ahash")
+    val pruned = fh.join(rare, Seq("ahash"))
+    pruned.as("a").join(pruned.hint("shuffle_hash").as("b"), Seq("ahash"))
+      .where(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /** Real-format audio corpus: one valid 16-bit PCM WAV per row of `docs`

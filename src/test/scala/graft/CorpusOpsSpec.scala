@@ -412,6 +412,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"text must reduce to md5 before the join:\n$plan")
   }
 
+  test("removeBoilerplate: shared sentences drop everywhere, order kept, all-boiler docs go empty") {
+    val footer = "All rights reserved."
+    val df = Seq(
+      (1L, s"Unique alpha. $footer Unique beta."),
+      (2L, s"$footer Unique gamma."),
+      (3L, s"Unique delta."),
+      (4L, footer)) // nothing but boilerplate
+      .toDF("doc_id", "text")
+    val got = CorpusOps.removeBoilerplate(df, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("Unique alpha. Unique beta.", 1L), "middle sentence cut, order kept")
+    assert(got(2L) == ("Unique gamma.", 1L))
+    assert(got(3L) == ("Unique delta.", 0L), "clean doc untouched")
+    assert(got(4L) == ("", 1L), "all-boilerplate doc survives as an empty row")
+    // below the bar nothing drops
+    val loose = CorpusOps.removeBoilerplate(df, "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose.values.forall(_ == 0L))
+  }
+
   test("groupQuantiles: inverted-CDF percentiles match a plain-Scala reference; nulls excluded") {
     // deterministic skewed values with repeats
     val rows = for (g <- Seq("a", "b"); i <- 1 to 37)

@@ -942,6 +942,21 @@ class OpsSpec extends AnyFunSuite {
     assert(nearOnly.nonEmpty, "expected near-miss pairs beyond exact-hash equality")
   }
 
+  test("videoNearDupPairs: scene-sharing videos pair, maxFrameDf kills universal frames") {
+    val ids = Seq(0L, 12L, 1000L).toDF("doc_id")
+    val vids = MultimodalOps.syntheticVideoCorpus(ids, "doc_id",
+      scenes = 3, framesPerScene = 4)
+    // videos 0 and 12 share scene images {12, 24} bit-exactly
+    val pairs = MultimodalOps.videoNearDupPairs(vids, nFrames = 12,
+        minShared = 2, maxFrameDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 12L)) && pairs((0L, 12L)) >= 2L)
+    // maxFrameDf = 1: every shared hash lives in >= 2 videos -> all cut
+    val cut = MultimodalOps.videoNearDupPairs(vids, nFrames = 12,
+      minShared = 1, maxFrameDf = 1).count()
+    assert(cut == 0L, "df cut must remove every cross-video frame hash")
+  }
+
   test("videoSceneCuts: cuts exactly at scene boundaries, via the real codec") {
     val ids = Seq(1L, 2L, 5L, 10L)
     val docs = ids.toDF("doc_id")
