@@ -456,9 +456,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
     }
     // the percentile window runs over the histogram, not the input: the
-    // aggregate below the window must be the (group, value) count
-    val plan = CorpusOps.groupQuantiles(df, "g", col("v"), ps)
-      .queryExecution.optimizedPlan.toString
-    assert(plan.contains("Window"), s"expected a window over the histogram:\n$plan")
+    // aggregate below the window must be the (group, value) count, and
+    // the only exchanges are the histogram partial/final and the window's
+    // re-key — the final percentile group-by reuses the window's
+    // partitioning on the group
+    val q = CorpusOps.groupQuantiles(df, "g", col("v"), ps)
+    assert(q.queryExecution.optimizedPlan.toString.contains("Window"))
+    // string count: AQE wraps the tree, hiding Exchange nodes from collect
+    val planStr = q.queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(nShuffles == 2,
+      s"histogram + window exchanges only:\n$planStr")
   }
 }

@@ -327,4 +327,36 @@ class JoinOpsSpec extends AnyFunSuite {
       (2L, "2024-01-01 02:00:00.0", None),
       (2L, "2024-01-01 03:00:00.0", None)))      // 03:45 obs is after 03:00
   }
+
+  test("resampleLocf: parity with a plain-Scala carry on pseudo-random events") {
+    val rnd = new scala.util.Random(7)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val events = (1 to 400).map { _ =>
+      (rnd.nextInt(6).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(72 * 3600) * 1000L),
+        rnd.nextInt(1000).toDouble)
+    }.distinct
+    val df = events.toDF("uid", "ts", "v")
+      // de-dup (uid, ts) like any caller must (carry is order-dependent on ties)
+      .groupBy("uid", "ts").agg(max("v").as("v"))
+    val deduped = df.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val got = JoinOps.resampleLocf(df, "ts", "uid", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val t0 = {
+      val min = deduped.map(_._2).min
+      min - Math.floorMod(min, 3600 * 1000L) // UTC hour-trunc
+    }
+    val t1 = deduped.map(_._2).max
+    val keys = deduped.map(_._1).distinct
+    val want = (for {
+      k <- keys
+      t <- t0 to t1 by 3600 * 1000L
+    } yield {
+      val past = deduped.filter(e => e._1 == k && e._2 <= t)
+      (k, t, if (past.isEmpty) None else Some(past.maxBy(_._2)._3))
+    }).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }

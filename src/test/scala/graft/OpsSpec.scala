@@ -574,6 +574,17 @@ class OpsSpec extends AnyFunSuite {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = mrlExact.count(mrl.contains).toDouble / mrlExact.size
     assert(recall >= 0.9, s"matryoshka recall on prefix-heavy data: $recall")
+    // plan shape: the corpus never shuffles — the only exchanges are the
+    // two top_k_by partial/final aggregates; queries and the shortlist
+    // ride broadcasts
+    val plan = SimilarityOps.topKMatryoshka(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, prefixDims = 16, nCandidates = 32)
+    // (string count: AQE wraps the tree, hiding Exchange nodes from a
+    // plain collect)
+    val planStr = plan.queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(nShuffles == 2,
+      s"expected exactly the two top-k agg exchanges:\n$planStr")
   }
 
   test("nearDupSourceMatrix: pairs fold to symmetric source counts") {
@@ -955,6 +966,29 @@ class OpsSpec extends AnyFunSuite {
     val cut = MultimodalOps.videoNearDupPairs(vids, nFrames = 12,
       minShared = 1, maxFrameDf = 1).count()
     assert(cut == 0L, "df cut must remove every cross-video frame hash")
+  }
+
+  test("videoNearDupPairs: exact parity with a plain-Scala frame-set reference") {
+    val n = 50
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val vids = MultimodalOps.syntheticVideoCorpus(ids, "doc_id",
+      scenes = 3, framesPerScene = 4)
+    val got = MultimodalOps.videoNearDupPairs(vids, nFrames = 12,
+        minShared = 2, maxFrameDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference: per-video distinct frame-hash sets straight off the
+    // fixture codec (frames within a scene are identical, so the set is
+    // the 3 scene images' hashes)
+    val sets = (0L until n.toLong).map { id =>
+      id -> (0 until 3).map(sc =>
+        MediaAHashUtil.aHash64(MediaFixtures.bmpForId(id + sc * 12L)).longValue).toSet
+    }.toMap
+    val want = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      shared = (sets(a) intersect sets(b)).size
+      if shared >= 2
+    } yield (a, b) -> shared.toLong).toMap
+    assert(got == want)
   }
 
   test("videoSceneCuts: cuts exactly at scene boundaries, via the real codec") {
