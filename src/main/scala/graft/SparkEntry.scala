@@ -1054,6 +1054,42 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    "s58_stream_compact" -> ((s, dir) => {
+      // the maintenance loop streaming ingest NEEDS: micro-batch epochs
+      // fragment the table into per-epoch small files (rate-limited
+      // source so several epochs commit), bin-pack compaction rewrites
+      // them, and the compacted table must still equal the batch source
+      // row for row — g54's guarantee proven against a STREAM-built
+      // table. The entry asserts multiple epochs actually committed and
+      // compaction actually shrank the file count.
+      val wh = java.nio.file.Files.createTempDirectory("graft-s58").toString
+      val cat = new graft.catalog.HadoopCatalog(wh)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val src = cat.createTable("default.src",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      // several source commits -> several micro-batches at 1 commit/epoch
+      for (i <- 0 until 4) src.append(docs.where(col("doc_id") % 4 === i))
+      cat.createTable("default.out",
+        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-s58-cp").toString
+      val q = s.readStream.format("graft")
+        .option("max-snapshots-per-trigger", "1")
+        .load(s"$wh/default/src")
+        .writeStream.format("graft")
+        .option("warehouse", wh).option("table", "default.out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val tbl = cat.loadTable("default.out")
+      require(tbl.snapshots.size >= 4,
+        s"expected one commit per micro-batch epoch, got ${tbl.snapshots.size}")
+      val nBefore = tbl.scan().planFiles().size
+      tbl.compact(s, smallFileBytes = 1L << 30, minInputFiles = 2)
+      val nAfter = tbl.refresh().scan().planFiles().size
+      require(nAfter < nBefore, s"compaction must shrink files ($nBefore -> $nAfter)")
+      tbl.toDF(s).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     "s49_stream_cdc_replicate" -> ((s, dir) => {
       // CDC replication, the classic changelog consumer: DML commits on
       // the source (append → upsert → COW delete) stream as row-level
@@ -2040,6 +2076,21 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
 
+    "j08_interp_resample" -> ((s, dir) => {
+      // linear-interpolation resampling on the j06 grid: grid points
+      // between two observations take the straight-line value (epoch-µs
+      // deltas as exact-integer doubles, fixed operation order so the
+      // oracle replays the arithmetic bitwise); edges are NULL — no
+      // extrapolation. Same one-exchange sorted-union plan, both
+      // directional carries over a single partitioning.
+      val ev = t(s, dir, "events")
+      val obs = ev.groupBy("user_id", "ts").agg(max("value").as("value"))
+      JoinOps.resampleInterp(obs, "ts", "user_id", "value",
+          step = "1 hour", truncUnit = "hour")
+        .select(col("user_id"), col("ts"), col("interp_value").as("value"))
+        .orderBy("user_id", "ts")
+    }),
+
     "j03_skew_join" -> ((s, dir) => {
       // salted large-large equi-join: each left row takes ONE deterministic
       // salt, the right side replicates to all salts, so hot keys split
@@ -2167,6 +2218,25 @@ object SparkEntry {
       // boilerplate/spam signal: duplicated-bigram fraction per doc,
       // map-only (the gram list never leaves its row)
       CorpusOps.repetitionScore(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    "d91_repetition_signals" -> ((s, dir) => {
+      // Gopher-style per-signal repetition stats (dup-line fraction,
+      // dup-line CHAR fraction, top-bigram dominance). The fixture corpus
+      // is single-line, so the entry derives a line-structured view every
+      // engine can replay: each doc becomes [text, blank, 60-char prefix,
+      // same prefix] — planted duplicate lines with doc-varying char
+      // weight, plus a mid-document blank line to exercise the non-blank
+      // filter. The blank sits in the MIDDLE on purpose: DuckDB's trim()
+      // strips only spaces, so a trailing newline would leave the oracle's
+      // \s+ tokenizer a phantom empty token the engine's trim correctly
+      // removes.
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit(""),
+          substring(col("text"), 1, 60), substring(col("text"), 1, 60))
+          .as("text"))
+      CorpusOps.repetitionSignals(lined, "doc_id", "text", n = 2)
         .orderBy("doc_id")
     }),
 
@@ -2329,6 +2399,25 @@ object SparkEntry {
           s.read.format("graft").load(aTbl.location),
           emb.where("vec_id < 8"), "vec_id", "embedding",
           k = 5, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "e58_filtered_knn" -> ((s, dir) => {
+      // FILTERED vector search — top-k restricted to a metadata-passing
+      // id subset (here: label % 3 = 0), the query shape every RAG stack
+      // runs. The allow list applies as a semi-join on the index
+      // assignments BEFORE any cosine math; full probe keeps it provably
+      // exact over the filtered corpus, so the oracle is brute force
+      // with the same WHERE.
+      val emb = t(s, dir, "embeddings")
+      val (centroids, assignments) =
+        SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16)
+      SimilarityOps.topKIvfFromIndex(
+          centroids, assignments,
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, nprobe = 16,
+          allowIds = Some(emb.where("label % 3 = 0").select("vec_id")))
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -3401,6 +3490,11 @@ object SparkEntry {
     "s48_stream_to_table" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 300 ORDER BY doc_id",
 
+    // compaction is row-preserving and streaming ingest is exactly-once,
+    // so the stream-built-then-compacted table replays the batch source
+    "s58_stream_compact" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+
     "s49_stream_cdc_replicate" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
         |              FROM orders WHERE o_orderkey % 10 = 3)
@@ -3719,6 +3813,17 @@ object SparkEntry {
     // the persisted-index probe is exact at full probe, so the same
     // brute-force oracle grades the index round trip
     "e47_knn_ivf_index" -> KnnOracleSql,
+
+    // same brute-force shape as KnnOracleSql with the allow-list
+    // predicate applied to the corpus side — full probe + semi-join is
+    // provably exact over the filtered corpus
+    "e58_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS c
+        |        FROM embeddings e CROSS JOIN q WHERE e.label % 3 = 0)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e53_knn_ivf_index_incremental" -> KnnOracleSql,
 
     "e54_range_search" ->
@@ -4537,6 +4642,29 @@ object SparkEntry {
         |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.ts >= e.ts
         |ORDER BY 1, 2""".stripMargin,
 
+    // linear interpolation replays bitwise: epoch-µs deltas are exact
+    // integers below 2^53, and both engines evaluate
+    // bv + (fv-bv) * (dt/den) on doubles in the same order
+    "j08_interp_resample" ->
+      """WITH e AS (SELECT user_id, ts, max(value) AS value
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS t0, max(ts) AS t1 FROM e),
+        |g AS (SELECT k.user_id,
+        |        unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS ts
+        |      FROM (SELECT DISTINCT user_id FROM e) k CROSS JOIN b),
+        |bw AS (SELECT g.user_id, g.ts, e.ts AS bt, e.value AS bv
+        |       FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.ts >= e.ts),
+        |fw AS (SELECT g.user_id, g.ts, e.ts AS ft, e.value AS fv
+        |       FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.ts <= e.ts)
+        |SELECT bw.user_id, bw.ts,
+        |  CASE WHEN bt IS NULL OR ft IS NULL THEN NULL
+        |       WHEN bt = bw.ts THEN bv
+        |       ELSE bv + (fv - bv) * (CAST(epoch_us(bw.ts) - epoch_us(bt) AS DOUBLE)
+        |                              / CAST(epoch_us(ft) - epoch_us(bt) AS DOUBLE))
+        |  END AS value
+        |FROM bw JOIN fw ON bw.user_id = fw.user_id AND bw.ts = fw.ts
+        |ORDER BY 1, 2""".stripMargin,
+
     "j03_skew_join" ->
       """SELECT c.c_mktsegment AS mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_orders,
@@ -4689,6 +4817,37 @@ object SparkEntry {
          |  ELSE CAST([] AS VARCHAR[]) END AS g
          | FROM (SELECT doc_id, $ToksSql AS t FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // derived line view matches the entry: [text, blank, 60-char prefix,
+    // same prefix]; counts-over-line/gram TEXT == counts over the
+    // engine's 8-byte hashes (the d51 distinct-over-hash argument)
+    "d91_repetition_signals" ->
+      s"""WITH d2 AS (SELECT doc_id,
+         |    text || chr(10) || chr(10) || substr(text, 1, 60) || chr(10) ||
+         |    substr(text, 1, 60) AS text FROM documents),
+         |lx AS (SELECT doc_id, unnest(list_filter(str_split(text, chr(10)),
+         |         x -> length(trim(x)) > 0)) AS line FROM d2),
+         |pl AS (SELECT doc_id, line, count(*) AS cnt, max(length(line)) AS len
+         |       FROM lx GROUP BY 1, 2),
+         |lstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+         |   1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+         |   CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
+         |     / CAST(sum(cnt * len) AS DOUBLE) AS dup_line_char_frac
+         | FROM pl GROUP BY 1),
+         |gx AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+         |         list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS gram
+         |       FROM (SELECT doc_id, $ToksSql AS t FROM d2)),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM gx GROUP BY 1, 2),
+         |gstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |   CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_gram_frac
+         | FROM pg GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(lstat.n_lines, 0) AS n_lines,
+         |  lstat.dup_line_frac, lstat.dup_line_char_frac,
+         |  COALESCE(gstat.n_grams, 0) AS n_grams, gstat.top_gram_frac
+         |FROM documents d LEFT JOIN lstat USING (doc_id)
+         |LEFT JOIN gstat ON d.doc_id = gstat.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d52_chunking" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),

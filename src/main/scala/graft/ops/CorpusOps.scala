@@ -609,6 +609,57 @@ object CorpusOps {
           .as("dup_fraction"))
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021,
+    * §A1.1): the fraction of a document's non-blank lines that are
+    * duplicates, the fraction of its line CHARACTERS inside duplicated
+    * lines (a 500-char disclaimer repeated twice weighs its length, not
+    * 2 lines), and the share of word-`n`-gram occurrences claimed by the
+    * single most frequent gram (template/spam pages repeat one phrase).
+    * Complements [[repetitionScore]] (which folds all duplication into
+    * one number) with the per-signal thresholds the Gopher/FineWeb
+    * filter stacks actually gate on.
+    *
+    * Scale shape: lines and grams explode to `(doc, 8-byte hash)` rows
+    * and partial-aggregate before their exchanges — duplicate mass
+    * collapses map-side, raw text never shuffles. Deliberately NOT the
+    * map-only HOF form: per-row occurrence counting is O(len²) inside a
+    * single task on a pathological million-line document, while the
+    * explode keys are corpus-distributed by construction. Docs with no
+    * non-blank lines (or fewer than `n` tokens) keep their row with
+    * zero counts and NULL fractions.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol), explode(
+        filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)).as("__l"))
+      .select(col(idCol), xxhash64(col("__l")).as("__h"),
+        length(col("__l")).cast("long").as("__len"))
+    val perLine = lines.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__len")).as("__len"))
+    val lineStats = perLine.groupBy(col(idCol)).agg(
+      sum("__cnt").cast("long").as("n_lines"),
+      (lit(1.0) - count(lit(1)).cast("double") / sum("__cnt")).as("dup_line_frac"),
+      (sum(when(col("__cnt") > 1, col("__cnt") * col("__len")).otherwise(0L))
+        .cast("double") / sum(col("__cnt") * col("__len")).cast("double"))
+        .as("dup_line_char_frac"))
+    val grams = df.select(col(idCol), explode(transform(
+        graft.functions.GraftFunctions.positional_gram_hashes(col(textCol), n),
+        g => g.getField("h"))).as("__g"))
+    val gramStats = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol)).agg(
+        sum("__cnt").cast("long").as("n_grams"),
+        (max("__cnt").cast("double") / sum("__cnt")).as("top_gram_frac"))
+    df.select(col(idCol))
+      .join(lineStats, Seq(idCol), "left")
+      .join(gramStats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("top_gram_frac"))
+  }
+
   /** RAG-style chunking: fixed `chunkTokens`-token windows every
     * `strideTokens` tokens (overlap = chunk − stride), one output row per
     * chunk. Map-only explode — each document's chunks are produced where

@@ -233,10 +233,25 @@ object SimilarityOps {
     * back from storage): same probe → cell join → exact-rerank plan as
     * [[topKIvf]] steps 3–5, but the assignment side is a table scan —
     * partition-prunable on `cell` — instead of a corpus recompute. Full
-    * probe (`nprobe` = cell count) is provably exact, like [[topKIvf]]. */
+    * probe (`nprobe` = cell count) is provably exact, like [[topKIvf]].
+    *
+    * `allowIds` is FILTERED vector search — top-k restricted to an
+    * allow-listed id subset (the "vectors whose document passes this
+    * metadata predicate" query every RAG stack runs). The index cannot
+    * pre-bake an arbitrary predicate, so the filter applies at query
+    * time as a semi-join on the assignments BEFORE any distance math:
+    * cell pruning cuts files, the semi-join cuts the survivors, and
+    * only allowed candidates ever reach the cosine kernel. The allow
+    * list may be corpus-sized (it rides a hash semi-join, nothing is
+    * collected); at full probe the result provably equals brute force
+    * over the filtered corpus, which is how the oracle grades it. A
+    * highly selective filter plus small `nprobe` degrades recall (few
+    * allowed ids inside probed cells) — raise `nprobe` as selectivity
+    * rises, the standard filtered-ANN tradeoff. */
   def topKIvfFromIndex(centroids: DataFrame, assignments: DataFrame,
                        queries: DataFrame, queryId: String, queryVec: String,
-                       k: Int, nprobe: Int = 4): DataFrame = {
+                       k: Int, nprobe: Int = 4,
+                       allowIds: Option[DataFrame] = None): DataFrame = {
     val centers = collectCentroids(centroids)
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
       explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"))
@@ -252,7 +267,13 @@ object SimilarityOps {
     val pruned =
       if (probedCells.length >= centers.length) assignments
       else assignments.where(col("cell").isin(probedCells.map(Int.box): _*))
-    val scored = pruned
+    val allowed = allowIds match {
+      case Some(ids) => pruned.join(
+        ids.select(col(ids.columns.head).as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      case None => pruned
+    }
+    val scored = allowed
       .select(col("cell"), col("vec_id"), col("cvec"))
       .join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
