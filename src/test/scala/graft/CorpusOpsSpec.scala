@@ -23,6 +23,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 4L, 5L, 1L), (10L, 5L, 0L, 0L)))
   }
 
+  test("repetitionSignals: dup-line fractions, char weighting, blank filter, top-gram") {
+    val docs = Seq(
+      (1L, "aaa bbb\naaa bbb\nccc"), // 2 dup lines of 3; dup chars 14/17
+      (2L, ""),                      // no lines, no grams
+      (3L, "x\n\n  \ny")             // blank + whitespace-only lines filtered
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.repetitionSignals(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(r.length == 3, "every input doc keeps a row")
+    val d1 = r(0)
+    assert(d1.getLong(1) == 3L)                     // n_lines
+    assert(math.abs(d1.getDouble(2) - 1.0 / 3) < 1e-15)   // dup_line_frac
+    assert(math.abs(d1.getDouble(3) - 14.0 / 17) < 1e-15) // dup_line_char_frac
+    // tokens [aaa bbb aaa bbb ccc] -> grams x4, "aaa bbb" twice
+    assert(d1.getLong(4) == 4L && d1.getDouble(5) == 0.5)
+    val d2 = r(1)
+    assert(d2.getLong(1) == 0L && d2.isNullAt(2) && d2.isNullAt(3))
+    assert(d2.getLong(4) == 0L && d2.isNullAt(5))
+    val d3 = r(2)
+    assert(d3.getLong(1) == 2L && d3.getDouble(2) == 0.0)
+    assert(d3.getLong(4) == 1L && d3.getDouble(5) == 1.0)
+  }
+
   test("ngramOverlap: shared 8-gram found; short docs produce no grams") {
     val train = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // shares grams 1-8 and 2-9? test has 1-8 only

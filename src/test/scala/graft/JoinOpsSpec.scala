@@ -359,4 +359,104 @@ class JoinOpsSpec extends AnyFunSuite {
     }).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("resampleInterp: exact hits verbatim, dyadic midpoints exact, no extrapolation") {
+    val ev = Seq(
+      (1L, "2024-01-01 01:00:00", 6.0),
+      (1L, "2024-01-01 03:00:00", 18.0),
+      (1L, "2024-01-01 05:00:00", 12.0),
+      (2L, "2024-01-01 02:00:00", 7.0),   // single obs: exact hit only
+      (3L, "2024-01-01 00:30:00", 0.0),   // off-grid bracket around 01:00
+      (3L, "2024-01-01 01:30:00", 30.0))
+      .toDF("uid", "s", "v")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"), col("v"))
+    val r = JoinOps.resampleInterp(ev, "ts", "uid", "v")
+      .orderBy("uid", "ts").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).toString,
+        Option(x.get(2)).map(_.asInstanceOf[Double])))
+      .toSeq
+    // global grid 00:00..05:00 (t0 = trunc(00:30)) x 3 keys; dyadic
+    // fractions make every expected value an exact double
+    assert(r == Seq(
+      (1L, "2024-01-01 00:00:00.0", None),        // before first obs
+      (1L, "2024-01-01 01:00:00.0", Some(6.0)),   // exact hit
+      (1L, "2024-01-01 02:00:00.0", Some(12.0)),  // halfway 6 -> 18
+      (1L, "2024-01-01 03:00:00.0", Some(18.0)),
+      (1L, "2024-01-01 04:00:00.0", Some(15.0)),  // halfway 18 -> 12
+      (1L, "2024-01-01 05:00:00.0", Some(12.0)),
+      (2L, "2024-01-01 00:00:00.0", None),
+      (2L, "2024-01-01 01:00:00.0", None),
+      (2L, "2024-01-01 02:00:00.0", Some(7.0)),   // exact hit, no bracket needed
+      (2L, "2024-01-01 03:00:00.0", None),        // after last obs
+      (2L, "2024-01-01 04:00:00.0", None),
+      (2L, "2024-01-01 05:00:00.0", None),
+      (3L, "2024-01-01 00:00:00.0", None),
+      (3L, "2024-01-01 01:00:00.0", Some(15.0)),  // 0 + 30 * (30m / 60m)
+      (3L, "2024-01-01 02:00:00.0", None),
+      (3L, "2024-01-01 03:00:00.0", None),
+      (3L, "2024-01-01 04:00:00.0", None),
+      (3L, "2024-01-01 05:00:00.0", None)))
+  }
+
+  test("resampleInterp: parity with a plain-Scala interpolation on pseudo-random events") {
+    val rnd = new scala.util.Random(11)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val events = (1 to 300).map { _ =>
+      (rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(48 * 3600) * 1000L),
+        rnd.nextInt(1000).toDouble)
+    }.groupBy(e => (e._1, e._2)).map(_._2.maxBy(_._3)).toSeq // de-dup (uid, ts)
+    val df = events.toDF("uid", "ts", "v")
+      .groupBy("uid", "ts").agg(max("v").as("v"))
+    val got = JoinOps.resampleInterp(df, "ts", "uid", "v")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val t0 = {
+      val min = events.map(_._2.getTime).min
+      min - Math.floorMod(min, 3600 * 1000L) // UTC hour-trunc
+    }
+    val t1 = events.map(_._2.getTime).max
+    val want = (for {
+      k <- events.map(_._1).distinct
+      t <- t0 to t1 by 3600 * 1000L
+    } yield {
+      val mine = events.filter(_._1 == k)
+      val bw = mine.filter(_._2.getTime <= t).sortBy(_._2.getTime).lastOption
+      val fw = mine.filter(_._2.getTime >= t).sortBy(_._2.getTime).headOption
+      val v = (bw, fw) match {
+        case (Some(b), Some(f)) =>
+          if (b._2.getTime == t) Some(b._3)
+          else Some(b._3 + (f._3 - b._3) *
+            ((t - b._2.getTime).toDouble * 1000.0 /
+              ((f._2.getTime - b._2.getTime).toDouble * 1000.0)))
+        case _ => None
+      }
+      (k, t, v)
+    }).toSet
+    assert(got == want && got.exists(_._3.isDefined))
+  }
+
+  test("resampleInterp plan: no shuffled join, the one union exchange + grid distinct") {
+    val ev = Seq((1L, "2024-01-01 01:00:00", 1.0))
+      .toDF("uid", "s", "v")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"), col("v"))
+    val nodes = allNodes(JoinOps.resampleInterp(ev, "ts", "uid", "v"))
+    // the carry must stay the sorted-union window — the only join in the
+    // plan is the broadcast of the ONE-ROW bounds aggregate
+    assert(!nodes.exists {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }, s"interp carry compiled to a shuffled join:\n${nodes.head}")
+    val shuffles = nodes.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    assert(shuffles <= 3,
+      s"expected the union exchange plus the grid key-distinct, got $shuffles:\n${nodes.head}")
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.window.WindowExec => true
+      case _ => false
+    }, s"expected the directional-carry windows:\n${nodes.head}")
+  }
 }

@@ -1189,6 +1189,33 @@ class OpsSpec extends AnyFunSuite {
       s"cell partition did not prune: $oneCell of $allFiles files")
   }
 
+  test("filtered kNN: allow-list top-k equals brute force over the filtered corpus at full probe") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (centroids, assignments) =
+      SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val queries = emb.where("vec_id < 4")
+    val allowed = emb.where("label % 3 = 0").select("vec_id")
+    val filtered = SimilarityOps.topKIvfFromIndex(
+        centroids, assignments, queries, "vec_id", "embedding",
+        k = 5, nprobe = 8, allowIds = Some(allowed))
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect()
+    // every returned candidate passes the filter
+    val allowedSet = allowed.as[Long].collect().toSet
+    assert(filtered.nonEmpty && filtered.forall(r => allowedSet(r._2)))
+    // full probe + semi-join == brute force over the pre-filtered corpus
+    val brute = SimilarityOps.topKBruteForce(
+        emb.where("label % 3 = 0"), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect()
+    assert(filtered.toSet == brute.toSet)
+    // an empty allow list returns no candidates rather than erroring
+    val none = SimilarityOps.topKIvfFromIndex(
+        centroids, assignments, queries, "vec_id", "embedding",
+        k = 5, nprobe = 8, allowIds = Some(allowed.where(lit(false))))
+      .count()
+    assert(none == 0L)
+  }
+
   test("persisted PQ index: table round trip equals one-shot PQ; codes table carries no vectors") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (codebook, codes) = SimilarityOps.buildPqIndex(
