@@ -61,7 +61,13 @@ object Bench {
     // round-12 late: histogram-exact per-group percentiles (no corpus
     // sort), the Matryoshka prefix-rank/full-rerank two-stage top-k,
     // and LOCF grid resampling (generated left side + sorted-union as-of)
-    "d88_length_quantiles", "e55_knn_matryoshka", "j06_locf_resample")
+    "d88_length_quantiles", "e55_knn_matryoshka", "j06_locf_resample",
+    // round-12 final: Gopher repetition signals (two hash-keyed partial
+    // aggregations over exploded lines/grams — the per-signal quality
+    // gate), linear-interpolation resampling (both directional carries
+    // over ONE exchange), and filtered vector search (allow-list
+    // semi-join ahead of the cosine kernel)
+    "d91_repetition_signals", "j08_interp_resample", "e58_filtered_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
