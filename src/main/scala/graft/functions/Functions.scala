@@ -886,6 +886,99 @@ case class TextProfile(child: Expression, stopLists: Seq[Seq[String]])
   override protected def withNewChildInternal(c: Expression): TextProfile = copy(child = c)
 }
 
+object RepetitionStatsUtil {
+  /** One pass over a document for the Gopher repetition signals:
+    * (n_lines, dup_line_frac, dup_line_char_frac, n_grams,
+    * top_gram_frac). Counting is by exact line/gram TEXT (no hash, so no
+    * collision caveat); the per-call hash maps are bounded by the
+    * document's OWN distinct line/gram counts — the same per-row bound as
+    * materializing a gram array. Division order matches the SQL oracle:
+    * exact integer counts cast to double, one division. */
+  def stats(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    // lines: raw \n split, keep non-blank; length counts the RAW line
+    // (leading/trailing spaces weigh like any other character)
+    val lineCounts = new java.util.HashMap[String, long2]()
+    var nLines = 0L
+    var totalLineChars = 0L
+    var li = 0
+    val rawLines = str.split("\n", -1)
+    while (li < rawLines.length) {
+      val raw = rawLines(li)
+      if (!raw.trim.isEmpty) {
+        nLines += 1
+        totalLineChars += raw.length
+        val c = lineCounts.get(raw)
+        if (c == null) lineCounts.put(raw, new long2(1L, raw.length.toLong))
+        else c.a += 1L
+      }
+      li += 1
+    }
+    var dupChars = 0L
+    val it = lineCounts.values.iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c.a > 1L) dupChars += c.a * c.b
+    }
+    // word n-grams: one tokenize, rolling join — counts by gram text
+    val trimmed = str.trim
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+    val nGrams = Math.max(toks.length - n + 1, 0).toLong
+    var maxCnt = 0L
+    if (nGrams > 0) {
+      val gramCounts = new java.util.HashMap[String, long2]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val g = sb.toString
+        val c = gramCounts.get(g)
+        val cnt = if (c == null) { gramCounts.put(g, new long2(1L, 0L)); 1L }
+                  else { c.a += 1L; c.a }
+        if (cnt > maxCnt) maxCnt = cnt
+        i += 1
+      }
+    }
+    val out = new Array[Any](5)
+    out(0) = nLines
+    out(1) = if (nLines == 0L) null
+             else java.lang.Double.valueOf(1.0 - lineCounts.size.toDouble / nLines.toDouble)
+    out(2) = if (nLines == 0L) null
+             else java.lang.Double.valueOf(dupChars.toDouble / totalLineChars.toDouble)
+    out(3) = nGrams
+    out(4) = if (nGrams == 0L) null
+             else java.lang.Double.valueOf(maxCnt.toDouble / nGrams.toDouble)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  /** Mutable pair (count, payload) so the hot loop never reboxes. */
+  final class long2(var a: Long, var b: Long)
+}
+
+/** Gopher repetition signals as ONE codegen map pass — see
+  * [[graft.ops.CorpusOps.repetitionSignals]] for the operator story. */
+case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = true),
+    StructField("dup_line_char_frac", DoubleType, nullable = true),
+    StructField("n_grams", LongType, nullable = false),
+    StructField("top_gram_frac", DoubleType, nullable = true)))
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStatsUtil.stats(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStatsUtil.stats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+}
+
 case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "text_shingles"
@@ -1786,6 +1879,8 @@ object GraftFunctions {
     ColumnBridge.column(SimHash64(expression(c)))
   def text_profile(c: Column, stopLists: Seq[Seq[String]]): Column =
     ColumnBridge.column(TextProfile(expression(c), stopLists))
+  def repetition_stats(c: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionStats(expression(c), n))
   def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =
     ColumnBridge.column(HyperplaneSig(expression(c), planes))
   def nearest_centroid(c: Column, centers: Array[Array[Float]]): Column =

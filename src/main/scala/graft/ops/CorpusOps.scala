@@ -619,45 +619,29 @@ object CorpusOps {
     * one number) with the per-signal thresholds the Gopher/FineWeb
     * filter stacks actually gate on.
     *
-    * Scale shape: lines and grams explode to `(doc, 8-byte hash)` rows
-    * and partial-aggregate before their exchanges — duplicate mass
-    * collapses map-side, raw text never shuffles. Deliberately NOT the
-    * map-only HOF form: per-row occurrence counting is O(len²) inside a
-    * single task on a pathological million-line document, while the
-    * explode keys are corpus-distributed by construction. Docs with no
-    * non-blank lines (or fewer than `n` tokens) keep their row with
-    * zero counts and NULL fractions.
+    * Scale shape: ONE codegen map pass per document
+    * ([[graft.functions.RepetitionStats]]) — zero exchanges at any
+    * corpus size; every signal depends only on the row's own text, so
+    * the operator is trivially streaming-safe. Per-task memory is
+    * bounded by a single document's distinct lines/grams — the same
+    * per-row bound any gram-array materialization already pays. (A
+    * first cut exploded lines/grams into `(doc, 8-byte hash)` partial
+    * aggregates; that shuffled O(tokens) keys per document for stats a
+    * single pass computes locally, and was replaced.) Counting is by
+    * exact line/gram text, so there is no hash-collision caveat. Docs
+    * with no non-blank lines (or fewer than `n` tokens) keep their row
+    * with zero counts and NULL fractions.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2): DataFrame = {
-    val lines = df.select(col(idCol), explode(
-        filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)).as("__l"))
-      .select(col(idCol), xxhash64(col("__l")).as("__h"),
-        length(col("__l")).cast("long").as("__len"))
-    val perLine = lines.groupBy(col(idCol), col("__h"))
-      .agg(count(lit(1)).as("__cnt"), max(col("__len")).as("__len"))
-    val lineStats = perLine.groupBy(col(idCol)).agg(
-      sum("__cnt").cast("long").as("n_lines"),
-      (lit(1.0) - count(lit(1)).cast("double") / sum("__cnt")).as("dup_line_frac"),
-      (sum(when(col("__cnt") > 1, col("__cnt") * col("__len")).otherwise(0L))
-        .cast("double") / sum(col("__cnt") * col("__len")).cast("double"))
-        .as("dup_line_char_frac"))
-    val grams = df.select(col(idCol), explode(transform(
-        graft.functions.GraftFunctions.positional_gram_hashes(col(textCol), n),
-        g => g.getField("h"))).as("__g"))
-    val gramStats = grams.groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as("__cnt"))
-      .groupBy(col(idCol)).agg(
-        sum("__cnt").cast("long").as("n_grams"),
-        (max("__cnt").cast("double") / sum("__cnt")).as("top_gram_frac"))
-    df.select(col(idCol))
-      .join(lineStats, Seq(idCol), "left")
-      .join(gramStats, Seq(idCol), "left")
+    val r = graft.functions.GraftFunctions.repetition_stats(col(textCol), n)
+    df.select(col(idCol), r.as("__r"))
       .select(col(idCol),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        col("dup_line_frac"), col("dup_line_char_frac"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        col("top_gram_frac"))
+        coalesce(col("__r.n_lines"), lit(0L)).as("n_lines"),
+        col("__r.dup_line_frac").as("dup_line_frac"),
+        col("__r.dup_line_char_frac").as("dup_line_char_frac"),
+        coalesce(col("__r.n_grams"), lit(0L)).as("n_grams"),
+        col("__r.top_gram_frac").as("top_gram_frac"))
   }
 
   /** RAG-style chunking: fixed `chunkTokens`-token windows every

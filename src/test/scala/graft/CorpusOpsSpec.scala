@@ -46,6 +46,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(d3.getLong(4) == 1L && d3.getDouble(5) == 1.0)
   }
 
+  test("repetitionSignals plan: map-only, zero exchanges") {
+    val docs = Seq((1L, "a b\na b")).toDF("doc_id", "text")
+    val plan = CorpusOps.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    def countExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case _ => 0
+      }) + p.children.map(countExchanges).sum
+    assert(countExchanges(plan) == 0,
+      s"repetition signals must stay a single map pass:\n$plan")
+  }
+
   test("ngramOverlap: shared 8-gram found; short docs produce no grams") {
     val train = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // shares grams 1-8 and 2-9? test has 1-8 only
