@@ -380,6 +380,49 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g55_expire_orphan_roundtrip" -> ((s, dir) => {
+      // snapshot expiration + orphan sweep graded through the oracle —
+      // the maintenance pair that bounds storage under continuous
+      // ingest. Junk rows appended then copy-on-write-deleted leave data
+      // files referenced ONLY by dead history; expire(retainLast=1) must
+      // physically drop them while the live table keeps serving, and the
+      // orphan sweep must remove a planted stray file without touching
+      // anything referenced. The final aggregate replays the clean
+      // source subset in the oracle.
+      val wh = java.nio.file.Files.createTempDirectory("graft-expire-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val keep = li.where("l_orderkey % 5 = 1")
+      val tbl = cat.createTable("li_expire",
+        SparkSchemaConverter.fromSpark(keep.schema))
+      tbl.append(keep.where("l_orderkey % 2 = 1"))
+      tbl.append(li.where("l_orderkey % 5 = 2"))        // junk batch
+      tbl.deleteWhere(s, "l_orderkey % 5 = 2")          // COW: junk -> dead history
+      tbl.append(keep.where("l_orderkey % 2 = 0"))
+      def dataFiles(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(tbl.location, "data"))
+      }
+      val before = dataFiles()
+      tbl.expireSnapshots(s, System.currentTimeMillis() + 60000)
+      require(tbl.refresh().snapshots.size == 1,
+        s"retainLast=1 must leave one snapshot, got ${tbl.snapshots.size}")
+      require(dataFiles() < before,
+        s"expire must physically drop dead-history files ($before -> ${dataFiles()})")
+      val orphan = new java.io.File(s"${tbl.location}/data/orphan-plant.parquet")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+      val swept = tbl.removeOrphanFiles(s, System.currentTimeMillis() + 60000)
+      require(swept.exists(_.endsWith("orphan-plant.parquet")) && !orphan.exists(),
+        s"orphan sweep must remove exactly the planted stray, swept: $swept")
+      tbl.refresh().toDF(s)
+        .groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g27_partition_prune" -> ((s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-verify-wh").toString
       val cat = new HadoopCatalog(wh)
@@ -3265,6 +3308,13 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 3 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // expire + orphan sweep must leave exactly the clean subset serving
+    "g55_expire_orphan_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 5 = 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "g27_partition_prune" ->
