@@ -1360,6 +1360,27 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s59_stream_repetition_gate" -> ((s, dir) => {
+      // in-flight Gopher repetition gating: repetition_stats is ONE
+      // codegen map pass (zero shuffles, no state store), so the quality
+      // signals compute on the stream exactly as in batch — graded by
+      // the identical d91 oracle because map-only scoring is
+      // batch-invariant by construction. Same derived line view as d91.
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val lined = raw.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit(""),
+          substring(col("text"), 1, 60), substring(col("text"), 1, 60))
+          .as("text"))
+      val gated = CorpusOps.repetitionSignals(lined, "doc_id", "text", n = 2)
+      val sink = s"s59_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = gated.writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -3026,6 +3047,39 @@ object SparkEntry {
       |  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY event_id""".stripMargin
+
+  /** Shared by d91 (batch) and s59 (the same map-only pass on a stream —
+    * batch-invariant by construction): the derived line view is
+    * [text, blank, 60-char prefix, same prefix], and the engine counts
+    * by exact line/gram text in one native pass, so the SQL replay is
+    * literal. */
+  private lazy val RepetitionOracleSql: String =
+    s"""WITH d2 AS (SELECT doc_id,
+       |    text || chr(10) || chr(10) || substr(text, 1, 60) || chr(10) ||
+       |    substr(text, 1, 60) AS text FROM documents),
+       |lx AS (SELECT doc_id, unnest(list_filter(str_split(text, chr(10)),
+       |         x -> length(trim(x)) > 0)) AS line FROM d2),
+       |pl AS (SELECT doc_id, line, count(*) AS cnt, max(length(line)) AS len
+       |       FROM lx GROUP BY 1, 2),
+       |lstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+       |   1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+       |   CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
+       |     / CAST(sum(cnt * len) AS DOUBLE) AS dup_line_char_frac
+       | FROM pl GROUP BY 1),
+       |gx AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+       |         list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END) AS gram
+       |       FROM (SELECT doc_id, $ToksSql AS t FROM d2)),
+       |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM gx GROUP BY 1, 2),
+       |gstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |   CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_gram_frac
+       | FROM pg GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(lstat.n_lines, 0) AS n_lines,
+       |  lstat.dup_line_frac, lstat.dup_line_char_frac,
+       |  COALESCE(gstat.n_grams, 0) AS n_grams, gstat.top_gram_frac
+       |FROM documents d LEFT JOIN lstat USING (doc_id)
+       |LEFT JOIN gstat ON d.doc_id = gstat.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private val KnnOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -4869,35 +4923,13 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     // derived line view matches the entry: [text, blank, 60-char prefix,
-    // same prefix]; counts-over-line/gram TEXT == counts over the
-    // engine's 8-byte hashes (the d51 distinct-over-hash argument)
-    "d91_repetition_signals" ->
-      s"""WITH d2 AS (SELECT doc_id,
-         |    text || chr(10) || chr(10) || substr(text, 1, 60) || chr(10) ||
-         |    substr(text, 1, 60) AS text FROM documents),
-         |lx AS (SELECT doc_id, unnest(list_filter(str_split(text, chr(10)),
-         |         x -> length(trim(x)) > 0)) AS line FROM d2),
-         |pl AS (SELECT doc_id, line, count(*) AS cnt, max(length(line)) AS len
-         |       FROM lx GROUP BY 1, 2),
-         |lstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
-         |   1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
-         |   CAST(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
-         |     / CAST(sum(cnt * len) AS DOUBLE) AS dup_line_char_frac
-         | FROM pl GROUP BY 1),
-         |gx AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
-         |         list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
-         |         ELSE CAST([] AS VARCHAR[]) END) AS gram
-         |       FROM (SELECT doc_id, $ToksSql AS t FROM d2)),
-         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM gx GROUP BY 1, 2),
-         |gstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
-         |   CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_gram_frac
-         | FROM pg GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(lstat.n_lines, 0) AS n_lines,
-         |  lstat.dup_line_frac, lstat.dup_line_char_frac,
-         |  COALESCE(gstat.n_grams, 0) AS n_grams, gstat.top_gram_frac
-         |FROM documents d LEFT JOIN lstat USING (doc_id)
-         |LEFT JOIN gstat ON d.doc_id = gstat.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    // same prefix]; the engine counts by exact line/gram text in one
+    // native pass, so the SQL replay is literal
+    "d91_repetition_signals" -> RepetitionOracleSql,
+
+    // map-only scoring is batch-invariant: the stream grades against the
+    // batch oracle verbatim
+    "s59_stream_repetition_gate" -> RepetitionOracleSql,
 
     "d52_chunking" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
