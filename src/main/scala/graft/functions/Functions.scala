@@ -1979,5 +1979,9 @@ object GraftFunctions {
       IcebergTruncate(exprs(1), exprs.head.eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("cosine_similarity", exprs =>
       CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("unicode_normalize", exprs =>
+      UnicodeNormalize(exprs(0), exprs(1).eval().toString), "built-in")
+    reg.createOrReplaceTempFunction("repetition_stats", exprs =>
+      RepetitionStats(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

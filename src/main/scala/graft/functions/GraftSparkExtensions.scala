@@ -34,5 +34,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("text_fingerprint"),
       info("text_fingerprint", "text_fingerprint(s) - 64-bit FNV-1a fingerprint"),
       (exprs: Seq[Expression]) => TextFingerprint(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(s, form) - NFC/NFD/NFKC/NFKD normalization"),
+      (exprs: Seq[Expression]) =>
+        UnicodeNormalize(exprs(0), exprs(1).eval().toString)))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(s, n) - Gopher repetition signals (dup lines, top n-gram)"),
+      (exprs: Seq[Expression]) =>
+        RepetitionStats(exprs(0), exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -21,6 +21,19 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("text functions usable from SQL: unicode_normalize, repetition_stats") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT unicode_normalize('é', 'NFC') AS n, " +
+        "repetition_stats('a b\na b', 2) AS s")
+      .selectExpr("n", "s.n_lines", "s.dup_line_frac", "s.n_grams", "s.top_gram_frac")
+      .collect().head
+    assert(r.getString(0) == "é")
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 0.5)
+    // tokens [a b a b] -> grams [a b, b a, a b]
+    assert(r.getLong(3) == 3L && math.abs(r.getDouble(4) - 2.0 / 3) < 1e-15)
+  }
+
   test("extensions injector builds in a fresh session") {
     val fresh = spark.newSession()
     // apply the same builders the extension injects, through its code path
