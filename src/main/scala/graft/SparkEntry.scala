@@ -1607,6 +1607,36 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens").orderBy("doc_id")
     }),
 
+    "d92_curation_pipeline" -> ((s, dir) => {
+      // the full FineWeb-style curation chain in ONE declarative plan:
+      // map-only quality gate (repetition signals) → exact dedup
+      // keep-first (on a corpus with planted cross-source duplicates, so
+      // a dedup regression becomes VISIBLE in the output) → per-language
+      // token-budget fill. Every stage is an individually-graded
+      // operator (d91, d30, d58); the composition grades end-to-end
+      // through one SQL replay, proving the stages chain without hidden
+      // state or order dependence. Plan: gate adds zero exchanges, dedup
+      // one digest shuffle + winner semi-join, budget the d58 two-phase
+      // bucket select — the whole pipeline is 100 TB-shaped because each
+      // stage already is.
+      val base = t(s, dir, "documents").select("doc_id", "lang", "text", "n_chars")
+      val dupes = base.where("doc_id % 7 = 0").select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("lang"), col("text"), col("n_chars"))
+      val docs = base.unionByName(dupes)
+      val gated = docs
+        .withColumn("__sig",
+          graft.functions.GraftFunctions.repetition_stats(col("text"), 2))
+        .where(col("__sig.n_grams") >= 20 && col("__sig.top_gram_frac") <= 0.06)
+        .drop("__sig")
+      val deduped = DedupOps.exactDedupRows(gated, "doc_id", "text")
+      val withTok = deduped.select(col("doc_id"), col("lang"), col("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CorpusOps.selectWithinBudget(withTok, "doc_id", "lang", "n_chars",
+          "n_tokens", budgetPerStratum = 1500L)
+        .select("doc_id", "lang", "n_tokens").orderBy("doc_id")
+    }),
+
     "d48_redact_pii" -> ((s, dir) => {
       // PII scrubbing: deterministic synthetic contact lines (so the
       // oracle can replay them), then a codegen'd regexp_replace chain;
@@ -4212,6 +4242,36 @@ object SparkEntry {
          |  FROM tc)
          |SELECT doc_id, lang, n_tokens FROM c
          |WHERE cum - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
+
+    // the composed chain replayed stage for stage: gate on the same
+    // top-gram dominance the engine computes natively, keep-first dedup
+    // as a row_number over the content key, then the d58 budget window
+    "d92_curation_pipeline" ->
+      s"""WITH u AS (SELECT doc_id, lang, text, n_chars FROM documents
+         |     UNION ALL
+         |     SELECT doc_id + 1000000, lang, text, n_chars
+         |     FROM documents WHERE doc_id % 7 = 0),
+         |gx AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+         |         list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS gram
+         |       FROM (SELECT doc_id, $ToksSql AS t FROM u)),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM gx GROUP BY 1, 2),
+         |gs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS f
+         |       FROM pg GROUP BY 1),
+         |gated AS (SELECT u.* FROM u JOIN gs USING (doc_id)
+         |          WHERE gs.n_grams >= 20 AND gs.f <= 0.06),
+         |ded AS (SELECT * FROM (SELECT g.*, row_number() OVER
+         |          (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated g)
+         |        WHERE rn = 1),
+         |tc AS (SELECT doc_id, lang, n_chars,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM ded),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tc)
+         |SELECT doc_id, lang, n_tokens FROM c
+         |WHERE cum - n_tokens < 1500 ORDER BY doc_id""".stripMargin,
 
     // the two-step incremental run: step 1 accepts the whole corpus
     // (state was empty); step 2 accepts a mutant iff NO accepted doc
