@@ -1607,6 +1607,30 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens").orderBy("doc_id")
     }),
 
+    "d93_fuzzy_match" -> ((s, dir) => {
+      // record linkage: a dirty feed (every part name with a planted
+      // ' x' suffix, new ids) reconciled against the clean catalog via
+      // first-token blocking + banded Levenshtein (threshold form, so
+      // the kernel bails past maxDistance instead of filling the DP
+      // matrix). Best match = struct-min (distance, then smallest
+      // catalog id — the fixture has exact-duplicate part names, which
+      // is precisely what makes the tie rule matter). Integer edit
+      // distances replay exactly in the oracle.
+      val parts = t(s, dir, "part").where("p_partkey % 20 = 3")
+        .select("p_partkey", "p_name")
+      val dirty = parts.select(
+        (col("p_partkey") + 5000000L).as("rec_id"),
+        concat(col("p_name"), lit(" x")).as("name"))
+      DedupOps.fuzzyMatch(dirty, "rec_id", "name",
+          parts, "p_partkey", "p_name",
+          dirtyBlock = split(col("name"), " ").getItem(0),
+          catalogBlock = split(col("p_name"), " ").getItem(0),
+          maxDistance = 2)
+        .select(col("dirty_id"), col("match_id"),
+          col("lev").cast("long").as("lev"))
+        .orderBy("dirty_id")
+    }),
+
     "d92_curation_pipeline" -> ((s, dir) => {
       // the full FineWeb-style curation chain in ONE declarative plan:
       // map-only quality gate (repetition signals) → exact dedup
@@ -4242,6 +4266,27 @@ object SparkEntry {
          |  FROM tc)
          |SELECT doc_id, lang, n_tokens FROM c
          |WHERE cum - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
+
+    // blocked candidates + plain levenshtein replay; the engine's
+    // threshold kernel only changes HOW the distance is computed, never
+    // which pairs survive or their distances
+    "d93_fuzzy_match" ->
+      """WITH cat AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+        |            FROM part WHERE p_partkey % 20 = 3),
+        |d AS (SELECT p_partkey + 5000000 AS dirty_id, p_name || ' x' AS name,
+        |             split_part(p_name || ' x', ' ', 1) AS blk
+        |      FROM part WHERE p_partkey % 20 = 3),
+        |cand AS (SELECT d.dirty_id, cat.p_partkey AS match_id,
+        |                levenshtein(d.name, cat.p_name) AS lev
+        |         FROM d JOIN cat USING (blk)
+        |         WHERE levenshtein(d.name, cat.p_name) <= 2),
+        |best AS (SELECT dirty_id, match_id, lev FROM (
+        |           SELECT dirty_id, match_id, lev, row_number() OVER
+        |             (PARTITION BY dirty_id ORDER BY lev, match_id) AS rn
+        |           FROM cand) WHERE rn = 1)
+        |SELECT d.dirty_id, best.match_id, CAST(best.lev AS BIGINT) AS lev
+        |FROM d LEFT JOIN best USING (dirty_id)
+        |ORDER BY d.dirty_id""".stripMargin,
 
     // the composed chain replayed stage for stage: gate on the same
     // top-gram dominance the engine computes natively, keep-first dedup

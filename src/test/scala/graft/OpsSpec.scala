@@ -1278,6 +1278,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == Set(11L))
   }
 
+  test("fuzzyMatch: best candidate in block, distance ties on min id, unmatched stay null") {
+    val catalog = Seq(
+      (10L, "red widget"),
+      (11L, "red widget"),   // exact duplicate name: tie must pick id 10
+      (12L, "red gadget"),
+      (20L, "blue bolt")).toDF("cid", "cname")
+    val dirty = Seq(
+      (1L, "red widgex"),    // lev 1 to "red widget" (10/11), 2 to gadget
+      (2L, "red gadget"),    // exact hit, lev 0
+      (3L, "blue bolts!!!"), // lev 3 to "blue bolt" -> over maxDistance 2
+      (4L, "green hat"))     // block with no catalog rows at all
+      .toDF("did", "dname")
+    val got = DedupOps.fuzzyMatch(dirty, "did", "dname",
+        catalog, "cid", "cname",
+        dirtyBlock = split(col("dname"), " ").getItem(0),
+        catalogBlock = split(col("cname"), " ").getItem(0),
+        maxDistance = 2)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Int]))).toMap
+    assert(got.size == 4, "left-outer: every dirty row keeps a row")
+    assert(got(1L) == (Some(10L), Some(1)), "min distance, then min catalog id")
+    assert(got(2L) == (Some(12L), Some(0)))
+    assert(got(3L) == (None, None), "past maxDistance -> unmatched")
+    assert(got(4L) == (None, None), "empty block -> unmatched")
+  }
+
   test("chunkBySentences: boundary-aligned packing, sentences never split") {
     // sentences of 3/4/5/4 tokens; budget 8:
     // prefixes 0,3,7,12 -> chunks 0,0,0,1 (the 5-token sentence starting
