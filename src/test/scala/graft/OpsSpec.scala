@@ -1305,6 +1305,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == (None, None), "empty block -> unmatched")
   }
 
+  test("fuzzyMatch: parity with a plain-Scala blocked argmin on pseudo-random strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(23)
+    def word() = (1 to 2 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val cat = (1 to 120).map(i => (i.toLong, word()))
+    // the 'z' row blocks to an empty catalog bucket -> guaranteed unmatched
+    val dirt = (1 to 80).map(i => (1000L + i, word())) :+ (1999L, "zzzz")
+    val maxD = 2
+    val got = DedupOps.fuzzyMatch(
+        dirt.toDF("did", "dname"), "did", "dname",
+        cat.toDF("cid", "cname"), "cid", "cname",
+        dirtyBlock = substring(col("dname"), 1, 1),
+        catalogBlock = substring(col("cname"), 1, 1),
+        maxDistance = maxD)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(m => (m.asInstanceOf[Long], r.getInt(2)))).toMap
+    val want = dirt.map { case (id, dn) =>
+      val cands = cat.filter(_._2.head == dn.head)
+        .map { case (cid, cn) => (cid, lev(dn, cn)) }
+        .filter(_._2 <= maxD)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.minBy { case (cid, d) => (d, cid) }))
+    }.toMap
+    assert(got == want && want.values.exists(_.isDefined)
+      && want.values.exists(_.isEmpty))
+  }
+
   test("chunkBySentences: boundary-aligned packing, sentences never split") {
     // sentences of 3/4/5/4 tokens; budget 8:
     // prefixes 0,3,7,12 -> chunks 0,0,0,1 (the 5-token sentence starting
