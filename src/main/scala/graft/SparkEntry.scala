@@ -1607,6 +1607,21 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens").orderBy("doc_id")
     }),
 
+    "d94_script_profile" -> ((s, dir) => {
+      // Unicode-script routing signal: the ASCII fixture gets
+      // deterministic Han/Cyrillic planted per doc_id (both engines
+      // rebuild the same text), then one map-only regexp pass per
+      // script counts characters — integer-exact in the oracle. The
+      // signal that routes CJK-dominant shards to capped-vocabulary
+      // models before the trigram blowup, not after.
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          expr("repeat('中', cast(doc_id % 4 as int))"),
+          expr("repeat('я', cast(doc_id % 3 as int))")).as("text"))
+      TextOps.scriptProfile(multi, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "d93_fuzzy_match" -> ((s, dir) => {
       // record linkage: a dirty feed (every part name with a planted
       // ' x' suffix, new ids) reconciled against the clean catalog via
@@ -4266,6 +4281,18 @@ object SparkEntry {
          |  FROM tc)
          |SELECT doc_id, lang, n_tokens FROM c
          |WHERE cum - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
+
+    // \p{Script} classes agree between Java regex and RE2, so the
+    // planted multilingual text counts replay as exact integers
+    "d94_script_profile" ->
+      """WITH m AS (SELECT doc_id,
+        |    text || ' ' || repeat(chr(20013), CAST(doc_id % 4 AS INT)) ||
+        |    repeat(chr(1103), CAST(doc_id % 3 AS INT)) AS text FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // blocked candidates + plain levenshtein replay; the engine's
     // threshold kernel only changes HOW the distance is computed, never

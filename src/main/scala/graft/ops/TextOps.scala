@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -37,6 +37,28 @@ object TextOps {
   def subwordCount(text: Column): Column = profile(text).getField("nsub")
 
   def charCount(text: Column): Column = length(text)
+
+  /** Unicode-script character profile: per document, the total character
+    * count and the count of characters in each requested script
+    * (Java/RE2 `\p{IsScript}` classes — both engines agree on the
+    * definitions, so the integer counts replay exactly in SQL). The
+    * routing signal a multilingual 100 TB corpus needs BEFORE any
+    * script-specific model runs: the r11 trigram-LM finding (CJK
+    * vocabularies in the tens of thousands) is exactly the corpus this
+    * detects — route Han-dominant shards to a capped-vocabulary model
+    * instead of discovering the blowup in a driver OOM. Map-only, one
+    * codegen regexp pass per script; counts, not fractions, so the
+    * oracle compare is exact integer arithmetic. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String,
+                    scripts: Seq[String] = Seq("Latin", "Han", "Cyrillic"))
+      : DataFrame = {
+    val counts = scripts.map { sc =>
+      length(regexp_replace(col(textCol), s"[^\\p{Is$sc}]", ""))
+        .cast("long").as(s"n_${sc.toLowerCase}")
+    }
+    df.select(col(idCol) +: length(col(textCol)).cast("long").as("n_chars")
+      +: counts: _*)
+  }
 
   /** Count of punctuation characters [!?.,;:]. */
   def punctCount(text: Column): Column = profile(text).getField("npunct")
