@@ -67,7 +67,12 @@ object Bench {
     // gate), linear-interpolation resampling (both directional carries
     // over ONE exchange), and filtered vector search (allow-list
     // semi-join ahead of the cosine kernel)
-    "d91_repetition_signals", "j08_interp_resample", "e58_filtered_knn")
+    "d91_repetition_signals", "j08_interp_resample", "e58_filtered_knn",
+    // round-12 final: the composed curation pipeline (gate → dedup →
+    // budget in one plan), blocked fuzzy record linkage (banded
+    // threshold-Levenshtein inside blocking-key joins), and the
+    // map-only Unicode-script profile
+    "d92_curation_pipeline", "d93_fuzzy_match", "d94_script_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
