@@ -2473,6 +2473,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e59_hard_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: positives are the top-2
+      // retrieval results per anchor (rank 1 is the anchor itself, so
+      // BOTH exclusion rules — self and labeled-positive — visibly
+      // reshape the output vs e37), negatives the next-nearest k after
+      // the exclusion. The anti-join applies before top-k selection, so
+      // an excluded candidate never displaces a legitimate negative.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where("vec_id < 8")
+      val positives = SimilarityOps.topKBruteForce(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 2)
+        .select(col("query_id"), col("vec_id").as("pos_id"))
+      SimilarityOps.hardNegatives(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          positives, "query_id", "pos_id", k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e38_knn_lsh" -> ((s, dir) => {
       // Multi-probe at the FULL Hamming radius (probeBits = nbits): the
       // probe set covers the whole code space, so the bucketed pipeline
@@ -3998,6 +4017,25 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e53_knn_ivf_index_incremental" -> KnnOracleSql,
+
+    // negative mining: positives are the top-2 retrieval results per
+    // anchor (rank 1 = the anchor itself); negatives the next-nearest 5
+    // after excluding self + positives BEFORE the top-k cut
+    "e59_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS c
+        |        FROM embeddings e CROSS JOIN q),
+        | r AS (SELECT query_id, vec_id, c,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+        |       FROM s),
+        | pos AS (SELECT query_id, vec_id FROM r WHERE rk <= 2)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+        |FROM r
+        |WHERE vec_id <> query_id
+        |  AND NOT EXISTS (SELECT 1 FROM pos p
+        |                  WHERE p.query_id = r.query_id AND p.vec_id = r.vec_id)
+        |QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "e54_range_search" ->
       """SELECT q.vec_id AS query_id, c.vec_id,

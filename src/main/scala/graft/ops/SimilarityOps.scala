@@ -39,6 +39,46 @@ object SimilarityOps {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each anchor, the
+   * `k` most cosine-similar corpus vectors EXCLUDING the anchor itself
+   * and its known positives — the standard negative set for training
+   * retrieval/embedding models (a positive mined as a negative poisons
+   * the loss; a random negative teaches nothing, the near-misses do).
+   *
+   * `positives` is one row per labeled (anchor, positive) pair; anchors
+   * are assumed drawn from the corpus id space (self-exclusion is by id
+   * equality). The exclusion applies BEFORE top-k selection — a left-anti join of the
+   * scored candidate stream against the (broadcast) positives on the
+   * (query, candidate) pair key — so an excluded candidate can never
+   * displace a legitimate negative out of the k. The positive set is
+   * bounded by labels-per-anchor × the query batch, the same broadcast
+   * envelope as the query batch itself; the candidate stream is the
+   * one map-side pass over the corpus [[topKBruteForce]] makes, and
+   * top-k still partial-aggregates map-side, so the whole mine is one
+   * corpus scan + one query-keyed exchange at any corpus size. For
+   * corpus-sized anchor sets, run the same exclusion over an
+   * index-backed candidate stream ([[topKIvfFromIndex]]'s assignments
+   * path) instead of the brute-force scorer.
+   */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    positives: DataFrame, posQueryCol: String,
+                    posIdCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .crossJoin(broadcast(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    val pos = positives.select(col(posQueryCol).as("query_id"),
+      col(posIdCol).as("vec_id"))
+    val candidates = scored
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(pos), Seq("query_id", "vec_id"), "left_anti")
+    topK(candidates, "query_id", "vec_id", k)
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k — the classic ANN scale path the
    * LSH variant complements:
    *

@@ -530,6 +530,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: excludes self and positives, equals filtered top-k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(4).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // positives = the unexcluded top-3 (rank 1 is the anchor itself), so
+    // both exclusion rules demonstrably bite
+    val positives = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+      .select($"query_id", $"vec_id".as("pos_id"))
+    val posSet = positives.as[(Long, Long)].collect().toSet
+    val negs = SimilarityOps.hardNegatives(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", positives, "query_id", "pos_id", k = 5)
+      .collect()
+    assert(negs.map(_.getAs[Long]("query_id")).distinct.length == 4)
+    negs.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val v = r.getAs[Long]("vec_id")
+      assert(v != q, s"self $q mined as negative")
+      assert(!posSet.contains((q, v)), s"positive ($q,$v) mined as negative")
+    }
+    // equals brute-force top-k over the manually pre-filtered candidates:
+    // the negatives are exactly the unexcluded ranks 4..8
+    val wide = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 8)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val expected = wide.filter(r => r._3 >= 4).map(r => (r._1, r._2)).toSet
+    assert(negs.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("vec_id"))).toSet == expected)
+  }
+
   test("LSH top-k recall vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
