@@ -2492,6 +2492,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e60_ann_recall" -> ((s, dir) => {
+      // recall@5 of the REAL e55 matryoshka configuration (prefix 16,
+      // shortlist 32 — ~0.5 recall on this isotropic fixture, see e55's
+      // honesty note) against exact brute force: the evaluator grades a
+      // genuine approx/exact gap, and the oracle replays BOTH sides plus
+      // the join-and-normalize in SQL.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where("vec_id < 8")
+      val exact = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      val approx = SimilarityOps.topKMatryoshka(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, prefixDims = 16,
+        nCandidates = 32)
+      SimilarityOps.annRecall(approx, exact)
+        .select(col("query_id"), col("n_hits").cast("long").as("n_hits"),
+          col("recall"))
+        .orderBy("query_id")
+    }),
+
     "e38_knn_lsh" -> ((s, dir) => {
       // Multi-probe at the FULL Hamming radius (probeBits = nbits): the
       // probe set covers the whole code space, so the bucketed pipeline
@@ -4017,6 +4036,32 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e53_knn_ivf_index_incremental" -> KnnOracleSql,
+
+    // recall@5 of the e55 approximate config vs exact: both result sets,
+    // the pair-keyed hit join, and the per-query normalization replayed
+    "e60_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id,
+        |   list_cosine_similarity(e.embedding[1:16], q.qe[1:16]) AS tc,
+        |   list_cosine_similarity(e.embedding, q.qe) AS fc
+        |  FROM embeddings e CROSS JOIN q),
+        | cand AS (SELECT query_id, vec_id, fc,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY tc DESC, vec_id) AS cr
+        |  FROM s),
+        | ap AS (SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY fc DESC, vec_id) AS rk
+        |  FROM cand WHERE cr <= 32 QUALIFY rk <= 5),
+        | ex AS (SELECT query_id, vec_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY fc DESC, vec_id) AS rk
+        |  FROM s QUALIFY rk <= 5),
+        | tr AS (SELECT query_id, count(*) AS nt FROM ex GROUP BY 1),
+        | hits AS (SELECT a.query_id, count(*) AS nh
+        |   FROM ap a JOIN ex x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        |   GROUP BY 1)
+        |SELECT t.query_id, CAST(COALESCE(nh, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(nh, 0) / CAST(nt AS DOUBLE) AS recall
+        |FROM tr t LEFT JOIN hits h ON h.query_id = t.query_id
+        |ORDER BY t.query_id""".stripMargin,
 
     // negative mining: positives are the top-2 retrieval results per
     // anchor (rank 1 = the anchor itself); negatives the next-nearest 5

@@ -79,6 +79,38 @@ object SimilarityOps {
   }
 
   /**
+   * Recall evaluator for approximate search: joins an approximate result
+   * set against the exact ground truth per query and reports
+   * `(query_id, n_hits, recall)` — the index-quality monitor every
+   * production ANN deployment runs before trusting an approximate
+   * configuration (recall is a property of the DATA as much as the
+   * index; a config that holds 0.95 on one corpus silently degrades
+   * after a distribution shift, so it must be re-measured, not assumed).
+   *
+   * Self-normalizing: recall divides by the per-query ground-truth size,
+   * not a fixed k, so truncated truth sets (corpus smaller than k,
+   * filtered queries) grade correctly. Pure relational — one pair-keyed
+   * join plus one per-query count over two k×|queries|-sized inputs, so
+   * evaluating an index is never heavier than querying it, and the
+   * ground truth can itself be computed distributed ([[topKBruteForce]]
+   * on a held-out query sample). Queries with zero approximate hits
+   * still report (0, 0.0) — absence is the signal that matters.
+   */
+  def annRecall(approx: DataFrame, exact: DataFrame,
+                queryCol: String = "query_id",
+                idCol: String = "vec_id"): DataFrame = {
+    val hits = approx.select(col(queryCol), col(idCol))
+      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(queryCol).agg(count(lit(1)).as("__n_hits"))
+    exact.groupBy(queryCol).agg(count(lit(1)).as("__n_true"))
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("__n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("__n_hits"), lit(0L)).cast("double") /
+          col("__n_true").cast("double")).as("recall"))
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k — the classic ANN scale path the
    * LSH variant complements:
    *

@@ -558,6 +558,21 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Long]("vec_id"))).toSet == expected)
   }
 
+  test("annRecall: perfect, partial, zero-hit, and truncated-truth queries") {
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L),
+      (3L, 97L), (4L, 40L)).toDF("query_id", "vec_id")
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L),
+      (3L, 31L), (4L, 40L)).toDF("query_id", "vec_id")
+    val r = SimilarityOps.annRecall(approx, exact)
+      .collect().map(x => x.getAs[Long]("query_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Double]("recall"))).toMap
+    assert(r(1L) == ((2L, 1.0)))   // perfect
+    assert(r(2L) == ((1L, 0.5)))   // partial
+    assert(r(3L) == ((0L, 0.0)))   // zero hits still reported
+    assert(r(4L) == ((1L, 1.0)))   // truth truncated to 1 normalizes to 1
+    assert(r.size == 4)
+  }
+
   test("LSH top-k recall vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
