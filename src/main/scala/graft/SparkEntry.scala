@@ -1995,6 +1995,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d95_corpus_card" -> ((s, dir) => {
+      // the dataset-card report over a corpus with PLANTED cross-source
+      // exact duplicates (doc_id % 9, new ids) so the duplicate-overhead
+      // column is provably nonzero — a dup-count regression becomes
+      // visible output, not a silent zero
+      val base = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val dupes = base.where("doc_id % 9 = 0").select(
+        (col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+      CorpusOps.corpusCard(base.unionByName(dupes), "lang", "text")
+        .orderBy("lang")
+    }),
+
     "d88_length_quantiles" -> ((s, dir) => {
       // exact per-language token-count percentiles WITHOUT sorting the
       // corpus: histogram first (one partial-agg shuffle of O(distinct
@@ -4201,6 +4213,27 @@ object SparkEntry {
         |SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean,
         | CAST(len(b.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the d88 histogram machinery plus Σ v·cnt totals and a distinct-md5
+    // duplicate count, over the corpus with planted doc_id % 9 dupes
+    "d95_corpus_card" ->
+      s"""WITH docs AS (SELECT lang, text FROM documents
+         |  UNION ALL SELECT lang, text FROM documents WHERE doc_id % 9 = 0),
+         |h AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v,
+         |  count(*) AS cnt FROM docs GROUP BY 1, 2),
+         |c AS (SELECT lang, v, cnt,
+         |  sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |  sum(cnt) OVER (PARTITION BY lang) AS total FROM h),
+         |q AS (SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+         |  min(CASE WHEN cum*100 >= total*50 THEN v END) AS p50,
+         |  min(CASE WHEN cum*100 >= total*95 THEN v END) AS p95,
+         |  CAST(sum(v*cnt) AS BIGINT) AS n_tokens
+         | FROM c GROUP BY lang),
+         |d AS (SELECT lang,
+         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+         | FROM docs GROUP BY 1)
+         |SELECT q.lang, n_docs, p50, p95, n_tokens, n_dup_docs
+         |FROM q JOIN d ON d.lang = q.lang ORDER BY q.lang""".stripMargin,
 
     "d88_length_quantiles" ->
       s"""WITH h AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v,

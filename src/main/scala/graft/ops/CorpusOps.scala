@@ -892,6 +892,46 @@ object CorpusOps {
   }
 
   /**
+   * Corpus card: the per-language dataset-statistics report a corpus
+   * release ships with — doc count, total tokens, exact token-count
+   * percentiles, and the exact-duplicate overhead — in ONE DataFrame:
+   * `(langCol, n_docs, p<p1>, p<p2>, ..., n_tokens, n_dup_docs)`.
+   *
+   * Two corpus passes, each one shuffle, neither corpus-keyed on the
+   * output side:
+   *
+   *  1. the [[groupQuantiles]] token-count HISTOGRAM (partial-aggregated
+   *     to O(distinct (lang, ntok)) rows) — n_docs, n_tokens, and every
+   *     percentile all read off the same histogram (`Σcnt`, `Σ v·cnt`,
+   *     inverted CDF), so the totals cost nothing extra;
+   *  2. a digest pass for the duplicate rate — `n_docs −
+   *     count(distinct md5(text))` per language, the only stat that
+   *     genuinely needs corpus-cardinality state (Spark's two-phase
+   *     distinct keeps it partial-aggregated).
+   *
+   * The join reuniting them is #languages rows. Every stat is
+   * integer-exact, so a SQL oracle replays the card bitwise.
+   */
+  def corpusCard(df: DataFrame, langCol: String, textCol: String,
+                 percentiles: Seq[Int] = Seq(50, 95)): DataFrame = {
+    val hist = df.select(col(langCol).as("__grp"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__grp", "__v").agg(count(lit(1)).as("__cnt"))
+    val quant = quantilesFromHistogram(hist, "__grp", "__v", "__cnt",
+      percentiles).withColumnRenamed("n_rows", "n_docs")
+    val toks = hist.groupBy("__grp")
+      .agg(sum(col("__v") * col("__cnt")).as("n_tokens"))
+    val dups = df.where(col(textCol).isNotNull)
+      .select(col(langCol).as("__grp"),
+        md5(col(textCol).cast("binary")).as("__dig"))
+      .groupBy("__grp").agg(
+        (count(lit(1)) - countDistinct(col("__dig"))).as("n_dup_docs"))
+    quant.join(toks, Seq("__grp")).join(dups, Seq("__grp"))
+      .withColumnRenamed("__grp", langCol)
+  }
+
+  /**
    * C4-style boilerplate removal at sentence granularity: a sentence
    * appearing in MORE THAN `maxDocs` distinct documents is boilerplate
    * (navigation text, footers, cookie banners — content no single

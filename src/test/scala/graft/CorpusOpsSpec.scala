@@ -468,6 +468,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(loose.values.forall(_ == 0L))
   }
 
+  test("corpusCard: dup accounting, histogram-derived totals, null text excluded everywhere") {
+    val df = Seq(
+      (1L, "en", "a b c"), (2L, "en", "a b c"), // exact-dup pair
+      (3L, "en", "d e"), (4L, "fr", "x y z w"),
+      (5L, "fr", null.asInstanceOf[String])     // must not count anywhere
+    ).toDF("doc_id", "lang", "text")
+    val card = CorpusOps.corpusCard(df, "lang", "text")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(card.size == 2)
+    val en = card("en")
+    assert(en.getAs[Long]("n_docs") == 3L)
+    assert(en.getAs[Long]("n_dup_docs") == 1L)
+    assert(en.getAs[Long]("n_tokens") == 8L)
+    assert(en.getAs[Long]("p50") == 3L)
+    val fr = card("fr")
+    assert(fr.getAs[Long]("n_docs") == 1L)
+    assert(fr.getAs[Long]("n_dup_docs") == 0L)
+    assert(fr.getAs[Long]("n_tokens") == 4L)
+    assert(fr.getAs[Long]("p95") == 4L)
+  }
+
   test("groupQuantiles: inverted-CDF percentiles match a plain-Scala reference; nulls excluded") {
     // deterministic skewed values with repeats
     val rows = for (g <- Seq("a", "b"); i <- 1 to 37)
