@@ -2221,6 +2221,23 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
 
+    "j09_ohlc_downsample" -> ((s, dir) => {
+      // hourly OHLC bars per user over the raw (unaggregated) event
+      // stream: open/close via combinable struct-min/max — no per-bucket
+      // sort — and the value pre-cast to decimal(18,6) so vsum replays
+      // bitwise (double partial sums are order-dependent; decimals
+      // aren't). Duplicate timestamps tie-break on the value in BOTH
+      // engines (struct-min here, `ORDER BY ts, v` row_number there).
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          col("value").cast("decimal(18,6)").as("v"))
+      JoinOps.downsampleOhlc(ev, "ts", "user_id", "v", truncUnit = "hour")
+        .select(col("user_id"), col("bucket"), col("open"), col("high"),
+          col("low"), col("close"), col("n_obs").cast("long").as("n_obs"),
+          col("vsum").cast("double").as("vsum"))
+        .orderBy("user_id", "bucket")
+    }),
+
     "j08_interp_resample" -> ((s, dir) => {
       // linear-interpolation resampling on the j06 grid: grid points
       // between two observations take the straight-line value (epoch-µs
@@ -4982,6 +4999,29 @@ object SparkEntry {
         |       THEN NULL
         |       ELSE CAST(epoch_us(ts) - epoch_us(rts) AS BIGINT) END AS lag_us
         |FROM j ORDER BY event_id""".stripMargin,
+
+    // open/close replayed as rank-1 rows under (ts, v) / (ts desc, v
+    // desc) — the same total order Spark's struct-min/max induces
+    "j09_ohlc_downsample" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts,
+        |             CAST(value AS DECIMAL(18,6)) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT user_id, bucket, v,
+        |        row_number() OVER (PARTITION BY user_id, bucket
+        |          ORDER BY ts, v) AS ro,
+        |        row_number() OVER (PARTITION BY user_id, bucket
+        |          ORDER BY ts DESC, v DESC) AS rc
+        |      FROM e),
+        |agg AS (SELECT user_id, bucket, max(v) AS high, min(v) AS low,
+        |          CAST(count(*) AS BIGINT) AS n_obs,
+        |          CAST(sum(v) AS DOUBLE) AS vsum
+        |        FROM e GROUP BY 1, 2)
+        |SELECT a.user_id, a.bucket, o.v AS open, a.high, a.low,
+        |  c.v AS close, a.n_obs, a.vsum
+        |FROM agg a
+        |JOIN w o ON o.user_id = a.user_id AND o.bucket = a.bucket AND o.ro = 1
+        |JOIN w c ON c.user_id = a.user_id AND c.bucket = a.bucket AND c.rc = 1
+        |ORDER BY a.user_id, a.bucket""".stripMargin,
 
     "j06_locf_resample" ->
       """WITH e AS (SELECT user_id, ts, max(value) AS value

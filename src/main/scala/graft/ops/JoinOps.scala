@@ -203,6 +203,39 @@ object JoinOps {
    * Events sharing a `(key, time)` tuple make the carry order-dependent —
    * pre-aggregate duplicates (the j01 `max(value)` treatment) upstream.
    */
+  /**
+   * Time-bucket downsampling (OHLC): collapses an irregular observation
+   * stream to one row per (key, bucket) — `open` (earliest value),
+   * `high`, `low`, `close` (latest value), `n_obs`, `vsum` — the
+   * metrics/sensor compaction a long-horizon feature store runs before
+   * modeling. ONE partial-aggregated shuffle on (key, bucket): open and
+   * close ride combinable min/max over a `(ts, value)` struct (duplicate
+   * timestamps tie-break on the value, so the result is well-defined and
+   * engine-replayable under ANY input order), and no window or sort over
+   * the observations ever materializes — contrast the
+   * row_number-per-bucket formulation, which sorts every input row
+   * behind the exchange. Rows with a NULL value are excluded from every
+   * stat (min/max would skip them anyway; excluding them up front keeps
+   * open/close consistent with high/low). Pass a decimal `valueCol` when
+   * `vsum` must be bitwise reproducible — a double sum is
+   * partial-order-dependent.
+   */
+  def downsampleOhlc(events: DataFrame, tsCol: String, keyCol: String,
+                     valueCol: String,
+                     truncUnit: String = "hour"): DataFrame =
+    events.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("bucket"))
+      .agg(
+        min(struct(col(tsCol).as("t"), col(valueCol).as("v"))).as("__o"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(struct(col(tsCol).as("t"), col(valueCol).as("v"))).as("__c"),
+        count(lit(1)).as("n_obs"),
+        sum(col(valueCol)).as("vsum"))
+      .select(col(keyCol), col("bucket"), col("__o.v").as("open"),
+        col("high"), col("low"), col("__c.v").as("close"),
+        col("n_obs"), col("vsum"))
+
   def resampleInterp(events: DataFrame, tsCol: String, keyCol: String,
                      valueCol: String, step: String = "1 hour",
                      truncUnit: String = "hour"): DataFrame = {

@@ -303,6 +303,35 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 9L)))
   }
 
+  test("downsampleOhlc: open/close tie rules, null exclusion, one aggregate exchange") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:05:00", 3.0),             // open
+      (1L, "2024-01-01 00:10:00", 9.0),             // high
+      (1L, "2024-01-01 00:40:00", 1.0),             // low
+      (1L, "2024-01-01 00:50:00", 5.0),             // duplicate close ts...
+      (1L, "2024-01-01 00:50:00", 4.0),             // ...tie -> max value 5.0
+      (2L, "2024-01-01 01:30:00", 7.0))
+      .toDF("uid", "s", "v")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"), col("v"))
+      .union(Seq((2L, "2024-01-01 01:45:00"))
+        .toDF("uid", "s")
+        .select(col("uid"), col("s").cast("timestamp").as("ts"),
+          lit(null).cast("double").as("v")))
+    val got = JoinOps.downsampleOhlc(ev, "ts", "uid", "v")
+    val r1 = got.where(col("uid") === 1L).head
+    assert(r1.getAs[Double]("open") == 3.0)
+    assert(r1.getAs[Double]("high") == 9.0)
+    assert(r1.getAs[Double]("low") == 1.0)
+    assert(r1.getAs[Double]("close") == 5.0) // ts tie broken by max value
+    assert(r1.getAs[Long]("n_obs") == 5L)
+    val r2 = got.where(col("uid") === 2L).head
+    assert(r2.getAs[Double]("open") == 7.0 && r2.getAs[Double]("close") == 7.0)
+    assert(r2.getAs[Long]("n_obs") == 1L) // null value row excluded
+    val planStr = got.queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(nShuffles == 1, s"one partial-agg exchange only:\n$planStr")
+  }
+
   test("resampleLocf: hourly grid spans trunc(min)..max, carries across gaps, null before first obs") {
     val ev = Seq(
       (1L, "2024-01-01 00:30:00", 1.0),
