@@ -72,7 +72,12 @@ object Bench {
     // budget in one plan), blocked fuzzy record linkage (banded
     // threshold-Levenshtein inside blocking-key joins), and the
     // map-only Unicode-script profile
-    "d92_curation_pipeline", "d93_fuzzy_match", "d94_script_profile")
+    "d92_curation_pipeline", "d93_fuzzy_match", "d94_script_profile",
+    // round-12 continuation: hard-negative mining (pre-top-k exclusion
+    // anti-join over the brute-force kernel), the per-language corpus
+    // card (histogram totals + digest dup pass), and OHLC time-bucket
+    // downsampling (one combinable struct-min/max aggregate)
+    "e59_hard_negatives", "d95_corpus_card", "j09_ohlc_downsample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2238,6 +2238,37 @@ object SparkEntry {
         .orderBy("user_id", "bucket")
     }),
 
+    "s60_stream_ohlc" -> ((s, dir) => {
+      // streaming OHLC bars: the j09 aggregate is combinable
+      // (struct-min/max, count, decimal sum), so per-(user, bucket)
+      // streaming state is ONE fixed-size row regardless of how many
+      // observations a bucket sees, and the AvailableNow drain grades
+      // against the batch oracle verbatim. Complete mode fits the
+      // single-drain harness; a production stream bounds state with
+      // withWatermark + window() and append mode — the aggregate itself
+      // is unchanged.
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev0 =
+        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val ev = ev0.select(col("user_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val bars = JoinOps.downsampleOhlc(ev, "ts", "user_id", "v")
+      val sink = s"s60_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = bars
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("user_id"), col("bucket"), col("open"), col("high"),
+          col("low"), col("close"), col("n_obs").cast("long").as("n_obs"),
+          col("vsum").cast("double").as("vsum"))
+        .orderBy("user_id", "bucket")
+    }),
+
     "j08_interp_resample" -> ((s, dir) => {
       // linear-interpolation resampling on the j06 grid: grid points
       // between two observations take the straight-line value (epoch-µs
@@ -3216,6 +3247,30 @@ object SparkEntry {
        |FROM documents d LEFT JOIN lstat USING (doc_id)
        |LEFT JOIN gstat ON d.doc_id = gstat.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by j09 (batch) and s60 (the same aggregate drained from a
+    * stream): open/close replayed as rank-1 rows under (ts, v) /
+    * (ts desc, v desc) — the total order Spark's struct-min/max induces. */
+  private val OhlcOracleSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts,
+      |             CAST(value AS DECIMAL(18,6)) AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT user_id, bucket, v,
+      |        row_number() OVER (PARTITION BY user_id, bucket
+      |          ORDER BY ts, v) AS ro,
+      |        row_number() OVER (PARTITION BY user_id, bucket
+      |          ORDER BY ts DESC, v DESC) AS rc
+      |      FROM e),
+      |agg AS (SELECT user_id, bucket, max(v) AS high, min(v) AS low,
+      |          CAST(count(*) AS BIGINT) AS n_obs,
+      |          CAST(sum(v) AS DOUBLE) AS vsum
+      |        FROM e GROUP BY 1, 2)
+      |SELECT a.user_id, a.bucket, o.v AS open, a.high, a.low,
+      |  c.v AS close, a.n_obs, a.vsum
+      |FROM agg a
+      |JOIN w o ON o.user_id = a.user_id AND o.bucket = a.bucket AND o.ro = 1
+      |JOIN w c ON c.user_id = a.user_id AND c.bucket = a.bucket AND c.rc = 1
+      |ORDER BY a.user_id, a.bucket""".stripMargin
 
   private val KnnOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -5002,26 +5057,11 @@ object SparkEntry {
 
     // open/close replayed as rank-1 rows under (ts, v) / (ts desc, v
     // desc) — the same total order Spark's struct-min/max induces
-    "j09_ohlc_downsample" ->
-      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts,
-        |             CAST(value AS DECIMAL(18,6)) AS v
-        |           FROM events WHERE value IS NOT NULL),
-        |w AS (SELECT user_id, bucket, v,
-        |        row_number() OVER (PARTITION BY user_id, bucket
-        |          ORDER BY ts, v) AS ro,
-        |        row_number() OVER (PARTITION BY user_id, bucket
-        |          ORDER BY ts DESC, v DESC) AS rc
-        |      FROM e),
-        |agg AS (SELECT user_id, bucket, max(v) AS high, min(v) AS low,
-        |          CAST(count(*) AS BIGINT) AS n_obs,
-        |          CAST(sum(v) AS DOUBLE) AS vsum
-        |        FROM e GROUP BY 1, 2)
-        |SELECT a.user_id, a.bucket, o.v AS open, a.high, a.low,
-        |  c.v AS close, a.n_obs, a.vsum
-        |FROM agg a
-        |JOIN w o ON o.user_id = a.user_id AND o.bucket = a.bucket AND o.ro = 1
-        |JOIN w c ON c.user_id = a.user_id AND c.bucket = a.bucket AND c.rc = 1
-        |ORDER BY a.user_id, a.bucket""".stripMargin,
+    "j09_ohlc_downsample" -> OhlcOracleSql,
+
+    // the OHLC aggregate is micro-batch-associative, so the drained
+    // stream grades against j09's batch oracle verbatim
+    "s60_stream_ohlc" -> OhlcOracleSql,
 
     "j06_locf_resample" ->
       """WITH e AS (SELECT user_id, ts, max(value) AS value
