@@ -1995,6 +1995,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d96_temperature_mix" -> ((s, dir) => {
+      // temperature-2 source flattening: per-language budgets from
+      // integer floor(sqrt(n)) weights and an integer budget split, then
+      // the budget's smallest (md5(text), doc_id) rows per language —
+      // all integer-or-correctly-rounded arithmetic, so the oracle
+      // replays the whole mix, selection included, row for row.
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      CorpusOps.temperatureMix(docs, "doc_id", "lang", "text",
+          totalBudget = 1200L, temperature = 2.0)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
     "d95_corpus_card" -> ((s, dir) => {
       // the dataset-card report over a corpus with PLANTED cross-source
       // exact duplicates (doc_id % 9, new ids) so the duplicate-overhead
@@ -4285,6 +4298,19 @@ object SparkEntry {
         |SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean,
         | CAST(len(b.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // integer sqrt-weights + integer budget split + (md5, id) rank —
+    // the entire temperature mix replays, selection included
+    "d96_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+        |t AS (SELECT sum(w) AS tw FROM w),
+        |b AS (SELECT lang, (1200 * w) // tw AS budget FROM w CROSS JOIN t),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN b ON b.lang = r.lang
+        |WHERE rk <= budget ORDER BY r.lang, r.doc_id""".stripMargin,
 
     // the d88 histogram machinery plus Σ v·cnt totals and a distinct-md5
     // duplicate count, over the corpus with planted doc_id % 9 dupes

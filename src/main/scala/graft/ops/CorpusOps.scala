@@ -892,6 +892,90 @@ object CorpusOps {
   }
 
   /**
+   * Temperature-flattened source sampling — the multilingual mixing rule
+   * (sample stratum `s` proportional to `n_s^(1/T)`): T = 1 reproduces
+   * the natural distribution, larger T flattens it toward uniform so
+   * low-resource strata keep presence against a dominant head. Returns
+   * the selected rows (schema unchanged).
+   *
+   * Engine-exact by construction:
+   *
+   *  - per-stratum weights are INTEGER `floor(n^(1/T))` and the budget
+   *    split `totalBudget · w_s / Σw` is integer multiply-then-divide —
+   *    no float sum whose result depends on accumulation order (Σw is an
+   *    integer), and for the T = 2 default the weight goes through
+   *    `sqrt`, which IEEE requires correctly rounded, so any engine
+   *    computes the identical budgets;
+   *  - selection within a stratum takes the budget's smallest rows by
+   *    `(md5(text), id)` — a content-keyed deterministic draw (the d43
+   *    rule) that any engine replays.
+   *
+   * Scale shape: NO corpus sort. The md5 order is realized two-phase —
+   * a 256-bucket histogram on the hash's first byte (tiny: strata × 256
+   * rows, broadcast back), whole buckets kept below the budget boundary,
+   * and an exact `row_number` only inside each stratum's one straddling
+   * bucket (~n_s/256 rows behind the window). Budgets larger than a
+   * stratum keep the whole stratum (no redistribution of the shortfall).
+   * NULL-text rows are excluded before counting, so budgets and
+   * selection see the same corpus.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     textCol: String, totalBudget: Long,
+                     temperature: Double = 2.0): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val reserved = Seq("__tm_s", "__tm_h", "__tm_b", "__tm_n", "__tm_w",
+      "__tm_tw", "__tm_budget", "__tm_c", "__tm_cum", "__tm_cum_before",
+      "__tm_rk")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input must not contain reserved working columns: ${clash.mkString(", ")}")
+    val outCols = df.columns.toSeq.map(col)
+    val base = df.where(col(textCol).isNotNull)
+      .withColumn("__tm_s", struct(col(strataCol))) // null-safe stratum key
+      .withColumn("__tm_h", md5(col(textCol).cast("binary")))
+      // first hash byte as the histogram bucket: lowercase-hex
+      // lexicographic order == numeric prefix order, so whole-bucket
+      // cuts agree with the full (md5, id) rank
+      .withColumn("__tm_b", conv(substring(col("__tm_h"), 1, 2), 16, 10)
+        .cast("long"))
+    // integer weights; sqrt for the default T=2 (correctly rounded per
+    // IEEE — pow carries no such guarantee, so non-default temperatures
+    // are property-tested rather than oracle-replayed)
+    val nD = col("__tm_n").cast("double")
+    val wExpr = if (temperature == 2.0) floor(sqrt(nD))
+      else floor(pow(nD, lit(1.0 / temperature)))
+    val weights = base.groupBy(col("__tm_s"))
+      .agg(count(lit(1)).as("__tm_n"))
+      .withColumn("__tm_w", wExpr.cast("long"))
+    val tw = weights.agg(sum(col("__tm_w")).as("__tm_tw"))
+    val budgets = weights.crossJoin(broadcast(tw))
+      .withColumn("__tm_budget",
+        when(col("__tm_tw") > 0,
+          expr(s"(${totalBudget}L * __tm_w) div __tm_tw"))
+          .otherwise(lit(0L)))
+      .select(col("__tm_s"), col("__tm_budget"))
+    val cumW = Window.partitionBy(col("__tm_s")).orderBy(col("__tm_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = base.groupBy(col("__tm_s"), col("__tm_b"))
+      .agg(count(lit(1)).as("__tm_c"))
+      .withColumn("__tm_cum", sum(col("__tm_c")).over(cumW))
+      .withColumn("__tm_cum_before", col("__tm_cum") - col("__tm_c"))
+      .drop("__tm_c")
+    val tagged = base.join(broadcast(stats), Seq("__tm_s", "__tm_b"))
+      .join(broadcast(budgets), Seq("__tm_s"))
+    val keepAll = tagged.where(col("__tm_cum") <= col("__tm_budget"))
+    val straddle = tagged.where(col("__tm_cum") > col("__tm_budget") &&
+      col("__tm_cum_before") < col("__tm_budget"))
+    val w = Window.partitionBy(col("__tm_s"), col("__tm_b"))
+      .orderBy(col("__tm_h").asc, col(idCol).asc)
+    val straddleKept = straddle
+      .withColumn("__tm_rk", row_number().over(w))
+      .where(col("__tm_cum_before") + col("__tm_rk") <= col("__tm_budget"))
+    keepAll.select(outCols: _*).unionByName(straddleKept.select(outCols: _*))
+  }
+
+  /**
    * Corpus card: the per-language dataset-statistics report a corpus
    * release ships with — doc count, total tokens, exact token-count
    * percentiles, and the exact-duplicate overhead — in ONE DataFrame:

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{CorpusOps, TextOps}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
 
 class CorpusOpsSpec extends AnyFunSuite {
@@ -466,6 +467,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     val loose = CorpusOps.removeBoilerplate(df, "doc_id", "text", maxDocs = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(loose.values.forall(_ == 0L))
+  }
+
+  test("temperatureMix: equals the global (md5, id) rank cut; flattens the head; T=1 natural") {
+    // 3 strata with a dominant head: 64 / 16 / 4 docs
+    val rows = (0 until 64).map(i => (i.toLong, "big", s"doc big $i")) ++
+      (0 until 16).map(i => (100L + i, "mid", s"doc mid $i")) ++
+      (0 until 4).map(i => (200L + i, "small", s"doc small $i"))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val got = CorpusOps.temperatureMix(df, "doc_id", "lang", "text",
+      totalBudget = 30L, temperature = 2.0)
+    // reference: integer sqrt weights 8/4/2 (tot 14) -> budgets
+    // floor(30*8/14)=17, floor(30*4/14)=8, floor(30*2/14)=4
+    val perLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("big" -> 17L, "mid" -> 8L, "small" -> 4L))
+    // selection = the budget's smallest (md5(text), doc_id) per stratum —
+    // replay with a plain window over the same keys
+    val expected = df
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))))
+      .withColumn("__b", when(col("lang") === "big", 17)
+        .when(col("lang") === "mid", 8).otherwise(4))
+      .where(col("__rk") <= col("__b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == expected)
+    // T=1 keeps the natural ratio: integer weights 64/16/4 (tot 84)
+    val nat = CorpusOps.temperatureMix(df, "doc_id", "lang", "text",
+        totalBudget = 42L, temperature = 1.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat == Map("big" -> 32L, "mid" -> 8L, "small" -> 2L))
   }
 
   test("corpusCard: dup accounting, histogram-derived totals, null text excluded everywhere") {
