@@ -1983,5 +1983,9 @@ object GraftFunctions {
       UnicodeNormalize(exprs(0), exprs(1).eval().toString), "built-in")
     reg.createOrReplaceTempFunction("repetition_stats", exprs =>
       RepetitionStats(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", exprs =>
+      DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_words", exprs =>
+      HammingWords(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -44,5 +44,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         "repetition_stats(s, n) - Gopher repetition signals (dup lines, top n-gram)"),
       (exprs: Seq[Expression]) =>
         RepetitionStats(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("hamming_words"),
+      info("hamming_words",
+        "hamming_words(a, b) - Hamming distance of two bigint-word bit vectors"),
+      (exprs: Seq[Expression]) => HammingWords(exprs(0), exprs(1))))
   }
 }

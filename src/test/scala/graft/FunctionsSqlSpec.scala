@@ -34,6 +34,17 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(r.getLong(3) == 3L && math.abs(r.getDouble(4) - 2.0 / 3) < 1e-15)
   }
 
+  test("vector kernels usable from SQL: dot_product, hamming_words") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "hamming_words(array(CAST(5 AS BIGINT)), array(CAST(6 AS BIGINT))) AS h")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 11.0) < 1e-12)
+    assert(r.getLong(1) == 2L) // 0b101 xor 0b110 = 0b011
+  }
+
   test("extensions injector builds in a fresh session") {
     val fresh = spark.newSession()
     // apply the same builders the extension injects, through its code path
