@@ -2420,6 +2420,18 @@ object SparkEntry {
       CorpusOps.vocabTopK(t(s, dir, "documents"), "text", 20)
     }),
 
+    "d97_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-QA gate: coverage of the corpus's own top-500
+      // vocabulary per language — integer-exact counts, the trainer
+      // (d50's vocabTopK) and the coverage pass both replayed in SQL
+      val docs = t(s, dir, "documents")
+      CorpusOps.vocabCoverage(docs, "lang", "text",
+          CorpusOps.vocabTopK(docs, "text", 500), "token")
+        .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_oov").cast("long").as("n_oov"), col("oov_rate"))
+        .orderBy("lang")
+    }),
+
     "d51_repetition" -> ((s, dir) => {
       // boilerplate/spam signal: duplicated-bigram fraction per doc,
       // map-only (the gram list never leaves its row)
@@ -5264,6 +5276,19 @@ object SparkEntry {
       s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
          |FROM (SELECT unnest($ToksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
+
+    // trainer (top-500 by count, token tiebreak) + coverage both replayed
+    "d97_vocab_coverage" ->
+      s"""WITH toks AS (SELECT lang, unnest($ToksSql) AS tok FROM documents),
+         |v AS (SELECT tok FROM (
+         |    SELECT tok, count(*) AS c FROM toks GROUP BY 1
+         |    ORDER BY c DESC, tok LIMIT 500)),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov
+         |  FROM toks LEFT JOIN v ON v.tok = toks.tok GROUP BY lang)
+         |SELECT lang, n_tokens, n_oov,
+         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         |FROM agg ORDER BY lang""".stripMargin,
 
     "d51_repetition" ->
       s"""SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,

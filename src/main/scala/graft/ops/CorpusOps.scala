@@ -589,6 +589,38 @@ object CorpusOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /**
+   * Vocabulary coverage / OOV-rate report: per stratum, how much of the
+   * corpus a token vocabulary actually covers — `(strataCol, n_tokens,
+   * n_oov, oov_rate)`. The tokenizer-QA gate run before committing to a
+   * vocabulary: a vocab that covers 99% of English but 60% of a
+   * low-resource language is a data bug surfaced HERE, not after a
+   * training run.
+   *
+   * One exploded-token pass: tokens left-join the vocabulary (vocab side
+   * is V rows — broadcast when small, a token-keyed shuffle when not;
+   * left to the optimizer), then one partial-aggregated count per
+   * stratum. `oov_rate` is a plain integer ratio (n_oov / n_tokens as
+   * doubles), deterministic in any engine. Composes with [[vocabTopK]]
+   * as the trainer.
+   */
+  def vocabCoverage(df: DataFrame, strataCol: String, textCol: String,
+                    vocab: DataFrame, vocabTokenCol: String): DataFrame = {
+    val toks = df.select(col(strataCol).as("__grp"),
+      explode(TextOps.tokens(col(textCol))).as("__tok"))
+    // dedup defensively: a repeated vocab token would fan out the join
+    // and silently inflate every count
+    val v = vocab.select(col(vocabTokenCol).as("__tok")).distinct()
+      .withColumn("__in_vocab", lit(true))
+    toks.join(v, Seq("__tok"), "left")
+      .groupBy("__grp").agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .withColumnRenamed("__grp", strataCol)
+  }
+
   /** Intra-document repetition score — the standard boilerplate/spam
     * quality signal: the fraction of a document's word `n`-grams that are
     * duplicates (1 − distinct/total; 0 for docs shorter than `n` tokens).

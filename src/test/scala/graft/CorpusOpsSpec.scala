@@ -501,6 +501,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(nat == Map("big" -> 32L, "mid" -> 8L, "small" -> 2L))
   }
 
+  test("vocabCoverage: OOV counting, duplicate vocab tokens don't inflate") {
+    val docs = Seq(
+      ("en", "a b a c"),   // 4 tokens: a,b in vocab -> 1 oov (c)
+      ("fr", "x a"))       // 2 tokens: a in vocab  -> 1 oov (x)
+      .toDF("lang", "text")
+    val vocab = Seq("a", "b", "a").toDF("token") // deliberate duplicate
+    val r = CorpusOps.vocabCoverage(docs, "lang", "text", vocab, "token")
+      .collect().map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+          x.getAs[Double]("oov_rate"))).toMap
+    assert(r("en") == ((4L, 1L, 0.25)))
+    assert(r("fr") == ((2L, 1L, 0.5)))
+  }
+
   test("corpusCard: dup accounting, histogram-derived totals, null text excluded everywhere") {
     val df = Seq(
       (1L, "en", "a b c"), (2L, "en", "a b c"), // exact-dup pair
