@@ -380,6 +380,44 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "g56_maintain_roundtrip" -> ((s, dir) => {
+      // ONE maintain() call after a streaming-shaped history: 6 micro-
+      // appends (small files), a COW-deleted junk batch, and a planted
+      // orphan. The composition must compact the micro-files, expire
+      // everything but the last snapshot (physically dropping junk +
+      // pre-compaction files), and sweep the stray — each effect
+      // require-asserted, the surviving rows graded through the oracle's
+      // clean-subset replay.
+      val wh = java.nio.file.Files.createTempDirectory("graft-maint-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val keep = li.where("l_orderkey % 5 = 1")
+      val tbl = cat.createTable("li_maintain",
+        SparkSchemaConverter.fromSpark(keep.schema))
+      for (m <- 0 until 6) // micro-appends: many small files
+        tbl.append(keep.where(s"l_orderkey % 6 = $m"))
+      tbl.append(li.where("l_orderkey % 5 = 2"))   // junk batch
+      tbl.deleteWhere(s, "l_orderkey % 5 = 2")     // COW: junk -> dead history
+      val orphan = new java.io.File(s"${tbl.location}/data/orphan-plant.parquet")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+      val filesBefore = tbl.scan().planFiles().size
+      // negative retention => "older than now + 60s": everything but the
+      // retained head is old enough, and the planted stray sweeps
+      val swept = tbl.maintain(s, snapshotRetentionMs = -60000L)
+      val filesAfter = tbl.refresh().scan().planFiles().size
+      require(tbl.snapshots.size == 1,
+        s"maintain must retain exactly 1 snapshot, got ${tbl.snapshots.size}")
+      require(filesAfter < filesBefore,
+        s"compaction must shrink the live file count ($filesBefore -> $filesAfter)")
+      require(swept.exists(_.endsWith("orphan-plant.parquet")) && !orphan.exists(),
+        s"maintain must sweep the planted stray, swept: $swept")
+      tbl.refresh().toDF(s)
+        .groupBy("l_returnflag")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "g55_expire_orphan_roundtrip" -> ((s, dir) => {
       // snapshot expiration + orphan sweep graded through the oracle —
       // the maintenance pair that bounds storage under continuous
@@ -3581,6 +3619,13 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // expire + orphan sweep must leave exactly the clean subset serving
+    // after maintain() the live table is exactly the clean keep subset
+    "g56_maintain_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 5 = 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "g55_expire_orphan_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
