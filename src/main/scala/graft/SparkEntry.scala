@@ -252,6 +252,30 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q23_pivot" -> ((s, dir) => {
+      // DataFrame pivot surface: returnflag × linestatus quantity matrix.
+      // An explicit pivot-value list keeps the plan single-pass (no
+      // distinct-values pre-query) and the output schema static — the
+      // form a production report runs; replays as conditional aggregation.
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(d2(col("l_quantity"))).cast("double"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    }),
+
+    "q24_cube" -> ((s, dir) => {
+      // CUBE: all four grouping combinations (flag×status, per-flag,
+      // per-status, grand total) in one pass — the §2.7 grouping-sets
+      // surface beyond q16's ROLLUP.
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(n().as("n_items"), sumd(d2(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     "q17_events_daily" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
@@ -3530,6 +3554,20 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q23_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q17_events_daily" ->
