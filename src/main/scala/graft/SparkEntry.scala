@@ -2313,6 +2313,40 @@ object SparkEntry {
         .orderBy("user_id", "bucket")
     }),
 
+    "s61_stream_interval_join" -> ((s, dir) => {
+      // STREAM-STREAM attribution join: clicks and purchases are two
+      // live streams (same source file, two readStream handles), each
+      // watermarked, joined on user within [click, click + 6h] — the
+      // dual-buffer case the stream-static paths can't express. Inner
+      // matches emit without waiting on the watermark, so the drain
+      // equals the batch interval join the oracle runs.
+      def stream(): org.apache.spark.sql.DataFrame = {
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val withTs =
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        // watermarks need TIMESTAMP (session tz UTC makes the cast exact)
+        withTs.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      val clicks = stream().where("event_type = 'click'")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val purchases = stream().where("event_type = 'purchase'")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+        clicks, "c_ts", "c_user", purchases, "p_ts", "p_user", "6 hours")
+      val sink = s"s61_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.select(col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("click_id", "purchase_id")
+    }),
+
     "s60_stream_ohlc" -> ((s, dir) => {
       // streaming OHLC bars: the j09 aggregate is combinable
       // (struct-min/max, count, decimal sum), so per-(user, bucket)
@@ -5183,6 +5217,14 @@ object SparkEntry {
     // the OHLC aggregate is micro-batch-associative, so the drained
     // stream grades against j09's batch oracle verbatim
     "s60_stream_ohlc" -> OhlcOracleSql,
+
+    // stream-stream inner interval join drains to exactly the batch join
+    "s61_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "j06_locf_resample" ->
       """WITH e AS (SELECT user_id, ts, max(value) AS value

@@ -89,6 +89,33 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /**
+   * Stream-stream interval join — the attribution shape: every left
+   * event joined to same-key RIGHT-STREAM events with
+   * `rightTs ∈ [leftTs, leftTs + window]` (inner join). This is the
+   * dual-stream case [[asofEnrichStream]] declines: both sides buffer,
+   * so both carry watermarks, and the time bound lives IN the join
+   * condition — that pair is what lets Spark evict buffered rows (a left
+   * row older than the right watermark minus the window can never match
+   * a future right row, and vice versa), bounding state by
+   * rate × (window + lateness) per side instead of the stream's history.
+   * Inner matches emit as soon as both sides arrive — append mode
+   * without waiting on the watermark — so an AvailableNow drain yields
+   * exactly the batch join's rows. Column names must be disjoint across
+   * the two sides (rename before calling); timestamps must be TIMESTAMP,
+   * not NTZ (watermark requirement).
+   */
+  def intervalJoinStreams(left: DataFrame, leftTs: String, leftKey: String,
+                          right: DataFrame, rightTs: String, rightKey: String,
+                          window: String,
+                          lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+  }
+
   /** Tumbling-window event counts with late-data handling: rows later than
     * `watermark` past the max seen `tsCol` are dropped and their windows
     * finalized (state bounded). Works on batch and streaming frames. */

@@ -65,6 +65,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("intervalJoinStreams: dual MemoryStreams, in-window matches only, both buffers live") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicks = lMem.toDF().toDF("click_id", "c_user", "c_ts")
+    val buys = rMem.toDF().toDF("buy_id", "p_user", "p_ts")
+    val joined = StreamingOps.intervalJoinStreams(
+      clicks, "c_ts", "c_user", buys, "p_ts", "p_user", "1 hour")
+    val q = joined.select("click_id", "buy_id")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    // trigger 1: left rows only — anything matching later must come from
+    // the left join buffer surviving the micro-batch boundary
+    lMem.addData((1L, 7L, ts(10, 0)), (2L, 7L, ts(12, 0)), (3L, 8L, ts(10, 0)))
+    q.processAllAvailable()
+    assert(spark.table("ivj").isEmpty, "no right rows yet")
+    // trigger 2: right rows probing the buffered left side
+    rMem.addData(
+      (90L, 9L, ts(10, 30)),  // wrong user
+      (91L, 7L, ts(10, 30)),  // in click 1's window -> the one match
+      (92L, 7L, ts(11, 30)),  // 90 min after click 1 (out), before click 2 (out)
+      (93L, 8L, ts(9, 30)))   // BEFORE click 3: the interval is one-directional
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 91L)),
+      s"only the in-window same-user pair may match, got $got")
+  }
+
   test("decontaminateStream flags exactly the docs sharing a test n-gram") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
