@@ -1534,6 +1534,17 @@ object SparkEntry {
         .orderBy("lang_pred", "quality")
     }),
 
+    "d98_lang_confusion" -> ((s, dir) => {
+      // label-noise audit: declared `lang` vs the stopword-profile
+      // prediction as a confusion matrix — run BEFORE per-language
+      // budgeting (d96/d58) trusts the labels; off-diagonal mass is
+      // mislabeled ingest
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .agg(n().as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     "d43_deterministic_sample" -> ((s, dir) => {
       // stable corpus split: a document's split assignment depends only
       // on its content hash (md5 hex prefix ⇒ 3/16 ≈ 18.75% sample) —
@@ -4191,6 +4202,23 @@ object SparkEntry {
          |    AS BIGINT) AS quality
          | FROM h)
          |GROUP BY lang_pred, quality ORDER BY lang_pred, quality""".stripMargin,
+
+    // d33's prediction CASE keyed against the declared label
+    "d98_lang_confusion" ->
+      s"""WITH h AS (SELECT lang,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.EnStop)}))) AS en,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.FrStop)}))) AS fr,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.DeStop)}))) AS de,
+         |  len(list_filter($ToksSql, t -> lower(t) IN (${inList(TextOps.EsStop)}))) AS es
+         | FROM documents)
+         |SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
+         | SELECT lang,
+         |  CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+         |       WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+         |       WHEN de >= es AND de > 0 THEN 'de'
+         |       WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred
+         | FROM h)
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "d43_deterministic_sample" ->
       """SELECT lang, COUNT(*) AS n_docs,
