@@ -515,6 +515,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r("fr") == ((2L, 1L, 0.5)))
   }
 
+  test("temperatureMix: two-phase selection equals the single-window reference on a random corpus") {
+    // deterministic pseudo-random corpus: 4 strata of very different
+    // sizes, duplicate texts (md5 ties -> id tiebreak), one null text
+    val rows = (1 to 800).map { i =>
+      val lang = if (i % 11 == 0) "de" else if (i % 5 == 0) "fr"
+        else if (i % 2 == 0) "en" else "es"
+      val text = if (i == 400) null
+        else s"w${(i * 2654435761L) % 97} x${(i * 40503L) % 13}" // collisions
+      (i.toLong, lang, text)
+    }
+    val docs = rows.toDF("doc_id", "lang", "text")
+    for (budget <- Seq(0L, 5L, 37L, 200L, 10000L)) {
+      val got = CorpusOps.temperatureMix(docs, "doc_id", "lang", "text",
+        totalBudget = budget, temperature = 2.0)
+        .select("doc_id").as[Long].collect().toSet
+      // reference: per-stratum integer budgets + a single global window
+      val clean = docs.where(col("text").isNotNull)
+      val n = clean.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val w = n.map { case (k, c) => k -> math.floor(math.sqrt(c.toDouble)).toLong }
+      val tot = w.values.sum
+      val b = w.map { case (k, x) => k -> (if (tot == 0) 0L else budget * x / tot) }
+      val bCol = b.foldLeft(lit(-1L)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit(v)).otherwise(acc) }
+      val want = clean
+        .withColumn("__h", md5(col("text").cast("binary")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))))
+        .where(col("__rk") <= bCol)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"budget=$budget: two-phase != window reference")
+    }
+  }
+
   test("corpusCard: dup accounting, histogram-derived totals, null text excluded everywhere") {
     val df = Seq(
       (1L, "en", "a b c"), (2L, "en", "a b c"), // exact-dup pair
