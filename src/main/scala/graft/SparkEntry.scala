@@ -2527,6 +2527,17 @@ object SparkEntry {
       CorpusOps.vocabTopK(t(s, dir, "documents"), "text", 20)
     }),
 
+    "d99_frequency_spectrum" -> ((s, dir) => {
+      // Zipf-shape audit: token/type/hapax counts and type-token ratio
+      // per language — integer-exact except the one ratio division
+      CorpusOps.frequencySpectrum(t(s, dir, "documents"), "lang", "text")
+        .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_types").cast("long").as("n_types"),
+          col("n_hapax").cast("long").as("n_hapax"),
+          col("type_token_ratio"))
+        .orderBy("lang")
+    }),
+
     "d97_vocab_coverage" -> ((s, dir) => {
       // tokenizer-QA gate: coverage of the corpus's own top-500
       // vocabulary per language — integer-exact counts, the trainer
@@ -5429,6 +5440,16 @@ object SparkEntry {
       s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
          |FROM (SELECT unnest($ToksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
+
+    "d99_frequency_spectrum" ->
+      s"""WITH c AS (SELECT lang, tok, count(*) AS c FROM
+         |    (SELECT lang, unnest($ToksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS type_token_ratio
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

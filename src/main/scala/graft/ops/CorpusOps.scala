@@ -604,6 +604,30 @@ object CorpusOps {
    * doubles), deterministic in any engine. Composes with [[vocabTopK]]
    * as the trainer.
    */
+  /**
+   * Frequency-spectrum report: per stratum, total tokens, distinct
+   * types, hapax legomena (types seen once), and the type-token ratio —
+   * the Zipf-shape audit that separates natural language from template
+   * spam (machine-generated boilerplate collapses the type inventory;
+   * OCR noise explodes the hapax share). One exploded-token shuffle into
+   * a (stratum, token) count — partial-aggregated, so the exchange
+   * carries distinct (stratum, token) pairs, not token occurrences —
+   * then a per-stratum fold over that spectrum. All counts integer;
+   * the ratio is one deterministic double division.
+   */
+  def frequencySpectrum(df: DataFrame, strataCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(strataCol).as("__grp"),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .groupBy("__grp", "__tok").agg(count(lit(1)).as("__c"))
+      .groupBy("__grp").agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("__c") === 1, 1)).as("n_hapax"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumnRenamed("__grp", strataCol)
+
   def vocabCoverage(df: DataFrame, strataCol: String, textCol: String,
                     vocab: DataFrame, vocabTokenCol: String): DataFrame = {
     val toks = df.select(col(strataCol).as("__grp"),
