@@ -2695,6 +2695,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e61_embedding_health" -> ((s, dir) => {
+      // validation pass with every defect class PLANTED deterministically
+      // (truncated dim, all-zero, NaN element, null), so each counter is
+      // provably nonzero and the oracle replays the same CASE routing
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 97 === 0, slice(col("embedding"), 1, 32))
+          .when(col("vec_id") % 101 === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .when(col("vec_id") % 103 === 0,
+            concat(slice(col("embedding"), 1, 63),
+              array(lit(Float.NaN))))
+          .when(col("vec_id") % 107 === 0,
+            lit(null).cast("array<float>"))
+          .otherwise(col("embedding")).as("embedding"))
+      SimilarityOps.embeddingHealth(emb, "embedding", dim = 64)
+        .select(col("n_vectors").cast("long").as("n_vectors"),
+          col("n_null").cast("long").as("n_null"),
+          col("n_wrong_dim").cast("long").as("n_wrong_dim"),
+          col("n_nonfinite").cast("long").as("n_nonfinite"),
+          col("n_zero_norm").cast("long").as("n_zero_norm"))
+    }),
+
     "e60_ann_recall" -> ((s, dir) => {
       // recall@5 of the REAL e55 matryoshka configuration (prefix 16,
       // shortlist 32 — ~0.5 recall on this isotropic fixture, see e55's
@@ -4301,6 +4323,28 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e53_knn_ivf_index_incremental" -> KnnOracleSql,
+
+    // same planted-defect routing: modulo priority mirrors Spark's
+    // when-chain (97 before 101 before 103 before 107)
+    "e61_embedding_health" ->
+      """WITH e AS (SELECT CASE
+        |    WHEN vec_id % 97 = 0 THEN embedding[1:32]
+        |    WHEN vec_id % 101 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |    WHEN vec_id % 103 = 0 THEN list_append(embedding[1:63], CAST('NaN' AS FLOAT))
+        |    WHEN vec_id % 107 = 0 THEN NULL
+        |    ELSE embedding END AS v
+        |  FROM embeddings),
+        |c AS (SELECT v, v IS NULL AS is_null,
+        |    v IS NOT NULL AND len(v) <> 64 AS wrong_dim,
+        |    v IS NOT NULL AND len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS nonfin,
+        |    v IS NOT NULL AND len(list_filter(v, x -> x <> CAST(0.0 AS FLOAT))) = 0 AS zero
+        |  FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(CASE WHEN is_null THEN 1 END) AS BIGINT) AS n_null,
+        |  CAST(count(CASE WHEN wrong_dim THEN 1 END) AS BIGINT) AS n_wrong_dim,
+        |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND nonfin THEN 1 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfin AND zero THEN 1 END) AS BIGINT) AS n_zero_norm
+        |FROM c""".stripMargin,
 
     // recall@5 of the e55 approximate config vs exact: both result sets,
     // the pair-keyed hit join, and the per-query normalization replayed

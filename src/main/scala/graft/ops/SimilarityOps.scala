@@ -96,6 +96,35 @@ object SimilarityOps {
    * on a held-out query sample). Queries with zero approximate hits
    * still report (0, 0.0) — absence is the signal that matters.
    */
+  /**
+   * Embedding-health report — the validation pass run BEFORE an index
+   * build trusts a vector column: one row of corpus-wide counters
+   * `(n_vectors, n_null, n_wrong_dim, n_nonfinite, n_zero_norm)`.
+   * Every downstream kernel has a failure mode one of these predicts:
+   * a wrong-dim vector breaks codegen loops pinned to `dim`, a NaN
+   * poisons every similarity it touches (see the MMR guard), a
+   * zero-norm vector makes cosine undefined. Map-only higher-order
+   * predicates folded into ONE partial-aggregated count row — the
+   * cheapest full-corpus pass there is. `n_nonfinite` and `n_zero_norm`
+   * count only correctly-dimensioned vectors (each row is tallied under
+   * its FIRST failure, so the counters partition the bad rows).
+   */
+  def embeddingHealth(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val v = col(vecCol)
+    val isWrongDim = v.isNotNull && size(v) =!= dim
+    val isNonFinite = exists(v, x => isnan(x) || x === Float.PositiveInfinity
+      || x === Float.NegativeInfinity)
+    val isZero = forall(v, x => x === 0.0f)
+    df.agg(
+      count(lit(1)).as("n_vectors"),
+      count(when(v.isNull, 1)).as("n_null"),
+      count(when(isWrongDim, 1)).as("n_wrong_dim"),
+      count(when(v.isNotNull && !isWrongDim && isNonFinite, 1))
+        .as("n_nonfinite"),
+      count(when(v.isNotNull && !isWrongDim && !isNonFinite && isZero, 1))
+        .as("n_zero_norm"))
+  }
+
   def annRecall(approx: DataFrame, exact: DataFrame,
                 queryCol: String = "query_id",
                 idCol: String = "vec_id"): DataFrame = {
