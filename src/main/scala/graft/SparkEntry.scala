@@ -3202,6 +3202,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "m48_audio_downsample" -> ((s, dir) => {
+      // 2:1 box-filter decimation through the REAL codec; every output
+      // sample graded via integer checksums (count, Σ|s|, position-
+      // weighted Σ) — the oracle rebuilds the PCM from the fixture
+      // formula and replays the truncating pair-average
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val clips = MultimodalOps.syntheticAudioCorpus(docs, "doc_id")
+      MultimodalOps.audioDownsample(clips, factor = 2)
+        .select(col("media_id"), posexplode(col("samples")))
+        .groupBy("media_id").agg(
+          count(lit(1)).as("n_samples"),
+          sum(abs(col("col"))).as("sum_abs"),
+          sum(col("col") * ((col("pos") % 97) + 1)).as("wsum"))
+        .select(col("media_id"), col("n_samples"),
+          col("sum_abs").cast("long").as("sum_abs"),
+          col("wsum").cast("long").as("wsum"))
+        .orderBy("media_id")
+    }),
+
     "m45_audio_silence" -> ((s, dir) => {
       // silence/VAD segmentation through the REAL audio codec: synthetic
       // 16-bit PCM WAVs with planted silent 100-sample blocks, per-frame
@@ -5847,6 +5866,25 @@ object SparkEntry {
 
     // every PCM sample rebuilt from the fixture formula; frame energies,
     // silence flags, and the gaps-and-islands merge all recomputed in SQL
+    // PCM rebuilt from the fixture formula; truncating pair-average
+    // replayed with DuckDB's truncating //
+    "m48_audio_downsample" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id < 200
+        |), s AS (
+        |  SELECT media_id, i.i AS i,
+        |    CASE WHEN ((i.i // 100) + media_id) % 3 = 0 THEN 0
+        |         ELSE (media_id*31 + i.i*7) % 2000 - 1000 END AS v
+        |  FROM clips CROSS JOIN generate_series(0, 1599) AS i(i)
+        |), d AS (
+        |  SELECT media_id, i // 2 AS j, SUM(v) // 2 AS o
+        |  FROM s GROUP BY media_id, i // 2
+        |)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(o * ((j % 97) + 1)) AS BIGINT) AS wsum
+        |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "m45_audio_silence" ->
       """WITH clips AS (
         |  SELECT doc_id AS media_id FROM documents WHERE doc_id < 200

@@ -329,6 +329,70 @@ object MediaAudioUtil {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => null }
   }
+
+  /** Decode 16-bit LE PCM and average consecutive `factor`-sample groups
+    * with TRUNCATING integer division (matches SQL `//`); trailing
+    * partial group dropped. Null on codec/format mismatch, like
+    * [[frameEnergies]]. */
+  def decimate(content: Array[Byte],
+               factor: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (content == null || content.isEmpty || factor < 1) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return null
+        val bytes = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val samples = if (frameSize > 0) bytes.length / frameSize else 0
+        val nOut = samples / factor
+        val out = new Array[Long](nOut)
+        var j = 0
+        while (j < nOut) {
+          var sum = 0L
+          var k = 0
+          while (k < factor) {
+            val i = (j * factor + k) * frameSize
+            sum += ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toLong
+            k += 1
+          }
+          out(j) = sum / factor // truncating, like SQL //
+          j += 1
+        }
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+}
+
+/** `audio_decimate(content, factor)`: decode 16-bit little-endian PCM
+  * through the real codec and decimate by averaging each consecutive
+  * `factor`-sample group — TRUNCATING division (Java `/`, DuckDB `//`),
+  * so an integer SQL oracle replays every output sample. The tail
+  * group shorter than `factor` is dropped (no partial averages). */
+case class AudioDecimateExpr(child: Expression, factor: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_decimate"
+
+  override def nullSafeEval(c: Any): Any =
+    MediaAudioUtil.decimate(c.asInstanceOf[Array[Byte]], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.freshName("decimated")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $d =
+         |  graft.ops.MediaAudioUtil.decimate($c, $factor);
+         |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d; }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): AudioDecimateExpr =
+    copy(child = c)
 }
 
 /** `audio_frame_energies(content)`: per-frame Σ|sample| through the real
@@ -750,6 +814,28 @@ object MultimodalOps {
       ColumnBridge.column(SyntheticWavExpr(ColumnBridge.expression(id))).as("content"),
       struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
         lit("wav").as("format")).as("meta"))
+  }
+
+  /**
+   * Audio downsampling: decode through the REAL codec and decimate by
+   * averaging each consecutive `factor`-sample group — the sample-rate
+   * reduction (e.g. 16 kHz → 8 kHz at factor 2) every speech pipeline
+   * runs before feature extraction. Averaging-then-decimating is the
+   * box-filter anti-alias (a bare take-every-Nth aliases high
+   * frequencies into band); division TRUNCATES like SQL `//`, so an
+   * integer oracle replays every output sample. Map-only codegen: PCM
+   * never leaves its task — output is the decimated sample array.
+   *
+   * Output: (media_id, samples array<bigint>).
+   */
+  def audioDownsample(media: DataFrame, factor: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media.select(col("media_id"),
+      ColumnBridge.column(AudioDecimateExpr(
+        ColumnBridge.expression(
+          coalesce(col("content"), lit(Array.emptyByteArray))),
+        factor)).as("samples"))
   }
 
   /**
