@@ -43,6 +43,20 @@ object SparkEntry {
   private def sumd(c: Column): Column = sum(c).cast("double")
   private def n(): Column = count(lit(1))
 
+  /** Embeddings with every defect class planted deterministically
+    * (truncated dim, all-zero, NaN element, null — when-chain priority
+    * 97/101/103/107) — shared by e61 (batch) and s62 (streaming) so both
+    * grade against the same oracle CASE. */
+  private def plantEmbeddingDefects(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      when(col("vec_id") % 97 === 0, slice(col("embedding"), 1, 32))
+        .when(col("vec_id") % 101 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+        .when(col("vec_id") % 103 === 0,
+          concat(slice(col("embedding"), 1, 63), array(lit(Float.NaN))))
+        .when(col("vec_id") % 107 === 0, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+
   /** The documents table plus a deterministic near-duplicate of every 5th
     * doc (last token dropped, id offset +1000000) — gives the near-dup
     * operators true positives to find without synthesizing data. */
@@ -2699,17 +2713,30 @@ object SparkEntry {
       // validation pass with every defect class PLANTED deterministically
       // (truncated dim, all-zero, NaN element, null), so each counter is
       // provably nonzero and the oracle replays the same CASE routing
-      val emb = t(s, dir, "embeddings").select(col("vec_id"),
-        when(col("vec_id") % 97 === 0, slice(col("embedding"), 1, 32))
-          .when(col("vec_id") % 101 === 0,
-            transform(col("embedding"), _ => lit(0.0f)))
-          .when(col("vec_id") % 103 === 0,
-            concat(slice(col("embedding"), 1, 63),
-              array(lit(Float.NaN))))
-          .when(col("vec_id") % 107 === 0,
-            lit(null).cast("array<float>"))
-          .otherwise(col("embedding")).as("embedding"))
+      val emb = plantEmbeddingDefects(t(s, dir, "embeddings"))
       SimilarityOps.embeddingHealth(emb, "embedding", dim = 64)
+        .select(col("n_vectors").cast("long").as("n_vectors"),
+          col("n_null").cast("long").as("n_null"),
+          col("n_wrong_dim").cast("long").as("n_wrong_dim"),
+          col("n_nonfinite").cast("long").as("n_nonfinite"),
+          col("n_zero_norm").cast("long").as("n_zero_norm"))
+    }),
+
+    "s62_stream_embedding_health" -> ((s, dir) => {
+      // the same validation AT INGEST: the health counters are plain
+      // counts (micro-batch-associative), so the streaming state is ONE
+      // fixed-size row and the drain grades against e61's oracle verbatim
+      val batchSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val health = SimilarityOps.embeddingHealth(
+        plantEmbeddingDefects(raw), "embedding", dim = 64)
+      val sink = s"s62_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = health
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
         .select(col("n_vectors").cast("long").as("n_vectors"),
           col("n_null").cast("long").as("n_null"),
           col("n_wrong_dim").cast("long").as("n_wrong_dim"),
@@ -3431,6 +3458,29 @@ object SparkEntry {
        |FROM documents d LEFT JOIN lstat USING (doc_id)
        |LEFT JOIN gstat ON d.doc_id = gstat.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by e61 (batch) and s62 (the same counters drained from a
+    * stream): planted-defect routing with modulo priority mirroring the
+    * Spark when-chain (97 before 101 before 103 before 107). */
+  private val EmbeddingHealthOracleSql: String =
+    """WITH e AS (SELECT CASE
+      |    WHEN vec_id % 97 = 0 THEN embedding[1:32]
+      |    WHEN vec_id % 101 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+      |    WHEN vec_id % 103 = 0 THEN list_append(embedding[1:63], CAST('NaN' AS FLOAT))
+      |    WHEN vec_id % 107 = 0 THEN NULL
+      |    ELSE embedding END AS v
+      |  FROM embeddings),
+      |c AS (SELECT v, v IS NULL AS is_null,
+      |    v IS NOT NULL AND len(v) <> 64 AS wrong_dim,
+      |    v IS NOT NULL AND len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS nonfin,
+      |    v IS NOT NULL AND len(list_filter(v, x -> x <> CAST(0.0 AS FLOAT))) = 0 AS zero
+      |  FROM e)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(count(CASE WHEN is_null THEN 1 END) AS BIGINT) AS n_null,
+      |  CAST(count(CASE WHEN wrong_dim THEN 1 END) AS BIGINT) AS n_wrong_dim,
+      |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND nonfin THEN 1 END) AS BIGINT) AS n_nonfinite,
+      |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfin AND zero THEN 1 END) AS BIGINT) AS n_zero_norm
+      |FROM c""".stripMargin
 
   /** Shared by j09 (batch) and s60 (the same aggregate drained from a
     * stream): open/close replayed as rank-1 rows under (ts, v) /
@@ -4344,26 +4394,11 @@ object SparkEntry {
     "e53_knn_ivf_index_incremental" -> KnnOracleSql,
 
     // same planted-defect routing: modulo priority mirrors Spark's
-    // when-chain (97 before 101 before 103 before 107)
-    "e61_embedding_health" ->
-      """WITH e AS (SELECT CASE
-        |    WHEN vec_id % 97 = 0 THEN embedding[1:32]
-        |    WHEN vec_id % 101 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
-        |    WHEN vec_id % 103 = 0 THEN list_append(embedding[1:63], CAST('NaN' AS FLOAT))
-        |    WHEN vec_id % 107 = 0 THEN NULL
-        |    ELSE embedding END AS v
-        |  FROM embeddings),
-        |c AS (SELECT v, v IS NULL AS is_null,
-        |    v IS NOT NULL AND len(v) <> 64 AS wrong_dim,
-        |    v IS NOT NULL AND len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS nonfin,
-        |    v IS NOT NULL AND len(list_filter(v, x -> x <> CAST(0.0 AS FLOAT))) = 0 AS zero
-        |  FROM e)
-        |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-        |  CAST(count(CASE WHEN is_null THEN 1 END) AS BIGINT) AS n_null,
-        |  CAST(count(CASE WHEN wrong_dim THEN 1 END) AS BIGINT) AS n_wrong_dim,
-        |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND nonfin THEN 1 END) AS BIGINT) AS n_nonfinite,
-        |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfin AND zero THEN 1 END) AS BIGINT) AS n_zero_norm
-        |FROM c""".stripMargin,
+    // when-chain (97 before 101 before 103 before 107); the counters are
+    // micro-batch-associative, so the streamed form (s62) grades against
+    // the identical SQL
+    "e61_embedding_health" -> EmbeddingHealthOracleSql,
+    "s62_stream_embedding_health" -> EmbeddingHealthOracleSql,
 
     // recall@5 of the e55 approximate config vs exact: both result sets,
     // the pair-keyed hit join, and the per-query normalization replayed
