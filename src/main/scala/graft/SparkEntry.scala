@@ -2403,6 +2403,16 @@ object SparkEntry {
         .orderBy("user_id", "bucket")
     }),
 
+    "j10_gap_detection" -> ((s, dir) => {
+      // completeness audit ahead of the resamplers: every >12h silence
+      // per user, integer-µs arithmetic both engines replay exactly
+      val ev = t(s, dir, "events")
+      JoinOps.detectGaps(ev, "ts", "user_id", minGapMicros = 43200000000L)
+        .select(col("user_id"), col("gap_start"), col("gap_end"),
+          col("gap_us"))
+        .orderBy("user_id", "gap_start")
+    }),
+
     "j08_interp_resample" -> ((s, dir) => {
       // linear-interpolation resampling on the j06 grid: grid points
       // between two observations take the straight-line value (epoch-µs
@@ -5362,6 +5372,16 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "j10_gap_detection" ->
+      """WITH l AS (SELECT user_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev, ts
+        |  FROM events)
+        |SELECT user_id, prev AS gap_start, ts AS gap_end,
+        |  epoch_us(ts) - epoch_us(prev) AS gap_us
+        |FROM l
+        |WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 43200000000
+        |ORDER BY user_id, gap_start""".stripMargin,
 
     "j06_locf_resample" ->
       """WITH e AS (SELECT user_id, ts, max(value) AS value

@@ -236,6 +236,31 @@ object JoinOps {
         col("high"), col("low"), col("__c.v").as("close"),
         col("n_obs"), col("vsum"))
 
+  /**
+   * Time-series gap detection: one row per consecutive-observation gap
+   * longer than `minGapMicros` — `(keyCol, gap_start, gap_end, gap_us)`
+   * — the data-completeness audit a feature store runs before trusting
+   * [[resampleLocf]]/[[resampleInterp]] output (a carried value spanning
+   * a day-long outage is a silent lie; this op is where that outage
+   * becomes visible). One lag window per key ordered by time — state
+   * bounded by a key's own rows, integer-µs arithmetic end to end.
+   * Duplicate timestamps are gap-0 links, so tie order never changes
+   * the output.
+   */
+  def detectGaps(events: DataFrame, tsCol: String, keyCol: String,
+                 minGapMicros: Long): DataFrame = {
+    require(minGapMicros >= 0, s"minGapMicros must be >= 0, got $minGapMicros")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    events.select(col(keyCol), col(tsCol))
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .where(col("__prev").isNotNull &&
+        (us(col(tsCol)) - us(col("__prev"))) > minGapMicros)
+      .select(col(keyCol), col("__prev").as("gap_start"),
+        col(tsCol).as("gap_end"),
+        (us(col(tsCol)) - us(col("__prev"))).as("gap_us"))
+  }
+
   def resampleInterp(events: DataFrame, tsCol: String, keyCol: String,
                      valueCol: String, step: String = "1 hour",
                      truncUnit: String = "hour"): DataFrame = {
