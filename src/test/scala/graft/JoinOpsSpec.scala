@@ -303,6 +303,25 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 9L)))
   }
 
+  test("detectGaps: threshold strictness, per-key isolation, duplicate timestamps never gap") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"),
+      (1L, "2024-01-01 00:00:00"), // duplicate ts: gap-0 link
+      (1L, "2024-01-01 02:00:00"), // 2h gap -> reported
+      (1L, "2024-01-01 03:00:00"), // exactly 1h -> NOT reported (strict >)
+      (2L, "2024-01-01 23:00:00")) // single obs, no prev
+      .toDF("uid", "s")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"))
+    val gaps = JoinOps.detectGaps(ev, "ts", "uid", minGapMicros = 3600000000L)
+      .collect()
+    assert(gaps.length == 1)
+    val g = gaps.head
+    assert(g.getAs[Long]("uid") == 1L)
+    assert(g.getAs[Long]("gap_us") == 7200000000L)
+    assert(g.getAs[java.sql.Timestamp]("gap_start").toString.startsWith("2024-01-01 00:00:00"))
+    assert(g.getAs[java.sql.Timestamp]("gap_end").toString.startsWith("2024-01-01 02:00:00"))
+  }
+
   test("downsampleOhlc: open/close tie rules, null exclusion, one aggregate exchange") {
     val ev = Seq(
       (1L, "2024-01-01 00:05:00", 3.0),             // open

@@ -1063,6 +1063,24 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"))
   }
 
+  test("audioDownsample: decimated samples equal the plain-Scala truncating pair-average") {
+    val ids = Seq(0L, 3L, 11L)
+    val clips = MultimodalOps.syntheticAudioCorpus(ids.toDF("doc_id"), "doc_id")
+    val got = MultimodalOps.audioDownsample(clips, factor = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def sample(id: Long, i: Int): Long =
+      if (Math.floorMod(i / 100 + id, 3L) == 0L) 0L
+      else Math.floorMod(id * 31L + i * 7L, 2000L) - 1000L
+    ids.foreach { id =>
+      // truncating division, like the SQL oracle's //
+      val want = (0 until 800).map(j => (sample(id, 2 * j) + sample(id, 2 * j + 1)) / 2)
+      assert(got(id) == want, s"clip $id decimation mismatch")
+      // the formula produces negative odd sums, so truncation direction
+      // is actually exercised
+      assert(want.exists(_ < 0))
+    }
+  }
+
   test("audioSilenceSegments: real-codec energies match the PCM formula") {
     val ids = Seq(0L, 1L, 7L)
     val clips = MultimodalOps.syntheticAudioCorpus(ids.toDF("doc_id"), "doc_id")
