@@ -77,7 +77,10 @@ object Bench {
     // anti-join over the brute-force kernel), the per-language corpus
     // card (histogram totals + digest dup pass), and OHLC time-bucket
     // downsampling (one combinable struct-min/max aggregate)
-    "e59_hard_negatives", "d95_corpus_card", "j09_ohlc_downsample")
+    "e59_hard_negatives", "d95_corpus_card", "j09_ohlc_downsample",
+    // temperature-flattened mixing: integer budgets + the sort-free
+    // two-phase hash-order selection over the whole corpus
+    "d96_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
