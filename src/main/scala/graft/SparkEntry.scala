@@ -37,6 +37,20 @@ object SparkEntry {
     else df
   }
 
+  /** Streaming mirror of [[t]]: schema-inferred single-file readStream,
+    * with the events nanos→micros normalization applied when the batch
+    * schema reads `ts` as LONG (the fixture's TIMESTAMP(NANOS)
+    * generation — see the verify skill's gotcha note). */
+  private def tStream(s: SparkSession, dir: String, name: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$dir/$name.parquet").schema
+    val raw = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    if (name == "events" &&
+        batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Exact money arithmetic: double → decimal, aggregated, back to double. */
   private def d2(c: Column): Column = c.cast("decimal(18,2)")
   private def d4(c: Column): Column = c.cast("decimal(18,4)")
@@ -972,16 +986,10 @@ object SparkEntry {
       // ignores the watermark for eviction — correct output, unbounded
       // state). The oracle applies the same cutoff: window_end <= final
       // watermark (= ms-floored max event time - 10 min).
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev =
-        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else
-          // timestamp[us] testdata reads as TIMESTAMP_NTZ, but watermarks
-          // require TIMESTAMP; the session tz is UTC so the cast is exact
-          raw.withColumn("ts", col("ts").cast("timestamp"))
+      // timestamp[us] testdata reads as TIMESTAMP_NTZ, but watermarks
+      // require TIMESTAMP; the session tz is UTC so the cast is exact
+      val ev = tStream(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
       val out = graft.streaming.StreamingOps
         .windowedCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
       val sink = s"stream_win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1002,13 +1010,7 @@ object SparkEntry {
       // events.parquet is one AvailableNow batch, and rows sort by
       // (event time, id) inside each state group, so the oracle is the
       // equivalent batch window query.
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev =
-        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val ev = tStream(s, dir, "events")
       val out = graft.streaming.StreamingOps
         .dedupStream(ev, "ts", "event_id", "props")
       val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1251,14 +1253,8 @@ object SparkEntry {
       // semantics pinned by the oracle: an event exactly `gap` after the
       // previous one starts a NEW session (windows [t, t+gap) merge only
       // when they OVERLAP), which is q18's `> gap` test shifted to `>=`.
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev =
-        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else
-          raw.withColumn("ts", col("ts").cast("timestamp"))
+      val ev = tStream(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
       val out = graft.streaming.StreamingOps
         .sessionWindows(ev, "ts", "user_id", "30 minutes", "10 minutes")
       val sink = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1317,9 +1313,7 @@ object SparkEntry {
       // wobble-safe 0.9 threshold). Per-row semantics make any
       // micro-batch slicing equal the batch answer, graded by the same
       // oracle as e54.
-      val batchSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val raw = tStream(s, dir, "embeddings")
       val queries = t(s, dir, "embeddings").where("vec_id < 8")
       val alerts = SimilarityOps.rangeSearch(raw, "vec_id", "embedding",
         queries, "vec_id", "embedding", threshold = 0.9)
@@ -1339,9 +1333,7 @@ object SparkEntry {
       // histogram feeds the identical integer-exact percentile readoff,
       // so the stream grades against d88's batch oracle verbatim;
       // counting is micro-batch-associative by construction.
-      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val raw = tStream(s, dir, "documents")
       val hist = raw
         .select(col("lang"),
           TextOps.tokenCount(col("text")).cast("long").as("ntok"))
@@ -1365,10 +1357,7 @@ object SparkEntry {
       // suite is d47's planted construction (every 5th doc minus its
       // last token), so the flags must equal the batch ngramOverlap
       // verdict row for row.
-      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .select("doc_id", "text")
+      val raw = tStream(s, dir, "documents").select("doc_id", "text")
       val toks = TextOps.tokens(col("text"))
       val test = t(s, dir, "documents").where("doc_id % 5 = 0").select(
         concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
@@ -1390,10 +1379,8 @@ object SparkEntry {
       // the mergeable-summaries rule the batch spec pins). The drained
       // candidates feed the same isin-pushed exact batch recount, so the
       // stream grades against d79's plain GROUP BY/HAVING oracle verbatim.
-      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val toks = raw.select(explode(TextOps.tokens(col("text"))).as("term"))
+      val toks = tStream(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
       val sink = s"s55_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = toks
         .agg(GraftFunctions.misra_gries(col("term"), 64).as("mg"))
@@ -1421,10 +1408,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val model = TextOps.trainCharTrigramLm(docs.where("doc_id % 3 = 0"), "text")
       val (counts, denom) = TextOps.collectLmModel(model)
-      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .select("doc_id", "text")
+      val raw = tStream(s, dir, "documents").select("doc_id", "text")
       val scored = raw.select(col("doc_id"),
           TextOps.scoreWithLmLocal(col("text"), counts, denom).as("__s"))
         .select(col("doc_id"), col("__s.n_trigrams").as("n_trigrams"),
@@ -1442,10 +1426,7 @@ object SparkEntry {
       // signals compute on the stream exactly as in batch — graded by
       // the identical d91 oracle because map-only scoring is
       // batch-invariant by construction. Same derived line view as d91.
-      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val lined = raw.select(col("doc_id"),
+      val lined = tStream(s, dir, "documents").select(col("doc_id"),
         concat_ws("\n", col("text"), lit(""),
           substring(col("text"), 1, 60), substring(col("text"), 1, 60))
           .as("text"))
@@ -1905,13 +1886,8 @@ object SparkEntry {
       // table. Batch-invariant (the match depends only on the row and the
       // static right side), so the drained result must equal j01's batch
       // as-of — the shared oracle.
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = (if (batchSchema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw).select("event_id", "user_id", "ts", "value")
+      val ev = tStream(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
       val quotes = t(s, dir, "events").where("event_id % 7 = 0")
         .groupBy("user_id", "ts").agg(max("value").as("quote"))
       val out = java.nio.file.Files.createTempDirectory("graft-s53").toString
@@ -2345,17 +2321,10 @@ object SparkEntry {
       // dual-buffer case the stream-static paths can't express. Inner
       // matches emit without waiting on the watermark, so the drain
       // equals the batch interval join the oracle runs.
-      def stream(): org.apache.spark.sql.DataFrame = {
-        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val raw = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val withTs =
-          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
-        // watermarks need TIMESTAMP (session tz UTC makes the cast exact)
-        withTs.withColumn("ts", col("ts").cast("timestamp"))
-      }
+      // watermarks need TIMESTAMP (session tz UTC makes the cast exact)
+      def stream(): org.apache.spark.sql.DataFrame =
+        tStream(s, dir, "events")
+          .withColumn("ts", col("ts").cast("timestamp"))
       val clicks = stream().where("event_type = 'click'")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
@@ -2381,14 +2350,7 @@ object SparkEntry {
       // single-drain harness; a production stream bounds state with
       // withWatermark + window() and append mode — the aggregate itself
       // is unchanged.
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev0 =
-        if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val ev = ev0.select(col("user_id"), col("ts"),
+      val ev = tStream(s, dir, "events").select(col("user_id"), col("ts"),
         col("value").cast("decimal(18,6)").as("v"))
       val bars = JoinOps.downsampleOhlc(ev, "ts", "user_id", "v")
       val sink = s"s60_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -2736,11 +2698,9 @@ object SparkEntry {
       // the same validation AT INGEST: the health counters are plain
       // counts (micro-batch-associative), so the streaming state is ONE
       // fixed-size row and the drain grades against e61's oracle verbatim
-      val batchSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       val health = SimilarityOps.embeddingHealth(
-        plantEmbeddingDefects(raw), "embedding", dim = 64)
+        plantEmbeddingDefects(tStream(s, dir, "embeddings")),
+        "embedding", dim = 64)
       val sink = s"s62_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = health
         .writeStream.outputMode("complete").format("memory").queryName(sink)
@@ -4578,21 +4538,25 @@ object SparkEntry {
     // integer sqrt-weights + integer budget split + (md5, id) rank —
     // the entire temperature mix replays, selection included
     "d96_temperature_mix" ->
-      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents
+        |              WHERE text IS NOT NULL),
+        |n AS (SELECT lang, count(*) AS n FROM docs GROUP BY 1),
         |w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
         |t AS (SELECT sum(w) AS tw FROM w),
         |b AS (SELECT lang, (1200 * w) // tw AS budget FROM w CROSS JOIN t),
         |r AS (SELECT doc_id, lang,
         |        row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
-        |      FROM documents)
+        |      FROM docs)
         |SELECT r.doc_id, r.lang FROM r JOIN b ON b.lang = r.lang
         |WHERE rk <= budget ORDER BY r.lang, r.doc_id""".stripMargin,
 
     // the d88 histogram machinery plus Σ v·cnt totals and a distinct-md5
     // duplicate count, over the corpus with planted doc_id % 9 dupes
     "d95_corpus_card" ->
-      s"""WITH docs AS (SELECT lang, text FROM documents
-         |  UNION ALL SELECT lang, text FROM documents WHERE doc_id % 9 = 0),
+      s"""WITH docs AS (SELECT lang, text FROM
+         |    (SELECT lang, text FROM documents
+         |     UNION ALL SELECT lang, text FROM documents WHERE doc_id % 9 = 0)
+         |  WHERE text IS NOT NULL),
          |h AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v,
          |  count(*) AS cnt FROM docs GROUP BY 1, 2),
          |c AS (SELECT lang, v, cnt,

@@ -590,21 +590,6 @@ object CorpusOps {
       .limit(k)
 
   /**
-   * Vocabulary coverage / OOV-rate report: per stratum, how much of the
-   * corpus a token vocabulary actually covers — `(strataCol, n_tokens,
-   * n_oov, oov_rate)`. The tokenizer-QA gate run before committing to a
-   * vocabulary: a vocab that covers 99% of English but 60% of a
-   * low-resource language is a data bug surfaced HERE, not after a
-   * training run.
-   *
-   * One exploded-token pass: tokens left-join the vocabulary (vocab side
-   * is V rows — broadcast when small, a token-keyed shuffle when not;
-   * left to the optimizer), then one partial-aggregated count per
-   * stratum. `oov_rate` is a plain integer ratio (n_oov / n_tokens as
-   * doubles), deterministic in any engine. Composes with [[vocabTopK]]
-   * as the trainer.
-   */
-  /**
    * Frequency-spectrum report: per stratum, total tokens, distinct
    * types, hapax legomena (types seen once), and the type-token ratio —
    * the Zipf-shape audit that separates natural language from template
@@ -628,6 +613,21 @@ object CorpusOps {
         col("n_types").cast("double") / col("n_tokens").cast("double"))
       .withColumnRenamed("__grp", strataCol)
 
+  /**
+   * Vocabulary coverage / OOV-rate report: per stratum, how much of the
+   * corpus a token vocabulary actually covers — `(strataCol, n_tokens,
+   * n_oov, oov_rate)`. The tokenizer-QA gate run before committing to a
+   * vocabulary: a vocab that covers 99% of English but 60% of a
+   * low-resource language is a data bug surfaced HERE, not after a
+   * training run.
+   *
+   * One exploded-token pass: tokens left-join the vocabulary (vocab side
+   * is V rows — broadcast when small, a token-keyed shuffle when not;
+   * left to the optimizer), then one partial-aggregated count per
+   * stratum. `oov_rate` is a plain integer ratio (n_oov / n_tokens as
+   * doubles), deterministic in any engine. Composes with [[vocabTopK]]
+   * as the trainer.
+   */
   def vocabCoverage(df: DataFrame, strataCol: String, textCol: String,
                     vocab: DataFrame, vocabTokenCol: String): DataFrame = {
     val toks = df.select(col(strataCol).as("__grp"),

@@ -24,19 +24,27 @@ import org.apache.spark.sql.functions._
  */
 object SimilarityOps {
 
-  /** Exact top-k: (query_id, vec_id, cosine, rank), rank 1..k per query.
-    * Ties broken by corpus id for determinism. */
-  def topKBruteForce(corpus: DataFrame, corpusId: String, corpusVec: String,
-                     queries: DataFrame, queryId: String, queryVec: String,
-                     k: Int): DataFrame = {
-    val scored = corpus
+  /** The brute-force candidate stream both [[topKBruteForce]] and
+    * [[hardNegatives]] rank: one map-side pass over the corpus against
+    * the broadcast query batch, `(query_id, vec_id, cosine)`. Shared so
+    * a scoring-path change can never make the two rank differently. */
+  private def cosineScored(corpus: DataFrame, corpusId: String,
+                           corpusVec: String, queries: DataFrame,
+                           queryId: String, queryVec: String): DataFrame =
+    corpus
       .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
       .crossJoin(broadcast(
         queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
-    topK(scored, "query_id", "vec_id", k)
-  }
+
+  /** Exact top-k: (query_id, vec_id, cosine, rank), rank 1..k per query.
+    * Ties broken by corpus id for determinism. */
+  def topKBruteForce(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame =
+    topK(cosineScored(corpus, corpusId, corpusVec, queries, queryId, queryVec),
+      "query_id", "vec_id", k)
 
   /**
    * Hard-negative mining for contrastive training: for each anchor, the
@@ -64,12 +72,8 @@ object SimilarityOps {
                     queries: DataFrame, queryId: String, queryVec: String,
                     positives: DataFrame, posQueryCol: String,
                     posIdCol: String, k: Int): DataFrame = {
-    val scored = corpus
-      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
-      .crossJoin(broadcast(
-        queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))))
-      .select(col("query_id"), col("vec_id"),
-        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    val scored =
+      cosineScored(corpus, corpusId, corpusVec, queries, queryId, queryVec)
     val pos = positives.select(col(posQueryCol).as("query_id"),
       col(posIdCol).as("vec_id"))
     val candidates = scored
@@ -96,6 +100,20 @@ object SimilarityOps {
    * on a held-out query sample). Queries with zero approximate hits
    * still report (0, 0.0) — absence is the signal that matters.
    */
+  def annRecall(approx: DataFrame, exact: DataFrame,
+                queryCol: String = "query_id",
+                idCol: String = "vec_id"): DataFrame = {
+    val hits = approx.select(col(queryCol), col(idCol))
+      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(queryCol).agg(count(lit(1)).as("__n_hits"))
+    exact.groupBy(queryCol).agg(count(lit(1)).as("__n_true"))
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("__n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("__n_hits"), lit(0L)).cast("double") /
+          col("__n_true").cast("double")).as("recall"))
+  }
+
   /**
    * Embedding-health report — the validation pass run BEFORE an index
    * build trusts a vector column: one row of corpus-wide counters
@@ -123,20 +141,6 @@ object SimilarityOps {
         .as("n_nonfinite"),
       count(when(v.isNotNull && !isWrongDim && !isNonFinite && isZero, 1))
         .as("n_zero_norm"))
-  }
-
-  def annRecall(approx: DataFrame, exact: DataFrame,
-                queryCol: String = "query_id",
-                idCol: String = "vec_id"): DataFrame = {
-    val hits = approx.select(col(queryCol), col(idCol))
-      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
-      .groupBy(queryCol).agg(count(lit(1)).as("__n_hits"))
-    exact.groupBy(queryCol).agg(count(lit(1)).as("__n_true"))
-      .join(hits, Seq(queryCol), "left")
-      .select(col(queryCol),
-        coalesce(col("__n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("__n_hits"), lit(0L)).cast("double") /
-          col("__n_true").cast("double")).as("recall"))
   }
 
   /**
