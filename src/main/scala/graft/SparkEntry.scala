@@ -2341,6 +2341,26 @@ object SparkEntry {
       s.table(sink).orderBy("click_id", "purchase_id")
     }),
 
+    "s63_stream_gap_alert" -> ((s, dir) => {
+      // j10's gap audit as a LIVE alert: one (last-ts) state row per
+      // user, alerts emitted the moment the >12h-later event arrives;
+      // the AvailableNow drain equals the batch detectGaps exactly
+      val ev = tStream(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val alerts = graft.streaming.StreamingOps.gapAlertStream(
+        ev, "ts", "user_id", minGapMicros = 43200000000L)
+      val sink = s"s63_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = alerts.writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("key").as("user_id"),
+          col("gap_start").cast("timestamp_ntz").as("gap_start"),
+          col("gap_end").cast("timestamp_ntz").as("gap_end"), col("gap_us"))
+        .orderBy("user_id", "gap_start")
+    }),
+
     "s60_stream_ohlc" -> ((s, dir) => {
       // streaming OHLC bars: the j09 aggregate is combinable
       // (struct-min/max, count, decimal sum), so per-(user, bucket)
@@ -3428,6 +3448,18 @@ object SparkEntry {
        |FROM documents d LEFT JOIN lstat USING (doc_id)
        |LEFT JOIN gstat ON d.doc_id = gstat.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by j10 (batch lag) and s63 (the streamed last-ts carry):
+    * every >12h per-user silence, integer-µs arithmetic. */
+  private val GapOracleSql: String =
+    """WITH l AS (SELECT user_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev, ts
+      |  FROM events)
+      |SELECT user_id, prev AS gap_start, ts AS gap_end,
+      |  epoch_us(ts) - epoch_us(prev) AS gap_us
+      |FROM l
+      |WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 43200000000
+      |ORDER BY user_id, gap_start""".stripMargin
 
   /** Shared by e61 (batch) and s62 (the same counters drained from a
     * stream): planted-defect routing with modulo priority mirroring the
@@ -5337,15 +5369,10 @@ object SparkEntry {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
 
-    "j10_gap_detection" ->
-      """WITH l AS (SELECT user_id,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev, ts
-        |  FROM events)
-        |SELECT user_id, prev AS gap_start, ts AS gap_end,
-        |  epoch_us(ts) - epoch_us(prev) AS gap_us
-        |FROM l
-        |WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 43200000000
-        |ORDER BY user_id, gap_start""".stripMargin,
+    "j10_gap_detection" -> GapOracleSql,
+
+    // the single drain's per-key last-ts carry replays the batch lag
+    "s63_stream_gap_alert" -> GapOracleSql,
 
     "j06_locf_resample" ->
       """WITH e AS (SELECT user_id, ts, max(value) AS value

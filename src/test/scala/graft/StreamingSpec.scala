@@ -97,6 +97,32 @@ class StreamingSpec extends AnyFunSuite {
       s"only the in-window same-user pair may match, got $got")
   }
 
+  test("gapAlertStream: alert fires from state carried across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    val ev = mem.toDF().toDF("uid", "ts")
+    val alerts = StreamingOps.gapAlertStream(ev, "ts", "uid",
+      minGapMicros = 3600L * 1000000L) // 1 hour
+    val q = alerts.writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    // batch 1: two observations 30 min apart — no gap
+    mem.addData((7L, ts(1, 10)),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    assert(spark.table("gaps").isEmpty)
+    // batch 2: next observation 3h30m later — the alert must come from
+    // the last-ts state surviving the batch boundary
+    mem.addData((7L, ts(1, 14)), (8L, ts(1, 14))) // uid 8: first obs, no gap
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gaps").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((7L, 12600L * 1000000L)), // 3h30m in µs
+      s"one carried-state alert expected, got ${got.toSeq}")
+  }
+
   test("decontaminateStream flags exactly the docs sharing a test n-gram") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
