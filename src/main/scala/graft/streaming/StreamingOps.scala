@@ -109,6 +109,10 @@ object StreamingOps {
                           right: DataFrame, rightTs: String, rightKey: String,
                           window: String,
                           lateness: String = "10 minutes"): DataFrame = {
+    val clash = left.columns.toSet intersect right.columns.toSet
+    require(clash.isEmpty,
+      s"left/right column names must be disjoint (the join condition " +
+        s"references both sides by bare name); rename: ${clash.mkString(", ")}")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r, col(leftKey) === col(rightKey) &&
