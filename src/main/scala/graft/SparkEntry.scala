@@ -2395,6 +2395,26 @@ object SparkEntry {
         .orderBy("user_id", "gap_start")
     }),
 
+    "j11_rolling_stats" -> ((s, dir) => {
+      // trailing 6h per-user rolling stats AS OF each event — the
+      // leakage-free feature primitive; value pre-cast to decimal so
+      // roll_sum replays bitwise, avg derived from the exact sum by ONE
+      // double division both engines round identically
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          col("value").cast("decimal(18,6)").as("v"))
+      JoinOps.rollingAgg(ev, "ts", "user_id", "v",
+          windowMicros = 21600000000L)
+        .select(col("user_id"), col("ts"), col("v").cast("double").as("value"),
+          col("roll_n"),
+          col("roll_sum").cast("double").as("roll_sum"),
+          col("roll_min").cast("double").as("roll_min"),
+          col("roll_max").cast("double").as("roll_max"),
+          round(col("roll_sum").cast("double") / col("roll_n"), 6)
+            .as("roll_avg"))
+        .orderBy("user_id", "ts", "value")
+    }),
+
     "j08_interp_resample" -> ((s, dir) => {
       // linear-interpolation resampling on the j06 grid: grid points
       // between two observations take the straight-line value (epoch-µs
@@ -2542,6 +2562,15 @@ object SparkEntry {
           col("n_hapax").cast("long").as("n_hapax"),
           col("type_token_ratio"))
         .orderBy("lang")
+    }),
+
+    "d100_pmi_collocations" -> ((s, dir) => {
+      // multiword-unit mining: top-30 adjacent pairs by PMI among pairs
+      // seen >= 5 times; ranking rides the exact integer ratio (one
+      // correctly-rounded double division), ln only on the output
+      CorpusOps.pmiCollocations(t(s, dir, "documents"), "text",
+          minCount = 5L, k = 30)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
     }),
 
     "d97_vocab_coverage" -> ((s, dir) => {
@@ -3203,7 +3232,7 @@ object SparkEntry {
         .orderBy("media_id", "frame_no")
     }),
 
-    "m48_video_neardup" -> ((s, dir) => {
+    "m49_video_neardup" -> ((s, dir) => {
       // video-level near-dup by frame-fingerprint overlap: scene s of
       // video v renders image id v + s*12, so videos 12 apart share two
       // of three scenes bit-exactly — the planted true positives. Pairs
@@ -5371,6 +5400,27 @@ object SparkEntry {
 
     "j10_gap_detection" -> GapOracleSql,
 
+    // RANGE frame on epoch-µs: duplicate timestamps are frame peers in
+    // both engines, so tie order can't change any stat; decimal sum,
+    // avg = ONE double division of exact inputs
+    "j11_rolling_stats" ->
+      """WITH ev AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, ts, v,
+        |    CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |    sum(v) OVER w AS roll_sum,
+        |    min(v) OVER w AS roll_min,
+        |    max(v) OVER w AS roll_max
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts, CAST(v AS DOUBLE) AS value, roll_n,
+        |  CAST(roll_sum AS DOUBLE) AS roll_sum,
+        |  CAST(roll_min AS DOUBLE) AS roll_min,
+        |  CAST(roll_max AS DOUBLE) AS roll_max,
+        |  ROUND(CAST(roll_sum AS DOUBLE) / roll_n, 6) AS roll_avg
+        |FROM r ORDER BY user_id, ts, value""".stripMargin,
+
     // the single drain's per-key last-ts carry replays the batch lag
     "s63_stream_gap_alert" -> GapOracleSql,
 
@@ -5549,6 +5599,25 @@ object SparkEntry {
       s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
          |FROM (SELECT unnest($ToksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
+
+    // selection + ranking on the exact integer ratio c_xy*W/(cx*cy)
+    // (single correctly-rounded division — bitwise in any IEEE engine);
+    // engine-specific ln() touches only the rounded output column
+    "d100_pmi_collocations" ->
+      s"""WITH docs AS (SELECT $ToksSql AS t FROM documents),
+         |big AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM docs)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS w FROM docs) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS w_total FROM uni),
+         |ranked AS (SELECT w1, w2, c_xy,
+         |    CAST(c_xy * w_total AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE) AS ratio
+         |  FROM big JOIN uni ux ON big.w1 = ux.w JOIN uni uy ON big.w2 = uy.w
+         |  CROSS JOIN tot
+         |  ORDER BY ratio DESC, w1, w2 LIMIT 30)
+         |SELECT w1, w2, c_xy, ROUND(LN(ratio), 6) AS pmi
+         |FROM ranked ORDER BY pmi DESC, w1, w2""".stripMargin,
 
     "d99_frequency_spectrum" ->
       s"""WITH c AS (SELECT lang, tok, count(*) AS c FROM
@@ -5871,7 +5940,7 @@ object SparkEntry {
 
     // same per-frame hash recomputation as m44, then the distinct-set
     // overlap join with the maxFrameDf cut (no hash exceeds it here)
-    "m48_video_neardup" ->
+    "m49_video_neardup" ->
       """WITH vids AS (
         |  SELECT doc_id AS media_id, doc_id % 6 + 3 AS w0, doc_id % 4 + 2 AS h0
         |  FROM documents WHERE doc_id < 300

@@ -1140,4 +1140,55 @@ object CorpusOps {
     cum.groupBy(col(groupCol))
       .agg(max("__total").as("n_rows"), pAggs: _*)
   }
+
+  /**
+   * PMI collocation mining: the top-`k` adjacent token pairs by
+   * pointwise mutual information `ln(c_xy·W / (c_x·c_y))` (Church &
+   * Hanks association ratio, W = total token count) among pairs seen at
+   * least `minCount` times — the corpus-statistics pass that surfaces
+   * multiword units ("new york", "machine learning") ahead of tokenizer
+   * merge design, and flags template spam (boilerplate bigrams saturate
+   * the top of the list).
+   *
+   * Three partial-aggregated passes, all shuffling COUNTS, never text:
+   * bigram counts (adjacent pairs via one zip of the token array with
+   * its own tail — map-only, no self-join), unigram counts, and a
+   * one-row total that rides a broadcast cross join. `minCount` prunes
+   * the bigram tail BEFORE the unigram joins — the candidate-volume
+   * lever: the Zipf tail (hapax bigrams are the overwhelming majority)
+   * never reaches an exchange twice. Final top-k is
+   * TakeOrderedAndProject on the exact integer ratio
+   * `c_xy·W / (c_x·c_y)` (ONE correctly-rounded double division of
+   * exact-integer products, so ranking replays bitwise in any IEEE
+   * engine; `ln` — whose last ulp is engine-specific — is applied to
+   * the ROUNDED output only, never the ranking).
+   */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                      k: Int = 30): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docs = df.select(TextOps.tokens(col(textCol)).as("__t"))
+    val nBi = greatest(size(col("__t")) - 1, lit(0))
+    val big = docs
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), nBi), slice(col("__t"), lit(2), nBi),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val uni = docs.select(explode(col("__t")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum("__c").as("__w_total"))
+    big
+      .join(uni.select(col("__w").as("w1"), col("__c").as("__cx")), Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__c").as("__cy")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__ratio",
+        (col("c_xy") * col("__w_total")).cast("double") /
+          (col("__cx") * col("__cy")).cast("double"))
+      .orderBy(col("__ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log(col("__ratio")), 6).as("pmi"))
+  }
 }

@@ -261,6 +261,47 @@ object JoinOps {
         (us(col(tsCol)) - us(col("__prev"))).as("gap_us"))
   }
 
+  /**
+   * Trailing time-window rolling statistics: every observation gets the
+   * count / sum / min / max of its key's observations in
+   * `[ts − windowMicros, ts]` (trailing, both ends inclusive) — the
+   * leakage-free feature-engineering primitive ("activity in the last
+   * 6 h AS OF each event"): a feature computed this way never sees the
+   * future, unlike a bucket aggregate joined back to the event.
+   *
+   * Spark-first plan: ONE hash exchange on the key, one sort by time,
+   * then a sliding RANGE frame — no self-join, so none of the
+   * candidate-pair explosion an [[intervalJoin]] formulation pays
+   * (|rows|·|window| joined rows before filtering). Rows sharing a
+   * `(key, ts)` are RANGE-frame *peers* — every duplicate sees the
+   * identical frame in any engine, so input order never changes the
+   * output (contrast a ROWS frame, where tie order leaks into the
+   * result). Rows with a NULL value are excluded from the stats AND
+   * the output, keeping `roll_n` consistent with `roll_sum`. Pass a
+   * decimal `valueCol` when `roll_sum` must be bitwise reproducible.
+   *
+   * 100 TB: per-task state is the frame's rows for one key at one
+   * instant — bounded by the densest `windowMicros` span, not the key's
+   * history; a key hotter than one task is the ordered-semantics cost
+   * floor (split upstream if one key dominates).
+   */
+  def rollingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 valueCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros >= 0,
+      s"windowMicros must be >= 0, got $windowMicros")
+    require(!events.columns.contains("__us"),
+      "input uses reserved working column __us")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+      .rangeBetween(-windowMicros, 0)
+    events.where(col(valueCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .select(col(keyCol), col(tsCol), col(valueCol),
+        count(lit(1)).over(w).as("roll_n"),
+        sum(col(valueCol)).over(w).as("roll_sum"),
+        min(col(valueCol)).over(w).as("roll_min"),
+        max(col(valueCol)).over(w).as("roll_max"))
+  }
+
   def resampleInterp(events: DataFrame, tsCol: String, keyCol: String,
                      valueCol: String, step: String = "1 hour",
                      truncUnit: String = "hour"): DataFrame = {

@@ -24,6 +24,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 4L, 5L, 1L), (10L, 5L, 0L, 0L)))
   }
 
+  test("pmiCollocations: hand-computed PMI, minCount prune, empty docs, deterministic order") {
+    val docs = Seq(
+      (1L, "new york new york"), // (new,york) x2, (york,new) x1
+      (2L, "york new"),          // (york,new) -> c=2 total
+      (3L, "alpha beta"),        // hapax bigram -> pruned at minCount=2
+      (4L, ""))                  // empty text -> no tokens, no bigrams
+      .toDF("doc_id", "text")
+    // W = 8 tokens; c(new)=3, c(york)=3; both surviving pairs have
+    // ratio = 2*8/(3*3) = 16/9, pmi = ln(16/9) = 0.575364 (round 6)
+    val got = CorpusOps.pmiCollocations(docs, "text", minCount = 2L, k = 10)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("new", "york", 2L, 0.575364),
+      ("york", "new", 2L, 0.575364)))
+  }
+
   test("repetitionSignals: dup-line fractions, char weighting, blank filter, top-gram") {
     val docs = Seq(
       (1L, "aaa bbb\naaa bbb\nccc"), // 2 dup lines of 3; dup chars 14/17

@@ -351,6 +351,40 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(nShuffles == 1, s"one partial-agg exchange only:\n$planStr")
   }
 
+  test("rollingAgg: trailing inclusive frame, duplicate-ts peers, null exclusion, one exchange") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 2.0),
+      (1L, "2024-01-01 00:30:00", 5.0),  // frame = {2,5}
+      (1L, "2024-01-01 01:00:00", 3.0),  // 1h window includes 00:00 (inclusive) -> {2,5,3}
+      (1L, "2024-01-01 02:30:00", 7.0),  // everything earlier aged out -> {7}
+      (1L, "2024-01-01 02:30:00", 1.0),  // duplicate ts: PEER -> both rows see {7,1}
+      (2L, "2024-01-01 00:10:00", 9.0))  // per-key isolation
+      .toDF("uid", "s", "v")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"), col("v"))
+      .union(Seq((1L, "2024-01-01 00:45:00"))
+        .toDF("uid", "s")
+        .select(col("uid"), col("s").cast("timestamp").as("ts"),
+          lit(null).cast("double").as("v")))
+    val got = JoinOps.rollingAgg(ev, "ts", "uid", "v",
+      windowMicros = 3600000000L)
+    val rows = got.orderBy("uid", "ts", "v")
+      .select("uid", "roll_n", "roll_sum", "roll_min", "roll_max")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 2.0, 2.0, 2.0),
+      (1L, 2L, 7.0, 2.0, 5.0),
+      (1L, 3L, 10.0, 2.0, 5.0),
+      (1L, 2L, 8.0, 1.0, 7.0), // dup-ts peers: identical frame {7,1}
+      (1L, 2L, 8.0, 1.0, 7.0),
+      (2L, 1L, 9.0, 9.0, 9.0)))
+    assert(got.count() == 6L) // the NULL-value row is gone, not null-stat'd
+    val planStr = got.queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(nShuffles == 1, s"one window exchange only:\n$planStr")
+  }
+
   test("resampleLocf: hourly grid spans trunc(min)..max, carries across gaps, null before first obs") {
     val ev = Seq(
       (1L, "2024-01-01 00:30:00", 1.0),
