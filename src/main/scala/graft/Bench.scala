@@ -80,7 +80,12 @@ object Bench {
     "e59_hard_negatives", "d95_corpus_card", "j09_ohlc_downsample",
     // temperature-flattened mixing: integer budgets + the sort-free
     // two-phase hash-order selection over the whole corpus
-    "d96_temperature_mix")
+    "d96_temperature_mix",
+    // round-12 close: trailing-window rolling stats (one exchange + a
+    // sliding RANGE frame — the leakage-free feature primitive) and PMI
+    // collocation mining (two tokenize passes, every unigram consumer on
+    // one reused exchange)
+    "j11_rolling_stats", "d100_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1176,7 +1176,13 @@ object CorpusOps {
       .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .where(col("c_xy") >= minCount)
+    // the explicit isnotnull (vacuous — tokens() never yields null
+    // elements) makes this subplan canonicalize equal to the join sides,
+    // so ALL THREE unigram consumers (both join builds and the W total)
+    // share ONE shuffle via exchange reuse — without it the total pays a
+    // full extra tokenize+count pass over the corpus
     val uni = docs.select(explode(col("__t")).as("__w"))
+      .where(col("__w").isNotNull)
       .groupBy("__w").agg(count(lit(1)).as("__c"))
     val total = uni.agg(sum("__c").as("__w_total"))
     big

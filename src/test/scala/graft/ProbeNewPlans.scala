@@ -3,7 +3,7 @@ object ProbeNewPlans {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    for (name <- Seq("j10_gap_detection", "d99_frequency_spectrum", "m48_audio_downsample")) {
+    for (name <- Seq("j11_rolling_stats", "d100_pmi_collocations")) {
       println(s"========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
