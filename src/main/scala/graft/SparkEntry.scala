@@ -2361,6 +2361,26 @@ object SparkEntry {
         .orderBy("user_id", "gap_start")
     }),
 
+    "s64_stream_rolling" -> ((s, dir) => {
+      // j11's trailing 6h rolling stats computed ONLINE per event —
+      // train/serve parity: the drain grades against j11's own oracle
+      val ev = tStream(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val feats = graft.streaming.StreamingOps.rollingStatsStream(
+        ev, "ts", "user_id", "value", windowMicros = 21600000000L)
+      val sink = s"s64_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = feats.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("key").as("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          col("roll_n"), col("roll_sum"), col("roll_min"), col("roll_max"),
+          col("roll_avg"))
+        .orderBy("user_id", "ts", "value")
+    }),
+
     "s60_stream_ohlc" -> ((s, dir) => {
       // streaming OHLC bars: the j09 aggregate is combinable
       // (struct-min/max, count, decimal sum), so per-(user, bucket)
@@ -3307,6 +3327,26 @@ object SparkEntry {
   private val ToksSql =
     "CASE WHEN length(trim(text))=0 THEN CAST([] AS VARCHAR[]) " +
       "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  /** Shared rolling-stats oracle (j11 batch, s64 streaming — the
+    * train/serve-parity pair must produce identical numbers). */
+  private lazy val RollingOracleSql: String =
+    """WITH ev AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v
+      |            FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT user_id, ts, v,
+      |    CAST(count(*) OVER w AS BIGINT) AS roll_n,
+      |    sum(v) OVER w AS roll_sum,
+      |    min(v) OVER w AS roll_min,
+      |    max(v) OVER w AS roll_max
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, ts, CAST(v AS DOUBLE) AS value, roll_n,
+      |  CAST(roll_sum AS DOUBLE) AS roll_sum,
+      |  CAST(roll_min AS DOUBLE) AS roll_min,
+      |  CAST(roll_max AS DOUBLE) AS roll_max,
+      |  ROUND(CAST(roll_sum AS DOUBLE) / roll_n, 6) AS roll_avg
+      |FROM r ORDER BY user_id, ts, value""".stripMargin
 
   /** Shared BM25 oracle (d76 one-shot, d82 persisted-index round trip —
     * both must produce the identical ranking): Robertson idf, dyadic
@@ -5403,23 +5443,11 @@ object SparkEntry {
     // RANGE frame on epoch-µs: duplicate timestamps are frame peers in
     // both engines, so tie order can't change any stat; decimal sum,
     // avg = ONE double division of exact inputs
-    "j11_rolling_stats" ->
-      """WITH ev AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v
-        |            FROM events WHERE value IS NOT NULL),
-        |r AS (SELECT user_id, ts, v,
-        |    CAST(count(*) OVER w AS BIGINT) AS roll_n,
-        |    sum(v) OVER w AS roll_sum,
-        |    min(v) OVER w AS roll_min,
-        |    max(v) OVER w AS roll_max
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW))
-        |SELECT user_id, ts, CAST(v AS DOUBLE) AS value, roll_n,
-        |  CAST(roll_sum AS DOUBLE) AS roll_sum,
-        |  CAST(roll_min AS DOUBLE) AS roll_min,
-        |  CAST(roll_max AS DOUBLE) AS roll_max,
-        |  ROUND(CAST(roll_sum AS DOUBLE) / roll_n, 6) AS roll_avg
-        |FROM r ORDER BY user_id, ts, value""".stripMargin,
+    "j11_rolling_stats" -> RollingOracleSql,
+
+    // the single drain's per-key window-deque carry replays the batch
+    // RANGE frame event for event (train/serve parity)
+    "s64_stream_rolling" -> RollingOracleSql,
 
     // the single drain's per-key last-ts carry replays the batch lag
     "s63_stream_gap_alert" -> GapOracleSql,

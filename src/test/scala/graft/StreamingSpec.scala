@@ -123,6 +123,41 @@ class StreamingSpec extends AnyFunSuite {
       s"one carried-state alert expected, got ${got.toSeq}")
   }
 
+  test("rollingStatsStream: window carried across micro-batches, eviction, duplicate-ts peers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = mem.toDF().toDF("uid", "ts", "value")
+    val feats = StreamingOps.rollingStatsStream(ev, "ts", "uid", "value",
+      windowMicros = 3600L * 1000000L) // 1 hour
+    val q = feats.toDF().writeStream.format("memory").queryName("roll")
+      .outputMode("append").start()
+    // batch 1: two observations 30 min apart
+    mem.addData((7L, ts("10:00:00"), 2.0), (7L, ts("10:30:00"), 5.0))
+    q.processAllAvailable()
+    // batch 2: 11:00 still sees 10:00 (inclusive bound, carried state);
+    // 12:30 peers see only each other (older evicted); uid isolation
+    mem.addData((7L, ts("11:00:00"), 3.0),
+      (7L, ts("12:30:00"), 7.0), (7L, ts("12:30:00"), 1.0),
+      (8L, ts("11:00:00"), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("roll")
+      .orderBy("key", "ts", "value")
+      .select("key", "roll_n", "roll_sum", "roll_min", "roll_max", "roll_avg")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (7L, 1L, 2.0, 2.0, 2.0, 2.0),
+      (7L, 2L, 7.0, 2.0, 5.0, 3.5),       // {2,5}
+      (7L, 3L, 10.0, 2.0, 5.0, 3.333333), // {2,5,3} across the batch seam
+      (7L, 2L, 8.0, 1.0, 7.0, 4.0),       // 12:30 peers: both see {7,1}
+      (7L, 2L, 8.0, 1.0, 7.0, 4.0),
+      (8L, 1L, 9.0, 9.0, 9.0, 9.0)))
+  }
+
   test("decontaminateStream flags exactly the docs sharing a test n-gram") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
