@@ -2039,6 +2039,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d101_label_propagation" -> ((s, dir) => {
+      // community detection over d78's synthetic link graph: 3 rounds of
+      // deterministic label propagation (neighbor-majority vote, ties to
+      // the smallest label, self-loops dropped) — RNG-free, so the
+      // oracle unrolls the identical rounds
+      val docs = t(s, dir, "documents").select("doc_id")
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 13) % 101).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 97).as("dst")))
+      GraphOps.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("id").as("doc_id"), col("community"))
+        .orderBy("doc_id")
+    }),
+
     "d90_boilerplate" -> ((s, dir) => {
       // C4-style boilerplate removal: the fixture's docs are each ONE
       // unique sentence, so boilerplate is PLANTED — half the docs carry
@@ -5324,6 +5339,35 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, 0.125 / nn.n + 0.875 * (COALESCE(c3.c, 0) + d3.dm / nn.n) AS r
         |       FROM nodes LEFT JOIN c3 ON nodes.id = c3.id CROSS JOIN nn CROSS JOIN d3)
         |SELECT id AS doc_id, ROUND(r, 6) AS rank FROM r3
+        |ORDER BY doc_id""".stripMargin,
+
+    // deterministic LPA: 3 unrolled neighbor-majority rounds (count DESC,
+    // label ASC row_number replays the struct-min argmax)
+    "d101_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS a, (doc_id * 7 + 13) % 101 AS b FROM documents
+        |  UNION ALL
+        |  SELECT doc_id AS a, doc_id % 97 AS b FROM documents
+        |), e AS (SELECT DISTINCT a, b FROM (
+        |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)
+        |  WHERE a <> b),
+        |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM e),
+        |v1 AS (SELECT e.a AS id, l.lbl, count(*) AS c FROM e
+        |       JOIN l0 l ON e.b = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |       FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT e.a AS id, l.lbl, count(*) AS c FROM e
+        |       JOIN l1 l ON e.b = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |       FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT e.a AS id, l.lbl, count(*) AS c FROM e
+        |       JOIN l2 l ON e.b = l.id GROUP BY 1, 2),
+        |l3 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |       FROM v3) WHERE rn = 1)
+        |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l3
         |ORDER BY doc_id""".stripMargin,
 
     // inputs quantize to 16 fractional bits so the 64-term ±sum is exact

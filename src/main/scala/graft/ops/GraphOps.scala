@@ -281,4 +281,61 @@ object GraphOps {
       }
     } finally eDist.unpersist()
   }
+
+  /**
+   * Synchronous label-propagation community detection (Raghavan-style,
+   * made DETERMINISTIC): every node starts labeled with its own id; each
+   * round, every node adopts the label with the most votes among its
+   * NEIGHBORS (undirected, self-loops dropped), ties broken to the
+   * smallest label; fixed `iters` rounds. The usual LPA randomizes tie
+   * order — this variant is RNG-free, so any engine replays it
+   * bit-for-bit, and a fixed round count sidesteps the oscillation that
+   * makes convergence-based LPA nondeterministic on bipartite motifs.
+   * The domain/topic clustering pass a link-graph corpus runs next to
+   * [[pageRank]] — where [[graft.ops.DedupOps.connectedComponents]]
+   * answers "reachable at all?", this answers "densely knit together?".
+   *
+   * Per round: ONE edge⋈labels hash join shuffled into a
+   * `(node, label)` count — the exchange carries label VOTES (bounded
+   * by the edge count), never adjacency lists — then a combinable
+   * struct-min argmax per node. Each round's labels become a persisted
+   * plan-truncated leaf ([[IterPlan]]: O(nodes) state, no 2^rounds plan
+   * blowup), previous leaves released eagerly. The undirected edge set
+   * is symmetric, so every node appears as a source and votes cover
+   * every node — no outer-join re-attach pass.
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ew = IterPlan.persistedLeaf(und)
+      var labels = IterPlan.persistedLeaf(
+        ew.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl")))
+      try {
+        var i = 0
+        while (i < iters) {
+          val votes = ew.join(labels, ew("b") === labels("id"))
+            .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+          val next = IterPlan.persistedLeaf(
+            votes.groupBy(col("a"))
+              .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+                .as("m"))
+              .select(col("a").as("id"), col("m.l").as("lbl")))
+          labels.unpersist()
+          labels = next
+          i += 1
+        }
+        labels.select(col("id"), col("lbl").as("community"))
+          .localCheckpoint(true)
+      } finally {
+        labels.unpersist(); ew.unpersist()
+      }
+    } finally und.unpersist()
+  }
 }

@@ -231,6 +231,37 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation matches the plain-Scala synchronous LPA on random graphs") {
+    import graft.ops.GraphOps
+    for (seed <- 1 to 3) {
+      val edges = Gen.listOfN(60, for {
+        a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 24L)
+      } yield (a, b)).pureApply(Gen.Parameters.default, Seed(4100L + seed))
+        .distinct
+      val got = GraphOps.labelPropagation(edges.toDF("src", "dst"),
+          "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // reference: undirected, self-loops dropped, synchronous rounds,
+      // argmax by (vote count desc, label asc)
+      val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter { case (a, b) => a != b }.distinct
+      val nodes = und.map(_._1).distinct
+      val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to 3) {
+        val l0 = lbl
+        lbl = nodes.map { v =>
+          val counts = nbrs(v).groupBy(l0).view.mapValues(_.size).toMap
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      assert(got.keySet == nodes.toSet, s"seed=$seed node set")
+      nodes.foreach(v => assert(got(v) == lbl(v),
+        s"seed=$seed node $v: got ${got(v)} want ${lbl(v)}"))
+    }
+  }
+
   test("heavyHitters equals the exact filter on random multisets and thresholds") {
     for (seed <- 1 to 4) {
       val terms = Gen.listOfN(300, genWord)
