@@ -5366,8 +5366,12 @@ object SparkEntry {
         |       JOIN l2 l ON e.b = l.id GROUP BY 1, 2),
         |l3 AS (SELECT id, lbl FROM (SELECT id, lbl,
         |         row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-        |       FROM v3) WHERE rn = 1)
-        |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l3
+        |       FROM v3) WHERE rn = 1),
+        |nodes AS (SELECT DISTINCT a AS id FROM e0
+        |          UNION SELECT b FROM e0)
+        |SELECT n.id AS doc_id,
+        |  CAST(coalesce(l3.lbl, n.id) AS BIGINT) AS community
+        |FROM nodes n LEFT JOIN l3 ON n.id = l3.id
         |ORDER BY doc_id""".stripMargin,
 
     // inputs quantize to 16 fractional bits so the 64-term ±sum is exact

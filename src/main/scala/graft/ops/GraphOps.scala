@@ -301,19 +301,25 @@ object GraphOps {
    * struct-min argmax per node. Each round's labels become a persisted
    * plan-truncated leaf ([[IterPlan]]: O(nodes) state, no 2^rounds plan
    * blowup), previous leaves released eagerly. The undirected edge set
-   * is symmetric, so every node appears as a source and votes cover
-   * every node — no outer-join re-attach pass.
+   * is symmetric, so every node WITH a non-self neighbor appears as a
+   * source and votes cover all of them each round; a node whose only
+   * edges are self-loops has no one to vote for it and surfaces as a
+   * SINGLETON community (its own id) via one final outer re-attach —
+   * dropped silently it would vanish from the report.
    */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      .where(col("a") =!= col("b"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val ew = IterPlan.persistedLeaf(und)
+      val ew = IterPlan.persistedLeaf(
+        e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+          .where(col("a") =!= col("b"))
+          .distinct())
+      val nodes = IterPlan.persistedLeaf(
+        e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id"))).distinct())
       var labels = IterPlan.persistedLeaf(
         ew.select(col("a").as("id")).distinct()
           .select(col("id"), col("id").as("lbl")))
@@ -331,11 +337,13 @@ object GraphOps {
           labels = next
           i += 1
         }
-        labels.select(col("id"), col("lbl").as("community"))
+        nodes.join(labels, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("lbl"), col("id")).as("community"))
           .localCheckpoint(true)
       } finally {
-        labels.unpersist(); ew.unpersist()
+        labels.unpersist(); ew.unpersist(); nodes.unpersist()
       }
-    } finally und.unpersist()
+    } finally e.unpersist()
   }
 }

@@ -276,9 +276,12 @@ object JoinOps {
    * `(key, ts)` are RANGE-frame *peers* — every duplicate sees the
    * identical frame in any engine, so input order never changes the
    * output (contrast a ROWS frame, where tie order leaks into the
-   * result). Rows with a NULL value are excluded from the stats AND
-   * the output, keeping `roll_n` consistent with `roll_sum`. Pass a
-   * decimal `valueCol` when `roll_sum` must be bitwise reproducible.
+   * result). Rows with a NULL value OR NULL time are excluded from the
+   * stats AND the output, keeping `roll_n` consistent with `roll_sum`
+   * (and matching [[graft.streaming.StreamingOps.rollingStatsStream]],
+   * the online half of the pair — a null time has no place on a
+   * timeline). Pass a decimal `valueCol` when `roll_sum` must be
+   * bitwise reproducible.
    *
    * 100 TB: per-task state is the frame's rows for one key at one
    * instant — bounded by the densest `windowMicros` span, not the key's
@@ -289,11 +292,12 @@ object JoinOps {
                  valueCol: String, windowMicros: Long): DataFrame = {
     require(windowMicros >= 0,
       s"windowMicros must be >= 0, got $windowMicros")
-    require(!events.columns.contains("__us"),
-      "input uses reserved working column __us")
+    val reserved = Seq("__us", "roll_n", "roll_sum", "roll_min", "roll_max")
+    require(!events.columns.exists(reserved.contains),
+      s"input uses reserved working/output column(s) ${reserved.mkString(", ")}")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
       .rangeBetween(-windowMicros, 0)
-    events.where(col(valueCol).isNotNull)
+    events.where(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
       .select(col(keyCol), col(tsCol), col(valueCol),
         count(lit(1)).over(w).as("roll_n"),

@@ -177,18 +177,29 @@ object StreamingOps {
    *
    * State per key is the observation deque inside the trailing window
    * of that key's LATEST timestamp — bounded by window density (rate ×
-   * `windowMicros`), never by history; everything older is dropped the
-   * moment a newer event arrives. Values ride as exact scale-6 integers
-   * (the decimal(18,6) contract of the batch op), summed in Long
-   * arithmetic, so every stat replays bitwise: sum/min/max convert to
-   * double by ONE exact-integer division by 1e6, avg adds the same
-   * single double division the batch plan runs, rounded HALF_UP like
-   * Spark's `round`. Duplicate timestamps are PEERS, exactly as in the
-   * batch RANGE frame: all same-µs rows join the window first, then
+   * `windowMicros`), never by history: everything older is dropped the
+   * moment a newer event arrives, and an idle key's whole deque expires
+   * LOSSLESSLY once the watermark passes `lastTs + windowMicros` (any
+   * surviving future row has `ts ≥ watermark`, so its frame cutoff
+   * already clears the expired deque — the event-time timeout removes
+   * only state no future frame can reference). Values ride as exact
+   * scale-6 integers (the decimal(18,6) contract of the batch op):
+   * sum/min/max convert to double through java.math.BigDecimal — the
+   * SAME correctly-rounded decimal→double cast the batch plan runs, at
+   * ANY magnitude — the sum adds via `Math.addExact` (a window summing
+   * past ~9.2e12 fails LOUDLY instead of wrapping; the batch decimal
+   * path errors under ANSI at the same point), and avg adds the single
+   * double division the batch plan runs, rounded HALF_UP like Spark's
+   * `round`. Rows with a NULL value OR NULL time are excluded, exactly
+   * as in the batch op. Duplicate timestamps are PEERS, exactly as in
+   * the batch RANGE frame: all same-µs rows join the window first, then
    * each emits the identical stats. Within a micro-batch rows sort by
-   * event time; ACROSS batches the op assumes per-key batch-monotonic
-   * event time (commit-ordered ingest — the [[gapAlertStream]]
-   * assumption).
+   * event time; ACROSS batches the op requires per-key STRICTLY
+   * increasing event time at µs granularity (commit-ordered ingest —
+   * the [[gapAlertStream]] assumption, strict here because an
+   * already-emitted row cannot be retro-corrected in append mode when
+   * its peer lands in a later batch): a seam violation fails LOUDLY
+   * instead of silently diverging from the batch numbers.
    */
   def rollingStatsStream(events: DataFrame, tsCol: String, keyCol: String,
                          valueCol: String, windowMicros: Long,
@@ -198,25 +209,26 @@ object StreamingOps {
     require(windowMicros >= 0, s"windowMicros must be >= 0, got $windowMicros")
     val spark = events.sparkSession
     import spark.implicits._
+    def dec6(x6: Long): Double =
+      java.math.BigDecimal.valueOf(x6, 6).doubleValue()
     def toOut(key: Long, ts: java.sql.Timestamp, v6: Long,
               win: scala.collection.Seq[RollObs]): RollOut = {
       val n = win.size.toLong
       var s6 = 0L; var mn6 = Long.MaxValue; var mx6 = Long.MinValue
       win.foreach { o =>
-        s6 += o.v6
+        s6 = Math.addExact(s6, o.v6)
         if (o.v6 < mn6) mn6 = o.v6
         if (o.v6 > mx6) mx6 = o.v6
       }
-      val sum = s6.toDouble / 1e6
+      val sum = dec6(s6)
       // mirror Spark's Round-on-double exactly: BigDecimal.valueOf (the
       // Double.toString path), NOT the exact-binary constructor
       val avg = java.math.BigDecimal.valueOf(sum / n)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      RollOut(key, ts, v6.toDouble / 1e6, n, sum,
-        mn6.toDouble / 1e6, mx6.toDouble / 1e6, avg)
+      RollOut(key, ts, dec6(v6), n, sum, dec6(mn6), dec6(mx6), avg)
     }
     val keyed = events
-      .where(col(valueCol).isNotNull)
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("timestamp").as("ts"),
         (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
@@ -226,30 +238,51 @@ object StreamingOps {
         col("v6"))
       .as[RollIn]
       .groupByKey(_.key)
-    keyed.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+    keyed.flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
       (key: Long, rows: Iterator[RollIn], state: GroupState[RollState]) => {
-        val batch = rows.toVector.sortBy(_.tsRaw)
-        var win = state.getOption.map(_.obs.toVector).getOrElse(Vector.empty)
-        val out = Vector.newBuilder[RollOut]
-        var i = 0
-        while (i < batch.length) {
-          // peers: admit ALL same-µs rows to the window, then emit each
-          var j = i
-          while (j < batch.length && batch(j).tsRaw == batch(i).tsRaw) {
-            win :+= RollObs(batch(j).tsRaw, batch(j).v6)
-            j += 1
+        if (state.hasTimedOut) {
+          // watermark > lastTs + window: no future frame can reach any
+          // deque entry (surviving rows have ts >= watermark) — removal
+          // is lossless
+          state.remove()
+          Iterator.empty
+        } else {
+          val batch = rows.toVector.sortBy(_.tsRaw)
+          var win = state.getOption.map(_.obs.toVector).getOrElse(Vector.empty)
+          if (win.nonEmpty && batch.nonEmpty && batch.head.tsRaw <= win.last.tsRaw)
+            throw new IllegalStateException(
+              s"rollingStatsStream: key $key received event time " +
+                s"${batch.head.tsRaw}µs <= the previous batch's max " +
+                s"${win.last.tsRaw}µs — per-key event time must be STRICTLY " +
+                "increasing across micro-batches (commit-ordered ingest); " +
+                "an already-emitted row cannot be retro-corrected, so this " +
+                "would silently diverge from the batch rollingAgg numbers")
+          val out = Vector.newBuilder[RollOut]
+          var i = 0
+          while (i < batch.length) {
+            // peers: admit ALL same-µs rows to the window, then emit each
+            var j = i
+            while (j < batch.length && batch(j).tsRaw == batch(i).tsRaw) {
+              win :+= RollObs(batch(j).tsRaw, batch(j).v6)
+              j += 1
+            }
+            val cutoff = batch(i).tsRaw - windowMicros
+            win = win.dropWhile(_.tsRaw < cutoff)
+            var k = i
+            while (k < j) {
+              out += toOut(key, batch(k).ts, batch(k).v6, win)
+              k += 1
+            }
+            i = j
           }
-          val cutoff = batch(i).tsRaw - windowMicros
-          win = win.dropWhile(_.tsRaw < cutoff)
-          var k = i
-          while (k < j) {
-            out += toOut(key, batch(k).ts, batch(k).v6, win)
-            k += 1
+          if (win.nonEmpty) {
+            state.update(RollState(win))
+            // µs → ms, rounded UP so the timeout never fires early
+            state.setTimeoutTimestamp((win.last.tsRaw + windowMicros) / 1000L + 1L)
           }
-          i = j
+          out.result().iterator
         }
-        state.update(RollState(win))
-        out.result().iterator
       })
   }
 

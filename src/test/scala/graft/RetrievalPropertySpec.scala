@@ -242,24 +242,33 @@ class RetrievalPropertySpec extends AnyFunSuite {
           "src", "dst", iters = 3)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-      // reference: undirected, self-loops dropped, synchronous rounds,
-      // argmax by (vote count desc, label asc)
+      // reference: undirected, self-loops dropped from VOTING (a node
+      // whose only edges are self-loops stays a singleton community),
+      // synchronous rounds, argmax by (vote count desc, label asc)
       val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
         .filter { case (a, b) => a != b }.distinct
-      val nodes = und.map(_._1).distinct
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val voting = und.map(_._1).distinct
       val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      var lbl = nodes.map(v => v -> v).toMap
+      var lbl = voting.map(v => v -> v).toMap
       for (_ <- 1 to 3) {
         val l0 = lbl
-        lbl = nodes.map { v =>
+        lbl = voting.map { v =>
           val counts = nbrs(v).groupBy(l0).view.mapValues(_.size).toMap
           v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
         }.toMap
       }
       assert(got.keySet == nodes.toSet, s"seed=$seed node set")
-      nodes.foreach(v => assert(got(v) == lbl(v),
-        s"seed=$seed node $v: got ${got(v)} want ${lbl(v)}"))
+      nodes.foreach(v => assert(got(v) == lbl.getOrElse(v, v),
+        s"seed=$seed node $v: got ${got(v)} want ${lbl.getOrElse(v, v)}"))
     }
+    // a node whose ONLY edges are self-loops must surface as a singleton
+    // community, not vanish (1<->2 oscillates back to self-labels in 2
+    // synchronous rounds — the deterministic bipartite 2-cycle)
+    val single = graft.ops.GraphOps.labelPropagation(
+        Seq((5L, 5L), (1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == Map(5L -> 5L, 1L -> 1L, 2L -> 2L), s"got $single")
   }
 
   test("heavyHitters equals the exact filter on random multisets and thresholds") {
