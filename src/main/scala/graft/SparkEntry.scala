@@ -3283,6 +3283,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "m50_image_downsample" -> ((s, dir) => {
+      // 2:1 box-filter image resize through the REAL codec; every output
+      // channel value graded via integer checksums — the oracle rebuilds
+      // the pixels from the fixture formula and replays the truncating
+      // 2x2 block average
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val imgs = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+      MultimodalOps.imageDownsample(imgs, factor = 2)
+        .select(col("media_id"), posexplode(col("pixels")))
+        .groupBy("media_id").agg(
+          count(lit(1)).as("n_vals"),
+          sum(col("col")).as("vsum"),
+          sum(col("col") * ((col("pos") % 97) + 1)).as("wsum"))
+        .select(col("media_id"), col("n_vals"),
+          col("vsum").cast("long").as("vsum"),
+          col("wsum").cast("long").as("wsum"))
+        .orderBy("media_id")
+    }),
+
     "m48_audio_downsample" -> ((s, dir) => {
       // 2:1 box-filter decimation through the REAL codec; every output
       // sample graded via integer checksums (count, Σ|s|, position-
@@ -6059,6 +6078,32 @@ object SparkEntry {
     // silence flags, and the gaps-and-islands merge all recomputed in SQL
     // PCM rebuilt from the fixture formula; truncating pair-average
     // replayed with DuckDB's truncating //
+    // pixel formula: v(x,y,c) = (id*31 + ((y*w0+x)*3 + c)*7) % 256;
+    // output (x,y) averages the 2x2 block at (2x,2y), truncating //
+    "m50_image_downsample" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 3 AS w0, doc_id % 4 + 2 AS h0
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT media_id, w0, x.x AS x, y.y AS y, c.c AS c
+        |  FROM imgs
+        |  CROSS JOIN generate_series(0, 3) AS x(x)
+        |  CROSS JOIN generate_series(0, 1) AS y(y)
+        |  CROSS JOIN generate_series(0, 2) AS c(c)
+        |  WHERE x.x < w0 // 2 AND y.y < h0 // 2
+        |), o AS (
+        |  SELECT media_id, ((y * (w0 // 2)) + x) * 3 + c AS pos,
+        |    (  (media_id*31 + (((2*y)*w0 + 2*x)*3 + c)*7) % 256
+        |     + (media_id*31 + (((2*y)*w0 + 2*x + 1)*3 + c)*7) % 256
+        |     + (media_id*31 + (((2*y + 1)*w0 + 2*x)*3 + c)*7) % 256
+        |     + (media_id*31 + (((2*y + 1)*w0 + 2*x + 1)*3 + c)*7) % 256) // 4 AS v
+        |  FROM px
+        |)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_vals,
+        |  CAST(sum(v) AS BIGINT) AS vsum,
+        |  CAST(sum(v * ((pos % 97) + 1)) AS BIGINT) AS wsum
+        |FROM o GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "m48_audio_downsample" ->
       """WITH clips AS (
         |  SELECT doc_id AS media_id FROM documents WHERE doc_id < 200

@@ -286,6 +286,83 @@ object MediaAHashUtil {
     if (kind == null || kind.toString != "image") null else aHash64(content)
 }
 
+/** Static call targets for image resampling. */
+object MediaImageUtil {
+  /** Decode through the real codec (javax.imageio) and box-filter by
+    * averaging each `factor`×`factor` pixel block per RGB channel with
+    * TRUNCATING integer division (matches SQL `//` on the non-negative
+    * channel sums); trailing partial rows/columns are dropped (no
+    * partial blocks). Output is the row-major `(y, x, c∈{R,G,B})`
+    * channel-value array of the `w/factor × h/factor` result. Null for
+    * undecodable bytes. */
+  def boxDownsample(content: Array[Byte], factor: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (content == null || content.isEmpty || factor < 1) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    val w2 = w / factor; val h2 = h / factor
+    val n = factor.toLong * factor
+    val out = new Array[Long](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var r = 0L; var g = 0L; var b = 0L
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            val argb = img.getRGB(x * factor + dx, y * factor + dy)
+            r += (argb >> 16) & 0xff
+            g += (argb >> 8) & 0xff
+            b += argb & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        val base = (y * w2 + x) * 3
+        out(base) = r / n; out(base + 1) = g / n; out(base + 2) = b / n
+        x += 1
+      }
+      y += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `image_box_downsample(content, factor)`: decode through the real image
+  * codec and shrink by a truncating `factor`×`factor` block average per
+  * RGB channel — anti-aliased resize, the thumbnail/preprocess step an
+  * image pipeline runs before feature extraction. All-integer, so an SQL
+  * oracle replays every output channel value from known pixels. */
+case class ImageBoxDownsampleExpr(child: Expression, factor: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_box_downsample"
+
+  override def nullSafeEval(c: Any): Any =
+    MediaImageUtil.boxDownsample(c.asInstanceOf[Array[Byte]], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.freshName("shrunk")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $d =
+         |  graft.ops.MediaImageUtil.boxDownsample($c, $factor);
+         |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d; }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): ImageBoxDownsampleExpr =
+    copy(child = c)
+}
+
 /** `image_ahash(kind, content)` as a native codegen expression — the
   * perceptual-hash mirror of [[DecodeFeaturesExpr]]: real codec decode on
   * executors, inside WholeStageCodegen, null for non-image kinds and
@@ -836,6 +913,28 @@ object MultimodalOps {
         ColumnBridge.expression(
           coalesce(col("content"), lit(Array.emptyByteArray))),
         factor)).as("samples"))
+  }
+
+  /**
+   * Image downsampling: decode through the REAL codec and shrink by a
+   * `factor`×`factor` box filter — the anti-aliased thumbnail/resize
+   * every image pipeline runs before feature extraction (block
+   * averaging is the box anti-alias; bare subsampling aliases). Per-RGB
+   * truncating integer division matches SQL `//` (channel sums are
+   * non-negative), so an integer oracle replays every output value.
+   * Map-only codegen: pixels never leave their task — output is the
+   * row-major channel-value array of the shrunk image.
+   *
+   * Output: (media_id, pixels array<bigint>).
+   */
+  def imageDownsample(media: DataFrame, factor: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media.select(col("media_id"),
+      ColumnBridge.column(ImageBoxDownsampleExpr(
+        ColumnBridge.expression(
+          coalesce(col("content"), lit(Array.emptyByteArray))),
+        factor)).as("pixels"))
   }
 
   /**

@@ -1081,6 +1081,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("imageDownsample: shrunk channel values equal the plain-Scala box average") {
+    // ids chosen to cover odd widths/heights (trailing row/col dropped):
+    // id 0 -> 3x2, id 4 -> 7x2, id 9 -> 6x3
+    val ids = Seq(0L, 4L, 9L)
+    val imgs = MultimodalOps.syntheticImageCorpus(ids.toDF("doc_id"), "doc_id")
+    val got = MultimodalOps.imageDownsample(imgs, factor = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def v(id: Long, w0: Int, x: Int, y: Int, c: Int): Long =
+      Math.floorMod(id * 31L + ((y.toLong * w0 + x) * 3L + c) * 7L, 256L)
+    ids.foreach { id =>
+      val w0 = (id % 6 + 3).toInt; val h0 = (id % 4 + 2).toInt
+      val want = for {
+        y <- 0 until h0 / 2; x <- 0 until w0 / 2; c <- 0 until 3
+      } yield (v(id, w0, 2 * x, 2 * y, c) + v(id, w0, 2 * x + 1, 2 * y, c) +
+        v(id, w0, 2 * x, 2 * y + 1, c) + v(id, w0, 2 * x + 1, 2 * y + 1, c)) / 4
+      assert(got(id) == want, s"image $id box downsample mismatch " +
+        s"(w0=$w0 h0=$h0): got ${got(id)} want $want")
+    }
+    // undecodable bytes -> null, not a crash
+    import org.apache.spark.sql.functions.{col, lit}
+    val junk = Seq(1L).toDF("media_id")
+      .select(col("media_id"), lit("junk".getBytes).as("content"))
+    assert(MultimodalOps.imageDownsample(junk).head().isNullAt(1))
+  }
+
   test("audioSilenceSegments: real-codec energies match the PCM formula") {
     val ids = Seq(0L, 1L, 7L)
     val clips = MultimodalOps.syntheticAudioCorpus(ids.toDF("doc_id"), "doc_id")
