@@ -184,6 +184,21 @@ object SparkEntry {
       c.unionByName(su).orderBy("name", "src")
     }),
 
+    "q25_set_ops" -> ((s, dir) => {
+      // the remaining SQL set surfaces beyond q10's UNION ALL: INTERSECT
+      // and EXCEPT (both DISTINCT semantics — Spark's intersect/except
+      // match ANSI), over the nations two customer-activity slices touch
+      val active = t(s, dir, "customer").where("c_acctbal > 5000")
+        .select(col("c_nationkey").as("nk"))
+      val indebted = t(s, dir, "customer").where("c_acctbal < 0")
+        .select(col("c_nationkey").as("nk"))
+      val both = active.intersect(indebted)
+        .select(col("nk"), lit("both").as("which"))
+      val onlyActive = active.except(indebted)
+        .select(col("nk"), lit("only_active").as("which"))
+      both.unionByName(onlyActive).orderBy("which", "nk")
+    }),
+
     "q11_semi_join" -> ((s, dir) => {
       t(s, dir, "customer")
         .join(t(s, dir, "orders").where("o_orderdate >= '2000-01-01'"),
@@ -3737,6 +3752,17 @@ object SparkEntry {
         | UNION ALL
         | SELECT s_name AS name, 'supplier' AS src FROM supplier WHERE s_acctbal > 9000
         |) ORDER BY name, src""".stripMargin,
+
+    "q25_set_ops" ->
+      """WITH active AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000),
+        |indebted AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < 0)
+        |SELECT * FROM (
+        |  SELECT nk, 'both' AS which FROM (
+        |    SELECT nk FROM active INTERSECT SELECT nk FROM indebted)
+        |  UNION ALL
+        |  SELECT nk, 'only_active' AS which FROM (
+        |    SELECT nk FROM active EXCEPT SELECT nk FROM indebted)
+        |) ORDER BY which, nk""".stripMargin,
 
     "q11_semi_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_custs FROM customer
