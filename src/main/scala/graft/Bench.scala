@@ -82,10 +82,12 @@ object Bench {
     // two-phase hash-order selection over the whole corpus
     "d96_temperature_mix",
     // round-12 close: trailing-window rolling stats (one exchange + a
-    // sliding RANGE frame — the leakage-free feature primitive) and PMI
+    // sliding RANGE frame — the leakage-free feature primitive), PMI
     // collocation mining (two tokenize passes, every unigram consumer on
-    // one reused exchange)
-    "j11_rolling_stats", "d100_pmi_collocations")
+    // one reused exchange), and deterministic label-propagation
+    // communities (per-round vote-count shuffles on plan-truncated
+    // leaves — the third iterative graph workload next to PageRank)
+    "j11_rolling_stats", "d100_pmi_collocations", "d101_label_propagation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
