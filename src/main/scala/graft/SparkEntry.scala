@@ -2391,6 +2391,26 @@ object SparkEntry {
         .orderBy("user_id", "gap_start")
     }),
 
+    "s65_stream_zscore_alert" -> ((s, dir) => {
+      // j12's anomaly gate ONLINE: the alerting half — graded by j12's
+      // own oracle (train/serve parity, same deque machinery as s64)
+      val ev = tStream(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val alerts = graft.streaming.StreamingOps.rollingZscoreStream(
+        ev, "ts", "user_id", "value", windowMicros = 21600000000L,
+        zThreshold = 1.5)
+      val sink = s"s65_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = alerts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("key").as("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          col("roll_n"), col("zscore"), col("is_anomaly"))
+        .orderBy("user_id", "ts", "value")
+    }),
+
     "s64_stream_rolling" -> ((s, dir) => {
       // j11's trailing 6h rolling stats computed ONLINE per event —
       // train/serve parity: the drain grades against j11's own oracle
@@ -2462,6 +2482,20 @@ object SparkEntry {
           col("roll_max").cast("double").as("roll_max"),
           round(col("roll_sum").cast("double") / col("roll_n"), 6)
             .as("roll_avg"))
+        .orderBy("user_id", "ts", "value")
+    }),
+
+    "j12_rolling_zscore" -> ((s, dir) => {
+      // self-calibrating outlier gate: each event's z-score against its
+      // user's trailing 6h — exact decimal frame sums, then an
+      // operation-order-pinned double chain both engines replay bitwise
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          col("value").cast("decimal(18,6)").as("v"))
+      JoinOps.rollingZscore(ev, "ts", "user_id", "v",
+          windowMicros = 21600000000L, zThreshold = 1.5)
+        .select(col("user_id"), col("ts"), col("v").cast("double").as("value"),
+          col("roll_n"), col("zscore"), col("is_anomaly"))
         .orderBy("user_id", "ts", "value")
     }),
 
@@ -3396,6 +3430,27 @@ object SparkEntry {
       |  CAST(roll_max AS DOUBLE) AS roll_max,
       |  ROUND(CAST(roll_sum AS DOUBLE) / roll_n, 6) AS roll_avg
       |FROM r ORDER BY user_id, ts, value""".stripMargin
+
+  /** Shared rolling-zscore oracle (j12 batch, s65 streaming). */
+  private lazy val ZscoreOracleSql: String =
+    """WITH ev AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v
+      |            FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT user_id, ts, v,
+      |    CAST(count(*) OVER w AS BIGINT) AS roll_n,
+      |    CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w AS mean,
+      |    CAST(sum(v * v) OVER w AS DOUBLE) / count(*) OVER w AS msq
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)),
+      |z AS (SELECT user_id, ts, v, roll_n,
+      |    CASE WHEN greatest(msq - mean * mean, 0) = 0 THEN NULL
+      |         ELSE (CAST(v AS DOUBLE) - mean)
+      |              / sqrt(greatest(msq - mean * mean, 0)) END AS zraw
+      |  FROM r)
+      |SELECT user_id, ts, CAST(v AS DOUBLE) AS value, roll_n,
+      |  ROUND(zraw, 6) AS zscore,
+      |  CASE WHEN zraw IS NULL THEN NULL ELSE ABS(zraw) > 1.5 END AS is_anomaly
+      |FROM z ORDER BY user_id, ts, value""".stripMargin
 
   /** Shared BM25 oracle (d76 one-shot, d82 persisted-index round trip —
     * both must produce the identical ranking): Robertson idf, dyadic
@@ -5541,6 +5596,12 @@ object SparkEntry {
     // the single drain's per-key window-deque carry replays the batch
     // RANGE frame event for event (train/serve parity)
     "s64_stream_rolling" -> RollingOracleSql,
+
+    // exact decimal frame sums + an operation-order-pinned double chain
+    // (two divisions, multiply, subtract, IEEE-exact sqrt, divide);
+    // the anomaly flag tests the UNROUNDED z, like the engine
+    "j12_rolling_zscore" -> ZscoreOracleSql,
+    "s65_stream_zscore_alert" -> ZscoreOracleSql,
 
     // the single drain's per-key last-ts carry replays the batch lag
     "s63_stream_gap_alert" -> GapOracleSql,

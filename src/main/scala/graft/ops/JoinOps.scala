@@ -306,6 +306,51 @@ object JoinOps {
         max(col(valueCol)).over(w).as("roll_max"))
   }
 
+  /**
+   * Trailing-window z-score anomaly detection: every observation gets
+   * its deviation from the key's OWN recent behavior — `z = (x − mean) /
+   * stddev` over the trailing `[ts − windowMicros, ts]` frame — the
+   * self-calibrating outlier gate a metrics pipeline runs where a fixed
+   * threshold can't hold across keys with different baselines. Same
+   * single-exchange RANGE-frame plan as [[rollingAgg]] (no self-join,
+   * duplicate timestamps are peers, NULL value/time rows excluded).
+   *
+   * Determinism: with a DECIMAL `valueCol` both frame sums (Σv, Σv²)
+   * are exact; every double step after them — two divisions, one
+   * multiply, one subtract, `sqrt` (exactly rounded per IEEE-754), one
+   * divide — is correctly rounded, so any IEEE engine replaying the
+   * SAME operation order produces the bitwise-equal z. The population
+   * variance is clamped at 0 (float cancellation can leave a tiny
+   * negative); a zero-variance frame (n = 1, or all-equal values)
+   * yields NULL z — no anomaly verdict without spread.
+   *
+   * Output: input row + `roll_n`, `zscore` (rounded to 6),
+   * `is_anomaly` (`|z| > zThreshold`, NULL when z is NULL).
+   */
+  def rollingZscore(events: DataFrame, tsCol: String, keyCol: String,
+                    valueCol: String, windowMicros: Long,
+                    zThreshold: Double = 3.0): DataFrame = {
+    require(windowMicros >= 0,
+      s"windowMicros must be >= 0, got $windowMicros")
+    val reserved = Seq("__us", "roll_n", "zscore", "is_anomaly")
+    require(!events.columns.exists(reserved.contains),
+      s"input uses reserved working/output column(s) ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+      .rangeBetween(-windowMicros, 0)
+    val v = col(valueCol)
+    val n = count(lit(1)).over(w)
+    val mean = sum(v).over(w).cast("double") / n
+    val msq = sum(v * v).over(w).cast("double") / n
+    val vr = greatest(msq - mean * mean, lit(0.0))
+    val z = when(vr === 0.0, lit(null).cast("double"))
+      .otherwise((v.cast("double") - mean) / sqrt(vr))
+    events.where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .select(col(keyCol), col(tsCol), col(valueCol),
+        n.as("roll_n"), round(z, 6).as("zscore"),
+        (abs(z) > zThreshold).as("is_anomaly"))
+  }
+
   def resampleInterp(events: DataFrame, tsCol: String, keyCol: String,
                      valueCol: String, step: String = "1 hour",
                      truncUnit: String = "hour"): DataFrame = {

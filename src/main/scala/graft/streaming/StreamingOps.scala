@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
  *     it processed and reads exactly the files added after it (fast appends
  *     never rewrite files, so the diff IS the new data; no dedup pass).
  */
-object StreamingOps {
+// Serializable: local emit functions defined in this module's methods
+// lift to module methods, so executor-bound closures (the rolling-window
+// flatMapGroupsWithState lambdas) capture the module reference itself —
+// it serializes as the singleton proxy and deserializes back to MODULE$.
+object StreamingOps extends Serializable {
 
   /**
    * In-flight benchmark decontamination: flag every streamed document that
@@ -157,6 +161,22 @@ object StreamingOps {
   final case class DedupOut(content_hash: String, id: Long, keep: Boolean,
                             first_id: Long, dup_index: Long)
 
+  /** Executor-side arithmetic for the rolling-window streams — its OWN
+    * serializable holder so emit closures don't drag the enclosing
+    * module into the task closure. */
+  private[streaming] object RollMath extends Serializable {
+    /** Exact scale-6 integer → the correctly-rounded double, i.e. the
+      * SAME conversion as Spark's decimal→double cast at any magnitude. */
+    def dec6(x6: Long): Double =
+      java.math.BigDecimal.valueOf(x6, 6).doubleValue()
+
+    /** Spark's Round-on-double exactly: BigDecimal.valueOf (the
+      * Double.toString path), NOT the exact-binary constructor. */
+    def roundLikeSpark(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   final case class RollIn(key: Long, ts: java.sql.Timestamp, tsRaw: Long,
                           v6: Long)
   final case class RollObs(tsRaw: Long, v6: Long)
@@ -205,14 +225,8 @@ object StreamingOps {
                          valueCol: String, windowMicros: Long,
                          watermark: String = "10 minutes")
       : org.apache.spark.sql.Dataset[RollOut] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    require(windowMicros >= 0, s"windowMicros must be >= 0, got $windowMicros")
-    val spark = events.sparkSession
-    import spark.implicits._
-    def dec6(x6: Long): Double =
-      java.math.BigDecimal.valueOf(x6, 6).doubleValue()
     def toOut(key: Long, ts: java.sql.Timestamp, v6: Long,
-              win: scala.collection.Seq[RollObs]): RollOut = {
+              win: Vector[RollObs]): RollOut = {
       val n = win.size.toLong
       var s6 = 0L; var mn6 = Long.MaxValue; var mx6 = Long.MinValue
       win.foreach { o =>
@@ -221,12 +235,79 @@ object StreamingOps {
         if (o.v6 > mx6) mx6 = o.v6
       }
       val sum = dec6(s6)
-      // mirror Spark's Round-on-double exactly: BigDecimal.valueOf (the
-      // Double.toString path), NOT the exact-binary constructor
-      val avg = java.math.BigDecimal.valueOf(sum / n)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      RollOut(key, ts, dec6(v6), n, sum, dec6(mn6), dec6(mx6), avg)
+      RollOut(key, ts, dec6(v6), n, sum, dec6(mn6), dec6(mx6),
+        roundLikeSpark(sum / n))
     }
+    rollingWindowStream(events, tsCol, keyCol, valueCol, windowMicros,
+      watermark)(toOut)(org.apache.spark.sql.Encoders.product[RollOut])
+  }
+
+  final case class RollZOut(key: Long, ts: java.sql.Timestamp, value: Double,
+                            roll_n: Long, zscore: java.lang.Double,
+                            is_anomaly: java.lang.Boolean)
+
+  /**
+   * ONLINE trailing-window z-score anomaly detection —
+   * [[graft.ops.JoinOps.rollingZscore]] per arriving event, the alerting
+   * half of that gate (an anomaly is only useful while it's news). Same
+   * deque state machine, same strictness, same oracle as the batch op:
+   * both frame sums (Σv, Σv²) ride exact integers (the square sum as a
+   * BigInteger — scale-12 products overflow a Long), and every double
+   * step after them repeats the batch plan's operation order (two
+   * divisions, multiply, subtract, IEEE-exact sqrt, divide), so the
+   * drain equals the batch output bitwise. Zero-variance frames yield
+   * NULL z / NULL verdict, exactly as in batch.
+   */
+  def rollingZscoreStream(events: DataFrame, tsCol: String, keyCol: String,
+                          valueCol: String, windowMicros: Long,
+                          zThreshold: Double = 3.0,
+                          watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[RollZOut] = {
+    def toOut(key: Long, ts: java.sql.Timestamp, v6: Long,
+              win: Vector[RollObs]): RollZOut = {
+      val n = win.size.toLong
+      var s6 = 0L
+      var q = java.math.BigInteger.ZERO
+      win.foreach { o =>
+        s6 = Math.addExact(s6, o.v6)
+        q = q.add(java.math.BigInteger.valueOf(o.v6)
+          .multiply(java.math.BigInteger.valueOf(o.v6)))
+      }
+      val mean = dec6(s6) / n
+      val msq = new java.math.BigDecimal(q, 12).doubleValue() / n
+      val vr = math.max(msq - mean * mean, 0.0)
+      if (vr == 0.0) RollZOut(key, ts, dec6(v6), n, null, null)
+      else {
+        val z = (dec6(v6) - mean) / math.sqrt(vr)
+        RollZOut(key, ts, dec6(v6), n, roundLikeSpark(z),
+          java.lang.Boolean.valueOf(math.abs(z) > zThreshold))
+      }
+    }
+    rollingWindowStream(events, tsCol, keyCol, valueCol, windowMicros,
+      watermark)(toOut)(org.apache.spark.sql.Encoders.product[RollZOut])
+  }
+
+  private def dec6(x6: Long): Double = RollMath.dec6(x6)
+  private def roundLikeSpark(d: Double): Double = RollMath.roundLikeSpark(d)
+
+  /** Shared per-key trailing-window deque state machine behind
+    * [[rollingStatsStream]] and [[rollingZscoreStream]]: NULL value/time
+    * rows excluded, values as exact scale-6 integers, same-µs rows
+    * admitted as PEERS before any of them emits, strictly-increasing
+    * per-key event time across micro-batches enforced LOUDLY, and
+    * lossless EventTimeTimeout expiry of idle keys' deques at
+    * `lastTs + windowMicros` (surviving future rows sit at or above the
+    * watermark, so their frame cutoff clears the expired deque). */
+  private def rollingWindowStream[O](
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowMicros: Long, watermark: String)(
+      emit: (Long, java.sql.Timestamp, Long, Vector[RollObs]) => O)(
+      implicit enc: org.apache.spark.sql.Encoder[O])
+      : org.apache.spark.sql.Dataset[O] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowMicros >= 0, s"windowMicros must be >= 0, got $windowMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
     val keyed = events
       .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).cast("long").as("key"),
@@ -252,13 +333,13 @@ object StreamingOps {
           var win = state.getOption.map(_.obs.toVector).getOrElse(Vector.empty)
           if (win.nonEmpty && batch.nonEmpty && batch.head.tsRaw <= win.last.tsRaw)
             throw new IllegalStateException(
-              s"rollingStatsStream: key $key received event time " +
+              s"rollingWindowStream: key $key received event time " +
                 s"${batch.head.tsRaw}µs <= the previous batch's max " +
                 s"${win.last.tsRaw}µs — per-key event time must be STRICTLY " +
                 "increasing across micro-batches (commit-ordered ingest); " +
                 "an already-emitted row cannot be retro-corrected, so this " +
-                "would silently diverge from the batch rollingAgg numbers")
-          val out = Vector.newBuilder[RollOut]
+                "would silently diverge from the batch rolling numbers")
+          val out = Vector.newBuilder[O]
           var i = 0
           while (i < batch.length) {
             // peers: admit ALL same-µs rows to the window, then emit each
@@ -271,7 +352,7 @@ object StreamingOps {
             win = win.dropWhile(_.tsRaw < cutoff)
             var k = i
             while (k < j) {
-              out += toOut(key, batch(k).ts, batch(k).v6, win)
+              out += emit(key, batch(k).ts, batch(k).v6, win)
               k += 1
             }
             i = j

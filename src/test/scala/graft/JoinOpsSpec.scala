@@ -385,6 +385,34 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(nShuffles == 1, s"one window exchange only:\n$planStr")
   }
 
+  test("rollingZscore: hand-computed z, zero-variance null, threshold on unrounded z") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 2.0),  // n=1, var=0 -> z null, flag null
+      (1L, "2024-01-01 00:30:00", 5.0),  // frame {2,5}: mean 3.5, std 1.5, z=1.0
+      (2L, "2024-01-01 00:00:00", 4.0),
+      (2L, "2024-01-01 00:30:00", 4.0),  // all-equal frame -> var 0 -> null
+      (3L, "2024-01-01 00:00:00", 0.0),
+      (3L, "2024-01-01 00:30:00", 10.0)) // frame {0,10}: mean 5, std 5, z=1.0
+      .toDF("uid", "s", "v")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"),
+        col("v").cast("decimal(18,6)").as("v"))
+    val got = JoinOps.rollingZscore(ev, "ts", "uid", "v",
+        windowMicros = 3600000000L, zThreshold = 0.9)
+      .orderBy("uid", "ts")
+      .select("uid", "roll_n", "zscore", "is_anomaly")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)),
+        if (r.isNullAt(3)) null else java.lang.Boolean.valueOf(r.getBoolean(3))))
+    assert(got.toSeq == Seq(
+      (1L, 1L, null, null),
+      (1L, 2L, java.lang.Double.valueOf(1.0), java.lang.Boolean.TRUE),
+      (2L, 1L, null, null),
+      (2L, 2L, null, null), // identical values: zero spread, no verdict
+      (3L, 1L, null, null),
+      (3L, 2L, java.lang.Double.valueOf(1.0), java.lang.Boolean.TRUE)))
+  }
+
   test("resampleLocf: hourly grid spans trunc(min)..max, carries across gaps, null before first obs") {
     val ev = Seq(
       (1L, "2024-01-01 00:30:00", 1.0),

@@ -2044,6 +2044,38 @@ class OpsSpec extends AnyFunSuite {
         s"($oneIter @ 1 iter, $fourIters @ 4 iters)")
   }
 
+  test("labelPropagation: exactly two driver actions per iteration") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("src", "dst")
+    // same QueryExecutionListener protocol as the pageRank action audit
+    def actionsFor(iters: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = counter.incrementAndGet()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            error: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        GraphOps.labelPropagation(edges, "src", "dst", iters = iters).count()
+        var last = -1
+        while (counter.get != last) { last = counter.get; Thread.sleep(200) }
+        counter.get
+      } finally spark.listenerManager.unregister(l)
+    }
+    val oneIter = actionsFor(1)
+    val fourIters = actionsFor(4)
+    // the only per-round work is the next-labels persisted leaf, which
+    // costs two tracked actions: the plan-truncating RDD conversion and
+    // its eager count (same per-leaf profile as pageRank's audit)
+    assert(fourIters - oneIter == 6,
+      s"expected 2 actions/iteration (delta 6), got ${fourIters - oneIter} " +
+        s"($oneIter @ 1 iter, $fourIters @ 4 iters)")
+  }
+
   test("topKBinaryQuant: exact at full rerank depth; useful recall at depth 32") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count().toInt
