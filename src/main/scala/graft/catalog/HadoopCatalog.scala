@@ -66,10 +66,17 @@ final class HadoopCatalog(
     * Scan forward from the hint, adopt the highest existing version, and
     * repair the hint. */
   private def readVersion(ident: TableIdent): Int = {
-    var v =
-      if (fs.exists(hintPath(ident))) readFile(hintPath(ident)).trim.toInt
-      else if (fs.exists(versionPath(ident, 1))) 1 // hint lost entirely
+    // the hint rewrite truncates-then-writes, so a concurrent reader can
+    // observe it empty or partial — treat an unparseable hint exactly
+    // like a lost one (the version-file scan below recovers the truth)
+    val hinted: Option[Int] =
+      if (fs.exists(hintPath(ident)))
+        scala.util.Try(readFile(hintPath(ident)).trim.toInt).toOption
+      else None
+    var v = hinted.getOrElse {
+      if (fs.exists(versionPath(ident, 1))) 1 // hint lost or mid-rewrite
       else throw new NoSuchTableError(s"Table does not exist: $ident")
+    }
     var advanced = false
     while (fs.exists(versionPath(ident, v + 1))) { v += 1; advanced = true }
     if (advanced) writeFile(hintPath(ident), v.toString, overwrite = true)

@@ -215,11 +215,29 @@ private[graft] object CatalogUtil {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p))
       throw new NoSuchTableError(s"Metadata file does not exist: $location")
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    MetadataJson.read(new String(buf, "UTF-8"))
+    // the commit CAS is create-if-absent, so the version file is VISIBLE
+    // before its content lands — a concurrent reader (streaming sources
+    // resolve the table every trigger) can catch it empty or truncated.
+    // Re-read briefly: a writer finishes in milliseconds, and a genuinely
+    // malformed file still surfaces its ORIGINAL parse error after the
+    // retry budget.
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < 40) {
+      val len = fs.getFileStatus(p).getLen
+      if (len > 0L) {
+        val buf = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        try return MetadataJson.read(new String(buf, "UTF-8"))
+        catch { case scala.util.control.NonFatal(e) => last = e }
+      }
+      attempt += 1
+      if (attempt < 40) Thread.sleep(25)
+    }
+    if (last != null) throw last
+    throw new GraftError(
+      s"metadata file still empty after retries (writer crashed mid-commit?): $location")
   }
 
   def writeMetadataFile(p: Path, meta: TableMetadata, conf: Configuration,
