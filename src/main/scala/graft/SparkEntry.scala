@@ -2743,6 +2743,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d103_ngram_novelty" -> ((s, dir) => {
+      // per-doc memorization exposure over the planted-near-dup corpus:
+      // distinct 8-gram share appearing in ANY other doc; exact integer
+      // counts, one rounded division per doc
+      CorpusOps.ngramNovelty(corpusWithNearDups(s, dir), "doc_id", "text",
+          n = 8)
+        .orderBy("doc_id")
+    }),
+
     "d34_minhash_pairs" -> ((s, dir) => {
       // Exact oracle: the full O(n²) cross-join Jaccard in DuckDB. The LSH
       // banding (8 bands × 4 rows) deterministically finds every pair with
@@ -4709,6 +4718,34 @@ object SparkEntry {
         |SELECT src_id, nbr_id,
         | CAST(row_number() OVER (PARTITION BY src_id ORDER BY c DESC, nbr_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 3 ORDER BY src_id, rank""".stripMargin,
+
+    // exact integer gram counts; the one division per doc replays after
+    // the same coalesce/zero-guard the engine applies
+    "d103_ngram_novelty" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0
+         |), toks AS (SELECT doc_id, $ToksSql AS t FROM corpus),
+         |grams AS (
+         | SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+         |     i -> md5(array_to_string(t[i:i+7], ' ')))
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         | FROM toks),
+         |dfq AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |          CAST(count(CASE WHEN df >= 2 THEN 1 END) AS BIGINT) AS n_shared
+         |        FROM grams JOIN dfq USING (gram) GROUP BY 1)
+         |SELECT c.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_shared, 0) AS n_shared,
+         |  CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+         |       ELSE ROUND(1.0 - CAST(coalesce(n_shared, 0) AS DOUBLE)
+         |                        / coalesce(n_grams, 0), 6) END AS novelty
+         |FROM corpus c LEFT JOIN per USING (doc_id) ORDER BY c.doc_id""".stripMargin,
 
     "d34_minhash_pairs" ->
       s"""WITH corpus AS (

@@ -145,6 +145,44 @@ object CorpusOps {
       g => lower(hex(g.getField("h")))))
 
   /**
+   * Per-document n-gram NOVELTY audit: how much of each document appears
+   * verbatim elsewhere in the corpus — `n_grams` (distinct word
+   * `n`-grams), `n_shared` (those also in ≥ 1 OTHER document), and
+   * `novelty = 1 − n_shared/n_grams`. The corpus-wide memorization/
+   * duplication exposure report a release gate reads as a distribution:
+   * [[graft.ops.DedupOps.duplicateSpanStats]] answers WHERE the copies
+   * sit; this answers HOW MUCH per document, cheaper (no positions, no
+   * islands merge). Documents shorter than `n` tokens surface as
+   * `(0, 0, NULL)` through the final re-attach — silence would read as
+   * "nothing to audit".
+   *
+   * 100 TB plan: ONE exploded (gram-hash, doc) shuffle — grams are
+   * md5-hashed and per-doc distinct, so per-gram doc counts are a plain
+   * count — and the per-doc re-join meets it on the same gram key; the
+   * gram subplan feeds both sides of that join through exchange reuse.
+   * The novelty division happens once per DOC, on exact integer counts.
+   */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(idCol),
+      explode(gramSet(col(textCol), n)).as("gram"))
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val per = grams.join(docFreq, "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__df") >= 2, 1)).as("n_shared"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(1.0) - col("n_shared").cast("double") / col("n_grams"), 6)))
+  }
+
+  /**
    * Train/test decontamination: which training documents share at least
    * one word `n`-gram with any test/benchmark document (the standard
    * "n-gram collision" contamination test). Returns one row per

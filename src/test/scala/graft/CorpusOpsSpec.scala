@@ -42,6 +42,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("york", "new", 2L, 0.575364)))
   }
 
+  test("ngramNovelty: shared-gram fractions, within-doc dups count once, short docs surface") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  // grams {g(1..8), g(2..9)}
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 x"),   // shares g(1..8) with doc 1
+      (3L, "p p p p p p p p p"),           // 2 positions, ONE distinct gram, unshared
+      (4L, "a b"))                         // < 8 tokens -> (0, 0, null)
+      .toDF("doc_id", "text")
+    val got = CorpusOps.ngramNovelty(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, java.lang.Double.valueOf(0.5)),
+      (2L, 2L, 1L, java.lang.Double.valueOf(0.5)),
+      (3L, 1L, 0L, java.lang.Double.valueOf(1.0)),
+      (4L, 0L, 0L, null)))
+  }
+
   test("repetitionSignals: dup-line fractions, char weighting, blank filter, top-gram") {
     val docs = Seq(
       (1L, "aaa bbb\naaa bbb\nccc"), // 2 dup lines of 3; dup chars 14/17
