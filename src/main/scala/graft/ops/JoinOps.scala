@@ -164,8 +164,11 @@ object JoinOps {
                    valueCols: Seq[String], step: String = "1 hour",
                    truncUnit: String = "hour"): DataFrame = {
     require(valueCols.nonEmpty, "resampleLocf needs at least one value column")
+    // __t0 re-cast to the INPUT time type: date_trunc widens NTZ to
+    // session-tz TIMESTAMP, and the grid's type IS the output's
     val bounds = events.agg(
-      date_trunc(truncUnit, min(col(tsCol))).as("__t0"),
+      date_trunc(truncUnit, min(col(tsCol)))
+        .cast(events.schema(tsCol).dataType).as("__t0"),
       max(col(tsCol)).as("__t1"))
     val grid = events.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
@@ -219,12 +222,23 @@ object JoinOps {
    * open/close consistent with high/low). Pass a decimal `valueCol` when
    * `vsum` must be bitwise reproducible — a double sum is
    * partial-order-dependent.
+   *
+   * The `bucket` column preserves the INPUT time column's timestamp
+   * type: Spark's `date_trunc` silently widens TIMESTAMP_NTZ to
+   * session-tz TIMESTAMP (LTZ), and letting that escape changes the
+   * logical type of the result even though every value is identical
+   * (the r12 j09/s60 hash failure) — so an NTZ input is cast back.
    */
   def downsampleOhlc(events: DataFrame, tsCol: String, keyCol: String,
                      valueCol: String,
-                     truncUnit: String = "hour"): DataFrame =
+                     truncUnit: String = "hour"): DataFrame = {
+    val bucket = events.schema(tsCol).dataType match {
+      case TimestampNTZType =>
+        date_trunc(truncUnit, col(tsCol)).cast(TimestampNTZType)
+      case _ => date_trunc(truncUnit, col(tsCol))
+    }
     events.where(col(valueCol).isNotNull)
-      .groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("bucket"))
+      .groupBy(col(keyCol), bucket.as("bucket"))
       .agg(
         min(struct(col(tsCol).as("t"), col(valueCol).as("v"))).as("__o"),
         max(col(valueCol)).as("high"),
@@ -235,6 +249,7 @@ object JoinOps {
       .select(col(keyCol), col("bucket"), col("__o.v").as("open"),
         col("high"), col("low"), col("__c.v").as("close"),
         col("n_obs"), col("vsum"))
+  }
 
   /**
    * Time-series gap detection: one row per consecutive-observation gap
@@ -358,8 +373,10 @@ object JoinOps {
     require(!events.columns.exists(reserved.contains),
       s"input uses reserved working column(s) ${reserved.mkString(", ")}")
     val tsType = events.schema(tsCol).dataType
+    // __t0 re-cast to the INPUT time type (see resampleLocf) so the
+    // grid∪observations union never coerces NTZ up to session-tz LTZ
     val bounds = events.agg(
-      date_trunc(truncUnit, min(col(tsCol))).as("__t0"),
+      date_trunc(truncUnit, min(col(tsCol))).cast(tsType).as("__t0"),
       max(col(tsCol)).as("__t1"))
     val grid = events.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
@@ -393,7 +410,9 @@ object JoinOps {
         lit(null).cast("double"))
       .when(bt === col("__ts"), bv)
       .otherwise(bv + (fv - bv) * frac)
-    carried.select(col(keyCol), col("__ts").as(tsCol),
+    // __ts re-cast to the INPUT time type: the union coerced the grid's
+    // date_trunc-widened session-tz TIMESTAMP over the NTZ observations
+    carried.select(col(keyCol), col("__ts").cast(tsType).as(tsCol),
       interp.as(s"interp_$valueCol"))
   }
 

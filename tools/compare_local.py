@@ -7,9 +7,38 @@ import json
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def spark_ts_kinds(files):
+    """Per-column timestamp kind from the PARQUET footer, not the fetched
+    values: Spark writes LTZ as INT96 (or INT64 isAdjustedToUTC=true) and
+    NTZ as INT64 isAdjustedToUTC=false, while DuckDB/pandas fetch both back
+    as naive datetimes — which is exactly how the r12 j09/s60 LTZ leak
+    passed this mimic while failing the driver's type-aware hasher."""
+    kinds = {}
+    sch = pq.ParquetFile(files[0]).schema
+    for i in range(len(sch)):
+        c = sch.column(i)
+        if str(c.physical_type) == "INT96":
+            kinds[c.name] = "ltz"
+        elif c.logical_type is not None and \
+                str(c.logical_type).startswith("Timestamp"):
+            adj = "isAdjustedToUTC=true" in str(c.logical_type)
+            kinds[c.name] = "ltz" if adj else "ntz"
+    return kinds
+
+
+def oracle_ts_kinds(con, sql):
+    kinds = {}
+    for row in con.execute(f"DESCRIBE ({sql})").fetchall():
+        name, typ = row[0], row[1].upper()
+        if typ.startswith("TIMESTAMP"):
+            kinds[name] = "ltz" if "WITH TIME ZONE" in typ else "ntz"
+    return kinds
 
 
 def norm(rows):
@@ -64,6 +93,17 @@ def main():
         socols = sorted(ocols)
         if scols != socols:
             print(f"FAIL {q}: column mismatch spark={scols} oracle={socols}")
+            n_bad += 1
+            continue
+        sk = spark_ts_kinds(glob.glob(f"{outdir}/{q}/*.parquet"))
+        ok_kinds = oracle_ts_kinds(con, oracle[q])
+        tsbad = [c for c in scols
+                 if sk.get(c, ok_kinds.get(c)) != ok_kinds.get(c, sk.get(c))]
+        if tsbad:
+            print(f"FAIL {q}: timestamp TYPE mismatch on {tsbad}: "
+                  f"spark={{{', '.join(f'{c}:{sk.get(c)}' for c in tsbad)}}} vs "
+                  f"oracle={{{', '.join(f'{c}:{ok_kinds.get(c)}' for c in tsbad)}}} "
+                  f"(tz-aware vs naive hashes differently in the driver)")
             n_bad += 1
             continue
         a, b = norm(rows), norm(orows)
