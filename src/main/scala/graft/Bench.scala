@@ -55,9 +55,11 @@ object Bench {
     // (8-byte sign words on the candidate scan)
     "d79_heavy_hitters", "d81_decontaminate_spans", "e52_knn_binary",
     // round-12: the persisted BM25 index round trip — build + term-
-    // bucketed table write + reload + vocabulary-pruned search (the
-    // amortized shape repeated query batches pay off against)
-    "d82_bm25_index",
+    // bucketed table write + reload + vocabulary-pruned search; round-13
+    // splits out the AMORTIZED half (search against the standing memoized
+    // index — the warm run pays the one-time build) so the per-batch cost
+    // a real deployment repeats is its own number (r12 verdict item)
+    "d82_bm25_index", "d82_bm25_search_only",
     // round-12 late: histogram-exact per-group percentiles (no corpus
     // sort), the Matryoshka prefix-rank/full-rerank two-stage top-k,
     // and LOCF grid resampling (generated left side + sorted-union as-of)
@@ -111,12 +113,18 @@ object Bench {
     val results = headline.flatMap { name =>
       // steady-state timing: first execution compiles the plan (codegen,
       // broadcast build) — that one-time cost is not the per-query rate a
-      // cluster sees, so time the second run
+      // cluster sees, so time runs 2-4 and report the MEDIAN: single-run
+      // times on sub-second queries scattered ±25% round over round from
+      // JVM/GC noise (r12 verdict item), and a median of 3 is noise-robust
+      // without changing the JSON shape
       try {
         runOnce(name)
-        val t0 = System.nanoTime()
-        runOnce(name)
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val times = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          runOnce(name)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(name -> times(1))
       } catch {
         case t: Throwable =>
           errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)

@@ -71,6 +71,32 @@ object SparkEntry {
         .when(col("vec_id") % 107 === 0, lit(null).cast("array<float>"))
         .otherwise(col("embedding")).as("embedding"))
 
+  /** Per-(session, sfDir) memoized PERSISTED BM25 index, reloaded through
+    * DSv2: built on first use, so `d82_bm25_search_only` pays the build +
+    * table write exactly once (the bench's warm run) and its steady-state
+    * timing is the SEARCH against a standing index — the amortized shape a
+    * deployment with repeated query batches actually pays, which the
+    * all-in-one d82 round trip hides (r12 verdict item). */
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+  private def persistedBm25Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bm25IndexCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val (postings, stats) = CorpusOps.bm25Index(docs, "doc_id", "text")
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-cache-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val pSchema = SparkSchemaConverter.fromSpark(postings.schema)
+      val pTbl = cat.createTable("bm25_postings", pSchema,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          pSchema.fieldByName("term").get.id, 1000, "term_bucket", "bucket[16]"))))
+      pTbl.append(postings)
+      val sTbl = cat.createTable("bm25_stats",
+        SparkSchemaConverter.fromSpark(stats.schema))
+      sTbl.append(stats)
+      (s.read.format("graft").load(pTbl.location),
+        s.read.format("graft").load(sTbl.location))
+    })
+
   /** The documents table plus a deterministic near-duplicate of every 5th
     * doc (last token dropped, id offset +1000000) — gives the near-dup
     * operators true positives to find without synthesizing data. */
@@ -1984,6 +2010,60 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "d82_bm25_search_only" -> ((s, dir) => {
+      // the AMORTIZED half of d82: search against the standing persisted
+      // index (memoized per session+sf — built once, then every call is
+      // vocab-pruned scan + score). Same queries, same oracle; in the
+      // bench the warm run pays the build so the steady-state number is
+      // what repeated query batches cost against the index.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where("doc_id % 97 = 0")
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 4), " ").as("qtext"))
+      val (postings, stats) = persistedBm25Index(s, dir)
+      CorpusOps.bm25SearchIndexed(postings, stats,
+          queries, "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
+    "d104_bm25_incremental" -> ((s, dir) => {
+      // INCREMENTAL index maintenance: the base index covers 4/5 of the
+      // corpus; the last fifth arrives as an ingest batch folded in via
+      // appendToBm25Index — delta postings APPENDED (new snapshot), the
+      // one-row stats table OVERWRITTEN (snapshot-versioned), the base
+      // corpus never re-read. Graded by the same full-corpus oracle as
+      // d76/d82: hash equality proves incrementally-maintained ==
+      // from-scratch rebuild, bitwise.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val base = docs.where("doc_id % 5 != 4")
+      val delta = docs.where("doc_id % 5 = 4")
+      val queries = docs.where("doc_id % 97 = 0")
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 4), " ").as("qtext"))
+      val (postings, stats) = CorpusOps.bm25Index(base, "doc_id", "text")
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-inc-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val pSchema = SparkSchemaConverter.fromSpark(postings.schema)
+      val pTbl = cat.createTable("bm25_postings", pSchema,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          pSchema.fieldByName("term").get.id, 1000, "term_bucket", "bucket[16]"))))
+      pTbl.append(postings)
+      val sTbl = cat.createTable("bm25_stats",
+        SparkSchemaConverter.fromSpark(stats.schema))
+      sTbl.append(stats)
+      val (deltaPostings, mergedStats) = CorpusOps.appendToBm25Index(
+        s.read.format("graft").load(pTbl.location),
+        s.read.format("graft").load(sTbl.location),
+        delta, "doc_id", "text")
+      pTbl.append(deltaPostings)
+      sTbl.overwrite(mergedStats)
+      CorpusOps.bm25SearchIndexed(
+          s.read.format("graft").load(pTbl.location),
+          s.read.format("graft").load(sTbl.location),
+          queries, "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
     "d77_lm_cross_score" -> ((s, dir) => {
       // cross-corpus perplexity filter (CCNet recipe): train the trigram
       // LM on the trusted third of the corpus, score EVERY document
@@ -2451,6 +2531,31 @@ object SparkEntry {
       s.table(sink)
         .select(col("user_id"), col("bucket"), col("open"), col("high"),
           col("low"), col("close"), col("n_obs").cast("long").as("n_obs"),
+          col("vsum").cast("double").as("vsum"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    "s66_stream_ohlc_append" -> ((s, dir) => {
+      // the PRODUCTION form s60's docstring sketches: watermark +
+      // window() in APPEND mode, so streaming state is bounded by OPEN
+      // windows only and each bar emits exactly once when the watermark
+      // passes its window end. The oracle is the batch OHLC restricted
+      // to watermark-closed buckets (the s42 cutoff: bucket end <=
+      // ms-floored max event time - 10 min).
+      // watermarks need TIMESTAMP (session tz UTC makes the cast exact)
+      val ev = tStream(s, dir, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val bars = graft.streaming.StreamingOps.ohlcBars(ev, "ts", "user_id", "v")
+      val sink = s"s66_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = bars
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("user_id"), col("bucket").cast("timestamp_ntz").as("bucket"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_obs").cast("long").as("n_obs"),
           col("vsum").cast("double").as("vsum"))
         .orderBy("user_id", "bucket")
     }),
@@ -3689,6 +3794,25 @@ object SparkEntry {
       |JOIN w o ON o.user_id = a.user_id AND o.bucket = a.bucket AND o.ro = 1
       |JOIN w c ON c.user_id = a.user_id AND c.bucket = a.bucket AND c.rc = 1
       |ORDER BY a.user_id, a.bucket""".stripMargin
+
+  /** [[OhlcOracleSql]] restricted to watermark-CLOSED hourly buckets —
+    * the s42 cutoff (bucket end <= ms-floored max event time - 10 min,
+    * the watermark over ALL events incl. null-value rows) — grading the
+    * append-mode streaming twin s66. */
+  private lazy val OhlcAppendOracleSql: String = {
+    val cut = """FROM agg a
+      |JOIN w o ON o.user_id = a.user_id AND o.bucket = a.bucket AND o.ro = 1
+      |JOIN w c ON c.user_id = a.user_id AND c.bucket = a.bucket AND c.rc = 1
+      |CROSS JOIN (SELECT date_trunc('milliseconds', max(ts))
+      |              - INTERVAL 10 MINUTE AS wm FROM events) mx
+      |WHERE a.bucket + INTERVAL 1 HOUR <= mx.wm
+      |ORDER BY a.user_id, a.bucket""".stripMargin
+    OhlcOracleSql.replace(
+      """FROM agg a
+        |JOIN w o ON o.user_id = a.user_id AND o.bucket = a.bucket AND o.ro = 1
+        |JOIN w c ON c.user_id = a.user_id AND c.bucket = a.bucket AND c.rc = 1
+        |ORDER BY a.user_id, a.bucket""".stripMargin, cut)
+  }
 
   private val KnnOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -5264,6 +5388,8 @@ object SparkEntry {
     // vocabulary filter) must return EXACTLY what the recompute form
     // does — same oracle
     "d82_bm25_index" -> Bm25OracleSql,
+    "d82_bm25_search_only" -> Bm25OracleSql,
+    "d104_bm25_incremental" -> Bm25OracleSql,
 
     // model trains on the doc_id % 3 = 0 third; Laplace floor for unseen
     "d77_lm_cross_score" ->
@@ -5614,6 +5740,7 @@ object SparkEntry {
     // the OHLC aggregate is micro-batch-associative, so the drained
     // stream grades against j09's batch oracle verbatim
     "s60_stream_ohlc" -> OhlcOracleSql,
+    "s66_stream_ohlc_append" -> OhlcAppendOracleSql,
 
     // stream-stream inner interval join drains to exactly the batch join
     "s61_stream_interval_join" ->

@@ -138,6 +138,34 @@ object StreamingOps extends Serializable {
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** APPEND-mode OHLC bars: the [[graft.ops.JoinOps.downsampleOhlc]]
+    * aggregate declared over an event-time `window()` with a watermark —
+    * the production form of s60's Complete-mode drain: state holds ONE
+    * fixed-size row per (key, OPEN window) regardless of observation
+    * volume, and a bar emits exactly once when the watermark passes its
+    * window end (Complete mode keeps every window forever). The watermark
+    * reads the UNfiltered stream — null-value rows carry event time and
+    * must advance it exactly like the batch oracle's `max(ts)` — and only
+    * then are null values excluded from the stats (the downsampleOhlc
+    * rule). `bucket` = window start. */
+  def ohlcBars(events: DataFrame, tsCol: String, keyCol: String,
+               valueCol: String, windowLen: String = "1 hour",
+               watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), window(col(tsCol), windowLen))
+      .agg(
+        min(struct(col(tsCol).as("t"), col(valueCol).as("v"))).as("__o"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(struct(col(tsCol).as("t"), col(valueCol).as("v"))).as("__c"),
+        count(lit(1)).as("n_obs"),
+        sum(col(valueCol)).as("vsum"))
+      .select(col(keyCol), col("window.start").as("bucket"),
+        col("__o.v").as("open"), col("high"), col("low"),
+        col("__c.v").as("close"), col("n_obs"), col("vsum"))
+
   /** Session windows per key: a session closes after `gap` of inactivity
     * (the streaming analogue of SparkEntry's q18_sessionize). Uses Spark's
     * native session_window state store — no custom state management. */

@@ -1682,6 +1682,66 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distinct terms"))
   }
 
+  test("appendToBm25Index: incremental == full rebuild, pruning survives, dup guard throws") {
+    val base = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "banana banana banana banana banana banana"),
+      (4L, "the the the the the the the the")).toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, "apple zebra"),
+      (5L, "zebra quagga okapi"),
+      (6L, "date elderberry fig grape hazelnut")).toDF("doc_id", "text")
+    val full = base.unionByName(delta)
+    val queries = Seq((100L, "apple zebra"), (200L, "banana")).toDF("qid", "qtext")
+    val (bPost, bStats) = CorpusOps.bm25Index(base, "doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft-bm25-inc-spec").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val pSchema = graft.types.SparkSchemaConverter.fromSpark(bPost.schema)
+    val pTbl = cat.createTable("postings", pSchema,
+      partitionSpec = graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(
+        pSchema.fieldByName("term").get.id, 1000, "term_bucket", "bucket[8]"))))
+    pTbl.append(bPost)
+    val sTbl = cat.createTable("stats",
+      graft.types.SparkSchemaConverter.fromSpark(bStats.schema))
+    sTbl.append(bStats)
+    val (dPost, mStats) = CorpusOps.appendToBm25Index(
+      pTbl.toDF(spark), sTbl.toDF(spark), delta, "doc_id", "text")
+    pTbl.append(dPost)
+    sTbl.overwrite(mStats)
+    // merged stats == full-rebuild stats, including the exact int totals
+    val (fullPost, fullStats) = CorpusOps.bm25Index(full, "doc_id", "text")
+    assert(sTbl.toDF(spark).collect().toSeq == fullStats.collect().toSeq)
+    // incrementally maintained postings == full rebuild (set equality —
+    // posting rows are per-document and delta docs are new)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("dl"))
+    assert(pTbl.toDF(spark).collect().map(key).toSet ==
+      fullPost.collect().map(key).toSet)
+    // search over the maintained index == search over a from-scratch one
+    val viaInc = CorpusOps.bm25SearchIndexed(pTbl.toDF(spark), sTbl.toDF(spark),
+        queries, "qid", "qtext", k = 3, k1 = 1.25, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaFull = CorpusOps.bm25Search(fullPost, fullStats,
+        queries, "qid", "qtext", k = 3, k1 = 1.25, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaInc == viaFull && viaInc.nonEmpty)
+    // the term-IN manifest pruning survives the append: a probe over a
+    // strict term subset plans fewer files than the whole table
+    val allFiles = pTbl.scan().planFiles().size
+    val probed = pTbl.scan(predicates = Seq(graft.table.InPred("term",
+      Seq("apple", "zebra", "banana")))).planFiles().size
+    assert(probed < allFiles,
+      s"term buckets did not prune after append: $probed of $allFiles files")
+    // re-indexing an already-indexed document is a silent df corruption —
+    // the guard is LOUD
+    val e = intercept[graft.InvalidDataError] {
+      CorpusOps.appendToBm25Index(pTbl.toDF(spark), sTbl.toDF(spark),
+        Seq((3L, "apple zebra")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("already"))
+  }
+
   test("trainCharTrigramLm/scoreWithLm: Laplace floor for unseen, cross-corpus parity") {
     val clean = Seq((1L, "abcabc"), (2L, "abcd")).toDF("doc_id", "text")
     val model = TextOps.trainCharTrigramLm(clean, "text")

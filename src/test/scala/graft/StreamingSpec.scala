@@ -65,6 +65,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("ohlcBars append mode: closed windows emit once, open windows stay in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, java.lang.Double)]
+    val events = mem.toDF().toDF("uid", "ts", "v")
+    val bars = StreamingOps.ohlcBars(events, "ts", "uid", "v",
+      windowLen = "1 hour", watermark = "5 minutes")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 10 closes (watermark reaches 11:10-5m > 11:00); hour 11 stays
+    // open. The null-value row at 11:10 must advance the watermark even
+    // though it joins no bar (the downsampleOhlc null rule).
+    val q = bars.writeStream.format("memory").queryName("ohlc_append")
+      .outputMode("append").start()
+    mem.addData((1L, ts(10, 5), 3.0), (1L, ts(10, 40), 9.0),
+      (1L, ts(10, 40), 1.0))
+    q.processAllAvailable()
+    // second batch: hour-11 rows advance the watermark past 11:00 (the
+    // null-value row carries the max event time even though it joins no
+    // bar — the downsampleOhlc null rule)
+    mem.addData((1L, ts(11, 2), 7.0), (1L, ts(11, 10), null))
+    q.processAllAvailable()
+    // third batch runs WITH the advanced watermark and flushes the closed
+    // hour-10 bar (emission lags the watermark advance by one batch)
+    mem.addData((1L, ts(11, 20), java.lang.Double.valueOf(7.0)))
+    q.processAllAvailable()
+    val rows = spark.table("ohlc_append")
+      .select("uid", "bucket", "open", "high", "low", "close", "n_obs")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    // ONLY the closed hour-10 bar emitted; duplicate-ts tie takes max v
+    // for close (struct-max over (t, v))
+    assert(rows.toSeq == Seq((1L, ts(10, 0), 3.0, 9.0, 1.0, 9.0, 3L)))
+    // the scale claim: state holds only the OPEN window (hour 11), not
+    // every window ever seen — Complete mode would hold both
+    val state = q.lastProgress.stateOperators
+    assert(state.nonEmpty && state.head.numRowsTotal == 1L,
+      s"state should hold exactly the open window: ${state.map(_.numRowsTotal).mkString(",")}")
+    q.stop()
+  }
+
   test("intervalJoinStreams: dual MemoryStreams, in-window matches only, both buffers live") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
