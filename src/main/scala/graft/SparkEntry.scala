@@ -2064,6 +2064,49 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s67_stream_bm25_index" -> ((s, dir) => {
+      // STREAMED lexical-index maintenance (the e53 treatment for BM25,
+      // the streaming twin of d104): the base index covers 3/5 of the
+      // corpus; the rest arrives as TWO table commits consumed as
+      // micro-batches, each folded in by bm25IndexStream — delta
+      // postings appended, the one-row stats table overwritten from
+      // exact integer totals, both commits batch-id-stamped so replays
+      // skip. Search over the grown index grades against the same
+      // full-corpus oracle as d76/d82/d104: the standing index never
+      // drifts from a from-scratch rebuild.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where("doc_id % 97 = 0")
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 4), " ").as("qtext"))
+      val base = docs.where("doc_id % 5 <= 2")
+      val wh = java.nio.file.Files.createTempDirectory("graft-s67-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val src = cat.createTable("default.delta_src",
+        SparkSchemaConverter.fromSpark(docs.schema))
+      src.append(docs.where("doc_id % 5 = 3"))
+      src.refresh().append(docs.where("doc_id % 5 = 4"))
+      val (postings, stats) = CorpusOps.bm25Index(base, "doc_id", "text")
+      val pSchema = SparkSchemaConverter.fromSpark(postings.schema)
+      val pTbl = cat.createTable("bm25_postings", pSchema,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          pSchema.fieldByName("term").get.id, 1000, "term_bucket", "bucket[16]"))))
+      pTbl.append(postings)
+      val sTbl = cat.createTable("bm25_stats",
+        SparkSchemaConverter.fromSpark(stats.schema))
+      sTbl.append(stats)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-s67-cp").toString
+      val q = graft.streaming.StreamingOps.bm25IndexStream(
+        s.readStream.format("graft").load(src.location).select("doc_id", "text"),
+        "doc_id", "text", pTbl, sTbl, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      pTbl.refresh(); sTbl.refresh()
+      CorpusOps.bm25SearchIndexed(
+          s.read.format("graft").load(pTbl.location),
+          s.read.format("graft").load(sTbl.location),
+          queries, "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
+        .orderBy("query_id", "rank")
+    }),
+
     "d77_lm_cross_score" -> ((s, dir) => {
       // cross-corpus perplexity filter (CCNet recipe): train the trigram
       // LM on the trusted third of the corpus, score EVERY document
@@ -5390,6 +5433,7 @@ object SparkEntry {
     "d82_bm25_index" -> Bm25OracleSql,
     "d82_bm25_search_only" -> Bm25OracleSql,
     "d104_bm25_incremental" -> Bm25OracleSql,
+    "s67_stream_bm25_index" -> Bm25OracleSql,
 
     // model trains on the doc_id % 3 = 0 third; Laplace floor for unseen
     "d77_lm_cross_score" ->

@@ -553,6 +553,49 @@ object StreamingOps extends Serializable {
       assignmentsTable, checkpointDir)
 
   /**
+   * Streaming BM25 index maintenance: each micro-batch of NEW documents
+   * folds into the persisted lexical index via
+   * [[graft.ops.CorpusOps.appendToBm25Index]] — delta postings APPENDED,
+   * the one-row stats table OVERWRITTEN with totals merged from the
+   * exact integer counts both rows carry, so the standing index always
+   * equals a from-scratch rebuild over everything ingested (the e53
+   * treatment for lexical retrieval). Per-batch cost is O(batch): the
+   * batch is tokenized once, the base corpus is never re-read, and the
+   * per-document disjointness guard is skipped because the ingest
+   * contract (exactly-once, append-only) already guarantees fresh ids.
+   *
+   * Exactly-once across the TWO tables without a cross-table
+   * transaction: both commits are stamped with the (query, batch) id and
+   * checked independently, and postings commit FIRST — a crash between
+   * the two replays the batch, finds postings already stamped, skips it,
+   * and re-runs only the stats merge, whose input (the still-unstamped
+   * stats table) is exactly the pre-batch state it needs. Deterministic
+   * delta postings make the replayed append byte-equivalent.
+   */
+  def bm25IndexStream(stream: DataFrame, idCol: String, textCol: String,
+                      postingsTable: Table, statsTable: Table,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scope = queryScope(batch.sparkSession, checkpointDir)
+        postingsTable.refresh()
+        statsTable.refresh()
+        val summary = Map(
+          "streaming-query-id" -> scope,
+          "streaming-batch-id" -> batchId.toString)
+        val (deltaPostings, mergedStats) = graft.ops.CorpusOps.appendToBm25Index(
+          postingsTable.toDF(batch.sparkSession),
+          statsTable.toDF(batch.sparkSession),
+          batch, idCol, textCol, checkDisjoint = false)
+        if (!lastCommittedBatchId(postingsTable, scope).exists(_ >= batchId))
+          postingsTable.append(deltaPostings, summary)
+        if (!lastCommittedBatchId(statsTable, scope).exists(_ >= batchId))
+          statsTable.overwrite(mergedStats, summary)
+      }
+      .start()
+
+  /**
    * Streaming UPSERT into a graft table (CDC shape): each micro-batch
    * commits equality-delete files on `keys` plus the batch as new data
    * files, atomically — later batches override earlier rows with the same

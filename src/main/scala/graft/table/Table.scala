@@ -2005,7 +2005,12 @@ final class Table(
 
   /** Copy-on-write overwrite: atomically replace the table's entire
     * contents with `df` (one snapshot; old snapshots keep their files). */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Unit = overwrite(df, Map.empty[String, String])
+
+  /** [[overwrite]] with extra snapshot-summary entries (e.g. the streaming
+    * query/batch stamps [[graft.streaming.StreamingOps]] uses for
+    * exactly-once replay detection). */
+  def overwrite(df: DataFrame, extraSummary: Map[String, String]): Unit = {
     val cat = catalog.getOrElse(throw new GraftError("this table is read-only"))
     val aligned = AppendUtil.align(df, meta.currentSchema)
     val commitUuid = java.util.UUID.randomUUID().toString
@@ -2022,7 +2027,7 @@ final class Table(
       try {
         meta = cat.commitTable(ident, base,
           buildRewriteMetadata(base, Nil, affected, newFiles, s"$commitUuid-$attempt",
-            keepParentDeleteManifests = false))
+            keepParentDeleteManifests = false, extraSummary = extraSummary))
         committed = true
       } catch {
         case e: CommitConflictError =>

@@ -427,6 +427,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.lastCommittedBatchId(aTbl).contains(1L))
   }
 
+  test("bm25IndexStream: streamed deltas keep the lexical index equal to a rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "apple banana cherry apple"),
+      (2L, "banana banana banana")).toDF("doc_id", "text")
+    val d1 = Seq((3L, "apple zebra"))
+    val d2 = Seq((4L, "zebra quagga okapi"), (5L, "date fig"))
+    val (bPost, bStats) = graft.ops.CorpusOps.bm25Index(base, "doc_id", "text")
+    val cat = new MemoryCatalog()
+    val pTbl = cat.createTable("bm25_post",
+      graft.types.SparkSchemaConverter.fromSpark(bPost.schema))
+    pTbl.append(bPost)
+    val sTbl = cat.createTable("bm25_stats",
+      graft.types.SparkSchemaConverter.fromSpark(bStats.schema))
+    sTbl.append(bStats)
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-ckpt").toString
+    val q = StreamingOps.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pTbl, sTbl, ckpt)
+    try {
+      mem.addData(d1: _*)
+      q.processAllAvailable()
+      mem.addData(d2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the maintained index equals a from-scratch rebuild over everything
+    // ingested: postings row set AND the exact stats row
+    val full = base.unionByName((d1 ++ d2).toDF("doc_id", "text"))
+    val (fPost, fStats) = graft.ops.CorpusOps.bm25Index(full, "doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("dl"))
+    assert(pTbl.refresh().toDF(spark).collect().map(key).toSet ==
+      fPost.collect().map(key).toSet)
+    assert(sTbl.refresh().toDF(spark).collect().toSeq == fStats.collect().toSeq)
+    // BOTH tables carry the replay stamp of the last micro-batch — the
+    // per-table exactly-once contract the two-commit fold relies on
+    assert(StreamingOps.lastCommittedBatchId(pTbl).contains(1L))
+    assert(StreamingOps.lastCommittedBatchId(sTbl).contains(1L))
+  }
+
   test("streaming WAP: micro-batches stage on a branch until fastForward") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
