@@ -3167,6 +3167,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e62_knn_ivfpq_index" -> ((s, dir) => {
+      // PERSISTED IVF+PQ index — the canonical billion-scale composition
+      // (e47's cell pruning × e56's compressed scan) through the real
+      // storage layer: centroids + PQ codebook + ONE cell-partitioned
+      // entries table holding (vec_id, cell, codes, resid) — no raw
+      // vector copy in the index; base embeddings are read only for
+      // bound-admitted candidates. Full probe keeps it provably exact
+      // (the residual bound is unconditional within probed cells), so
+      // the three-table round trip grades against the same brute-force
+      // MIPS oracle as e45/e46/e56. Partial-probe manifest pruning is
+      // file-count-asserted in OpsSpec.
+      val emb = t(s, dir, "embeddings")
+      val (centroids, codebook, entries) = SimilarityOps.buildIvfPqIndex(
+        emb, "vec_id", "embedding", dim = 64, nlist = 16, m = 8, ksub = 16)
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfpq-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val cTbl = cat.createTable("ivfpq_centroids",
+        SparkSchemaConverter.fromSpark(centroids.schema))
+      cTbl.append(centroids)
+      val cbTbl = cat.createTable("ivfpq_codebook",
+        SparkSchemaConverter.fromSpark(codebook.schema))
+      cbTbl.append(codebook)
+      val eSchema = SparkSchemaConverter.fromSpark(entries.schema)
+      val eTbl = cat.createTable("ivfpq_entries", eSchema,
+        partitionSpec = PartitionSpec(0, Seq(PartitionField(
+          eSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
+      eTbl.append(entries)
+      SimilarityOps.topKIvfPqFromIndex(
+          s.read.format("graft").load(cTbl.location),
+          s.read.format("graft").load(cbTbl.location),
+          s.read.format("graft").load(eTbl.location),
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e54_range_search" -> ((s, dir) => {
       // cosine RANGE search — "everything at least this similar",
       // however many that is (the dedup/recall-sweep complement to
@@ -6177,6 +6215,16 @@ object SparkEntry {
     // the persisted-index search is exact under the same unconditional
     // residual bound, so the identical MIPS oracle grades the round trip
     "e56_knn_pq_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // full probe + unconditional residual bound ⇒ the persisted IVF+PQ
+    // three-table round trip grades against the brute-force MIPS oracle
+    "e62_knn_ivfpq_index" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
         |        FROM embeddings e CROSS JOIN q)

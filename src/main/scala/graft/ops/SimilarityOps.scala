@@ -1032,6 +1032,134 @@ object SimilarityOps {
     topKBy(rescored, "query_id", "vec_id", "dot", k)
   }
 
+  /**
+   * Build a PERSISTED IVF+PQ index — the [[topKIvfPq]] composition
+   * through the real storage layer, the canonical billion-scale shape:
+   * three DataFrames to store —
+   *
+   *  - centroids: [[buildIvfIndex]]'s `(cell, center)` codebook;
+   *  - codebook: [[buildPqIndex]]'s `(subspace, code, center)` quantizer;
+   *  - entries: `(vec_id, cell, codes array<int>, resid double)` — the
+   *    stored index column, 4 + m·4 + 8 bytes per vector with NO raw
+   *    vector copy (the IVF-only index stores `cvec` per row; here raw
+   *    vectors stay solely in the base table and are read only for
+   *    bound-admitted candidates). Partition the entries table by `cell`
+   *    so probe-time manifest pruning skips unprobed partitions.
+   *
+   * Both trainers share ONE hash-ordered sample pass. Cell assignment
+   * and PQ encoding are pure per-vector functions of the two codebooks,
+   * so [[addToIvfPqIndex]] grows the index incrementally with map-only
+   * delta passes.
+   */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nlist: Int = 0, m: Int = 8, ksub: Int = 16,
+                      trainSample: Int = 4096, seed: Long = 42L)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nl = resolveNlist(nlist, corpus)
+    val dsub = dim / m
+    val sample: Array[Array[Float]] =
+      sampleVectors(corpus, vecCol, trainSample).map(_.padTo(dim, 0f))
+    val centers = trainKmeans(sample, nl, iters = 10, seed)
+    val cb = new Array[Float](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val cs = trainKmeansL2(sub, ksub, iters = 10, seed + s)
+      for (c <- 0 until ksub)
+        System.arraycopy(cs(c), 0, cb, (s * ksub + c) * dsub, dsub)
+    }
+    val centroids = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center")
+      .select(col("cell"), col("center").cast("array<float>").as("center"))
+    val cbRows = for (s <- 0 until m; c <- 0 until ksub)
+      yield (s, c, cb.slice((s * ksub + c) * dsub, (s * ksub + c + 1) * dsub).toSeq)
+    val codebook = cbRows.toDF("subspace", "code", "center")
+      .select(col("subspace"), col("code"),
+        col("center").cast("array<float>").as("center"))
+    val entries = corpus
+      .select(col(idCol).as("vec_id"),
+        GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"),
+        GraftFunctions.pq_encode(col(vecCol), cb, m, ksub, dsub).as("__pq"))
+      .select(col("vec_id"), col("cell"),
+        col("__pq.codes").as("codes"), col("__pq.resid").as("resid"))
+    (centroids, codebook, entries)
+  }
+
+  /** Encode+assign a DELTA of new vectors against an EXISTING IVF+PQ
+    * index's two codebooks — [[assignToIndex]] and [[encodeToPqIndex]] in
+    * ONE map-only pass producing [[buildIvfPqIndex]]-shaped entry rows to
+    * append. Both halves are pure per-vector functions of the persisted
+    * codebooks, and the residual bound stays unconditional, so the grown
+    * index searches exactly over the whole corpus (within the probed
+    * cells) even though neither codebook saw the delta. */
+  def addToIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, codebook: DataFrame): DataFrame = {
+    val centers = collectCentroids(centroids)
+    val (cb, m, ksub, dsub) = collectPqCodebooks(codebook)
+    delta
+      .select(col(idCol).as("vec_id"),
+        GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"),
+        GraftFunctions.pq_encode(col(vecCol), cb, m, ksub, dsub).as("__pq"))
+      .select(col("vec_id"), col("cell"),
+        col("__pq.codes").as("codes"), col("__pq.resid").as("resid"))
+  }
+
+  /**
+   * Search a persisted IVF+PQ index ([[buildIvfPqIndex]]'s three tables,
+   * read back from storage): probe → STATIC cell pruning (the probed-cell
+   * IN filter reaches the entries scan, so a cell-partitioned table
+   * manifest-prunes before a byte is read — the e47 argument) → ADC +
+   * unconditional residual bound over the COMPACT entries (the e56
+   * argument: m ints + a double per vector, never the raw embedding) →
+   * exact dot-product re-rank joining ONLY bound-admitted candidates back
+   * to the base table. Each vector lives in exactly one cell, so a
+   * (query, vector) pair meets at most once — no dedup pass. Semantics =
+   * [[topKIvfPq]]: exactly the top-k among the probed cells' vectors; at
+   * `nprobe` = cell count the result provably equals brute-force MIPS.
+   */
+  def topKIvfPqFromIndex(centroids: DataFrame, codebook: DataFrame,
+                         entries: DataFrame,
+                         corpus: DataFrame, corpusId: String, corpusVec: String,
+                         queries: DataFrame, queryId: String, queryVec: String,
+                         k: Int, nprobe: Int = 4): DataFrame = {
+    val centers = collectCentroids(centroids)
+    val (cb, m, ksub, dsub) = collectPqCodebooks(codebook)
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"),
+      GraftFunctions.pq_lut(col(queryVec), cb, m, ksub, dsub).as("lut"),
+      sqrt(GraftFunctions.dot_product(col(queryVec), col(queryVec))).as("qnorm"))
+    // static cell pruning: bounded by the CELL COUNT, not the query count
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned =
+      if (probedCells.length >= centers.length) entries
+      else entries.where(col("cell").isin(probedCells.map(Int.box): _*))
+    val bounded = pruned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.pq_adc(col("codes"), col("lut"), ksub).as("adc"),
+        (col("qnorm") * col("resid") + lit(1e-6)).as("err"))
+    val taus = bounded.groupBy("query_id")
+      .agg(GraftFunctions.top_k_by(col("adc") - col("err"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"),
+        when(size(col("__tk")) >= k,
+          element_at(col("__tk"), k).getField("score")).as("tau"))
+    val candidates = bounded
+      .join(broadcast(taus), Seq("query_id"), "left")
+      .where(col("tau").isNull || col("adc") + col("err") >= col("tau"))
+      .select("query_id", "vec_id")
+    val rescored = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
+    topKBy(rescored, "query_id", "vec_id", "dot", k)
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe. Same output shape as
     * the brute-force path; recall depends on nbits/probeBits. */
   def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,

@@ -1326,6 +1326,69 @@ class OpsSpec extends AnyFunSuite {
     assert(fromIndex == oneShot && fromIndex.nonEmpty)
   }
 
+  test("persisted IVF+PQ index: full probe exact, cell partitions prune, delta fold == rebuild") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.where("vec_id % 5 != 0")
+    val delta = emb.where("vec_id % 5 = 0")
+    val (centroids, codebook, baseEntries) = SimilarityOps.buildIvfPqIndex(
+      base, "vec_id", "embedding", dim = 64, nlist = 8, m = 8, ksub = 16)
+    // the stored entries are compact BY SCHEMA: cell + codes + resid —
+    // no raw vector copy rides the index table
+    assert(baseEntries.schema.fieldNames.toSet ==
+      Set("vec_id", "cell", "codes", "resid"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val cTbl = cat.createTable("cent",
+      graft.types.SparkSchemaConverter.fromSpark(centroids.schema))
+    cTbl.append(centroids)
+    val cbTbl = cat.createTable("cb",
+      graft.types.SparkSchemaConverter.fromSpark(codebook.schema))
+    cbTbl.append(codebook)
+    val eSchema = graft.types.SparkSchemaConverter.fromSpark(baseEntries.schema)
+    val eTbl = cat.createTable("entries", eSchema,
+      partitionSpec = graft.meta.PartitionSpec(0, Seq(graft.meta.PartitionField(
+        eSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
+    eTbl.append(baseEntries)
+    // incremental fold: the delta encodes+assigns under the PERSISTED
+    // codebooks in one map pass, and the grown table equals a rebuild
+    // over the whole corpus under the same codebooks
+    eTbl.append(SimilarityOps.addToIvfPqIndex(
+      delta, "vec_id", "embedding", cTbl.toDF(spark), cbTbl.toDF(spark)))
+    val entryKey = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))
+    val rebuilt = SimilarityOps.addToIvfPqIndex(
+        emb, "vec_id", "embedding", cTbl.toDF(spark), cbTbl.toDF(spark))
+      .select($"vec_id", $"cell", $"codes", $"resid").collect()
+      .map(entryKey).toSet
+    val grown = eTbl.toDF(spark)
+      .select($"vec_id", $"cell", $"codes", $"resid").collect()
+      .map(entryKey).toSet
+    assert(grown == rebuilt && grown.size == emb.count())
+    // full probe through the stored three-table index == brute-force MIPS
+    val queries = emb.where("vec_id < 4")
+    val fromIndex = SimilarityOps.topKIvfPqFromIndex(
+        cTbl.toDF(spark), cbTbl.toDF(spark), eTbl.toDF(spark),
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val bruteTop = emb.select($"vec_id".as("cand_id"), $"embedding".as("cvec"))
+      .crossJoin(queries.select($"vec_id".as("query_id"), $"embedding".as("qvec")))
+      .select($"query_id", $"cand_id",
+        graft.functions.GraftFunctions.dot_product($"cvec", $"qvec").as("dot"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"dot".desc, $"cand_id")))
+      .where($"rank" <= 5)
+      .select($"query_id", $"cand_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == bruteTop && fromIndex.nonEmpty)
+    // the scale claim: a cell predicate prunes entry FILES via the
+    // identity partition — low-nprobe probes read a fraction of storage
+    val allFiles = eTbl.scan().planFiles().size
+    val oneCell = eTbl.scan(predicates = Seq(graft.table.EqPred("cell", 0)))
+      .planFiles().size
+    assert(oneCell < allFiles,
+      s"cell partition did not prune: $oneCell of $allFiles files")
+  }
+
   test("sentences: greedy terminator-run segmentation, order preserved") {
     val df = Seq(
       (1L, "Hello world. Second one! Third?"),
