@@ -2224,6 +2224,19 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    "d105_stratified_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test assignment from the
+      // CONTENT hash alone: map-only, zero exchange, stable under corpus
+      // growth (a doc's split never rotates as the dataset versions),
+      // and verbatim duplicates land in the SAME split by construction.
+      // Integer bucket arithmetic over 65,536 md5-nibble buckets — the
+      // oracle replays the exact assignment per row.
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      CorpusOps.splitAssign(docs, col("text"))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    }),
+
     "d95_corpus_card" -> ((s, dir) => {
       // the dataset-card report over a corpus with PLANTED cross-source
       // exact duplicates (doc_id % 9, new ids) so the duplicate-overhead
@@ -4992,6 +5005,21 @@ object SparkEntry {
         |SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean,
         | CAST(len(b.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // bucket = first four md5 nibbles (integer arithmetic over 65536
+    // buckets), thresholds 8/10 and 9/10 — the assignment replays per row
+    "d105_stratified_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*4096 +
+        |  (strpos('0123456789abcdef', substr(md5(text),2,1))-1)*256 +
+        |  (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 +
+        |  (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS bk
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN bk*10 < 65536*8 THEN 'train'
+        |       WHEN bk*10 < 65536*9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // integer sqrt-weights + integer budget split + (md5, id) rank —
     // the entire temperature mix replays, selection included

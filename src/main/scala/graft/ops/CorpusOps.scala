@@ -447,6 +447,47 @@ object CorpusOps {
   }
 
   /**
+   * Deterministic train/val/test assignment: every row gets a named
+   * split from its content hash ALONE — reproducible across engines,
+   * runs, and layouts, and STABLE UNDER CORPUS GROWTH: a document's
+   * split never changes when other documents arrive or depart (the
+   * property rank/position-based splits lack, and the reason an eval
+   * set stays fixed across dataset versions instead of silently
+   * rotating into training). `fractions` are integer weights over a
+   * 65,536-bucket hash space: bucket = first four md5 nibbles of `key`,
+   * and split `i` wins if `bucket · Σw < 65536 · cum_i` — exact integer
+   * arithmetic any engine replays (granularity 1/65536 ≈ 0.0015%).
+   *
+   * Content-keyed assignment (`key` = the text) sends verbatim
+   * duplicates to the SAME split, so cross-split leakage through exact
+   * dups is structurally impossible — pair with the near-dup
+   * decontaminators for fuzzier leaks. Map-only, ZERO exchange; the
+   * nibble arithmetic reuses [[shuffleShards]]'s leading-four-digit
+   * read (an id-and-seed-keyed hash, so the two uses stay independent
+   * when composed).
+   *
+   * Output: the input plus a `split` column.
+   */
+  def splitAssign(df: DataFrame, key: Column,
+                  fractions: Seq[(String, Long)] =
+                    Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive integer weights, got $fractions")
+    val total = fractions.map(_._2).sum
+    val hex = md5(key.cast("binary"))
+    val digits = "0123456789abcdef"
+    val nib = (i: Int) => instr(lit(digits), substring(hex, i, 1)) - 1
+    val bucket = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    val cums = fractions.map(_._2).scanLeft(0L)(_ + _).tail
+    val split = fractions.zip(cums).init
+      .foldLeft(when(lit(false), lit(""))) { case (acc, ((name, _), cum)) =>
+        acc.when(bucket * total < lit(65536L) * cum, name)
+      }
+      .otherwise(fractions.last._1)
+    df.withColumn("split", split)
+  }
+
+  /**
    * Deterministic global shuffle into training shards — the "shuffle the
    * corpus before writing tfrecord/parquet shards" step. Every document
    * gets a pseudorandom but reproducible position derived ONLY from

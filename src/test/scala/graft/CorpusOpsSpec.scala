@@ -331,6 +331,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"))
   }
 
+  test("splitAssign: growth-stable, duplicates co-split, proportions track, map-only") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
+    val split = CorpusOps.splitAssign(docs, col("text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // proportions track 80/10/10 within hash noise on 2k docs
+    val n = split.size.toDouble
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05 &&
+      math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03,
+      s"split proportions off: $frac")
+    // STABILITY UNDER GROWTH: the same docs inside a 2x corpus keep
+    // their split — the property that keeps eval sets fixed across
+    // dataset versions
+    val grown = docs.unionByName(
+      (10000L until 12000L).map(i => (i, s"new arrival $i")).toDF("doc_id", "text"))
+    val regrown = CorpusOps.splitAssign(grown, col("text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.forall { case (id, s) => regrown(id) == s })
+    // verbatim duplicates land in the SAME split (content-keyed): no
+    // cross-split leakage through exact dups
+    val dups = Seq((1L, "same body"), (2L, "same body"), (3L, "same body"))
+      .toDF("doc_id", "text")
+    assert(CorpusOps.splitAssign(dups, col("text"))
+      .select("split").distinct().count() == 1L)
+    // custom weights and the weight guard
+    val custom = CorpusOps.splitAssign(docs, col("text"),
+      Seq("a" -> 1L, "b" -> 1L)).select("split").distinct()
+      .as[String].collect().toSet
+    assert(custom == Set("a", "b"))
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitAssign(docs, col("text"), Seq("a" -> 0L))
+    }
+    // map-only: zero exchange in the executed plan
+    val plan = CorpusOps.splitAssign(docs, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"splitAssign must not shuffle:\n$plan")
+  }
+
   test("shuffleShards: deterministic permutation, dense per-shard positions, no global sort") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
