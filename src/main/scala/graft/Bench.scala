@@ -89,7 +89,12 @@ object Bench {
     // one reused exchange), and deterministic label-propagation
     // communities (per-round vote-count shuffles on plan-truncated
     // leaves — the third iterative graph workload next to PageRank)
-    "j11_rolling_stats", "d100_pmi_collocations", "d101_label_propagation")
+    "j11_rolling_stats", "d100_pmi_collocations", "d101_label_propagation",
+    // round-13: append-mode streaming OHLC (state bounded by open
+    // windows), the persisted IVF+PQ three-table round trip, the
+    // map-only deterministic split, and the composed split-leakage audit
+    "s66_stream_ohlc_append", "e62_knn_ivfpq_index",
+    "d105_stratified_split", "d106_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2237,6 +2237,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d106_split_leakage" -> ((s, dir) => {
+      // the audit run BEFORE training on any hash-split dataset: which
+      // train-split documents share a word 8-gram with the test split?
+      // Content-hash splitting co-locates verbatim dups by construction
+      // (d105), but NEAR-duplicates hash apart and can straddle the
+      // split — the corpusWithNearDups mutants plant exactly that
+      // failure, so the audit provably fires. Composition of two graded
+      // stages: splitAssign (map-only) + ngramOverlap (one gram-hash
+      // shuffle, test side broadcast).
+      val corpus = corpusWithNearDups(s, dir)
+      val assigned = CorpusOps.splitAssign(corpus, col("text"))
+      CorpusOps.ngramOverlap(
+          assigned.where("split = 'train'"),
+          assigned.where("split = 'test'"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "d95_corpus_card" -> ((s, dir) => {
       // the dataset-card report over a corpus with PLANTED cross-source
       // exact duplicates (doc_id % 9, new ids) so the duplicate-overhead
@@ -5005,6 +5023,42 @@ object SparkEntry {
         |SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean,
         | CAST(len(b.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // d105's bucket rule applied to the near-dup corpus, then d47's gram
+    // join restricted to the train/test split sides — the whole composed
+    // audit replays (mutants hash into different splits than their
+    // originals, so the leakage rows are provably nonzero)
+    "d106_split_leakage" ->
+      s"""WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id,
+        |        array_to_string(t[1:greatest(len(t) - 1, 1)], ' ') AS text
+        | FROM (SELECT doc_id, $ToksSql AS t FROM documents)
+        | WHERE doc_id % 5 = 0
+        |),
+        |sp AS (SELECT doc_id, text,
+        |  (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*4096 +
+        |  (strpos('0123456789abcdef', substr(md5(text),2,1))-1)*256 +
+        |  (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 +
+        |  (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS bk
+        | FROM corpus),
+        |toks AS (SELECT doc_id, bk, $ToksSql AS t FROM sp),
+        |grams AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+        |     i -> md5(array_to_string(t[i:i+7], ' ')))
+        |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+        | FROM toks WHERE bk*10 < 65536*8),
+        |testg AS (
+        | SELECT DISTINCT unnest(list_distinct(
+        |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+        |     i -> md5(array_to_string(t[i:i+7], ' ')))
+        |   ELSE CAST([] AS VARCHAR[]) END)) AS gram
+        | FROM toks WHERE bk*10 >= 65536*9)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM grams g JOIN testg USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // bucket = first four md5 nibbles (integer arithmetic over 65536
     // buckets), thresholds 8/10 and 9/10 — the assignment replays per row
