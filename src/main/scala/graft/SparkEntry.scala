@@ -3236,6 +3236,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e63_knn_sq8_index" -> ((s, dir) => {
+      // PERSISTED SQ8 index — the int8 point of the compression spectrum
+      // between e52's 1-bit codes and e45/e56's PQ: dim + 16 bytes per
+      // vector, NO trained state at all (encoding is a pure per-vector
+      // function, so the index can never staleness-drift and incremental
+      // maintenance is a plain append — shown here: 4/5 of the corpus
+      // indexed first, the rest appended with a second buildSq8Index
+      // call). The unconditional residual bound keeps search provably
+      // exact, so the round trip grades against the same brute-force
+      // MIPS oracle as e45/e56/e62.
+      val emb = t(s, dir, "embeddings")
+      val wh = java.nio.file.Files.createTempDirectory("graft-sq8-wh").toString
+      val cat = new HadoopCatalog(wh)
+      val base = SimilarityOps.buildSq8Index(
+        emb.where("vec_id % 5 != 0"), "vec_id", "embedding")
+      val cTbl = cat.createTable("sq8_codes",
+        SparkSchemaConverter.fromSpark(base.schema))
+      cTbl.append(base)
+      cTbl.append(SimilarityOps.buildSq8Index(
+        emb.where("vec_id % 5 = 0"), "vec_id", "embedding"))
+      SimilarityOps.topKSq8FromIndex(
+          s.read.format("graft").load(cTbl.location),
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e54_range_search" -> ((s, dir) => {
       // cosine RANGE search — "everything at least this similar",
       // however many that is (the dedup/recall-sweep complement to
@@ -6297,6 +6325,16 @@ object SparkEntry {
     // the persisted-index search is exact under the same unconditional
     // residual bound, so the identical MIPS oracle grades the round trip
     "e56_knn_pq_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // no trained state + unconditional residual bound ⇒ the two-commit
+    // SQ8 index grades against the brute-force MIPS oracle
+    "e63_knn_sq8_index" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
         |        FROM embeddings e CROSS JOIN q)

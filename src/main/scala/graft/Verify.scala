@@ -26,9 +26,19 @@ object Verify {
       case None      => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // the r12 j09/s60 lesson: a session-tz TIMESTAMP output hashes
+        // differently from the oracle's naive timestamp even when every
+        // value matches — OutputTypeDisciplineSpec fails the suite on
+        // this; the dump-time warning makes it loud at the gate too
+        val ltz = df.schema.fields.filter(
+          _.dataType == org.apache.spark.sql.types.TimestampType).map(_.name)
+        if (ltz.nonEmpty)
+          System.err.println(s"[verify] WARNING $name emits session-tz " +
+            s"TIMESTAMP column(s) ${ltz.mkString(",")} — cast to timestamp_ntz")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

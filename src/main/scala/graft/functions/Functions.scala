@@ -236,6 +236,58 @@ object BucketUtil {
       .fromPrimitiveArray(lut)
   }
 
+  // ---------------------------------------------- scalar quantization
+
+  /** SQ8-encode a float vector: symmetric per-vector scale `maxAbs/127`,
+    * `code_i = round(v_i/scale)` clamped to [-127,127] as one signed
+    * byte. Returns (codes byte[dim], scale double, resid double) with
+    * `resid = ‖v − v̂‖` (v̂_i = code_i·scale) — the same unconditional
+    * Cauchy–Schwarz bound material as [[pqEncode]], with NO trained
+    * codebook at all: encoding is a pure per-vector function, so an SQ8
+    * index can never staleness-drift and deltas encode identically
+    * forever. An all-zero (or empty) vector encodes with scale 0. */
+  def sq8Encode(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else maxAbs / 127.0
+    val codes = new Array[Byte](n)
+    var residSq = 0.0
+    i = 0
+    while (i < n) {
+      val v = vec.getFloat(i).toDouble
+      val c =
+        if (scale == 0.0) 0
+        else math.max(-127, math.min(127, math.round(v / scale).toInt))
+      codes(i) = c.toByte
+      val e = v - c * scale
+      residSq += e * e
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](codes, scale, math.sqrt(residSq)))
+  }
+
+  /** STORED-code SQ8 asymmetric dot: `scale · Σ q_i·code_i` (codes
+    * sign-extended) = dot(v̂, q) — the persisted-index counterpart of
+    * [[sq8Dot]]'s quantize-on-the-fly form. `|result − dot(v, q)| ≤
+    * ‖q‖·resid` by Cauchy–Schwarz on `q·(v − v̂)`. Dimensions past
+    * either length read as 0. */
+  def sq8CodesDot(codes: Array[Byte], scale: Double, q: ArrayData): Double = {
+    val n = math.min(codes.length, q.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += q.getFloat(i).toDouble * codes(i)
+      i += 1
+    }
+    acc * scale
+  }
+
   /** Unicode-normalize a UTF8String; already-normalized input (the common
     * case) returns the original bytes after the quick-check, skipping the
     * normalize pass and the re-encode. */
@@ -769,6 +821,48 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
     copy(left = l, right = r)
+}
+
+/** SQ8 encoding of a float vector → struct(codes: binary, scale: double,
+  * resid: double). No codebook reference object — the quantizer is a pure
+  * per-vector function (see [[BucketUtil.sq8Encode]]); at 100 TB the
+  * persisted output is dim + 16 bytes per vector vs 4·dim raw. */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("resid", DoubleType, nullable = false)))
+  override def prettyName: String = "sq8_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    BucketUtil.sq8Encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.BucketUtil.sq8Encode($v)")
+
+  override protected def withNewChildInternal(c: Expression): Sq8Encode =
+    copy(child = c)
+}
+
+/** STORED-code SQ8 asymmetric dot from code bytes + per-vector scale +
+  * the query vector — the persisted-index counterpart of [[Sq8Dot]]'s
+  * quantize-on-the-fly scoring. See [[BucketUtil.sq8CodesDot]]. */
+case class Sq8CodesDot(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_codes_dot"
+
+  override def nullSafeEval(codes: Any, scale: Any, q: Any): Any =
+    BucketUtil.sq8CodesDot(codes.asInstanceOf[Array[Byte]],
+      scale.asInstanceOf[Double], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, s, q) => s"graft.functions.BucketUtil.sq8CodesDot($c, $s, $q)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8CodesDot =
+    copy(first = f, second = s, third = t)
 }
 
 /** Word n-gram shingles of a text column in ONE pass per row (codegen'd).
@@ -1945,6 +2039,15 @@ object GraftFunctions {
   /** Asymmetric PQ distance from code bytes + a query's lookup table. */
   def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
     ColumnBridge.column(PqAdc(expression(codes), expression(lut), ksub))
+
+  /** SQ8-encode a vector column → struct(codes, scale, resid). */
+  def sq8_encode(v: Column): Column =
+    ColumnBridge.column(Sq8Encode(expression(v)))
+
+  /** STORED-code SQ8 asymmetric dot (codes + scale + query vector). */
+  def sq8_codes_dot(codes: Column, scale: Column, q: Column): Column =
+    ColumnBridge.column(
+      Sq8CodesDot(expression(codes), expression(scale), expression(q)))
   def top_k_by(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKByScore(expression(score), expression(id), k).toAggregateExpression())

@@ -1160,6 +1160,69 @@ object SimilarityOps {
     topKBy(rescored, "query_id", "vec_id", "dot", k)
   }
 
+  /**
+   * Build a PERSISTED SQ8 (int8 scalar-quantization) index — the stored
+   * twin of [[topKSq8]]'s quantize-on-the-fly scoring (which re-reads
+   * raw vectors per query batch), and the middle point of the
+   * compression spectrum between the 1-bit binary codes
+   * (e52) and PQ (e45/e56): ONE DataFrame to store, `(vec_id, codes
+   * binary dim bytes, scale double, resid double)` — dim + 16 bytes per
+   * vector vs 4·dim raw. Unlike IVF and PQ there is NO TRAINED STATE at
+   * all: encoding is a pure per-vector function (map-only, zero
+   * shuffle), so the index can never staleness-drift, incremental
+   * maintenance is literally `append(buildSq8Index(delta))`, and the
+   * same call works unchanged in a streaming foreachBatch.
+   */
+  def buildSq8Index(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("vec_id"),
+        GraftFunctions.sq8_encode(col(vecCol)).as("__sq"))
+      .select(col("vec_id"), col("__sq.codes").as("codes"),
+        col("__sq.scale").as("scale"), col("__sq.resid").as("resid"))
+
+  /**
+   * Search a persisted SQ8 index: the approximate-dot pass reads ONLY
+   * the compact codes (`sq8_codes_dot` = scale·Σ q_i·code_i, one codegen
+   * kernel over sign-extended bytes), the per-vector residual bound
+   * `‖q‖·resid` picks τ exactly as in [[topKPq]], and only
+   * bound-admitted candidates join back to the base table for the exact
+   * dot-product re-rank — so the result PROVABLY equals brute-force
+   * MIPS at any quantization error (coarse vectors admit more
+   * candidates; they never lose one). Same τ/candidate plan shape as
+   * [[topKPqFromIndex]].
+   */
+  def topKSq8FromIndex(codes: DataFrame,
+                       corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int): DataFrame = {
+    val qdf = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("qvec"),
+      sqrt(GraftFunctions.dot_product(col(queryVec), col(queryVec))).as("qnorm")))
+    val bounded = codes.crossJoin(qdf)
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.sq8_codes_dot(col("codes"), col("scale"), col("qvec")).as("adc"),
+        // epsilon absorbs double rounding in the kernel — only ever ADDS
+        // candidates, never drops one (the topKPq argument)
+        (col("qnorm") * col("resid") + lit(1e-6)).as("err"))
+    val taus = bounded
+      .groupBy("query_id")
+      .agg(GraftFunctions.top_k_by(col("adc") - col("err"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"),
+        when(size(col("__tk")) >= k,
+          element_at(col("__tk"), k).getField("score")).as("tau"))
+    val candidates = bounded
+      .join(broadcast(taus), Seq("query_id"), "left")
+      .where(col("tau").isNull || col("adc") + col("err") >= col("tau"))
+      .select("query_id", "vec_id")
+    val rescored = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .join(qdf.select(col("query_id"), col("qvec")), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.dot_product(col("cvec"), col("qvec")).as("dot"))
+    topKBy(rescored, "query_id", "vec_id", "dot", k)
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe. Same output shape as
     * the brute-force path; recall depends on nbits/probeBits. */
   def topKLsh(corpus: DataFrame, corpusId: String, corpusVec: String,

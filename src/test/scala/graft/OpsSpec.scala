@@ -1326,6 +1326,46 @@ class OpsSpec extends AnyFunSuite {
     assert(fromIndex == oneShot && fromIndex.nonEmpty)
   }
 
+  test("persisted SQ8 index: round trip exact, trainerless delta append, zero-vector edge") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // plant a zero vector: scale-0 encode must survive the round trip
+    // and never NaN the bound
+    val planted = emb.unionByName(
+      emb.limit(1).select(lit(999999L).as("vec_id"),
+        transform($"embedding", _ => lit(0.0f)).as("embedding"),
+        $"label"))
+    val codes = SimilarityOps.buildSq8Index(planted, "vec_id", "embedding")
+    // compact BY SCHEMA: codes + scale + resid, no raw vector copy
+    assert(codes.schema.fieldNames.toSet == Set("vec_id", "codes", "scale", "resid"))
+    val z = codes.where($"vec_id" === 999999L).head()
+    assert(z.getDouble(2) == 0.0 && z.getDouble(3) == 0.0)
+    val wh = java.nio.file.Files.createTempDirectory("graft-sq8-spec").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val cTbl = cat.createTable("codes",
+      graft.types.SparkSchemaConverter.fromSpark(codes.schema))
+    // TRAINERLESS incremental maintenance: two appends of independent
+    // encodes are exactly a full encode — no codebook, no drift
+    cTbl.append(SimilarityOps.buildSq8Index(
+      planted.where("vec_id % 2 = 0"), "vec_id", "embedding"))
+    cTbl.append(SimilarityOps.buildSq8Index(
+      planted.where("vec_id % 2 = 1"), "vec_id", "embedding"))
+    assert(cTbl.toDF(spark).count() == planted.count())
+    val queries = emb.where("vec_id < 4")
+    val fromIndex = SimilarityOps.topKSq8FromIndex(
+        cTbl.toDF(spark), planted, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val bruteTop = planted.select($"vec_id".as("cand_id"), $"embedding".as("cvec"))
+      .crossJoin(queries.select($"vec_id".as("query_id"), $"embedding".as("qvec")))
+      .select($"query_id", $"cand_id",
+        graft.functions.GraftFunctions.dot_product($"cvec", $"qvec").as("dot"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"dot".desc, $"cand_id")))
+      .where($"rank" <= 5)
+      .select($"query_id", $"cand_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == bruteTop && fromIndex.nonEmpty)
+  }
+
   test("persisted IVF+PQ index: full probe exact, cell partitions prune, delta fold == rebuild") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = emb.where("vec_id % 5 != 0")
