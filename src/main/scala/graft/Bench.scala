@@ -94,7 +94,9 @@ object Bench {
     // windows), the persisted IVF+PQ three-table round trip, the
     // map-only deterministic split, and the composed split-leakage audit
     "s66_stream_ohlc_append", "e62_knn_ivfpq_index",
-    "d105_stratified_split", "d106_split_leakage")
+    "d105_stratified_split", "d106_split_leakage",
+    // the trainerless int8 index round trip (two appends + bound search)
+    "e63_knn_sq8_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
