@@ -86,6 +86,31 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("appendToBm25Index == full rebuild on random corpora and split points") {
+    for (seed <- 1 to 4) {
+      val docs = genDocs.pureApply(Gen.Parameters.default, Seed(900L + seed))
+      if (docs.size >= 2) {
+        val cut = 1 + ((seed * 7) % (docs.size - 1))
+        val base = docs.take(cut).toDF("doc_id", "text")
+        val delta = docs.drop(cut).toDF("doc_id", "text")
+        val (bPost, bStats) = CorpusOps.bm25Index(base, "doc_id", "text")
+        val (dPost, mStats) = CorpusOps.appendToBm25Index(
+          bPost, bStats, delta, "doc_id", "text")
+        val (fPost, fStats) = CorpusOps.bm25Index(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        val key = (r: org.apache.spark.sql.Row) =>
+          (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+            r.getAs[Long]("tf"), r.getAs[Long]("dl"))
+        assert(bPost.unionByName(dPost).collect().map(key).toSet ==
+          fPost.collect().map(key).toSet, s"postings drifted (seed=$seed cut=$cut)")
+        // the stats row must be BITWISE the rebuild's (incl. the double
+        // division) — the whole point of carrying integer totals
+        assert(mStats.collect().toSeq == fStats.collect().toSeq,
+          s"stats drifted (seed=$seed cut=$cut)")
+      }
+    }
+  }
+
   test("topKDiverse equals a plain-Scala greedy MMR reference on random vectors") {
     import graft.ops.SimilarityOps
     def cos(a: Array[Float], b: Array[Float]): Double = {
