@@ -26,7 +26,8 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-K = 10
+# copies of sf0.1 (10 = sf1, 30 = sf3, ...) — for scaling-curve probes
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
