@@ -2237,6 +2237,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d107_source_drift" -> ((s, dir) => {
+      // per-source token-distribution drift vs the whole corpus —
+      // KL(p_source || p_corpus), finite without smoothing since a
+      // source's vocabulary is a subset of the corpus's. One tokenize
+      // pass to compact (source, token, count) rows; every total and
+      // the KL terms reuse that table. kl rounds to 6 (the d65/d77
+      // precedent — only the final sum's accumulation order differs
+      // between engines).
+      val docs = t(s, dir, "documents").select("source", "text")
+      CorpusOps.sourceDrift(docs, "source", "text")
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_types").cast("long").as("n_types"), col("kl"))
+        .orderBy("source")
+    }),
+
     "d106_split_leakage" -> ((s, dir) => {
       // the audit run BEFORE training on any hash-split dataset: which
       // train-split documents share a word 8-gram with the test split?
@@ -5051,6 +5066,25 @@ object SparkEntry {
         |SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean,
         | CAST(len(b.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // exact-integer count ratios, fixed per-term operation order, final
+    // KL sum rounded to 6 (the d65/d77 precedent)
+    "d107_source_drift" ->
+      s"""WITH sc AS (
+        |  SELECT source AS s, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(t) AS w
+        |        FROM (SELECT source, $ToksSql AS t FROM documents))
+        |  GROUP BY 1, 2),
+        |stot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n,
+        |           CAST(count(*) AS BIGINT) AS types FROM sc GROUP BY 1),
+        |wtot AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM sc)
+        |SELECT sc.s AS source, stot.n AS n_tokens, stot.types AS n_types,
+        |  ROUND(SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |        (CAST(cw AS DOUBLE) / CAST(grand AS DOUBLE)))), 6) AS kl
+        |FROM sc JOIN stot USING (s) JOIN wtot USING (w) CROSS JOIN tot
+        |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
 
     // d105's bucket rule applied to the near-dup corpus, then d47's gram
     // join restricted to the train/test split sides — the whole composed

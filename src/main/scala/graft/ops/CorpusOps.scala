@@ -447,6 +447,57 @@ object CorpusOps {
   }
 
   /**
+   * Per-stratum distribution drift — KL(p_stratum ‖ p_corpus) over the
+   * token distribution, one row per stratum `(stratum, n_tokens,
+   * n_types, kl)`: the drift monitor a crawl pipeline runs per source /
+   * per snapshot ("did this feed's language shift away from the
+   * corpus?"). KL against the corpus-wide distribution is always finite
+   * (a stratum's support is a subset of the corpus's), needs no
+   * smoothing constant, and 0 means the stratum is distribution-
+   * identical. `kl` rounds to 6 decimals before output (the d65/d77
+   * precedent: per-term doubles have a fixed operation order; only the
+   * final sum's accumulation order differs between engines, far below
+   * 1e-6).
+   *
+   * 100 TB design: ONE tokenize pass reduces the corpus to compact
+   * `(stratum, token, count)` rows (a combinable count — occurrences
+   * never shuffle twice); the stratum totals, corpus-wide token totals,
+   * and grand total all aggregate that compact table, and the final
+   * per-token KL terms join back on it. Nothing rescans text.
+   */
+  def sourceDrift(df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    // the deliberate isnotnull makes all four consumers' tokenize
+    // subplans canonicalize EQUAL (the joins push it onto some branches
+    // but not others), so the (stratum, token) exchange computes once
+    // and the other three consumers are ReusedExchange — the d100 trick;
+    // without it the corpus is tokenized four times (plan-asserted)
+    val sc = df.where(col(strataCol).isNotNull)
+      .select(col(strataCol).as("__s"),
+        explode(TextOps.tokens(col(textCol))).as("__w"))
+      .where(col("__w").isNotNull)
+      .groupBy("__s", "__w").agg(count(lit(1)).as("__c"))
+    val stot = sc.groupBy("__s")
+      .agg(sum("__c").as("__n"), count(lit(1)).as("__types"))
+    val wtot = sc.groupBy("__w").agg(sum("__c").as("__cw"))
+    val tot = sc.agg(sum("__c").as("__grand"))
+    val terms = sc
+      .join(stot, Seq("__s"))
+      .join(wtot, Seq("__w"))
+      .crossJoin(broadcast(tot))
+      .select(col("__s"), col("__n"), col("__types"),
+        // p·ln(p/q) with p, q exact-integer ratios and a fixed per-row
+        // operation order; p > 0 and q ≥ p/|corpus| > 0 by construction
+        ((col("__c").cast("double") / col("__n").cast("double")) *
+          log((col("__c").cast("double") / col("__n").cast("double")) /
+            (col("__cw").cast("double") / col("__grand").cast("double"))))
+          .as("__t"))
+    terms.groupBy(col("__s").as(strataCol))
+      .agg(first(col("__n")).as("n_tokens"),
+        first(col("__types")).as("n_types"),
+        round(sum(col("__t")), 6).as("kl"))
+  }
+
+  /**
    * Deterministic train/val/test assignment: every row gets a named
    * split from its content hash ALONE — reproducible across engines,
    * runs, and layouts, and STABLE UNDER CORPUS GROWTH: a document's

@@ -331,6 +331,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"))
   }
 
+  test("sourceDrift: hand-computed KL, zero for a distribution-identical stratum, one tokenize") {
+    import spark.implicits._
+    // corpus: 'a' appears 3x, 'b' 1x. s1 = (a a), s2 = (a b):
+    //   q(a)=3/4, q(b)=1/4
+    //   s1: p(a)=1  -> KL = 1*ln(1/(3/4))            = ln(4/3)
+    //   s2: p(a)=p(b)=1/2 -> ln(2/3)/2 + ln(2)/2
+    val docs = Seq(("s1", "a a"), ("s2", "a b")).toDF("src", "text")
+    val got = CorpusOps.sourceDrift(docs, "src", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("s1") == ((2L, 1L, r6(math.log(4.0 / 3.0)))))
+    assert(got("s2") == ((2L, 2L,
+      r6(0.5 * math.log((0.5) / (3.0 / 4.0)) + 0.5 * math.log((0.5) / (1.0 / 4.0))))))
+    // a stratum whose distribution equals the corpus-wide one drifts 0
+    val uni = Seq(("u1", "x y"), ("u2", "x y")).toDF("src", "text")
+    val kls = CorpusOps.sourceDrift(uni, "src", "text")
+      .select("kl").as[Double].collect()
+    assert(kls.toSeq == Seq(0.0, 0.0))
+    // the scale claim: ONE tokenize pass — all four consumers of the
+    // compact (stratum, token) counts reuse a single exchange (the d100
+    // canonicalization trick; without the vacuous isnotnulls the corpus
+    // tokenizes four times)
+    val df = CorpusOps.sourceDrift(docs, "src", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==").head
+    val nGen = "Generate explode".r.findAllIn(finalSection).size
+    assert(nGen == 1, s"expected ONE tokenize pass in the final plan, got $nGen:\n$finalSection")
+  }
+
   test("splitAssign: growth-stable, duplicates co-split, proportions track, map-only") {
     import spark.implicits._
     val docs = (0L until 2000L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
