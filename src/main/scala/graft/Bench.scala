@@ -96,7 +96,8 @@ object Bench {
     "s66_stream_ohlc_append", "e62_knn_ivfpq_index",
     "d105_stratified_split", "d106_split_leakage",
     // the trainerless int8 index round trip (two appends + bound search)
-    "e63_knn_sq8_index")
+    // and the one-tokenize-pass per-source distribution-drift audit
+    "e63_knn_sq8_index", "d107_source_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
