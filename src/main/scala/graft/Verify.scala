@@ -37,6 +37,14 @@ object Verify {
         if (ltz.nonEmpty)
           System.err.println(s"[verify] WARNING $name emits session-tz " +
             s"TIMESTAMP column(s) ${ltz.mkString(",")} — cast to timestamp_ntz")
+        // r13 lesson: DECIMAL outputs hash-fail on the driver even when
+        // value-equal (decimal128 vs float fetch) — OutputTypeDisciplineSpec
+        // fails the suite on this; the dump-time warning is the gate echo
+        val dec = df.schema.fields.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]).map(_.name)
+        if (dec.nonEmpty)
+          System.err.println(s"[verify] WARNING $name emits DECIMAL " +
+            s"column(s) ${dec.mkString(",")} — cast to double/bigint")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -32,6 +32,23 @@ def spark_ts_kinds(files):
     return kinds
 
 
+def spark_decimal_cols(files):
+    """DECIMAL output columns from the parquet footer. The driver's hasher
+    represents decimals differently on its two sides (decimal128 parquet
+    fetch vs the oracle's float conversion), so a value-equal decimal
+    column still hash-fails — the r12/r13 j09/s60/s66 channel. Decimals
+    must not reach the output surface at all (cast to DOUBLE/BIGINT)."""
+    cols = []
+    sch = pq.ParquetFile(files[0]).schema
+    for i in range(len(sch)):
+        c = sch.column(i)
+        lt = str(c.logical_type) if c.logical_type is not None else ""
+        if lt.startswith("Decimal") or \
+                str(c.physical_type) == "FIXED_LEN_BYTE_ARRAY" and "Decimal" in lt:
+            cols.append(c.name)
+    return cols
+
+
 def oracle_ts_kinds(con, sql):
     kinds = {}
     for row in con.execute(f"DESCRIBE ({sql})").fetchall():
@@ -39,6 +56,11 @@ def oracle_ts_kinds(con, sql):
         if typ.startswith("TIMESTAMP"):
             kinds[name] = "ltz" if "WITH TIME ZONE" in typ else "ntz"
     return kinds
+
+
+def oracle_decimal_cols(con, sql):
+    return [row[0] for row in con.execute(f"DESCRIBE ({sql})").fetchall()
+            if row[1].upper().startswith("DECIMAL")]
 
 
 def norm(rows):
@@ -95,15 +117,27 @@ def main():
             print(f"FAIL {q}: column mismatch spark={scols} oracle={socols}")
             n_bad += 1
             continue
-        sk = spark_ts_kinds(glob.glob(f"{outdir}/{q}/*.parquet"))
+        qfiles = glob.glob(f"{outdir}/{q}/*.parquet")
+        sk = spark_ts_kinds(qfiles)
         ok_kinds = oracle_ts_kinds(con, oracle[q])
+        # a column classified as a timestamp by only ONE side is itself a
+        # type mismatch — don't default each side to the other
         tsbad = [c for c in scols
-                 if sk.get(c, ok_kinds.get(c)) != ok_kinds.get(c, sk.get(c))]
+                 if (c in sk) != (c in ok_kinds) or sk.get(c) != ok_kinds.get(c)]
         if tsbad:
             print(f"FAIL {q}: timestamp TYPE mismatch on {tsbad}: "
                   f"spark={{{', '.join(f'{c}:{sk.get(c)}' for c in tsbad)}}} vs "
                   f"oracle={{{', '.join(f'{c}:{ok_kinds.get(c)}' for c in tsbad)}}} "
                   f"(tz-aware vs naive hashes differently in the driver)")
+            n_bad += 1
+            continue
+        decbad = sorted(set(spark_decimal_cols(qfiles))
+                        | set(oracle_decimal_cols(con, oracle[q])))
+        if decbad:
+            print(f"FAIL {q}: DECIMAL output columns {decbad} — the driver "
+                  f"hashes decimal128 vs float fetches differently even when "
+                  f"value-equal (r13 j09/s60/s66); cast to DOUBLE/BIGINT on "
+                  f"BOTH sides")
             n_bad += 1
             continue
         a, b = norm(rows), norm(orows)
