@@ -97,7 +97,10 @@ object Bench {
     "d105_stratified_split", "d106_split_leakage",
     // the trainerless int8 index round trip (two appends + bound search)
     // and the one-tokenize-pass per-source distribution-drift audit
-    "e63_knn_sq8_index", "d107_source_drift")
+    "e63_knn_sq8_index", "d107_source_drift",
+    // round-14: the amortized IVF+PQ probe against the standing memoized
+    // persisted index (the d82 split pattern — r13 verdict item 5)
+    "e62_knn_ivfpq_search_only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,12 +130,12 @@ object Bench {
       // without changing the JSON shape
       try {
         runOnce(name)
-        val times = Seq.fill(3) {
+        val raw = Seq.fill(3) {
           val t0 = System.nanoTime()
           runOnce(name)
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        Some(name -> times(1))
+        }
+        Some(name -> (raw.sorted.apply(1), raw))
       } catch {
         case t: Throwable =>
           errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
@@ -140,12 +143,17 @@ object Bench {
           None
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, (m, _)) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
+    // all 3 raw steady-state times per query (r13 verdict item 4): lets the
+    // judge separate real regressions from single-run JVM/GC noise
+    val rawJson = results.map { case (k, (_, raw)) =>
+      "\"" + k + "\":" + raw.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$rawJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

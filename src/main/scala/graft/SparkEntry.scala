@@ -71,19 +71,47 @@ object SparkEntry {
         .when(col("vec_id") % 107 === 0, lit(null).cast("array<float>"))
         .otherwise(col("embedding")).as("embedding"))
 
+  /** Per-session memo table keyed by the SESSION OBJECT through a weak
+    * reference — identity hashes alone can collide or be reused after a
+    * stopped session is GC'd, handing back DataFrames bound to a dead
+    * session; holding the real key object weakly gives exact identity
+    * semantics and lets dead sessions' entries evaporate. */
+  private final class SessionMemo[V] {
+    private val m = new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]
+    def getOrBuild(s: SparkSession, dir: String)(build: => V): V = {
+      val inner = m.synchronized {
+        m.computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap[String, V])
+      }
+      inner.computeIfAbsent(dir, _ => build)
+    }
+  }
+
+  /** Temp warehouse dir registered for JVM-exit cleanup (the memoized
+    * index caches would otherwise leak one dir per (session, sf)). */
+  private def tempWarehouse(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Per-(session, sfDir) memoized PERSISTED BM25 index, reloaded through
     * DSv2: built on first use, so `d82_bm25_search_only` pays the build +
     * table write exactly once (the bench's warm run) and its steady-state
     * timing is the SEARCH against a standing index — the amortized shape a
     * deployment with repeated query batches actually pays, which the
     * all-in-one d82 round trip hides (r12 verdict item). */
-  private val bm25IndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+  private val bm25IndexCache = new SessionMemo[(DataFrame, DataFrame)]
   private def persistedBm25Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    bm25IndexCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    bm25IndexCache.getOrBuild(s, dir) {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val (postings, stats) = CorpusOps.bm25Index(docs, "doc_id", "text")
-      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-cache-wh").toString
+      val wh = tempWarehouse("graft-bm25-cache-wh")
       val cat = new HadoopCatalog(wh)
       val pSchema = SparkSchemaConverter.fromSpark(postings.schema)
       val pTbl = cat.createTable("bm25_postings", pSchema,
@@ -95,7 +123,44 @@ object SparkEntry {
       sTbl.append(stats)
       (s.read.format("graft").load(pTbl.location),
         s.read.format("graft").load(sTbl.location))
-    })
+    }
+
+  /** Build + persist the IVF+PQ index (centroids, codebook, cell-partitioned
+    * entries) and hand back the three tables RELOADED through DSv2 — the
+    * shared body of e62 (fresh per call: it grades the full round trip) and
+    * the memoized [[persistedIvfPqIndex]] behind e62_knn_ivfpq_search_only. */
+  private def buildPersistedIvfPq(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    val (centroids, codebook, entries) = SimilarityOps.buildIvfPqIndex(
+      emb, "vec_id", "embedding", dim = 64, nlist = 16, m = 8, ksub = 16)
+    val wh = tempWarehouse("graft-ivfpq-wh")
+    val cat = new HadoopCatalog(wh)
+    val cTbl = cat.createTable("ivfpq_centroids",
+      SparkSchemaConverter.fromSpark(centroids.schema))
+    cTbl.append(centroids)
+    val cbTbl = cat.createTable("ivfpq_codebook",
+      SparkSchemaConverter.fromSpark(codebook.schema))
+    cbTbl.append(codebook)
+    val eSchema = SparkSchemaConverter.fromSpark(entries.schema)
+    val eTbl = cat.createTable("ivfpq_entries", eSchema,
+      partitionSpec = PartitionSpec(0, Seq(PartitionField(
+        eSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
+    eTbl.append(entries)
+    (s.read.format("graft").load(cTbl.location),
+      s.read.format("graft").load(cbTbl.location),
+      s.read.format("graft").load(eTbl.location))
+  }
+
+  /** Per-(session, sfDir) memoized PERSISTED IVF+PQ index — the d82
+    * pattern for vectors: `e62_knn_ivfpq_search_only` pays train + write
+    * once (the bench warm run) and steady-state times the probe against
+    * the standing three-table index, the per-batch cost a deployment with
+    * a long-lived index actually repeats (r13 verdict item 5). */
+  private val ivfPqIndexCache = new SessionMemo[(DataFrame, DataFrame, DataFrame)]
+  private def persistedIvfPqIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ivfPqIndexCache.getOrBuild(s, dir)(buildPersistedIvfPq(s, dir))
 
   /** The documents table plus a deterministic near-duplicate of every 5th
     * doc (last token dropped, id offset +1000000) — gives the near-dup
@@ -3243,25 +3308,28 @@ object SparkEntry {
       // MIPS oracle as e45/e46/e56. Partial-probe manifest pruning is
       // file-count-asserted in OpsSpec.
       val emb = t(s, dir, "embeddings")
-      val (centroids, codebook, entries) = SimilarityOps.buildIvfPqIndex(
-        emb, "vec_id", "embedding", dim = 64, nlist = 16, m = 8, ksub = 16)
-      val wh = java.nio.file.Files.createTempDirectory("graft-ivfpq-wh").toString
-      val cat = new HadoopCatalog(wh)
-      val cTbl = cat.createTable("ivfpq_centroids",
-        SparkSchemaConverter.fromSpark(centroids.schema))
-      cTbl.append(centroids)
-      val cbTbl = cat.createTable("ivfpq_codebook",
-        SparkSchemaConverter.fromSpark(codebook.schema))
-      cbTbl.append(codebook)
-      val eSchema = SparkSchemaConverter.fromSpark(entries.schema)
-      val eTbl = cat.createTable("ivfpq_entries", eSchema,
-        partitionSpec = PartitionSpec(0, Seq(PartitionField(
-          eSchema.fieldByName("cell").get.id, 1000, "cell", "identity"))))
-      eTbl.append(entries)
+      val (centroids, codebook, entries) = buildPersistedIvfPq(s, dir)
       SimilarityOps.topKIvfPqFromIndex(
-          s.read.format("graft").load(cTbl.location),
-          s.read.format("graft").load(cbTbl.location),
-          s.read.format("graft").load(eTbl.location),
+          centroids, codebook, entries,
+          emb, "vec_id", "embedding",
+          emb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "e62_knn_ivfpq_search_only" -> ((s, dir) => {
+      // the AMORTIZED half of e62 (the d82_bm25_search_only pattern):
+      // probes against the per-(session, sf) memoized STANDING persisted
+      // index — train + three-table write paid exactly once (the bench
+      // warm run), so this entry's steady-state time is the per-query-
+      // batch cost a deployment with a long-lived index repeats. Full
+      // probe keeps it provably exact, so it grades against the same
+      // brute-force MIPS oracle as e62.
+      val emb = t(s, dir, "embeddings")
+      val (centroids, codebook, entries) = persistedIvfPqIndex(s, dir)
+      SimilarityOps.topKIvfPqFromIndex(
+          centroids, codebook, entries,
           emb, "vec_id", "embedding",
           emb.where("vec_id < 8"), "vec_id", "embedding",
           k = 5, nprobe = 16)
@@ -6402,6 +6470,15 @@ object SparkEntry {
     // full probe + unconditional residual bound ⇒ the persisted IVF+PQ
     // three-table round trip grades against the brute-force MIPS oracle
     "e62_knn_ivfpq_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
+        |        FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same full-probe exactness against the memoized standing index
+    "e62_knn_ivfpq_search_only" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT q.query_id, e.vec_id, list_dot_product(e.embedding, q.qe) AS d
         |        FROM embeddings e CROSS JOIN q)

@@ -524,6 +524,10 @@ object CorpusOps {
                     Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
       s"fractions must be positive integer weights, got $fractions")
+    // loud, like the resamplers' reserved-column guards — withColumn
+    // would otherwise silently REPLACE a pre-existing `split`
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column — rename it before splitAssign")
     val total = fractions.map(_._2).sum
     val hex = md5(key.cast("binary"))
     val digits = "0123456789abcdef"

@@ -358,8 +358,13 @@ object SimilarityOps {
                        k: Int, nprobe: Int = 4,
                        allowIds: Option[DataFrame] = None): DataFrame = {
     val centers = collectCentroids(centroids)
+    // materialized ONCE (query-batch-sized — it is broadcast below):
+    // the probed-cell set is collected AND joined; without pinning, a
+    // nondeterministic `queries` plan (e.g. a sample) could re-evaluate
+    // differently between the two uses and silently prune a probed cell
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
       explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"))
+      .localCheckpoint()
     // STATIC cell pruning: the probed cell set is bounded by the CELL
     // COUNT (≤ nlist distinct values, whatever the query batch size), so
     // collecting it is O(nlist) and turns the join's implicit cell
@@ -1127,10 +1132,14 @@ object SimilarityOps {
                          k: Int, nprobe: Int = 4): DataFrame = {
     val centers = collectCentroids(centroids)
     val (cb, m, ksub, dsub) = collectPqCodebooks(codebook)
+    // materialized ONCE (query-batch-sized — broadcast below): the
+    // probed-cell set is collected AND joined; pinning keeps both uses on
+    // the same evaluation even if `queries` is a nondeterministic plan
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"),
       explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe)).as("cell"),
       GraftFunctions.pq_lut(col(queryVec), cb, m, ksub, dsub).as("lut"),
       sqrt(GraftFunctions.dot_product(col(queryVec), col(queryVec))).as("qnorm"))
+      .localCheckpoint()
     // static cell pruning: bounded by the CELL COUNT, not the query count
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
