@@ -3458,14 +3458,53 @@ object SparkEntry {
       // the kNN graph at the setting a 100 TB run would actually use:
       // auto nlist (sqrt rule) with nprobe 4 — candidate volume
       // ~|corpus|·4/sqrt(n) per vector instead of the exact config's
-      // brute-force-equivalent volume. No SQL oracle (results depend on
-      // kmeans geometry) → driver's rows-only check; recall vs brute
-      // force is pinned in OpsSpec ("knnGraph: full probe equals...")
+      // brute-force-equivalent volume. Per-edge results depend on kmeans
+      // geometry (not SQL-expressible), so the entry grades itself as a
+      // THRESHOLD through the hash gate (r13 verdict item 6): it audits
+      // the graph's structure (degree k per src, no self-loops) and its
+      // recall@3 against exact brute force over a FIXED 64-probe batch
+      // (bounded — the audit stays linear in the corpus, e37's shape,
+      // not n²), then emits ONE deterministic summary row. The oracle
+      // replays every column from the base table; `recall_floor_met`
+      // flips to 0 — a hash mismatch — if mean recall drops below 0.25.
+      // Floor honesty (the e55 pattern): this fixture is ISOTROPIC, so
+      // nprobe-4-of-sqrt(n) recall degrades by construction as n grows —
+      // measured 0.59 / 0.53 / 0.39 at sf0.001/0.01/0.1. The floor's job
+      // is regression detection (a broken assign/probe path craters
+      // recall to ~k/n ≈ 0.01, 25× below it), not quality certification;
+      // OpsSpec pins ≥0.5 on a fixed 200-vector slice, and recall ≥0.9
+      // belongs to clustered (real-embedding-shaped) data. Deterministic
+      // at fixed params: the kmeans trainer samples in plan order over a
+      // fixed file layout and ties break on id.
       val emb = t(s, dir, "embeddings")
-      SimilarityOps.knnGraph(emb, "vec_id", "embedding", k = 3, nprobe = 4)
-        .select(col("src_id"), col("nbr_id"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("src_id", "rank")
+      val approx = SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      val probes = emb.where("vec_id < 64")
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // self always lands in the exact top-4 (cosine 1 ties break on id,
+      // self can fall at worst to rank 2), so non-self rows = exactly 3
+      val exact = SimilarityOps.topKBruteForce(emb, "vec_id", "embedding",
+          probes, "qid", "qvec", k = 4)
+        .where(col("query_id") =!= col("vec_id"))
+        .select(col("query_id").as("src_id"), col("vec_id").as("nbr_id"))
+      val hits = approx.join(exact, Seq("src_id", "nbr_id"), "left_semi")
+        .groupBy("src_id").agg(count(lit(1)).as("n_hits"))
+      val recall = exact.select("src_id").distinct()
+        .join(hits, Seq("src_id"), "left")
+        .agg(avg(coalesce(col("n_hits"), lit(0L)) / 3.0).as("mean_recall"),
+          count(lit(1)).as("n_probed"))
+      val shape = approx.agg(
+        countDistinct(col("src_id")).as("n_src"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("src_id") === col("nbr_id"), 1L).otherwise(0L))
+          .as("n_self_loops"))
+      shape.crossJoin(recall)
+        .select(col("n_src").cast("long").as("n_src"),
+          col("n_edges").cast("long").as("n_edges"),
+          col("n_self_loops").cast("long").as("n_self_loops"),
+          col("n_probed").cast("long").as("n_probed"),
+          when(col("mean_recall") >= 0.25, 1L).otherwise(0L)
+            .as("recall_floor_met"))
     }),
 
     "e43_semantic_dedup" -> ((s, dir) => {
@@ -5088,6 +5127,20 @@ object SparkEntry {
         |SELECT src_id, nbr_id,
         | CAST(row_number() OVER (PARTITION BY src_id ORDER BY c DESC, nbr_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 3 ORDER BY src_id, rank""".stripMargin,
+
+    // THRESHOLD entry through the hash gate: the Spark side computes
+    // recall@3 vs exact brute force over a fixed 64-probe batch and
+    // emits flags/structure the oracle replays from the base table —
+    // recall below the 0.25 floor (or a self-loop, or a missing edge)
+    // flips a column and reds the hash. The approx edges themselves
+    // depend on kmeans geometry, which SQL cannot replay.
+    "e44_knn_graph_approx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_src,
+        |  CAST(3 * count(*) AS BIGINT) AS n_edges,
+        |  CAST(0 AS BIGINT) AS n_self_loops,
+        |  CAST(count(CASE WHEN vec_id < 64 THEN 1 END) AS BIGINT) AS n_probed,
+        |  CAST(1 AS BIGINT) AS recall_floor_met
+        |FROM embeddings""".stripMargin,
 
     // exact integer gram counts; the one division per doc replays after
     // the same coalesce/zero-guard the engine applies
