@@ -2335,6 +2335,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d108_split_repair" -> ((s, dir) => {
+      // the FIX for what d106 audits: near-dup clusters that straddle
+      // the content-hash split are forced into ONE split — the cluster
+      // representative's (min id, the component label). Composition of
+      // three graded stages: splitAssign (map-only) + d45's exact-
+      // verified pair stream → connected components + two broadcast
+      // joins (components cover only near-dup members, a small fraction
+      // of any corpus — the corpus itself never re-shuffles). The
+      // planted mutants guarantee moved > 0, so a repair regression is
+      // visible output.
+      val corpus = corpusWithNearDups(s, dir)
+      val assigned = CorpusOps.splitAssign(corpus, col("text"))
+      val pairs = DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+          bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
+        .select("id_a", "id_b")
+      val comps = DedupOps.connectedComponents(pairs)
+      CorpusOps.splitRepair(assigned, "doc_id", "split", comps)
+        .select(col("doc_id"), col("split_before"), col("split"),
+          col("moved"))
+        .orderBy("doc_id")
+    }),
+
     "d95_corpus_card" -> ((s, dir) => {
       // the dataset-card report over a corpus with PLANTED cross-source
       // exact duplicates (doc_id % 9, new ids) so the duplicate-overhead
@@ -5265,6 +5287,62 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM grams g JOIN testg USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // d45's exact-Jaccard components + d105's bucket arithmetic: the
+    // whole repair replays — assignment, clusters, representative, move
+    "d108_split_repair" ->
+      s"""WITH RECURSIVE corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0
+         |), sp AS (
+         | SELECT doc_id, text,
+         |  CASE WHEN bk*10 < 65536*8 THEN 'train'
+         |       WHEN bk*10 < 65536*9 THEN 'val'
+         |       ELSE 'test' END AS split_before
+         | FROM (SELECT doc_id, text,
+         |  (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*4096 +
+         |  (strpos('0123456789abcdef', substr(md5(text),2,1))-1)*256 +
+         |  (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 +
+         |  (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS bk
+         |  FROM corpus)
+         |), sh AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(toks) - 3, 0) + 1),
+         |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM corpus)
+         |), pairs AS MATERIALIZED (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         | WHERE jaccard >= 0.7
+         |), edges AS MATERIALIZED (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, comp) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+         |), cmp AS (
+         | SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+         |), rep AS (
+         | SELECT c.component, s.split_before AS rep_split
+         | FROM cmp c JOIN sp s ON s.doc_id = c.component WHERE c.id = c.component
+         |)
+         |SELECT p.doc_id, p.split_before,
+         |  COALESCE(r.rep_split, p.split_before) AS split,
+         |  CAST(CASE WHEN COALESCE(r.rep_split, p.split_before) <> p.split_before
+         |       THEN 1 ELSE 0 END AS BIGINT) AS moved
+         |FROM sp p
+         |LEFT JOIN cmp c ON c.id = p.doc_id
+         |LEFT JOIN rep r ON r.component = c.component
+         |ORDER BY p.doc_id""".stripMargin,
 
     // bucket = first four md5 nibbles (integer arithmetic over 65536
     // buckets), thresholds 8/10 and 9/10 — the assignment replays per row

@@ -543,6 +543,49 @@ object CorpusOps {
   }
 
   /**
+   * Repair cross-split near-duplicate leakage — the FIX for what the
+   * leakage audit (ngramOverlap over a split assignment) detects:
+   * content-hash splitting co-locates verbatim duplicates by
+   * construction, but NEAR-duplicates hash apart and can straddle the
+   * split, quietly promoting test answers into train. Given the split
+   * assignment and the near-dup connected components, every member of a
+   * cluster is forced into ONE split: the split its REPRESENTATIVE (the
+   * component label, i.e. the minimum id — [[graft.ops.DedupOps
+   * .connectedComponents]]'s convention) was content-hash-assigned.
+   * Deterministic (no RNG, no rank), stable under corpus growth exactly
+   * like [[splitAssign]] — a cluster's split can only change if its
+   * minimum id changes — and idempotent: re-running on the repaired
+   * assignment moves nothing.
+   *
+   * 100 TB shape: `components` covers only documents that appear in a
+   * near-dup pair — a small fraction of the corpus — so both joins
+   * (member → component, component → representative split) broadcast;
+   * the corpus itself stays map-only, zero exchange. Output: the input
+   * with `split` replaced by the repaired value, plus `split_before`
+   * and a `moved` flag (BIGINT 0/1) for auditing.
+   */
+  def splitRepair(assigned: DataFrame, idCol: String, splitCol: String,
+                  components: DataFrame): DataFrame = {
+    require(assigned.columns.contains(splitCol),
+      s"assigned must carry the '$splitCol' column (run splitAssign first)")
+    val comp = components.select(col("id").as("__rid"),
+      col("component").as("__comp"))
+    val repSplit = comp.where(col("__rid") === col("__comp"))
+      .join(assigned.select(col(idCol).as("__rid"),
+        col(splitCol).as("__rep_split")), Seq("__rid"))
+      .select(col("__comp"), col("__rep_split"))
+    val member = comp.withColumnRenamed("__rid", idCol)
+    assigned
+      .withColumnRenamed(splitCol, "split_before")
+      .join(broadcast(member), Seq(idCol), "left")
+      .join(broadcast(repSplit), Seq("__comp"), "left")
+      .withColumn(splitCol, coalesce(col("__rep_split"), col("split_before")))
+      .withColumn("moved",
+        when(col(splitCol) =!= col("split_before"), 1L).otherwise(0L))
+      .drop("__comp", "__rep_split")
+  }
+
+  /**
    * Deterministic global shuffle into training shards — the "shuffle the
    * corpus before writing tfrecord/parquet shards" step. Every document
    * gets a pseudorandom but reproducible position derived ONLY from

@@ -400,6 +400,56 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"splitAssign must not shuffle:\n$plan")
   }
 
+  test("splitRepair: clusters co-split, reps keep theirs, non-members untouched, idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 400L).map(i => (i, s"document number $i body text"))
+      .toDF("doc_id", "text")
+    val assigned = CorpusOps.splitAssign(docs, col("text"))
+    // synthetic near-dup components: {0,1,2}, {10,11}; labels are min ids
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = graft.ops.DedupOps.connectedComponents(pairs)
+    val repaired = CorpusOps.splitRepair(assigned, "doc_id", "split", comps)
+    val before = assigned.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val after = repaired.select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every cluster member lands on its representative's ORIGINAL split
+    for ((members, rep) <- Seq(Seq(0L, 1L, 2L) -> 0L, Seq(10L, 11L) -> 10L);
+         m <- members)
+      assert(after(m) == before(rep), s"member $m must take rep $rep's split")
+    // non-members keep their assignment bit for bit
+    val memberIds = Set(0L, 1L, 2L, 10L, 11L)
+    assert(before.forall { case (id, s) => memberIds(id) || after(id) == s })
+    // the moved flag counts exactly the members whose split changed
+    val movedIds = repaired.where(col("moved") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(movedIds == memberIds.filter(id => after(id) != before(id)))
+    // idempotent: repairing the repaired assignment moves nothing
+    val again = CorpusOps.splitRepair(
+      repaired.select("doc_id", "text", "split"), "doc_id", "split", comps)
+    assert(again.where(col("moved") === 1L).count() == 0L)
+    // guard: the split column must exist
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitRepair(docs, "doc_id", "split", comps)
+    }
+    // end-to-end with REAL near-dups: after repair, no minhash pair
+    // straddles splits (the d106 leak, closed)
+    val corpus = SparkEntry.corpusWithNearDups(spark, "/root/testdata/sf0.001")
+    val realAssigned = CorpusOps.splitAssign(corpus, col("text"))
+    val realPairs = graft.ops.DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+      bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
+      .select("id_a", "id_b")
+    val realComps = graft.ops.DedupOps.connectedComponents(realPairs)
+    val realRepaired = CorpusOps.splitRepair(realAssigned, "doc_id", "split", realComps)
+    val splitOf = realRepaired.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val straddling = realPairs.as[(Long, Long)].collect()
+      .filter { case (a, b) => splitOf(a) != splitOf(b) }
+    assert(straddling.isEmpty,
+      s"near-dup pairs still straddle splits after repair: ${straddling.take(5).toSeq}")
+    assert(realRepaired.where(col("moved") === 1L).count() > 0L,
+      "planted mutants must force at least one move")
+  }
+
   test("shuffleShards: deterministic permutation, dense per-shard positions, no global sort") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
