@@ -99,8 +99,9 @@ object Bench {
     // and the one-tokenize-pass per-source distribution-drift audit
     "e63_knn_sq8_index", "d107_source_drift",
     // round-14: the amortized IVF+PQ probe against the standing memoized
-    // persisted index (the d82 split pattern — r13 verdict item 5)
-    "e62_knn_ivfpq_search_only")
+    // persisted index (the d82 split pattern — r13 verdict item 5), and
+    // the near-dup split repair (pairs → components → broadcast re-split)
+    "e62_knn_ivfpq_search_only", "d108_split_repair")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
