@@ -1544,6 +1544,23 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s68_stream_split_assign" -> ((s, dir) => {
+      // split assignment AT INGEST: splitAssign is map-only (content-hash
+      // bucket arithmetic, zero state), so documents get their permanent
+      // train/val/test home the moment they arrive — batch-invariant by
+      // construction, graded by d105's own oracle. This closes the split
+      // lifecycle: assign on ingest (here) → audit leakage (d106) →
+      // repair clusters (d108).
+      val docs = tStream(s, dir, "documents").select("doc_id", "lang", "text")
+      val assigned = CorpusOps.splitAssign(docs, col("text"))
+        .select("doc_id", "lang", "split")
+      val sink = s"s68_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = assigned.writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -4073,6 +4090,22 @@ object SparkEntry {
       |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfin AND zero THEN 1 END) AS BIGINT) AS n_zero_norm
       |FROM c""".stripMargin
 
+  /** Shared by d105 (batch) and s68 (the same map-only assignment drained
+    * from a stream): bucket = first four md5 nibbles (integer arithmetic
+    * over 65536 buckets), thresholds 8/10 and 9/10. */
+  private val StratifiedSplitOracleSql: String =
+    """WITH b AS (SELECT doc_id, lang,
+      |  (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*4096 +
+      |  (strpos('0123456789abcdef', substr(md5(text),2,1))-1)*256 +
+      |  (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 +
+      |  (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS bk
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN bk*10 < 65536*8 THEN 'train'
+      |       WHEN bk*10 < 65536*9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** Shared by j09 (batch) and s60 (the same aggregate drained from a
     * stream): open/close replayed as rank-1 rows under (ts, v) /
     * (ts desc, v desc) — the total order Spark's struct-min/max induces.
@@ -5346,18 +5379,11 @@ object SparkEntry {
 
     // bucket = first four md5 nibbles (integer arithmetic over 65536
     // buckets), thresholds 8/10 and 9/10 — the assignment replays per row
-    "d105_stratified_split" ->
-      """WITH b AS (SELECT doc_id, lang,
-        |  (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*4096 +
-        |  (strpos('0123456789abcdef', substr(md5(text),2,1))-1)*256 +
-        |  (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16 +
-        |  (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS bk
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE WHEN bk*10 < 65536*8 THEN 'train'
-        |       WHEN bk*10 < 65536*9 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
+    "d105_stratified_split" -> StratifiedSplitOracleSql,
+
+    // splitAssign is map-only and stateless, so the streamed assignment
+    // drains to exactly the batch result — d105's oracle verbatim
+    "s68_stream_split_assign" -> StratifiedSplitOracleSql,
 
     // integer sqrt-weights + integer budget split + (md5, id) rank —
     // the entire temperature mix replays, selection included
