@@ -2352,6 +2352,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d109_weighted_sample" -> ((s, dir) => {
+      // token-count-weighted random subsample, 20 docs per language —
+      // Efraimidis–Spirakis exponential keys made RNG-free (u from
+      // seed:id md5 nibbles, BIT-identical in both engines; key =
+      // ln(u)/w replayed float-for-float — ordering by a computed
+      // double with an id tie-break is the e37 precedent). Longer
+      // documents are proportionally likelier to be drawn; a new seed
+      // is a fresh draw; the same seed reproduces the sample on any
+      // layout or engine.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("w"))
+      CorpusOps.weightedSample(docs, "doc_id", "lang", col("w"),
+          k = 20, seed = "ws1")
+        .orderBy("lang", "rank")
+    }),
+
     "d108_split_repair" -> ((s, dir) => {
       // the FIX for what d106 audits: near-dup clusters that straddle
       // the content-hash split are forced into ONE split — the cluster
@@ -5320,6 +5336,26 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM grams g JOIN testg USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // ES keys replay float-for-float: u is bit-identical integer-nibble
+    // arithmetic, ln/divide on identical doubles, id tie-break (the e37
+    // computed-double-ordering precedent)
+    "d109_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(len($ToksSql) AS DOUBLE) AS w,
+         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
+         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),2,1))-1)*256 +
+         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),3,1))-1)*16 +
+         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),4,1))-1) AS bk
+         | FROM documents),
+         |k AS (SELECT doc_id, lang,
+         |  ln((CAST(bk AS DOUBLE) + 0.5) / 65536.0) / w AS key
+         | FROM d WHERE w > 0),
+         |r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+         | FROM k)
+         |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
 
     // d45's exact-Jaccard components + d105's bucket arithmetic: the
     // whole repair replays — assignment, clusters, representative, move

@@ -543,6 +543,49 @@ object CorpusOps {
   }
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement per stratum —
+   * Efraimidis–Spirakis exponential keys, RNG-free: row `i` gets
+   * `key_i = ln(u_i) / w_i` where `u_i = (bk_i + 0.5) / 65536` is a
+   * (seed, id)-keyed uniform from the first four md5 nibbles (never 0
+   * or 1, and BIT-identical in any engine — integer nibble arithmetic,
+   * an exact +0.5, and a power-of-two divide), and the k LARGEST keys
+   * per stratum are the sample. Monotone-equivalent to the classic
+   * `u^(1/w)` reservoir keys, so inclusion is tilted toward weight
+   * exactly as ES define it; same corpus + same seed ⇒ same sample on
+   * any layout, partitioning, or engine, and a new seed is a fresh
+   * draw. This is the quality/length-weighted subsample step of a
+   * curation pipeline made reproducible — where [[temperatureMix]]
+   * takes the deterministic BEST rows per budget and [[resampleMix]]
+   * re-weights whole strata, this draws a weight-proportional RANDOM
+   * subset within each stratum.
+   *
+   * Rows with `weightCol <= 0` or null never enter the sample (an ES
+   * weight must be positive). 100 TB shape: one map pass computes keys,
+   * then ONE exchange of ≤ k pre-combined rows per stratum — the
+   * [[graft.functions.GraftFunctions.top_k_by]] aggregate partial-
+   * aggregates map-side, so the shuffle carries O(strata · k), never
+   * the corpus; no window, no global sort. Output: (stratum, id, rank)
+   * with rank 1..k by (key DESC, id ASC).
+   */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weight: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hex = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val digits = "0123456789abcdef"
+    val nib = (i: Int) => instr(lit(digits), substring(hex, i, 1)) - 1
+    val bk = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    val u = (bk.cast("double") + lit(0.5d)) / lit(65536d)
+    val key = log(u) / weight.cast("double")
+    df.where(weight.isNotNull && (weight.cast("double") > 0d))
+      .select(col(strataCol), col(idCol), key.as("__wskey"))
+      .groupBy(strataCol)
+      .agg(graft.functions.GraftFunctions.top_k_by(col("__wskey"), col(idCol), k).as("__topk"))
+      .select(col(strataCol), posexplode(col("__topk")))
+      .select(col(strataCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
    * Repair cross-split near-duplicate leakage — the FIX for what the
    * leakage audit (ngramOverlap over a split assignment) detects:
    * content-hash splitting co-locates verbatim duplicates by

@@ -400,6 +400,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"splitAssign must not shuffle:\n$plan")
   }
 
+  test("weightedSample: deterministic, layout-independent, weight-tilted, guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = (0L until 300L).map(i => (i, if (i % 2 == 0) "a" else "b", 1.0 + (i % 5)))
+      .toDF("doc_id", "grp", "w")
+    val s1 = CorpusOps.weightedSample(docs, "doc_id", "grp", col("w"), k = 10, seed = "t1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // reproducible and independent of physical layout
+    val s2 = CorpusOps.weightedSample(docs.repartition(7), "doc_id", "grp", col("w"),
+      k = 10, seed = "t1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(s1 == s2, "sample must not depend on partitioning")
+    // dense ranks 1..k per stratum; a fresh seed is a fresh draw
+    assert(s1.groupBy(_._1).forall { case (_, rs) => rs.map(_._3).sorted == (1L to 10L) })
+    val s3 = CorpusOps.weightedSample(docs, "doc_id", "grp", col("w"), k = 10, seed = "t2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(s1 != s3, "different seeds must give different draws")
+    // matches the window-form ES ranking exactly (aggregate vs window)
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val hex = md5(concat(lit("t1"), lit(":"), col("doc_id").cast("string")).cast("binary"))
+      val nib = (i: Int) => instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1
+      val bk = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+      val key = log((bk.cast("double") + lit(0.5)) / lit(65536.0)) / col("w")
+      docs.withColumn("__k", key)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("grp").orderBy(col("__k").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= 10).select("grp", "doc_id", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    }
+    assert(s1 == expected, "top_k_by aggregate must equal the window ES ranking")
+    // weight tilt: one heavy doc (w=50) vs 9 unit docs — ES inclusion
+    // probability for rank 1 is 50/59 ≈ 0.85, so across 40 seeds the
+    // heavy doc should win most draws (binomial p<1e-6 of <= 20 wins)
+    val skew = ((0L until 9L).map(i => (i, "g", 1.0)) :+ (99L, "g", 50.0))
+      .toDF("doc_id", "grp", "w")
+    val wins = (0 until 40).count { s =>
+      CorpusOps.weightedSample(skew, "doc_id", "grp", col("w"), k = 1, seed = s"seed$s")
+        .collect()(0).getLong(1) == 99L
+    }
+    assert(wins > 20, s"heavy doc won only $wins/40 draws — tilt broken")
+    // non-positive and null weights never enter
+    val bad = Seq((1L, "g", 0.0), (2L, "g", -3.0), (3L, "g", 1.0))
+      .toDF("doc_id", "grp", "w")
+      .unionByName(Seq((4L, "g")).toDF("doc_id", "grp").withColumn("w", lit(null).cast("double")))
+    val kept = CorpusOps.weightedSample(bad, "doc_id", "grp", col("w"), k = 10, seed = "t1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    intercept[IllegalArgumentException] {
+      CorpusOps.weightedSample(docs, "doc_id", "grp", col("w"), k = 0, seed = "t1")
+    }
+    // scale shape: the exchange carries pre-combined top-k, not the corpus
+    val plan = CorpusOps.weightedSample(docs, "doc_id", "grp", col("w"), k = 10, seed = "t1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by") && !plan.contains("Window"),
+      s"must plan as the map-side-combining aggregate, not a window:\n$plan")
+  }
+
   test("splitRepair: clusters co-split, reps keep theirs, non-members untouched, idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
