@@ -1561,6 +1561,26 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s69_stream_weighted_sample" -> ((s, dir) => {
+      // d109's weighted reservoir maintained LIVE: the ES keys are
+      // stateless per row and top_k_by is a combinable aggregate, so a
+      // complete-mode streaming groupBy holds exactly one <= k-entry
+      // buffer per stratum (bounded state by construction — the
+      // reservoir property) and every micro-batch updates the standing
+      // sample in place. The AvailableNow drain equals the batch draw,
+      // so d109's oracle grades it verbatim.
+      val docs = tStream(s, dir, "documents").select(col("doc_id"),
+        col("lang"), TextOps.tokenCount(col("text")).as("w"))
+      val sampled = CorpusOps.weightedSample(docs, "doc_id", "lang",
+        col("w"), k = 20, seed = "ws1")
+      val sink = s"s69_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sampled.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("lang", "rank")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -4106,6 +4126,27 @@ object SparkEntry {
       |  CAST(count(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfin AND zero THEN 1 END) AS BIGINT) AS n_zero_norm
       |FROM c""".stripMargin
 
+  /** Shared by d109 (batch) and s69 (the same combinable ES reservoir
+    * drained from a stream): keys replay float-for-float — u is
+    * bit-identical integer-nibble arithmetic, ln/divide on identical
+    * doubles, id tie-break. */
+  private lazy val WeightedSampleOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  CAST(len($ToksSql) AS DOUBLE) AS w,
+       |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
+       |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),2,1))-1)*256 +
+       |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),3,1))-1)*16 +
+       |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),4,1))-1) AS bk
+       | FROM documents),
+       |k AS (SELECT doc_id, lang,
+       |  ln((CAST(bk AS DOUBLE) + 0.5) / 65536.0) / w AS key
+       | FROM d WHERE w > 0),
+       |r AS (SELECT doc_id, lang,
+       |  row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
+       | FROM k)
+       |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
   /** Shared by d105 (batch) and s68 (the same map-only assignment drained
     * from a stream): bucket = first four md5 nibbles (integer arithmetic
     * over 65536 buckets), thresholds 8/10 and 9/10. */
@@ -5340,22 +5381,11 @@ object SparkEntry {
     // ES keys replay float-for-float: u is bit-identical integer-nibble
     // arithmetic, ln/divide on identical doubles, id tie-break (the e37
     // computed-double-ordering precedent)
-    "d109_weighted_sample" ->
-      s"""WITH d AS (SELECT doc_id, lang,
-         |  CAST(len($ToksSql) AS DOUBLE) AS w,
-         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),1,1))-1)*4096 +
-         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),2,1))-1)*256 +
-         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),3,1))-1)*16 +
-         |  (strpos('0123456789abcdef', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),4,1))-1) AS bk
-         | FROM documents),
-         |k AS (SELECT doc_id, lang,
-         |  ln((CAST(bk AS DOUBLE) + 0.5) / 65536.0) / w AS key
-         | FROM d WHERE w > 0),
-         |r AS (SELECT doc_id, lang,
-         |  row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rank
-         | FROM k)
-         |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+    "d109_weighted_sample" -> WeightedSampleOracleSql,
+
+    // the ES reservoir is a combinable aggregate, so the complete-mode
+    // drain equals the batch draw — d109's oracle verbatim
+    "s69_stream_weighted_sample" -> WeightedSampleOracleSql,
 
     // d45's exact-Jaccard components + d105's bucket arithmetic: the
     // whole repair replays — assignment, clusters, representative, move
