@@ -2372,6 +2372,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d110_cardinality_audit" -> ((s, dir) => {
+      // the corpus-card numbers a 100 TB run can actually afford: exact
+      // distinct counts are a full shuffle of every distinct value, so
+      // deployments use HLL (one pass, 1.5 KB of state per group,
+      // mergeable) — this audit CERTIFIES the sketch against exact at
+      // test scale through the e44 threshold pattern: the flag flips
+      // (and reds the hash) if HLL at rsd 0.02 strays past 3 rsd + 1 of
+      // the exact per-source distinct count. Exact columns replay in
+      // SQL; the sketch estimate itself is implementation-specific by
+      // nature and never leaves the flag.
+      val docs = t(s, dir, "documents").select("source", "text")
+      docs.groupBy("source").agg(
+          count(lit(1)).as("__n"),
+          countDistinct(col("text")).as("__exact"),
+          approx_count_distinct(col("text"), 0.02).as("__approx"))
+        .select(col("source"), col("__n").cast("long").as("n_docs"),
+          col("__exact").cast("long").as("n_distinct"),
+          when(abs(col("__approx") - col("__exact")) <=
+            col("__exact") * 0.06 + lit(1.0), 1L).otherwise(0L)
+            .as("hll_within_3rsd"))
+        .orderBy("source")
+    }),
+
+    "d111_quantile_audit" -> ((s, dir) => {
+      // same certification for quantile sketches: exact per-language
+      // token-count p50/p90 from the d88 histogram machinery (no corpus
+      // sort) next to percentile_approx's GK sketch, with a flag that
+      // reds the hash if the sketch value strays past max(5%, 2 tokens)
+      // of exact. GK at accuracy 10000 is rank-exact below 10k rows per
+      // group and degrades gracefully above — the flag pins that
+      // contract wherever the gate runs.
+      val toks = t(s, dir, "documents").select(col("lang"),
+        TextOps.tokenCount(col("text")).as("ntok"))
+      val exact = CorpusOps.groupQuantiles(toks, "lang", col("ntok"),
+        percentiles = Seq(50, 90))
+      val approx = toks.groupBy("lang").agg(percentile_approx(
+        col("ntok"), array(lit(0.5), lit(0.9)), lit(10000)).as("__ap"))
+      exact.join(approx, "lang")
+        .select(col("lang"), col("n_rows").cast("long").as("n_docs"),
+          col("p50").cast("long").as("p50"), col("p90").cast("long").as("p90"),
+          when(abs(element_at(col("__ap"), 1) - col("p50")) <=
+            greatest(col("p50") * 0.05, lit(2.0)), 1L).otherwise(0L)
+            .as("gk_p50_ok"),
+          when(abs(element_at(col("__ap"), 2) - col("p90")) <=
+            greatest(col("p90") * 0.05, lit(2.0)), 1L).otherwise(0L)
+            .as("gk_p90_ok"))
+        .orderBy("lang")
+    }),
+
     "d109_weighted_sample" -> ((s, dir) => {
       // token-count-weighted random subsample, 20 docs per language —
       // Efraimidis–Spirakis exponential keys made RNG-free (u from
@@ -5377,6 +5426,28 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM grams g JOIN testg USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // threshold entries (the e44 pattern): exact columns replay in SQL,
+    // the sketch estimates live only in the within-bound flags
+    "d110_cardinality_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |  CAST(1 AS BIGINT) AS hll_within_3rsd
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d111_quantile_audit" ->
+      s"""WITH t AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS ntok
+         |           FROM documents),
+         |h AS (SELECT lang, ntok, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |c AS (SELECT lang, ntok,
+         |        sum(cnt) OVER (PARTITION BY lang ORDER BY ntok) AS cum,
+         |        sum(cnt) OVER (PARTITION BY lang) AS total
+         |      FROM h)
+         |SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+         |  CAST(min(CASE WHEN cum*100 >= total*50 THEN ntok END) AS BIGINT) AS p50,
+         |  CAST(min(CASE WHEN cum*100 >= total*90 THEN ntok END) AS BIGINT) AS p90,
+         |  CAST(1 AS BIGINT) AS gk_p50_ok, CAST(1 AS BIGINT) AS gk_p90_ok
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // ES keys replay float-for-float: u is bit-identical integer-nibble
     // arithmetic, ln/divide on identical doubles, id tie-break (the e37
