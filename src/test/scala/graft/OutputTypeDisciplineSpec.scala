@@ -38,6 +38,18 @@ class OutputTypeDisciplineSpec extends AnyFunSuite {
     case _                    => Nil
   }
 
+  test("every queries entry has an oracle and every oracle has an entry") {
+    // round 14 reached zero rows-only entries (even the approx ones grade
+    // through threshold flags); this pins that property so a new entry
+    // cannot silently regress to the driver's weaker rows-only check, and
+    // an orphaned oracle (renamed entry, stale key) fails loudly here
+    // instead of as a missing row in the round gate.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"entries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty, s"oracles without an entry: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
+
   test("no SparkEntry.queries output column is a session-tz TIMESTAMP or a DECIMAL") {
     val leaks = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val schema =
