@@ -3442,6 +3442,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e64_ivf_index_health" -> ((s, dir) => {
+      // the retraining-trigger monitor a production ANN service runs on
+      // its standing index: per-cell fill skew (a broken/stale assign
+      // path collapses the corpus into few cells — skew → nlist; sane
+      // kmeans on this fixture measures ≤ 1.18 across sf0.001-sf1) and
+      // mean PQ residual (a broken/stale codebook quantizes nothing —
+      // resid → ‖v‖ ≈ 1.0; sane measures 0.73-0.78). Threshold pattern:
+      // the structural columns replay in SQL, the health lives in flags
+      // with bounds 2.0 / 0.9 sitting between sane and broken. Audits
+      // the PERSISTED index (the memoized three-table reload), so a
+      // storage-layer corruption of codes/resid also trips it.
+      val (_, _, entries) = persistedIvfPqIndex(s, dir)
+      val fills = entries.groupBy("cell")
+        .agg(count(lit(1)).as("__fill"))
+      val fillStats = fills.agg(
+        count(lit(1)).as("__ncells"), sum("__fill").as("__n"),
+        max("__fill").as("__mx"), avg("__fill").as("__mean"))
+      val resid = entries.agg(avg("resid").as("__mr"))
+      fillStats.crossJoin(resid)
+        .select(col("__ncells").cast("long").as("n_cells"),
+          col("__n").cast("long").as("n_entries"),
+          when(col("__ncells") === 16, 1L).otherwise(0L).as("no_empty_cells"),
+          when(col("__mx") <= col("__mean") * 2.0, 1L).otherwise(0L)
+            .as("fill_skew_le_2"),
+          when(col("__mr") <= 0.9, 1L).otherwise(0L).as("mean_resid_le_09"))
+    }),
+
     "e62_knn_ivfpq_search_only" -> ((s, dir) => {
       // the AMORTIZED half of e62 (the d82_bm25_search_only pattern):
       // probes against the per-(session, sf) memoized STANDING persisted
@@ -6770,6 +6797,16 @@ object SparkEntry {
         |SELECT query_id, vec_id,
         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS BIGINT) AS rank
         |FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // threshold entry: structure replays from the base table, health
+    // lives in the flags (bounds sit between measured-sane and broken)
+    "e64_ivf_index_health" ->
+      """SELECT CAST(16 AS BIGINT) AS n_cells,
+        |  CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(1 AS BIGINT) AS no_empty_cells,
+        |  CAST(1 AS BIGINT) AS fill_skew_le_2,
+        |  CAST(1 AS BIGINT) AS mean_resid_le_09
+        |FROM embeddings""".stripMargin,
 
     // same full-probe exactness against the memoized standing index
     "e62_knn_ivfpq_search_only" ->
