@@ -290,6 +290,45 @@ object SparkEntry {
       both.unionByName(onlyActive).orderBy("which", "nk")
     }),
 
+    "q26_lateral_topn" -> ((s, dir) => {
+      // ANSI correlated LATERAL subquery with ORDER BY + LIMIT inside —
+      // the per-outer-row top-n idiom (Spark decorrelates it into a
+      // ranked join; DuckDB executes it natively). Top-2 customers by
+      // account balance per nation; ties break on name in both engines.
+      val nv = s"nation_q26_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val cv = s"customer_q26_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t(s, dir, "nation").createOrReplaceTempView(nv)
+      t(s, dir, "customer").createOrReplaceTempView(cv)
+      s.sql(
+        s"""SELECT n.n_name, top.c_name, top.c_acctbal
+           |FROM $nv n
+           |JOIN LATERAL (
+           |  SELECT c_name, c_acctbal FROM $cv c
+           |  WHERE c.c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+           |) top
+           |ORDER BY n.n_name, top.c_acctbal DESC, top.c_name""".stripMargin)
+    }),
+
+    "q27_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS with grouping_id disambiguation — the
+      // remaining multi-dimensional aggregate surface beyond q16's
+      // ROLLUP and q24's CUBE: exactly the (flag, status) and (flag)
+      // groupings plus the grand total, no cross products. grouping_id
+      // bit order is (l_returnflag, l_linestatus) in both engines.
+      val lv = s"lineitem_q27_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t(s, dir, "lineitem").createOrReplaceTempView(lv)
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  CAST(count(*) AS BIGINT) AS n_items,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $lv
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           |  (l_returnflag), ())
+           |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     "q11_semi_join" -> ((s, dir) => {
       t(s, dir, "customer")
         .join(t(s, dir, "orders").where("o_orderdate >= '2000-01-01'"),
@@ -4413,6 +4452,26 @@ object SparkEntry {
         | UNION ALL
         | SELECT s_name AS name, 'supplier' AS src FROM supplier WHERE s_acctbal > 9000
         |) ORDER BY name, src""".stripMargin,
+
+    "q27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q26_lateral_topn" ->
+      """SELECT n.n_name, top.c_name, top.c_acctbal
+        |FROM nation n
+        |JOIN LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+        |) top ON TRUE
+        |ORDER BY n.n_name, top.c_acctbal DESC, top.c_name""".stripMargin,
 
     "q25_set_ops" ->
       """WITH active AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000),
