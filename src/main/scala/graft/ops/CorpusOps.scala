@@ -601,11 +601,15 @@ object CorpusOps {
    * assignment moves nothing.
    *
    * 100 TB shape: `components` covers only documents that appear in a
-   * near-dup pair — a small fraction of the corpus — so both joins
-   * (member → component, component → representative split) broadcast;
-   * the corpus itself stays map-only, zero exchange. Output: the input
-   * with `split` replaced by the repaired value, plus `split_before`
-   * and a `moved` flag (BIGINT 0/1) for auditing.
+   * near-dup pair — typically a small fraction of the corpus, so both
+   * joins (member → component, component → representative split)
+   * auto-broadcast and the corpus itself stays map-only. The broadcast
+   * is deliberately NOT forced: a pathologically duplicated corpus can
+   * make the component table corpus-sized, and a forced broadcast
+   * would OOM the driver where the planner's size-based choice simply
+   * degrades to a hash join. Output: the input with `split` replaced
+   * by the repaired value, plus `split_before` and a `moved` flag
+   * (BIGINT 0/1) for auditing.
    */
   def splitRepair(assigned: DataFrame, idCol: String, splitCol: String,
                   components: DataFrame): DataFrame = {
@@ -620,8 +624,8 @@ object CorpusOps {
     val member = comp.withColumnRenamed("__rid", idCol)
     assigned
       .withColumnRenamed(splitCol, "split_before")
-      .join(broadcast(member), Seq(idCol), "left")
-      .join(broadcast(repSplit), Seq("__comp"), "left")
+      .join(member, Seq(idCol), "left")
+      .join(repSplit, Seq("__comp"), "left")
       .withColumn(splitCol, coalesce(col("__rep_split"), col("split_before")))
       .withColumn("moved",
         when(col(splitCol) =!= col("split_before"), 1L).otherwise(0L))
