@@ -101,7 +101,12 @@ object Bench {
     // round-14: the amortized IVF+PQ probe against the standing memoized
     // persisted index (the d82 split pattern — r13 verdict item 5), and
     // the near-dup split repair (pairs → components → broadcast re-split)
-    "e62_knn_ivfpq_search_only", "d108_split_repair")
+    "e62_knn_ivfpq_search_only", "d108_split_repair",
+    // round-14 continuation: DSIR importance selection (one histogram
+    // train pass + one map-only score/resample pass) and margin-based
+    // pair mining (brute-force forward pass + candidate-bounded
+    // backward densities)
+    "d112_dsir_select", "e65_margin_mining")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

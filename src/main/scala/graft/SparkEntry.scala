@@ -1620,6 +1620,28 @@ object SparkEntry {
       s.table(sink).orderBy("lang", "rank")
     }),
 
+    "s70_stream_dsir_select" -> ((s, dir) => {
+      // d112's DSIR selection maintained LIVE: the importance model
+      // trains in batch (dsirDeltas — a bounded 256-double artifact
+      // captured driver-side, the s54 train-in-batch/score-in-flight
+      // pattern), scoring is stateless per row, and Gumbel top-k is a
+      // combinable aggregate — a complete-mode streaming agg holds ONE
+      // ≤ k-entry buffer and every micro-batch updates the standing
+      // selection in place. The AvailableNow drain equals the batch
+      // draw, so d112's oracle grades it verbatim.
+      val deltas = CorpusOps.dsirDeltas(t(s, dir, "documents"), "text",
+        col("lang") === "en")
+      val docs = tStream(s, dir, "documents").select("doc_id", "text")
+      val selected = CorpusOps.dsirSelectWith(docs, "doc_id", "text",
+        deltas, k = 50, seed = "dsir1")
+      val sink = s"s70_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = selected.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("rank")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -2476,6 +2498,21 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    "d112_dsir_select" -> ((s, dir) => {
+      // DSIR data selection (Xie et al. 2023, arXiv:2302.03169): a
+      // hashed-bigram importance model — target = the English slice,
+      // raw = the whole corpus — then Gumbel top-50 RESAMPLING (not
+      // top-k cherry-picking, which collapses diversity). Both phases
+      // replay in SQL: the 256-bucket histogram, the 16-frac-bit
+      // quantized log-ratios (per-doc sums exact dyadics in ANY order),
+      // and the RNG-free Gumbel keys from d109's md5-nibble uniform.
+      // Train = one histogram pass; select = one map-only scan ending
+      // in a ≤ k pre-combined exchange.
+      CorpusOps.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", k = 50, seed = "dsir1")
+        .orderBy("rank")
+    }),
+
     "d108_split_repair" -> ((s, dir) => {
       // the FIX for what d106 audits: near-dup clusters that straddle
       // the content-hash split are forced into ONE split — the cluster
@@ -3241,6 +3278,33 @@ object SparkEntry {
           emb, "vec_id", "embedding",
           emb.where("vec_id < 8"), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "e65_margin_mining" -> ((s, dir) => {
+      // margin-based pair mining (Artetxe & Schwenk 2019 — the
+      // LASER/CCMatrix bitext score): cosine divided by the mean of the
+      // two sides' top-4 neighborhood cosines, so hub vectors (near
+      // everything) stop winning. Unlike the rank-only kNN entries this
+      // EXPOSES a cosine-derived value, so the cosines themselves must
+      // be bit-identical across engines: inputs quantize to 16
+      // fractional bits first (e50's trick — exact in float, so the
+      // codegen kernel's double dot/norm sums are exact dyadics in any
+      // order, then sqrt and divide are one correctly-rounded op each,
+      // replayed operation-for-operation by the oracle's explicit
+      // double SQL — DuckDB's own list_cosine_similarity computes in
+      // FLOAT and drifts a quantum, which is how the first cut of this
+      // entry failed). Density averages quantize again before summing.
+      val qemb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x =>
+          (floor(x.cast("double") * lit(65536.0)) / lit(65536.0))
+            .cast("float")).as("embedding"))
+      SimilarityOps.marginMineTopK(
+          qemb, "vec_id", "embedding",
+          qemb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, navg = 4, candidates = 16)
+        .select(col("query_id"), col("vec_id"), col("margin"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -4261,6 +4325,95 @@ object SparkEntry {
        | FROM k)
        |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
+  /** Shared by d112 (batch) and s70 (the same model scored in-flight):
+    * the full DSIR replay — 256-bucket hashed-bigram histogram, add-1
+    * smoothed log-ratios floored to 16 fractional bits (per-doc sums
+    * exact dyadics in any order), Gumbel keys from the d109 md5-nibble
+    * uniform, top-50 by (key DESC, doc_id). */
+  private lazy val DsirOracleSql: String = {
+    val bkSql = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)),$i,1))-1)"
+    }.zip(Seq(4096, 256, 16, 1))
+      .map { case (nib, m) => if (m == 1) nib else s"$nib*$m" }
+      .mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+       |hb AS (SELECT doc_id,
+       |    (strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]),1,1))-1)*16 +
+       |    (strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]),2,1))-1) AS b,
+       |    lang
+       |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM docs)),
+       |h AS (SELECT b, CAST(count(*) AS BIGINT) AS cq,
+       |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS cp
+       |  FROM hb GROUP BY b),
+       |tot AS (SELECT CAST(sum(cq) AS DOUBLE) AS tq,
+       |    CAST(sum(cp) AS DOUBLE) AS tp FROM h),
+       |delta AS (SELECT r.range AS b,
+       |    floor((ln((coalesce(h.cp, 0) + 1) / (tot.tp + 256.0)) -
+       |           ln((coalesce(h.cq, 0) + 1) / (tot.tq + 256.0))) * 65536.0)
+       |      / 65536.0 AS d
+       |  FROM range(256) r LEFT JOIN h ON h.b = r.range CROSS JOIN tot),
+       |lw AS (SELECT docs.doc_id, coalesce(sum(dl.d), 0.0) AS logw
+       |  FROM docs LEFT JOIN hb ON hb.doc_id = docs.doc_id
+       |  LEFT JOIN delta dl ON dl.b = hb.b
+       |  GROUP BY docs.doc_id),
+       |ky AS (SELECT doc_id, logw,
+       |    logw + (-ln(-ln((CAST($bkSql AS DOUBLE) + 0.5) / 65536.0))) AS k
+       |  FROM lw),
+       |r AS (SELECT doc_id, ROUND(logw, 6) + 0.0 AS logw_r,
+       |    row_number() OVER (ORDER BY k DESC, doc_id) AS rank FROM ky)
+       |SELECT doc_id, logw_r AS logw, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
+  }
+
+  /** e65: the Artetxe–Schwenk ratio margin replayed — cosine computed
+    * EXPLICITLY in double over 16-frac-bit-quantized inputs, in the
+    * kernel's exact operation order (`dot / sqrt(na*nb)`; DuckDB's
+    * list_cosine_similarity computes in float and drifts a quantum),
+    * quantized-cosine top-4 densities on both sides, candidates by raw
+    * cosine, final rank by (margin DESC, vec_id). */
+  private lazy val MarginMiningOracleSql: String =
+    """WITH qe AS (SELECT vec_id, list_transform(embedding,
+      |        x -> floor(CAST(x AS DOUBLE) * 65536.0) / 65536.0) AS v
+      |      FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM qe WHERE vec_id < 8),
+      |s0 AS (SELECT q.query_id, e.vec_id,
+      |        list_sum(list_transform(range(1, len(e.v) + 1),
+      |          i -> e.v[CAST(i AS INT)] * q.qv[CAST(i AS INT)])) AS dot,
+      |        list_sum(list_transform(e.v, x -> x * x)) AS na,
+      |        list_sum(list_transform(q.qv, x -> x * x)) AS nb
+      |      FROM qe e CROSS JOIN q),
+      |s1 AS (SELECT query_id, vec_id,
+      |        CASE WHEN na = 0 OR nb = 0 THEN 0.0
+      |             ELSE dot / sqrt(na * nb) END AS c
+      |      FROM s0),
+      |s AS (SELECT query_id, vec_id, c,
+      |        floor(c * 65536.0) / 65536.0 AS qc
+      |      FROM s1),
+      |fwd AS (SELECT query_id, sum(qc) / 4.0 AS aq FROM (
+      |          SELECT query_id, qc, row_number() OVER (
+      |            PARTITION BY query_id ORDER BY qc DESC, vec_id) AS r
+      |          FROM s) WHERE r <= 4 GROUP BY query_id),
+      |cand AS (SELECT query_id, vec_id, qc FROM (
+      |          SELECT query_id, vec_id, qc, row_number() OVER (
+      |            PARTITION BY query_id ORDER BY c DESC, vec_id) AS r
+      |          FROM s) WHERE r <= 16),
+      |bwd AS (SELECT vec_id, sum(qc) / 4.0 AS ab FROM (
+      |          SELECT vec_id, qc, row_number() OVER (
+      |            PARTITION BY vec_id ORDER BY qc DESC, query_id) AS r
+      |          FROM s WHERE vec_id IN (SELECT vec_id FROM cand))
+      |        WHERE r <= 4 GROUP BY vec_id),
+      |m AS (SELECT c.query_id, c.vec_id,
+      |        c.qc / ((f.aq + b.ab) / 2.0) AS margin
+      |      FROM cand c JOIN fwd f USING (query_id)
+      |      JOIN bwd b ON b.vec_id = c.vec_id
+      |      WHERE (f.aq + b.ab) > 0),
+      |r AS (SELECT query_id, vec_id, ROUND(margin, 6) + 0.0 AS margin_r,
+      |        row_number() OVER (
+      |          PARTITION BY query_id ORDER BY margin DESC, vec_id) AS rank
+      |      FROM m)
+      |SELECT query_id, vec_id, margin_r AS margin, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by d105 (batch) and s68 (the same map-only assignment drained
     * from a stream): bucket = first four md5 nibbles (integer arithmetic
@@ -5539,6 +5692,9 @@ object SparkEntry {
     // arithmetic, ln/divide on identical doubles, id tie-break (the e37
     // computed-double-ordering precedent)
     "d109_weighted_sample" -> WeightedSampleOracleSql,
+    "d112_dsir_select" -> DsirOracleSql,
+    "s70_stream_dsir_select" -> DsirOracleSql,
+    "e65_margin_mining" -> MarginMiningOracleSql,
 
     // the ES reservoir is a combinable aggregate, so the complete-mode
     // drain equals the batch draw — d109's oracle verbatim

@@ -586,6 +586,133 @@ object CorpusOps {
   }
 
   /**
+   * Train a DSIR importance model (Xie et al., NeurIPS 2023 — "Data
+   * Selection for Language Models via Importance Resampling",
+   * arXiv:2302.03169): per hashed-bigram bucket, the quantized
+   * log-likelihood ratio between a TARGET slice of the corpus and the
+   * raw corpus. Returns the `buckets`-sized delta array
+   * `Δ[b] = ln p̂(b) − ln q̂(b)` (add-1 smoothed, then floored to 16
+   * fractional bits so per-document sums of `n_d[b]·Δ[b]` are exact
+   * dyadic arithmetic in ANY summation order — the e49/e50 fixed-point
+   * reproducibility trick applied to a trained model).
+   *
+   * 100 TB shape: ONE exploded tokenize pass feeding one 256-row
+   * partial-aggregated histogram (both distributions counted in the
+   * same aggregate — the target count is a conditional inside it, not
+   * a second scan). The only driver materialization is the bounded
+   * `buckets`-row model, the same envelope as [[SimilarityOps]]'
+   * k-means centroids and PQ codebooks.
+   */
+  def dsirDeltas(df: DataFrame, textCol: String, isTarget: Column,
+                 buckets: Int = 256): Array[Double] = {
+    val toks = TextOps.tokens(col(textCol))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+      (a, b) => concat(a, lit(" "), b))
+    val hist = df
+      .select(isTarget.as("__tgt"), explode(bigrams).as("__g"))
+      .select(col("__tgt"), gramBucket(col("__g"), buckets).as("__b"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__cq"), count(when(col("__tgt"), 1)).as("__cp"))
+      .collect()
+    val cq = new Array[Long](buckets)
+    val cp = new Array[Long](buckets)
+    hist.foreach { r =>
+      val b = r.getInt(0); cq(b) = r.getLong(1); cp(b) = r.getLong(2)
+    }
+    val tq = cq.sum.toDouble
+    val tp = cp.sum.toDouble
+    Array.tabulate(buckets) { b =>
+      val d = math.log((cp(b) + 1).toDouble / (tp + buckets)) -
+        math.log((cq(b) + 1).toDouble / (tq + buckets))
+      math.floor(d * 65536.0) / 65536.0
+    }
+  }
+
+  /** Hashed-n-gram feature bucket: the first md5 nibbles of the gram
+    * text, exactly the integer arithmetic both engines replay (the
+    * [[splitAssign]] convention). `buckets` must be a power of 16 ≤
+    * 65536 so the nibble prefix addresses it exactly. */
+  private def gramBucket(g: Column, buckets: Int): Column = {
+    require(Seq(16, 256, 4096, 65536).contains(buckets),
+      s"buckets must be a power of 16 (nibble-addressable), got $buckets")
+    val hex = md5(g.cast("binary"))
+    val digits = "0123456789abcdef"
+    val nNibs = (math.log(buckets) / math.log(16)).round.toInt
+    (1 to nNibs).map(i => instr(lit(digits), substring(hex, i, 1)) - 1)
+      .reduceLeft((acc, n) => acc * 16 + n)
+  }
+
+  /**
+   * Score + resample a corpus against a trained DSIR model — phase 2 of
+   * [[dsirSelect]], split out so a STREAM can run it map-only against a
+   * batch-trained model (the s54 train-in-batch / score-in-flight
+   * pattern). Each document's log importance weight is the fold
+   * `Σ_grams Δ[bucket(gram)]` over its own bigram array (map-only, the
+   * gram list never leaves its row; exact dyadic arithmetic, so DuckDB's
+   * any-order per-doc sum replays it bitwise). Selection is Gumbel
+   * top-k — THE importance-resampling step of the paper — made RNG-free:
+   * `key = logw + (−ln(−ln(u)))` with `u` the (seed, id)-keyed md5-nibble
+   * uniform of [[weightedSample]]; the k largest keys are a weighted
+   * draw WITHOUT replacement from the softmax of the importance weights.
+   * One exchange of ≤ k pre-combined (key, id) pairs ends the plan —
+   * top_k_by partial-aggregates map-side, so the corpus never shuffles.
+   *
+   * Output: (id, logw rounded to 6, rank 1..k by key DESC, id ASC).
+   */
+  def dsirSelectWith(df: DataFrame, idCol: String, textCol: String,
+                     deltas: Array[Double], k: Int,
+                     seed: String = "dsir1"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val buckets = deltas.length
+    val deltaLit = array(deltas.map(lit(_)): _*)
+    val toks = TextOps.tokens(col(textCol))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+      (a, b) => concat(a, lit(" "), b))
+    val logw = aggregate(bigrams, lit(0.0d),
+      (acc, g) => acc + element_at(deltaLit, gramBucket(g, buckets) + 1))
+    val digits = "0123456789abcdef"
+    val hexId =
+      md5(concat(lit(seed), lit(":"), col("__id").cast("string")).cast("binary"))
+    val nib = (i: Int) => instr(lit(digits), substring(hexId, i, 1)) - 1
+    val bk = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    val u = (bk.cast("double") + lit(0.5d)) / lit(65536d)
+    val gumbel = -log(-log(u))
+    // two selects on purpose: the fold over the gram array is the
+    // dominant per-row cost and HOFs are CodegenFallback (no CSE), so
+    // __lw must be materialized ONCE and referenced twice — a single
+    // select would tokenize + hash every document twice
+    df.select(col(idCol).as("__id"), logw.as("__lw"))
+      .select(
+        struct(col("__id").as("id"),
+          (round(col("__lw"), 6) + lit(0.0d)).as("logw")).as("__sid"),
+        (col("__lw") + gumbel).as("__key"))
+      .agg(graft.functions.GraftFunctions
+        .top_k_by(col("__key"), col("__sid"), k).as("__topk"))
+      .select(posexplode(col("__topk")))
+      .select(col("col.id.id").as(idCol), col("col.id.logw").as("logw"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
+   * DSIR data selection end-to-end: train the hashed-bigram importance
+   * model on the corpus itself ([[dsirDeltas]] — target slice vs raw),
+   * then score and Gumbel-resample `k` documents ([[dsirSelectWith]]).
+   * The published method for "make 100 TB of raw crawl look like the
+   * target domain": importance weights from an n-gram likelihood ratio,
+   * then sampling proportional to the weights rather than top-k
+   * cherry-picking (which would collapse diversity). Two corpus passes
+   * total — one histogram scan to train, one map-only scan + bounded
+   * top-k exchange to select.
+   */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Int, buckets: Int = 256,
+                 seed: String = "dsir1"): DataFrame =
+    dsirSelectWith(df, idCol, textCol,
+      dsirDeltas(df, textCol, isTarget, buckets), k, seed)
+
+  /**
    * Repair cross-split near-duplicate leakage — the FIX for what the
    * leakage audit (ngramOverlap over a split assignment) detects:
    * content-hash splitting co-locates verbatim duplicates by

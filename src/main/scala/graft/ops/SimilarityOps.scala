@@ -83,6 +83,85 @@ object SimilarityOps {
   }
 
   /**
+   * Margin-based candidate mining (Artetxe & Schwenk 2019, ACL —
+   * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+   * Embeddings"; the LASER/CCMatrix bitext-mining score): rank each
+   * query's candidates not by raw cosine but by the RATIO margin
+   * `cos(x,y) / ((avgcos_k(x) + avgcos_k(y)) / 2)`, where `avgcos_k(v)`
+   * is the mean of v's top-`navg` cosines into the OTHER side. Raw
+   * cosine mines hubs — candidates near everything; the margin divides
+   * out each side's local density, so a pair only scores high when they
+   * are close to each other RELATIVE to their neighborhoods. This is
+   * the standard mined-pair scorer for parallel-text and retrieval
+   * training data.
+   *
+   * Reproducibility: each cosine is floored to 16 fractional bits
+   * before entering an average, so the `navg`-term sums are exact
+   * dyadics in any summation order (e49/e50 trick) and both engines
+   * produce bit-identical densities; the margin is then ONE correctly-
+   * rounded division of bit-identical inputs. Candidate selection (by
+   * raw cosine) and final ranking (by margin) both tie-break on id.
+   *
+   * 100 TB shape: the forward pass is [[topKBruteForce]]'s one
+   * broadcast-query map scan + one query-keyed partial-aggregated
+   * exchange; the backward densities are computed ONLY for the distinct
+   * mined candidates (≤ queries × candidates rows — a semi-join fetch of
+   * their vectors, then a scan against the broadcast query batch), never
+   * for the whole corpus. For corpus-scale query sets, feed the same
+   * margin arithmetic from an index-backed candidate stream
+   * ([[topKIvfFromIndex]]) instead of the brute-force scorer.
+   */
+  def marginMineTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, navg: Int = 4, candidates: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(navg >= 1, s"navg must be >= 1, got $navg")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    def q16(c: Column): Column = floor(c * lit(65536d)) / lit(65536d)
+    def avgTop(grouped: DataFrame, groupCol: String, idC: String,
+               outCol: String): DataFrame =
+      grouped.groupBy(groupCol)
+        .agg(GraftFunctions.top_k_by(col("__qc"), col(idC), navg).as("__t"))
+        .select(col(groupCol),
+          (aggregate(col("__t"), lit(0.0d),
+            (acc, x) => acc + x.getField("score")) /
+            lit(navg.toDouble)).as(outCol))
+    val scored =
+      cosineScored(corpus, corpusId, corpusVec, queries, queryId, queryVec)
+        .withColumn("__qc", q16(col("cosine")))
+    // forward density: avg of the top-navg quantized cosines per query —
+    // floor is monotone, so the top-navg multiset is the same whether
+    // selected by raw or quantized cosine
+    val fwd = avgTop(scored, "query_id", "vec_id", "__aq")
+    val cand = topK(scored, "query_id", "vec_id", candidates)
+    // backward density: each DISTINCT candidate's avg top-navg cosine
+    // into the query batch — candidate-bounded, not corpus-bounded
+    val candVecs = corpus
+      .select(col(corpusId).as("vec_id"), col(corpusVec).as("__cv"))
+      .join(cand.select("vec_id").distinct(), Seq("vec_id"))
+    val bwdScored = candVecs
+      .crossJoin(broadcast(queries.select(col(queryId).as("__qid"),
+        col(queryVec).as("__qv"))))
+      .select(col("vec_id"), col("__qid"),
+        q16(GraftFunctions.cosine_similarity(col("__cv"), col("__qv")))
+          .as("__qc"))
+    val bwd = avgTop(bwdScored, "vec_id", "__qid", "__ab")
+    // both joins are query-batch-bounded by construction (not
+    // data-dependent), so forcing the broadcast is safe
+    val margined = cand
+      .join(broadcast(fwd), Seq("query_id"))
+      .join(broadcast(bwd), Seq("vec_id"))
+      .where(col("__aq") + col("__ab") > 0d)
+      .select(col("query_id"), col("vec_id"),
+        (q16(col("cosine")) /
+          ((col("__aq") + col("__ab")) / lit(2.0d))).as("__margin"))
+    topKBy(margined, "query_id", "vec_id", "__margin", k)
+      .select(col("query_id"), col("vec_id"),
+        (round(col("__margin"), 6) + lit(0.0d)).as("margin"), col("rank"))
+  }
+
+  /**
    * Recall evaluator for approximate search: joins an approximate result
    * set against the exact ground truth per query and reports
    * `(query_id, n_hits, recall)` — the index-quality monitor every

@@ -459,6 +459,66 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"must plan as the map-side-combining aggregate, not a window:\n$plan")
   }
 
+  test("dsirSelect: importance tilts toward target, deterministic, bounded model") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // target docs repeat one phrase, raw docs a disjoint one, mixed docs
+    // straddle — logw must order target > mixed > raw with the right signs
+    val tgt = (0L until 40L).map(i =>
+      (i, "en", "the quick brown fox jumps over the lazy dog"))
+    val raw = (100L until 140L).map(i =>
+      (i, "xx", "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val mixed = (200L until 240L).map(i =>
+      (i, "xx", "the quick brown fox sit amet"))
+    val docs = (tgt ++ raw ++ mixed).toDF("doc_id", "lang", "text")
+    val deltas = CorpusOps.dsirDeltas(docs, "text", col("lang") === "en")
+    assert(deltas.length == 256, "model must be the bounded bucket array")
+    // k >= corpus: every doc surfaces with its logw
+    val logwById = CorpusOps.dsirSelectWith(docs, "doc_id", "text", deltas,
+        k = 200, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert((0L until 40L).forall(i => logwById(i) > 0),
+      "target docs must score positive log importance")
+    assert((100L until 140L).forall(i => logwById(i) < 0),
+      "raw docs must score negative log importance")
+    assert((200L until 240L).forall(i =>
+      logwById(i) > logwById(100L) && logwById(i) < logwById(0L)),
+      "mixed docs must land strictly between")
+    // the Gumbel draw at k=30 is dominated by the 40 target docs (their
+    // logw gap to everything else is far beyond Gumbel noise)
+    val sel = CorpusOps.dsirSelectWith(docs, "doc_id", "text", deltas,
+      k = 30, seed = "s1").collect()
+    assert(sel.map(_.getLong(2)).sorted.toSeq == (1L to 30L))
+    assert(sel.count(_.getLong(0) < 40L) >= 25,
+      "selection must tilt hard toward the target distribution")
+    // deterministic, layout-independent; a new seed is a fresh draw
+    val again = CorpusOps.dsirSelectWith(docs.repartition(7), "doc_id",
+      "text", deltas, k = 30, seed = "s1").collect().toSeq
+    assert(sel.toSeq == again, "selection must not depend on partitioning")
+    val other = CorpusOps.dsirSelectWith(docs, "doc_id", "text", deltas,
+      k = 30, seed = "s2").collect().toSeq
+    assert(sel.toSeq != other, "different seeds must give different draws")
+    // gram-free docs fold to exactly logw 0 and stay eligible
+    val withEmpty = docs.unionByName(
+      Seq((300L, "xx", ""), (301L, "xx", "one")).toDF("doc_id", "lang", "text"))
+    val lw2 = CorpusOps.dsirSelectWith(withEmpty, "doc_id", "text", deltas,
+        k = 300, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(lw2(300L) == 0.0 && lw2(301L) == 0.0)
+    // guards
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirSelectWith(docs, "doc_id", "text", deltas, k = 0, seed = "s1")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirDeltas(docs, "text", col("lang") === "en", buckets = 100)
+    }
+    // scale shape: scoring is map-only into the combinable top-k — no
+    // window, and the corpus never shuffles ungrouped rows
+    val plan = CorpusOps.dsirSelectWith(docs, "doc_id", "text", deltas,
+      k = 30, seed = "s1").queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by") && !plan.contains("Window"),
+      s"DSIR selection must rank via top_k_by, not a window:\n$plan")
+  }
+
   test("splitRepair: clusters co-split, reps keep theirs, non-members untouched, idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

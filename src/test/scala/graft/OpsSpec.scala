@@ -558,6 +558,53 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Long]("vec_id"))).toSet == expected)
   }
 
+  test("margin mining: demotes hubs, deterministic, bounded backward pass") {
+    // three near-orthogonal queries; a HUB close to all of them; a
+    // genuine match y close only to q1. Raw cosine ranks the hub first
+    // for q1; the margin divides each candidate's neighborhood density
+    // out, so the genuine pair must win.
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Array(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val queries = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)), (3L, v(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, v(1, 1, 1, 0)),       // hub: cosine 0.577 to EVERY query
+      (11L, v(0.5, 0, 0, 0.866)), // genuine match for q1 only (cos 0.5)
+      (12L, v(0, 0, 0, 1)),       // background
+      (13L, v(0.05, 0, 0, 1)))    // background
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.marginMineTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 2, navg = 2, candidates = 4)
+    val q1 = got.where($"query_id" === 1L).orderBy("rank").collect()
+    // raw-cosine order for q1 would put the hub first; margin must not
+    val rawTop = SimilarityOps.topKBruteForce(corpus, "vec_id", "embedding",
+      queries.where($"vec_id" === 1L), "vec_id", "embedding", k = 1)
+      .collect()(0).getAs[Long]("vec_id")
+    assert(rawTop == 10L, "fixture broken: hub should win on raw cosine")
+    assert(q1(0).getAs[Long]("vec_id") == 11L,
+      s"margin must rank the genuine match over the hub, got ${q1.toSeq}")
+    // margins are finite, positive, and ranked desc
+    val ms = got.orderBy("query_id", "rank")
+      .select("query_id", "margin").as[(Long, Double)].collect()
+    assert(ms.forall(m => m._2 >= 0 && !m._2.isNaN && !m._2.isInfinite))
+    // deterministic and layout-independent
+    val again = SimilarityOps.marginMineTopK(corpus.repartition(5),
+      "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 2, navg = 2, candidates = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got.orderBy("query_id", "rank").collect().toSeq == again)
+    // scale shape: ranking is the map-side-combining aggregate, and the
+    // backward density never windows the corpus
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by") && !plan.contains("Window"),
+      s"margin mining must rank via top_k_by, not a window:\n$plan")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.marginMineTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, navg = 2, candidates = 4)
+    }
+  }
+
   test("annRecall: perfect, partial, zero-hit, and truncated-truth queries") {
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L),
       (3L, 97L), (4L, 40L)).toDF("query_id", "vec_id")
