@@ -106,7 +106,10 @@ object Bench {
     // train pass + one map-only score/resample pass) and margin-based
     // pair mining (brute-force forward pass + candidate-bounded
     // backward densities)
-    "d112_dsir_select", "e65_margin_mining")
+    "d112_dsir_select", "e65_margin_mining",
+    // BPE merge training: corpus tokenizes once into the weighted
+    // vocabulary leaf; 3 pair-count rounds + 1-row argmaxes over it
+    "d113_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2513,6 +2513,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "d113_bpe_merges" -> ((s, dir) => {
+      // REAL BPE tokenizer training (Sennrich et al. 2016), 3 merge
+      // rounds: pair counting runs over the frequency-weighted word-TYPE
+      // table (the corpus tokenizes ONCE — iterations never re-touch
+      // it), each merge applies as one literal delimiter-bracketed
+      // replace whose greedy non-overlapping semantics both engines
+      // share, and the per-round argmax is a 1-row TakeOrdered driver
+      // action. Integer/string output only — the oracle unrolls the 3
+      // rounds and matches hash-exact with no float anywhere.
+      CorpusOps.bpeTrainMerges(t(s, dir, "documents"), "text", iters = 3)
+        .orderBy("iter")
+    }),
+
     "d108_split_repair" -> ((s, dir) => {
       // the FIX for what d106 audits: near-dup clusters that straddle
       // the content-hash split are forced into ONE split — the cluster
@@ -4366,6 +4379,38 @@ object SparkEntry {
        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
   }
 
+  /** d113: three BPE merge rounds unrolled (the d83/d84 iterative
+    * pattern) — types table once, then per round: filtered symbol
+    * split, weighted adjacent-pair count, 1-row argmax, literal
+    * delimiter-bracketed merge replace. */
+  private lazy val BpeOracleSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val pm =
+        s"""p$i AS (SELECT s[j] AS a, s[j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, s, unnest(range(1, len(s))) AS j FROM (
+           |      SELECT n, list_filter(string_split(enc, '|'), x -> x <> '') AS s
+           |      FROM t${i - 1}))
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+      val ap =
+        s"""t$i AS (SELECT replace(enc, '|' || m$i.a || '|' || m$i.b || '|',
+           |    '|' || m$i.a || m$i.b || '|') AS enc, n
+           |  FROM t${i - 1} CROSS JOIN m$i)"""
+      if (i < 3) s"$pm,\n$ap" else pm
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),
+       |t0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM w WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS iter, a AS sym_a, b AS sym_b,
+       |         cnt AS pair_count FROM m1
+       |  UNION ALL SELECT 2, a, b, cnt FROM m2
+       |  UNION ALL SELECT 3, a, b, cnt FROM m3)
+       |ORDER BY iter""".stripMargin
+  }
+
   /** e65: the Artetxe–Schwenk ratio margin replayed — cosine computed
     * EXPLICITLY in double over 16-frac-bit-quantized inputs, in the
     * kernel's exact operation order (`dot / sqrt(na*nb)`; DuckDB's
@@ -5693,6 +5738,7 @@ object SparkEntry {
     // computed-double-ordering precedent)
     "d109_weighted_sample" -> WeightedSampleOracleSql,
     "d112_dsir_select" -> DsirOracleSql,
+    "d113_bpe_merges" -> BpeOracleSql,
     "s70_stream_dsir_select" -> DsirOracleSql,
     "e65_margin_mining" -> MarginMiningOracleSql,
 

@@ -696,6 +696,80 @@ object CorpusOps {
   }
 
   /**
+   * Train byte-pair-encoding merges over the corpus — the real
+   * tokenizer-training step (Sennrich et al. 2016, ACL — "Neural
+   * Machine Translation of Rare Words with Subword Units"): iteratively
+   * count adjacent symbol pairs over the VOCABULARY (word types
+   * weighted by frequency) and merge the most frequent pair, ties
+   * broken on the pair text. Output: one row per learned merge,
+   * `(iter, sym_a, sym_b, pair_count)` — exact integers and strings
+   * only, so the oracle (iterations unrolled in SQL, the d83/d84
+   * pattern) replays it hash-exact with no float anywhere.
+   *
+   * Words are restricted to `[a-z]+` — the pre-tokenized lowercase
+   * class ('|' is the symbol delimiter, and grapheme splitting outside
+   * ASCII differs across engines). Encoding: '|'-delimited symbols
+   * with leading and trailing '|', so a merge applies as ONE literal
+   * string replace of `|a|b|` with `|ab|` — left-to-right
+   * non-overlapping replace semantics are identical in Spark and
+   * DuckDB and EQUAL the greedy BPE merge scan ("|a|a|a|" merges the
+   * first pair only, because the merged symbol no longer matches), and
+   * the delimiters on both pattern ends make cross-symbol false
+   * matches impossible.
+   *
+   * 100 TB shape: the corpus tokenizes ONCE into the frequency-
+   * weighted types table (one exchange of O(|vocab|) rows — the
+   * classic trainer property: iterations never re-touch the corpus);
+   * each iteration is one partial-aggregated pair-count exchange over
+   * the persisted vocabulary leaf plus ONE bounded driver action (the
+   * 1-row argmax via TakeOrdered — the kmeans/centroid envelope), and
+   * merge application is a map-only expression layer over that leaf,
+   * so every round's plan stays O(|vocab|).
+   */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val spark = df.sparkSession
+    val base = IterPlan.persistedLeaf(
+      df.select(explode(TextOps.tokens(col(textCol))).as("__w"))
+        .where(col("__w").rlike("^[a-z]+$"))
+        .groupBy("__w").agg(count(lit(1)).as("__n"))
+        .select(concat(lit("|"),
+          regexp_replace(col("__w"), "(.)", "$1|")).as("__enc"), col("__n")),
+      eager = false)
+    try {
+      var types = base
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var it = 1
+      var done = false
+      while (it <= iters && !done) {
+        val syms = filter(split(col("__enc"), "\\|"), x => x =!= "")
+        val pairs = types
+          .select(col("__n"), syms.as("__s"))
+          .select(col("__n"), explode(zip_with(
+            slice(col("__s"), lit(1), greatest(size(col("__s")) - 1, lit(0))),
+            slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+          .agg(sum("__n").as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val r = top(0)
+          val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((it.toLong, a, b, cnt))
+          types = types.withColumn("__enc",
+            replace(col("__enc"), lit(s"|$a|$b|"), lit(s"|$a$b|")))
+          it += 1
+        }
+      }
+      import spark.implicits._
+      merges.result().toDF("iter", "sym_a", "sym_b", "pair_count")
+    } finally base.unpersist()
+  }
+
+  /**
    * DSIR data selection end-to-end: train the hashed-bigram importance
    * model on the corpus itself ([[dsirDeltas]] — target slice vs raw),
    * then score and Gumbel-resample `k` documents ([[dsirSelectWith]]).

@@ -519,6 +519,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"DSIR selection must rank via top_k_by, not a window:\n$plan")
   }
 
+  test("bpeTrainMerges: hand-computed merges, greedy non-overlap, filters") {
+    import org.apache.spark.sql.functions.col
+    // vocabulary: aaab x3, ab x2 — merge math by hand:
+    //   round 1: (a,a) appears 2x inside aaab => 6 > (a,b) 3+2=5 -> merge (a,a,6)
+    //            greedy non-overlap: |a|a|a|b| -> |aa|a|b| (FIRST pair only)
+    //   round 2: (aa,a) 3, (a,b) 5 -> merge (a,b,5)
+    //   round 3: only (aa,ab) 3 remains -> merge (aa,ab,3)
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"),
+      (3L, "XYZ a|b 123")).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrainMerges(docs, "text", iters = 3)
+      .orderBy("iter")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges == Seq((1L, "a", "a", 6L), (2L, "a", "b", 5L),
+      (3L, "aa", "ab", 3L)),
+      s"merge sequence diverged from the hand computation: $merges")
+    // non-[a-z]+ tokens (uppercase, digits, delimiter chars) never enter
+    // the vocabulary — doc 3 must contribute nothing (already implied by
+    // the exact counts above, pinned here against a filter regression)
+    val only = CorpusOps.bpeTrainMerges(
+      Seq((1L, "XYZ 42 a|b")).toDF("doc_id", "text"), "text", iters = 3)
+    assert(only.count() == 0, "no eligible words must yield no merges")
+    // deterministic and layout-independent
+    val again = CorpusOps.bpeTrainMerges(docs.repartition(5), "text", iters = 3)
+      .orderBy("iter")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges == again)
+    // single-symbol-word corpora stop early instead of looping
+    val tiny = CorpusOps.bpeTrainMerges(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", iters = 3)
+    assert(tiny.count() == 0)
+    intercept[IllegalArgumentException] {
+      CorpusOps.bpeTrainMerges(docs, "text", iters = 0)
+    }
+  }
+
   test("splitRepair: clusters co-split, reps keep theirs, non-members untouched, idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
