@@ -108,8 +108,9 @@ object Bench {
     // backward densities)
     "d112_dsir_select", "e65_margin_mining",
     // BPE merge training: corpus tokenizes once into the weighted
-    // vocabulary leaf; 3 pair-count rounds + 1-row argmaxes over it
-    "d113_bpe_merges")
+    // vocabulary leaf; 3 pair-count rounds + 1-row argmaxes over it;
+    // fertility = train + apply the merge chain map-only corpus-wide
+    "d113_bpe_merges", "d114_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1642,6 +1642,28 @@ object SparkEntry {
       s.table(sink).orderBy("rank")
     }),
 
+    "s71_stream_tokenizer_fertility" -> ((s, dir) => {
+      // d114's fertility audit maintained LIVE: merges train in batch
+      // (bounded 3-row collect, the s54 train-in-batch pattern), the
+      // merge chain scores each arriving word map-only, and the
+      // per-language counters are combinable sums — complete mode
+      // holds one row per language and every micro-batch updates the
+      // standing fertility report. Drain == batch audit; d114's
+      // oracle grades it verbatim.
+      val batch = t(s, dir, "documents")
+      val merges = CorpusOps.bpeTrainMerges(batch, "text", iters = 3)
+        .orderBy("iter").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val docs = tStream(s, dir, "documents").select("lang", "text")
+      val stats = CorpusOps.bpeSegmentStats(docs, "lang", "text", merges)
+      val sink = s"s71_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stats.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("lang")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -2524,6 +2546,21 @@ object SparkEntry {
       // rounds and matches hash-exact with no float anywhere.
       CorpusOps.bpeTrainMerges(t(s, dir, "documents"), "text", iters = 3)
         .orderBy("iter")
+    }),
+
+    "d114_tokenizer_fertility" -> ((s, dir) => {
+      // the trained tokenizer APPLIED: d113's merges (a bounded 3-row
+      // collect — the train-then-apply pattern) segment every eligible
+      // word map-only, then one per-language aggregate reports
+      // fertility (symbols per word) — the tokenizer-QA gate a
+      // multilingual corpus runs before any model does. The oracle
+      // retrains AND reapplies the merges in SQL end to end.
+      val docs = t(s, dir, "documents")
+      val merges = CorpusOps.bpeTrainMerges(docs, "text", iters = 3)
+        .orderBy("iter").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      CorpusOps.bpeSegmentStats(docs, "lang", "text", merges)
+        .orderBy("lang")
     }),
 
     "d108_split_repair" -> ((s, dir) => {
@@ -4379,11 +4416,12 @@ object SparkEntry {
        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
   }
 
-  /** d113: three BPE merge rounds unrolled (the d83/d84 iterative
-    * pattern) — types table once, then per round: filtered symbol
-    * split, weighted adjacent-pair count, 1-row argmax, literal
-    * delimiter-bracketed merge replace. */
-  private lazy val BpeOracleSql: String = {
+  /** The shared 3-round BPE training CTE chain (the d83/d84 unrolled-
+    * iteration pattern): types table once, then per round a filtered
+    * symbol split, weighted adjacent-pair count, 1-row argmax, and the
+    * literal delimiter-bracketed merge replace. d113 reads the merges;
+    * d114/s71 also apply them. */
+  private lazy val BpeRoundsCte: String = {
     val rounds = (1 to 3).map { i =>
       val pm =
         s"""p$i AS (SELECT s[j] AS a, s[j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -4398,18 +4436,45 @@ object SparkEntry {
            |  FROM t${i - 1} CROSS JOIN m$i)"""
       if (i < 3) s"$pm,\n$ap" else pm
     }.mkString(",\n")
-    s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),
+    s"""w AS (SELECT unnest($ToksSql) AS w FROM documents),
        |t0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM w WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val BpeOracleSql: String =
+    s"""WITH $BpeRoundsCte
        |SELECT * FROM (
        |  SELECT CAST(1 AS BIGINT) AS iter, a AS sym_a, b AS sym_b,
        |         cnt AS pair_count FROM m1
        |  UNION ALL SELECT 2, a, b, cnt FROM m2
        |  UNION ALL SELECT 3, a, b, cnt FROM m3)
        |ORDER BY iter""".stripMargin
-  }
+
+  /** Shared by d114 (batch) and s71 (the same map-only scoring drained
+    * from a stream into a combinable per-language sum): the trained
+    * merges applied in learned order to every eligible word occurrence,
+    * then per-language symbol totals and fertility. */
+  private lazy val BpeFertilityOracleSql: String =
+    s"""WITH $BpeRoundsCte,
+       |wl AS (SELECT lang, w
+       |  FROM (SELECT lang, unnest($ToksSql) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')),
+       |appd AS (SELECT lang,
+       |    len(list_filter(string_split(
+       |      replace(replace(replace(
+       |        '|' || regexp_replace(w, '(.)', '\\1|', 'g'),
+       |        '|' || m1.a || '|' || m1.b || '|', '|' || m1.a || m1.b || '|'),
+       |        '|' || m2.a || '|' || m2.b || '|', '|' || m2.a || m2.b || '|'),
+       |        '|' || m3.a || '|' || m3.b || '|', '|' || m3.a || m3.b || '|'),
+       |      '|'), x -> x <> '')) AS ns
+       |  FROM wl CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ns) AS BIGINT) AS n_symbols,
+       |  ROUND(CAST(sum(ns) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS fertility
+       |FROM appd GROUP BY lang ORDER BY lang""".stripMargin
 
   /** e65: the Artetxe–Schwenk ratio margin replayed — cosine computed
     * EXPLICITLY in double over 16-frac-bit-quantized inputs, in the
@@ -5739,6 +5804,8 @@ object SparkEntry {
     "d109_weighted_sample" -> WeightedSampleOracleSql,
     "d112_dsir_select" -> DsirOracleSql,
     "d113_bpe_merges" -> BpeOracleSql,
+    "d114_tokenizer_fertility" -> BpeFertilityOracleSql,
+    "s71_stream_tokenizer_fertility" -> BpeFertilityOracleSql,
     "s70_stream_dsir_select" -> DsirOracleSql,
     "e65_margin_mining" -> MarginMiningOracleSql,
 

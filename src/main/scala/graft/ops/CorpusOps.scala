@@ -770,6 +770,44 @@ object CorpusOps {
   }
 
   /**
+   * Apply trained BPE merges ([[bpeTrainMerges]]) to the corpus and
+   * report per-group tokenizer FERTILITY — symbols emitted per word —
+   * the tokenizer-QA number a multilingual corpus is gated on (a
+   * tokenizer trained on one language's statistics over-fragments the
+   * others; fertility per language is how that shows up before any
+   * model runs). Merges apply IN LEARNED ORDER, each as the same
+   * delimiter-bracketed literal replace the trainer used, so
+   * segmentation here is exactly the trained tokenizer's greedy merge
+   * application. Only `[a-z]+` words count (the trainer's eligibility
+   * class).
+   *
+   * 100 TB shape: map-only over the exploded word stream (the merge
+   * chain is a fixed expression layer, no joins — the merges ride the
+   * plan as literals), then ONE partial-aggregated exchange of
+   * per-group counter rows. Output: (group, n_words, n_symbols,
+   * fertility rounded to 6 — one correctly-rounded division of exact
+   * integer sums).
+   */
+  def bpeSegmentStats(df: DataFrame, groupCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("__w"))
+      .where(col("__w").rlike("^[a-z]+$"))
+    val enc0 = concat(lit("|"), regexp_replace(col("__w"), "(.)", "$1|"))
+    val encN = merges.foldLeft(enc0) { case (e, (a, b)) =>
+      replace(e, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+    }
+    words
+      .select(col(groupCol),
+        size(filter(split(encN, "\\|"), x => x =!= "")).cast("long").as("__ns"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"), sum("__ns").as("n_symbols"))
+      .select(col(groupCol), col("n_words"), col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_words").cast("double"),
+          6).as("fertility"))
+  }
+
+  /**
    * DSIR data selection end-to-end: train the hashed-bigram importance
    * model on the corpus itself ([[dsirDeltas]] — target slice vs raw),
    * then score and Gumbel-resample `k` documents ([[dsirSelectWith]]).

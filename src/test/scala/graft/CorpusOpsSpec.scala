@@ -556,6 +556,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeSegmentStats: applies merges in learned order, exact fertility") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "en", "aaab aaab ab"), (2L, "en", "aaab ab"),
+      (3L, "fr", "cd cd")).toDF("doc_id", "lang", "text")
+    // with no merges, every word splits to characters
+    val none = CorpusOps.bpeSegmentStats(docs, "lang", "text", Seq.empty)
+      .orderBy("lang").collect()
+    assert(none.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq ==
+      Seq(("en", 5L, 16L, 3.2), ("fr", 2L, 4L, 2.0)))
+    // the full learned chain from the sibling trainer collapses the en
+    // vocabulary to single symbols: |a|a|a|b| -(a,a)-> |aa|a|b|
+    // -(a,b)-> |aa|ab| -(aa,ab)-> |aaab|
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val full = CorpusOps.bpeSegmentStats(docs, "lang", "text", merges)
+      .orderBy("lang").collect()
+    assert(full.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq ==
+      Seq(("en", 5L, 5L, 1.0), ("fr", 2L, 4L, 2.0)),
+      "merges must apply in order and only to matching symbols")
+    // order matters: applying (aa,ab) FIRST is a no-op on unmerged text
+    val wrongOrder = CorpusOps.bpeSegmentStats(docs, "lang", "text",
+      Seq(("aa", "ab"))).where(col("lang") === "en").collect()(0)
+    assert(wrongOrder.getLong(2) == 16L,
+      "a merge over never-built symbols must not fire")
+  }
+
   test("splitRepair: clusters co-split, reps keep theirs, non-members untouched, idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
