@@ -2535,6 +2535,26 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "d115_dsir_incremental" -> ((s, dir) => {
+      // incremental DSIR model maintenance == rebuild (the d104/e53
+      // contract applied to the importance model): the persistable
+      // artifact is the ADDITIVE histogram, so folding per-batch
+      // histograms (even/odd doc halves here) and collapsing to deltas
+      // must bitwise-equal training once on the full corpus — which is
+      // exactly what the oracle computes. Output: the 256 quantized
+      // log-ratios themselves.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      def half(p: String) = CorpusOps.dsirHistogram(
+        docs.where(p), "text", col("lang") === "en")
+      val folded = half("doc_id % 2 = 0").unionByName(half("doc_id % 2 = 1"))
+        .groupBy("bucket")
+        .agg(sum("n_raw").as("n_raw"), sum("n_target").as("n_target"))
+      CorpusOps.dsirDeltasFromHistogram(folded, 256)
+        .zipWithIndex.map { case (d, i) => (i.toLong, d + 0.0d) }.toSeq
+        .toDF("bucket", "delta").orderBy("bucket")
+    }),
+
     "d113_bpe_merges" -> ((s, dir) => {
       // REAL BPE tokenizer training (Sennrich et al. 2016), 3 merge
       // rounds: pair counting runs over the frequency-weighted word-TYPE
@@ -4381,13 +4401,11 @@ object SparkEntry {
     * smoothed log-ratios floored to 16 fractional bits (per-doc sums
     * exact dyadics in any order), Gumbel keys from the d109 md5-nibble
     * uniform, top-50 by (key DESC, doc_id). */
-  private lazy val DsirOracleSql: String = {
-    val bkSql = (1 to 4).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)),$i,1))-1)"
-    }.zip(Seq(4096, 256, 16, 1))
-      .map { case (nib, m) => if (m == 1) nib else s"$nib*$m" }
-      .mkString(" + ")
-    s"""WITH docs AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+  /** The DSIR model CTE chain (docs → hashed-bigram buckets → combined
+    * raw/target histogram → quantized log-ratio deltas) — shared by the
+    * full d112/s70 replay and d115's incremental-fold check. */
+  private lazy val DsirModelCte: String =
+    s"""docs AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
        |hb AS (SELECT doc_id,
        |    (strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]),1,1))-1)*16 +
        |    (strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]),2,1))-1) AS b,
@@ -4402,7 +4420,22 @@ object SparkEntry {
        |    floor((ln((coalesce(h.cp, 0) + 1) / (tot.tp + 256.0)) -
        |           ln((coalesce(h.cq, 0) + 1) / (tot.tq + 256.0))) * 65536.0)
        |      / 65536.0 AS d
-       |  FROM range(256) r LEFT JOIN h ON h.b = r.range CROSS JOIN tot),
+       |  FROM range(256) r LEFT JOIN h ON h.b = r.range CROSS JOIN tot)""".stripMargin
+
+  /** d115: the full-corpus single-train deltas — the entry must
+    * reproduce them from FOLDED per-batch histograms. */
+  private lazy val DsirIncrementalOracleSql: String =
+    s"""WITH $DsirModelCte
+       |SELECT CAST(b AS BIGINT) AS bucket, d + 0.0 AS delta
+       |FROM delta ORDER BY bucket""".stripMargin
+
+  private lazy val DsirOracleSql: String = {
+    val bkSql = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)),$i,1))-1)"
+    }.zip(Seq(4096, 256, 16, 1))
+      .map { case (nib, m) => if (m == 1) nib else s"$nib*$m" }
+      .mkString(" + ")
+    s"""WITH $DsirModelCte,
        |lw AS (SELECT docs.doc_id, coalesce(sum(dl.d), 0.0) AS logw
        |  FROM docs LEFT JOIN hb ON hb.doc_id = docs.doc_id
        |  LEFT JOIN delta dl ON dl.b = hb.b
@@ -5804,6 +5837,7 @@ object SparkEntry {
     "d109_weighted_sample" -> WeightedSampleOracleSql,
     "d112_dsir_select" -> DsirOracleSql,
     "d113_bpe_merges" -> BpeOracleSql,
+    "d115_dsir_incremental" -> DsirIncrementalOracleSql,
     "d114_tokenizer_fertility" -> BpeFertilityOracleSql,
     "s71_stream_tokenizer_fertility" -> BpeFertilityOracleSql,
     "s70_stream_dsir_select" -> DsirOracleSql,

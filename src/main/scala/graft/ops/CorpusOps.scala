@@ -604,22 +604,43 @@ object CorpusOps {
    * k-means centroids and PQ codebooks.
    */
   def dsirDeltas(df: DataFrame, textCol: String, isTarget: Column,
-                 buckets: Int = 256): Array[Double] = {
+                 buckets: Int = 256): Array[Double] =
+    dsirDeltasFromHistogram(
+      dsirHistogram(df, textCol, isTarget, buckets), buckets)
+
+  /** The DSIR model's PERSISTABLE form: the per-bucket raw/target gram
+    * counts `(bucket, n_raw, n_target)`. Histograms are ADDITIVE —
+    * incremental model maintenance is a union + per-bucket sum of
+    * per-batch histograms, exactly equal to retraining on the combined
+    * corpus (the d104/e53 incremental == rebuild contract; the log
+    * ratios in [[dsirDeltasFromHistogram]] are nonlinear, so the
+    * HISTOGRAM, not the delta array, is what a deployment persists and
+    * folds). One exploded tokenize pass, 256-row partial-aggregated
+    * output, nothing collected. */
+  def dsirHistogram(df: DataFrame, textCol: String, isTarget: Column,
+                    buckets: Int = 256): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val nBi = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
       (a, b) => concat(a, lit(" "), b))
-    val hist = df
-      .select(isTarget.as("__tgt"), explode(bigrams).as("__g"))
-      .select(col("__tgt"), gramBucket(col("__g"), buckets).as("__b"))
-      .groupBy("__b")
-      .agg(count(lit(1)).as("__cq"), count(when(col("__tgt"), 1)).as("__cp"))
-      .collect()
+    df.select(isTarget.as("__tgt"), explode(bigrams).as("__g"))
+      .select(col("__tgt"), gramBucket(col("__g"), buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("__tgt"), 1)).as("n_target"))
+  }
+
+  /** Collapse a (possibly folded) [[dsirHistogram]] into the quantized
+    * delta array — the bounded `buckets`-row driver materialization. */
+  def dsirDeltasFromHistogram(hist: DataFrame,
+                              buckets: Int): Array[Double] = {
     val cq = new Array[Long](buckets)
     val cp = new Array[Long](buckets)
-    hist.foreach { r =>
-      val b = r.getInt(0); cq(b) = r.getLong(1); cp(b) = r.getLong(2)
-    }
+    hist.select(col("bucket"), col("n_raw").cast("long"),
+        col("n_target").cast("long"))
+      .collect().foreach { r =>
+        val b = r.getInt(0); cq(b) = r.getLong(1); cp(b) = r.getLong(2)
+      }
     val tq = cq.sum.toDouble
     val tp = cp.sum.toDouble
     Array.tabulate(buckets) { b =>

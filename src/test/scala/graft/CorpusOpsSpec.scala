@@ -556,6 +556,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirHistogram: folding per-batch histograms equals one full train") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = ((0L until 60L).map(i => (i, "en", "the quick brown fox")) ++
+      (100L until 160L).map(i => (i, "xx", "lorem ipsum dolor sit")))
+      .toDF("doc_id", "lang", "text")
+    val full = CorpusOps.dsirDeltas(docs, "text", col("lang") === "en")
+    def hist(p: String) = CorpusOps.dsirHistogram(
+      docs.where(p).repartition(3), "text", col("lang") === "en")
+    val folded = hist("doc_id % 3 = 0")
+      .unionByName(hist("doc_id % 3 = 1"))
+      .unionByName(hist("doc_id % 3 = 2"))
+      .groupBy("bucket")
+      .agg(sum("n_raw").as("n_raw"), sum("n_target").as("n_target"))
+    val inc = CorpusOps.dsirDeltasFromHistogram(folded, 256)
+    assert(inc.toSeq == full.toSeq,
+      "histogram fold must reproduce the full-train deltas bitwise")
+    // the histogram itself is the bounded persistable artifact
+    assert(CorpusOps.dsirHistogram(docs, "text", col("lang") === "en")
+      .count() <= 256)
+  }
+
   test("bpeSegmentStats: applies merges in learned order, exact fertility") {
     import org.apache.spark.sql.functions.col
     val docs = Seq((1L, "en", "aaab aaab ab"), (2L, "en", "aaab ab"),
