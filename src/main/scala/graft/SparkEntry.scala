@@ -3358,8 +3358,11 @@ object SparkEntry {
       // everything) stop winning. Unlike the rank-only kNN entries this
       // EXPOSES a cosine-derived value, so the cosines themselves must
       // be bit-identical across engines: inputs quantize to 16
-      // fractional bits first (e50's trick — exact in float, so the
-      // codegen kernel's double dot/norm sums are exact dyadics in any
+      // fractional bits first (e50's trick — exact in float while
+      // |x| < 256, i.e. 8 integer + 16 fractional ≤ 24 significand
+      // bits; e61's health gate pins the unit-scale contract that
+      // guarantees it — so the codegen kernel's double dot/norm sums
+      // are exact dyadics in any
       // order, then sqrt and divide are one correctly-rounded op each,
       // replayed operation-for-operation by the oracle's explicit
       // double SQL — DuckDB's own list_cosine_similarity computes in
@@ -4459,18 +4462,19 @@ object SparkEntry {
       val pm =
         s"""p$i AS (SELECT s[j] AS a, s[j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
            |    SELECT n, s, unnest(range(1, len(s))) AS j FROM (
-           |      SELECT n, list_filter(string_split(enc, '|'), x -> x <> '') AS s
+           |      SELECT n, list_filter(regexp_split_to_array(enc, '[()]+'),
+           |        x -> x <> '') AS s
            |      FROM t${i - 1}))
            |  GROUP BY 1, 2),
            |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
       val ap =
-        s"""t$i AS (SELECT replace(enc, '|' || m$i.a || '|' || m$i.b || '|',
-           |    '|' || m$i.a || m$i.b || '|') AS enc, n
+        s"""t$i AS (SELECT replace(enc, '(' || m$i.a || ')(' || m$i.b || ')',
+           |    '(' || m$i.a || m$i.b || ')') AS enc, n
            |  FROM t${i - 1} CROSS JOIN m$i)"""
       if (i < 3) s"$pm,\n$ap" else pm
     }.mkString(",\n")
     s"""w AS (SELECT unnest($ToksSql) AS w FROM documents),
-       |t0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc,
+       |t0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM w WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
        |$rounds""".stripMargin
@@ -4491,18 +4495,21 @@ object SparkEntry {
     * then per-language symbol totals and fertility. */
   private lazy val BpeFertilityOracleSql: String =
     s"""WITH $BpeRoundsCte,
+       |ma1 AS (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b FROM m1),
+       |ma2 AS (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b FROM m2),
+       |ma3 AS (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b FROM m3),
        |wl AS (SELECT lang, w
        |  FROM (SELECT lang, unnest($ToksSql) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$')),
        |appd AS (SELECT lang,
-       |    len(list_filter(string_split(
+       |    len(list_filter(regexp_split_to_array(
        |      replace(replace(replace(
-       |        '|' || regexp_replace(w, '(.)', '\\1|', 'g'),
-       |        '|' || m1.a || '|' || m1.b || '|', '|' || m1.a || m1.b || '|'),
-       |        '|' || m2.a || '|' || m2.b || '|', '|' || m2.a || m2.b || '|'),
-       |        '|' || m3.a || '|' || m3.b || '|', '|' || m3.a || m3.b || '|'),
-       |      '|'), x -> x <> '')) AS ns
-       |  FROM wl CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)
+       |        regexp_replace(w, '(.)', '(\\1)', 'g'),
+       |        '(' || ma1.a || ')(' || ma1.b || ')', '(' || ma1.a || ma1.b || ')'),
+       |        '(' || ma2.a || ')(' || ma2.b || ')', '(' || ma2.a || ma2.b || ')'),
+       |        '(' || ma3.a || ')(' || ma3.b || ')', '(' || ma3.a || ma3.b || ')'),
+       |      '[()]+'), x -> x <> '')) AS ns
+       |  FROM wl CROSS JOIN ma1 CROSS JOIN ma2 CROSS JOIN ma3)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(ns) AS BIGINT) AS n_symbols,
        |  ROUND(CAST(sum(ns) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
@@ -4533,7 +4540,7 @@ object SparkEntry {
       |s AS (SELECT query_id, vec_id, c,
       |        floor(c * 65536.0) / 65536.0 AS qc
       |      FROM s1),
-      |fwd AS (SELECT query_id, sum(qc) / 4.0 AS aq FROM (
+      |fwd AS (SELECT query_id, sum(qc) / count(*) AS aq FROM (
       |          SELECT query_id, qc, row_number() OVER (
       |            PARTITION BY query_id ORDER BY qc DESC, vec_id) AS r
       |          FROM s) WHERE r <= 4 GROUP BY query_id),
@@ -4541,7 +4548,7 @@ object SparkEntry {
       |          SELECT query_id, vec_id, qc, row_number() OVER (
       |            PARTITION BY query_id ORDER BY c DESC, vec_id) AS r
       |          FROM s) WHERE r <= 16),
-      |bwd AS (SELECT vec_id, sum(qc) / 4.0 AS ab FROM (
+      |bwd AS (SELECT vec_id, sum(qc) / count(*) AS ab FROM (
       |          SELECT vec_id, qc, row_number() OVER (
       |            PARTITION BY vec_id ORDER BY qc DESC, query_id) AS r
       |          FROM s WHERE vec_id IN (SELECT vec_id FROM cand))

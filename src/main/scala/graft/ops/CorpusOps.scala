@@ -639,7 +639,11 @@ object CorpusOps {
     hist.select(col("bucket"), col("n_raw").cast("long"),
         col("n_target").cast("long"))
       .collect().foreach { r =>
-        val b = r.getInt(0); cq(b) = r.getLong(1); cp(b) = r.getLong(2)
+        val b = r.getInt(0)
+        require(b >= 0 && b < buckets,
+          s"histogram bucket $b out of range for buckets=$buckets — " +
+            "collapse with the same bucket count the histogram was trained with")
+        cq(b) = r.getLong(1); cp(b) = r.getLong(2)
       }
     val tq = cq.sum.toDouble
     val tp = cp.sum.toDouble
@@ -651,17 +655,17 @@ object CorpusOps {
   }
 
   /** Hashed-n-gram feature bucket: the first md5 nibbles of the gram
-    * text, exactly the integer arithmetic both engines replay (the
-    * [[splitAssign]] convention). `buckets` must be a power of 16 ≤
-    * 65536 so the nibble prefix addresses it exactly. */
+    * text as a base-16 number — the same value as [[splitAssign]]'s
+    * nibble arithmetic, but through ONE `conv(hex, 16, 10)` so the
+    * gram hashes exactly once (this sits inside CodegenFallback HOF
+    * folds, where a per-nibble md5 subexpression would run the hash
+    * `nNibs` times with no CSE to collapse it). `buckets` must be a
+    * power of 16 ≤ 65536 so the nibble prefix addresses it exactly. */
   private def gramBucket(g: Column, buckets: Int): Column = {
     require(Seq(16, 256, 4096, 65536).contains(buckets),
       s"buckets must be a power of 16 (nibble-addressable), got $buckets")
-    val hex = md5(g.cast("binary"))
-    val digits = "0123456789abcdef"
     val nNibs = (math.log(buckets) / math.log(16)).round.toInt
-    (1 to nNibs).map(i => instr(lit(digits), substring(hex, i, 1)) - 1)
-      .reduceLeft((acc, n) => acc * 16 + n)
+    conv(substring(md5(g.cast("binary")), 1, nNibs), 16, 10).cast("int")
   }
 
   /**
@@ -728,15 +732,18 @@ object CorpusOps {
    * pattern) replays it hash-exact with no float anywhere.
    *
    * Words are restricted to `[a-z]+` — the pre-tokenized lowercase
-   * class ('|' is the symbol delimiter, and grapheme splitting outside
-   * ASCII differs across engines). Encoding: '|'-delimited symbols
-   * with leading and trailing '|', so a merge applies as ONE literal
-   * string replace of `|a|b|` with `|ab|` — left-to-right
-   * non-overlapping replace semantics are identical in Spark and
-   * DuckDB and EQUAL the greedy BPE merge scan ("|a|a|a|" merges the
-   * first pair only, because the merged symbol no longer matches), and
-   * the delimiters on both pattern ends make cross-symbol false
-   * matches impossible.
+   * class ('(' and ')' are the symbol delimiters, and grapheme
+   * splitting outside ASCII differs across engines). Encoding: each
+   * symbol individually wrapped, `(b)(a)(n)(a)(n)(a)`, so a merge
+   * applies as ONE literal string replace of `(a)(b)` with `(ab)` —
+   * adjacent matches share NO characters (unlike a single-delimiter
+   * chain, where the shared '|' makes back-to-back occurrences
+   * under-merge: 'banana' + (a,n) must yield `b an an a`), so
+   * left-to-right non-overlapping replace — identical in Spark and
+   * DuckDB — EQUALS the greedy BPE merge scan: `(a)(a)(a)` merges the
+   * first pair only (the merged symbol no longer matches), while
+   * non-overlapping repeats all merge. Full wrapping on both pattern
+   * ends makes cross-symbol false matches impossible.
    *
    * 100 TB shape: the corpus tokenizes ONCE into the frequency-
    * weighted types table (one exchange of O(|vocab|) rows — the
@@ -755,16 +762,17 @@ object CorpusOps {
       df.select(explode(TextOps.tokens(col(textCol))).as("__w"))
         .where(col("__w").rlike("^[a-z]+$"))
         .groupBy("__w").agg(count(lit(1)).as("__n"))
-        .select(concat(lit("|"),
-          regexp_replace(col("__w"), "(.)", "$1|")).as("__enc"), col("__n")),
+        .select(regexp_replace(col("__w"), "(.)", "($1)").as("__enc"),
+          col("__n")),
       eager = false)
+    val leaves = scala.collection.mutable.ArrayBuffer(base)
     try {
       var types = base
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       var it = 1
       var done = false
       while (it <= iters && !done) {
-        val syms = filter(split(col("__enc"), "\\|"), x => x =!= "")
+        val syms = filter(split(col("__enc"), "[()]+"), x => x =!= "")
         val pairs = types
           .select(col("__n"), syms.as("__s"))
           .select(col("__n"), explode(zip_with(
@@ -781,13 +789,20 @@ object CorpusOps {
           val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((it.toLong, a, b, cnt))
           types = types.withColumn("__enc",
-            replace(col("__enc"), lit(s"|$a|$b|"), lit(s"|$a$b|")))
+            replace(col("__enc"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          // the replace layers accumulate over the leaf; without a
+          // periodic collapse round i re-executes all i-1 prior
+          // replaces per vocabulary row — O(iters²) at the allowed cap
+          if (it % 8 == 0) {
+            types = IterPlan.persistedLeaf(types, eager = false)
+            leaves += types
+          }
           it += 1
         }
       }
       import spark.implicits._
       merges.result().toDF("iter", "sym_a", "sym_b", "pair_count")
-    } finally base.unpersist()
+    } finally leaves.foreach(_.unpersist())
   }
 
   /**
@@ -814,13 +829,13 @@ object CorpusOps {
     val words = df
       .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("__w"))
       .where(col("__w").rlike("^[a-z]+$"))
-    val enc0 = concat(lit("|"), regexp_replace(col("__w"), "(.)", "$1|"))
+    val enc0 = regexp_replace(col("__w"), "(.)", "($1)")
     val encN = merges.foldLeft(enc0) { case (e, (a, b)) =>
-      replace(e, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+      replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
     }
     words
       .select(col(groupCol),
-        size(filter(split(encN, "\\|"), x => x =!= "")).cast("long").as("__ns"))
+        size(filter(split(encN, "[()]+"), x => x =!= "")).cast("long").as("__ns"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_words"), sum("__ns").as("n_symbols"))
       .select(col(groupCol), col("n_words"), col("n_symbols"),

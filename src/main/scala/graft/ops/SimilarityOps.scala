@@ -119,6 +119,9 @@ object SimilarityOps {
     require(candidates >= k,
       s"candidates ($candidates) must be >= k ($k)")
     def q16(c: Column): Column = floor(c * lit(65536d)) / lit(65536d)
+    // mean over the neighbors actually present (≤ navg) — dividing by
+    // the constant navg would deflate densities for query batches or
+    // corpora smaller than navg, inflating every margin
     def avgTop(grouped: DataFrame, groupCol: String, idC: String,
                outCol: String): DataFrame =
       grouped.groupBy(groupCol)
@@ -126,7 +129,7 @@ object SimilarityOps {
         .select(col(groupCol),
           (aggregate(col("__t"), lit(0.0d),
             (acc, x) => acc + x.getField("score")) /
-            lit(navg.toDouble)).as(outCol))
+            size(col("__t")).cast("double")).as(outCol))
     val scored =
       cosineScored(corpus, corpusId, corpusVec, queries, queryId, queryVec)
         .withColumn("__qc", q16(col("cosine")))

@@ -602,6 +602,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq(("aa", "ab"))).where(col("lang") === "en").collect()(0)
     assert(wrongOrder.getLong(2) == 16L,
       "a merge over never-built symbols must not fire")
+    // Sennrich parity on back-to-back NON-overlapping repeats: 'banana'
+    // + (a,n) must merge BOTH occurrences → b,an,an,a (4 symbols). A
+    // single-delimiter encoding under-merges here because adjacent
+    // matches share the delimiter character.
+    val banana = CorpusOps.bpeSegmentStats(
+      Seq((1L, "xx", "banana")).toDF("doc_id", "lang", "text"),
+      "lang", "text", Seq(("a", "n"))).collect()(0)
+    assert(banana.getLong(2) == 4L,
+      s"'banana' + (a,n) must yield 4 symbols (b,an,an,a), got ${banana.getLong(2)}")
+    // ...while OVERLAPPING repeats stay greedy-first-only: 'aaa' + (a,a)
+    val aaa = CorpusOps.bpeSegmentStats(
+      Seq((1L, "xx", "aaa")).toDF("doc_id", "lang", "text"),
+      "lang", "text", Seq(("a", "a"))).collect()(0)
+    assert(aaa.getLong(2) == 2L,
+      s"'aaa' + (a,a) must yield 2 symbols (aa,a), got ${aaa.getLong(2)}")
   }
 
   test("splitRepair: clusters co-split, reps keep theirs, non-members untouched, idempotent") {
