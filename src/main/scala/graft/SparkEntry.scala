@@ -3351,6 +3351,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "e66_margin_mining_ivf" -> ((s, dir) => {
+      // e65's margin arithmetic fed by the IVF candidate stream — the
+      // documented scale path made a graded entry. Full probe
+      // (nprobe = nlist) scores every pair exactly once, so the result
+      // provably equals the brute-force form (the e40 invariant) and
+      // e65's oracle grades it; approximate probes are recall-tested
+      // in the spec alongside the top-k variants.
+      val qemb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x =>
+          (floor(x.cast("double") * lit(65536.0)) / lit(65536.0))
+            .cast("float")).as("embedding"))
+      SimilarityOps.marginMineTopKIvf(
+          qemb, "vec_id", "embedding",
+          qemb.where("vec_id < 8"), "vec_id", "embedding",
+          k = 5, navg = 4, candidates = 16, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("vec_id"), col("margin"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e65_margin_mining" -> ((s, dir) => {
       // margin-based pair mining (Artetxe & Schwenk 2019 — the
       // LASER/CCMatrix bitext score): cosine divided by the mean of the
@@ -5849,6 +5869,7 @@ object SparkEntry {
     "s71_stream_tokenizer_fertility" -> BpeFertilityOracleSql,
     "s70_stream_dsir_select" -> DsirOracleSql,
     "e65_margin_mining" -> MarginMiningOracleSql,
+    "e66_margin_mining_ivf" -> MarginMiningOracleSql,
 
     // the ES reservoir is a combinable aggregate, so the complete-mode
     // drain equals the batch draw — d109's oracle verbatim

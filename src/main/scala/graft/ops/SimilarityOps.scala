@@ -113,7 +113,49 @@ object SimilarityOps {
    */
   def marginMineTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
-                     k: Int, navg: Int = 4, candidates: Int = 16): DataFrame = {
+                     k: Int, navg: Int = 4, candidates: Int = 16): DataFrame =
+    marginPipeline(
+      cosineScored(corpus, corpusId, corpusVec, queries, queryId, queryVec),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, navg, candidates)
+
+  /**
+   * [[marginMineTopK]]'s scale path: the same margin arithmetic fed by
+   * an IVF candidate stream — the corpus is cell-bucketed once and each
+   * query scores only its `nprobe` probed cells, so the forward pass
+   * prunes to |corpus|·nprobe/nlist instead of a full scan. At full
+   * probe (`nprobe == nlist`) every pair is scored exactly once and the
+   * result provably equals [[marginMineTopK]] (the e40 invariant);
+   * approximate probes trade the forward density's completeness for the
+   * pruning, exactly like approximate top-k does.
+   */
+  def marginMineTopKIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        k: Int, navg: Int = 4, candidates: Int = 16,
+                        nlist: Int = 0, nprobe: Int = 4,
+                        trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    val nl = resolveNlist(nlist, corpus)
+    val sample = sampleVectors(corpus, corpusVec, trainSample)
+    val centers = trainKmeans(sample, nl, iters = 10, seed)
+    val cells = corpus.select(col(corpusId).as("vec_id"),
+      col(corpusVec).as("cvec"),
+      GraftFunctions.nearest_centroid(col(corpusVec), centers).as("cell"))
+    val probes = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qvec"),
+      explode(GraftFunctions.nearest_centroids(col(queryVec), centers, nprobe))
+        .as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_similarity(col("cvec"), col("qvec")).as("cosine"))
+    marginPipeline(scored, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, navg, candidates)
+  }
+
+  private def marginPipeline(scored0: DataFrame,
+                             corpus: DataFrame, corpusId: String,
+                             corpusVec: String, queries: DataFrame,
+                             queryId: String, queryVec: String,
+                             k: Int, navg: Int, candidates: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(navg >= 1, s"navg must be >= 1, got $navg")
     require(candidates >= k,
@@ -130,9 +172,7 @@ object SimilarityOps {
           (aggregate(col("__t"), lit(0.0d),
             (acc, x) => acc + x.getField("score")) /
             size(col("__t")).cast("double")).as(outCol))
-    val scored =
-      cosineScored(corpus, corpusId, corpusVec, queries, queryId, queryVec)
-        .withColumn("__qc", q16(col("cosine")))
+    val scored = scored0.withColumn("__qc", q16(col("cosine")))
     // forward density: avg of the top-navg quantized cosines per query —
     // floor is monotone, so the top-navg multiset is the same whether
     // selected by raw or quantized cosine

@@ -605,6 +605,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("margin mining via IVF candidates equals brute force at full probe") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "vec_id", "margin", "rank")
+        .collect().toSeq
+    val bf = rows(SimilarityOps.marginMineTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, navg = 4, candidates = 16))
+    val ivf = rows(SimilarityOps.marginMineTopKIvf(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, navg = 4, candidates = 16,
+      nlist = 8, nprobe = 8))
+    assert(bf == ivf, "full probe must reproduce the brute-force margins")
+    // an approximate probe still returns k ranked rows per query
+    val approx = SimilarityOps.marginMineTopKIvf(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, navg = 4, candidates = 16,
+      nlist = 8, nprobe = 2)
+    assert(approx.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
+
   test("annRecall: perfect, partial, zero-hit, and truncated-truth queries") {
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 98L),
       (3L, 97L), (4L, 40L)).toDF("query_id", "vec_id")
