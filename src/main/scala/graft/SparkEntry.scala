@@ -1664,6 +1664,27 @@ object SparkEntry {
       s.table(sink).orderBy("lang")
     }),
 
+    "s72_stream_dsir_model" -> ((s, dir) => {
+      // the DSIR model MAINTAINED live — the fourth corner of the DSIR
+      // lifecycle (train d112 / incremental fold d115 / score-in-flight
+      // s70 / this): the histogram is an additive aggregate with ≤ 256
+      // buckets of state, so a complete-mode streaming groupBy holds
+      // the ENTIRE standing model and every micro-batch folds itself
+      // in. The drain equals one full-corpus train — d115's oracle
+      // grades the collapsed deltas verbatim.
+      import s.implicits._
+      val docs = tStream(s, dir, "documents").select("lang", "text")
+      val hist = CorpusOps.dsirHistogram(docs, "text", col("lang") === "en")
+      val sink = s"s72_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = hist.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      CorpusOps.dsirDeltasFromHistogram(s.table(sink), 256)
+        .zipWithIndex.map { case (d, i) => (i.toLong, d + 0.0d) }.toSeq
+        .toDF("bucket", "delta").orderBy("bucket")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -5865,6 +5886,7 @@ object SparkEntry {
     "d112_dsir_select" -> DsirOracleSql,
     "d113_bpe_merges" -> BpeOracleSql,
     "d115_dsir_incremental" -> DsirIncrementalOracleSql,
+    "s72_stream_dsir_model" -> DsirIncrementalOracleSql,
     "d114_tokenizer_fertility" -> BpeFertilityOracleSql,
     "s71_stream_tokenizer_fertility" -> BpeFertilityOracleSql,
     "s70_stream_dsir_select" -> DsirOracleSql,
