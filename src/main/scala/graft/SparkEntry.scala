@@ -1851,6 +1851,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d116_contamination_report" -> ((s, dir) => {
+      // the per-benchmark contamination REPORT a release review reads —
+      // "which suite is burned, and how badly": three synthetic suites
+      // (the d66 truncated-variant construction at strides 5/7/11),
+      // each scored corpus-wide by d66's graded fraction, collapsed to
+      // (suite, n_flagged, n_heavy, flag_rate). Per suite: the same
+      // one-shuffle gram join; the report aggregate is a 3-row output.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val reports = Seq(5, 7, 11).map { m =>
+        val test = docs.where(s"doc_id % $m = 0").select(
+          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+            .as("text"))
+        CorpusOps.contaminationScore(docs, test, "doc_id", "text", n = 8)
+          .agg(
+            count(when(col("frac") > 0, 1)).as("n_flagged"),
+            count(when(col("frac") >= 0.5, 1)).as("n_heavy"),
+            count(lit(1)).as("__n"))
+          .select(lit(s"mod$m").as("suite"),
+            col("n_flagged"), col("n_heavy"),
+            round(col("n_flagged").cast("double") /
+              col("__n").cast("double"), 6).as("flag_rate"))
+      }
+      reports.reduce(_.unionByName(_)).orderBy("suite")
+    }),
+
     "d66_contamination_score" -> ((s, dir) => {
       // graded contamination audit: EVERY doc scored by the fraction of
       // its distinct 8-grams colliding with the benchmark (d47's test
@@ -3372,6 +3398,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q28_window_stats" -> ((s, dir) => {
+      // distribution-rank window functions over customer balances per
+      // market segment — ntile quartiles, percent_rank, cume_dist. The
+      // window order is a TOTAL order (balance, custkey), so every rank
+      // is unique and the doubles are single divisions of exact integer
+      // ranks both engines replay.
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"))
+        .orderBy("c_custkey")
+    }),
+
     "e66_margin_mining_ivf" -> ((s, dir) => {
       // e65's margin arithmetic fed by the IVF candidate stream — the
       // documented scale path made a graded entry. Full probe
@@ -4445,6 +4487,42 @@ object SparkEntry {
     * smoothed log-ratios floored to 16 fractional bits (per-doc sums
     * exact dyadics in any order), Gumbel keys from the d109 md5-nibble
     * uniform, top-50 by (key DESC, doc_id). */
+  /** d116: the d66 per-doc graded fraction computed for three suite
+    * strides, each collapsed to the release-review report row. */
+  private lazy val ContaminationReportOracleSql: String = {
+    val suites = Seq(5, 7, 11).map { m =>
+      s"""r$m AS (SELECT 'mod$m' AS suite,
+         |  CAST(count(CASE WHEN frac > 0 THEN 1 END) AS BIGINT) AS n_flagged,
+         |  CAST(count(CASE WHEN frac >= 0.5 THEN 1 END) AS BIGINT) AS n_heavy,
+         |  ROUND(CAST(count(CASE WHEN frac > 0 THEN 1 END) AS DOUBLE)
+         |    / count(*), 6) AS flag_rate
+         | FROM (
+         |  SELECT CASE WHEN len(gs.g) = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(gs.g) END AS frac
+         |  FROM gs LEFT JOIN (
+         |    SELECT g.doc_id, COUNT(*) AS n_shared
+         |    FROM grams g JOIN (
+         |      SELECT DISTINCT unnest(list_distinct(
+         |        CASE WHEN len(tm) >= 8 THEN list_transform(range(1, len(tm) - 6),
+         |          i -> md5(array_to_string(tm[i:i+7], ' ')))
+         |        ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         |      FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
+         |            FROM toks WHERE doc_id % $m = 0)) tg USING (gram)
+         |    GROUP BY g.doc_id) h USING (doc_id)))"""
+    }
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |gs AS (
+       | SELECT doc_id, list_distinct(
+       |   CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t) - 6),
+       |     i -> md5(array_to_string(t[i:i+7], ' ')))
+       |   ELSE CAST([] AS VARCHAR[]) END) AS g
+       | FROM toks),
+       |grams AS (SELECT doc_id, unnest(g) AS gram FROM gs),
+       |${suites.mkString(",\n")}
+       |SELECT * FROM r5 UNION ALL SELECT * FROM r7 UNION ALL SELECT * FROM r11
+       |ORDER BY suite""".stripMargin
+  }
+
   /** The DSIR model CTE chain (docs → hashed-bigram buckets → combined
     * raw/target histogram → quantized log-ratio deltas) — shared by the
     * full d112/s70 replay and d115's incremental-fold check. */
@@ -6126,6 +6204,17 @@ object SparkEntry {
          |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
          |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "d116_contamination_report" -> ContaminationReportOracleSql,
+
+    "q28_window_stats" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cum_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "d66_contamination_score" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
