@@ -1854,27 +1854,21 @@ object SparkEntry {
     "d116_contamination_report" -> ((s, dir) => {
       // the per-benchmark contamination REPORT a release review reads —
       // "which suite is burned, and how badly": three synthetic suites
-      // (the d66 truncated-variant construction at strides 5/7/11),
-      // each scored corpus-wide by d66's graded fraction, collapsed to
-      // (suite, n_flagged, n_heavy, flag_rate). Per suite: the same
-      // one-shuffle gram join; the report aggregate is a 3-row output.
+      // (the d66 truncated-variant construction at strides 5/7/11)
+      // audited in ONE corpus gram pass — the corpus side is hashed
+      // once and joined against the union of suite-tagged test grams,
+      // so auditing S suites costs one pass, not S. Per-suite values
+      // equal an aggregated d66 run; the oracle replays each suite's
+      // full chain independently.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val toks = TextOps.tokens(col("text"))
-      val reports = Seq(5, 7, 11).map { m =>
-        val test = docs.where(s"doc_id % $m = 0").select(
+      val suites = Seq(5, 7, 11).map { m =>
+        s"mod$m" -> docs.where(s"doc_id % $m = 0").select(
           concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
             .as("text"))
-        CorpusOps.contaminationScore(docs, test, "doc_id", "text", n = 8)
-          .agg(
-            count(when(col("frac") > 0, 1)).as("n_flagged"),
-            count(when(col("frac") >= 0.5, 1)).as("n_heavy"),
-            count(lit(1)).as("__n"))
-          .select(lit(s"mod$m").as("suite"),
-            col("n_flagged"), col("n_heavy"),
-            round(col("n_flagged").cast("double") /
-              col("__n").cast("double"), 6).as("flag_rate"))
       }
-      reports.reduce(_.unionByName(_)).orderBy("suite")
+      CorpusOps.contaminationReport(docs, suites, "doc_id", "text", n = 8)
+        .orderBy("suite")
     }),
 
     "d66_contamination_score" -> ((s, dir) => {

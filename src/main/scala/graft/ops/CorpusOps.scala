@@ -258,6 +258,45 @@ object CorpusOps {
   }
 
   /**
+   * The per-benchmark contamination REPORT over many suites at once —
+   * "which benchmark is burned, and how badly": for each named test
+   * suite, the count of corpus documents sharing any `n`-gram with it
+   * (`n_flagged`), the count whose shared fraction reaches 0.5
+   * (`n_heavy`), and the flagged rate. Per-suite values equal a
+   * [[contaminationScore]] run aggregated — but the corpus side is
+   * gram-hashed ONCE and joined against the union of suite-tagged test
+   * grams, so auditing S suites costs one corpus pass, not S (at
+   * 100 TB the corpus pass dominates; suites are small and bounded).
+   */
+  def contaminationReport(train: DataFrame,
+                          suites: Seq[(String, DataFrame)], idCol: String,
+                          textCol: String, n: Int = 8): DataFrame = {
+    require(suites.nonEmpty, "at least one suite required")
+    val gs = train.select(col(idCol),
+      size(gramSet(col(textCol), n)).cast("long").as("__ng"),
+      gramSet(col(textCol), n).as("__g"))
+    val grams = gs.select(col(idCol), col("__ng"),
+      explode(col("__g")).as("__gram"))
+    val testGrams = suites.map { case (name, t) =>
+      t.select(lit(name).as("suite"),
+          explode(gramSet(col(textCol), n)).as("__gram"))
+        .distinct()
+    }.reduce(_.unionByName(_))
+    val total = train.select(count(lit(1)).as("__total"))
+    grams.join(testGrams, Seq("__gram"))
+      .groupBy(col("suite"), col(idCol))
+      .agg(count(lit(1)).as("__shared"), first(col("__ng")).as("__ng"))
+      .groupBy("suite")
+      .agg(count(lit(1)).as("n_flagged"),
+        count(when(col("__shared").cast("double") >=
+          col("__ng").cast("double") * 0.5, 1)).as("n_heavy"))
+      .crossJoin(broadcast(total))
+      .select(col("suite"), col("n_flagged"), col("n_heavy"),
+        round(col("n_flagged").cast("double") /
+          col("__total").cast("double"), 6).as("flag_rate"))
+  }
+
+  /**
    * Token-budget corpus selection: within each stratum (language, source
    * shard), keep the highest-quality documents whose cumulative token
    * count fits the budget — the "fill the training mix" step after

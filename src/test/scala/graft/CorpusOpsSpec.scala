@@ -556,6 +556,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationReport equals aggregated contaminationScore per suite") {
+    import org.apache.spark.sql.functions.{col, count, lit, round, when}
+    val train = (0L until 30L).map(i =>
+      (i, s"w$i a b c d e f g h i$i j k l m n o p")).toDF("doc_id", "text")
+    val suiteA = train.where("doc_id % 4 = 0").select(col("text"))
+    val suiteB = train.where("doc_id % 9 = 0")
+      .select(org.apache.spark.sql.functions.concat(col("text"), lit(" zz"))
+        .as("text"))
+    val got = CorpusOps.contaminationReport(train,
+        Seq("a" -> suiteA, "b" -> suiteB), "doc_id", "text", n = 8)
+      .orderBy("suite").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val expected = Seq("a" -> suiteA, "b" -> suiteB).map { case (nm, t) =>
+      val r = CorpusOps.contaminationScore(train, t, "doc_id", "text", n = 8)
+        .agg(count(when(col("frac") > 0, 1)).as("nf"),
+          count(when(col("frac") >= 0.5, 1)).as("nh"),
+          count(lit(1)).as("n"))
+        .select(col("nf"), col("nh"),
+          round(col("nf").cast("double") / col("n").cast("double"), 6))
+        .collect()(0)
+      (nm, r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(got == expected,
+      s"one-pass report must equal per-suite scores\n got: $got\n exp: $expected")
+    intercept[IllegalArgumentException] {
+      CorpusOps.contaminationReport(train, Seq.empty, "doc_id", "text")
+    }
+  }
+
   test("dsirHistogram: folding per-batch histograms equals one full train") {
     import org.apache.spark.sql.functions.{col, sum}
     val docs = ((0L until 60L).map(i => (i, "en", "the quick brown fox")) ++
