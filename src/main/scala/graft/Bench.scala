@@ -110,7 +110,10 @@ object Bench {
     // BPE merge training: corpus tokenizes once into the weighted
     // vocabulary leaf; 3 pair-count rounds + 1-row argmaxes over it;
     // fertility = train + apply the merge chain map-only corpus-wide
-    "d113_bpe_merges", "d114_tokenizer_fertility")
+    "d113_bpe_merges", "d114_tokenizer_fertility",
+    // the multi-suite contamination audit: one corpus gram pass joined
+    // against the union of suite-tagged test grams
+    "d116_contamination_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
