@@ -729,7 +729,7 @@ object CorpusOps {
                      seed: String = "dsir1"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val buckets = deltas.length
-    val deltaLit = array(deltas.map(lit(_)): _*)
+    val deltaLit = array(deltas.toIndexedSeq.map(lit(_)): _*)
     val toks = TextOps.tokens(col(textCol))
     val nBi = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),

@@ -498,7 +498,8 @@ object SimilarityOps {
       .collect().map(_.getInt(0)).sorted
     val pruned =
       if (probedCells.length >= centers.length) assignments
-      else assignments.where(col("cell").isin(probedCells.map(Int.box): _*))
+      else assignments.where(col("cell")
+        .isin(probedCells.toIndexedSeq.map(Int.box): _*))
     val allowed = allowIds match {
       case Some(ids) => pruned.join(
         ids.select(col(ids.columns.head).as("vec_id")),
@@ -1267,7 +1268,8 @@ object SimilarityOps {
       .collect().map(_.getInt(0)).sorted
     val pruned =
       if (probedCells.length >= centers.length) entries
-      else entries.where(col("cell").isin(probedCells.map(Int.box): _*))
+      else entries.where(col("cell")
+        .isin(probedCells.toIndexedSeq.map(Int.box): _*))
     val bounded = pruned.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.pq_adc(col("codes"), col("lut"), ksub).as("adc"),

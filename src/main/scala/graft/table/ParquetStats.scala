@@ -9,6 +9,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
 import scala.jdk.CollectionConverters._
+import scala.language.existentials
 import scala.util.Try
 
 /** Per-file stats pulled from Parquet footers after a write — row count plus
