@@ -1826,6 +1826,18 @@ object SparkEntry {
       DedupOps.connectedComponents(pairs).orderBy("id")
     }),
 
+    "d117_packing_efficiency" -> ((s, dir) => {
+      // the report that justifies (or kills) a packing stage: per
+      // source, ctx-windows and padding waste under concat-and-chunk
+      // (d46's strategy) vs pad-each-document — the difference is the
+      // compute packing saves. ctx=64 is a power of two, so every ceil
+      // is an exact double division both engines replay; fractions are
+      // single divisions of exact integers.
+      CorpusOps.packingEfficiency(t(s, dir, "documents"), "text",
+          "source", ctxLen = 64)
+        .orderBy("source")
+    }),
+
     "d46_pack_sequences" -> ((s, dir) => {
       // concat-and-chunk sequence packing for training windows: per-source
       // running token offsets + first chunk id; only shuffle is the hash
@@ -6200,6 +6212,27 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
 
     "d116_contamination_report" -> ContaminationReportOracleSql,
+
+    "d117_packing_efficiency" ->
+      s"""WITH tc AS (SELECT source, CAST(len($ToksSql) AS BIGINT) AS t
+         |  FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(t) AS BIGINT) AS total_tokens,
+         |    CAST(sum((t + 63) // 64) AS BIGINT) AS chunks_padded
+         |  FROM tc GROUP BY source),
+         |e AS (SELECT source, n_docs, total_tokens, chunks_padded,
+         |    CAST((total_tokens + 63) // 64 AS BIGINT) AS chunks_packed
+         |  FROM g)
+         |SELECT source, n_docs, total_tokens, chunks_padded, chunks_packed,
+         |  CAST(chunks_padded * 64 - total_tokens AS BIGINT) AS waste_padded,
+         |  CAST(chunks_packed * 64 - total_tokens AS BIGINT) AS waste_packed,
+         |  CASE WHEN chunks_padded = 0 THEN 0.0
+         |    ELSE ROUND(CAST(chunks_padded * 64 - total_tokens AS DOUBLE)
+         |      / (chunks_padded * 64), 6) END AS pad_frac_padded,
+         |  CASE WHEN chunks_packed = 0 THEN 0.0
+         |    ELSE ROUND(CAST(chunks_packed * 64 - total_tokens AS DOUBLE)
+         |      / (chunks_packed * 64), 6) END AS pad_frac_packed
+         |FROM e ORDER BY source""".stripMargin,
 
     "q28_window_stats" ->
       """SELECT c_custkey, c_mktsegment,

@@ -92,6 +92,50 @@ object CorpusOps {
   }
 
   /**
+   * Packing-efficiency audit — the training-ops number behind
+   * [[packSequences]]: per group, how many `ctxLen`-token windows the
+   * corpus fills under concat-and-chunk packing versus pad-each-
+   * document-to-ctx, and the padding fraction each strategy wastes.
+   * The difference is the compute packing SAVES — the report that
+   * justifies (or kills) a packing stage in a training pipeline.
+   *
+   * Integer-exact by construction: `ctxLen` must be a power of two so
+   * `ceil(tokens/ctx)` computes as `floor((t + ctx−1)/ctx)` with an
+   * EXACT power-of-two double division both engines replay; the two
+   * padding fractions are single divisions of exact integers, rounded
+   * at output. One map pass + one per-group counter exchange.
+   */
+  def packingEfficiency(df: DataFrame, textCol: String,
+                        partitionCol: String, ctxLen: Int): DataFrame = {
+    require(ctxLen >= 1 && (ctxLen & (ctxLen - 1)) == 0,
+      s"ctxLen must be a positive power of two, got $ctxLen")
+    def chunksOf(t: Column): Column =
+      floor((t.cast("double") + lit((ctxLen - 1).toDouble)) /
+        lit(ctxLen.toDouble)).cast("long")
+    val toks = TextOps.tokenCount(col(textCol)).cast("long")
+    df.select(col(partitionCol), toks.as("__t"))
+      .groupBy(partitionCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("total_tokens"),
+        sum(chunksOf(col("__t"))).as("chunks_padded"))
+      .withColumn("chunks_packed", chunksOf(col("total_tokens")))
+      .withColumn("waste_padded",
+        col("chunks_padded") * ctxLen - col("total_tokens"))
+      .withColumn("waste_packed",
+        col("chunks_packed") * ctxLen - col("total_tokens"))
+      .select(col(partitionCol), col("n_docs"), col("total_tokens"),
+        col("chunks_padded"), col("chunks_packed"),
+        col("waste_padded"), col("waste_packed"),
+        when(col("chunks_padded") === 0, lit(0.0))
+          .otherwise(round(col("waste_padded").cast("double") /
+            (col("chunks_padded") * ctxLen).cast("double"), 6))
+          .as("pad_frac_padded"),
+        when(col("chunks_packed") === 0, lit(0.0))
+          .otherwise(round(col("waste_packed").cast("double") /
+            (col("chunks_packed") * ctxLen).cast("double"), 6))
+          .as("pad_frac_packed"))
+  }
+
+  /**
    * Sentence-aligned chunking — RAG-style windows that never split a
    * sentence: documents segment with [[TextOps.sentences]], and each
    * sentence joins the chunk its CUMULATIVE-token prefix falls in

@@ -556,6 +556,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packingEfficiency: hand-computed wastes, power-of-two guard") {
+    import org.apache.spark.sql.functions.col
+    // source a: docs of 3, 2, 4 tokens at ctx=4:
+    //   padded: ceil(3/4)+ceil(2/4)+ceil(4/4) = 3 chunks, waste 12-9=3
+    //   packed: ceil(9/4) = 3 chunks, waste 3 (equal here by chance)
+    // source b: 5 docs of 1 token:
+    //   padded: 5 chunks, waste 15; packed: 2 chunks, waste 3
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y"), (3L, "a", "w x y z"),
+      (4L, "b", "q"), (5L, "b", "q"), (6L, "b", "q"), (7L, "b", "q"),
+      (8L, "b", "q")).toDF("doc_id", "source", "text")
+    val r = CorpusOps.packingEfficiency(docs, "text", "source", ctxLen = 4)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6))).toSeq
+    assert(r == Seq(
+      ("a", 3L, 9L, 3L, 3L, 3L, 3L),
+      ("b", 5L, 5L, 5L, 2L, 15L, 3L)), s"got $r")
+    intercept[IllegalArgumentException] {
+      CorpusOps.packingEfficiency(docs, "text", "source", ctxLen = 48)
+    }
+  }
+
   test("contaminationReport equals aggregated contaminationScore per suite") {
     import org.apache.spark.sql.functions.{col, count, lit, round, when}
     val train = (0L until 30L).map(i =>
