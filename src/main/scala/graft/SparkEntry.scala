@@ -1685,6 +1685,25 @@ object SparkEntry {
         .toDF("bucket", "delta").orderBy("bucket")
     }),
 
+    "s73_stream_packing_efficiency" -> ((s, dir) => {
+      // d117's packing audit maintained LIVE: the per-source counters
+      // (doc count, token total, padded-chunk total) are combinable
+      // sums — ONE stateful aggregation with one state row per source,
+      // the packed/waste columns derive statelessly after it — so
+      // complete mode holds the standing report and every micro-batch
+      // folds in. Drain == batch audit; d117's oracle grades it
+      // verbatim.
+      val docs = tStream(s, dir, "documents").select("source", "text")
+      val stats = CorpusOps.packingEfficiency(docs, "text", "source",
+        ctxLen = 64)
+      val sink = s"s73_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stats.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("source")
+    }),
+
     "s47_stream_ingest_dedup" -> ((s, dir) => {
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
@@ -4493,6 +4512,30 @@ object SparkEntry {
     * smoothed log-ratios floored to 16 fractional bits (per-doc sums
     * exact dyadics in any order), Gumbel keys from the d109 md5-nibble
     * uniform, top-50 by (key DESC, doc_id). */
+  /** Shared by d117 (batch) and s73 (the same combinable counters
+    * drained from a complete-mode stream): per-source window counts
+    * and padding waste under both packing strategies at ctx = 64. */
+  private lazy val PackingEfficiencyOracleSql: String =
+    s"""WITH tc AS (SELECT source, CAST(len($ToksSql) AS BIGINT) AS t
+       |  FROM documents),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(t) AS BIGINT) AS total_tokens,
+       |    CAST(sum((t + 63) // 64) AS BIGINT) AS chunks_padded
+       |  FROM tc GROUP BY source),
+       |e AS (SELECT source, n_docs, total_tokens, chunks_padded,
+       |    CAST((total_tokens + 63) // 64 AS BIGINT) AS chunks_packed
+       |  FROM g)
+       |SELECT source, n_docs, total_tokens, chunks_padded, chunks_packed,
+       |  CAST(chunks_padded * 64 - total_tokens AS BIGINT) AS waste_padded,
+       |  CAST(chunks_packed * 64 - total_tokens AS BIGINT) AS waste_packed,
+       |  CASE WHEN chunks_padded = 0 THEN 0.0
+       |    ELSE ROUND(CAST(chunks_padded * 64 - total_tokens AS DOUBLE)
+       |      / (chunks_padded * 64), 6) END AS pad_frac_padded,
+       |  CASE WHEN chunks_packed = 0 THEN 0.0
+       |    ELSE ROUND(CAST(chunks_packed * 64 - total_tokens AS DOUBLE)
+       |      / (chunks_packed * 64), 6) END AS pad_frac_packed
+       |FROM e ORDER BY source""".stripMargin
+
   /** d116: the d66 per-doc graded fraction computed for three suite
     * strides, each collapsed to the release-review report row. */
   private lazy val ContaminationReportOracleSql: String = {
@@ -6213,26 +6256,8 @@ object SparkEntry {
 
     "d116_contamination_report" -> ContaminationReportOracleSql,
 
-    "d117_packing_efficiency" ->
-      s"""WITH tc AS (SELECT source, CAST(len($ToksSql) AS BIGINT) AS t
-         |  FROM documents),
-         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(t) AS BIGINT) AS total_tokens,
-         |    CAST(sum((t + 63) // 64) AS BIGINT) AS chunks_padded
-         |  FROM tc GROUP BY source),
-         |e AS (SELECT source, n_docs, total_tokens, chunks_padded,
-         |    CAST((total_tokens + 63) // 64 AS BIGINT) AS chunks_packed
-         |  FROM g)
-         |SELECT source, n_docs, total_tokens, chunks_padded, chunks_packed,
-         |  CAST(chunks_padded * 64 - total_tokens AS BIGINT) AS waste_padded,
-         |  CAST(chunks_packed * 64 - total_tokens AS BIGINT) AS waste_packed,
-         |  CASE WHEN chunks_padded = 0 THEN 0.0
-         |    ELSE ROUND(CAST(chunks_padded * 64 - total_tokens AS DOUBLE)
-         |      / (chunks_padded * 64), 6) END AS pad_frac_padded,
-         |  CASE WHEN chunks_packed = 0 THEN 0.0
-         |    ELSE ROUND(CAST(chunks_packed * 64 - total_tokens AS DOUBLE)
-         |      / (chunks_packed * 64), 6) END AS pad_frac_packed
-         |FROM e ORDER BY source""".stripMargin,
+    "d117_packing_efficiency" -> PackingEfficiencyOracleSql,
+    "s73_stream_packing_efficiency" -> PackingEfficiencyOracleSql,
 
     "q28_window_stats" ->
       """SELECT c_custkey, c_mktsegment,
