@@ -327,16 +327,25 @@ object CorpusOps {
         .distinct()
     }.reduce(_.unionByName(_))
     val total = train.select(count(lit(1)).as("__total"))
-    grams.join(testGrams, Seq("__gram"))
+    val counts = grams.join(testGrams, Seq("__gram"))
       .groupBy(col("suite"), col(idCol))
       .agg(count(lit(1)).as("__shared"), first(col("__ng")).as("__ng"))
       .groupBy("suite")
       .agg(count(lit(1)).as("n_flagged"),
         count(when(col("__shared").cast("double") >=
           col("__ng").cast("double") * 0.5, 1)).as("n_heavy"))
+    // a CLEAN suite must still report a zeros row — "missing" and
+    // "uncontaminated" are different findings; the hit join naturally
+    // drops zero-hit suites, so the bounded name list re-seats them
+    val spark = train.sparkSession
+    import spark.implicits._
+    suites.map(_._1).toDF("suite")
+      .join(counts, Seq("suite"), "left")
       .crossJoin(broadcast(total))
-      .select(col("suite"), col("n_flagged"), col("n_heavy"),
-        round(col("n_flagged").cast("double") /
+      .select(col("suite"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        round(coalesce(col("n_flagged"), lit(0L)).cast("double") /
           col("__total").cast("double"), 6).as("flag_rate"))
   }
 

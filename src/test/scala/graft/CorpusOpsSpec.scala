@@ -556,6 +556,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationReport equals per-suite scores on random corpora") {
+    import org.apache.spark.sql.functions.{col, count, lit, round, when}
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 3) {
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+        "ii", "jj", "kk", "ll")
+      val train = (0L until 40L).map { i =>
+        (i, (0 until (6 + rnd.nextInt(8)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sA = train.where("doc_id % 6 = 0").select(col("text"))
+      val sB = train.where("doc_id % 11 = 3").select(col("text"))
+      val got = CorpusOps.contaminationReport(train,
+          Seq("A" -> sA, "B" -> sB), "doc_id", "text", n = 8)
+        .orderBy("suite").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val exp = Seq("A" -> sA, "B" -> sB).map { case (nm, t) =>
+        val r = CorpusOps.contaminationScore(train, t, "doc_id", "text",
+            n = 8)
+          .agg(count(when(col("frac") > 0, 1)).as("nf"),
+            count(when(col("frac") >= 0.5, 1)).as("nh"),
+            count(lit(1)).as("n"))
+          .select(col("nf"), col("nh"),
+            round(col("nf").cast("double") / col("n").cast("double"), 6))
+          .collect()(0)
+        (nm, r.getLong(0), r.getLong(1), r.getDouble(2))
+      }
+      assert(got == exp, s"report diverged\n got: $got\n exp: $exp")
+    }
+    // a CLEAN suite (disjoint vocabulary) must report a zeros row, not
+    // vanish — "missing" and "uncontaminated" are different findings
+    val train = (0L until 10L).map(i =>
+      (i, "aa bb cc dd ee ff gg hh ii")).toDF("doc_id", "text")
+    val clean = Seq(Tuple1("zz yy xx ww vv uu tt ss rr")).toDF("text")
+    val r = CorpusOps.contaminationReport(train,
+        Seq("clean" -> clean), "doc_id", "text", n = 8)
+      .collect()
+    assert(r.length == 1 && r(0).getLong(1) == 0L &&
+      r(0).getLong(2) == 0L && r(0).getDouble(3) == 0.0,
+      s"clean suite must report zeros, got ${r.toSeq}")
+  }
+
   test("packingEfficiency: hand-computed wastes, power-of-two guard") {
     import org.apache.spark.sql.functions.col
     // source a: docs of 3, 2, 4 tokens at ctx=4:
