@@ -134,6 +134,14 @@ object Bench {
     // A failing headline query must be LOUD in the bench JSON — swallowing
     // it would report a near-zero time as if the query were fast.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // 1-minute system load average sampled BEFORE each query (r14 verdict
+    // item 1a): when a shared driver machine is busy, the run is
+    // self-labeling instead of inferred from suite-wide ratios — the r14
+    // "regression" forensics (d91 14.5x on unchanged code, sbt wall time
+    // 288s->524s) needed exactly this signal
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     val results = headline.flatMap { name =>
       // steady-state timing: first execution compiles the plan (codegen,
       // broadcast build) — that one-time cost is not the per-query rate a
@@ -142,13 +150,14 @@ object Bench {
       // JVM/GC noise (r12 verdict item), and a median of 3 is noise-robust
       // without changing the JSON shape
       try {
+        val la = loadAvg
         runOnce(name)
         val raw = Seq.fill(3) {
           val t0 = System.nanoTime()
           runOnce(name)
           (System.nanoTime() - t0) / 1e9
         }
-        Some(name -> (raw.sorted.apply(1), raw))
+        Some(name -> (raw.sorted.apply(1), raw, la))
       } catch {
         case t: Throwable =>
           errors(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
@@ -156,17 +165,28 @@ object Bench {
           None
       }
     }
-    val qs = results.map { case (k, (m, _)) => "\"" + k + f"\":$m%.3f" }
+    val qs = results.map { case (k, (m, _, _)) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
     // all 3 raw steady-state times per query (r13 verdict item 4): lets the
     // judge separate real regressions from single-run JVM/GC noise
-    val rawJson = results.map { case (k, (_, raw)) =>
+    val rawJson = results.map { case (k, (_, raw, _)) =>
       "\"" + k + "\":" + raw.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val loadJson = results.map { case (k, (_, _, la)) =>
+      "\"" + k + f"\":$la%.2f"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$rawJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$rawJson,"load":$loadJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // The LAST line is a compact medians-only summary (r14 verdict item 2):
+    // the driver keeps only the final ~2KB of output, and the full line
+    // above outgrew that when per-query raw triples landed — BENCH_r14
+    // lost its total and the first ~17 medians (q01 included) to the cap.
+    // The summary drops the raws, and `value` (the total) sits at the END
+    // of the line so even a summary that itself outgrows a future tail cap
+    // still surrenders the headline number last.
+    println(f"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qs,"nq":${results.size},"load1m":$loadAvg%.2f,"value":$total%.3f}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -311,14 +311,31 @@ object CorpusOps {
    * gram-hashed ONCE and joined against the union of suite-tagged test
    * grams, so auditing S suites costs one corpus pass, not S (at
    * 100 TB the corpus pass dominates; suites are small and bounded).
+   *
+   * The corpus gram stream additionally probes a Bloom sketch of the
+   * union of suite grams BEFORE the join (the [[ngramOverlapBloom]]
+   * d53 pattern): the sketch has no false negatives and the exact join
+   * removes its false positives, so the result is unchanged row for
+   * row — but only hits (plus the ~`fpp` false-positive sliver) ever
+   * enter the shuffle, which at 27M corpus grams was the d116 sf1
+   * shuffle-memory outlier (SCALE.md, r14 verdict item 4) and at
+   * 100 TB is the difference between shuffling the corpus's gram
+   * stream and shuffling approximately the contaminated grams.
    */
   def contaminationReport(train: DataFrame,
                           suites: Seq[(String, DataFrame)], idCol: String,
-                          textCol: String, n: Int = 8): DataFrame = {
+                          textCol: String, n: Int = 8,
+                          expectedSuiteGrams: Long = 1L << 20,
+                          fpp: Double = 0.01): DataFrame = {
     require(suites.nonEmpty, "at least one suite required")
-    val gs = train.select(col(idCol),
-      size(gramSet(col(textCol), n)).cast("long").as("__ng"),
-      gramSet(col(textCol), n).as("__g"))
+    // gramSet projected ONCE as __g, then __ng derived in a SUBSEQUENT
+    // select: these HOF expressions are CodegenFallback with no
+    // subexpression elimination, so `size(gramSet(...)), gramSet(...)`
+    // in one select gram-hashes every document twice (ADVICE r14)
+    val gs = train
+      .select(col(idCol), gramSet(col(textCol), n).as("__g"))
+      .select(col(idCol), size(col("__g")).cast("long").as("__ng"),
+        col("__g"))
     val grams = gs.select(col(idCol), col("__ng"),
       explode(col("__g")).as("__gram"))
     val testGrams = suites.map { case (name, t) =>
@@ -326,8 +343,12 @@ object CorpusOps {
           explode(gramSet(col(textCol), n)).as("__gram"))
         .distinct()
     }.reduce(_.unionByName(_))
+    val bloom = testGrams.select("__gram")
+      .stat.bloomFilter("__gram", expectedSuiteGrams, fpp)
     val total = train.select(count(lit(1)).as("__total"))
-    val counts = grams.join(testGrams, Seq("__gram"))
+    val counts = grams
+      .where(graft.functions.GraftFunctions.bloom_might_contain(col("__gram"), bloom))
+      .join(testGrams, Seq("__gram"))
       .groupBy(col("suite"), col(idCol))
       .agg(count(lit(1)).as("__shared"), first(col("__ng")).as("__ng"))
       .groupBy("suite")
@@ -735,7 +756,10 @@ object CorpusOps {
         require(b >= 0 && b < buckets,
           s"histogram bucket $b out of range for buckets=$buckets — " +
             "collapse with the same bucket count the histogram was trained with")
-        cq(b) = r.getLong(1); cp(b) = r.getLong(2)
+        // += so a unioned-but-not-yet-summed histogram (which the additive
+        // contract invites) folds HERE instead of silently last-write-wins
+        // losing all but one batch's counts per bucket (ADVICE r14)
+        cq(b) += r.getLong(1); cp(b) += r.getLong(2)
       }
     val tq = cq.sum.toDouble
     val tp = cp.sum.toDouble
@@ -841,14 +865,38 @@ object CorpusOps {
    * weighted types table (one exchange of O(|vocab|) rows — the
    * classic trainer property: iterations never re-touch the corpus);
    * each iteration is one partial-aggregated pair-count exchange over
-   * the persisted vocabulary leaf plus ONE bounded driver action (the
-   * 1-row argmax via TakeOrdered — the kmeans/centroid envelope), and
-   * merge application is a map-only expression layer over that leaf,
-   * so every round's plan stays O(|vocab|).
+   * the persisted vocabulary leaf plus ONE bounded driver action (a
+   * TakeOrdered of ≤ 4·`maxMergesPerRound` candidate rows — the
+   * kmeans/centroid envelope), and merge application is a map-only
+   * expression layer over that leaf, so every round's plan stays
+   * O(|vocab|).
+   *
+   * `maxMergesPerRound` is the SCALE path to a real vocabulary (r14
+   * verdict item 3): a 32k-merge tokenizer cannot afford one driver
+   * round trip per merge, so each round accepts up to M merges from
+   * the count-ordered candidate list, greedily skipping any pair that
+   * shares a symbol with — or whose merged symbol collides with —
+   * one already accepted this round. Accepted merges are mutually
+   * independent by construction (a merge only perturbs pair counts
+   * and string occurrences involving its own or its merged symbol),
+   * so they commute and applying all of them as ONE chained-replace
+   * expression layer over the pre-round leaf equals applying each to
+   * the pre-round state; `pair_count` is each pair's pre-round count.
+   * M=1 IS Sennrich exactly (greedy-accept of 1 = the argmax); M>1 is
+   * the standard batched-trainer variant — a round's later merges can
+   * outrank a pair the round's earlier merges would have newly
+   * created, which a merge-at-a-time recount would have seen first.
+   * A round with conflicts may accept fewer than M (the candidate
+   * list is bounded at 4·M rows); a round accepting zero ends
+   * training. 64 rounds × M=64 = a 4096-merge budget on 64 driver
+   * actions.
    */
   def bpeTrainMerges(df: DataFrame, textCol: String,
-                     iters: Int = 3): DataFrame = {
+                     iters: Int = 3,
+                     maxMergesPerRound: Int = 1): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(maxMergesPerRound >= 1 && maxMergesPerRound <= 1024,
+      s"maxMergesPerRound must be in [1, 1024], got $maxMergesPerRound")
     val spark = df.sparkSession
     val base = IterPlan.persistedLeaf(
       df.select(explode(TextOps.tokens(col(textCol))).as("__w"))
@@ -861,9 +909,11 @@ object CorpusOps {
     try {
       var types = base
       val merges = Seq.newBuilder[(Long, String, String, Long)]
-      var it = 1
+      var ordinal = 1L
+      var round = 1
+      var pendingLayers = 0
       var done = false
-      while (it <= iters && !done) {
+      while (round <= iters && !done) {
         val syms = filter(split(col("__enc"), "[()]+"), x => x =!= "")
         val pairs = types
           .select(col("__n"), syms.as("__s"))
@@ -874,22 +924,45 @@ object CorpusOps {
           .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
           .agg(sum("__n").as("cnt"))
         val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
-        if (top.isEmpty) done = true
-        else {
-          val r = top(0)
+          .limit(4 * maxMergesPerRound).collect()
+        // greedy count-order scan, skip-on-conflict: `touched` holds every
+        // symbol an accepted merge consumes AND creates, so no two merges
+        // in a round read or write the same symbol — the independence that
+        // makes the chained replaces below order-free (a later pattern can
+        // neither match inside nor be destroyed by an earlier replacement,
+        // and no replace targets a symbol another replace mints)
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val it0 = top.iterator
+        while (it0.hasNext && accepted.size < maxMergesPerRound) {
+          val r = it0.next()
           val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
-          merges += ((it.toLong, a, b, cnt))
+          if (!touched(a) && !touched(b) && !touched(a + b)) {
+            accepted += ((a, b, cnt))
+            touched += a; touched += b; touched += (a + b)
+          }
+        }
+        if (accepted.isEmpty) done = true
+        else {
+          accepted.foreach { case (a, b, cnt) =>
+            merges += ((ordinal, a, b, cnt)); ordinal += 1
+          }
+          // the whole round's merges are ONE expression layer
           types = types.withColumn("__enc",
-            replace(col("__enc"), lit(s"($a)($b)"), lit(s"($a$b)")))
+            accepted.foldLeft(col("__enc")) { case (e, (a, b, _)) =>
+              replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
+            })
+          pendingLayers += accepted.size
           // the replace layers accumulate over the leaf; without a
-          // periodic collapse round i re-executes all i-1 prior
-          // replaces per vocabulary row — O(iters²) at the allowed cap
-          if (it % 8 == 0) {
+          // periodic collapse round i re-executes all prior rounds'
+          // replaces per vocabulary row — O(merges²) at the allowed cap
+          if (pendingLayers >= 8) {
             types = IterPlan.persistedLeaf(types, eager = false)
             leaves += types
+            pendingLayers = 0
           }
-          it += 1
+          round += 1
         }
       }
       import spark.implicits._
@@ -988,15 +1061,23 @@ object CorpusOps {
       .join(assigned.select(col(idCol).as("__rid"),
         col(splitCol).as("__rep_split")), Seq("__rid"))
       .select(col("__comp"), col("__rep_split"))
-    val member = comp.withColumnRenamed("__rid", idCol)
+    // member → rep_split resolves SMALL × SMALL first, so the corpus
+    // stream pays ONE join against one (id → rep_split) table instead of
+    // two chained ones (member, then repSplit) — one less broadcast build
+    // and one less operator on the hot path (r15 audit of the r14
+    // verdict's d108 cost item). Inner join: a component whose rep is
+    // absent from `assigned` resolves to no row, and the left join +
+    // coalesce below keeps those members on their original split —
+    // exactly the prior chained-join semantics.
+    val memberRep = comp.join(repSplit, Seq("__comp"))
+      .select(col("__rid").as(idCol), col("__rep_split"))
     assigned
       .withColumnRenamed(splitCol, "split_before")
-      .join(member, Seq(idCol), "left")
-      .join(repSplit, Seq("__comp"), "left")
+      .join(memberRep, Seq(idCol), "left")
       .withColumn(splitCol, coalesce(col("__rep_split"), col("split_before")))
       .withColumn("moved",
         when(col(splitCol) =!= col("split_before"), 1L).otherwise(0L))
-      .drop("__comp", "__rep_split")
+      .drop("__rep_split")
   }
 
   /**
