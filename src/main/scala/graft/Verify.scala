@@ -27,6 +27,7 @@ object Verify {
     }
     selected.foreach { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         // the r12 j09/s60 lesson: a session-tz TIMESTAMP output hashes
         // differently from the oracle's naive timestamp even when every
@@ -46,6 +47,10 @@ object Verify {
           System.err.println(s"[verify] WARNING $name emits DECIMAL " +
             s"column(s) ${dec.mkString(",")} — cast to double/bigint")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // per-entry wall time on stderr: the sf1 full-suite sweep reads
+        // these to find scaling cliffs without a separate bench run
+        System.err.println(f"[verify] $name dumped in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
