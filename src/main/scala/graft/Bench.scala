@@ -113,7 +113,11 @@ object Bench {
     "d113_bpe_merges", "d114_tokenizer_fertility",
     // the multi-suite contamination audit: one corpus gram pass joined
     // against the union of suite-tagged test grams
-    "d116_contamination_report")
+    "d116_contamination_report",
+    // round-15: batched BPE (2 rounds × M=2 — the driver-action-amortized
+    // trainer path) and the live multi-suite contamination report (map-
+    // only per-doc counts + one S-row stateful fold)
+    "d118_bpe_batched", "s74_stream_contamination_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1902,6 +1902,33 @@ object SparkEntry {
         .orderBy("suite")
     }),
 
+    "s74_stream_contamination_report" -> ((s, dir) => {
+      // d116's release-review table maintained LIVE: each suite's gram
+      // set rides the plan as a reference object, every streamed doc
+      // computes its per-suite shared count MAP-ONLY (count_in_set over
+      // its own distinct gram array — the batch op's join+per-doc agg
+      // collapsed into an expression), and the ONLY stateful operator
+      // is the per-suite counter fold: S state rows TOTAL, complete
+      // mode holds the standing report. Drain == batch report; d116's
+      // oracle grades it verbatim.
+      val docsStatic = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val suites = Seq(5, 7, 11).map { m =>
+        s"mod$m" -> docsStatic.where(s"doc_id % $m = 0").select(
+          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+            .as("text"))
+      }
+      val stream = tStream(s, dir, "documents").select("doc_id", "text")
+      val report = graft.streaming.StreamingOps
+        .contaminationReportStream(stream, "text", suites, "text", n = 8)
+      val sink = s"s74_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = report.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("suite")
+    }),
+
     "d66_contamination_score" -> ((s, dir) => {
       // graded contamination audit: EVERY doc scored by the fraction of
       // its distinct 8-grams colliding with the benchmark (d47's test
@@ -2637,6 +2664,21 @@ object SparkEntry {
       // action. Integer/string output only — the oracle unrolls the 3
       // rounds and matches hash-exact with no float anywhere.
       CorpusOps.bpeTrainMerges(t(s, dir, "documents"), "text", iters = 3)
+        .orderBy("iter")
+    }),
+
+    "d118_bpe_batched" -> ((s, dir) => {
+      // the batched trainer's GRADED face (2 rounds × M=2): each round
+      // accepts up to 2 symbol-disjoint merges from the count-ordered
+      // candidate list (≤ 4·M candidates scanned; a pair is skipped if
+      // it reads or mints a symbol an earlier acceptance touched) and
+      // applies them as ONE expression layer — the scale path that
+      // buys a 32k-merge vocabulary at M merges per driver action. The
+      // oracle replays the greedy-disjoint selection itself (ranked
+      // candidates + the NOT IN conflict filter), so the batching
+      // SEMANTICS are hash-pinned, not just the merge arithmetic.
+      CorpusOps.bpeTrainMerges(t(s, dir, "documents"), "text",
+          iters = 2, maxMergesPerRound = 2)
         .orderBy("iter")
     }),
 
@@ -4657,6 +4699,59 @@ object SparkEntry {
        |  UNION ALL SELECT 3, a, b, cnt FROM m3)
        |ORDER BY iter""".stripMargin
 
+  /** d118: 2 batched rounds × M=2 unrolled — per round, rank pairs by
+    * (cnt DESC, a, b); acceptance 1 is rank 1; acceptance 2 is the
+    * lowest-rank candidate within the 4·M=8-row cap sharing no symbol
+    * with — and not minting — anything acceptance 1 touched
+    * ({a₁, b₁, a₁b₁}); both apply to the pre-round types in one
+    * replace chain. Empty acceptances coalesce to '' (the never-
+    * matching pattern guard) for application and are dropped from
+    * emission; iter is the global acceptance ordinal. */
+  private lazy val BpeBatchedOracleSql: String = {
+    val rounds = (1 to 2).map { i =>
+      val sel =
+        s"""p$i AS (SELECT s[j] AS a, s[j+1] AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, s, unnest(range(1, len(s))) AS j FROM (
+           |      SELECT n, list_filter(regexp_split_to_array(enc, '[()]+'),
+           |        x -> x <> '') AS s
+           |      FROM b${i - 1}))
+           |  GROUP BY 1, 2),
+           |rk$i AS (SELECT a, b, cnt,
+           |    row_number() OVER (ORDER BY cnt DESC, a, b) AS r FROM p$i),
+           |n${i}1 AS (SELECT a, b, cnt FROM rk$i WHERE r = 1),
+           |n${i}2 AS (SELECT rk.a, rk.b, rk.cnt FROM rk$i rk CROSS JOIN n${i}1 x
+           |  WHERE rk.r <= 8
+           |    AND rk.a NOT IN (x.a, x.b, x.a || x.b)
+           |    AND rk.b NOT IN (x.a, x.b, x.a || x.b)
+           |    AND rk.a || rk.b NOT IN (x.a, x.b, x.a || x.b)
+           |  ORDER BY rk.r LIMIT 1),
+           |c${i}1 AS (SELECT coalesce(max(a), '') AS a,
+           |    coalesce(max(b), '') AS b FROM n${i}1),
+           |c${i}2 AS (SELECT coalesce(max(a), '') AS a,
+           |    coalesce(max(b), '') AS b FROM n${i}2)"""
+      val ap =
+        s"""b$i AS (SELECT replace(replace(enc,
+           |      '(' || x1.a || ')(' || x1.b || ')', '(' || x1.a || x1.b || ')'),
+           |      '(' || x2.a || ')(' || x2.b || ')', '(' || x2.a || x2.b || ')')
+           |    AS enc, n
+           |  FROM b${i - 1} CROSS JOIN c${i}1 x1 CROSS JOIN c${i}2 x2)"""
+      if (i < 2) s"$sel,\n$ap" else sel
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest($ToksSql) AS w FROM documents),
+       |b0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM w WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+       |$rounds
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, sub) AS BIGINT) AS iter,
+       |  a AS sym_a, b AS sym_b, cnt AS pair_count
+       |FROM (
+       |  SELECT 1 AS rnd, 1 AS sub, a, b, cnt FROM n11
+       |  UNION ALL SELECT 1, 2, a, b, cnt FROM n12
+       |  UNION ALL SELECT 2, 1, a, b, cnt FROM n21
+       |  UNION ALL SELECT 2, 2, a, b, cnt FROM n22)
+       |ORDER BY iter""".stripMargin
+  }
+
   /** Shared by d114 (batch) and s71 (the same map-only scoring drained
     * from a stream into a combinable per-language sum): the trained
     * merges applied in learned order to every eligible word occurrence,
@@ -6012,6 +6107,7 @@ object SparkEntry {
     "d109_weighted_sample" -> WeightedSampleOracleSql,
     "d112_dsir_select" -> DsirOracleSql,
     "d113_bpe_merges" -> BpeOracleSql,
+    "d118_bpe_batched" -> BpeBatchedOracleSql,
     "d115_dsir_incremental" -> DsirIncrementalOracleSql,
     "s72_stream_dsir_model" -> DsirIncrementalOracleSql,
     "d114_tokenizer_fertility" -> BpeFertilityOracleSql,
@@ -6255,6 +6351,7 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
 
     "d116_contamination_report" -> ContaminationReportOracleSql,
+    "s74_stream_contamination_report" -> ContaminationReportOracleSql,
 
     "d117_packing_efficiency" -> PackingEfficiencyOracleSql,
     "s73_stream_packing_efficiency" -> PackingEfficiencyOracleSql,

@@ -433,6 +433,19 @@ object BucketUtil {
     false
   }
 
+  /** Count of array elements present in the set ([[anyInSet]]'s counting
+    * sibling); over a distinct array this is the intersection size. */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    var i = 0
+    var c = 0L
+    val n = arr.numElements()
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Asymmetric PQ distance: Σ_s lut[s*ksub + codes[s]] = dot(v̂, q).
     * |pqAdc − dot(v, q)| ≤ ||q||·resid by Cauchy–Schwarz on q·(v − v̂). */
   def pqAdc(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
@@ -713,6 +726,36 @@ case class AnyInSet(child: Expression, elems: Array[String])
   }
 
   override protected def withNewChildInternal(c: Expression): AnyInSet =
+    copy(child = c)
+}
+
+/** `count_in_set(arr)`: how many elements of a string array belong to a
+  * driver-built membership set — [[AnyInSet]]'s counting sibling. Over a
+  * DISTINCT gram array this IS the per-document shared-gram count, which
+  * turns the contamination REPORT's per-(doc, suite) join+aggregate into
+  * a map-only expression a micro-batch can run with no join and no
+  * per-doc state (the s74 stream shape: the only stateful operator left
+  * is the per-suite counter fold). */
+case class CountInSet(child: Expression, elems: Array[String])
+    extends UnaryExpression {
+  // built once per (de)serialized expression instance, shared across rows
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
+    elems.foreach(e => s.add(UTF8String.fromString(e)))
+    s
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_set"
+
+  override def nullSafeEval(arr: Any): Any =
+    BucketUtil.countInSet(arr.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sref = ctx.addReferenceObj("set", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, a => s"graft.functions.BucketUtil.countInSet($a, $sref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountInSet =
     copy(child = c)
 }
 
@@ -1992,6 +2035,11 @@ object GraftFunctions {
   /** True iff any element of a string-array column is in `elems`. */
   def any_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(AnyInSet(expression(arr), elems))
+
+  /** Intersection size of a distinct string array with a plan-constant
+    * set (see [[CountInSet]]). */
+  def count_in_set(arr: Column, elems: Array[String]): Column =
+    ColumnBridge.column(CountInSet(expression(arr), elems))
 
   /** Hamming distance over packed sign-word arrays (see [[HammingWords]]). */
   def hamming_words(a: Column, b: Column): Column =

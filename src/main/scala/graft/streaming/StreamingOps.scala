@@ -65,6 +65,68 @@ object StreamingOps extends Serializable {
   }
 
   /**
+   * The multi-suite contamination REPORT maintained LIVE — the streaming
+   * twin of [[graft.ops.CorpusOps.contaminationReport]], for the release
+   * review that wants "which benchmark is burned, and how badly" to be a
+   * standing dashboard over an ingesting corpus rather than a batch audit
+   * after the fact.
+   *
+   * Shape: each suite's distinct gram set is driver-collected ONCE (same
+   * [[decontaminateStream]] envelope, same `maxTestGrams` loud guard) and
+   * rides the plan as a shared reference object; every streamed document
+   * then computes its per-suite shared-gram count MAP-ONLY
+   * (`count_in_set` over its own distinct gram array — the join+per-doc
+   * aggregate of the batch op collapses into an expression, which is what
+   * makes this streamable: a document's flags depend only on the document
+   * and the static suites). Each doc emits one row per suite, so the ONE
+   * stateful operator is a per-suite counter fold — `count(*)` is the
+   * corpus total, flagged/heavy are conditional sums, all combinable,
+   * S state rows TOTAL. `flag_rate` derives statelessly after. Drain in
+   * complete mode equals the batch report row for row (d116's oracle
+   * grades it verbatim).
+   */
+  def contaminationReportStream(stream: DataFrame, textCol: String,
+                                suites: Seq[(String, DataFrame)],
+                                suiteTextCol: String, n: Int = 8,
+                                maxTestGrams: Int = 1 << 22): DataFrame = {
+    require(suites.nonEmpty, "at least one suite required")
+    val suiteSets = suites.map { case (name, t) =>
+      val grams = t
+        .select(explode(graft.ops.CorpusOps.gramSet(col(suiteTextCol), n))
+          .as("gram"))
+        .distinct().limit(maxTestGrams + 1)
+        .collect().map(_.getString(0))
+      if (grams.length > maxTestGrams)
+        throw new graft.InvalidDataError(
+          s"suite '$name' exceeds $maxTestGrams distinct $n-grams; " +
+            "audit in batch (contaminationReport) instead")
+      (name, grams)
+    }
+    val perSuite = suiteSets.map { case (name, grams) =>
+      struct(lit(name).as("suite"),
+        graft.functions.GraftFunctions
+          .count_in_set(col("__g"), grams).as("shared"))
+    }
+    stream
+      // gramSet projected once; ng derived in the NEXT select (the HOF
+      // CodegenFallback no-CSE rule — same as the batch op)
+      .select(graft.ops.CorpusOps.gramSet(col(textCol), n).as("__g"))
+      .select(size(col("__g")).cast("long").as("__ng"),
+        explode(array(perSuite: _*)).as("__s"))
+      .groupBy(col("__s.suite").as("suite"))
+      .agg(count(lit(1)).as("__total"),
+        count(when(col("__s.shared") > 0, 1)).as("n_flagged"),
+        // shared > 0 guard: the batch op's hit join never sees zero-share
+        // docs, so a zero-gram doc (0 >= 0·0.5) must not count heavy here
+        count(when(col("__s.shared") > 0 &&
+          col("__s.shared").cast("double") >=
+          col("__ng").cast("double") * 0.5, 1)).as("n_heavy"))
+      .select(col("suite"), col("n_flagged"), col("n_heavy"),
+        round(col("n_flagged").cast("double") /
+          col("__total").cast("double"), 6).as("flag_rate"))
+  }
+
+  /**
    * Streaming as-of enrichment against a STATIC right table: every
    * streamed row is joined to the latest right row at-or-before its time
    * ([[graft.ops.JoinOps.asofJoin]] semantics), per micro-batch via

@@ -236,6 +236,69 @@ class StreamingSpec extends AnyFunSuite {
         maxTestGrams = 10))
   }
 
+  test("contaminationReportStream drains to the batch report row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val suites = Seq(5, 7).map { m =>
+      s"mod$m" -> docs.where(s"doc_id % $m = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+    }
+    // batch reference: the d116 operator on the same corpus + suites
+    val want = graft.ops.CorpusOps
+      .contaminationReport(docs, suites, "doc_id", "text", n = 8)
+      .orderBy("suite")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // stream the corpus through in two micro-batches — per-suite counters
+    // must fold across batches into the identical standing report
+    val rows = docs.as[(Long, String)].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val report = StreamingOps.contaminationReportStream(
+      mem.toDF().toDF("doc_id", "text"), "text", suites, "text", n = 8)
+    // checkpointed restart: the second drain resumes offsets + state and
+    // folds ONLY h2 into the standing counters — the cross-batch
+    // additivity claim under test, not a from-scratch recompute
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-s74-ckpt").toString
+    def drain(): Unit = {
+      val q = report.writeStream.outputMode("complete")
+        .format("memory").queryName("s74spec")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(h1.toIndexedSeq)
+    drain()
+    mem.addData(h2.toIndexedSeq)
+    drain()
+    val got = spark.table("s74spec").orderBy("suite")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"stream drain != batch report\n got:  $got\n want: $want")
+    // a clean (zero-hit) suite still reports a zeros row
+    val cleanSuite = Seq("qqq www zzz xxx yyy kkk jjj hhh ggg").toDF("text")
+    val mem2 = MemoryStream[(Long, String)]
+    val rep2 = StreamingOps.contaminationReportStream(
+      mem2.toDF().toDF("doc_id", "text"), "text",
+      Seq("clean" -> cleanSuite), "text", n = 8)
+    mem2.addData(rows.take(10).toIndexedSeq)
+    val q3 = rep2.writeStream.outputMode("complete")
+      .format("memory").queryName("s74spec2")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val clean = spark.table("s74spec2")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(clean == Seq(("clean", 0L, 0L, 0.0)), s"got $clean")
+    // oversized suites fail loudly instead of silently truncating
+    assertThrows[graft.InvalidDataError](
+      StreamingOps.contaminationReportStream(docs, "text",
+        Seq("big" -> docs.select(col("text"))), "text", maxTestGrams = 10))
+  }
+
   test("sessionWindows closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
