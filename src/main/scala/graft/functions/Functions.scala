@@ -446,6 +446,36 @@ object BucketUtil {
     c
   }
 
+  /** JL ±1 random projection of a double vector — the compiled kernel
+    * behind [[RandomProjectExpr]]. Arithmetic is OPERATION-IDENTICAL to
+    * the HOF form it replaced (i-ascending double accumulation, per-term
+    * `vec[i] * sign(i,j)`, one final `/ √outDim`) and to the SQL oracle:
+    * the sign is two minstd LCG steps over the mixed index in exact
+    * 64-bit integer arithmetic (every operand < 2^45), so all three
+    * produce the bitwise-identical double. */
+  def randomProject(vec: ArrayData, outDim: Int, seed: Long): ArrayData = {
+    val n = vec.numElements()
+    val scale = math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    val m = 2147483647L
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val h1 = (16807L * ((i.toLong * 4099L + j.toLong * 8191L +
+          seed + 1L) % m)) % m
+        val h2 = (16807L * h1) % m
+        val sign = if (h2 < m / 2) -1.0 else 1.0
+        acc += vec.getDouble(i) * sign
+        i += 1
+      }
+      out(j) = acc / scale
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Asymmetric PQ distance: Σ_s lut[s*ksub + codes[s]] = dot(v̂, q).
     * |pqAdc − dot(v, q)| ≤ ||q||·resid by Cauchy–Schwarz on q·(v − v̂). */
   def pqAdc(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
@@ -756,6 +786,32 @@ case class CountInSet(child: Expression, elems: Array[String])
   }
 
   override protected def withNewChildInternal(c: Expression): CountInSet =
+    copy(child = c)
+}
+
+/** `random_project(vec)`: sparse-JL ±1 projection of an array<double>
+  * to `outDim` dims in ONE compiled loop. Replaces the nested
+  * transform/aggregate HOF form, which is CodegenFallback and evaluated
+  * a ~15-node interpreted tree per (row × outDim × inDim) term — 403 s
+  * for the sf1 embeddings table where this kernel takes under a second
+  * (the e50 scaling cliff found by the r15 full-suite sf1 sweep).
+  * Arithmetic is operation-identical to the HOF and the SQL oracle
+  * (see [[BucketUtil.randomProject]]), so results are bitwise unchanged. */
+case class RandomProjectExpr(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+  require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+  require(seed >= 0, s"seed must be >= 0, got $seed")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_project"
+
+  override def nullSafeEval(arr: Any): Any =
+    BucketUtil.randomProject(arr.asInstanceOf[ArrayData], outDim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BucketUtil.randomProject($a, $outDim, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): RandomProjectExpr =
     copy(child = c)
 }
 
@@ -2040,6 +2096,10 @@ object GraftFunctions {
     * set (see [[CountInSet]]). */
   def count_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(CountInSet(expression(arr), elems))
+
+  /** One-loop JL ±1 random projection (see [[RandomProjectExpr]]). */
+  def random_project(vec: Column, outDim: Int, seed: Long): Column =
+    ColumnBridge.column(RandomProjectExpr(expression(vec), outDim, seed))
 
   /** Hamming distance over packed sign-word arrays (see [[HammingWords]]). */
   def hamming_words(a: Column, b: Column): Column =

@@ -1633,19 +1633,6 @@ object SimilarityOps {
     topK(rescored, "query_id", "vec_id", k)
   }
 
-  /** Deterministic ±1 sign for projection cell `(i, j)`: two minstd LCG
-    * steps over the mixed index, high-half sign bit (the low bit of an
-    * LCG alternates). Exact 64-bit integer arithmetic with every operand
-    * `< 2^45`, so the same formula evaluates identically in ANSI SQL —
-    * the model "matrix" is pure code, nothing is shipped or stored. */
-  private def projSign(i: Column, j: Column, seed: Long): Column = {
-    val m = 2147483647L
-    val h1 = (lit(16807L) * ((i.cast("long") * lit(4099L) +
-      j.cast("long") * lit(8191L) + lit(seed + 1L)) % lit(m))) % lit(m)
-    val h2 = (lit(16807L) * h1) % lit(m)
-    when(h2 < lit(m / 2), lit(-1.0d)).otherwise(lit(1.0d))
-  }
-
   /**
    * Random-projection dimensionality reduction (sparse
    * Johnson–Lindenstrauss): `out[j] = Σ_i sign(h(i,j))·vec[i] / √outDim`
@@ -1666,14 +1653,17 @@ object SimilarityOps {
     require(outDim >= 1, s"outDim must be >= 1, got $outDim")
     require(seed >= 0, s"seed must be >= 0, got $seed")
     val vec = col(vecCol)
-    val scale = math.sqrt(outDim.toDouble)
-    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
-      aggregate(sequence(lit(0), size(vec) - 1), lit(0.0d),
-        (acc, i) => acc +
-          element_at(vec, i + 1).cast("double") * projSign(i, j, seed))
-        / lit(scale))
-    // empty vectors project to NULL (sequence(0, -1) would otherwise
-    // count DOWN and index element 0)
+    // one compiled loop per row (RandomProjectExpr) — the nested
+    // transform/aggregate HOF this replaces was CodegenFallback and paid
+    // an interpreted expression tree per (row × outDim × inDim) term:
+    // 403 s over the sf1 embeddings vs ~1 s compiled, bitwise-identical
+    // output (the r15 sf1 sweep's one scaling cliff); the sign
+    // arithmetic's SQL-replayable spec lives on the kernel's doc
+    // ([[graft.functions.BucketUtil.randomProject]]).
+    val proj = graft.functions.GraftFunctions.random_project(
+      vec.cast("array<double>"), outDim, seed)
+    // empty vectors project to NULL (a zero-length loop would emit the
+    // all-zeros vector and invent a point at the origin)
     df.select(col(idCol),
       when(size(vec) > 0, proj).as("projection"))
   }
