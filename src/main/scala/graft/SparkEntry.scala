@@ -3431,13 +3431,20 @@ object SparkEntry {
       // distance exactly 0 — the chunk-bucketed candidate stage finds every
       // multiset-equal pair BY CONSTRUCTION, and the exact multiset-equality
       // verify removes hash-coincidence extras. Output therefore provably
-      // equals the DuckDB sorted-token self-join oracle.
+      // equals the DuckDB sorted-token self-join oracle. maxBucket is
+      // uncapped for the oracle config (the m43/m47 convention): the
+      // production default (100) is the boilerplate-bucket guard, but the
+      // oracle counts EVERY pair, and at sf1 one 16-bit chunk bucket
+      // crossed 100 members and silently cost 30 pairs — the exact
+      // "green at sf0.01, broken at 10x" class the full-suite sf1 sweep
+      // exists to catch (r15).
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val reversed = docs.where("doc_id % 5 = 0").select(
         (col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text"))
       val corpus = docs.unionByName(reversed)
-      val cand = DedupOps.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      val cand = DedupOps.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1 << 20)
       val ms = corpus.select(col("doc_id"),
         concat_ws(" ", sort_array(split(trim(col("text")), "\\s+"))).as("ms"))
       cand

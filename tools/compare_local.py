@@ -4,6 +4,8 @@
 Usage: python3 tools/compare_local.py <sfdir> <verify_out_dir>
 """
 import json
+import multiprocessing
+import os
 import sys
 
 import duckdb
@@ -76,9 +78,57 @@ def norm(rows):
     return out
 
 
+def _oracle_worker(sfdir, sql, outq):
+    """Run one oracle in a CHILD process so a hard budget can kill it:
+    duckdb's interrupt() is advisory (some operator states never check
+    the flag — d56's sf1 replay ran 25 min past a 180 s interrupt), so
+    the only reliable budget is process-level."""
+    try:
+        wcon = duckdb.connect()
+        for t in TABLES:
+            wcon.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        res = wcon.execute(sql)
+        cols = [d[0] for d in res.description]
+        outq.put(("ok", cols, res.fetchall()))
+    except Exception as e:  # pragma: no cover - surfaced as FAIL upstream
+        outq.put(("err", str(e), None))
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # GRAFT_ORACLE_TIMEOUT=<seconds>: per-entry budget for the DUCKDB
+    # oracle replay, for above-gate-scale sweeps (sf1+) where a handful
+    # of oracles are deliberately brute-force/recursive (d108's recursive
+    # reach, m47's brute-force pair matrix) and cost hours the ENGINE
+    # side doesn't — a timed-out entry reports ORACLE-TIMEOUT (the
+    # oracle's cost, not a correctness verdict) instead of wedging the
+    # whole sweep. Unset (the gate-scale default) = no budget, in-process.
+    budget = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+    mpctx = multiprocessing.get_context("fork")
+
+    class OracleTimeout(Exception):
+        pass
+
+    def run_budgeted(sql):
+        """Returns (cols, rows); raises OracleTimeout past the budget."""
+        if budget <= 0:
+            res = con.execute(sql)
+            return [d[0] for d in res.description], res.fetchall()
+        outq = mpctx.Queue()
+        proc = mpctx.Process(target=_oracle_worker, args=(sfdir, sql, outq))
+        proc.start()
+        try:
+            status, a, b = outq.get(timeout=budget)
+        except Exception:
+            proc.kill()
+            proc.join()
+            raise OracleTimeout()
+        proc.join()
+        if status == "err":
+            raise RuntimeError(a)
+        return a, b
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -86,7 +136,7 @@ def main():
     import glob
     qdirs = sorted(d.split("/")[-1] for d in glob.glob(f"{outdir}/*")
                    if not d.endswith(".json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_slow = 0
     for q in qdirs:
         try:
             res = con.execute(
@@ -103,10 +153,15 @@ def main():
                   f"{'OK' if len(rows) > 0 else 'EMPTY!'}")
             continue
         try:
-            ores = con.execute(oracle[q])
-            ocols = [d[0] for d in ores.description]
+            ocols, oraw = run_budgeted(oracle[q])
             oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            orows = [tuple(r[i] for i in oorder) for r in ores.fetchall()]
+            orows = [tuple(r[i] for i in oorder) for r in oraw]
+        except OracleTimeout:
+            print(f"ORACLE-TIMEOUT {q}: oracle exceeded {budget:.0f}s "
+                  f"(oracle cost, not a verdict; engine rows={len(rows)})",
+                  flush=True)
+            n_slow += 1
+            continue
         except Exception as e:
             print(f"FAIL {q}: oracle error: {e}")
             n_bad += 1
@@ -156,7 +211,8 @@ def main():
                           f"oracle[-1]={b[-1] if b else None}")
             n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} failed, "
-          f"{len(qdirs) - n_ok - n_bad} rows-only")
+          f"{len(qdirs) - n_ok - n_bad - n_slow} rows-only"
+          + (f", {n_slow} oracle-timeout" if n_slow else ""))
 
 
 if __name__ == "__main__":
