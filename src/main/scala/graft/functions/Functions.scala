@@ -731,28 +731,28 @@ case class TokenWeightSum(child: Expression, vocab: Array[String],
 }
 
 /** `any_in_set(arr)`: does any element of a string array belong to a
-  * driver-built membership set? The set rides the serialized plan as ONE
-  * shared reference object (built once, probed per row — never rebuilt
-  * like `arrays_overlap`'s per-row set over a literal array), which is
-  * what makes a map-only stream-side contamination probe practical: no
-  * join, no state, no shuffle in the micro-batch. */
-case class AnyInSet(child: Expression, elems: Array[String])
+  * driver-built membership set? The set travels as a BROADCAST — one
+  * deserialized copy per executor JVM, shared by every task — not as a
+  * plan-embedded reference object: a multi-million-gram set embedded in
+  * the task binary is re-deserialized by EVERY task (N concurrent tasks
+  * × the whole string array — the sf3 s74 probe OOM'd inside
+  * ObjectInputStream.readString before one row was probed). Probed per
+  * row with no join, no state, no shuffle in the micro-batch. */
+case class AnyInSet(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
     extends UnaryExpression {
-  // built once per (de)serialized expression instance, shared across rows
-  @transient private lazy val set: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
-    elems.foreach(e => s.add(UTF8String.fromString(e)))
-    s
-  }
   override def dataType: DataType = BooleanType
   override def prettyName: String = "any_in_set"
 
   override def nullSafeEval(arr: Any): Any =
-    BucketUtil.anyInSet(arr.asInstanceOf[ArrayData], set)
+    BucketUtil.anyInSet(arr.asInstanceOf[ArrayData], bc.value)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val sref = ctx.addReferenceObj("set", set, "java.util.HashSet")
-    defineCodeGen(ctx, ev, a => s"graft.functions.BucketUtil.anyInSet($a, $sref)")
+    val bref = ctx.addReferenceObj("bcSet", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a => s"graft.functions.BucketUtil.anyInSet(" +
+      s"$a, (java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>)" +
+      s"$bref.value())")
   }
 
   override protected def withNewChildInternal(c: Expression): AnyInSet =
@@ -760,29 +760,28 @@ case class AnyInSet(child: Expression, elems: Array[String])
 }
 
 /** `count_in_set(arr)`: how many elements of a string array belong to a
-  * driver-built membership set — [[AnyInSet]]'s counting sibling. Over a
-  * DISTINCT gram array this IS the per-document shared-gram count, which
-  * turns the contamination REPORT's per-(doc, suite) join+aggregate into
-  * a map-only expression a micro-batch can run with no join and no
-  * per-doc state (the s74 stream shape: the only stateful operator left
-  * is the per-suite counter fold). */
-case class CountInSet(child: Expression, elems: Array[String])
+  * driver-built membership set — [[AnyInSet]]'s counting sibling (same
+  * broadcast design, see there). Over a DISTINCT gram array this IS the
+  * per-document shared-gram count, which turns the contamination
+  * REPORT's per-(doc, suite) join+aggregate into a map-only expression a
+  * micro-batch can run with no join and no per-doc state (the s74
+  * stream shape: the only stateful operator left is the per-suite
+  * counter fold). */
+case class CountInSet(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]])
     extends UnaryExpression {
-  // built once per (de)serialized expression instance, shared across rows
-  @transient private lazy val set: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
-    elems.foreach(e => s.add(UTF8String.fromString(e)))
-    s
-  }
   override def dataType: DataType = LongType
   override def prettyName: String = "count_in_set"
 
   override def nullSafeEval(arr: Any): Any =
-    BucketUtil.countInSet(arr.asInstanceOf[ArrayData], set)
+    BucketUtil.countInSet(arr.asInstanceOf[ArrayData], bc.value)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val sref = ctx.addReferenceObj("set", set, "java.util.HashSet")
-    defineCodeGen(ctx, ev, a => s"graft.functions.BucketUtil.countInSet($a, $sref)")
+    val bref = ctx.addReferenceObj("bcSet", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a => s"graft.functions.BucketUtil.countInSet(" +
+      s"$a, (java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>)" +
+      s"$bref.value())")
   }
 
   override protected def withNewChildInternal(c: Expression): CountInSet =
@@ -2090,12 +2089,21 @@ object GraftFunctions {
 
   /** True iff any element of a string-array column is in `elems`. */
   def any_in_set(arr: Column, elems: Array[String]): Column =
-    ColumnBridge.column(AnyInSet(expression(arr), elems))
+    ColumnBridge.column(AnyInSet(expression(arr), broadcastSet(elems)))
 
-  /** Intersection size of a distinct string array with a plan-constant
-    * set (see [[CountInSet]]). */
+  /** Intersection size of a distinct string array with a broadcast
+    * membership set (see [[CountInSet]]). */
   def count_in_set(arr: Column, elems: Array[String]): Column =
-    ColumnBridge.column(CountInSet(expression(arr), elems))
+    ColumnBridge.column(CountInSet(expression(arr), broadcastSet(elems)))
+
+  /** Build the probe set ONCE on the driver and broadcast it — one copy
+    * per executor JVM instead of one per task (see [[AnyInSet]]). */
+  private def broadcastSet(elems: Array[String])
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
+    elems.foreach(e => s.add(UTF8String.fromString(e)))
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(s)
+  }
 
   /** One-loop JL ±1 random projection (see [[RandomProjectExpr]]). */
   def random_project(vec: Column, outDim: Int, seed: Long): Column =

@@ -51,17 +51,50 @@ object StreamingOps extends Serializable {
   def decontaminateStream(stream: DataFrame, textCol: String,
                           test: DataFrame, testTextCol: String, n: Int = 8,
                           maxTestGrams: Int = 1 << 22): DataFrame = {
-    val grams = test
-      .select(explode(graft.ops.CorpusOps.gramSet(col(testTextCol), n)).as("gram"))
-      .distinct().limit(maxTestGrams + 1)
-      .collect().map(_.getString(0))
-    if (grams.length > maxTestGrams)
-      throw new graft.InvalidDataError(
-        s"test suite exceeds $maxTestGrams distinct $n-grams; " +
-          "decontaminate in batch (ngramOverlap/ngramOverlapBloom) instead")
     stream.withColumn("contaminated",
       graft.functions.GraftFunctions.any_in_set(
-        graft.ops.CorpusOps.gramSet(col(textCol), n), grams))
+        graft.ops.CorpusOps.gramSet(col(textCol), n),
+        collectSuiteGramSets(Seq("test" -> test), testTextCol, n,
+          maxTestGrams,
+          "decontaminate in batch (ngramOverlap/ngramOverlapBloom) instead")
+          .head._2))
+  }
+
+  /** Driver-collect each suite's distinct gram set under a LOUD size
+    * guard, in ONE shared pass: the suites union under an index tag,
+    * explode + distinct once (persisted), then a per-suite COUNT guards
+    * BEFORE the collect materializes anything on the driver — collecting
+    * millions of grams just to discover a suite is too big OOM'd exactly
+    * where the error message should have fired (seen at the sf3 fixture,
+    * whose suite side grows with the corpus — real benchmark suites are
+    * constant-size). Two jobs and one exchange total, however many
+    * suites (the per-suite count+collect pair it replaces paid 2·S). */
+  private def collectSuiteGramSets(suites: Seq[(String, DataFrame)],
+                                   textCol: String, n: Int,
+                                   maxTestGrams: Int, advice: String)
+      : Seq[(String, Array[String])] = {
+    val tagged = suites.zipWithIndex.map { case ((_, t), i) =>
+      t.select(lit(i).as("__si"),
+        explode(graft.ops.CorpusOps.gramSet(col(textCol), n)).as("__gram"))
+    }.reduce(_.unionByName(_)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = tagged.groupBy("__si").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      suites.zipWithIndex.foreach { case ((name, _), i) =>
+        val c = counts.getOrElse(i, 0L)
+        if (c > maxTestGrams)
+          throw new graft.InvalidDataError(
+            s"suite '$name' has $c distinct $n-grams (max $maxTestGrams); " +
+              advice)
+      }
+      val byIdx = tagged.collect()
+        .groupBy(_.getInt(0))
+        .map { case (i, rows) => i -> rows.map(_.getString(1)) }
+      suites.zipWithIndex.map { case ((name, _), i) =>
+        name -> byIdx.getOrElse(i, Array.empty[String])
+      }
+    } finally tagged.unpersist()
   }
 
   /**
@@ -90,18 +123,8 @@ object StreamingOps extends Serializable {
                                 suiteTextCol: String, n: Int = 8,
                                 maxTestGrams: Int = 1 << 22): DataFrame = {
     require(suites.nonEmpty, "at least one suite required")
-    val suiteSets = suites.map { case (name, t) =>
-      val grams = t
-        .select(explode(graft.ops.CorpusOps.gramSet(col(suiteTextCol), n))
-          .as("gram"))
-        .distinct().limit(maxTestGrams + 1)
-        .collect().map(_.getString(0))
-      if (grams.length > maxTestGrams)
-        throw new graft.InvalidDataError(
-          s"suite '$name' exceeds $maxTestGrams distinct $n-grams; " +
-            "audit in batch (contaminationReport) instead")
-      (name, grams)
-    }
+    val suiteSets = collectSuiteGramSets(suites, suiteTextCol, n,
+      maxTestGrams, "audit in batch (contaminationReport) instead")
     val perSuite = suiteSets.map { case (name, grams) =>
       struct(lit(name).as("suite"),
         graft.functions.GraftFunctions
