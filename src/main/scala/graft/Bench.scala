@@ -115,9 +115,12 @@ object Bench {
     // against the union of suite-tagged test grams
     "d116_contamination_report",
     // round-15: batched BPE (2 rounds × M=2 — the driver-action-amortized
-    // trainer path) and the live multi-suite contamination report (map-
-    // only per-doc counts + one S-row stateful fold)
-    "d118_bpe_batched", "s74_stream_contamination_report")
+    // trainer path), the live multi-suite contamination report (map-only
+    // per-doc counts + one S-row stateful fold), and the IVF
+    // recall-vs-nprobe curve (one geometry, 5 probe settings + one exact
+    // pass over the bounded query batch)
+    "d118_bpe_batched", "s74_stream_contamination_report",
+    "e67_ivf_recall_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

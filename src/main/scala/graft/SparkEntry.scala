@@ -3590,6 +3590,26 @@ object SparkEntry {
           col("n_zero_norm").cast("long").as("n_zero_norm"))
     }),
 
+    "e67_ivf_recall_curve" -> ((s, dir) => {
+      // the recall-vs-nprobe CURVE a deployment reads to set its
+      // quality/cost knob: one trained IVF geometry (nlist=16 pinned so
+      // the full-probe row exists at every sf), probed at
+      // nprobe 1/2/4/8/16 against exact brute force over a fixed
+      // 64-query batch. Per-setting mean recall is k-means-geometry-
+      // dependent, so the GRADED columns are the curve's invariants
+      // (the e44 threshold pattern): nested candidates make recall
+      // monotone in nprobe, nprobe = nlist is provably brute force
+      // (recall exactly 1.0, no tolerance), and a 0.05 regression floor
+      // catches a cratered assign/probe path (~k/n). The raw recalls
+      // are spec-pinned in OpsSpec instead.
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfRecallCurve(emb, "vec_id", "embedding",
+          emb.where("vec_id < 64"), "vec_id", "embedding",
+          k = 5, nprobes = Seq(1, 2, 4, 8, 16), nlist = 16)
+        .drop("mean_recall")
+        .orderBy("nprobe")
+    }),
+
     "e60_ann_recall" -> ((s, dir) => {
       // recall@5 of the REAL e55 matryoshka configuration (prefix 16,
       // shortlist 32 — ~0.5 recall on this isotropic fixture, see e55's
@@ -5826,6 +5846,21 @@ object SparkEntry {
 
     // recall@5 of the e55 approximate config vs exact: both result sets,
     // the pair-keyed hit join, and the per-query normalization replayed
+    // e67: the flags are invariant-valued on a correct implementation
+    // (monotone by nested candidates, exact at full probe, floor met),
+    // so the oracle replays the row SHAPE from the base table (the
+    // query-batch count) and pins every flag at 1 — any engine-side
+    // violation flips a flag and hash-fails (the e44 pattern)
+    "e67_ivf_recall_curve" ->
+      """SELECT CAST(np AS BIGINT) AS nprobe,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 64)
+        |    AS n_queries,
+        |  CAST(1 AS BIGINT) AS floor_met,
+        |  CAST(1 AS BIGINT) AS monotone_ok,
+        |  CAST(1 AS BIGINT) AS full_probe_exact
+        |FROM (VALUES (1), (2), (4), (8), (16)) AS t(np)
+        |ORDER BY nprobe""".stripMargin,
+
     "e60_ann_recall" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT q.query_id, e.vec_id,

@@ -654,6 +654,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall") // multiprobe-2 on 8 bits
   }
 
+  test("ivfRecallCurve: recalls monotone, exact at full probe, flags pinned") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val curve = SimilarityOps.ivfRecallCurve(emb, "vec_id", "embedding",
+        emb.where($"vec_id" < 32), "vec_id", "embedding",
+        k = 5, nprobes = Seq(1, 4, 16), nlist = 16)
+      .orderBy("nprobe")
+      .as[(Long, Long, Double, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1L, 4L, 16L))
+    assert(curve.forall(_._2 == 32L), s"n_queries: $curve")
+    val recalls = curve.map(_._3)
+    // the nested-candidate invariant: recall non-decreasing in nprobe
+    assert(recalls.zip(recalls.drop(1)).forall { case (a, b) => b >= a },
+      s"recalls must be monotone: $recalls")
+    // full probe (nprobe = nlist) IS brute force — exactly 1.0
+    assert(recalls.last == 1.0, s"full probe must be exact: $recalls")
+    // a sane single-cell probe beats the broken-path floor by far
+    assert(recalls.head >= 0.05 && recalls.head < 1.0,
+      s"nprobe=1 recall out of range: $recalls")
+    assert(curve.forall(r => r._4 == 1L && r._5 == 1L && r._6 == 1L),
+      s"flags must pin at 1: $curve")
+  }
+
   test("matryoshka top-k: full prefix equals brute force; 16-dim prefix keeps recall") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
