@@ -446,6 +446,78 @@ object BucketUtil {
     c
   }
 
+  // MessageDigest.getInstance per row would dominate the kernel; one
+  // instance per thread, reset per gram
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** DSIR importance score — the compiled kernel behind [[DsirScoreExpr]]:
+    * Σ over ADJACENT token pairs of `deltas[bucket(md5(a ⧺ ' ' ⧺ b))]`,
+    * where the bucket is the digest's first `nNibs` hex nibbles as a
+    * base-16 number. Operation-identical to the HOF fold it replaced
+    * (i-ascending accumulation over `zip_with`-formed bigrams, bucket =
+    * `conv(substring(md5_hex, 1, nNibs), 16, 10)`) and to the SQL oracle;
+    * the deltas are 16-frac-bit dyadics, so the sum is exact in any
+    * order — ascending kept anyway. */
+  def dsirScore(toks: ArrayData, deltas: Array[Double], nNibs: Int): Double = {
+    val n = toks.numElements()
+    var acc = 0.0
+    if (n >= 2) {
+      val md = md5Local.get()
+      var i = 0
+      while (i + 1 < n) {
+        md.reset()
+        md.update(toks.getUTF8String(i).getBytes)
+        md.update(' '.toByte)
+        md.update(toks.getUTF8String(i + 1).getBytes)
+        val digest = md.digest()
+        var v = 0
+        var j = 0
+        while (j < nNibs) {
+          val b = digest(j / 2) & 0xff
+          v = v * 16 + (if (j % 2 == 0) b >>> 4 else b & 0xf)
+          j += 1
+        }
+        acc += deltas(v)
+        i += 1
+      }
+    }
+    acc
+  }
+
+  /** The per-bigram buckets themselves ([[dsirScore]]'s other face, for
+    * the HISTOGRAM side that needs one row per gram rather than the
+    * folded sum): the same md5-nibble arithmetic, emitted as an int
+    * array for a cheap explode — the HOF form exploded interpreted
+    * bigram STRINGS and hashed them in a separate column. */
+  def dsirBuckets(toks: ArrayData, nNibs: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Int](math.max(0, n - 1))
+    if (n >= 2) {
+      val md = md5Local.get()
+      var i = 0
+      while (i + 1 < n) {
+        md.reset()
+        md.update(toks.getUTF8String(i).getBytes)
+        md.update(' '.toByte)
+        md.update(toks.getUTF8String(i + 1).getBytes)
+        val digest = md.digest()
+        var v = 0
+        var j = 0
+        while (j < nNibs) {
+          val b = digest(j / 2) & 0xff
+          v = v * 16 + (if (j % 2 == 0) b >>> 4 else b & 0xf)
+          j += 1
+        }
+        out(i) = v
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** JL ±1 random projection of a double vector — the compiled kernel
     * behind [[RandomProjectExpr]]. Arithmetic is OPERATION-IDENTICAL to
     * the HOF form it replaced (i-ascending double accumulation, per-term
@@ -785,6 +857,59 @@ case class CountInSet(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): CountInSet =
+    copy(child = c)
+}
+
+/** `dsir_score(tokens)`: a document's DSIR log importance weight in ONE
+  * compiled loop over its token array — adjacent-pair md5 bucketing +
+  * delta lookup + dyadic sum (see [[BucketUtil.dsirScore]]). Replaces an
+  * `aggregate`-HOF fold whose lambda ran md5/conv/substring INTERPRETED
+  * per gram (HOF bodies are CodegenFallback) — the hot scoring pass of
+  * data selection, the one map-only op a 100 TB selection run executes
+  * corpus-wide. The trained deltas (≤ 64k doubles) ride the plan as one
+  * reference object; results are bitwise-identical to the HOF form and
+  * the SQL oracle. */
+case class DsirScoreExpr(child: Expression, deltas: Array[Double])
+    extends UnaryExpression {
+  require(Seq(16, 256, 4096, 65536).contains(deltas.length),
+    s"deltas length must be a power of 16 (nibble-addressable), got ${deltas.length}")
+  private val nNibs = (math.log(deltas.length) / math.log(16)).round.toInt
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dsir_score"
+
+  override def nullSafeEval(arr: Any): Any =
+    BucketUtil.dsirScore(arr.asInstanceOf[ArrayData], deltas, nNibs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dref = ctx.addReferenceObj("deltas", deltas, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BucketUtil.dsirScore($a, $dref, $nNibs)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DsirScoreExpr =
+    copy(child = c)
+}
+
+/** `dsir_buckets(tokens)`: the per-bigram hash buckets as an int array —
+  * [[DsirScoreExpr]]'s histogram-side face (see
+  * [[BucketUtil.dsirBuckets]]): the training pass explodes these ints
+  * instead of interpreted bigram strings hashed in a separate column. */
+case class DsirBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(Seq(16, 256, 4096, 65536).contains(buckets),
+    s"buckets must be a power of 16 (nibble-addressable), got $buckets")
+  private val nNibs = (math.log(buckets) / math.log(16)).round.toInt
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+
+  override def nullSafeEval(arr: Any): Any =
+    BucketUtil.dsirBuckets(arr.asInstanceOf[ArrayData], nNibs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BucketUtil.dsirBuckets($a, $nNibs)")
+
+  override protected def withNewChildInternal(c: Expression): DsirBucketsExpr =
     copy(child = c)
 }
 
@@ -2108,6 +2233,15 @@ object GraftFunctions {
   /** One-loop JL ±1 random projection (see [[RandomProjectExpr]]). */
   def random_project(vec: Column, outDim: Int, seed: Long): Column =
     ColumnBridge.column(RandomProjectExpr(expression(vec), outDim, seed))
+
+  /** One-loop DSIR importance score over a token array
+    * (see [[DsirScoreExpr]]). */
+  def dsir_score(tokens: Column, deltas: Array[Double]): Column =
+    ColumnBridge.column(DsirScoreExpr(expression(tokens), deltas))
+
+  /** Per-bigram hash buckets as an int array (see [[DsirBucketsExpr]]). */
+  def dsir_buckets(tokens: Column, buckets: Int): Column =
+    ColumnBridge.column(DsirBucketsExpr(expression(tokens), buckets))
 
   /** Hamming distance over packed sign-word arrays (see [[HammingWords]]). */
   def hamming_words(a: Column, b: Column): Column =

@@ -733,11 +733,13 @@ object CorpusOps {
   def dsirHistogram(df: DataFrame, textCol: String, isTarget: Column,
                     buckets: Int = 256): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
-      (a, b) => concat(a, lit(" "), b))
-    df.select(isTarget.as("__tgt"), explode(bigrams).as("__g"))
-      .select(col("__tgt"), gramBucket(col("__g"), buckets).as("bucket"))
+    // per-doc bucket ints in one compiled loop (DsirBucketsExpr), then a
+    // cheap int explode — the HOF form exploded interpreted bigram
+    // STRINGS and md5'd them in a separate column; counts are integers,
+    // so the histogram is bitwise-unchanged
+    df.select(isTarget.as("__tgt"),
+        explode(graft.functions.GraftFunctions
+          .dsir_buckets(toks, buckets)).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_raw"),
         count(when(col("__tgt"), 1)).as("n_target"))
@@ -770,20 +772,6 @@ object CorpusOps {
     }
   }
 
-  /** Hashed-n-gram feature bucket: the first md5 nibbles of the gram
-    * text as a base-16 number — the same value as [[splitAssign]]'s
-    * nibble arithmetic, but through ONE `conv(hex, 16, 10)` so the
-    * gram hashes exactly once (this sits inside CodegenFallback HOF
-    * folds, where a per-nibble md5 subexpression would run the hash
-    * `nNibs` times with no CSE to collapse it). `buckets` must be a
-    * power of 16 ≤ 65536 so the nibble prefix addresses it exactly. */
-  private def gramBucket(g: Column, buckets: Int): Column = {
-    require(Seq(16, 256, 4096, 65536).contains(buckets),
-      s"buckets must be a power of 16 (nibble-addressable), got $buckets")
-    val nNibs = (math.log(buckets) / math.log(16)).round.toInt
-    conv(substring(md5(g.cast("binary")), 1, nNibs), 16, 10).cast("int")
-  }
-
   /**
    * Score + resample a corpus against a trained DSIR model — phase 2 of
    * [[dsirSelect]], split out so a STREAM can run it map-only against a
@@ -805,14 +793,12 @@ object CorpusOps {
                      deltas: Array[Double], k: Int,
                      seed: String = "dsir1"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val buckets = deltas.length
-    val deltaLit = array(deltas.toIndexedSeq.map(lit(_)): _*)
     val toks = TextOps.tokens(col(textCol))
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
-      (a, b) => concat(a, lit(" "), b))
-    val logw = aggregate(bigrams, lit(0.0d),
-      (acc, g) => acc + element_at(deltaLit, gramBucket(g, buckets) + 1))
+    // one compiled loop per document (DsirScoreExpr) — the aggregate-HOF
+    // fold this replaces ran md5/conv/substring INTERPRETED per bigram
+    // (HOF lambdas are CodegenFallback); same arithmetic bitwise, and
+    // this is the map-only pass a 100 TB selection run pays corpus-wide
+    val logw = graft.functions.GraftFunctions.dsir_score(toks, deltas)
     val digits = "0123456789abcdef"
     val hexId =
       md5(concat(lit(seed), lit(":"), col("__id").cast("string")).cast("binary"))
