@@ -1342,6 +1342,49 @@ object GramUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Distinct word-`w`-gram md5 HEX hashes, first-occurrence order — the
+    * whole `gramSet` chain ([[positionalGramHashes]] → per-element
+    * `lower(hex(...))` → `array_distinct`) in one loop: the `transform`
+    * relabel ran interpreted per gram (HOF bodies are CodegenFallback),
+    * taxing every contamination/novelty/overlap op corpus-wide. Output
+    * bytes identical: lowercase hex of the same digests, deduped keeping
+    * the first occurrence (exactly `array_distinct`'s order). */
+  def gramHexSet(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val trimmed = s.toString.trim
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+")
+    if (toks.length < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[UTF8String](
+      math.max(16, (toks.length - w + 1) * 2))
+    val sb = new java.lang.StringBuilder
+    val hexDigits = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i <= toks.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val h = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((h(b) & 0xf0) >>> 4).toByte
+        hex(2 * b + 1) = hexDigits(h(b) & 0x0f).toByte
+        b += 1
+      }
+      seen.add(UTF8String.fromBytes(hex))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
   /** Character trigrams WITH multiplicity, codepoint-exact (a surrogate
     * pair counts as one character, matching `substring`/`length` SQL
     * semantics and DuckDB's `strlen`/`substr`): one codepoint walk per
@@ -1458,6 +1501,19 @@ case class PositionalGramHashes(child: Expression, w: Int) extends UnaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.positionalGramHashes($c, $w)")
   override protected def withNewChildInternal(c: Expression): PositionalGramHashes = copy(child = c)
+}
+
+/** `gram_hex_set(text)`: the full distinct-gram-hex chain in one codegen
+  * loop (see [[GramUtil.gramHexSet]]). */
+case class GramHexSet(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gram_hex_set"
+  override def nullSafeEval(v: Any): Any =
+    GramUtil.gramHexSet(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.gramHexSet($c, $w)")
+  override protected def withNewChildInternal(c: Expression): GramHexSet =
+    copy(child = c)
 }
 
 /** `winnow_fingerprints(text)`: [[GramUtil.winnowSelections]] as a
@@ -2186,6 +2242,9 @@ object GraftFunctions {
     ColumnBridge.column(TextShingles(expression(c), n))
   def positional_gram_hashes(c: Column, w: Int): Column =
     ColumnBridge.column(PositionalGramHashes(expression(c), w))
+  /** Distinct gram hex hashes, one loop (see [[GramHexSet]]). */
+  def gram_hex_set(c: Column, w: Int): Column =
+    ColumnBridge.column(GramHexSet(expression(c), w))
   def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprintsExpr(expression(c), k, w))
   def char_trigrams(c: Column): Column =

@@ -180,13 +180,14 @@ object CorpusOps {
     * shuffle instead of unbounded gram strings); empty when the document
     * has fewer than `n` tokens. */
   /** Distinct word-`n`-gram md5 hex hashes — same bytes as
-    * `md5(array_join(slice(tokens, i, n), ' '))` but via the native
-    * one-pass gram expression (the HOF form re-tokenized per position);
-    * the per-element hex relabel runs over the computed array only. */
+    * `md5(array_join(slice(tokens, i, n), ' '))` but via ONE native
+    * one-pass expression (grams + md5 + lowercase hex + first-occurrence
+    * dedup in a single compiled loop): the earlier two-stage form left
+    * the per-element hex relabel in an interpreted `transform` (HOF
+    * bodies are CodegenFallback), taxing every contamination/novelty/
+    * overlap op corpus-wide. */
   private[graft] def gramSet(textCol: Column, n: Int): Column =
-    array_distinct(transform(
-      graft.functions.GraftFunctions.positional_gram_hashes(textCol, n),
-      g => lower(hex(g.getField("h")))))
+    graft.functions.GraftFunctions.gram_hex_set(textCol, n)
 
   /**
    * Per-document n-gram NOVELTY audit: how much of each document appears
