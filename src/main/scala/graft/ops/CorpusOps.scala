@@ -329,6 +329,11 @@ object CorpusOps {
                           expectedSuiteGrams: Long = 1L << 20,
                           fpp: Double = 0.01): DataFrame = {
     require(suites.nonEmpty, "at least one suite required")
+    // duplicate names would double-count silently: the tagged gram union
+    // merges same-named suites, so every shared gram of the duplicated
+    // frame counts twice into __shared — fail loudly instead
+    require(suites.map(_._1).distinct.size == suites.size,
+      s"suite names must be unique, got ${suites.map(_._1).mkString(", ")}")
     // gramSet projected ONCE as __g, then __ng derived in a SUBSEQUENT
     // select: these HOF expressions are CodegenFallback with no
     // subexpression elimination, so `size(gramSet(...)), gramSet(...)`

@@ -123,6 +123,12 @@ object StreamingOps extends Serializable {
                                 suiteTextCol: String, n: Int = 8,
                                 maxTestGrams: Int = 1 << 22): DataFrame = {
     require(suites.nonEmpty, "at least one suite required")
+    // duplicate names would double-count silently (each doc emits one
+    // struct row per LIST entry, and groupBy(name) would fold two
+    // entries' rows into one suite's counters) — fail loudly instead,
+    // matching the batch op's guard
+    require(suites.map(_._1).distinct.size == suites.size,
+      s"suite names must be unique, got ${suites.map(_._1).mkString(", ")}")
     val suiteSets = collectSuiteGramSets(suites, suiteTextCol, n,
       maxTestGrams, "audit in batch (contaminationReport) instead")
     val perSuite = suiteSets.map { case (name, grams) =>

@@ -297,6 +297,13 @@ class StreamingSpec extends AnyFunSuite {
     assertThrows[graft.InvalidDataError](
       StreamingOps.contaminationReportStream(docs, "text",
         Seq("big" -> docs.select(col("text"))), "text", maxTestGrams = 10))
+    // duplicate suite names would double-count — both ops refuse
+    assertThrows[IllegalArgumentException](
+      StreamingOps.contaminationReportStream(docs, "text",
+        Seq("a" -> cleanSuite, "a" -> cleanSuite), "text"))
+    assertThrows[IllegalArgumentException](
+      graft.ops.CorpusOps.contaminationReport(docs,
+        Seq("a" -> cleanSuite, "a" -> cleanSuite), "doc_id", "text"))
   }
 
   test("sessionWindows closes sessions after the gap") {
