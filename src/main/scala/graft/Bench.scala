@@ -125,6 +125,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_BENCH_ONLY=<name,name,...>: restrict to a subset, for
+    // isolated cold-JVM re-measures of individual queries (r15 verdict
+    // item 1c — a per-query driver-style run must be one command)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(headline)(f => headline.filter(f))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -146,10 +152,16 @@ object Bench {
     // self-labeling instead of inferred from suite-wide ratios — the r14
     // "regression" forensics (d91 14.5x on unchanged code, sbt wall time
     // 288s->524s) needed exactly this signal
-    def loadAvg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // getSystemLoadAverage returns -1.0 when the platform can't provide
+    // it — emit null rather than -1.00, which downstream ratio-based
+    // forensics could misread as an idle machine
+    def loadAvg: Option[Double] = {
+      val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
-    val results = headline.flatMap { name =>
+      if (v < 0) None else Some(v)
+    }
+    def fmt(o: Option[Double]): String = o.map(v => f"$v%.2f").getOrElse("null")
+    val results = selected.flatMap { name =>
       // steady-state timing: first execution compiles the plan (codegen,
       // broadcast build) — that one-time cost is not the per-query rate a
       // cluster sees, so time runs 2-4 and report the MEDIAN: single-run
@@ -180,20 +192,36 @@ object Bench {
       "\"" + k + "\":" + raw.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val loadJson = results.map { case (k, (_, _, la)) =>
-      "\"" + k + f"\":$la%.2f"
+      "\"" + k + "\":" + fmt(la)
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$rawJson,"load":$loadJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // Leg probes for the instrumented entries (r15 verdict items 1b/5):
+    // s66's drain split (addBatch vs offset-log vs state-store commit
+    // wall, final steady-state run) and e62's build legs (train / write /
+    // encode) — printed immediately BEFORE the summary so an elevated
+    // driver number arrives with its own explanation in the same tail.
+    println(s"""{"metric":"bench_probes","probes":${
+      BenchProbe.toJson(Seq("e62_build_legs", "s66_stream_ohlc_append"))}}""")
     // The LAST line is a compact medians-only summary (r14 verdict item 2):
     // the driver keeps only the final ~2KB of output, and the full line
     // above outgrew that when per-query raw triples landed — BENCH_r14
     // lost its total and the first ~17 medians (q01 included) to the cap.
     // The summary drops the raws, and `value` (the total) sits at the END
     // of the line so even a summary that itself outgrows a future tail cap
-    // still surrenders the headline number last.
-    println(f"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qs,"nq":${results.size},"load1m":$loadAvg%.2f,"value":$total%.3f}""")
+    // still surrenders the headline number last. `loadv` is the compact
+    // per-query 1-min load vector (sampled before each query, ALIGNED to
+    // the `queries` key order — r15 verdict item 1a: the per-query loads
+    // lived only in the full line and were truncated away, so the r15
+    // perf-tail forensics had one run-global number to reason from);
+    // `loadmax` is its max, so even a loadv-truncated record still says
+    // whether the machine was ever busy.
+    val loadv = results.map { case (_, (_, _, la)) =>
+      la.map(v => f"$v%.1f").getOrElse("null") }.mkString("[", ",", "]")
+    val loadMax = results.flatMap(_._2._3).maxOption
+    println(f"""{"metric":"bench_summary","unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qs,"loadv":$loadv,"nq":${results.size},"load1m":${fmt(loadAvg)},"loadmax":${fmt(loadMax)},"value":$total%.3f}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -131,6 +131,9 @@ case class BpeEncode(child: Expression, mergesA: Array[String],
                      mergesB: Array[String])
     extends UnaryExpression {
   require(mergesA.length == mergesB.length, "merge arrays length mismatch")
+  require(mergesA.length <= RefObjCaps.MaxBpeMerges,
+    s"BPE merge table ${mergesA.length} exceeds plan-embed cap " +
+      s"${RefObjCaps.MaxBpeMerges}")
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](
       math.max(16, mergesA.length * 2))

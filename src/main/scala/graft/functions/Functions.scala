@@ -300,15 +300,18 @@ object BucketUtil {
 
   /** `bias + Σ weights(lowercase(tok))` over a token array — one probe
     * per token against a prebuilt hash map; tokens outside the vocabulary
-    * contribute 0. Each occurrence counts (bag-of-words). */
+    * contribute 0, and a NULL token is out-of-vocabulary by definition
+    * (skipped, not an NPE). Each occurrence counts (bag-of-words). */
   def tokenWeightSum(arr: ArrayData, weights: java.util.HashMap[UTF8String, java.lang.Double],
                      bias: Double): Double = {
     var sum = bias
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val w = weights.get(arr.getUTF8String(i).toLowerCase)
-      if (w != null) sum += w.doubleValue()
+      if (!arr.isNullAt(i)) {
+        val w = weights.get(arr.getUTF8String(i).toLowerCase)
+        if (w != null) sum += w.doubleValue()
+      }
       i += 1
     }
     sum
@@ -418,6 +421,23 @@ object BucketUtil {
       i += 1
     }
     sum
+  }
+
+  /** True iff any element of the array is NULL — the guard the
+    * null-propagating kernels ([[dsirScore]], [[dsirBuckets]],
+    * [[randomProject]]) run before touching elements: the HOF forms they
+    * replaced returned NULL when any element was NULL (a null operand
+    * poisons the fold), and `getDouble`/`getUTF8String` on a null slot
+    * would instead read garbage or NPE. Callers skip the scan entirely
+    * when the array type declares `containsNull = false`. */
+  def hasNullElement(arr: ArrayData): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
   }
 
   /** True iff any element of `arr` is in `set` — one probe per element
@@ -750,6 +770,9 @@ case class DotProduct(left: Expression, right: Expression)
 case class Sq8Dot(left: Expression, right: Expression,
                   mins: Array[Float], steps: Array[Float])
     extends BinaryExpression {
+  require(mins.length == steps.length, "mins/steps length mismatch")
+  require(mins.length <= RefObjCaps.MaxDim,
+    s"SQ8 grid dim ${mins.length} exceeds plan-embed cap ${RefObjCaps.MaxDim}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq8_dot"
 
@@ -776,6 +799,9 @@ case class TokenWeightSum(child: Expression, vocab: Array[String],
                           vals: Array[Double], bias: Double)
     extends UnaryExpression {
   require(vocab.length == vals.length, "vocab/vals length mismatch")
+  require(vocab.length <= RefObjCaps.MaxLinearVocab,
+    s"linear-model vocab ${vocab.length} exceeds plan-embed cap " +
+      s"${RefObjCaps.MaxLinearVocab}; prune the model at train time")
   @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Double] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Double](
       math.max(16, vocab.length * 2))
@@ -868,22 +894,40 @@ case class CountInSet(child: Expression,
   * data selection, the one map-only op a 100 TB selection run executes
   * corpus-wide. The trained deltas (≤ 64k doubles) ride the plan as one
   * reference object; results are bitwise-identical to the HOF form and
-  * the SQL oracle. */
+  * the SQL oracle. A NULL token makes the score NULL (the HOF fold's
+  * semantics: a null operand poisons the sum), guarded by a cheap
+  * [[BucketUtil.hasNullElement]] scan that is skipped entirely when the
+  * array type declares `containsNull = false`. */
 case class DsirScoreExpr(child: Expression, deltas: Array[Double])
     extends UnaryExpression {
   require(Seq(16, 256, 4096, 65536).contains(deltas.length),
     s"deltas length must be a power of 16 (nibble-addressable), got ${deltas.length}")
   private val nNibs = (math.log(deltas.length) / math.log(16)).round.toInt
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable || elementsNullable
   override def prettyName: String = "dsir_score"
 
-  override def nullSafeEval(arr: Any): Any =
-    BucketUtil.dsirScore(arr.asInstanceOf[ArrayData], deltas, nNibs)
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.dsirScore(a, deltas, nNibs)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dref = ctx.addReferenceObj("deltas", deltas, "double[]")
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.BucketUtil.dsirScore($a, $dref, $nNibs)")
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.dsirScore($a, $dref, $nNibs)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.dsirScore($a, $dref, $nNibs);
+      }""")
   }
 
   override protected def withNewChildInternal(c: Expression): DsirScoreExpr =
@@ -899,15 +943,31 @@ case class DsirBucketsExpr(child: Expression, buckets: Int)
   require(Seq(16, 256, 4096, 65536).contains(buckets),
     s"buckets must be a power of 16 (nibble-addressable), got $buckets")
   private val nNibs = (math.log(buckets) / math.log(16)).round.toInt
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable || elementsNullable
   override def prettyName: String = "dsir_buckets"
 
-  override def nullSafeEval(arr: Any): Any =
-    BucketUtil.dsirBuckets(arr.asInstanceOf[ArrayData], nNibs)
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    // NULL-token arrays produce NULL (see DsirScoreExpr — same fold class)
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.dsirBuckets(a, nNibs)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.BucketUtil.dsirBuckets($a, $nNibs)")
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.dsirBuckets($a, $nNibs)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.dsirBuckets($a, $nNibs);
+      }""")
 
   override protected def withNewChildInternal(c: Expression): DsirBucketsExpr =
     copy(child = c)
@@ -920,20 +980,40 @@ case class DsirBucketsExpr(child: Expression, buckets: Int)
   * for the sf1 embeddings table where this kernel takes under a second
   * (the e50 scaling cliff found by the r15 full-suite sf1 sweep).
   * Arithmetic is operation-identical to the HOF and the SQL oracle
-  * (see [[BucketUtil.randomProject]]), so results are bitwise unchanged. */
+  * (see [[BucketUtil.randomProject]]), so results are bitwise unchanged.
+  * A NULL vector element makes the whole projection NULL — the HOF's
+  * semantics (a null operand poisons the aggregate fold), where reading
+  * the raw slot would have silently contributed 0.0 or garbage. The
+  * guard scan is skipped when the array type says `containsNull = false`
+  * (the embeddings-table fast path). */
 case class RandomProjectExpr(child: Expression, outDim: Int, seed: Long)
     extends UnaryExpression {
   require(outDim >= 1, s"outDim must be >= 1, got $outDim")
   require(seed >= 0, s"seed must be >= 0, got $seed")
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable || elementsNullable
   override def prettyName: String = "random_project"
 
-  override def nullSafeEval(arr: Any): Any =
-    BucketUtil.randomProject(arr.asInstanceOf[ArrayData], outDim, seed)
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.randomProject(a, outDim, seed)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.BucketUtil.randomProject($a, $outDim, ${seed}L)")
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.randomProject($a, $outDim, ${seed}L)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.randomProject($a, $outDim, ${seed}L);
+      }""")
 
   override protected def withNewChildInternal(c: Expression): RandomProjectExpr =
     copy(child = c)
@@ -951,6 +1031,9 @@ case class LmAvgLogP(child: Expression, tris: Array[String],
                      counts: Array[Long], denom: Double)
     extends UnaryExpression {
   require(tris.length == counts.length, "tris/counts length mismatch")
+  require(tris.length <= RefObjCaps.MaxLmVocab,
+    s"LM vocab ${tris.length} exceeds plan-embed cap ${RefObjCaps.MaxLmVocab}" +
+      "; prune the model at train time (TextOps maxModelRows)")
   require(denom >= 0, s"denom must be non-negative, got $denom")
   // built once per (de)serialized expression instance, shared across rows
   @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Long] = {
@@ -989,6 +1072,11 @@ case class LmAvgLogP(child: Expression, tris: Array[String],
 case class PqEncode(child: Expression, codebooks: Array[Float],
                     m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression {
+  require(codebooks.length == m * ksub * dsub,
+    s"codebook length ${codebooks.length} != m*ksub*dsub = ${m * ksub * dsub}")
+  require(codebooks.length <= RefObjCaps.MaxCodebookFloats,
+    s"codebook floats ${codebooks.length} exceed plan-embed cap " +
+      s"${RefObjCaps.MaxCodebookFloats}")
   override def dataType: DataType = StructType(Seq(
     StructField("codes", BinaryType, nullable = false),
     StructField("resid", DoubleType, nullable = false)))
@@ -1012,6 +1100,11 @@ case class PqEncode(child: Expression, codebooks: Array[Float],
 case class PqLut(child: Expression, codebooks: Array[Float],
                  m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression {
+  require(codebooks.length == m * ksub * dsub,
+    s"codebook length ${codebooks.length} != m*ksub*dsub = ${m * ksub * dsub}")
+  require(codebooks.length <= RefObjCaps.MaxCodebookFloats,
+    s"codebook floats ${codebooks.length} exceed plan-embed cap " +
+      s"${RefObjCaps.MaxCodebookFloats}")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_lut"
 
@@ -1183,6 +1276,9 @@ object TextProfileUtil {
 
 case class TextProfile(child: Expression, stopLists: Seq[Seq[String]])
     extends UnaryExpression {
+  require(stopLists.map(_.size).sum <= RefObjCaps.MaxStopWords,
+    s"stopword total ${stopLists.map(_.size).sum} exceeds plan-embed cap " +
+      s"${RefObjCaps.MaxStopWords}")
   private val hitFields = stopLists.indices.map(i =>
     StructField(s"hits$i", IntegerType, nullable = false))
   override def dataType: DataType = StructType(Seq(
@@ -1579,6 +1675,11 @@ case class TextFingerprint(child: Expression) extends UnaryExpression {
   * a map-only scan. */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
     extends UnaryExpression {
+  require(planes.length <= RefObjCaps.MaxHyperplanes,
+    s"nbits ${planes.length} exceeds ${RefObjCaps.MaxHyperplanes} (sig packs " +
+      "into a non-negative Int)")
+  require(planes.forall(_.length <= RefObjCaps.MaxDim),
+    s"hyperplane dim exceeds plan-embed cap ${RefObjCaps.MaxDim}")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_sig"
   override def nullSafeEval(v: Any): Any =
@@ -1593,6 +1694,10 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
 /** IVF cell assignment: nearest centroid by cosine (codegen'd map pass). */
 case class NearestCentroid(child: Expression, centers: Array[Array[Float]])
     extends UnaryExpression {
+  require(centers.length <= RefObjCaps.MaxCentroids,
+    s"nlist ${centers.length} exceeds plan-embed cap ${RefObjCaps.MaxCentroids}")
+  require(centers.forall(_.length <= RefObjCaps.MaxDim),
+    s"centroid dim exceeds plan-embed cap ${RefObjCaps.MaxDim}")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
   override def nullSafeEval(v: Any): Any =
@@ -1607,6 +1712,10 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Float]])
 /** IVF multi-probe: the nprobe nearest centroids, best first. */
 case class NearestCentroids(child: Expression, centers: Array[Array[Float]], nprobe: Int)
     extends UnaryExpression {
+  require(centers.length <= RefObjCaps.MaxCentroids,
+    s"nlist ${centers.length} exceeds plan-embed cap ${RefObjCaps.MaxCentroids}")
+  require(centers.forall(_.length <= RefObjCaps.MaxDim),
+    s"centroid dim exceeds plan-embed cap ${RefObjCaps.MaxDim}")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
   override def nullSafeEval(v: Any): Any =
@@ -1735,6 +1844,9 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   * exactness; false positives only cost shuffle bytes (~fpp of the input). */
 case class BloomMightContain(child: Expression,
     bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  require(bloom.bitSize() <= RefObjCaps.MaxBloomBits,
+    s"Bloom sketch ${bloom.bitSize()} bits exceeds plan-embed cap " +
+      s"${RefObjCaps.MaxBloomBits} (size the sketch at build: expectedItems/fpp)")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
   override def nullSafeEval(v: Any): Any =
@@ -2281,12 +2393,57 @@ object GraftFunctions {
     ColumnBridge.column(CountInSet(expression(arr), broadcastSet(elems)))
 
   /** Build the probe set ONCE on the driver and broadcast it — one copy
-    * per executor JVM instead of one per task (see [[AnyInSet]]). */
-  private def broadcastSet(elems: Array[String])
+    * per executor JVM instead of one per task (see [[AnyInSet]]).
+    *
+    * MEMOIZED by (application, content digest): a long-lived driver that
+    * rebuilds the same plan repeatedly (a bench's 4 runs of one query, an
+    * interactive session re-running a contamination report) reuses ONE
+    * broadcast instead of pinning a fresh multi-million-gram copy in the
+    * executor block managers per rebuild. Lifetime of each broadcast is
+    * ContextCleaner-managed: it is reclaimed when the last plan (and this
+    * bounded cache slot) drops the reference and the driver GC notices —
+    * there is no explicit destroy, because an evicted-but-still-referenced
+    * broadcast may back an in-flight streaming query, and destroy() there
+    * would fail every running task that probes it. The cache holds at most
+    * [[BroadcastSetCacheMax]] entries (FIFO evict = drop OUR reference
+    * only), so the worst pinned-set count is bounded even across many
+    * distinct sets. */
+  private[graft] val BroadcastSetCacheMax = 16
+  private val bcSetCache =
+    new java.util.LinkedHashMap[String,
+        org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]]](
+        32, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]]])
+          : Boolean = size() > BroadcastSetCacheMax
+    }
+
+  private[graft] def broadcastSet(elems: Array[String])
       : org.apache.spark.broadcast.Broadcast[java.util.HashSet[UTF8String]] = {
-    val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
-    elems.foreach(e => s.add(UTF8String.fromString(e)))
-    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(s)
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    // strong 128-bit content digest (length-prefixed elements), keyed per
+    // application so a restarted context never resurrects a dead broadcast
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val lenBuf = java.nio.ByteBuffer.allocate(4)
+    elems.foreach { e =>
+      val b = e.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      lenBuf.clear(); lenBuf.putInt(b.length)
+      md.update(lenBuf.array()); md.update(b)
+    }
+    val key = sc.applicationId + ":" + elems.length + ":" +
+      md.digest().map("%02x".format(_)).mkString
+    bcSetCache.synchronized {
+      val hit = bcSetCache.get(key)
+      if (hit != null) hit
+      else {
+        val s = new java.util.HashSet[UTF8String](math.max(16, elems.length * 2))
+        elems.foreach(e => s.add(UTF8String.fromString(e)))
+        val bc = sc.broadcast(s)
+        bcSetCache.put(key, bc)
+        bc
+      }
+    }
   }
 
   /** One-loop JL ±1 random projection (see [[RandomProjectExpr]]). */

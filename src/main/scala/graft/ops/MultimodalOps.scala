@@ -580,6 +580,9 @@ case class SyntheticBmpScaledExpr(child: Expression, scale: Int)
   * sample pixels forced white — the planted near-miss re-encode for m43. */
 case class SyntheticBmpBumpedExpr(child: Expression, scale: Int, cells: Seq[Int])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cells.size <= graft.functions.RefObjCaps.MaxBumpCells,
+    s"bump cells ${cells.size} exceed plan-embed cap " +
+      s"${graft.functions.RefObjCaps.MaxBumpCells}")
   override def dataType: DataType = BinaryType
   override def prettyName: String = "synthetic_bmp_bumped"
   private val cellsArr = cells.toArray

@@ -669,9 +669,11 @@ class OpsSpec extends AnyFunSuite {
       s"recalls must be monotone: $recalls")
     // full probe (nprobe = nlist) IS brute force — exactly 1.0
     assert(recalls.last == 1.0, s"full probe must be exact: $recalls")
-    // a sane single-cell probe beats the broken-path floor by far
-    assert(recalls.head >= 0.05 && recalls.head < 1.0,
-      s"nprobe=1 recall out of range: $recalls")
+    // a sane single-cell probe beats the broken-path floor by far; no
+    // UPPER bound — nothing prevents nprobe=1 from legitimately reaching
+    // recall 1.0 on a small or well-clustered fixture, so asserting < 1.0
+    // would fail a correct implementation on k-means geometry
+    assert(recalls.head >= 0.05, s"nprobe=1 recall out of range: $recalls")
     assert(curve.forall(r => r._4 == 1L && r._5 == 1L && r._6 == 1L),
       s"flags must pin at 1: $curve")
   }

@@ -5,8 +5,10 @@ Usage: python3 tools/compare_local.py <sfdir> <verify_out_dir>
 """
 import json
 import multiprocessing
+import multiprocessing.connection
 import os
 import sys
+import time
 
 import duckdb
 import pyarrow.parquet as pq
@@ -111,20 +113,47 @@ def main():
     class OracleTimeout(Exception):
         pass
 
+    class OracleCrashed(Exception):
+        pass
+
     def run_budgeted(sql):
-        """Returns (cols, rows); raises OracleTimeout past the budget."""
+        """Returns (cols, rows); raises OracleTimeout past the budget, or
+        OracleCrashed if the child DIES without a result (e.g. OOM-killed
+        — the very scenario motivating the child process). Watching only
+        the queue would mislabel a crash as a cost verdict AND stall the
+        sweep for the whole budget per crashed oracle, so we wait on the
+        queue's pipe and the process sentinel together."""
         if budget <= 0:
             res = con.execute(sql)
             return [d[0] for d in res.description], res.fetchall()
         outq = mpctx.Queue()
         proc = mpctx.Process(target=_oracle_worker, args=(sfdir, sql, outq))
         proc.start()
-        try:
-            status, a, b = outq.get(timeout=budget)
-        except Exception:
-            proc.kill()
-            proc.join()
-            raise OracleTimeout()
+        deadline = time.monotonic() + budget
+        status = None
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                proc.kill()
+                proc.join()
+                raise OracleTimeout()
+            ready = multiprocessing.connection.wait(
+                [outq._reader, proc.sentinel], timeout=remaining)
+            if outq._reader in ready:
+                # result (or worker-caught error) arrived before any exit
+                status, a, b = outq.get()
+                break
+            if proc.sentinel in ready:
+                # child exited; a result may still be in flight through the
+                # queue's feeder pipe — drain briefly before declaring death
+                try:
+                    status, a, b = outq.get(timeout=2)
+                    break
+                except Exception:
+                    code = proc.exitcode
+                    proc.join()
+                    raise OracleCrashed(
+                        f"oracle child exited (code={code}) without a result")
         proc.join()
         if status == "err":
             raise RuntimeError(a)
@@ -159,6 +188,13 @@ def main():
         except OracleTimeout:
             print(f"ORACLE-TIMEOUT {q}: oracle exceeded {budget:.0f}s "
                   f"(oracle cost, not a verdict; engine rows={len(rows)})",
+                  flush=True)
+            n_slow += 1
+            continue
+        except OracleCrashed as e:
+            # distinct from TIMEOUT: the child died (OOM kill etc.) — an
+            # environment outcome, not a cost verdict, and not a hash FAIL
+            print(f"ORACLE-CRASHED {q}: {e} (engine rows={len(rows)})",
                   flush=True)
             n_slow += 1
             continue
