@@ -184,13 +184,89 @@ object SparkEntry {
   /** The documents table plus a deterministic near-duplicate of every 5th
     * doc (last token dropped, id offset +1000000) — gives the near-dup
     * operators true positives to find without synthesizing data. */
-  private[graft] def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
+  private[graft] def corpusWithNearDups(s: SparkSession, dir: String): DataFrame =
+    corpusWithNearDupsOf(t(s, dir, "documents").select("doc_id", "text"))
+
+  /** [[corpusWithNearDups]] over an arbitrary base corpus — shared with
+    * the sf1 slice entries, which window the base docs first. */
+  private[graft] def corpusWithNearDupsOf(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val mutated = docs.where("doc_id % 5 = 0").select(
       (col("doc_id") + 1000000L).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1)))).as("text"))
     docs.unionByName(mutated)
+  }
+
+  /** sf1-slice windows (r15 verdict item 3). The double mod strips the
+    * sf1 copy offset (make_sf1 ids = base + copy·10⁷) and the planted
+    * near-dup offset (+10⁶), so a doc, its sf1 copies, and its planted
+    * mutants all classify by the same BASE index at every sf; at gate
+    * scale (ids < 5000) both mods are identity. */
+  private val SliceBase9 = "doc_id % 10000000 % 1000000 % 9 = 0"
+  // the Jaccard-family slices use WIDER strides: DuckDB replays their
+  // pair stage as w²/2 list_intersect calls at ~10-50k/s, so the window
+  // must keep that under ~1M to fit the 180 s sf1 oracle budget (the %9
+  // first cut left 8 of 12 slice oracles over budget). 63 = 9·7 and
+  // 27 = 3³ keep the stride coprime to the %5 suite stride so planted
+  // mutants stay a natural 1/5 of each window.
+  private val SliceBase27 = "doc_id % 10000000 % 1000000 % 27 = 0"
+  private val SliceBase63 = "doc_id % 10000000 % 1000000 % 63 = 0"
+  private val SlicePairBase63 =
+    "id_a % 10000000 % 1000000 % 63 = 0 AND id_b % 10000000 % 1000000 % 63 = 0"
+
+  /** d57's two-step incremental ingest-dedup pipeline over an arbitrary
+    * base corpus (docs: doc_id, lang, text) — shared by the full entry and
+    * its sf1 slice. */
+  private def incrementalNearDupTwoStep(s: SparkSession, docs: DataFrame): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-d57").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val toks = TextOps.tokens(col("text"))
+    val mutants = docs.where("doc_id % 5 = 0").select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+        .as("text"))
+    val accepted = cat.createTable("default.accepted",
+      graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+    val state = cat.createTable("default.state",
+      graft.types.SparkSchemaConverter.fromSpark(
+        DedupOps.bandSignatures(docs, "doc_id", "text").schema))
+    val (c1, b1) = DedupOps.incrementalNearDup(
+      docs, state.toDF(s), accepted.toDF(s), "doc_id", "text")
+    accepted.append(c1); state.refresh().append(b1)
+    val (c2, b2) = DedupOps.incrementalNearDup(
+      mutants, state.refresh().toDF(s), accepted.refresh().toDF(s), "doc_id", "text")
+    accepted.refresh().append(c2); state.refresh().append(b2)
+    accepted.refresh().toDF(s).select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  /** s47's commit-driven ingest-dedup pipeline over an arbitrary base
+    * corpus — shared by the full entry and its sf1 slice. */
+  private def streamIngestDedup(s: SparkSession, docs: DataFrame): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-s47").toString
+    val cat = new graft.catalog.HadoopCatalog(wh)
+    val toks = TextOps.tokens(col("text"))
+    val mutants = docs.where("doc_id % 5 = 0").select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+        .as("text"))
+    val src = cat.createTable("default.ingest",
+      graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+    src.append(docs)
+    src.refresh().append(mutants)
+    val accepted = cat.createTable("default.accepted",
+      graft.types.SparkSchemaConverter.fromSpark(docs.schema))
+    val state = cat.createTable("default.state",
+      graft.types.SparkSchemaConverter.fromSpark(
+        DedupOps.bandSignatures(docs, "doc_id", "text").schema))
+    graft.streaming.StreamingOps.processAvailableCommits(s, src, None) {
+      (batch, _) =>
+        val (clean, bands) = DedupOps.incrementalNearDup(
+          batch, state.refresh().toDF(s), accepted.refresh().toDF(s),
+          "doc_id", "text")
+        accepted.refresh().append(clean)
+        state.refresh().append(bands)
+    }
+    accepted.refresh().toDF(s).select("doc_id", "lang").orderBy("doc_id")
   }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the 5-way
@@ -1723,40 +1799,15 @@ object SparkEntry {
       s.table(sink).orderBy("source")
     }),
 
-    "s47_stream_ingest_dedup" -> ((s, dir) => {
+    "s47_stream_ingest_dedup" -> ((s, dir) =>
       // the WHOLE streaming-ingest dedup story: table commits consumed in
       // order (processAvailableCommits), each batch incremental-near-dup
       // checked against the accumulated signature state, accepted rows +
       // state deltas committed per batch — commit 1 is the corpus, commit
       // 2 its mutated near-dups, so the accepted table must equal d57's
       // two-step result (shared oracle).
-      val wh = java.nio.file.Files.createTempDirectory("graft-s47").toString
-      val cat = new graft.catalog.HadoopCatalog(wh)
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val toks = TextOps.tokens(col("text"))
-      val mutants = docs.where("doc_id % 5 = 0").select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
-          .as("text"))
-      val src = cat.createTable("default.ingest",
-        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
-      src.append(docs)
-      src.refresh().append(mutants)
-      val accepted = cat.createTable("default.accepted",
-        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
-      val state = cat.createTable("default.state",
-        graft.types.SparkSchemaConverter.fromSpark(
-          DedupOps.bandSignatures(docs, "doc_id", "text").schema))
-      graft.streaming.StreamingOps.processAvailableCommits(s, src, None) {
-        (batch, _) =>
-          val (clean, bands) = DedupOps.incrementalNearDup(
-            batch, state.refresh().toDF(s), accepted.refresh().toDF(s),
-            "doc_id", "text")
-          accepted.refresh().append(clean)
-          state.refresh().append(bands)
-      }
-      accepted.refresh().toDF(s).select("doc_id", "lang").orderBy("doc_id")
-    }),
+      streamIngestDedup(s,
+        t(s, dir, "documents").select("doc_id", "lang", "text"))),
 
     "s46_stream_branch" -> ((s, dir) => {
       // the write-audit-publish AUDIT consumer: commits staged on a branch
@@ -1978,34 +2029,15 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
-    "d57_incremental_neardup" -> ((s, dir) => {
+    "d57_incremental_neardup" -> ((s, dir) =>
       // INCREMENTAL ingest dedup, end to end through graft tables: batch 1
       // (the corpus) is accepted against empty state; batch 2 (mutated
       // variants) dedups against the ACCUMULATED band-signature state —
       // the accepted corpus is never re-hashed, only probed. State and
       // accepted docs live in graft tables, appended per step, exactly
       // like a streaming ingest pipeline would run it.
-      val wh = java.nio.file.Files.createTempDirectory("graft-d57").toString
-      val cat = new graft.catalog.HadoopCatalog(wh)
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val toks = TextOps.tokens(col("text"))
-      val mutants = docs.where("doc_id % 5 = 0").select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
-          .as("text"))
-      val accepted = cat.createTable("default.accepted",
-        graft.types.SparkSchemaConverter.fromSpark(docs.schema))
-      val state = cat.createTable("default.state",
-        graft.types.SparkSchemaConverter.fromSpark(
-          DedupOps.bandSignatures(docs, "doc_id", "text").schema))
-      val (c1, b1) = DedupOps.incrementalNearDup(
-        docs, state.toDF(s), accepted.toDF(s), "doc_id", "text")
-      accepted.append(c1); state.refresh().append(b1)
-      val (c2, b2) = DedupOps.incrementalNearDup(
-        mutants, state.refresh().toDF(s), accepted.refresh().toDF(s), "doc_id", "text")
-      accepted.refresh().append(c2); state.refresh().append(b2)
-      accepted.refresh().toDF(s).select("doc_id", "lang").orderBy("doc_id")
-    }),
+      incrementalNearDupTwoStep(s,
+        t(s, dir, "documents").select("doc_id", "lang", "text"))),
 
     "d58_budget_select" -> ((s, dir) => {
       // token-budget training-mix selection: per language, the
@@ -4341,6 +4373,167 @@ object SparkEntry {
           frameSamples = 25, maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------------------------------- sf1 slice-oracle twins
+    // (r15 verdict item 3) The 12 entries whose FULL oracles are
+    // deliberately brute-force (O(n²) pair/Jaccard matrices, recursive
+    // component reach, cross-corpus state replays) exceed the 180 s
+    // DuckDB budget at sf1, so they were sf0.01/sf0.1-verified only.
+    // Each gets a SLICE twin restricted to a deterministic base-index
+    // window whose oracle completes at sf1 with non-trivial output (the
+    // full entries and their oracles are UNCHANGED at gate scale). Two
+    // designs, chosen by the operator's semantics:
+    //  - OUTPUT-filtered (d34, d56, d89, e44): the engine runs the FULL
+    //    corpus — signatures, banding, bucket caps all at true scale —
+    //    and only the output is windowed. Sound because the per-row/
+    //    per-pair decision depends only on the row/pair itself (plus the
+    //    test/query side, which both engines window identically where
+    //    the oracle budget demands it — d56); a full-scale bucket cap
+    //    that drops an in-window pair reds the hash — exactly the d35
+    //    class the sf1 sweep exists to catch.
+    //  - INPUT-windowed (d45, d54, d108, d62, d63, d57, s47, m47):
+    //    connected components, keep-first span occurrence, and
+    //    accumulated ingest state do NOT localize to an id window (a
+    //    chain may pass through out-of-window docs), so both sides
+    //    window the corpus input and the oracle replays the identical
+    //    sub-corpus — still spanning all ten sf1 copies via the base-
+    //    index stride.
+    "d34_minhash_pairs_slice" -> ((s, dir) => {
+      DedupOps.minhashLshPairs(corpusWithNearDups(s, dir), "doc_id", "text",
+          bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
+        .where(SlicePairBase63)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d45_neardup_clusters_slice" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .where(SliceBase63)
+      val pairs = DedupOps.minhashLshPairs(corpusWithNearDupsOf(docs),
+          "doc_id", "text", bands = 8, rowsPerBand = 4, shingleN = 3,
+          threshold = 0.7)
+        .select("id_a", "id_b")
+      DedupOps.connectedComponents(pairs).orderBy("id")
+    }),
+
+    "d54_cluster_best_slice" -> ((s, dir) => {
+      val corpus = corpusWithNearDupsOf(
+        t(s, dir, "documents").select("doc_id", "text").where(SliceBase63))
+      val pairs = DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+          bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
+        .select("id_a", "id_b")
+      val attrs = corpus.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).cast("long").as("quality"))
+      DedupOps.clusterRepresentatives(pairs, attrs, "doc_id", "quality")
+        .orderBy("component")
+    }),
+
+    "d56_fuzzy_decontaminate_slice" -> ((s, dir) => {
+      // FULL corpus scanned, %9-windowed test suite broadcast, %99-
+      // windowed output: per-doc keep/drop depends only on (doc, test
+      // side), so output windowing is exact given the same test side on
+      // both engines. 99 is coprime to the %5 suite stride (a %90 window
+      // was a SUBSET of the suite: every windowed doc matched its own
+      // mutant and the slice came back empty); the test side must be
+      // windowed too — corpus-window × FULL test side still exceeded the
+      // 180 s DuckDB budget at sf1.
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val toks = TextOps.tokens(col("text"))
+      val test = docs.where(s"doc_id % 5 = 0 AND $SliceBase9").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+      DedupOps.fuzzyDecontaminate(docs, test, "doc_id", "text")
+        .where("doc_id % 10000000 % 1000000 % 99 = 0")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "d57_incremental_neardup_slice" -> ((s, dir) =>
+      incrementalNearDupTwoStep(s,
+        t(s, dir, "documents").select("doc_id", "lang", "text")
+          .where(SliceBase27))),
+
+    "s47_stream_ingest_dedup_slice" -> ((s, dir) =>
+      streamIngestDedup(s,
+        t(s, dir, "documents").select("doc_id", "lang", "text")
+          .where(SliceBase27))),
+
+    "d62_dup_span_stats_slice" -> ((s, dir) => {
+      DedupOps.duplicateSpanStats(
+          t(s, dir, "documents").select("doc_id", "text").where(SliceBase9),
+          "doc_id", "text", w = 8)
+        .orderBy("doc_id")
+    }),
+
+    "d63_dup_span_removal_slice" -> ((s, dir) => {
+      DedupOps.removeDuplicateSpans(
+          t(s, dir, "documents").select("doc_id", "text").where(SliceBase9),
+          "doc_id", "text", w = 8)
+        .select("doc_id", "text", "n_tokens_kept").orderBy("doc_id")
+    }),
+
+    "d89_dup_source_matrix_slice" -> ((s, dir) => {
+      // full-corpus pair stream, output-windowed, folded into the
+      // source matrix; the source join strips the near-dup offset
+      // EXACTLY (a +1e6 mutant of copy-k doc i re-joins doc k·1e7+i),
+      // valid at every sf
+      def baseId(c: Column): Column =
+        c - when(c % 10000000L >= 1000000L, 1000000L).otherwise(0L)
+      val src = t(s, dir, "documents")
+        .select(col("doc_id").as("__oid"), col("source"))
+      val pairs = DedupOps.minhashLshPairs(corpusWithNearDups(s, dir),
+          "doc_id", "text", bands = 8, rowsPerBand = 4, shingleN = 3,
+          threshold = 0.7)
+        .where(SlicePairBase63)
+        .select("id_a", "id_b")
+      pairs
+        .join(src.select(col("__oid").as("__oa"), col("source").as("__sa")),
+          baseId(col("id_a")) === col("__oa"))
+        .join(src.select(col("__oid").as("__ob"), col("source").as("__sb")),
+          baseId(col("id_b")) === col("__ob"))
+        .select(least(col("__sa"), col("__sb")).as("source_lo"),
+          greatest(col("__sa"), col("__sb")).as("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    }),
+
+    "e44_knn_graph_slice" -> ((s, dir) => {
+      // full exact graph (nprobe = nlist), src side windowed: each
+      // windowed source still ranks neighbors over the ENTIRE corpus,
+      // so the oracle pays n_window × n, not n²
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.knnGraph(emb, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 16)
+        .where("src_id % 10000000 % 100 = 0")
+        .select(col("src_id"), col("nbr_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("src_id", "rank")
+    }),
+
+    "m47_image_dup_clusters_slice" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(SliceBase9)
+      val base = MultimodalOps.syntheticImageCorpus(docs, "doc_id")
+      val bumped = MultimodalOps.syntheticImageCorpusBumped(
+        docs.where("doc_id % 11 = 0"), "doc_id", scale = 4,
+        idOffset = 2000000L, cells = Seq(0, 27, 54))
+      val pairs = MultimodalOps.imageNearDupPairs(base.unionByName(bumped),
+        maxHamming = 3, maxBucket = 1 << 20)
+      DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
+        .orderBy("id")
+    }),
+
+    "d108_split_repair_slice" -> ((s, dir) => {
+      val corpus = corpusWithNearDupsOf(
+        t(s, dir, "documents").select("doc_id", "text").where(SliceBase63))
+      val assigned = CorpusOps.splitAssign(corpus, col("text"))
+      val pairs = DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+          bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
+        .select("id_a", "id_b")
+      val comps = DedupOps.connectedComponents(pairs)
+      CorpusOps.splitRepair(assigned, "doc_id", "split", comps)
+        .select(col("doc_id"), col("split_before"), col("split"),
+          col("moved"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4454,9 +4647,9 @@ object SparkEntry {
        |  WHERE s.p <= greatest(cnt.n - ${w - 1}, 1)
        |)""".stripMargin
 
-  private def spanCtes(w: Int): String =
+  private def spanCtes(w: Int, where: String = ""): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, $ToksSql AS t FROM documents
+       |  SELECT doc_id, $ToksSql AS t FROM documents$where
        |), occ AS (
        |  SELECT doc_id, u.p AS p, u.h AS h FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-$w+1,0)+1),
@@ -4489,13 +4682,14 @@ object SparkEntry {
     * clusters): the synthetic corpus + its bumped re-encodes, per-cell
     * grayscale from the pixel formula in integer SQL, and the 64-bit
     * average-hash as a bitstring — everything up to `hashes`. */
-  private lazy val ImageHashCtes: String =
-    """imgs AS (
+  private def imageHashCtes(where: String = "",
+      bumpAnd: String = ""): String =
+    s"""imgs AS (
       |  SELECT doc_id AS media_id, doc_id AS src, doc_id % 6 + 3 AS w0,
-      |         doc_id % 4 + 2 AS h0, FALSE AS bumped FROM documents
+      |         doc_id % 4 + 2 AS h0, FALSE AS bumped FROM documents$where
       |  UNION ALL
       |  SELECT doc_id + 2000000, doc_id, doc_id % 6 + 3, doc_id % 4 + 2, TRUE
-      |  FROM documents WHERE doc_id % 11 = 0
+      |  FROM documents WHERE doc_id % 11 = 0$bumpAnd
       |), cells AS (
       |  SELECT media_id, src, w0, bumped, g.i AS i,
       |    ((g.i % 8) * w0) // 8 AS bx,
@@ -4973,8 +5167,8 @@ object SparkEntry {
     * semantics driven by streaming commit consumption): originals all
     * accepted against empty state; a mutant accepted iff no original
     * reaches 3-shingle Jaccard 0.7. */
-  private lazy val IncrementalNearDupOracleSql: String =
-    s"""WITH toks AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+  private def incrementalNearDupOracle(where: String = ""): String =
+    s"""WITH toks AS (SELECT doc_id, lang, $ToksSql AS t FROM documents$where),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |   range(0, greatest(len(t) - 3, 0) + 1),
        |   i -> array_to_string(t[i+1:i+3], ' '))) AS sh
@@ -4990,7 +5184,7 @@ object SparkEntry {
        |        ELSE CAST(len(list_intersect(m.sh, a.sh)) AS DOUBLE)
        |             / (len(m.sh) + len(a.sh) - len(list_intersect(m.sh, a.sh))) END) >= 0.7)
        |SELECT doc_id, lang FROM (
-       | SELECT doc_id, lang FROM documents
+       | SELECT doc_id, lang FROM documents$where
        | UNION ALL
        | SELECT doc_id, lang FROM msh
        | WHERE doc_id NOT IN (SELECT doc_id FROM badm)
@@ -5017,7 +5211,165 @@ object SparkEntry {
        |FROM grams g JOIN testg USING (gram)
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ sliceOracleSql
+
+  /** d62's oracle past the [[spanCtes]] chain — shared by the full entry
+    * and its sf1 slice (which only windows the spanCtes corpus). */
+  private lazy val D62Tail: String =
+    """, agg AS (
+      |  SELECT doc_id, SUM(me - ms + 1) AS dup_tokens, COUNT(*) AS n_spans
+      |  FROM merged GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CASE WHEN len(t.t) = 0 THEN 0.0
+      |    ELSE CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.t) END AS dup_ratio
+      |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** d63's oracle past the [[spanCtes]] chain (see [[D62Tail]]). */
+  private lazy val D63Tail: String =
+    """, spanlist AS (
+      |  SELECT doc_id, list({'ms': ms, 'me': me}) AS spans FROM merged GROUP BY doc_id
+      |), cut AS (
+      |  SELECT t.doc_id,
+      |    list_filter(t.t, (x, i) ->
+      |      len(list_filter(COALESCE(s.spans, []), sp -> sp.ms <= i AND i <= sp.me)) = 0) AS kept
+      |  FROM toks t LEFT JOIN spanlist s ON t.doc_id = s.doc_id
+      |)
+      |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS text,
+      |  CAST(len(kept) AS BIGINT) AS n_tokens_kept
+      |FROM cut ORDER BY doc_id""".stripMargin
+
+  /** m47's oracle past the [[imageHashCtes]] chain (see [[D62Tail]]). */
+  private lazy val M47Tail: String =
+    """
+      |pairs AS MATERIALIZED (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |  WHERE hamming(a.hs, b.hs) <= 3
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+      |)
+      |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin
+
+  /** sf1-slice window predicates in ORACLE SQL form — the exact SQL
+    * rendering of [[SliceBase9]]-family windows (see there for the
+    * double-mod design and the stride choices). */
+  private def ow(n: Int) = s" WHERE doc_id % 10000000 % 1000000 % $n = 0"
+  private def oa(n: Int) = s" AND doc_id % 10000000 % 1000000 % $n = 0"
+
+  /** Derive a slice oracle from a full corpusWithNearDups oracle: window
+    * the original branch and the near-dup branch by the base-index
+    * stride — exactly what the engine twin does by windowing the docs
+    * BEFORE planting. Loud requires: if the full oracle's shape ever
+    * drifts, this transform must be fixed with it, not silently no-op. */
+  private def sliceCorpus(sql: String, n: Int): String = {
+    val orig = " SELECT doc_id, text FROM documents\n"
+    val nd = " WHERE doc_id % 5 = 0\n"
+    require(sql.split(java.util.regex.Pattern.quote(orig), -1).length == 2,
+      "sliceCorpus: original-branch pattern must appear exactly once")
+    require(sql.split(java.util.regex.Pattern.quote(nd), -1).length == 2,
+      "sliceCorpus: near-dup-branch pattern must appear exactly once")
+    sql.replace(orig, s" SELECT doc_id, text FROM documents${ow(n)}\n")
+      .replace(nd, s" WHERE doc_id % 5 = 0${oa(n)}\n")
+  }
+
+  /** Oracles for the sf1 slice twins (r15 verdict item 3) — see the
+    * slice-entry section of [[queries]] for the two designs and why each
+    * entry uses the one it does. Full oracles unchanged at gate scale. */
+  private lazy val sliceOracleSql: Map[String, String] = Map(
+    "d34_minhash_pairs_slice" ->
+      sliceCorpus(baseOracleSql("d34_minhash_pairs"), 63),
+    "d45_neardup_clusters_slice" ->
+      sliceCorpus(baseOracleSql("d45_neardup_clusters"), 63),
+    "d54_cluster_best_slice" ->
+      sliceCorpus(baseOracleSql("d54_cluster_best"), 63),
+    "d108_split_repair_slice" ->
+      sliceCorpus(baseOracleSql("d108_split_repair"), 63),
+    "d57_incremental_neardup_slice" -> incrementalNearDupOracle(ow(27)),
+    "s47_stream_ingest_dedup_slice" -> incrementalNearDupOracle(ow(27)),
+    "d62_dup_span_stats_slice" -> (spanCtes(8, ow(9)) + D62Tail),
+    "d63_dup_span_removal_slice" -> (spanCtes(8, ow(9)) + D63Tail),
+    "m47_image_dup_clusters_slice" ->
+      (s"WITH RECURSIVE ${imageHashCtes(ow(9), oa(9))}," + M47Tail),
+
+    // corpus output windowed %99 (coprime to the %5 suite stride), test
+    // side windowed by base %9 on BOTH engines — corpus-window × full
+    // test side still exceeded the 180 s DuckDB budget at sf1
+    "d56_fuzzy_decontaminate_slice" ->
+      s"""WITH toksall AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(t) - 3, 0) + 1),
+         |   i -> array_to_string(t[i+1:i+3], ' '))) AS sh
+         | FROM toksall WHERE doc_id % 10000000 % 1000000 % 99 = 0),
+         |tsh AS (SELECT list_distinct(list_transform(
+         |   range(0, greatest(len(tm) - 3, 0) + 1),
+         |   i -> array_to_string(tm[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT t[1:greatest(len(t) - 1, 1)] AS tm
+         |       FROM toksall
+         |       WHERE doc_id % 5 = 0 AND doc_id % 10000000 % 1000000 % 9 = 0)),
+         |bad AS (SELECT DISTINCT a.doc_id FROM sh a, tsh b
+         | WHERE (CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END) >= 0.7)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id % 10000000 % 1000000 % 99 = 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY d.doc_id""".stripMargin,
+
+    // src side windowed %100; each windowed source still ranks the FULL
+    // corpus (n_window × n, not n²)
+    "e44_knn_graph_slice" ->
+      """WITH s AS (SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |   list_cosine_similarity(b.embedding, a.embedding) AS c
+        | FROM embeddings a CROSS JOIN embeddings b
+        | WHERE a.vec_id % 10000000 % 100 = 0 AND a.vec_id <> b.vec_id)
+        |SELECT src_id, nbr_id,
+        | CAST(row_number() OVER (PARTITION BY src_id ORDER BY c DESC, nbr_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 3 ORDER BY src_id, rank""".stripMargin,
+
+    // windowed pair stream folded into the source matrix; the source join
+    // strips the near-dup offset EXACTLY (valid at every sf, unlike the
+    // full oracle's %1e6 shortcut, which is consistent-with-engine there)
+    "d89_dup_source_matrix_slice" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents${ow(63)}
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |        array_to_string(toks[1:greatest(len(toks)-1, 1)], ' ') AS text
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+         | WHERE doc_id % 5 = 0${oa(63)}
+         |), sh AS (
+         | SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(toks) - 3, 0) + 1),
+         |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+         | FROM (SELECT doc_id, $ToksSql AS toks FROM corpus)
+         |), pairs AS (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+         |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         | WHERE jaccard >= 0.7)
+         |SELECT least(da.source, db.source) AS source_lo,
+         |       greatest(da.source, db.source) AS source_hi,
+         |       count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da
+         |  ON p.id_a - (CASE WHEN p.id_a % 10000000 >= 1000000 THEN 1000000 ELSE 0 END) = da.doc_id
+         |JOIN documents db
+         |  ON p.id_b - (CASE WHEN p.id_b % 10000000 >= 1000000 THEN 1000000 ELSE 0 END) = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -5605,31 +5957,9 @@ object SparkEntry {
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "d62_dup_span_stats" ->
-      s"""${spanCtes(8)}, agg AS (
-         |  SELECT doc_id, SUM(me - ms + 1) AS dup_tokens, COUNT(*) AS n_spans
-         |  FROM merged GROUP BY doc_id
-         |)
-         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
-         |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
-         |  CASE WHEN len(t.t) = 0 THEN 0.0
-         |    ELSE CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(t.t) END AS dup_ratio
-         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+    "d62_dup_span_stats" -> (spanCtes(8) + D62Tail),
 
-    "d63_dup_span_removal" ->
-      s"""${spanCtes(8)}, spanlist AS (
-         |  SELECT doc_id, list({'ms': ms, 'me': me}) AS spans FROM merged GROUP BY doc_id
-         |), cut AS (
-         |  SELECT t.doc_id,
-         |    list_filter(t.t, (x, i) ->
-         |      len(list_filter(COALESCE(s.spans, []), sp -> sp.ms <= i AND i <= sp.me)) = 0) AS kept
-         |  FROM toks t LEFT JOIN spanlist s ON t.doc_id = s.doc_id
-         |)
-         |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS text,
-         |  CAST(len(kept) AS BIGINT) AS n_tokens_kept
-         |FROM cut ORDER BY doc_id""".stripMargin,
+    "d63_dup_span_removal" -> (spanCtes(8) + D63Tail),
 
     // same islands/cut chain as d63, but hits = membership in the planted
     // test suite's gram set instead of keep-first duplication
@@ -6551,8 +6881,8 @@ object SparkEntry {
     // (state was empty); step 2 accepts a mutant iff NO accepted doc
     // (= any original) reaches Jaccard 0.7 — brute-forced here. s47 is
     // the same semantics driven through streaming commit consumption.
-    "d57_incremental_neardup" -> IncrementalNearDupOracleSql,
-    "s47_stream_ingest_dedup" -> IncrementalNearDupOracleSql,
+    "d57_incremental_neardup" -> incrementalNearDupOracle(),
+    "s47_stream_ingest_dedup" -> incrementalNearDupOracle(),
 
     // ground truth for the banded-MinHash candidate stage: brute-force
     // 3-shingle Jaccard corpus x test (the LSH must lose no pair >= 0.7
@@ -7633,7 +7963,7 @@ object SparkEntry {
         |ORDER BY f.keep_id, dup_id""".stripMargin,
 
     "m43_image_neardup_hamming" ->
-      s"""WITH $ImageHashCtes
+      s"""WITH ${imageHashCtes()}
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  CAST(hamming(a.hs, b.hs) AS BIGINT) AS hamming
         |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
@@ -7643,21 +7973,7 @@ object SparkEntry {
     // same independent hash recomputation, then the clusters the pairs
     // imply — min-id components via a recursive reach
     "m47_image_dup_clusters" ->
-      s"""WITH RECURSIVE $ImageHashCtes,
-        |pairs AS MATERIALIZED (
-        |  SELECT a.media_id AS id_a, b.media_id AS id_b
-        |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
-        |  WHERE hamming(a.hs, b.hs) <= 3
-        |), edges AS MATERIALIZED (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |), reach(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
-        |)
-        |SELECT id, MIN(comp) AS component FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin,
+      (s"WITH RECURSIVE ${imageHashCtes()}," + M47Tail),
 
     // every frame hash rebuilt from the pixel formula (frame f's image id
     // = media_id + (f // 4) * 12), then consecutive-frame bitstring diffs

@@ -52,6 +52,37 @@ object BpeScaleProbe {
     run("batched 16x64", iters = 16, m = 64)
     run("batched 64x64", iters = 64, m = 64)
     run("sennrich 16x1", iters = 16, m = 1)
+
+    // r15 verdict item 4: the synthetic sf0.1 vocabulary SATURATES at ~90
+    // merges (every count>=2 pair merged), so the 512-action/32k-merge
+    // claim was extrapolated. This derives a RICHER word distribution
+    // from the same corpus — deterministically, no RNG: each token is
+    // suffixed with 10 letters of its md5 (hex digits translated to
+    // letters, a 16-symbol alphabet), giving Zipf-weighted word types
+    // with deep, diverse character structure. Every derivation is a pure
+    // function of the token, so the fixture is reproducible anywhere.
+    def runRich(label: String, iters: Int, m: Int): Unit = {
+      val rich = docs
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("__w"))
+        .where(col("__w").rlike("^[a-z]+$"))
+        .select(concat(col("__w"),
+          expr("translate(substring(md5(__w), 1, 10), " +
+            "'0123456789abcdef', 'ghijklmnopqrstuv')")).as("text"))
+      val t0 = System.nanoTime()
+      val merges = CorpusOps.bpeTrainMerges(rich, "text",
+        iters = iters, maxMergesPerRound = m).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val pairs = merges.map(r => (r.getString(1), r.getString(2)))
+      require(pairs.distinct.length == pairs.length,
+        s"$label: duplicate merge learned")
+      println(f"BPEPROBE $label: ${merges.length} merges in $secs%.1f s " +
+        f"(${secs / math.max(1, merges.length) * 1000}%.1f ms/merge, " +
+        f"<= $iters driver rounds = ${iters.toDouble / math.max(1, merges.length)}%.3f actions/merge), " +
+        s"last=(${merges.last.getString(1)},${merges.last.getString(2)})" +
+        s"@${merges.last.getLong(3)}")
+    }
+    runRich("rich 32x64", iters = 32, m = 64)
+    runRich("rich 64x64", iters = 64, m = 64)
     spark.stop()
   }
 }
