@@ -3151,10 +3151,27 @@ object SparkEntry {
         col("value").cast("decimal(18,6)").as("v"))
       val bars = graft.streaming.StreamingOps.ohlcBars(ev, "ts", "user_id", "v")
       val sink = s"s66_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // SIZE STATE PARTITIONS TO STATE VOLUME (r15 verdict item 1b): the
+      // drain probe showed the wall dominated by per-partition state-store
+      // commits (29.5 s summed across 32 partitions per batch vs 2.8 s of
+      // actual addBatch compute) — each partition checkpoint is a constant
+      // file create+fsync+rename, so 32 of them per batch is pure I/O
+      // overhead for a state of a few thousand OPEN windows, and exactly
+      // the contention surface a loaded driver machine amplifies (s66 was
+      // 3× elevated in two consecutive driver records while quiet-machine
+      // probes read 3.3-4.6 s). The state-partition count is fixed at the
+      // query's FIRST run from spark.sql.shuffle.partitions, so set it for
+      // this stream only and restore; results are partition-count-
+      // invariant (orderBy canonicalizes). A deployment keeps this knob
+      // proportional to open-window volume, not corpus size.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val tDrain0 = System.nanoTime()
-      val q = bars
-        .writeStream.outputMode("append").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        bars
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       // drain split for the bench record (r15 verdict item 1b): where a
       // wall-clock number alone can't distinguish "machine was loaded"

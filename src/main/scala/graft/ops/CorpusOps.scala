@@ -948,9 +948,14 @@ object CorpusOps {
           pendingLayers += accepted.size
           // the replace layers accumulate over the leaf; without a
           // periodic collapse round i re-executes all prior rounds'
-          // replaces per vocabulary row — O(merges²) at the allowed cap
+          // replaces per vocabulary row — O(merges²) at the allowed cap.
+          // The collapse must cut RDD LINEAGE too, not just the plan: at
+          // the full 64-round budget the chained per-round RDDs overflow
+          // the task stack on deserialization (found by the rich-fixture
+          // probe, BpeScaleProbe — the synthetic vocab saturates in ~2
+          // effective rounds and never reached the depth)
           if (pendingLayers >= 8) {
-            types = IterPlan.persistedLeaf(types, eager = false)
+            types = IterPlan.localCheckpointLeaf(types, eager = false)
             leaves += types
             pendingLayers = 0
           }

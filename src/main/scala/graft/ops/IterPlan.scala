@@ -25,4 +25,19 @@ private[ops] object IterPlan {
     if (eager) leaf.count()
     leaf
   }
+
+  /** Plan-truncating leaf that ALSO cuts RDD lineage (localCheckpoint):
+    * [[persistedLeaf]] truncates the Catalyst plan but each round's RDD
+    * still references the previous round's, so a DEEP loop (the batched
+    * BPE trainer's 64 rounds — the rich-fixture probe overflowed the task
+    * stack deserializing ~800 chained stages; CC/PageRank converge in
+    * ≤ ~20 rounds and never get there) must periodically drop history.
+    * Tradeoff made explicit: localCheckpoint blocks are NOT recomputable
+    * after executor loss — on a cluster that turns an executor failure
+    * into a query restart, the standard trainer-loop boundary (Spark's
+    * own iterative algorithms checkpoint every N rounds for the same
+    * reason); a durability-critical deployment would checkpoint to the
+    * cluster FS instead. */
+  def localCheckpointLeaf(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.localCheckpoint(eager)
 }

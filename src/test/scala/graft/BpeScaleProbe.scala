@@ -62,11 +62,17 @@ object BpeScaleProbe {
     // with deep, diverse character structure. Every derivation is a pure
     // function of the token, so the fixture is reproducible anywhere.
     def runRich(label: String, iters: Int, m: Int): Unit = {
+      // (token, doc-bucket) hashing: the synthetic corpus has only a few
+      // hundred distinct tokens, so hashing the token alone yields a few
+      // hundred enriched types and saturation at ~333 merges; salting the
+      // hash with doc_id % 37 multiplies the type count ~37× while staying
+      // a pure deterministic function of corpus columns
       val rich = docs
-        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("__w"))
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("__w"))
         .where(col("__w").rlike("^[a-z]+$"))
         .select(concat(col("__w"),
-          expr("translate(substring(md5(__w), 1, 10), " +
+          expr("translate(substring(md5(concat(__w, ':', doc_id % 37)), 1, 10), " +
             "'0123456789abcdef', 'ghijklmnopqrstuv')")).as("text"))
       val t0 = System.nanoTime()
       val merges = CorpusOps.bpeTrainMerges(rich, "text",
