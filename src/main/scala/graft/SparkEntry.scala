@@ -2799,14 +2799,18 @@ object SparkEntry {
 
     "d89_dup_source_matrix" -> ((s, dir) => {
       // cross-source near-duplicate matrix over the same planted corpus
-      // as d34 (synthetic near-dups keep their original's source via
-      // doc_id % 1000000): d34's pair stream re-joins the narrow
-      // (id, source) projection and folds into source x source counts —
-      // the report that says WHICH sources mirror each other.
+      // as d34 (synthetic near-dups keep their original's source): d34's
+      // pair stream re-joins the narrow (id, source) projection and
+      // folds into source x source counts — the report that says WHICH
+      // sources mirror each other. The source join strips the near-dup
+      // offset EXACTLY (subtract 1e6 only when the copy-local part is in
+      // the mutant band) — bit-identical to the old %1e6 shortcut at
+      // gate scale (ids < 1e6) and also correct on sf1 copy-offset ids.
       val src = t(s, dir, "documents")
         .select(col("doc_id").as("__oid"), col("source"))
       val corpus = corpusWithNearDups(s, dir)
-        .join(src, col("doc_id") % 1000000L === col("__oid"))
+        .join(src, col("doc_id") - when(col("doc_id") % 10000000L >= 1000000L,
+          1000000L).otherwise(0L) === col("__oid"))
         .select("doc_id", "text", "source")
       DedupOps.nearDupSourceMatrix(corpus, "doc_id", "text", "source",
           bands = 8, rowsPerBand = 4, shingleN = 3, threshold = 0.7)
@@ -6706,8 +6710,10 @@ object SparkEntry {
          |       greatest(da.source, db.source) AS source_hi,
          |       count(*) AS n_pairs
          |FROM pairs p
-         |JOIN documents da ON p.id_a % 1000000 = da.doc_id
-         |JOIN documents db ON p.id_b % 1000000 = db.doc_id
+         |JOIN documents da
+         |  ON p.id_a - (CASE WHEN p.id_a % 10000000 >= 1000000 THEN 1000000 ELSE 0 END) = da.doc_id
+         |JOIN documents db
+         |  ON p.id_b - (CASE WHEN p.id_b % 10000000 >= 1000000 THEN 1000000 ELSE 0 END) = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d46_pack_sequences" ->
