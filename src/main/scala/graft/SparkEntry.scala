@@ -1678,6 +1678,25 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s75_stream_unigram_entropy" -> ((s, dir) => {
+      // in-flight RPv2 entropy gating: unigram_entropy is ONE codegen
+      // map pass (zero shuffles, no state store), so the diversity
+      // signal computes on the stream exactly as in batch — graded by
+      // the identical d119 oracle (the s59/d91 map-only-is-batch-
+      // invariant pattern).
+      val toks = TextOps.tokens(col("text"))
+      val scored = tStream(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        round(graft.functions.GraftFunctions.unigram_entropy(toks), 6)
+          .as("unigram_entropy"))
+      val sink = s"s75_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = scored.writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     "s68_stream_split_assign" -> ((s, dir) => {
       // split assignment AT INGEST: splitAssign is map-only (content-hash
       // bucket arithmetic, zero state), so documents get their permanent
@@ -2733,6 +2752,23 @@ object SparkEntry {
         .orderBy("iter")
     }),
 
+    "d119_unigram_entropy" -> ((s, dir) => {
+      // RedPajama-v2's unigram-entropy diversity signal (low entropy =
+      // templated/repetitive text), per document, in ONE compiled loop
+      // over the token array (UnigramEntropy — the token list never
+      // leaves its row; zero shuffles before the final tiny sort). The
+      // oracle replays it relationally: unnest → per-(doc, token)
+      // counts → ln(N) − Σ c·ln c / N, met at a 6-decimal round (the
+      // d77 avg-of-logs precedent). NULL text stays NULL on both sides.
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          round(graft.functions.GraftFunctions.unigram_entropy(toks), 6)
+            .as("unigram_entropy"))
+        .orderBy("doc_id")
+    }),
+
     "d114_tokenizer_fertility" -> ((s, dir) => {
       // the trained tokenizer APPLIED: d113's merges (a bounded 3-row
       // collect — the train-then-apply pattern) segment every eligible
@@ -3703,6 +3739,25 @@ object SparkEntry {
           k = 5, nprobes = Seq(1, 2, 4, 8, 16), nlist = 16)
         .drop("mean_recall")
         .orderBy("nprobe")
+    }),
+
+    "e68_cluster_balanced_sample" -> ((s, dir) => {
+      // DataComp-style cluster-balanced subset: assign every vector to
+      // its spherical k-means cluster (e48's bitwise-replayable
+      // fixed-point trainer — same k=8, iters=1 geometry), then draw a
+      // fixed 40-vector budget per cluster with d109's RNG-free
+      // Efraimidis–Spirakis keys at uniform weight — equalizing cluster
+      // mass instead of inheriting the corpus's topic skew, reproducible
+      // on any engine or layout. 100 TB shape: assignment is map-only
+      // (centroids ride the capped NearestCentroid reference object);
+      // selection is ONE combinable top_k_by aggregate (map-side
+      // k-bounded heaps — never a per-cluster global sort). The oracle
+      // replays trainer, keys, and selection end to end.
+      val asg = SimilarityOps.kmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 1)
+      CorpusOps.weightedSample(asg, "vec_id", "cluster",
+          lit(1.0d), k = 40, seed = "cb1")
+        .orderBy("cluster", "rank")
     }),
 
     "e60_ann_recall" -> ((s, dir) => {
@@ -4816,6 +4871,32 @@ object SparkEntry {
     * drained from a stream): keys replay float-for-float — u is
     * bit-identical integer-nibble arithmetic, ln/divide on identical
     * doubles, id tie-break. */
+  /** Shared by d119 (batch) and s75 (the same map-only signal computed
+    * in-flight): the compiled unigram-entropy loop replayed relationally
+    * — unnest → per-(doc, token) counts → ln(N) − Σ c·ln c / N at a
+    * 6-decimal round (the d77 avg-of-logs precedent); empty docs fall
+    * out of the unnest and COALESCE back to (0, 0, 0.0); NULL text
+    * stays NULL on both sides. */
+  private lazy val UnigramEntropyOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY 1, 2),
+       |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    ROUND(ln(CAST(sum(c) AS DOUBLE)) -
+       |      sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+       |      AS unigram_entropy
+       |  FROM c GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN d.text IS NULL THEN NULL
+       |    ELSE COALESCE(e.n_tokens, 0) END AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN d.text IS NULL THEN NULL
+       |    ELSE COALESCE(e.n_types, 0) END AS BIGINT) AS n_types,
+       |  CASE WHEN d.text IS NULL THEN NULL
+       |    ELSE COALESCE(e.unigram_entropy, 0.0) END AS unigram_entropy
+       |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private lazy val WeightedSampleOracleSql: String =
     s"""WITH d AS (SELECT doc_id, lang,
        |  CAST(len($ToksSql) AS DOUBLE) AS w,
@@ -7420,6 +7501,53 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
 
+    // e48's full k-means replay (init -> assign -> fixed-point update ->
+    // reassign), then d109's md5-nibble E-S keys at uniform weight and
+    // the per-cluster budgeted pick — trainer, keys, and selection all
+    // replayed end to end
+    "e68_cluster_balanced_sample" ->
+      """WITH c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+        |         embedding AS ce
+        |  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+        |a0 AS (
+        |  SELECT vec_id, embedding, cl FROM (
+        |    SELECT e.vec_id, e.embedding, c.cl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cl) AS rn
+        |    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+        |dims AS (
+        |  SELECT cl, unnest(range(1, len(embedding)+1)) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM a0),
+        |sums AS (
+        |  SELECT cl, dim,
+        |         sum(CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS s,
+        |         count(*) AS cnt
+        |  FROM dims GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT cl,
+        |    list(CAST(CAST(s AS DOUBLE) / 16777216.0 / cnt AS FLOAT) ORDER BY dim) AS ce
+        |  FROM sums GROUP BY cl),
+        |asg AS (SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+        |  SELECT e.vec_id, c.cl,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cl) AS rn
+        |  FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+        |k AS (SELECT cluster, vec_id,
+        |  ln(((
+        |   (strpos('0123456789abcdef', substr(md5('cb1:' || CAST(vec_id AS VARCHAR)),1,1))-1)*4096 +
+        |   (strpos('0123456789abcdef', substr(md5('cb1:' || CAST(vec_id AS VARCHAR)),2,1))-1)*256 +
+        |   (strpos('0123456789abcdef', substr(md5('cb1:' || CAST(vec_id AS VARCHAR)),3,1))-1)*16 +
+        |   (strpos('0123456789abcdef', substr(md5('cb1:' || CAST(vec_id AS VARCHAR)),4,1))-1)
+        |  ) + 0.5) / 65536.0) / 1.0 AS key
+        | FROM asg),
+        |r AS (SELECT cluster, vec_id,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY key DESC, vec_id) AS rank
+        | FROM k)
+        |SELECT cluster, vec_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 40 ORDER BY cluster, rank""".stripMargin,
+
     "d74_inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
         |pos AS (SELECT doc_id, unnest(t) AS term,
@@ -7699,6 +7827,15 @@ object SparkEntry {
          |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
          |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS type_token_ratio
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the compiled per-row loop replayed relationally: unnest -> per-
+    // (doc, token) counts -> ln(N) - sum(c*ln c)/N, met at a 6-decimal
+    // round; empty docs fall out of the unnest so they COALESCE back to
+    // (0, 0, 0.0); NULL text stays NULL on both sides
+    "d119_unigram_entropy" -> UnigramEntropyOracleSql,
+    // map-only scoring is batch-invariant, so the stream twin grades
+    // against the identical replay (the s59/d91 pattern)
+    "s75_stream_unigram_entropy" -> UnigramEntropyOracleSql,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

@@ -466,6 +466,33 @@ object BucketUtil {
     c
   }
 
+  /** Natural-log entropy of the token array's OWN unigram distribution:
+    * `ln(N) − Σ c·ln c / N` over the per-token counts `c` (0.0 for an
+    * empty array) — the RedPajama-v2 `unigram_entropy` quality signal.
+    * One counting pass plus one pass over the distinct counts, entirely
+    * within the row; the result is deterministic per row (same content →
+    * same map order) and matches the relational unnest/GROUP BY replay at
+    * a 6-decimal round (the d77 avg-of-logs precedent). */
+  def unigramEntropy(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val prev = counts.get(t)
+      counts.put(t, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var s = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      s += c * math.log(c)
+    }
+    math.log(n.toDouble) - s / n
+  }
+
   // MessageDigest.getInstance per row would dominate the kernel; one
   // instance per thread, reset per gram
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -883,6 +910,54 @@ case class CountInSet(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): CountInSet =
+    copy(child = c)
+}
+
+/** `unigram_entropy(tokens)`: natural-log entropy of the document's own
+  * unigram distribution in ONE compiled loop over its token array (see
+  * [[BucketUtil.unigramEntropy]]) — the RedPajama-v2 diversity/quality
+  * signal (low entropy ⇒ repetitive or templated text). Map-only: the
+  * token list never leaves its row, where the relational form unnests
+  * every token through a (doc, token) GROUP BY exchange. Carries no
+  * plan payload (nothing for [[RefObjCaps]]). A NULL token makes the
+  * result NULL (the fold-poison semantics of the d-kernel class),
+  * guarded by [[BucketUtil.hasNullElement]] and skipped entirely when
+  * the array type declares `containsNull = false`. */
+case class UnigramEntropy(child: Expression) extends UnaryExpression {
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable || elementsNullable
+  override def prettyName: String = "unigram_entropy"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unigram_entropy expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.unigramEntropy(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.unigramEntropy($a)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.unigramEntropy($a);
+      }""")
+
+  override protected def withNewChildInternal(c: Expression): UnigramEntropy =
     copy(child = c)
 }
 
@@ -2392,6 +2467,10 @@ object GraftFunctions {
   def count_in_set(arr: Column, elems: Array[String]): Column =
     ColumnBridge.column(CountInSet(expression(arr), broadcastSet(elems)))
 
+  /** Per-row unigram entropy of a token array (see [[UnigramEntropy]]). */
+  def unigram_entropy(tokens: Column): Column =
+    ColumnBridge.column(UnigramEntropy(expression(tokens)))
+
   /** Build the probe set ONCE on the driver and broadcast it — one copy
     * per executor JVM instead of one per task (see [[AnyInSet]]).
     *
@@ -2556,5 +2635,7 @@ object GraftFunctions {
       DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("hamming_words", exprs =>
       HammingWords(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("unigram_entropy", exprs =>
+      UnigramEntropy(exprs.head), "built-in")
   }
 }

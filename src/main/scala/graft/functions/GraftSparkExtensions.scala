@@ -52,5 +52,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("hamming_words",
         "hamming_words(a, b) - Hamming distance of two bigint-word bit vectors"),
       (exprs: Seq[Expression]) => HammingWords(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("unigram_entropy"),
+      info("unigram_entropy",
+        "unigram_entropy(tokens) - entropy of the array's own unigram distribution"),
+      (exprs: Seq[Expression]) => UnigramEntropy(exprs.head)))
   }
 }

@@ -45,6 +45,16 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L) // 0b101 xor 0b110 = 0b011
   }
 
+  test("text functions usable from SQL: unigram_entropy") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT unigram_entropy(array('a', 'b', 'a', 'b')) AS h, " +
+        "unigram_entropy(CAST(array() AS ARRAY<STRING>)) AS h0")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - math.log(2.0)) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
   test("extensions injector builds in a fresh session") {
     val fresh = spark.newSession()
     // apply the same builders the extension injects, through its code path

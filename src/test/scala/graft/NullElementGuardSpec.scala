@@ -68,6 +68,32 @@ class NullElementGuardSpec extends AnyFunSuite {
     assert(out == 1.0 - 2.0 + 0.25)
   }
 
+  test("unigram_entropy: values, empty, NULL element, NULL array") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, array('a', 'b', 'a', 'b')),
+        | (2L, array('a', 'a', 'a', 'a')),
+        | (3L, array('a', 'a', 'b', 'c')),
+        | (4L, cast(array() as array<string>)),
+        | (5L, array('a', NULL, 'b')),
+        | (6L, cast(NULL as array<string>))
+        | AS t(id, toks)""".stripMargin)
+    val out = df.select($"id",
+        GraftFunctions.unigram_entropy(col("toks")).as("h"))
+      .orderBy("id").collect()
+    // two symbols at p=1/2 each: H = ln 2
+    assert(math.abs(out(0).getDouble(1) - math.log(2.0)) < 1e-12)
+    // a single repeated symbol carries no information
+    assert(out(1).getDouble(1) == 0.0)
+    // {a:2, b:1, c:1} over N=4: ln 4 - (2 ln 2)/4
+    assert(math.abs(out(2).getDouble(1) -
+      (math.log(4.0) - 2.0 * math.log(2.0) / 4.0)) < 1e-12)
+    assert(out(3).getDouble(1) == 0.0, "empty array => 0.0 by definition")
+    assert(out(4).isNullAt(1),
+      "a NULL token must null the result, like the d-kernel fold class")
+    assert(out(5).isNullAt(1), "a NULL array must stay NULL")
+  }
+
   test("broadcastSet memoizes by content: same elems => same broadcast") {
     import graft.functions.GraftFunctions.broadcastSet
     val a = broadcastSet(Array("x", "y", "z"))

@@ -2435,4 +2435,36 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
+
+  test("cluster-balanced sample: exact budgets, members only, reproducible") {
+    import graft.ops.{CorpusOps, SimilarityOps}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val asg = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val members = asg.collect()
+      .groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.map(_.getLong(0)).toSet }
+    val pick = CorpusOps.weightedSample(asg, "vec_id", "cluster",
+        lit(1.0d), k = 3, seed = "cbt")
+      .collect().groupBy(_.getLong(0))
+    // every cluster contributes exactly min(3, |cluster|), ranks 1..n,
+    // and only its own members
+    members.foreach { case (c, ids) =>
+      val rows = pick.getOrElse(c, Array.empty)
+      assert(rows.length == math.min(3, ids.size), s"cluster $c budget")
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length),
+        s"cluster $c ranks must be contiguous")
+      assert(rows.map(_.getLong(1)).forall(ids), s"cluster $c foreign id")
+    }
+    // RNG-free: the same seed reproduces the identical selection; a new
+    // seed is a fresh draw (clusters big enough that equality is ~0)
+    val again = CorpusOps.weightedSample(asg, "vec_id", "cluster",
+        lit(1.0d), k = 3, seed = "cbt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == pick.values.flatten
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val reseeded = CorpusOps.weightedSample(asg, "vec_id", "cluster",
+        lit(1.0d), k = 3, seed = "cbt2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reseeded != again, "a new seed must be a fresh draw")
+  }
 }
