@@ -2769,6 +2769,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d120_quality_classifier_train" -> ((s, dir) => {
+      // CCNet/fastText-style quality classifier TRAINED DISTRIBUTED:
+      // hashed bag-of-words features (16 md5-nibble buckets + bias),
+      // 2 full-batch logistic-regression iterations whose per-document
+      // gradient contributions are floored to 16 fractional bits before
+      // summing — integer sums are order-invariant, so the weights are
+      // bitwise-reproducible under any partitioning AND replayable by
+      // the oracle (the e48 fixed-point trick applied to gradient
+      // descent). Per iteration: one map-only featurize + one
+      // partial-aggregated exchange of 17 longs; driver state is the
+      // 17-double model (the kmeansFit envelope). The label here is
+      // lang='en' (detect English from hashed token stats) — the oracle
+      // replays featurize → both gradient steps → scoring end to end.
+      val docs = t(s, dir, "documents")
+      val isEn = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+      val w = TextOps.trainLogReg(docs, "text", isEn, iters = 2, lr = 1.0)
+      val p = TextOps.scoreLogReg(col("text"), w)
+      docs.select(col("doc_id"),
+          when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("label"),
+          round(p, 6).as("score"),
+          (p >= lit(0.5)).cast("long").as("pred"))
+        .orderBy("doc_id")
+    }),
+
     "d114_tokenizer_fertility" -> ((s, dir) => {
       // the trained tokenizer APPLIED: d113's merges (a bounded 3-row
       // collect — the train-then-apply pattern) segment every eligible
@@ -4896,6 +4920,79 @@ object SparkEntry {
        |    ELSE COALESCE(e.unigram_entropy, 0.0) END AS unigram_entropy
        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The full distributed logistic-regression replay (d120): md5-nibble
+    * bag-of-words featurize, TWO fixed-point gradient steps (per-doc
+    * contributions floored to 16 fractional bits — integer sums replay
+    * in any order), then scoring — weights never cross engines, both
+    * sides train their own. The margin is a FIXED left-to-right 17-term
+    * chain and its argument is floored before `exp`, so σ sees
+    * bit-identical doubles (the d109 ln-replays-float-for-float
+    * precedent); the one guarded surface is ROUND(p, 6). Generated, not
+    * hand-written: the 16 bucket columns/terms are interpolated. */
+  private lazy val LogRegOracleSql: String = {
+    val nibCounts = (0 until 16)
+      .map(j => s"SUM(CASE WHEN nib=$j THEN 1 ELSE 0 END) AS c$j")
+      .mkString(",\n       |   ")
+    val featCols = (0 until 16)
+      .map(j => s"CAST(COALESCE(bc.c$j, 0) AS DOUBLE) AS c$j")
+      .mkString(",\n       |   ")
+    def zBody(w: Int => String): String =
+      (1 until 16).foldLeft(s"${w(0)} * (c0/n)")(
+        (acc, j) => s"$acc + ${w(j)} * (c$j/n)") + s" + ${w(16)}"
+    def pExpr(w: Int => String): String =
+      s"1.0/(1.0 + exp(-(CAST(floor((${zBody(w)}) * 65536.0) AS DOUBLE)/65536.0)))"
+    val gradSums = ((0 until 16)
+      .map(j => s"SUM(CAST(floor(((y - p) * (c$j/n)) * 65536.0) AS BIGINT)) AS s$j") :+
+      "SUM(CAST(floor((y - p) * 65536.0) AS BIGINT)) AS s16")
+      .mkString(",\n       |   ")
+    val w1Cols = (0 until 17)
+      .map(j => s"0.0 + 1.0 * (CAST(s$j AS DOUBLE) / 65536.0 / nn) AS w$j")
+      .mkString(",\n       |   ")
+    val w2Cols = (0 until 17)
+      .map(j => s"w.w$j + 1.0 * (CAST(s$j AS DOUBLE) / 65536.0 / nn) AS w$j")
+      .mkString(",\n       |   ")
+    s"""WITH d AS (SELECT doc_id, lang, text, $ToksSql AS t FROM documents),
+       |occ AS (SELECT doc_id,
+       |    strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS nib
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM d WHERE text IS NOT NULL)),
+       |bc AS (SELECT doc_id,
+       |   $nibCounts
+       |  FROM occ GROUP BY doc_id),
+       |f AS (SELECT d.doc_id,
+       |   CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |   CAST(GREATEST(len(d.t), 1) AS DOUBLE) AS n,
+       |   $featCols
+       |  FROM d LEFT JOIN bc USING (doc_id) WHERE d.text IS NOT NULL),
+       |p1 AS (SELECT f.*, ${pExpr(_ => "0.0")} AS p FROM f),
+       |s1 AS (SELECT
+       |   $gradSums,
+       |   CAST(COUNT(*) AS DOUBLE) AS nn FROM p1),
+       |w1 AS (SELECT
+       |   $w1Cols
+       |  FROM s1),
+       |p2 AS (SELECT f.*, ${pExpr(j => s"w.w$j")} AS p
+       |  FROM f CROSS JOIN w1 w),
+       |s2 AS (SELECT
+       |   $gradSums,
+       |   CAST(COUNT(*) AS DOUBLE) AS nn FROM p2),
+       |w2 AS (SELECT
+       |   $w2Cols
+       |  FROM s2 CROSS JOIN w1 w),
+       |ff AS (SELECT d.doc_id, d.text,
+       |   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
+       |   CAST(GREATEST(len(d.t), 1) AS DOUBLE) AS n,
+       |   $featCols
+       |  FROM d LEFT JOIN bc USING (doc_id)),
+       |sc AS (SELECT ff.doc_id, ff.text, ff.label,
+       |   ${pExpr(j => s"w.w$j")} AS p
+       |  FROM ff CROSS JOIN w2 w)
+       |SELECT doc_id, CAST(label AS BIGINT) AS label,
+       |  CASE WHEN text IS NULL THEN NULL ELSE ROUND(p, 6) END AS score,
+       |  CAST(CASE WHEN text IS NULL THEN NULL
+       |    WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val WeightedSampleOracleSql: String =
     s"""WITH d AS (SELECT doc_id, lang,
@@ -7836,6 +7933,7 @@ object SparkEntry {
     // map-only scoring is batch-invariant, so the stream twin grades
     // against the identical replay (the s59/d91 pattern)
     "s75_stream_unigram_entropy" -> UnigramEntropyOracleSql,
+    "d120_quality_classifier_train" -> LogRegOracleSql,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

@@ -466,6 +466,26 @@ object BucketUtil {
     c
   }
 
+  /** Per-token md5-nibble histogram: bucket j (0..15) counts the tokens
+    * whose md5 FIRST hex nibble is j — the 16-dim hashed bag-of-words
+    * feature vector of the distributed quality-classifier trainer
+    * (`SELECT strpos('0123456789abcdef', substr(md5(tok),1,1))-1` in the
+    * relational replay: the first hex char IS the high nibble of digest
+    * byte 0). One pass, entirely within the row. */
+  def nibbleHistogram(arr: ArrayData): ArrayData = {
+    val h = new Array[Long](16)
+    val md = md5Local.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      h((md.digest()(0) & 0xff) >>> 4) += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(h)
+  }
+
   /** Natural-log entropy of the token array's OWN unigram distribution:
     * `ln(N) − Σ c·ln c / N` over the per-token counts `c` (0.0 for an
     * empty array) — the RedPajama-v2 `unigram_entropy` quality signal.
@@ -958,6 +978,50 @@ case class UnigramEntropy(child: Expression) extends UnaryExpression {
       }""")
 
   override protected def withNewChildInternal(c: Expression): UnigramEntropy =
+    copy(child = c)
+}
+
+/** `nibble_histogram(tokens)`: the 16-bucket hashed bag-of-words counts
+  * (md5 first nibble per token, see [[BucketUtil.nibbleHistogram]]) in
+  * ONE compiled loop — the feature extraction of the distributed
+  * logistic-regression quality classifier ([[graft.ops.TextOps]]
+  * trainLogReg). Map-only, carries no plan payload. A NULL token makes
+  * the histogram NULL (the d-kernel fold-poison contract). */
+case class NibbleHistogram(child: Expression) extends UnaryExpression {
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable || elementsNullable
+  override def prettyName: String = "nibble_histogram"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nibble_histogram expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.nibbleHistogram(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.nibbleHistogram($a)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.nibbleHistogram($a);
+      }""")
+
+  override protected def withNewChildInternal(c: Expression): NibbleHistogram =
     copy(child = c)
 }
 
@@ -2470,6 +2534,10 @@ object GraftFunctions {
   /** Per-row unigram entropy of a token array (see [[UnigramEntropy]]). */
   def unigram_entropy(tokens: Column): Column =
     ColumnBridge.column(UnigramEntropy(expression(tokens)))
+
+  /** 16-bucket md5-nibble token histogram (see [[NibbleHistogram]]). */
+  def nibble_histogram(tokens: Column): Column =
+    ColumnBridge.column(NibbleHistogram(expression(tokens)))
 
   /** Build the probe set ONCE on the driver and broadcast it — one copy
     * per executor JVM instead of one per task (see [[AnyInSet]]).

@@ -453,4 +453,88 @@ object TextOps {
     * whitespace counts undercount code/CJK/URLs badly. */
   def bpeEncode(text: Column, merges: Array[(String, String)]): Column =
     graft.functions.GraftFunctions.bpe_encode(text, merges)
+
+  /** The 17-dim logistic-regression margin `w·x` over the md5-nibble
+    * bag-of-words features, built in a FIXED left-to-right order
+    * (`((w0·x0 + w1·x1) + …) + w16`) and then floored to 16 fractional
+    * bits, so `exp` sees bit-identical doubles under any partitioning
+    * and in the relational replay — left-to-right IEEE addition is
+    * deterministic, and Catalyst never reassociates float `+`. */
+  private def logRegMargin(toksCol: Column, w: Array[Double]): Column = {
+    val h = graft.functions.GraftFunctions.nibble_histogram(toksCol)
+    val n = greatest(size(toksCol), lit(1)).cast("double")
+    val x = (j: Int) => h.getItem(j).cast("double") / n
+    val z = (1 until 16).foldLeft(lit(w(0)) * x(0))(
+      (acc, j) => acc + lit(w(j)) * x(j)) + lit(w(16))
+    floor(z * lit(65536.0)).cast("double") / lit(65536.0)
+  }
+
+  /** σ(margin) with the quantized argument of [[logRegMargin]]. */
+  private def logRegP(toksCol: Column, w: Array[Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(-logRegMargin(toksCol, w)))
+
+  /**
+   * Distributed logistic-regression trainer for a fastText/CCNet-style
+   * quality/domain classifier: hashed bag-of-words features (the 16
+   * md5-nibble buckets of [[graft.functions.NibbleHistogram]],
+   * length-normalized, + bias), full-batch gradient ascent on the
+   * log-likelihood with per-document gradient contributions FLOORED to
+   * 16 fractional bits before summing — integer sums are
+   * order-invariant, so the trained weights are BITWISE REPRODUCIBLE
+   * under any partitioning and replayable by a cross-engine oracle
+   * (the e48 fixed-point k-means trick applied to gradient descent;
+   * DSIR's 16-bit flooring applied to a trained model's updates).
+   *
+   * 100 TB shape: one map-only featurize + partial-aggregated exchange
+   * of 17 longs per iteration; the only driver state is the 17-double
+   * weight vector (the kmeansFit envelope). 16 buckets is a
+   * deliberately tiny demonstration feature space — a production run
+   * raises the bucket count (the kernel generalizes to any nibble
+   * depth), not the algorithm.
+   *
+   * Returns the 17 weights (16 buckets + bias). Null-text rows are
+   * excluded from training; `label` must be 0/1-valued.
+   */
+  def trainLogReg(df: DataFrame, textCol: String, label: Column,
+                  iters: Int = 2, lr: Double = 1.0): Array[Double] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val toks = tokens(col(textCol))
+    val h = graft.functions.GraftFunctions.nibble_histogram(toks)
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val feats = df.where(col(textCol).isNotNull)
+      .select(label.cast("double").as("y"), h.as("h"), n.as("n"))
+    val w = new Array[Double](17)
+    var it = 0
+    while (it < iters) {
+      // feats already holds h and n, so rebuild the margin from THOSE
+      // columns in the same fixed order instead of re-tokenizing
+      val x = (j: Int) => col("h").getItem(j).cast("double") / col("n")
+      val zRaw = (1 until 16).foldLeft(lit(w(0)) * x(0))(
+        (acc, j) => acc + lit(w(j)) * x(j)) + lit(w(16))
+      val zq = floor(zRaw * lit(65536.0)).cast("double") / lit(65536.0)
+      val pv = lit(1.0) / (lit(1.0) + exp(-zq))
+      val g = (j: Int) =>
+        sum(floor(((col("y") - pv) * x(j)) * lit(65536.0)).cast("long"))
+          .as(s"s$j")
+      val gBias =
+        sum(floor((col("y") - pv) * lit(65536.0)).cast("long")).as("s16")
+      val aggs = (0 until 16).map(g) :+ gBias :+ count(lit(1)).as("nn")
+      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val nn = row.getLong(17).toDouble
+      var j = 0
+      while (j < 17) {
+        w(j) = w(j) + lr * (row.getLong(j).toDouble / 65536.0 / nn)
+        j += 1
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Classifier probability for `text` under trained [[trainLogReg]]
+    * weights — map-only (one codegen histogram + a fixed-order dot). */
+  def scoreLogReg(text: Column, w: Array[Double]): Column = {
+    require(w.length == 17, s"want 16 bucket weights + bias, got ${w.length}")
+    logRegP(tokens(text), w)
+  }
 }

@@ -2436,6 +2436,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("logistic-regression trainer: partition-invariant, learning, guarded") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    val isEn = when($"lang" === "en", lit(1.0)).otherwise(lit(0.0))
+    val w = TextOps.trainLogReg(docs, "text", isEn, iters = 2)
+    // fixed-point gradient sums: BITWISE identical weights on any layout
+    val wRepart = TextOps.trainLogReg(docs.repartition(13), "text", isEn, iters = 2)
+    assert(w.toSeq == wRepart.toSeq,
+      "floored gradient sums must make training partition-invariant")
+    assert(w.exists(_ != 0.0), "two iterations must move off the origin")
+    // every score is a probability; NULL only for NULL text
+    val scored = docs.select(isEn.as("y"),
+      TextOps.scoreLogReg($"text", w).as("p"), $"text").collect()
+    assert(scored.forall(r => (r.isNullAt(1) && r.isNullAt(2)) ||
+      (r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0)))
+    // gradient ASCENT on the log-likelihood: positives must average a
+    // higher predicted probability than negatives after two steps
+    val (pos, neg) = scored.filter(!_.isNullAt(1)).partition(_.getDouble(0) == 1.0)
+    val meanP = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.getDouble(1)).sum / rs.length
+    assert(pos.nonEmpty && neg.nonEmpty && meanP(pos) > meanP(neg),
+      s"en-mean ${meanP(pos)} must exceed non-en-mean ${meanP(neg)}")
+    // bad shapes refuse
+    intercept[IllegalArgumentException] {
+      TextOps.scoreLogReg($"text", Array(1.0, 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.trainLogReg(docs, "text", isEn, iters = 0)
+    }
+  }
+
   test("cluster-balanced sample: exact budgets, members only, reproducible") {
     import graft.ops.{CorpusOps, SimilarityOps}
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
