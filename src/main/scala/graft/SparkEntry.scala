@@ -1697,6 +1697,27 @@ object SparkEntry {
       s.table(sink).orderBy("doc_id")
     }),
 
+    "s76_stream_classifier_score" -> ((s, dir) => {
+      // train/serve parity for the d120 classifier: the model trains on
+      // the TABLE (two bounded driver actions), then scores the arriving
+      // stream map-only (one codegen histogram + a fixed-order dot — no
+      // state store, no shuffle), so in-flight scores are identical to
+      // batch scores by construction and the d120 oracle grades them.
+      val docs = t(s, dir, "documents")
+      val isEn = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+      val w = TextOps.trainLogReg(docs, "text", isEn, iters = 2, lr = 1.0)
+      val p = TextOps.scoreLogReg(col("text"), w)
+      val scored = tStream(s, dir, "documents").select(col("doc_id"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("label"),
+        round(p, 6).as("score"),
+        (p >= lit(0.5)).cast("long").as("pred"))
+      val sink = s"s76_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = scored.writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     "s68_stream_split_assign" -> ((s, dir) => {
       // split assignment AT INGEST: splitAssign is map-only (content-hash
       // bucket arithmetic, zero state), so documents get their permanent
@@ -2791,6 +2812,54 @@ object SparkEntry {
           round(p, 6).as("score"),
           (p >= lit(0.5)).cast("long").as("pred"))
         .orderBy("doc_id")
+    }),
+
+    "d121_classifier_calibration" -> ((s, dir) => {
+      // the classifier-QA step after d120's training: a reliability
+      // table — per decile of predicted probability, how often is the
+      // label actually positive? (the ECE ingredients). Bin membership
+      // is exact (floor(p·10) on bit-identical p); mean_label is an
+      // integer ratio; mean_score goes through a fixed-point sum
+      // (floor(p·2^16) — order-invariant), so the whole table replays.
+      // One map-only scoring pass + one ≤10-row aggregate. Trained
+      // deeper than d120 (16 steps, lr 2) so several deciles populate.
+      val docs = t(s, dir, "documents")
+      val isEn = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+      val w = TextOps.trainLogReg(docs, "text", isEn, iters = 16, lr = 2.0)
+      val p = TextOps.scoreLogReg(col("text"), w)
+      docs.where(col("text").isNotNull)
+        .select(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("label"),
+          least(floor(p * lit(10.0)), lit(9L)).cast("long").as("bin"),
+          floor(p * lit(65536.0)).cast("long").as("pq"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).as("n_pos"),
+          round(sum(col("label")).cast("double") / count(lit(1)), 6)
+            .as("mean_label"),
+          round(sum(col("pq")).cast("double") / lit(65536.0) / count(lit(1)), 6)
+            .as("mean_score"))
+        .orderBy("bin")
+    }),
+
+    "d122_classifier_eval" -> ((s, dir) => {
+      // the honest eval loop: train on the d43 content-hash TRAINING
+      // split (md5 first hex not in 0-2), report confusion cells on the
+      // ~18.75% held-out docs the model never saw — integer-exact, so
+      // the oracle retrains on the same split and replays the cells.
+      // Generalization, not memorization, is what the counts grade.
+      val docs = t(s, dir, "documents")
+      val inHoldout = substring(md5(col("text").cast("binary")), 1, 1)
+        .isin("0", "1", "2")
+      val isEn = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+      val w = TextOps.trainLogReg(docs.where(!inHoldout), "text", isEn,
+        iters = 16, lr = 2.0)
+      val p = TextOps.scoreLogReg(col("text"), w)
+      docs.where(col("text").isNotNull && inHoldout)
+        .select(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("label"),
+          (p >= lit(0.5)).cast("long").as("pred"))
+        .groupBy("label", "pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("label", "pred")
     }),
 
     "d114_tokenizer_fertility" -> ((s, dir) => {
@@ -4930,55 +4999,59 @@ object SparkEntry {
     * bit-identical doubles (the d109 ln-replays-float-for-float
     * precedent); the one guarded surface is ROUND(p, 6). Generated, not
     * hand-written: the 16 bucket columns/terms are interpolated. */
-  private lazy val LogRegOracleSql: String = {
+  private def logRegReplayCtes(trainWhere: String, iters: Int = 2,
+                               lr: Double = 1.0): String = {
+    val lrSql = if (lr == lr.toLong.toDouble) s"${lr.toLong}.0" else lr.toString
     val nibCounts = (0 until 16)
       .map(j => s"SUM(CASE WHEN nib=$j THEN 1 ELSE 0 END) AS c$j")
       .mkString(",\n       |   ")
     val featCols = (0 until 16)
       .map(j => s"CAST(COALESCE(bc.c$j, 0) AS DOUBLE) AS c$j")
       .mkString(",\n       |   ")
+    // centered features: 16·c_j/n − 1 (see TextOps.logRegMargin)
+    def xSql(j: Int): String = s"(c$j * 16.0 / n - 1.0)"
     def zBody(w: Int => String): String =
-      (1 until 16).foldLeft(s"${w(0)} * (c0/n)")(
-        (acc, j) => s"$acc + ${w(j)} * (c$j/n)") + s" + ${w(16)}"
+      (1 until 16).foldLeft(s"${w(0)} * ${xSql(0)}")(
+        (acc, j) => s"$acc + ${w(j)} * ${xSql(j)}") + s" + ${w(16)}"
     def pExpr(w: Int => String): String =
       s"1.0/(1.0 + exp(-(CAST(floor((${zBody(w)}) * 65536.0) AS DOUBLE)/65536.0)))"
     val gradSums = ((0 until 16)
-      .map(j => s"SUM(CAST(floor(((y - p) * (c$j/n)) * 65536.0) AS BIGINT)) AS s$j") :+
+      .map(j => s"SUM(CAST(floor(((y - p) * ${xSql(j)}) * 65536.0) AS BIGINT)) AS s$j") :+
       "SUM(CAST(floor((y - p) * 65536.0) AS BIGINT)) AS s16")
       .mkString(",\n       |   ")
-    val w1Cols = (0 until 17)
-      .map(j => s"0.0 + 1.0 * (CAST(s$j AS DOUBLE) / 65536.0 / nn) AS w$j")
-      .mkString(",\n       |   ")
-    val w2Cols = (0 until 17)
-      .map(j => s"w.w$j + 1.0 * (CAST(s$j AS DOUBLE) / 65536.0 / nn) AS w$j")
-      .mkString(",\n       |   ")
-    s"""WITH d AS (SELECT doc_id, lang, text, $ToksSql AS t FROM documents),
+    // round k: p_k from w_{k-1} (w_0 is the literal zero vector),
+    // gradient sums s_k, weights w_k = w_{k-1} + lr·(s/2^16/nn)
+    val rounds = (1 to iters).map { k =>
+      val wref: Int => String =
+        if (k == 1) (_: Int) => "0.0" else j => s"w.w$j"
+      val from = if (k == 1) "f" else s"f CROSS JOIN w${k - 1} w"
+      val wCols = (0 until 17).map { j =>
+        val prev = if (k == 1) "0.0" else s"w.w$j"
+        s"$prev + $lrSql * (CAST(s$j AS DOUBLE) / 65536.0 / nn) AS w$j"
+      }.mkString(",\n       |   ")
+      val wFrom = if (k == 1) s"s$k" else s"s$k CROSS JOIN w${k - 1} w"
+      s"""p$k AS (SELECT f.*, ${pExpr(wref)} AS p FROM $from),
+         |s$k AS MATERIALIZED (SELECT
+         |   $gradSums,
+         |   CAST(COUNT(*) AS DOUBLE) AS nn FROM p$k),
+         |w$k AS MATERIALIZED (SELECT
+         |   $wCols
+         |  FROM $wFrom)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, lang, text, $ToksSql AS t FROM documents),
        |occ AS (SELECT doc_id,
        |    strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS nib
        |  FROM (SELECT doc_id, unnest(t) AS tok FROM d WHERE text IS NOT NULL)),
-       |bc AS (SELECT doc_id,
+       |bc AS MATERIALIZED (SELECT doc_id,
        |   $nibCounts
        |  FROM occ GROUP BY doc_id),
-       |f AS (SELECT d.doc_id,
+       |f AS MATERIALIZED (SELECT d.doc_id,
        |   CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |   CAST(GREATEST(len(d.t), 1) AS DOUBLE) AS n,
        |   $featCols
-       |  FROM d LEFT JOIN bc USING (doc_id) WHERE d.text IS NOT NULL),
-       |p1 AS (SELECT f.*, ${pExpr(_ => "0.0")} AS p FROM f),
-       |s1 AS (SELECT
-       |   $gradSums,
-       |   CAST(COUNT(*) AS DOUBLE) AS nn FROM p1),
-       |w1 AS (SELECT
-       |   $w1Cols
-       |  FROM s1),
-       |p2 AS (SELECT f.*, ${pExpr(j => s"w.w$j")} AS p
-       |  FROM f CROSS JOIN w1 w),
-       |s2 AS (SELECT
-       |   $gradSums,
-       |   CAST(COUNT(*) AS DOUBLE) AS nn FROM p2),
-       |w2 AS (SELECT
-       |   $w2Cols
-       |  FROM s2 CROSS JOIN w1 w),
+       |  FROM d LEFT JOIN bc USING (doc_id)
+       |  WHERE d.text IS NOT NULL AND ($trainWhere)),
+       |$rounds,
        |ff AS (SELECT d.doc_id, d.text,
        |   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
        |   CAST(GREATEST(len(d.t), 1) AS DOUBLE) AS n,
@@ -4986,13 +5059,46 @@ object SparkEntry {
        |  FROM d LEFT JOIN bc USING (doc_id)),
        |sc AS (SELECT ff.doc_id, ff.text, ff.label,
        |   ${pExpr(j => s"w.w$j")} AS p
-       |  FROM ff CROSS JOIN w2 w)
+       |  FROM ff CROSS JOIN w$iters w)""".stripMargin
+  }
+
+  private lazy val LogRegOracleSql: String =
+    s"""${logRegReplayCtes("TRUE")}
        |SELECT doc_id, CAST(label AS BIGINT) AS label,
        |  CASE WHEN text IS NULL THEN NULL ELSE ROUND(p, 6) END AS score,
        |  CAST(CASE WHEN text IS NULL THEN NULL
        |    WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
        |FROM sc ORDER BY doc_id""".stripMargin
-  }
+
+  /** d121: reliability bins of a deeper-trained model (16 steps, lr 2 —
+    * enough movement to populate several deciles) — per decile of
+    * predicted probability, doc count, positive count, exact mean label,
+    * and a fixed-point mean score (sum of floor(p·2^16) —
+    * order-invariant). */
+  private lazy val LogRegCalibrationOracleSql: String =
+    s"""${logRegReplayCtes("TRUE", iters = 16, lr = 2.0)}
+       |SELECT CAST(LEAST(CAST(floor(p * 10.0) AS BIGINT), 9) AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(label) AS BIGINT) AS n_pos,
+       |  ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS mean_label,
+       |  ROUND(CAST(SUM(CAST(floor(p * 65536.0) AS BIGINT)) AS DOUBLE)
+       |    / 65536.0 / COUNT(*), 6) AS mean_score
+       |FROM sc WHERE text IS NOT NULL
+       |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** d122: train on the content-hash training split (md5 first hex NOT
+    * in 0-2 — the d43 convention), confusion cells on the ~18.75%
+    * held-out docs. */
+  private lazy val LogRegEvalOracleSql: String =
+    s"""${logRegReplayCtes("substr(md5(text), 1, 1) NOT IN ('0', '1', '2')",
+          iters = 16, lr = 2.0)}
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM sc
+       |WHERE text IS NOT NULL
+       |  AND substr(md5(text), 1, 1) IN ('0', '1', '2')
+       |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
 
   private lazy val WeightedSampleOracleSql: String =
     s"""WITH d AS (SELECT doc_id, lang,
@@ -7934,6 +8040,11 @@ object SparkEntry {
     // against the identical replay (the s59/d91 pattern)
     "s75_stream_unigram_entropy" -> UnigramEntropyOracleSql,
     "d120_quality_classifier_train" -> LogRegOracleSql,
+    // map-only scoring under a table-trained model is batch-invariant,
+    // so the serving twin grades against the identical replay
+    "s76_stream_classifier_score" -> LogRegOracleSql,
+    "d121_classifier_calibration" -> LogRegCalibrationOracleSql,
+    "d122_classifier_eval" -> LogRegEvalOracleSql,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

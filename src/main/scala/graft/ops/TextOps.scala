@@ -459,11 +459,19 @@ object TextOps {
     * (`((w0·x0 + w1·x1) + …) + w16`) and then floored to 16 fractional
     * bits, so `exp` sees bit-identical doubles under any partitioning
     * and in the relational replay — left-to-right IEEE addition is
-    * deterministic, and Catalyst never reassociates float `+`. */
+    * deterministic, and Catalyst never reassociates float `+`.
+    * Features are CENTERED (`16·c_j/n − 1`, mean ≈ 0): the raw
+    * fractions sum to exactly 1 per document, i.e. they are collinear
+    * with the bias, which puts a ~16× eigenvalue on that direction and
+    * caps the stable learning rate at ~0.5 — centering removes it, so
+    * the bias learns the base rate and the features learn the signal
+    * at ordinary rates (standard feature standardization, done
+    * replayably). */
   private def logRegMargin(toksCol: Column, w: Array[Double]): Column = {
     val h = graft.functions.GraftFunctions.nibble_histogram(toksCol)
     val n = greatest(size(toksCol), lit(1)).cast("double")
-    val x = (j: Int) => h.getItem(j).cast("double") / n
+    val x = (j: Int) =>
+      h.getItem(j).cast("double") * lit(16.0) / n - lit(1.0)
     val z = (1 until 16).foldLeft(lit(w(0)) * x(0))(
       (acc, j) => acc + lit(w(j)) * x(j)) + lit(w(16))
     floor(z * lit(65536.0)).cast("double") / lit(65536.0)
@@ -507,8 +515,10 @@ object TextOps {
     var it = 0
     while (it < iters) {
       // feats already holds h and n, so rebuild the margin from THOSE
-      // columns in the same fixed order instead of re-tokenizing
-      val x = (j: Int) => col("h").getItem(j).cast("double") / col("n")
+      // columns in the same fixed order (and the same centering, see
+      // logRegMargin) instead of re-tokenizing
+      val x = (j: Int) =>
+        col("h").getItem(j).cast("double") * lit(16.0) / col("n") - lit(1.0)
       val zRaw = (1 until 16).foldLeft(lit(w(0)) * x(0))(
         (acc, j) => acc + lit(w(j)) * x(j)) + lit(w(16))
       val zq = floor(zRaw * lit(65536.0)).cast("double") / lit(65536.0)
