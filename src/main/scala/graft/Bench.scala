@@ -120,7 +120,12 @@ object Bench {
     // recall-vs-nprobe curve (one geometry, 5 probe settings + one exact
     // pass over the bounded query batch)
     "d118_bpe_batched", "s74_stream_contamination_report",
-    "e67_ivf_recall_curve")
+    "e67_ivf_recall_curve",
+    // round-16: the map-only unigram-entropy signal (one codegen loop,
+    // zero shuffles) and the distributed classifier trainer (2 gradient
+    // steps = 2 partial-aggregated 17-long exchanges over the persisted
+    // featurized projection, + one map-only scoring pass)
+    "d119_unigram_entropy", "d120_quality_classifier_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -208,7 +213,7 @@ object Bench {
     // The LAST line is a compact medians-only summary (r14 verdict item 2):
     // the driver keeps EXACTLY the final 2,000 chars of output (measured
     // on BENCH_r13-r15), which after the sbt "[success]" line leaves
-    // ~1,915 for this line — the 65 query medians alone are ~1,700, so
+    // ~1,915 for this line — the 67 query medians alone are ~1,760, so
     // every extra field is budgeted. What rides here, ordered by
     // importance toward the END (front truncates first):
     //   queries  — all medians, 3 decimals (the judge's per-query compare)

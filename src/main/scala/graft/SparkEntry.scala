@@ -2862,6 +2862,28 @@ object SparkEntry {
         .orderBy("label", "pred")
     }),
 
+    "d123_active_learning" -> ((s, dir) => {
+      // uncertainty sampling — the annotation-batch miner of an
+      // active-learning loop: the 40 docs the d121 model is LEAST sure
+      // about (|p − 0.5| minimal), selected label-free. One global
+      // map-side-combining top_k_by (a 40-heap per partition, one
+      // ≤40-row merge — never a corpus sort); ordering by a computed
+      // double with a doc_id tie-break is the e37/d109 precedent.
+      val docs = t(s, dir, "documents")
+      val isEn = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+      val w = TextOps.trainLogReg(docs, "text", isEn, iters = 16, lr = 2.0)
+      val p = TextOps.scoreLogReg(col("text"), w)
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), (-abs(p - lit(0.5))).as("__key"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by(col("__key"), col("doc_id"), 40).as("__topk"))
+        .select(posexplode(col("__topk")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"),
+          round(-col("col.score"), 6).as("uncertainty"))
+        .orderBy("rank")
+    }),
+
     "d114_tokenizer_fertility" -> ((s, dir) => {
       // the trained tokenizer APPLIED: d113's merges (a bounded 3-row
       // collect — the train-then-apply pattern) segment every eligible
@@ -5085,6 +5107,18 @@ object SparkEntry {
        |    / 65536.0 / COUNT(*), 6) AS mean_score
        |FROM sc WHERE text IS NOT NULL
        |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** d123: the 40 most-uncertain docs under the d121 model — the
+    * active-learning annotation batch (u = |p − 0.5| ascending, doc_id
+    * tie-break, label-free selection). */
+  private lazy val LogRegActiveOracleSql: String =
+    s"""${logRegReplayCtes("TRUE", iters = 16, lr = 2.0)},
+       |u AS (SELECT doc_id, abs(p - 0.5) AS u FROM sc WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, u,
+       |  row_number() OVER (ORDER BY u, doc_id) AS rank FROM u)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       |  ROUND(u, 6) AS uncertainty
+       |FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin
 
   /** d122: train on the content-hash training split (md5 first hex NOT
     * in 0-2 — the d43 convention), confusion cells on the ~18.75%
@@ -8045,6 +8079,7 @@ object SparkEntry {
     "s76_stream_classifier_score" -> LogRegOracleSql,
     "d121_classifier_calibration" -> LogRegCalibrationOracleSql,
     "d122_classifier_eval" -> LogRegEvalOracleSql,
+    "d123_active_learning" -> LogRegActiveOracleSql,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

@@ -509,8 +509,13 @@ object TextOps {
     val toks = tokens(col(textCol))
     val h = graft.functions.GraftFunctions.nibble_histogram(toks)
     val n = greatest(size(toks), lit(1)).cast("double")
+    // featurize ONCE and iterate on the persisted projection (17 numbers
+    // + label per doc, ~150 B/row): without this, every gradient step
+    // re-scans and re-tokenizes the raw corpus — 16 iterations over
+    // 100 TB is 16 corpus scans where one suffices
     val feats = df.where(col(textCol).isNotNull)
       .select(label.cast("double").as("y"), h.as("h"), n.as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = new Array[Double](17)
     var it = 0
     while (it < iters) {
@@ -538,6 +543,7 @@ object TextOps {
       }
       it += 1
     }
+    feats.unpersist(blocking = false)
     w
   }
 
