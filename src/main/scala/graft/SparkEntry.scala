@@ -3875,6 +3875,24 @@ object SparkEntry {
         .orderBy("cluster", "rank")
     }),
 
+    "e69_pca_power" -> ((s, dir) => {
+      // top principal direction by distributed power iteration (4
+      // rounds, fixed-point contributions — bitwise partitioning-
+      // invariant, the e48/d120 trick on spectral linear algebra), then
+      // every vector's projection onto it map-only. The oracle replays
+      // init → 4 matrix-free iterations → normalize → project,
+      // term-for-term (sqrt is IEEE-correctly-rounded, so the
+      // normalization needs no guard; the one rounded surface is the
+      // output ROUND 6).
+      val emb = t(s, dir, "embeddings")
+      val v = SimilarityOps.powerIterationFit(emb, "embedding", dim = 64,
+        iters = 4)
+      emb.select(col("vec_id"),
+          round(SimilarityOps.principalProjection(col("embedding"), v), 6)
+            .as("proj"))
+        .orderBy("vec_id")
+    }),
+
     "e60_ann_recall" -> ((s, dir) => {
       // recall@5 of the REAL e55 matryoshka configuration (prefix 16,
       // shortlist 32 — ~0.5 recall on this isotropic fixture, see e55's
@@ -5107,6 +5125,47 @@ object SparkEntry {
        |    / 65536.0 / COUNT(*), 6) AS mean_score
        |FROM sc WHERE text IS NOT NULL
        |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** e69: the full power-iteration replay — init e_0, `iters` rounds of
+    * (fixed-order dot → fixed-point per-dim sums → sqrt-normalize), then
+    * the per-vector projection. Generated: the 64 dot terms, 64 sums,
+    * and 64 normalized components are interpolated; every chained CTE is
+    * MATERIALIZED (the d121 lesson: an inlined weight chain re-expands
+    * exponentially). */
+  private lazy val PcaPowerOracleSql: String = {
+    val dim = 64
+    val iters = 4
+    def xSql(j: Int) = s"CAST(embedding[${j + 1}] AS DOUBLE)"
+    def dotSql(w: Int => String): String =
+      (1 until dim).foldLeft(s"${w(0)} * ${xSql(0)}")(
+        (acc, j) => s"$acc + ${w(j)} * ${xSql(j)}")
+    val rounds = (1 to iters).map { k =>
+      val wref: Int => String =
+        if (k == 1) j => (if (j == 0) "1.0" else "0.0") else j => s"w.v$j"
+      val from = if (k == 1) "e" else s"e CROSS JOIN v${k - 1} w"
+      val sums = (0 until dim)
+        .map(j => s"SUM(CAST(floor((d * ${xSql(j)}) * 16777216.0) AS BIGINT)) AS s$j")
+        .mkString(",\n       |   ")
+      val ts = (0 until dim)
+        .map(j => s"CAST(s$j AS DOUBLE) / 16777216.0 AS t$j")
+        .mkString(", ")
+      val sumsq = (0 until dim).foldLeft("0.0")(
+        (acc, j) => s"$acc + t$j * t$j")
+      val vs = (0 until dim).map(j => s"t$j / nrm AS v$j").mkString(", ")
+      s"""d$k AS (SELECT e.vec_id, e.embedding, ${dotSql(wref)} AS d FROM $from),
+         |t$k AS MATERIALIZED (SELECT
+         |   $sums
+         |  FROM d$k),
+         |v$k AS MATERIALIZED (SELECT $vs FROM (
+         |  SELECT *, sqrt($sumsq) AS nrm FROM (
+         |    SELECT $ts FROM t$k)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |$rounds
+       |SELECT e.vec_id, ROUND(${dotSql(j => s"w.v$j")}, 6) AS proj
+       |FROM e CROSS JOIN v$iters w
+       |ORDER BY e.vec_id""".stripMargin
+  }
 
   /** d123: the 40 most-uncertain docs under the d121 model — the
     * active-learning annotation batch (u = |p − 0.5| ascending, doc_id
@@ -8080,6 +8139,7 @@ object SparkEntry {
     "d121_classifier_calibration" -> LogRegCalibrationOracleSql,
     "d122_classifier_eval" -> LogRegEvalOracleSql,
     "d123_active_learning" -> LogRegActiveOracleSql,
+    "e69_pca_power" -> PcaPowerOracleSql,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

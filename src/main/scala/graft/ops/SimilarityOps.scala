@@ -1747,4 +1747,62 @@ object SimilarityOps {
     df.select(col(idCol),
       when(size(vec) > 0, proj).as("projection"))
   }
+
+  /** The FIXED left-to-right dot `Σ_j v_j·x_j` of a vector column with a
+    * driver-side array — deterministic IEEE addition order, so the same
+    * expression replays term-for-term in SQL (the d120 margin pattern
+    * widened to `dim` terms; Catalyst never reassociates float `+`). */
+  private def orderedDot(vecCol: Column, v: Array[Double]): Column = {
+    val x = (j: Int) => vecCol.getItem(j).cast("double")
+    (1 until v.length).foldLeft(lit(v(0)) * x(0))(
+      (acc, j) => acc + lit(v(j)) * x(j))
+  }
+
+  /**
+   * Top principal direction of a vector corpus by DISTRIBUTED power
+   * iteration on the (uncentered) second-moment matrix — the spectral
+   * step of an embedding pipeline (dominant-direction removal, ABTT
+   * "all-but-the-top" post-processing, OPQ-style rotations start here).
+   * `v ← normalize(Σ_i x_i·(x_i·v))`, with every per-row contribution
+   * `d_i·x_ij` floored to 2^-scaleBits before summing — the e48/d120
+   * fixed-point trick, so the iterate is BITWISE identical under any
+   * partitioning and a cross-engine oracle replays the whole recursion
+   * (normalization uses `sqrt`, which IEEE-754 requires correctly
+   * rounded — unlike `exp`, it is safe on both engines unguarded).
+   *
+   * 100 TB shape: one partial-aggregated exchange of `dim` longs per
+   * iteration over a map-only dot pass; driver state is the dim-double
+   * iterate (the kmeansFit envelope). Deterministic init (basis e_0).
+   *
+   * Returns the unit-norm direction after `iters` rounds (the exact
+   * iterate — convergence is the caller's knob; the replay is exact at
+   * any depth).
+   */
+  def powerIterationFit(df: DataFrame, vecCol: String, dim: Int,
+                        iters: Int = 4, scaleBits: Int = 24): Array[Double] = {
+    require(dim >= 1 && dim <= graft.functions.RefObjCaps.MaxDim,
+      s"dim must be in [1, ${graft.functions.RefObjCaps.MaxDim}], got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val scale = (1L << scaleBits).toDouble
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    var it = 0
+    while (it < iters) {
+      val d = orderedDot(col(vecCol), v)
+      val x = (j: Int) => col(vecCol).getItem(j).cast("double")
+      val sums = (0 until dim).map(j =>
+        sum(floor((d * x(j)) * lit(scale)).cast("long")).as(s"s$j"))
+      val row = df.agg(sums.head, sums.tail: _*).collect()(0)
+      val t = Array.tabulate(dim)(j => row.getLong(j).toDouble / scale)
+      // left-to-right, matching the generated SQL's 0.0 + t0*t0 + …
+      val norm = math.sqrt(t.foldLeft(0.0)((a, tj) => a + tj * tj))
+      v = t.map(_ / norm)
+      it += 1
+    }
+    v
+  }
+
+  /** Per-vector projection onto a [[powerIterationFit]] direction —
+    * map-only (the same fixed-order dot). */
+  def principalProjection(vecCol: Column, v: Array[Double]): Column =
+    orderedDot(vecCol, v)
 }

@@ -2436,6 +2436,39 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("power iteration: partition-invariant, unit norm, dominant direction") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val v = SimilarityOps.powerIterationFit(emb, "embedding", dim = 64, iters = 4)
+    // fixed-point per-dim sums: BITWISE identical iterate on any layout
+    val vRepart = SimilarityOps.powerIterationFit(
+      emb.repartition(11), "embedding", dim = 64, iters = 4)
+    assert(v.toSeq == vRepart.toSeq,
+      "floored contributions must make the iterate partition-invariant")
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9, s"iterate must be unit norm, got $norm")
+    // Cauchy–Schwarz: |projection| <= ||x|| for every vector
+    val rows = emb.select($"embedding",
+      SimilarityOps.principalProjection($"embedding", v).as("p")).collect()
+    assert(rows.forall { r =>
+      val x = r.getSeq[Float](0)
+      math.abs(r.getDouble(1)) <=
+        math.sqrt(x.map(f => f.toDouble * f.toDouble).sum) + 1e-9
+    })
+    // the power iterate explains at least as much second moment as the
+    // best single BASIS direction (it dominates its own init e_0, and
+    // 4 rounds only improve the Rayleigh quotient up to the fixed-point
+    // floor, which is orders below this margin)
+    val proj2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    val basis2 = (0 until 64).map(j =>
+      rows.map { r => val x = r.getSeq[Float](0)(j).toDouble; x * x }.sum).max
+    assert(proj2 >= basis2 * 0.999,
+      s"dominant direction must not lose to a basis axis: $proj2 vs $basis2")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.powerIterationFit(emb, "embedding", dim = 64, iters = 0)
+    }
+  }
+
   test("logistic-regression trainer: partition-invariant, learning, guarded") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"lang", $"text")
