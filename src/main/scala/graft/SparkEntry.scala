@@ -2790,6 +2790,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d124_zipf_slope" -> ((s, dir) => {
+      // the Zipf-shape audit made quantitative: per-language OLS slope
+      // of ln freq on ln rank over the top-500 vocabulary (natural
+      // language ≈ −1; template spam / OCR noise bend it). Ranks from a
+      // per-stratum map-side top_k_by heap (never a vocabulary sort);
+      // every regression term floored to 2^-24 before the integer sums;
+      // the closed-form OLS arithmetic written identically in the
+      // oracle.
+      CorpusOps.zipfSlope(t(s, dir, "documents"), "lang", "text", k = 500)
+        .orderBy("lang")
+    }),
+
     "d120_quality_classifier_train" -> ((s, dir) => {
       // CCNet/fastText-style quality classifier TRAINED DISTRIBUTED:
       // hashed bag-of-words features (16 md5-nibble buckets + bias),
@@ -3890,6 +3902,23 @@ object SparkEntry {
       emb.select(col("vec_id"),
           round(SimilarityOps.principalProjection(col("embedding"), v), 6)
             .as("proj"))
+        .orderBy("vec_id")
+    }),
+
+    "e70_abtt_residual" -> ((s, dir) => {
+      // "all-but-the-top" post-processing (Mu & Viswanath, ICLR 2018):
+      // remove the e69 dominant direction from every embedding — the
+      // fit → transform composition of the spectral pipeline, map-only.
+      // Output: the removed component and the residual norm, both from
+      // fixed-order arithmetic the oracle replays term-for-term (sqrt
+      // is correctly rounded; ROUND 6 is the one guarded surface).
+      val emb = t(s, dir, "embeddings")
+      val v = SimilarityOps.powerIterationFit(emb, "embedding", dim = 64,
+        iters = 4)
+      val (projC, residC) = SimilarityOps.abttResidual(col("embedding"), v)
+      emb.select(col("vec_id"),
+          round(projC, 6).as("removed"),
+          round(residC, 6).as("resid_norm"))
         .orderBy("vec_id")
     }),
 
@@ -5132,19 +5161,18 @@ object SparkEntry {
     * and 64 normalized components are interpolated; every chained CTE is
     * MATERIALIZED (the d121 lesson: an inlined weight chain re-expands
     * exponentially). */
-  private lazy val PcaPowerOracleSql: String = {
-    val dim = 64
-    val iters = 4
-    def xSql(j: Int) = s"CAST(embedding[${j + 1}] AS DOUBLE)"
-    def dotSql(w: Int => String): String =
-      (1 until dim).foldLeft(s"${w(0)} * ${xSql(0)}")(
-        (acc, j) => s"$acc + ${w(j)} * ${xSql(j)}")
+  private def pcaXSql(j: Int) = s"CAST(embedding[${j + 1}] AS DOUBLE)"
+  private def pcaDotSql(dim: Int, w: Int => String): String =
+    (1 until dim).foldLeft(s"${w(0)} * ${pcaXSql(0)}")(
+      (acc, j) => s"$acc + ${w(j)} * ${pcaXSql(j)}")
+
+  private def pcaPowerCtes(dim: Int, iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       val wref: Int => String =
         if (k == 1) j => (if (j == 0) "1.0" else "0.0") else j => s"w.v$j"
       val from = if (k == 1) "e" else s"e CROSS JOIN v${k - 1} w"
       val sums = (0 until dim)
-        .map(j => s"SUM(CAST(floor((d * ${xSql(j)}) * 16777216.0) AS BIGINT)) AS s$j")
+        .map(j => s"SUM(CAST(floor((d * ${pcaXSql(j)}) * 16777216.0) AS BIGINT)) AS s$j")
         .mkString(",\n       |   ")
       val ts = (0 until dim)
         .map(j => s"CAST(s$j AS DOUBLE) / 16777216.0 AS t$j")
@@ -5152,7 +5180,7 @@ object SparkEntry {
       val sumsq = (0 until dim).foldLeft("0.0")(
         (acc, j) => s"$acc + t$j * t$j")
       val vs = (0 until dim).map(j => s"t$j / nrm AS v$j").mkString(", ")
-      s"""d$k AS (SELECT e.vec_id, e.embedding, ${dotSql(wref)} AS d FROM $from),
+      s"""d$k AS (SELECT e.vec_id, e.embedding, ${pcaDotSql(dim, wref)} AS d FROM $from),
          |t$k AS MATERIALIZED (SELECT
          |   $sums
          |  FROM d$k),
@@ -5161,10 +5189,30 @@ object SparkEntry {
          |    SELECT $ts FROM t$k)))""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-       |$rounds
-       |SELECT e.vec_id, ROUND(${dotSql(j => s"w.v$j")}, 6) AS proj
-       |FROM e CROSS JOIN v$iters w
+       |$rounds""".stripMargin
+  }
+
+  private lazy val PcaPowerOracleSql: String =
+    s"""${pcaPowerCtes(64, 4)}
+       |SELECT e.vec_id, ROUND(${pcaDotSql(64, j => s"w.v$j")}, 6) AS proj
+       |FROM e CROSS JOIN v4 w
        |ORDER BY e.vec_id""".stripMargin
+
+  /** e70: the ABTT transform under the e69 direction — removed
+    * component and residual norm, the same fixed-order arithmetic
+    * (x_j − d·v_j squared left-to-right, then the correctly-rounded
+    * sqrt). */
+  private lazy val AbttOracleSql: String = {
+    val resid = (0 until 64).foldLeft("0.0")((acc, j) =>
+      s"$acc + (${pcaXSql(j)} - d * w.v$j) * (${pcaXSql(j)} - d * w.v$j)")
+    s"""${pcaPowerCtes(64, 4)},
+       |sc AS (SELECT e.vec_id, e.embedding,
+       |   ${pcaDotSql(64, j => s"w.v$j")} AS d
+       |  FROM e CROSS JOIN v4 w)
+       |SELECT sc.vec_id, ROUND(d, 6) AS removed,
+       |  ROUND(sqrt($resid), 6) AS resid_norm
+       |FROM sc CROSS JOIN v4 w
+       |ORDER BY sc.vec_id""".stripMargin
   }
 
   /** d123: the 40 most-uncertain docs under the d121 model — the
@@ -8140,6 +8188,38 @@ object SparkEntry {
     "d122_classifier_eval" -> LogRegEvalOracleSql,
     "d123_active_learning" -> LogRegActiveOracleSql,
     "e69_pca_power" -> PcaPowerOracleSql,
+
+    // per-lang top-500 ranks (count DESC, token tie-break), every OLS
+    // term floored to 2^-24 before its integer sum, closed-form slope/
+    // intercept written exactly as the Spark side computes them
+    "d124_zipf_slope" ->
+      s"""WITH toks AS (SELECT lang, unnest($ToksSql) AS tok FROM documents),
+         |c AS (SELECT lang, tok, CAST(count(*) AS DOUBLE) AS c
+         |  FROM toks GROUP BY 1, 2),
+         |rk AS (SELECT lang, c,
+         |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+         |  FROM c),
+         |t AS (SELECT lang, CAST(r AS DOUBLE) AS r, c FROM rk WHERE r <= 500),
+         |f AS (SELECT lang,
+         |   CAST(floor(ln(r) * 16777216.0) AS BIGINT) AS fx,
+         |   CAST(floor(ln(c) * 16777216.0) AS BIGINT) AS fy,
+         |   CAST(floor((ln(r) * ln(c)) * 16777216.0) AS BIGINT) AS fxy,
+         |   CAST(floor((ln(r) * ln(r)) * 16777216.0) AS BIGINT) AS fxx
+         |  FROM t),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         |   CAST(SUM(fx) AS DOUBLE) / 16777216.0 AS sx,
+         |   CAST(SUM(fy) AS DOUBLE) / 16777216.0 AS sy,
+         |   CAST(SUM(fxy) AS DOUBLE) / 16777216.0 AS sxy,
+         |   CAST(SUM(fxx) AS DOUBLE) / 16777216.0 AS sxx
+         |  FROM f GROUP BY lang),
+         |b AS (SELECT lang, n_terms, sx, sy,
+         |   (CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+         |   (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope
+         |  FROM a)
+         |SELECT lang, n_terms, ROUND(slope, 6) AS slope,
+         |  ROUND((sy - slope * sx) / CAST(n_terms AS DOUBLE), 6) AS intercept
+         |FROM b ORDER BY lang""".stripMargin,
+    "e70_abtt_residual" -> AbttOracleSql,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

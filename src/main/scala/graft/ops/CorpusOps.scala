@@ -1259,6 +1259,53 @@ object CorpusOps {
       .limit(k)
 
   /**
+   * Zipf-slope audit: per stratum, the least-squares slope (and
+   * intercept) of `ln freq` on `ln rank` over the top-`k` vocabulary —
+   * natural language sits near −1; template spam and OCR noise bend it
+   * (the quantitative counterpart of [[frequencySpectrum]]'s counts).
+   *
+   * Replayable end to end: ranks come from a per-stratum `top_k_by`
+   * (count DESC, token tie-break — map-side k-bounded heaps, never a
+   * per-stratum vocabulary sort), every regression TERM (`ln r`,
+   * `ln c`, their product, `ln²r`) is floored to 2^-24 before summing
+   * (integer sums, any order), and the closed-form OLS arithmetic on
+   * the descaled sums is written identically in both engines.
+   */
+  def zipfSlope(df: DataFrame, strataCol: String, textCol: String,
+                k: Int = 500): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val scale = lit(16777216.0) // 2^24
+    val counts = df.select(col(strataCol),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(strataCol, "tok").agg(count(lit(1)).as("c"))
+    val ranked = counts.groupBy(strataCol)
+      .agg(graft.functions.GraftFunctions
+        .top_k_by(col("c").cast("double"), col("tok"), k).as("__tk"))
+      .select(col(strataCol), posexplode(col("__tk")))
+      .select(col(strataCol), (col("pos") + 1).cast("double").as("r"),
+        col("col.score").as("c"))
+    val x = log(col("r"))
+    val y = log(col("c"))
+    val agg = ranked.select(col(strataCol),
+        floor(x * scale).cast("long").as("fx"),
+        floor(y * scale).cast("long").as("fy"),
+        floor((x * y) * scale).cast("long").as("fxy"),
+        floor((x * x) * scale).cast("long").as("fxx"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("fx")).cast("double") / scale).as("sx"),
+        (sum(col("fy")).cast("double") / scale).as("sy"),
+        (sum(col("fxy")).cast("double") / scale).as("sxy"),
+        (sum(col("fxx")).cast("double") / scale).as("sxx"))
+    val n = col("n_terms").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    agg.select(col(strataCol), col("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
+  }
+
+  /**
    * Frequency-spectrum report: per stratum, total tokens, distinct
    * types, hapax legomena (types seen once), and the type-token ratio —
    * the Zipf-shape audit that separates natural language from template

@@ -1805,4 +1805,20 @@ object SimilarityOps {
     * map-only (the same fixed-order dot). */
   def principalProjection(vecCol: Column, v: Array[Double]): Column =
     orderedDot(vecCol, v)
+
+  /** All-but-the-top residual (Mu & Viswanath 2018): the component of
+    * each vector along `v` and the norm of what remains after removing
+    * it — `(x·v, ‖x − (x·v)·v‖)`, both in fixed left-to-right order so
+    * the oracle replays them term-for-term. Map-only. */
+  def abttResidual(vecCol: Column, v: Array[Double]): (Column, Column) = {
+    val d = orderedDot(vecCol, v)
+    val x = (j: Int) => vecCol.getItem(j).cast("double")
+    val term = (j: Int) => {
+      val r = x(j) - d * lit(v(j))
+      r * r
+    }
+    val sumsq = (0 until v.length).foldLeft(lit(0.0): Column)(
+      (acc, j) => acc + term(j))
+    (d, sqrt(sumsq))
+  }
 }

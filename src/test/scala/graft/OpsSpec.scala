@@ -2436,6 +2436,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("zipf slope: ~-1 on a planted power law, partition-invariant") {
+    import graft.ops.CorpusOps
+    // token w_r appears floor(512/r) times, r = 1..16: an exact-ish
+    // power law whose ln-ln regression slope must sit near -1
+    val words = (1 to 16).flatMap(r => Seq.fill(512 / r)(s"w$r"))
+    val df = Seq((1L, "z", words.mkString(" "))).toDF("id", "lang", "text")
+    val out = CorpusOps.zipfSlope(df, "lang", "text", k = 16).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 16L)
+    val slope = out(0).getDouble(2)
+    assert(slope > -1.1 && slope < -0.9, s"planted power law: slope=$slope")
+    // a flat (uniform) vocabulary must flatten the slope toward 0
+    val flat = Seq((1L, "z", (1 to 16).flatMap(r =>
+      Seq.fill(32)(s"w$r")).mkString(" "))).toDF("id", "lang", "text")
+    val s0 = CorpusOps.zipfSlope(flat, "lang", "text", k = 16)
+      .collect()(0).getDouble(2)
+    assert(s0 == 0.0, s"uniform vocabulary must be slope 0, got $s0")
+    // fixed-point term sums: identical output on any layout
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = CorpusOps.zipfSlope(docs, "lang", "text").collect().toSet
+    val b = CorpusOps.zipfSlope(docs.repartition(7), "lang", "text")
+      .collect().toSet
+    assert(a == b, "slope must be partition-invariant")
+  }
+
   test("power iteration: partition-invariant, unit norm, dominant direction") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding")
