@@ -528,13 +528,18 @@ object TextOps {
         (acc, j) => acc + lit(w(j)) * x(j)) + lit(w(16))
       val zq = floor(zRaw * lit(65536.0)).cast("double") / lit(65536.0)
       val pv = lit(1.0) / (lit(1.0) + exp(-zq))
+      // σ is projected ONCE per row before the aggregate — as separate
+      // aggregate inputs the 17 sums would each re-evaluate the full
+      // margin + exp; the projection leaves only a cheap per-bucket
+      // multiply in each sum (numerically identical, same expressions)
+      val scored = feats.select(col("y"), col("h"), col("n"), pv.as("p"))
       val g = (j: Int) =>
-        sum(floor(((col("y") - pv) * x(j)) * lit(65536.0)).cast("long"))
+        sum(floor(((col("y") - col("p")) * x(j)) * lit(65536.0)).cast("long"))
           .as(s"s$j")
       val gBias =
-        sum(floor((col("y") - pv) * lit(65536.0)).cast("long")).as("s16")
+        sum(floor((col("y") - col("p")) * lit(65536.0)).cast("long")).as("s16")
       val aggs = (0 until 16).map(g) :+ gBias :+ count(lit(1)).as("nn")
-      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val row = scored.agg(aggs.head, aggs.tail: _*).collect()(0)
       val nn = row.getLong(17).toDouble
       var j = 0
       while (j < 17) {
