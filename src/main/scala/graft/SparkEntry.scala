@@ -3922,6 +3922,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "e71_pca_second" -> ((s, dir) => {
+      // the SECOND principal direction by deflation: power-iterate on
+      // x − (x·v1)·v1 without materializing the deflated corpus (d1 and
+      // the running dot project once per row, keeping the plan linear
+      // in dim), then every vector's deflated projection map-only. The
+      // oracle replays BOTH fits — v1's four rounds, then u's four
+      // deflated rounds — and the projection, term-for-term.
+      val emb = t(s, dir, "embeddings")
+      val v1 = SimilarityOps.powerIterationFit(emb, "embedding", dim = 64,
+        iters = 4)
+      val u = SimilarityOps.powerIterationDeflatedFit(emb, "embedding",
+        dim = 64, v1 = v1, iters = 4)
+      emb.select(col("vec_id"),
+          round(SimilarityOps.deflatedProjection(col("embedding"), v1, u), 6)
+            .as("proj2"))
+        .orderBy("vec_id")
+    }),
+
     "e60_ann_recall" -> ((s, dir) => {
       // recall@5 of the REAL e55 matryoshka configuration (prefix 16,
       // shortlist 32 — ~0.5 recall on this isotropic fixture, see e55's
@@ -5197,6 +5215,50 @@ object SparkEntry {
        |SELECT e.vec_id, ROUND(${pcaDotSql(64, j => s"w.v$j")}, 6) AS proj
        |FROM e CROSS JOIN v4 w
        |ORDER BY e.vec_id""".stripMargin
+
+  /** e71: the deflated second-component replay — v1's four rounds (the
+    * e69 chain), then four rounds on `x − (x·v1)·v1` with d1 projected
+    * once into a MATERIALIZED per-row CTE, then the deflated
+    * projection. */
+  private lazy val PcaSecondOracleSql: String = {
+    val dim = 64
+    val iters = 4
+    def xdSql(j: Int) = s"(${pcaXSql(j)} - d1 * vv.v$j)"
+    def duSql(u: Int => String): String =
+      (1 until dim).foldLeft(s"${u(0)} * ${xdSql(0)}")(
+        (acc, j) => s"$acc + ${u(j)} * ${xdSql(j)}")
+    val rounds = (1 to iters).map { k =>
+      val uref: Int => String =
+        if (k == 1) j => (if (j == 0) "1.0" else "0.0") else j => s"w.u$j"
+      val from = if (k == 1) "ed CROSS JOIN v4 vv"
+        else s"ed CROSS JOIN v4 vv CROSS JOIN u${k - 1} w"
+      val sums = (0 until dim)
+        .map(j => s"SUM(CAST(floor((du * ${xdSql(j)}) * 16777216.0) AS BIGINT)) AS s$j")
+        .mkString(",\n       |   ")
+      val ts = (0 until dim)
+        .map(j => s"CAST(s$j AS DOUBLE) / 16777216.0 AS t$j")
+        .mkString(", ")
+      val sumsq = (0 until dim).foldLeft("0.0")(
+        (acc, j) => s"$acc + t$j * t$j")
+      val us = (0 until dim).map(j => s"t$j / nrm AS u$j").mkString(", ")
+      s"""g$k AS (SELECT ed.vec_id, ed.embedding, ed.d1, ${duSql(uref)} AS du
+         |  FROM $from),
+         |su$k AS MATERIALIZED (SELECT
+         |   $sums
+         |  FROM g$k CROSS JOIN v4 vv),
+         |u$k AS MATERIALIZED (SELECT $us FROM (
+         |  SELECT *, sqrt($sumsq) AS nrm FROM (
+         |    SELECT $ts FROM su$k)))""".stripMargin
+    }.mkString(",\n")
+    s"""${pcaPowerCtes(dim, 4)},
+       |ed AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+       |   ${pcaDotSql(dim, j => s"w.v$j")} AS d1
+       |  FROM e CROSS JOIN v4 w),
+       |$rounds
+       |SELECT ed.vec_id, ROUND(${duSql(j => s"w.u$j")}, 6) AS proj2
+       |FROM ed CROSS JOIN v4 vv CROSS JOIN u$iters w
+       |ORDER BY ed.vec_id""".stripMargin
+  }
 
   /** e70: the ABTT transform under the e69 direction — removed
     * component and residual norm, the same fixed-order arithmetic
@@ -8220,6 +8282,7 @@ object SparkEntry {
          |  ROUND((sy - slope * sx) / CAST(n_terms AS DOUBLE), 6) AS intercept
          |FROM b ORDER BY lang""".stripMargin,
     "e70_abtt_residual" -> AbttOracleSql,
+    "e71_pca_second" -> PcaSecondOracleSql,
 
     // trainer (top-500 by count, token tiebreak) + coverage both replayed
     "d97_vocab_coverage" ->

@@ -1806,6 +1806,51 @@ object SimilarityOps {
   def principalProjection(vecCol: Column, v: Array[Double]): Column =
     orderedDot(vecCol, v)
 
+  /** Second principal direction by power iteration on the DEFLATED
+    * corpus `x' = x − (x·v1)·v1` — never materializing x': each round
+    * projects `d1 = x·v1` and the running dot `du = u·x'` once per row
+    * (keeping the codegen expression tree linear in `dim`, not
+    * quadratic), then takes the same 2^-scaleBits-floored per-dimension
+    * sums as [[powerIterationFit]]. Same bitwise replay guarantees;
+    * same one-exchange-of-`dim`-longs-per-iteration shape. */
+  def powerIterationDeflatedFit(df: DataFrame, vecCol: String, dim: Int,
+                                v1: Array[Double], iters: Int = 4,
+                                scaleBits: Int = 24): Array[Double] = {
+    require(v1.length == dim, s"v1 must have $dim dims, got ${v1.length}")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val scale = (1L << scaleBits).toDouble
+    var u = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    val x = (j: Int) => col(vecCol).getItem(j).cast("double")
+    val withD1 = df.select(col(vecCol),
+      orderedDot(col(vecCol), v1).as("__d1"))
+    var it = 0
+    while (it < iters) {
+      val xd = (j: Int) => x(j) - col("__d1") * lit(v1(j))
+      val du = (1 until dim).foldLeft(lit(u(0)) * xd(0))(
+        (acc, j) => acc + lit(u(j)) * xd(j))
+      val scored = withD1.select(col(vecCol), col("__d1"), du.as("__du"))
+      val sums = (0 until dim).map(j =>
+        sum(floor((col("__du") * xd(j)) * lit(scale)).cast("long")).as(s"s$j"))
+      val row = scored.agg(sums.head, sums.tail: _*).collect()(0)
+      val t = Array.tabulate(dim)(j => row.getLong(j).toDouble / scale)
+      val norm = math.sqrt(t.foldLeft(0.0)((a, tj) => a + tj * tj))
+      u = t.map(_ / norm)
+      it += 1
+    }
+    u
+  }
+
+  /** Per-vector projection onto the DEFLATED direction `u`:
+    * `(x − (x·v1)·v1)·u`, fixed order throughout. */
+  def deflatedProjection(vecCol: Column, v1: Array[Double],
+                         u: Array[Double]): Column = {
+    val d1 = orderedDot(vecCol, v1)
+    val x = (j: Int) => vecCol.getItem(j).cast("double")
+    val xd = (j: Int) => x(j) - d1 * lit(v1(j))
+    (1 until u.length).foldLeft(lit(u(0)) * xd(0))(
+      (acc, j) => acc + lit(u(j)) * xd(j))
+  }
+
   /** All-but-the-top residual (Mu & Viswanath 2018): the component of
     * each vector along `v` and the norm of what remains after removing
     * it — `(x·v, ‖x − (x·v)·v‖)`, both in fixed left-to-right order so

@@ -141,6 +141,52 @@ class MlPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Sequential reference for powerIterationDeflatedFit. */
+  private def refDeflated(vecs: Seq[Array[Float]], dim: Int,
+                          v1: Array[Double], iters: Int): Array[Double] = {
+    var u = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    def d1(x: Array[Float]): Double = {
+      var d = v1(0) * x(0).toDouble
+      for (j <- 1 until dim) d += v1(j) * x(j).toDouble
+      d
+    }
+    for (_ <- 0 until iters) {
+      val s = Array.fill(dim)(0L)
+      for (x <- vecs) {
+        val d = d1(x)
+        def xd(j: Int): Double = x(j).toDouble - d * v1(j)
+        var du = u(0) * xd(0)
+        for (j <- 1 until dim) du += u(j) * xd(j)
+        for (j <- 0 until dim)
+          s(j) += math.floor(du * xd(j) * 16777216.0).toLong
+      }
+      val t = s.map(_.toDouble / 16777216.0)
+      val norm = math.sqrt(t.foldLeft(0.0)((a, tj) => a + tj * tj))
+      u = t.map(_ / norm)
+    }
+    u
+  }
+
+  test("powerIterationDeflatedFit equals the sequential reference bitwise") {
+    val genVecs: Gen[List[Array[Float]]] = for {
+      n <- Gen.choose(3, 30)
+      vs <- Gen.listOfN(n, Gen.listOfN(5,
+        Gen.choose(-100, 100).map(_.toFloat / 64f)).map(_.toArray))
+    } yield vs
+    for (seed <- 1 to 8) {
+      val vecs = genVecs.pureApply(Gen.Parameters.default, Seed(2400L + seed))
+        .map { v => if (v(0) == 0f) { v(0) = 0.25f }; if (v(1) == 0f) { v(1) = -0.5f }; v }
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding").repartition(3)
+      val v1 = SimilarityOps.powerIterationFit(df, "embedding", dim = 5,
+        iters = 3)
+      val got = SimilarityOps.powerIterationDeflatedFit(df, "embedding",
+        dim = 5, v1 = v1, iters = 3)
+      val want = refDeflated(vecs, dim = 5, v1 = v1, iters = 3)
+      assert(got.toSeq == want.toSeq, s"seed=$seed")
+    }
+  }
+
   /** Sequential reference for CorpusOps.zipfSlope (same top-k rank rule
     * and 2^-24 term flooring). */
   private def refZipf(texts: Seq[String], k: Int): Option[(Long, Double, Double)] = {
