@@ -7751,7 +7751,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // personalized teleport t = 1/4 on the seed core (dyadic); dangling
-    // mass re-enters through the seeds; 3 unrolled iterations
+    // mass re-enters through the seeds; 3 unrolled iterations; 2^-24
+    // dyadic-floored contribution/dangling sums (order-invariant, as d78)
     "d84_personalized_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT src, dst FROM (
@@ -7763,28 +7764,31 @@ object SparkEntry {
         |tp AS (SELECT id, CASE WHEN id IN (3, 5, 7, 11) THEN 0.25 ELSE 0.0 END AS t
         |       FROM nodes),
         |r0 AS (SELECT id, t AS r FROM tp),
-        |d1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0
+        |d1 AS (SELECT COALESCE(SUM(floor(r * 16777216.0) / 16777216.0), 0) AS dm FROM r0
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |c1 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |c1 AS (SELECT e.dst AS id, SUM(floor(p.r / outd.o * 16777216.0) / 16777216.0) AS c FROM e
         |       JOIN r0 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
         |r1 AS (SELECT tp.id, 0.125 * tp.t + 0.875 * (COALESCE(c1.c, 0) + d1.dm * tp.t) AS r
         |       FROM tp LEFT JOIN c1 ON tp.id = c1.id CROSS JOIN d1),
-        |d2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r1
+        |d2 AS (SELECT COALESCE(SUM(floor(r * 16777216.0) / 16777216.0), 0) AS dm FROM r1
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |c2 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |c2 AS (SELECT e.dst AS id, SUM(floor(p.r / outd.o * 16777216.0) / 16777216.0) AS c FROM e
         |       JOIN r1 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
         |r2 AS (SELECT tp.id, 0.125 * tp.t + 0.875 * (COALESCE(c2.c, 0) + d2.dm * tp.t) AS r
         |       FROM tp LEFT JOIN c2 ON tp.id = c2.id CROSS JOIN d2),
-        |d3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r2
+        |d3 AS (SELECT COALESCE(SUM(floor(r * 16777216.0) / 16777216.0), 0) AS dm FROM r2
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |c3 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |c3 AS (SELECT e.dst AS id, SUM(floor(p.r / outd.o * 16777216.0) / 16777216.0) AS c FROM e
         |       JOIN r2 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
         |r3 AS (SELECT tp.id, 0.125 * tp.t + 0.875 * (COALESCE(c3.c, 0) + d3.dm * tp.t) AS r
         |       FROM tp LEFT JOIN c3 ON tp.id = c3.id CROSS JOIN d3)
         |SELECT id AS doc_id, ROUND(r, 6) AS rank FROM r3
         |ORDER BY doc_id""".stripMargin,
 
-    // 3 unrolled power iterations; damping 7/8 keeps 1-d exact in doubles
+    // 3 unrolled power iterations; damping 7/8 keeps 1-d exact in doubles;
+    // contribution and dangling sums floor each addend to 2^-24 (the
+    // e48/d120 dyadic grid) so both engines' sums are order-invariant —
+    // raw-double sums flipped 3/5000 rows on a ROUND(6) boundary at sf0.1
     "d78_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT src, dst FROM (
@@ -7795,21 +7799,21 @@ object SparkEntry {
         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
-        |d1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0
+        |d1 AS (SELECT COALESCE(SUM(floor(r * 16777216.0) / 16777216.0), 0) AS dm FROM r0
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |c1 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |c1 AS (SELECT e.dst AS id, SUM(floor(p.r / outd.o * 16777216.0) / 16777216.0) AS c FROM e
         |       JOIN r0 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
         |r1 AS (SELECT nodes.id, 0.125 / nn.n + 0.875 * (COALESCE(c1.c, 0) + d1.dm / nn.n) AS r
         |       FROM nodes LEFT JOIN c1 ON nodes.id = c1.id CROSS JOIN nn CROSS JOIN d1),
-        |d2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r1
+        |d2 AS (SELECT COALESCE(SUM(floor(r * 16777216.0) / 16777216.0), 0) AS dm FROM r1
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |c2 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |c2 AS (SELECT e.dst AS id, SUM(floor(p.r / outd.o * 16777216.0) / 16777216.0) AS c FROM e
         |       JOIN r1 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
         |r2 AS (SELECT nodes.id, 0.125 / nn.n + 0.875 * (COALESCE(c2.c, 0) + d2.dm / nn.n) AS r
         |       FROM nodes LEFT JOIN c2 ON nodes.id = c2.id CROSS JOIN nn CROSS JOIN d2),
-        |d3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r2
+        |d3 AS (SELECT COALESCE(SUM(floor(r * 16777216.0) / 16777216.0), 0) AS dm FROM r2
         |       WHERE id NOT IN (SELECT src FROM e)),
-        |c3 AS (SELECT e.dst AS id, SUM(p.r / outd.o) AS c FROM e
+        |c3 AS (SELECT e.dst AS id, SUM(floor(p.r / outd.o * 16777216.0) / 16777216.0) AS c FROM e
         |       JOIN r2 p ON e.src = p.id JOIN outd ON e.src = outd.src GROUP BY 1),
         |r3 AS (SELECT nodes.id, 0.125 / nn.n + 0.875 * (COALESCE(c3.c, 0) + d3.dm / nn.n) AS r
         |       FROM nodes LEFT JOIN c3 ON nodes.id = c3.id CROSS JOIN nn CROSS JOIN d3)

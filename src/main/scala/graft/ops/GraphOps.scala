@@ -13,20 +13,37 @@ import org.apache.spark.storage.StorageLevel
  */
 object GraphOps {
 
+  /** Dyadic fixed-point grid for the cross-partition float sums (the
+    * e48/d120/e69 discipline): every per-edge contribution `rank/outdeg`
+    * and every per-node dangling-mass addend is floored to a multiple of
+    * 2^-24 BEFORE summing, so each partial sum is exact in a double and
+    * the aggregate is bitwise identical under ANY partitioning /
+    * aggregation order — raw-double sums flipped 3/5000 d78 rows across
+    * a ROUND(…,6) boundary at sf0.1 (the r16 sweep finding) because
+    * Spark's partial-agg order differs from a single-threaded oracle by
+    * an ulp. Capacity: terms ≤ 1, so sums stay exact up to 2^29 addends
+    * per key — far past any real in-degree or dangling-node count. */
+  private val Q = 16777216.0 // 2^24
+  private def dyadic(c: org.apache.spark.sql.Column) = floor(c * lit(Q)) / lit(Q)
+
   /**
    * PageRank over a directed edge list: `iters` power iterations of
-   * `rank' = (1-d)/N + d·(Σ_in rank/outdeg + danglingMass/N)` with
+   * `rank' = (1-d)/N + d·(Σ_in ⌊rank/outdeg⌋₂₄ + danglingMass/N)` with
    * uniform teleport and uniform dangling-mass redistribution (the
    * standard treatment — a node with no out-links donates its rank to
-   * everyone, else total mass leaks). Parallel edges collapse first;
-   * nodes are everything appearing as src OR dst.
+   * everyone, else total mass leaks); `⌊·⌋₂₄` is the 2^-24 dyadic floor
+   * above, applied to each summed contribution (and to each dangling
+   * rank addend) so both sums are order-invariant and the whole
+   * recursion replays bitwise in any engine. Parallel edges collapse
+   * first; nodes are everything appearing as src OR dst.
    *
    * 100 TB design: the edge table (joined once with out-degrees) is
    * PERSISTED and reused across iterations; each iteration is EXACTLY
-   * TWO driver actions (asserted by a listener spec): the leaf
-   * conversion of the next ranks, and ONE join-free aggregate that
-   * doubles as both the eager cache materialization of that leaf AND
-   * the next round's dangling-mass computation. The rank state carries
+   * ONE driver action (asserted by a listener spec): a join-free
+   * aggregate that doubles as both the cache materialization of the
+   * next-ranks leaf AND the next round's dangling-mass computation (the
+   * internal-row plan-truncating leaf itself is lazy — no separate
+   * conversion execution). The rank state carries
    * a `has_out` flag stamped ONCE at setup, so the dangling mass is a
    * map-side-combinable `sum(when(!has_out, rank))` over the fresh
    * leaf — one O(nodes) scan that populates the cache as a side
@@ -82,7 +99,7 @@ object GraphOps {
       def materializeWithDm(df: DataFrame): (DataFrame, Double) = {
         val leaf = persistedLeaf(df, eager = false)
         val dm = leaf
-          .agg(coalesce(sum(when(!col("has_out"), col("rank"))), lit(0.0)))
+          .agg(coalesce(sum(when(!col("has_out"), dyadic(col("rank")))), lit(0.0)))
           .head().getDouble(0)
         (leaf, dm)
       }
@@ -91,12 +108,12 @@ object GraphOps {
       try {
         var i = 0
         while (i < iters) {
-          // one combinable contribution shuffle; dm enters as a literal
-          // (same addends and sum as the former one-row broadcast, so
-          // ranks are numerically unchanged)
+          // one combinable contribution shuffle of 2^-24-floored terms
+          // (order-invariant exact sum); dm enters as a literal (same
+          // addends and sum as the former one-row broadcast)
           val contribs = ew.join(ranks, ew("src") === ranks("id"))
             .select(col("dst").as("id"),
-              (col("rank") / col("outdeg").cast("double")).as("c"))
+              dyadic(col("rank") / col("outdeg").cast("double")).as("c"))
             .groupBy("id").agg(sum("c").as("c"))
           val (next, dmNext) = materializeWithDm(
             nodes.join(contribs, Seq("id"), "left")
@@ -125,7 +142,8 @@ object GraphOps {
   /**
    * Personalized (topic-sensitive) PageRank: teleport lands on a SEED
    * SET instead of every node — `rank' = (1-d)·t(v) + d·(Σ_in
-   * rank/outdeg + danglingMass·t(v))` with `t(v) = 1/|seeds|` for seed
+   * ⌊rank/outdeg⌋₂₄ + danglingMass·t(v))` (2^-24-floored order-invariant
+   * sums, as [[pageRank]]) with `t(v) = 1/|seeds|` for seed
    * nodes and 0 elsewhere (dangling mass re-enters through the seeds,
    * the standard choice that keeps total mass 1). The crawl-curation
    * use: authority relative to a trusted topic core (seed hosts),
@@ -175,7 +193,7 @@ object GraphOps {
       def materializeWithDm(df: DataFrame): (DataFrame, Double) = {
         val leaf = persistedLeaf(df, eager = false)
         val dm = leaf
-          .agg(coalesce(sum(when(!col("has_out"), col("rank"))), lit(0.0)))
+          .agg(coalesce(sum(when(!col("has_out"), dyadic(col("rank")))), lit(0.0)))
           .head().getDouble(0)
         (leaf, dm)
       }
@@ -185,9 +203,10 @@ object GraphOps {
       try {
         var i = 0
         while (i < iters) {
+          // same 2^-24-floored order-invariant sums as [[pageRank]]
           val contribs = ew.join(ranks, ew("src") === ranks("id"))
             .select(col("dst").as("id"),
-              (col("rank") / col("outdeg").cast("double")).as("c"))
+              dyadic(col("rank") / col("outdeg").cast("double")).as("c"))
             .groupBy("id").agg(sum("c").as("c"))
           val (next, dmNext) = materializeWithDm(
             nodes.join(contribs, Seq("id"), "left")

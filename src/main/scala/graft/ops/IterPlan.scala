@@ -18,9 +18,14 @@ private[ops] object IterPlan {
     * required when the caller unpersists the PREVIOUS leaf right after
     * (a lazy leaf would re-chain through every already-released round
     * when finally executed); pass `eager = false` when a later action in
-    * the same round (e.g. a convergence count) forces it anyway. */
+    * the same round (e.g. a convergence count) forces it anyway.
+    *
+    * The leaf wraps the INTERNAL row RDD (`toRdd` via the graftbridge) —
+    * the public `createDataFrame(df.rdd, schema)` equivalent decodes every
+    * row to an external Row and re-encodes it back per materialization,
+    * a double per-row codec pass the iterative ops paid every round. */
   def persistedLeaf(df: DataFrame, eager: Boolean = true): DataFrame = {
-    val leaf = df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val leaf = org.apache.spark.sql.graftbridge.CatalystBridge.planTruncatedLeaf(df)
     leaf.persist(StorageLevel.MEMORY_AND_DISK)
     if (eager) leaf.count()
     leaf

@@ -41,4 +41,19 @@ object CatalystBridge {
       df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
       df.schema)
   }
+
+  /** Plan-truncating leaf over the INTERNAL row RDD — the same LogicalRDD
+    * wrap as [[asBatchDataFrame]], named for its other use: replacing an
+    * iterative round's Catalyst plan with a leaf. The public equivalent
+    * `createDataFrame(df.rdd, schema)` pays a full per-row decode to
+    * external Row plus a re-encode back to InternalRow on every
+    * materialization; `toRdd` keeps rows internal end-to-end (the
+    * downstream RDDScanExec re-projects to UnsafeRow itself, so row reuse
+    * is handled by the normal operator contract). */
+  def planTruncatedLeaf(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
+      df.schema)
+  }
 }
