@@ -8277,7 +8277,7 @@ object SparkEntry {
          |   CAST(SUM(fy) AS DOUBLE) / 16777216.0 AS sy,
          |   CAST(SUM(fxy) AS DOUBLE) / 16777216.0 AS sxy,
          |   CAST(SUM(fxx) AS DOUBLE) / 16777216.0 AS sxx
-         |  FROM f GROUP BY lang),
+         |  FROM f GROUP BY lang HAVING count(*) >= 2),
          |b AS (SELECT lang, n_terms, sx, sy,
          |   (CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
          |   (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope

@@ -492,7 +492,15 @@ object BucketUtil {
     * One counting pass plus one pass over the distinct counts, entirely
     * within the row; the result is deterministic per row (same content →
     * same map order) and matches the relational unnest/GROUP BY replay at
-    * a 6-decimal round (the d77 avg-of-logs precedent). */
+    * a 6-decimal round (the d77 avg-of-logs precedent).
+    *
+    * KNOWN BOUNDARY-FLAKE RISK (the d78 ROUND-boundary class): the
+    * c·ln c terms are summed in HashMap iteration order while the oracle
+    * sums in SQL aggregation order, so the two doubles can differ in the
+    * last ulp and flip a ROUND(…,6) boundary for a pathological doc.
+    * Accepted rather than fixed: flooring each term to 2^-24 (the d124
+    * pattern) would change the published signal for every doc to guard
+    * a per-row ulp that three rounds of gates have not seen flip. */
   def unigramEntropy(arr: ArrayData): Double = {
     val n = arr.numElements()
     if (n == 0) return 0.0

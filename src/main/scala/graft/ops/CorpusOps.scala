@@ -1297,6 +1297,11 @@ object CorpusOps {
         (sum(col("fy")).cast("double") / scale).as("sy"),
         (sum(col("fxy")).cast("double") / scale).as("sxy"),
         (sum(col("fxx")).cast("double") / scale).as("sxx"))
+      // a single-type stratum has a 0/0 OLS denominator (all ranks equal):
+      // Spark yields NaN while other engines' division semantics differ —
+      // drop it rather than emit an engine-dependent row (mirrored in the
+      // d124 oracle's HAVING)
+      .where(col("n_terms") >= 2)
     val n = col("n_terms").cast("double")
     val slope = (n * col("sxy") - col("sx") * col("sy")) /
       (n * col("sxx") - col("sx") * col("sx"))

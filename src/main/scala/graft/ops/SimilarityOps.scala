@@ -1787,11 +1787,17 @@ object SimilarityOps {
     var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
     var it = 0
     while (it < iters) {
-      val d = orderedDot(col(vecCol), v)
+      // project the dim-term dot ONCE per row before the aggregate —
+      // embedding it in each of the dim per-dimension sums made the
+      // aggregate input ~dim² multiply-adds/row (4096 at dim=64); the
+      // deflated variant below already projected __du this way.
+      // Numerically identical: same d expression, same products.
+      val scored = df.select(col(vecCol),
+        orderedDot(col(vecCol), v).as("__d"))
       val x = (j: Int) => col(vecCol).getItem(j).cast("double")
       val sums = (0 until dim).map(j =>
-        sum(floor((d * x(j)) * lit(scale)).cast("long")).as(s"s$j"))
-      val row = df.agg(sums.head, sums.tail: _*).collect()(0)
+        sum(floor((col("__d") * x(j)) * lit(scale)).cast("long")).as(s"s$j"))
+      val row = scored.agg(sums.head, sums.tail: _*).collect()(0)
       val t = Array.tabulate(dim)(j => row.getLong(j).toDouble / scale)
       // left-to-right, matching the generated SQL's 0.0 + t0*t0 + …
       val norm = math.sqrt(t.foldLeft(0.0)((a, tj) => a + tj * tj))

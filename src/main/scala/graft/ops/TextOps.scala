@@ -477,7 +477,15 @@ object TextOps {
     floor(z * lit(65536.0)).cast("double") / lit(65536.0)
   }
 
-  /** σ(margin) with the quantized argument of [[logRegMargin]]. */
+  /** σ(margin) with the quantized argument of [[logRegMargin]].
+    *
+    * ACCEPTED REPLAY RISK (the d109 ln precedent): the margin is
+    * quantized, but `exp` is not IEEE-required correctly rounded, so a
+    * JVM whose intrinsic differs from the oracle engine's libm by an ulp
+    * could flip a downstream floor/ROUND bin boundary in d120–d123/s76.
+    * Both engines here agree (gates green three rounds running);
+    * quantizing σ's OUTPUT would not remove the boundary sensitivity,
+    * only move it onto the quantization grid itself. */
   private def logRegP(toksCol: Column, w: Array[Double]): Column =
     lit(1.0) / (lit(1.0) + exp(-logRegMargin(toksCol, w)))
 
@@ -517,6 +525,7 @@ object TextOps {
       .select(label.cast("double").as("y"), h.as("h"), n.as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = new Array[Double](17)
+    try {
     var it = 0
     while (it < iters) {
       // feats already holds h and n, so rebuild the margin from THOSE
@@ -548,7 +557,8 @@ object TextOps {
       }
       it += 1
     }
-    feats.unpersist(blocking = false)
+    } finally feats.unpersist(blocking = false) // also on a failed iteration:
+    // a thrown collect() must not leave the cached projection pinned
     w
   }
 
