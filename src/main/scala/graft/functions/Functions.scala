@@ -521,6 +521,38 @@ object BucketUtil {
     math.log(n.toDouble) - s / n
   }
 
+  /** Per-document term frequencies in ONE pass: `array<struct<term, tf>>`
+    * in FIRST-OCCURRENCE order (LinkedHashMap — same content ⇒ same
+    * output, so the kernel is engine/partitioning-deterministic). The
+    * map-only replacement for `explode → groupBy(doc, term)`: term
+    * frequency and document length are PER-DOCUMENT quantities, so a
+    * postings build that shuffles token occurrences to count them pays a
+    * corpus-volume exchange for row-local arithmetic. Retained
+    * UTF8Strings point into the input row buffer — consumed by the
+    * enclosing projection within the same eval, the ArrayDistinct
+    * precedent. */
+  def termCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val prev = counts.get(t)
+      if (prev == null) counts.put(t, Array(1L)) else prev(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // MessageDigest.getInstance per row would dominate the kernel; one
   // instance per thread, reset per gram
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -1030,6 +1062,53 @@ case class NibbleHistogram(child: Expression) extends UnaryExpression {
       }""")
 
   override protected def withNewChildInternal(c: Expression): NibbleHistogram =
+    copy(child = c)
+}
+
+/** `term_counts(tokens)`: per-document `(term, tf)` pairs in ONE compiled
+  * loop, first-occurrence order (see [[BucketUtil.termCounts]]) — the
+  * map-only postings kernel: `explode(term_counts(tokens))` replaces the
+  * `explode(tokens) → groupBy(doc, term)` shape, turning the postings
+  * build's corpus-volume occurrence exchange into row-local arithmetic.
+  * A NULL token makes the result NULL (the d-kernel poison contract). */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable || elementsNullable
+  override def prettyName: String = "term_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"term_counts expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.termCounts(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.termCounts($a)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.termCounts($a);
+      }""")
+
+  override protected def withNewChildInternal(c: Expression): TermCounts =
     copy(child = c)
 }
 
@@ -2546,6 +2625,11 @@ object GraftFunctions {
   /** 16-bucket md5-nibble token histogram (see [[NibbleHistogram]]). */
   def nibble_histogram(tokens: Column): Column =
     ColumnBridge.column(NibbleHistogram(expression(tokens)))
+
+  /** Per-document `(term, tf)` pairs, first-occurrence order (see
+    * [[TermCounts]]) — the map-only postings kernel. */
+  def term_counts(tokens: Column): Column =
+    ColumnBridge.column(TermCounts(expression(tokens)))
 
   /** Build the probe set ONCE on the driver and broadcast it — one copy
     * per executor JVM instead of one per task (see [[AnyInSet]]).

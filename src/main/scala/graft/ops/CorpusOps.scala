@@ -1459,11 +1459,19 @@ object CorpusOps {
    */
   def bm25Index(corpus: DataFrame, idCol: String,
                 textCol: String): (DataFrame, DataFrame) = {
-    val occ = corpus.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
-    val postings = occ.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+    // tf and dl are PER-DOCUMENT quantities: one compiled term_counts
+    // loop per row computes both map-only, where the former
+    // `explode → groupBy(doc, term) → window(doc)` shape paid TWO
+    // corpus-volume exchanges (token occurrences, then postings) for
+    // row-local arithmetic. Same rows, same exact integers.
+    val toked = corpus.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val postings = toked.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"),
+        explode(graft.functions.GraftFunctions.term_counts(col("__toks")))
+          .as("__tc"))
+      .select(col("doc_id"), col("__tc.term").as("term"),
+        col("__tc.tf").as("tf"), col("dl"))
     // N counts ALL documents (empty ones have no postings but still dilute
     // avgdl); token totals stay exact integers until the one double
     // division both engines perform identically. The INTEGER totals ride

@@ -94,6 +94,28 @@ class NullElementGuardSpec extends AnyFunSuite {
     assert(out(5).isNullAt(1), "a NULL array must stay NULL")
   }
 
+  test("term_counts: first-occurrence order, tf values, empty, NULL element, NULL array") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, array('b', 'a', 'b', 'c', 'a', 'b')),
+        | (2L, cast(array() as array<string>)),
+        | (3L, array('a', NULL, 'b')),
+        | (4L, cast(NULL as array<string>))
+        | AS t(id, toks)""".stripMargin)
+    val out = df.select($"id",
+        GraftFunctions.term_counts(col("toks")).as("tc"))
+      .orderBy("id").collect()
+    val r0 = out(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(r0 == Seq(("b", 3L), ("a", 2L), ("c", 1L)),
+      "first-occurrence order with exact tf — deterministic per content")
+    assert(out(1).getSeq[org.apache.spark.sql.Row](1).isEmpty,
+      "empty array => empty postings")
+    assert(out(2).isNullAt(1),
+      "a NULL token must null the result, like the d-kernel fold class")
+    assert(out(3).isNullAt(1), "a NULL array must stay NULL")
+  }
+
   test("broadcastSet memoizes by content: same elems => same broadcast") {
     import graft.functions.GraftFunctions.broadcastSet
     val a = broadcastSet(Array("x", "y", "z"))

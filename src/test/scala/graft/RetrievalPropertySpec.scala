@@ -86,6 +86,28 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Index postings (map-only term_counts) == explode/groupBy reference") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 4) {
+      val docs = genDocs.pureApply(Gen.Parameters.default, Seed(700L + seed))
+      val df = docs.toDF("doc_id", "text")
+      val (postings, _) = CorpusOps.bm25Index(df, "doc_id", "text")
+      // the pre-r17 two-exchange shape, as the reference
+      val occ = df.select(col("doc_id"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      val ref = occ.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("dl", sum("tf").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+          r.getAs[Long]("tf"), r.getAs[Long]("dl"))
+      assert(postings.collect().map(key).sorted.toSeq ==
+        ref.collect().map(key).sorted.toSeq,
+        s"postings drifted from the two-exchange reference (seed=$seed)")
+    }
+  }
+
   test("appendToBm25Index == full rebuild on random corpora and split points") {
     for (seed <- 1 to 4) {
       val docs = genDocs.pureApply(Gen.Parameters.default, Seed(900L + seed))
