@@ -2032,9 +2032,20 @@ object SparkEntry {
       val report = graft.streaming.StreamingOps
         .contaminationReportStream(stream, "text", suites, "text", n = 8)
       val sink = s"s74_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = report.writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      // SIZE STATE PARTITIONS TO STATE VOLUME (the s66 rule): the only
+      // stateful operator holds S = |suites| = 3 rows, but the state-
+      // partition count is fixed at first run from shuffle.partitions —
+      // 32 state stores each paying a constant create+fsync+rename per
+      // batch for a 3-row state is pure commit I/O. The map-only scoring
+      // runs on scan partitions (unaffected); the integer fold is
+      // partition-count-invariant, hash unchanged.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        report.writeStream.outputMode("complete")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table(sink).orderBy("suite")
     }),
@@ -2250,11 +2261,12 @@ object SparkEntry {
     }),
 
     "d74_inverted_index" -> ((s, dir) => {
-      // positional inverted index with df bounds: postings shuffle once on
-      // (term, doc); document frequency is a combinable per-term count that
-      // joins back (no per-term window — that would sort every stopword
-      // posting in one task). positions_csv makes the list bitwise
-      // hash-comparable across engines.
+      // positional inverted index with df bounds: the posting build is
+      // map-only (one compiled term_postings loop per doc — r17, was a
+      // full occurrence shuffle); document frequency is a combinable
+      // per-term count that joins back (no per-term window — that would
+      // sort every stopword posting in one task). positions_csv makes
+      // the list bitwise hash-comparable across engines.
       CorpusOps.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
           minDf = 3L, maxDf = 450L)
         .select(col("term"), col("df"), col("doc_id"), col("tf"),

@@ -553,6 +553,38 @@ object BucketUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** [[termCounts]] with 1-based positions: `array<struct<term, tf,
+    * positions>>`, first-occurrence order, positions naturally ascending
+    * (one left-to-right scan) — the row-local positional-postings kernel
+    * replacing `posexplode → groupBy(term, doc) → collect_list`, whose
+    * exchange carried every token occurrence. */
+  def termPostings(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, scala.collection.mutable.ArrayBuffer[Int]](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val prev = m.get(t)
+      if (prev == null) {
+        val b = new scala.collection.mutable.ArrayBuffer[Int](4)
+        b += (i + 1); m.put(t, b)
+      } else prev += (i + 1)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val pos = e.getValue
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, pos.length.toLong,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(pos.toArray)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // MessageDigest.getInstance per row would dominate the kernel; one
   // instance per thread, reset per gram
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -1109,6 +1141,53 @@ case class TermCounts(child: Expression) extends UnaryExpression {
       }""")
 
   override protected def withNewChildInternal(c: Expression): TermCounts =
+    copy(child = c)
+}
+
+/** `term_postings(tokens)`: [[TermCounts]] plus 1-based ascending
+  * positions per term (see [[BucketUtil.termPostings]]) — the row-local
+  * positional-postings kernel for the inverted index. NULL-poison as the
+  * rest of the d-kernel class. */
+case class TermPostings(child: Expression) extends UnaryExpression {
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false),
+      StructField("positions", ArrayType(IntegerType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable || elementsNullable
+  override def prettyName: String = "term_postings"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"term_postings expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.termPostings(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.termPostings($a)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.termPostings($a);
+      }""")
+
+  override protected def withNewChildInternal(c: Expression): TermPostings =
     copy(child = c)
 }
 
@@ -2630,6 +2709,11 @@ object GraftFunctions {
     * [[TermCounts]]) — the map-only postings kernel. */
   def term_counts(tokens: Column): Column =
     ColumnBridge.column(TermCounts(expression(tokens)))
+
+  /** Per-document `(term, tf, positions)` triples (see [[TermPostings]]) —
+    * the map-only positional-postings kernel. */
+  def term_postings(tokens: Column): Column =
+    ColumnBridge.column(TermPostings(expression(tokens)))
 
   /** Build the probe set ONCE on the driver and broadcast it — one copy
     * per executor JVM instead of one per task (see [[AnyInSet]]).

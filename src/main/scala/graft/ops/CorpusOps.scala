@@ -1156,16 +1156,21 @@ object CorpusOps {
    * `tfidf = tf * ln(n_docs / doc_freq)` is the standard score for
    * consumers (rounded, since `ln` is the only non-rational step).
    *
-   * 100 TB design: document frequency is one combinable count per
-   * distinct token (partial aggs map-side); the corpus-wide doc count
-   * joins as a broadcast single row; scoring joins occurrences to the
-   * (bounded, vocabulary-sized) DF table and the top-k is a per-document
-   * window — shuffles are on token then id, both necessary, none global.
+   * 100 TB design: tf is per-document, computed by one compiled
+   * term_counts loop per row (map-only — the r17 change; the former
+   * `explode → groupBy(doc, token)` shuffled every token occurrence);
+   * document frequency is one combinable count per distinct token
+   * (partial aggs map-side); the corpus-wide doc count joins as a
+   * broadcast single row; scoring joins the tf rows to the (bounded,
+   * vocabulary-sized) DF table and the top-k is a per-document window —
+   * shuffles are on token then id, both necessary, none global.
    */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val occ = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
-    val tf = occ.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.term_counts(
+          TextOps.tokens(col(textCol)))).as("__tc"))
+      .select(col(idCol), col("__tc.term").as("token"), col("__tc.tf").as("tf"))
     val docFreq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val ranked = tf.join(docFreq, "token")
@@ -1188,10 +1193,12 @@ object CorpusOps {
    * vocabulary at both ends: hapaxes below `minDf` are index bloat,
    * stopwords above `maxDf` are scan bloat.
    *
-   * 100 TB design: the posting build is ONE shuffle on `(term, doc)` of
-   * `(term, position)` pairs — positions aggregate into per-doc lists
-   * that are bounded by document length, never corpus size. Document
-   * frequency is a separate map-side-combinable count per term (a
+   * 100 TB design: the posting build is MAP-ONLY — tf and the ascending
+   * position list are per-document quantities computed by one compiled
+   * [[graft.functions.TermPostings]] loop per row (the r17 change; the
+   * former `posexplode → groupBy(term, doc)` shape shuffled every token
+   * occurrence, positions and all, for row-local arithmetic). Document
+   * frequency is a map-side-combinable count per term (a
    * vocabulary-sized table, shrunk FURTHER by the df filters before it
    * joins), and the final join keys on `term`, where AQE broadcast-joins
    * the df table when the surviving vocabulary is small. No windows: a
@@ -1203,13 +1210,18 @@ object CorpusOps {
                     minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame = {
     require(minDf >= 1 && maxDf >= minDf,
       s"need 1 <= minDf <= maxDf, got ($minDf, $maxDf)")
-    val posed = df
-      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
-      .select(col(idCol), col("col").as("term"),
-        (col("pos") + 1).cast("int").as("pos"))
-    val postings = posed.groupBy(col("term"), col(idCol))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
+    // tf and the (ascending, 1-based) position list are PER-DOCUMENT:
+    // one compiled term_postings loop per row replaces the former
+    // `posexplode → groupBy(term, doc) → collect_list` shape, whose
+    // exchange carried every token occurrence (collect_list ships all
+    // positions through the shuffle). Same rows, same integers; only the
+    // per-term df count still shuffles — combinable (term, 1) partials.
+    val postings = df
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.term_postings(
+          TextOps.tokens(col(textCol)))).as("__tp"))
+      .select(col(idCol), col("__tp.term").as("term"),
+        col("__tp.tf").as("tf"), col("__tp.positions").as("positions"))
     val docFreq = postings.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf && col("df") <= maxDf)
@@ -1448,10 +1460,12 @@ object CorpusOps {
    * length ON the posting row so search never joins a separate length
    * table, and `stats` is one row `(n, avgdl)`.
    *
-   * 100 TB design: document TEXT never rides a shuffle — the corpus
-   * reduces to integer posting rows in one combinable aggregate, and the
-   * in-partition window that stamps `dl` re-keys that COMPACTED table,
-   * not the text. `stats` is a single map-only pass (count + token-count
+   * 100 TB design: the postings pass is MAP-ONLY — tf and dl are
+   * per-document quantities computed by one compiled
+   * [[graft.functions.TermCounts]] loop per row (r17; the former
+   * `explode → groupBy(doc, term) → window(doc)` shape paid two
+   * corpus-volume exchanges for row-local arithmetic). `stats` is a
+   * single map-only pass (count + token-count
    * sum, both combinable). The build reads the corpus exactly twice
    * (postings, stats); persisting the result makes every subsequent
    * query batch scan the compact index instead of the corpus — the same

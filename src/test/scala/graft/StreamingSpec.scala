@@ -306,6 +306,64 @@ class StreamingSpec extends AnyFunSuite {
         Seq("a" -> cleanSuite, "a" -> cleanSuite), "doc_id", "text"))
   }
 
+  test("broadcastSet eviction under a live stream: evicted broadcasts stay usable, restart rebuilds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GraftFunctions.broadcastSet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val suites = Seq(5).map { m =>
+      s"mod$m" -> docs.where(s"doc_id % $m = 0").select(
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+          .as("text"))
+    }
+    val want = graft.ops.CorpusOps
+      .contaminationReport(docs, suites, "doc_id", "text", n = 8)
+      .orderBy("suite").as[(String, Long, Long, Double)].collect().toSeq
+    val rows = docs.as[(Long, String)].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val report = StreamingOps.contaminationReportStream(
+      mem.toDF().toDF("doc_id", "text"), "text", suites, "text", n = 8)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bcevict-ckpt").toString
+    def drain(): Unit = {
+      val q = report.writeStream.outputMode("complete")
+        .format("memory").queryName("bcevict")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(h1.toIndexedSeq)
+    drain()
+    // hold the kind of reference an in-flight plan holds, then churn the
+    // FIFO-16 digest cache PAST capacity so every standing slot (incl.
+    // the suite gram sets the stream's plan references) is EVICTED —
+    // the documented-but-untested corner (r16 verdict item 7). Eviction
+    // must only drop the cache's reference: ContextCleaner reclaims a
+    // broadcast when the LAST reference is GC'd, never under a live one.
+    val held = broadcastSet(Array("evict", "me"))
+    for (i <- 1 to 24) broadcastSet(Array(s"churn-$i"))
+    System.gc(); Thread.sleep(300); System.gc()
+    assert(held.value.contains(
+        org.apache.spark.unsafe.types.UTF8String.fromString("evict")),
+      "an evicted-but-referenced broadcast must stay readable")
+    // the stream keeps folding correctly across the eviction: the second
+    // drain resumes state and its rebuilt plan re-requests the (now
+    // evicted) suite sets — a cache miss that must rebuild cleanly
+    mem.addData(h2.toIndexedSeq)
+    drain()
+    val got = spark.table("bcevict").orderBy("suite")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want,
+      s"drain across cache eviction != batch report\n got:  $got\n want: $want")
+    // and the same content re-requested after eviction is a FRESH broadcast
+    val again = broadcastSet(Array("evict", "me"))
+    assert(again.id != held.id, "an evicted slot must rebuild, not resurrect")
+  }
+
   test("sessionWindows closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
