@@ -262,6 +262,17 @@ object Bench {
       .find(_.length <= 1900)
       .getOrElse(summaryLine(2, extras = false))
     println(line)
+    // r17 verdict item 1: the driver could never parse the summary because
+    // sbt's logger prefixed every forked-run line with "[info] " (fixed in
+    // build.sbt via OutputStrategy.StdoutOutput). Belt and braces: ALSO
+    // persist the full-precision summary to a known file so the record
+    // survives any future logger/truncation change.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_summary.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (summaryLine(3) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () } // the stdout line is primary
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
