@@ -7,12 +7,22 @@ import java.nio.file.{Files, Paths}
   * declared queries, one file per query, so plan-shape claims in
   * OPTIMIZATION_r*.md are checkable without running Spark.
   *
-  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <name>[,<name>...]
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <name>[,<name>...] [--executed]
   * Writes <outDir>/<name>_<suffix>.txt. Uses the same session config as
-  * Bench so the captured plan is the benched plan. */
+  * Bench so the captured plan is the benched plan.
+  *
+  * With `--executed`, each query RUNS to the noop sink first and the dump
+  * appends the post-execution adaptive plan (`AdaptiveSparkPlan
+  * isFinalPlan=true`) — the evidence for claims about AQE stage reuse /
+  * runtime re-optimization that the static explain cannot show.
+  *
+  * Exits 1 if ANY query fails (r17 advice: a swallowed failure leaves a
+  * stale or missing dump, silently falsifying committed plan evidence). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, suffix, names) = args
+    require(args.length >= 4, "usage: PlanDump <sfDir> <outDir> <suffix> <names> [--executed]")
+    val Array(sfDir, outDir, suffix, names) = args.take(4)
+    val executed = args.drop(4).contains("--executed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,18 +34,33 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    var failed = List.empty[String]
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        val plan = df.queryExecution.explainString(
+        val static = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
+        val body =
+          if (!executed) static
+          else {
+            df.write.mode("overwrite").format("noop").save()
+            // after execution, toString on the executed plan prints the
+            // AQE FINAL plan (isFinalPlan=true) including reused stages
+            static + "\n\n=== Executed (AQE final) plan ===\n\n" +
+              df.queryExecution.executedPlan.toString
+          }
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
-          plan.getBytes("UTF-8"))
+          body.getBytes("UTF-8"))
         System.err.println(s"[plandump] wrote $name")
       } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[plandump] $name failed: ${e.getMessage}")
       }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[plandump] FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -2021,33 +2021,37 @@ object SparkEntry {
       // is the per-suite counter fold: S state rows TOTAL, complete
       // mode holds the standing report. Drain == batch report; d116's
       // oracle grades it verbatim.
-      val docsStatic = t(s, dir, "documents").select("doc_id", "text")
-      val toks = TextOps.tokens(col("text"))
-      val suites = Seq(5, 7, 11).map { m =>
-        s"mod$m" -> docsStatic.where(s"doc_id % $m = 0").select(
-          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
-            .as("text"))
-      }
-      val stream = tStream(s, dir, "documents").select("doc_id", "text")
-      val report = graft.streaming.StreamingOps
-        .contaminationReportStream(stream, "text", suites, "text", n = 8)
-      val sink = s"s74_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       // SIZE STATE PARTITIONS TO STATE VOLUME (the s66 rule): the only
       // stateful operator holds S = |suites| = 3 rows, but the state-
       // partition count is fixed at first run from shuffle.partitions —
       // 32 state stores each paying a constant create+fsync+rename per
       // batch for a 3-row state is pure commit I/O. The map-only scoring
       // runs on scan partitions (unaffected); the integer fold is
-      // partition-count-invariant, hash unchanged.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        report.writeStream.outputMode("complete")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // partition-count-invariant, hash unchanged. The override lives on
+      // a CLONED session (r17 advice): set/restore on the shared session
+      // was correct only because nothing plans concurrently during
+      // start(); the clone removes that assumption outright (newSession
+      // shares the SparkContext, inherits the builder conf and SQL
+      // extensions, and the memory sink registers in the clone's
+      // catalog — so the result reads from the clone too).
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "4")
+      val docsStatic = t(ns, dir, "documents").select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val suites = Seq(5, 7, 11).map { m =>
+        s"mod$m" -> docsStatic.where(s"doc_id % $m = 0").select(
+          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+            .as("text"))
+      }
+      val stream = tStream(ns, dir, "documents").select("doc_id", "text")
+      val report = graft.streaming.StreamingOps
+        .contaminationReportStream(stream, "text", suites, "text", n = 8)
+      val sink = s"s74_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = report.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink).orderBy("suite")
+      ns.table(sink).orderBy("suite")
     }),
 
     "d66_contamination_score" -> ((s, dir) => {
@@ -3012,8 +3016,10 @@ object SparkEntry {
     "d86_sentence_chunks" -> ((s, dir) => {
       // sentence-aligned RAG chunking: sentences never split; each joins
       // the chunk its cumulative-token prefix falls in (floor division —
-      // exact integer arithmetic both engines replay). Per-doc window +
-      // (doc, chunk) group, both bounded by the document.
+      // exact integer arithmetic both engines replay). MAP-ONLY since
+      // r18: one compiled sentence_chunks kernel per row replaces the
+      // per-doc prefix-sum window + (doc, chunk) groupBy whose two
+      // exchanges carried the corpus' sentence volume.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       CorpusOps.chunkBySentences(docs, "doc_id", "text", chunkTokens = 64)
         .orderBy("doc_id", "chunk_idx")
@@ -3324,8 +3330,12 @@ object SparkEntry {
       // passes its window end. The oracle is the batch OHLC restricted
       // to watermark-closed buckets (the s42 cutoff: bucket end <=
       // ms-floored max event time - 10 min).
-      // watermarks need TIMESTAMP (session tz UTC makes the cast exact)
-      val ev = tStream(s, dir, "events").select(col("user_id"),
+      // watermarks need TIMESTAMP (session tz UTC makes the cast exact);
+      // the state-partition override below lives on a CLONED session
+      // (r17 advice — same rationale as s74)
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = tStream(ns, dir, "events").select(col("user_id"),
         col("ts").cast("timestamp").as("ts"),
         col("value").cast("decimal(18,6)").as("v"))
       val bars = graft.streaming.StreamingOps.ohlcBars(ev, "ts", "user_id", "v")
@@ -3343,14 +3353,10 @@ object SparkEntry {
       // this stream only and restore; results are partition-count-
       // invariant (orderBy canonicalizes). A deployment keeps this knob
       // proportional to open-window volume, not corpus size.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val tDrain0 = System.nanoTime()
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        bars
-          .writeStream.outputMode("append").format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val q = bars
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       // drain split for the bench record (r15 verdict item 1b): where a
       // wall-clock number alone can't distinguish "machine was loaded"
@@ -3374,7 +3380,7 @@ object SparkEntry {
         "stateUpdates" -> prog.flatMap(_.stateOperators.map(_.allUpdatesTimeMs)).sum / 1e3,
         "stateRemovals" -> prog.flatMap(_.stateOperators.map(_.allRemovalsTimeMs)).sum / 1e3,
         "stateCommit" -> prog.flatMap(_.stateOperators.map(_.commitTimeMs)).sum / 1e3))
-      s.table(sink)
+      ns.table(sink)
         // output decimals → double: see j09 (driver decimal-hash channel)
         .select(col("user_id"), col("bucket").cast("timestamp_ntz").as("bucket"),
           col("open").cast("double").as("open"),

@@ -585,6 +585,65 @@ object BucketUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // Compiled once: the token separator of TextOps.tokens (Java regex \s+,
+  // the exact pattern Spark's split uses)
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Element count of `split(trim(s), "\\s+")` under SPARK semantics,
+    * replicated exactly so [[sentenceChunks]] counts tokens bit-identically
+    * to `size(TextOps.tokens(sentence))`: Spark `trim` strips ASCII
+    * spaces (0x20) ONLY (so a sentence led by '\t'/'\n' yields a leading
+    * empty token), Spark `split` is Java-regex split with limit -1
+    * (trailing empty tokens KEPT), and empty-after-trim short-circuits to
+    * 0 via the `when` guard in TextOps.tokens. */
+  def sparkTokenCount(s: UTF8String): Int = {
+    val t = s.trim() // UTF8String.trim: removes ' ' from both ends, like Spark trim()
+    if (t.numBytes == 0) 0
+    else WsPattern.split(t.toString, -1).length
+  }
+
+  /** Row-local sentence-aligned chunk assembly (see [[SentenceChunks]]):
+    * given ONE document's ordered sentence array, compute each sentence's
+    * whitespace token count ([[sparkTokenCount]]), assign the sentence to
+    * chunk `floor(tokens_before / chunkTokens)` (the cumulative prefix is
+    * monotone, so chunks are consecutive runs), and reassemble each
+    * chunk's text as the " "-joined sentences in order. Output structs
+    * `(chunk_idx, text, n_sentences, n_tokens)` — exactly the rows the
+    * former per-doc prefix-sum window + (doc, chunk) groupBy produced,
+    * computed in one pass over state bounded by the document. The output
+    * strings are COPIES (StringBuilder → fromString), never aliases of
+    * the input buffer. */
+  def sentenceChunks(arr: ArrayData, chunkTokens: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    val sb = new java.lang.StringBuilder
+    var before = 0L   // tokens in all preceding sentences of the doc
+    var curChunk = 0L // chunk_idx of the run being assembled
+    var nSent = 0L
+    var nToks = 0L
+    def flush(): Unit = if (nSent > 0) {
+      out += new GenericInternalRow(Array[Any](curChunk,
+        UTF8String.fromString(sb.toString), nSent, nToks))
+      sb.setLength(0); nSent = 0L; nToks = 0L
+    }
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val t = sparkTokenCount(s).toLong
+      val chunk = before / chunkTokens
+      if (nSent > 0 && chunk != curChunk) flush()
+      if (nSent == 0) curChunk = chunk
+      else sb.append(' ')
+      sb.append(s.toString)
+      nSent += 1; nToks += t; before += t
+      i += 1
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   // MessageDigest.getInstance per row would dominate the kernel; one
   // instance per thread, reset per gram
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -1188,6 +1247,63 @@ case class TermPostings(child: Expression) extends UnaryExpression {
       }""")
 
   override protected def withNewChildInternal(c: Expression): TermPostings =
+    copy(child = c)
+}
+
+/** `sentence_chunks(sentences, chunkTokens)`: sentence-aligned chunking of
+  * ONE document in a single compiled loop (see
+  * [[BucketUtil.sentenceChunks]]) — per-sentence whitespace token counts,
+  * prefix-sum chunk assignment (`floor(tokens_before / chunkTokens)`), and
+  * per-chunk text reassembly (" "-joined, order preserved). The map-only
+  * replacement for the per-doc prefix-sum window + (doc, chunk)
+  * `collect_list` groupBy, whose two exchanges carried the corpus'
+  * sentence volume for quantities that are row-local. Unlike
+  * termCounts/termPostings the output strings are COPIES (built in a
+  * StringBuilder), so the result is safe across buffering operators.
+  * NULL-poison on null elements, as the rest of the d-kernel class. */
+case class SentenceChunks(child: Expression, chunkTokens: Long)
+    extends UnaryExpression {
+  require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("n_sentences", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable || elementsNullable
+  override def prettyName: String = "sentence_chunks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sentence_chunks expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (elementsNullable && BucketUtil.hasNullElement(a)) null
+    else BucketUtil.sentenceChunks(a, chunkTokens)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elementsNullable)
+      defineCodeGen(ctx, ev, a =>
+        s"graft.functions.BucketUtil.sentenceChunks($a, ${chunkTokens}L)")
+    else nullSafeCodeGen(ctx, ev, a => s"""
+      if (graft.functions.BucketUtil.hasNullElement($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BucketUtil.sentenceChunks($a, ${chunkTokens}L);
+      }""")
+
+  override protected def withNewChildInternal(c: Expression): SentenceChunks =
     copy(child = c)
 }
 
@@ -2706,14 +2822,31 @@ object GraftFunctions {
     ColumnBridge.column(NibbleHistogram(expression(tokens)))
 
   /** Per-document `(term, tf)` pairs, first-occurrence order (see
-    * [[TermCounts]]) — the map-only postings kernel. */
+    * [[TermCounts]]) — the map-only postings kernel.
+    *
+    * BUFFER-LIFETIME CONTRACT: the returned array's `term` strings ALIAS
+    * the input row buffer (no per-term copy — that is part of the win over
+    * the exchange it replaced). The array must be consumed by a COPYING
+    * operator in the same pipeline stage — an `explode`/`inline` into a
+    * projection, which writes UnsafeRow copies — and must NOT be held
+    * across input rows by a buffering operator (sort, aggregate
+    * collect_list, cache) without an intervening projection. Every current
+    * caller explodes immediately; `TermKernelBufferSpec` pins the pattern. */
   def term_counts(tokens: Column): Column =
     ColumnBridge.column(TermCounts(expression(tokens)))
 
   /** Per-document `(term, tf, positions)` triples (see [[TermPostings]]) —
-    * the map-only positional-postings kernel. */
+    * the map-only positional-postings kernel. Same BUFFER-LIFETIME
+    * CONTRACT as [[term_counts]]: `term` strings alias the input row
+    * buffer; consume via an immediately-following explode/projection. */
   def term_postings(tokens: Column): Column =
     ColumnBridge.column(TermPostings(expression(tokens)))
+
+  /** Sentence-aligned chunks of ONE document's ordered sentence array
+    * (see [[SentenceChunks]]) — the map-only chunking kernel; output
+    * strings are copies (no aliasing caveat). */
+  def sentence_chunks(sentences: Column, chunkTokens: Long): Column =
+    ColumnBridge.column(SentenceChunks(expression(sentences), chunkTokens))
 
   /** Build the probe set ONCE on the driver and broadcast it — one copy
     * per executor JVM instead of one per task (see [[AnyInSet]]).

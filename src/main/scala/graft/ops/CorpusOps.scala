@@ -147,33 +147,32 @@ object CorpusOps {
    * replays). [[chunkDocuments]] is the token-exact fixed-window
    * alternative when mid-sentence cuts are acceptable.
    *
-   * 100 TB design: the per-sentence prefix sum windows PER DOCUMENT
-   * (state bounded by the document, never the corpus), and the chunk
-   * re-assembly groups on (doc, chunk) — the same two bounded exchanges
-   * as [[chunkDocuments]].
+   * 100 TB design: MAP-ONLY. Prefix-sum chunk assignment and chunk-text
+   * reassembly are PER-DOCUMENT quantities, so the former per-doc window
+   * + (doc, chunk) groupBy paid two exchanges whose volume was the
+   * corpus' sentence stream for row-local arithmetic; the compiled
+   * [[graft.functions.GraftFunctions.sentence_chunks]] kernel computes
+   * the same rows in one pass over state bounded by the document (the
+   * termCounts/termPostings discipline, applied to the last
+   * sentence-volume exchange in the text tier). Token counts replicate
+   * `size(TextOps.tokens(sentence))` bit-exactly (ASCII-space-only trim,
+   * Java-regex \s+ split, trailing empties kept); chunk text is the
+   * " "-joined sentences in order, byte-identical to the former
+   * sort-collect-join.
    *
    * Output: `(idCol, chunk_idx, text, n_sentences, n_tokens)`.
    */
   def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
                        chunkTokens: Int = 128): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
-    val sents = df.select(col(idCol),
-        posexplode(TextOps.sentences(col(textCol))))
-      .select(col(idCol), (col("pos") + 1).as("sent_idx"),
-        col("col").as("sentence"),
-        size(TextOps.tokens(col("col"))).cast("long").as("n_toks"))
-    val w = Window.partitionBy(idCol).orderBy("sent_idx")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val assigned = sents.withColumn("chunk_idx",
-      (coalesce(sum("n_toks").over(w), lit(0L)) / lit(chunkTokens.toLong))
-        .cast("long"))
-    assigned.groupBy(col(idCol), col("chunk_idx"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
-          s => s.getField("sentence")), " ").as("text"),
-        count(lit(1)).as("n_sentences"),
-        sum("n_toks").as("n_tokens"))
+    // the kernel feeds inline() DIRECTLY (the d76 explode(term_counts(..))
+    // shape): a non-cheap generator child defeats InferFiltersFromGenerate,
+    // so the kernel runs exactly ONCE per row in the Generate — projecting
+    // it into an attribute first let the inferred size()/isnotnull filter
+    // push through the alias and evaluate the kernel 3x per row
+    df.select(col(idCol), inline(
+      graft.functions.GraftFunctions.sentence_chunks(
+        TextOps.sentences(col(textCol)), chunkTokens.toLong)))
   }
 
   /** Word n-grams of `textCol`, hashed to md5 hex (32 bytes ride the
@@ -1579,7 +1578,8 @@ object CorpusOps {
   def bm25Search(postings: DataFrame, stats: DataFrame,
                  queries: DataFrame, queryIdCol: String, queryTextCol: String,
                  k: Int, k1: Double = 1.2, b: Double = 0.75,
-                 maxDf: Long = Long.MaxValue): DataFrame = {
+                 maxDf: Long = Long.MaxValue,
+                 rekeyScoreByDoc: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0 and b in [0,1], got ($k1, $b)")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
@@ -1588,13 +1588,27 @@ object CorpusOps {
       .distinct()
     val qvocab = qterms.select("term").distinct()
     // df per query term: every posting containing the term survives the
-    // vocabulary semi-join, so a per-term count IS the document frequency
+    // vocabulary semi-join, so a per-term count IS the document frequency.
+    // Deliberately computed from the UN-re-keyed postings: this branch
+    // aggregates BY TERM, so a term-major index stream is the best case
+    // for its map-side partial agg, and the exchange it pays is
+    // vocabulary-sized — re-keying it by doc (the r12-r17 shape, where
+    // bm25SearchIndexed repartitioned before handing the postings over)
+    // paid a full pruned-postings exchange for nothing (r18: one
+    // REPARTITION_BY_COL Exchange gone from the search leg).
     val dfreq = postings.join(broadcast(qvocab), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
+    // the SCORE side is where doc-major locality matters (the
+    // (query_id, doc_id) aggregate's partial-agg hash map, SCALE.md r12)
+    // — integer counts in dfreq are partitioning-invariant, and the
+    // score aggregate's input partitioning is exactly what it was, so
+    // scores are bitwise unchanged
+    val scoreSide =
+      if (rekeyScoreByDoc) postings.repartition(col("doc_id")) else postings
     // dfreq joins FIRST: the inner join against the (already df-pruned)
     // term list is what cuts candidate volume before per-query fan-out
-    val termScore = postings
+    val termScore = scoreSide
       .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -1695,11 +1709,12 @@ object CorpusOps {
     // candidate volume instead of the group count (measured 2x at sf1
     // with stopword-heavy queries, SCALE.md r12). The repartition
     // shuffles the COMPACT pruned index — O(matched postings), always
-    // <= the candidate stream it tames.
+    // <= the candidate stream it tames — and since r18 applies to the
+    // SCORE branch only (rekeyScoreByDoc): the df-count branch is
+    // by-term and was paying the doc re-key exchange for nothing.
     val pruned = postings.where(col("term").isin(vocab.toSeq: _*))
-      .repartition(col("doc_id"))
     bm25Search(pruned, stats, queries, queryIdCol, queryTextCol, k, k1, b,
-      maxDf)
+      maxDf, rekeyScoreByDoc = true)
   }
 
   /** One-shot convenience: [[bm25Index]] + [[bm25Search]]. Fine for a

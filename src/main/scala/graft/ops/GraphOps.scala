@@ -22,8 +22,24 @@ object GraphOps {
     * a ROUND(…,6) boundary at sf0.1 (the r16 sweep finding) because
     * Spark's partial-agg order differs from a single-threaded oracle by
     * an ulp. Capacity: terms ≤ 1, so sums stay exact up to 2^29 addends
-    * per key — far past any real in-degree or dangling-node count. */
+    * per key — far past any real in-degree or dangling-node count.
+    *
+    * The grid is ABSOLUTE (r17 advice): a contribution `rank/outdeg`
+    * below 2^-24 floors to exactly 0, so the signal needs uniform-init
+    * ranks (1/N for pageRank) to sit well above the grid step. The
+    * [[NodeCeiling]] require in pageRank enforces N ≤ 2^20 — 4 guard
+    * bits between 1/N and the grid, so sub-grid truncation stays a
+    * bounded tail correction (per-round mass leak < (|E|+|dangling|)·
+    * 2^-24, asserted ≤ 3e-5 on the OpsSpec fixture) instead of the
+    * whole signal. Graphs beyond the ceiling need a grid scaled to the
+    * graph (e.g. floor to multiples of 1/(N·2^24)) WITH the d78/d84
+    * oracles updated identically — fail loudly here rather than
+    * degenerate silently to pure teleport. personalizedPageRank is not
+    * ceiling-bound the same way: its init mass is 1/|seeds| (seeds are
+    * a tiny literal list), and far-from-seed ranks decaying below the
+    * grid to exact 0 is the designed tail cutoff, not signal loss. */
   private val Q = 16777216.0 // 2^24
+  private[graft] val NodeCeiling = 1L << 20
   private def dyadic(c: org.apache.spark.sql.Column) = floor(c * lit(Q)) / lit(Q)
 
   /**
@@ -88,6 +104,14 @@ object GraphOps {
       // nodes was just force-counted by persistedLeaf; this count reads
       // the fresh cache entry
       val n = nodes.count().toDouble
+      // 2^-24 grid ceiling (see the dyadic doc above): beyond ~2^20 nodes
+      // the uniform init rank 1/N approaches the grid step and per-edge
+      // contributions floor to 0 — fail loudly instead of degenerating
+      // to pure teleport
+      require(n <= NodeCeiling,
+        s"pageRank's 2^-24 dyadic sum grid supports at most $NodeCeiling " +
+          s"nodes (got ${n.toLong}); scale the grid (and the replaying " +
+          "oracles) before running larger graphs")
       // Materialize a new ranks leaf AND read off its dangling mass in
       // ONE action: the aggregate's scan of the fresh (lazily persisted)
       // leaf populates the cache exactly like persistedLeaf's eager

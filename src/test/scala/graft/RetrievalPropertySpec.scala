@@ -108,6 +108,50 @@ class RetrievalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkBySentences (map-only kernel) == window/groupBy reference on whitespace-hostile docs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // pieces chosen to exercise every token-count edge the kernel must
+    // replicate bit-exactly: tabs/newlines adjacent to terminators (Spark
+    // trim strips ASCII space ONLY, so '\t'-led sentences grow a leading
+    // empty token), trailing whitespace (split keeps trailing empties),
+    // terminator-only runs ("..." attaches to no sentence), empty docs
+    val genPiece: Gen[String] = Gen.frequency(
+      (6, genWord), (2, Gen.oneOf(".", "!", "?")),
+      (4, Gen.oneOf(" ", "\n", "\t", "  ", ".\n", "! ", "\t.")),
+      (1, Gen.oneOf("...", "??", "a.b", "", "\r\n", ". \t ")))
+    val genDoc: Gen[String] = Gen.choose(0, 60)
+      .flatMap(n => Gen.listOfN(n, genPiece).map(_.mkString(" ")))
+    for (seed <- 1 to 6) {
+      val docs = (1 to 30).map(i => (i.toLong,
+        genDoc.pureApply(Gen.Parameters.default, Seed(1100L * seed + i))))
+      val df = docs.toDF("doc_id", "text")
+      val got = CorpusOps.chunkBySentences(df, "doc_id", "text", chunkTokens = 5)
+      // the pre-r18 two-exchange shape (per-doc prefix-sum window +
+      // (doc, chunk) collect_list groupBy), as the reference
+      val sents = df.select(col("doc_id"),
+          posexplode(graft.ops.TextOps.sentences(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("sent_idx"),
+          col("col").as("sentence"),
+          size(graft.ops.TextOps.tokens(col("col"))).cast("long").as("n_toks"))
+      val w = Window.partitionBy("doc_id").orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = sents.withColumn("chunk_idx",
+          (coalesce(sum("n_toks").over(w), lit(0L)) / lit(5L)).cast("long"))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+            s => s.getField("sentence")), " ").as("text"),
+          count(lit(1)).as("n_sentences"), sum("n_toks").as("n_tokens"))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+      val g = got.collect().map(key).sorted.toSeq
+      val rf = ref.collect().map(key).sorted.toSeq
+      assert(g == rf, s"chunks drifted from the two-exchange reference (seed=$seed)")
+      assert(g.nonEmpty, s"degenerate fixture (seed=$seed)")
+    }
+  }
+
   test("appendToBm25Index == full rebuild on random corpora and split points") {
     for (seed <- 1 to 4) {
       val docs = genDocs.pureApply(Gen.Parameters.default, Seed(900L + seed))
