@@ -43,9 +43,12 @@ object PlanDump {
         val body =
           if (!executed) static
           else {
-            df.write.mode("overwrite").format("noop").save()
-            // after execution, toString on the executed plan prints the
-            // AQE FINAL plan (isFinalPlan=true) including reused stages
+            // collect() executes the df's OWN QueryExecution (a noop/write
+            // sink plans a cloned QE, leaving this one un-executed and its
+            // AdaptiveSparkPlan stuck at isFinalPlan=false); afterwards
+            // toString prints the AQE FINAL plan including reused stages.
+            // Declared query outputs are small by contract.
+            df.collect()
             static + "\n\n=== Executed (AQE final) plan ===\n\n" +
               df.queryExecution.executedPlan.toString
           }

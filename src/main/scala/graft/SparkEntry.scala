@@ -2168,8 +2168,19 @@ object SparkEntry {
         .where(col("__sig.n_grams") >= 20 && col("__sig.top_gram_frac") <= 0.06)
         .drop("__sig")
       val deduped = DedupOps.exactDedupRows(gated, "doc_id", "text")
+      // checkpoint the SHARED post-dedup metadata (r17 verdict item 5):
+      // the budget select references its input several times (two-phase
+      // bucket selection), and AQE stage reuse only dedupes identical
+      // whole exchanges — the r18 executed-plan dump showed the gate
+      // kernel + dedup re-running inside multiple broadcast subtrees
+      // (58 FileScan refs for one corpus). The checkpointed frame is the
+      // COMPACT survivor metadata (doc_id, lang, n_chars, n_tokens — no
+      // text), so gate → dedup → tokenize run exactly once and every
+      // downstream reference reads the bounded materialization — the
+      // guide's decide-on-small-rows rule applied to the pipeline spine.
       val withTok = deduped.select(col("doc_id"), col("lang"), col("n_chars"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint()
       CorpusOps.selectWithinBudget(withTok, "doc_id", "lang", "n_chars",
           "n_tokens", budgetPerStratum = 1500L)
         .select("doc_id", "lang", "n_tokens").orderBy("doc_id")

@@ -491,10 +491,17 @@ object SimilarityOps {
     val sample = sampleVectors(corpus, vecCol, trainSample)
     val centers = trainKmeans(sample, nl, iters = 10, seed)
     // nullable array elements: the encoder's non-null element type does
-    // not survive a cast against parquet-convention table schemas
+    // not survive a cast against parquet-convention table schemas.
+    // coalesce(1): bounded driver state — a local Seq toDF splits one
+    // partition PER ROW (capped at defaultParallelism), so persisting the
+    // table wrote nlist one-row files through nlist tasks (r18 legprobe:
+    // the write JOB, not the metadata commit, was the index-build append
+    // cost); one task → one right-sized file, one footer read, one
+    // manifest entry
     val centroids = centers.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center")
       .select(col("cell"), col("center").cast("array<float>").as("center"))
+      .coalesce(1)
     val assignments = corpus.select(col(idCol).as("vec_id"),
       GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"),
       col(vecCol).as("cvec"))
@@ -1074,9 +1081,11 @@ object SimilarityOps {
     val cb = trainPqCodebooks(corpus, vecCol, dim, m, ksub, trainSample, seed)
     val rows = for (s <- 0 until m; c <- 0 until ksub)
       yield (s, c, cb.slice((s * ksub + c) * dsub, (s * ksub + c + 1) * dsub).toSeq)
+    // coalesce(1): m·ksub bounded driver-state rows (see buildIvfIndex)
     val codebook = rows.toDF("subspace", "code", "center")
       .select(col("subspace"), col("code"),
         col("center").cast("array<float>").as("center"))
+      .coalesce(1)
     val codes = corpus
       .select(col(idCol).as("vec_id"),
         GraftFunctions.pq_encode(col(vecCol), cb, m, ksub, dsub).as("__pq"))
@@ -1279,14 +1288,19 @@ object SimilarityOps {
       for (c <- 0 until ksub)
         System.arraycopy(cs(c), 0, cb, (s * ksub + c) * dsub, dsub)
     }
+    // coalesce(1) on both bounded driver-state tables (see buildIvfIndex):
+    // without it, persisting them wrote one one-row file per centroid /
+    // codebook row through as many tasks
     val centroids = centers.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "center")
       .select(col("cell"), col("center").cast("array<float>").as("center"))
+      .coalesce(1)
     val cbRows = for (s <- 0 until m; c <- 0 until ksub)
       yield (s, c, cb.slice((s * ksub + c) * dsub, (s * ksub + c + 1) * dsub).toSeq)
     val codebook = cbRows.toDF("subspace", "code", "center")
       .select(col("subspace"), col("code"),
         col("center").cast("array<float>").as("center"))
+      .coalesce(1)
     val entries = corpus
       .select(col(idCol).as("vec_id"),
         GraftFunctions.nearest_centroid(col(vecCol), centers).as("cell"),
