@@ -125,7 +125,13 @@ object Bench {
     // zero shuffles) and the distributed classifier trainer (2 gradient
     // steps = 2 partial-aggregated 17-long exchanges over the persisted
     // featurized projection, + one map-only scoring pass)
-    "d119_unigram_entropy", "d120_quality_classifier_train")
+    "d119_unigram_entropy", "d120_quality_classifier_train",
+    // round-18 ADDITION (never removed/renamed, per the driver contract):
+    // sentence-aligned chunking, now a single compiled sentence_chunks
+    // kernel per row (scan → generate → output sort, zero data
+    // exchanges) — benched so the map-only text tier's last member has
+    // a standing driver number
+    "d86_sentence_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
